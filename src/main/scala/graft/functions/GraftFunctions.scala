@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column helpers shared by the graft query layer.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` so it
+  * stays inside whole-stage codegen, and every hash is *portable*: the
+  * DuckDB oracle computes the identical value with vanilla SQL
+  * (md5 hex prefix → 60-bit integer), so results hash-compare exactly.
+  */
+object GraftFunctions {
+
+  /** Deterministic 60-bit hash of a string column, identical in DuckDB as
+    * `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`. 60 bits keeps the
+    * value positive in a signed 64-bit integer in both engines.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Exact money arithmetic: doubles → integer cents. Summing cents is
+    * exact and order-independent, unlike summing doubles, so aggregates
+    * hash-match the oracle bit-for-bit at any parallelism.
+    */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Dot product of two double array columns (sequential fold, codegen'd). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  /** Cosine similarity between two float-array columns, computed in double
+    * precision. Used for embedding dedup / ANN.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    dotProduct(ad, bd) / (sqrt(dotProduct(ad, ad)) * sqrt(dotProduct(bd, bd)))
+  }
+
+  /** Non-empty whitespace-ish tokens (single-space split, empties dropped —
+    * mirrors `string_split(text, ' ')` + filter in the oracle).
+    */
+  def words(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+}

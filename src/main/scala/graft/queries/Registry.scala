@@ -1,0 +1,23 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Single registration point for every query module. SparkEntry delegates
+  * here; each module contributes a (queries, oracles) pair with matching
+  * keys. Keys must be globally unique — asserted at class-init so a clash
+  * fails fast in tests rather than silently shadowing in the Map merge.
+  */
+object Registry {
+  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (Relational.queries, Relational.oracles)
+    )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_._1.toSeq)
+    require(all.size == all.map(_._1).distinct.size, "duplicate query keys across modules")
+    all.toMap
+  }
+
+  val oracles: Map[String, String] = modules.flatMap(_._2.toSeq).toMap
+}

@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Generic relational layer.
+  *
+  * The reference (tomwhite/disq-original) supplies NO relational operators —
+  * `README.md:139-141` ("This library does not do any sorting") and SURVEY.md
+  * §2.5: joins/aggs/windows are delegated to Spark itself. These queries
+  * demonstrate that delegation over the driver's TPC-H-ish tables, in the
+  * shapes a genomics user actually runs on top of a disq-style source
+  * (coverage-per-interval range joins, per-contig depth aggregations), plus
+  * standard OLAP shapes.
+  *
+  * Scale notes (100 TB discipline):
+  *  - money sums use integer cents (exact, order-independent, no
+  *    decimal-vs-double drift at any parallelism);
+  *  - small dimensions are `broadcast()` so the big fact table never
+  *    shuffles for them;
+  *  - every query is a single declarative plan — Catalyst pushes filters
+  *    and prunes columns into the parquet scan.
+  */
+object Relational {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- TPC-H Q1 shape: per-flag pricing summary; map-side partial agg,
+    //    one shuffle on a tiny key space.
+    "q1_pricing_summary" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(cents($"l_quantity")).as("sum_qty_c"),
+          sum(cents($"l_extendedprice")).as("sum_base_c"),
+          sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("sum_disc_c"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // -- TPC-H Q3 shape: fact-fact join + top-k. Join keys are the natural
+    //    shuffle keys; AQE coalesces post-shuffle partitions.
+    "q3_shipping_priority" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      val o = Tables.orders(s, d).filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d).filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"))
+        .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+          $"o_orderpriority", $"revenue_c")
+        .orderBy($"revenue_c".desc, $"l_orderkey")
+        .limit(10)
+    },
+
+    // -- TPC-H Q5 shape: 5-way join; region/nation broadcast (tiny dims),
+    //    customer/orders/lineitem co-shuffle on their keys.
+    "q5_local_supplier" -> { (s, d) =>
+      import s.implicits._
+      val r = Tables.region(s, d).filter($"r_name" === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(su, $"l_suppkey" === $"s_suppkey")
+        .join(c, $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"))
+        .orderBy($"revenue_c".desc, $"n_name")
+    },
+
+    // -- Window: top-3 orders per customer (rank with deterministic ties).
+    "q_top_orders_per_customer" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"o_custkey", $"rk", $"o_orderkey", cents($"o_totalprice").as("totalprice_c"))
+        .orderBy($"o_custkey", $"rk")
+    },
+
+    // -- Anti join: customers with no orders (NOT EXISTS).
+    "q_customers_without_orders" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    // -- Semi join: suppliers that shipped at least one late-1990s line.
+    "q_active_suppliers" -> { (s, d) =>
+      import s.implicits._
+      val late = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("2001-01-01").cast("timestamp"))
+      Tables.supplier(s, d)
+        .join(late, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name")
+        .orderBy($"s_suppkey")
+    },
+
+    // -- Rollup: order counts and value at (priority, status), (priority), ().
+    "q_priority_rollup" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .rollup($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum(cents($"o_totalprice")).as("total_c"))
+        .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          $"n_orders", $"total_c")
+        .orderBy($"priority", $"status")
+    },
+
+    // -- Distinct aggregation: distinct parts handled per supplier.
+    "q_distinct_parts_per_supplier" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_suppkey")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"l_suppkey")
+    },
+
+    // -- Set operation: customers active in both 1995 and 1996 (INTERSECT).
+    "q_repeat_customers" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      def in(y: Int) = o
+        .filter($"o_orderdate" >= lit(s"$y-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select($"o_custkey")
+      in(1995).intersect(in(1996)).orderBy($"o_custkey")
+    },
+
+    // -- Genomic-style coverage: range join of synthetic "reads" (from
+    //    lineitem) against 25 interval bins (from nation), counted per bin.
+    //    This is SURVEY.md §2.5's coverage-per-interval query; the bin table
+    //    is broadcast — the disq-style pattern of a broadcast interval list.
+    "q_interval_coverage" -> { (s, d) =>
+      import s.implicits._
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        (($"l_partkey" * 37) % 100000).as("rstart"))
+        .withColumn("rend", $"rstart" + 150)
+      val bins = Tables.nation(s, d).select(
+        concat(lit("chr"), ($"n_nationkey" % 3).cast("string")).as("icontig"),
+        ($"n_nationkey".cast("long") * 4000).as("istart"))
+        .withColumn("iend", $"istart" + 3999)
+      reads.join(broadcast(bins),
+        $"contig" === $"icontig" && $"rstart" <= $"iend" && $"rend" >= $"istart")
+        .groupBy($"icontig", $"istart", $"iend")
+        .agg(count(lit(1)).as("depth"))
+        .orderBy($"icontig", $"istart")
+    },
+
+    // -- Time-series: hourly event aggregation (batch twin of the streaming
+    //    windowed agg in graft.streaming).
+    "q_events_hourly" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"event_type")
+        .agg(count(lit(1)).as("n"), sum(cents($"value")).as("value_c"))
+        .orderBy($"hour", $"event_type")
+    },
+
+    // -- Semi-structured: JSON extraction from the props column.
+    "q_events_json" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select(get_json_object($"props", "$.k").cast("long").as("k"), $"value")
+        .groupBy(($"k" % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(cents($"value")).as("value_c"))
+        .orderBy($"k_bucket")
+    },
+
+    // -- Sessionization: 30-minute-gap sessions per user via window lag.
+    "q_events_sessions" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ms", lag(unix_millis($"ts"), 1).over(w))
+        .withColumn("new_session",
+          when($"prev_ms".isNull || unix_millis($"ts") - $"prev_ms" > 1800000L, 1L)
+            .otherwise(0L))
+        .groupBy($"user_id")
+        .agg(sum($"new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY revenue_c DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY revenue_c DESC, n_name""".stripMargin,
+    "q_top_orders_per_customer" ->
+      """SELECT o_custkey, rk, o_orderkey, totalprice_c FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q_customers_without_orders" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_active_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey
+        |  AND l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_priority_rollup" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
+    "q_distinct_parts_per_supplier" ->
+      """SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_repeat_customers" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_interval_coverage" ->
+      """WITH reads AS (
+        |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    (l_partkey * 37) % 100000 AS rstart,
+        |    (l_partkey * 37) % 100000 + 150 AS rend
+        |  FROM lineitem),
+        |bins AS (
+        |  SELECT 'chr' || CAST(n_nationkey % 3 AS VARCHAR) AS icontig,
+        |    CAST(n_nationkey AS BIGINT) * 4000 AS istart,
+        |    CAST(n_nationkey AS BIGINT) * 4000 + 3999 AS iend
+        |  FROM nation)
+        |SELECT icontig, istart, iend, COUNT(*) AS depth
+        |FROM reads JOIN bins ON contig = icontig AND rstart <= iend AND rend >= istart
+        |GROUP BY 1, 2, 3 ORDER BY icontig, istart""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_events_sessions" ->
+      """SELECT user_id,
+        |  CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |    FROM events) t1) t2
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
