@@ -1,0 +1,314 @@
+package graft.bam
+
+import java.io.{EOFException, IOException}
+import java.nio.{ByteBuffer, ByteOrder}
+import graft.bgzf.BgzfInputStream
+
+/** BAM binary codec — both directions, written from the public SAM/BAM spec
+  * (samtools/hts-specs §4.2). The reference delegates this to htsjdk
+  * (BAMRecordCodec); field layout it validates is documented at
+  * /root/reference impl/formats/bam/BamRecordGuesser.java:80-96.
+  */
+object BamCodec {
+
+  val Magic: Array[Byte] = Array('B', 'A', 'M', 1).map(_.toByte)
+  private val SeqNibbles = "=ACMGRSVTWYHKDBN"
+  private val CigarOps = "MIDNSHP=X"
+
+  // ---- header ----------------------------------------------------------
+
+  def writeHeader(out: java.io.OutputStream, header: SamHeader): Unit = {
+    val text = header.text.getBytes("UTF-8")
+    val bb = ByteBuffer.allocate(4 + 4 + text.length + 4 +
+      header.refs.map(r => 8 + r.name.length + 1).sum).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(Magic)
+    bb.putInt(text.length)
+    bb.put(text)
+    bb.putInt(header.refs.length)
+    header.refs.foreach { r =>
+      val nb = r.name.getBytes("UTF-8")
+      bb.putInt(nb.length + 1); bb.put(nb); bb.put(0.toByte); bb.putInt(r.length)
+    }
+    out.write(bb.array(), 0, bb.position())
+  }
+
+  def readHeader(in: BgzfInputStream): SamHeader = {
+    val magic = new Array[Byte](4)
+    in.readFully(magic, 0, 4)
+    if (!magic.sameElements(Magic)) throw new IOException("not a BAM file (bad magic)")
+    val lText = readIntLE(in)
+    val text = new Array[Byte](lText)
+    in.readFully(text, 0, lText)
+    val nRef = readIntLE(in)
+    val refs = (0 until nRef).map { _ =>
+      val lName = readIntLE(in)
+      val name = new Array[Byte](lName)
+      in.readFully(name, 0, lName)
+      val lRef = readIntLE(in)
+      BamRef(new String(name, 0, lName - 1, "UTF-8"), lRef)
+    }
+    SamHeader(new String(text, "UTF-8"), refs.toIndexedSeq)
+  }
+
+  private def readIntLE(in: BgzfInputStream): Int = {
+    val b = new Array[Byte](4)
+    in.readFully(b, 0, 4)
+    (b(0) & 0xff) | ((b(1) & 0xff) << 8) | ((b(2) & 0xff) << 16) | ((b(3) & 0xff) << 24)
+  }
+
+  // ---- record decode ---------------------------------------------------
+
+  /** Read one record; null at clean EOF. `refs` resolves refID → name. */
+  def readRecord(in: BgzfInputStream, header: SamHeader): AlignmentRecord = {
+    if (in.atEof) return null
+    val first = in.read()
+    if (first < 0) return null
+    val b = new Array[Byte](3)
+    in.readFully(b, 0, 3)
+    val blockSize = (first & 0xff) | ((b(0) & 0xff) << 8) | ((b(1) & 0xff) << 16) | ((b(2) & 0xff) << 24)
+    if (blockSize < 32) throw new IOException(s"bad BAM record block_size $blockSize")
+    val rec = new Array[Byte](blockSize)
+    in.readFully(rec, 0, blockSize)
+    decodeRecord(rec, blockSize, header)
+  }
+
+  def decodeRecord(rec: Array[Byte], blockSize: Int, header: SamHeader): AlignmentRecord = {
+    val bb = ByteBuffer.wrap(rec, 0, blockSize).order(ByteOrder.LITTLE_ENDIAN)
+    val refId = bb.getInt
+    val pos = bb.getInt
+    val lReadName = bb.get & 0xff
+    val mapq = bb.get & 0xff
+    bb.getShort // bin — recomputed on encode
+    val nCigarOp = bb.getShort & 0xffff
+    val flag = bb.getShort & 0xffff
+    val lSeq = bb.getInt
+    val nextRefId = bb.getInt
+    val nextPos = bb.getInt
+    val tlen = bb.getInt
+    val nameBytes = new Array[Byte](lReadName)
+    bb.get(nameBytes)
+    val readName = new String(nameBytes, 0, lReadName - 1, "UTF-8")
+    val cigarSb = new StringBuilder
+    var refLen = 0
+    var i = 0
+    while (i < nCigarOp) {
+      val v = bb.getInt
+      val opLen = v >>> 4
+      val op = v & 0xf
+      if (op > 8) throw new IOException(s"bad cigar op $op")
+      val c = CigarOps.charAt(op)
+      cigarSb.append(opLen).append(c)
+      if (c == 'M' || c == 'D' || c == 'N' || c == '=' || c == 'X') refLen += opLen
+      i += 1
+    }
+    val seqSb = new StringBuilder(lSeq)
+    i = 0
+    while (i < (lSeq + 1) / 2) {
+      val byte = bb.get & 0xff
+      seqSb.append(SeqNibbles.charAt(byte >> 4))
+      if (2 * i + 1 < lSeq) seqSb.append(SeqNibbles.charAt(byte & 0xf))
+      i += 1
+    }
+    val qualBytes = new Array[Byte](lSeq)
+    bb.get(qualBytes)
+    val qual =
+      if (lSeq == 0) "*"
+      else if (lSeq > 0 && (qualBytes(0) & 0xff) == 0xff) "*"
+      else { val sb = new StringBuilder(lSeq); qualBytes.foreach(q => sb.append((33 + (q & 0xff)).toChar)); sb.toString }
+    val attrs = decodeTags(bb)
+    val start = if (pos < 0) 0 else pos + 1
+    AlignmentRecord(
+      readName = if (readName == "*") null else readName,
+      flags = flag,
+      contig = header.refName(refId),
+      start = start,
+      end = if (start > 0 && refLen > 0) start + refLen - 1 else 0,
+      mapq = mapq,
+      cigar = if (nCigarOp == 0) "*" else cigarSb.toString,
+      mateContig = header.refName(nextRefId),
+      mateStart = if (nextPos < 0) 0 else nextPos + 1,
+      tlen = tlen,
+      seq = if (lSeq == 0) "*" else seqSb.toString,
+      qual = qual,
+      attributes = attrs)
+  }
+
+  private def decodeTags(bb: ByteBuffer): Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    while (bb.remaining() >= 3) {
+      val tag = new String(Array(bb.get, bb.get).map(b => (b & 0xff).toChar))
+      val t = (bb.get & 0xff).toChar
+      val v: String = t match {
+        case 'A' => "A:" + (bb.get & 0xff).toChar
+        case 'c' => "c:" + bb.get.toInt
+        case 'C' => "C:" + (bb.get & 0xff)
+        case 's' => "s:" + bb.getShort.toInt
+        case 'S' => "S:" + (bb.getShort & 0xffff)
+        case 'i' => "i:" + bb.getInt
+        case 'I' => "I:" + (bb.getInt.toLong & 0xffffffffL)
+        case 'f' => "f:" + bb.getFloat
+        case 'Z' => "Z:" + readNulString(bb)
+        case 'H' => "H:" + readNulString(bb)
+        case 'B' =>
+          val sub = (bb.get & 0xff).toChar
+          val n = bb.getInt
+          val vals = (0 until n).map { _ =>
+            sub match {
+              case 'c' => bb.get.toInt.toString
+              case 'C' => (bb.get & 0xff).toString
+              case 's' => bb.getShort.toInt.toString
+              case 'S' => (bb.getShort & 0xffff).toString
+              case 'i' => bb.getInt.toString
+              case 'I' => (bb.getInt.toLong & 0xffffffffL).toString
+              case 'f' => bb.getFloat.toString
+              case x => throw new IOException(s"bad B subtype $x")
+            }
+          }
+          "B:" + sub + (if (vals.isEmpty) "" else "," + vals.mkString(","))
+        case x => throw new IOException(s"bad tag type $x")
+      }
+      m += tag -> v
+    }
+    m.result()
+  }
+
+  private def readNulString(bb: ByteBuffer): String = {
+    val sb = new StringBuilder
+    var c = bb.get
+    while (c != 0) { sb.append((c & 0xff).toChar); c = bb.get }
+    sb.toString
+  }
+
+  // ---- record encode ---------------------------------------------------
+
+  def encodeRecord(r: AlignmentRecord, header: SamHeader): Array[Byte] = {
+    val name = if (r.readName == null || r.readName.isEmpty) "*" else r.readName
+    val nameBytes = name.getBytes("UTF-8")
+    require(nameBytes.length <= 254, s"read name too long: $name")
+    val cigarOps: Array[Int] =
+      if (r.cigar == null || r.cigar == "*") Array.empty
+      else parseCigar(r.cigar)
+    val seq = if (r.seq == null || r.seq == "*") "" else r.seq
+    val lSeq = seq.length
+    val qual: Array[Byte] =
+      if (r.qual == null || r.qual == "*") Array.fill[Byte](lSeq)(0xff.toByte)
+      else { require(r.qual.length == lSeq, "qual/seq length mismatch"); r.qual.map(c => (c - 33).toByte).toArray }
+    val tags = encodeTags(r.attributes)
+    val size = 32 + nameBytes.length + 1 + 4 * cigarOps.length + (lSeq + 1) / 2 + lSeq + tags.length
+    val bb = ByteBuffer.allocate(4 + size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(size)
+    val refId = header.refId(r.contig)
+    val pos = r.start - 1 // 1-based → 0-based; start=0 → -1 (unplaced)
+    bb.putInt(refId)
+    bb.putInt(pos)
+    bb.put((nameBytes.length + 1).toByte)
+    bb.put(r.mapq.toByte)
+    val refLen = cigarRefLength(cigarOps)
+    val bin = if (pos >= 0) reg2bin(pos, if (refLen > 0) pos + refLen else pos + 1) else 4680
+    bb.putShort(bin.toShort)
+    bb.putShort(cigarOps.length.toShort)
+    bb.putShort(r.flags.toShort)
+    bb.putInt(lSeq)
+    bb.putInt(header.refId(r.mateContig))
+    bb.putInt(r.mateStart - 1)
+    bb.putInt(r.tlen)
+    bb.put(nameBytes); bb.put(0.toByte)
+    cigarOps.foreach(bb.putInt)
+    var i = 0
+    while (i < lSeq) {
+      val hi = seqNibble(seq.charAt(i))
+      val lo = if (i + 1 < lSeq) seqNibble(seq.charAt(i + 1)) else 0
+      bb.put(((hi << 4) | lo).toByte)
+      i += 2
+    }
+    bb.put(qual)
+    bb.put(tags)
+    bb.array()
+  }
+
+  private def seqNibble(c: Char): Int = {
+    val i = SeqNibbles.indexOf(c.toUpper)
+    if (i < 0) 15 else i // unknown base → N
+  }
+
+  /** "10M2I3D" → packed (len<<4|op) ints. */
+  def parseCigar(s: String): Array[Int] = {
+    val out = Array.newBuilder[Int]
+    var i = 0
+    while (i < s.length) {
+      var len = 0
+      while (i < s.length && s.charAt(i).isDigit) { len = len * 10 + (s.charAt(i) - '0'); i += 1 }
+      require(i < s.length, s"bad cigar: $s")
+      val op = CigarOps.indexOf(s.charAt(i))
+      require(op >= 0, s"bad cigar op '${s.charAt(i)}' in $s")
+      out += (len << 4) | op
+      i += 1
+    }
+    out.result()
+  }
+
+  def cigarRefLength(ops: Array[Int]): Int = {
+    var n = 0
+    ops.foreach { v =>
+      val op = v & 0xf
+      // M, D, N, =, X consume reference
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) n += (v >>> 4)
+    }
+    n
+  }
+
+  /** SAM spec §5.3 bin computation (beg inclusive, end exclusive, 0-based). */
+  def reg2bin(beg: Int, end0: Int): Int = {
+    val end = end0 - 1
+    if (beg >> 14 == end >> 14) return ((1 << 15) - 1) / 7 + (beg >> 14)
+    if (beg >> 17 == end >> 17) return ((1 << 12) - 1) / 7 + (beg >> 17)
+    if (beg >> 20 == end >> 20) return ((1 << 9) - 1) / 7 + (beg >> 20)
+    if (beg >> 23 == end >> 23) return ((1 << 6) - 1) / 7 + (beg >> 23)
+    if (beg >> 26 == end >> 26) return ((1 << 3) - 1) / 7 + (beg >> 26)
+    0
+  }
+
+  private def encodeTags(attrs: Map[String, String]): Array[Byte] = {
+    if (attrs == null || attrs.isEmpty) return Array.emptyByteArray
+    val bb = ByteBuffer.allocate(attrs.iterator.map(t => 8 + t._2.length * 4 + 16).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    // sorted for deterministic bytes (Map iteration order is not stable)
+    attrs.toSeq.sortBy(_._1).foreach { case (tag, typed) =>
+      require(tag.length == 2, s"bad tag name $tag")
+      require(typed.length >= 2 && typed.charAt(1) == ':', s"bad typed value '$typed' (want T:value)")
+      bb.put(tag.charAt(0).toByte); bb.put(tag.charAt(1).toByte)
+      val t = typed.charAt(0)
+      val v = typed.substring(2)
+      bb.put(t.toByte)
+      t match {
+        case 'A' => bb.put(v.charAt(0).toByte)
+        case 'c' => bb.put(v.toInt.toByte)
+        case 'C' => bb.put(v.toInt.toByte)
+        case 's' => bb.putShort(v.toInt.toShort)
+        case 'S' => bb.putShort(v.toInt.toShort)
+        case 'i' => bb.putInt(v.toInt)
+        case 'I' => bb.putInt(v.toLong.toInt)
+        case 'f' => bb.putFloat(v.toFloat)
+        case 'Z' => bb.put(v.getBytes("UTF-8")); bb.put(0.toByte)
+        case 'H' => bb.put(v.getBytes("UTF-8")); bb.put(0.toByte)
+        case 'B' =>
+          val parts = v.split(',')
+          val sub = parts(0).charAt(0)
+          bb.put(sub.toByte)
+          bb.putInt(parts.length - 1)
+          parts.iterator.drop(1).foreach { p =>
+            sub match {
+              case 'c' | 'C' => bb.put(p.toInt.toByte)
+              case 's' | 'S' => bb.putShort(p.toInt.toShort)
+              case 'i' => bb.putInt(p.toInt)
+              case 'I' => bb.putInt(p.toLong.toInt)
+              case 'f' => bb.putFloat(p.toFloat)
+              case x => throw new IOException(s"bad B subtype $x")
+            }
+          }
+        case x => throw new IOException(s"bad tag type $x")
+      }
+    }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+}

@@ -1,0 +1,94 @@
+package graft.bam
+
+import org.apache.spark.sql.types._
+
+/** The row type every SAM-family source/sink speaks — the 11 mandatory SAM
+  * columns plus typed-tag attributes (reference record model: htsjdk
+  * SAMRecord, HtsjdkReadsRdd.java:19; field layout BamRecordGuesser.java:80-96).
+  *
+  * Unlike the reference's opaque htsjdk objects, every column is a plain
+  * Catalyst type, so joins/aggregations/windows over reads "just work" and
+  * whole-stage codegen applies (SURVEY.md §2.5).
+  */
+case class AlignmentRecord(
+    readName: String,
+    flags: Int,
+    contig: String,   // null when refID == -1
+    start: Int,       // 1-based leftmost mapped base; 0 when unplaced
+    end: Int,         // 1-based inclusive alignment end; 0 when no cigar
+    mapq: Int,
+    cigar: String,    // "*" when absent
+    mateContig: String,
+    mateStart: Int,
+    tlen: Int,
+    seq: String,      // "*" when absent
+    qual: String,     // phred+33 string; "*" when absent
+    attributes: Map[String, String]) // tag -> "T:value" (T = SAM type char)
+
+object AlignmentRecord {
+  val schema: StructType = StructType(Seq(
+    StructField("readName", StringType, nullable = true),
+    StructField("flags", IntegerType, nullable = false),
+    StructField("contig", StringType, nullable = true),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("mapq", IntegerType, nullable = false),
+    StructField("cigar", StringType, nullable = true),
+    StructField("mateContig", StringType, nullable = true),
+    StructField("mateStart", IntegerType, nullable = false),
+    StructField("tlen", IntegerType, nullable = false),
+    StructField("seq", StringType, nullable = true),
+    StructField("qual", StringType, nullable = true),
+    StructField("attributes", MapType(StringType, StringType, valueContainsNull = false), nullable = true)))
+
+  // SAM flag bits (spec §1.4)
+  val FlagPaired = 0x1
+  val FlagUnmapped = 0x4
+  val FlagMateUnmapped = 0x8
+  val FlagReverse = 0x10
+  val FlagFirstOfPair = 0x40
+  val FlagSecondOfPair = 0x80
+}
+
+/** Reference sequence dictionary entry (SAM @SQ line / BAM binary ref list). */
+case class BamRef(name: String, length: Int)
+
+/** SAM header: free text (the @-lines) + the binary reference dictionary.
+  * Kept as a small serializable object broadcast to writers / carried by
+  * partition readers (replaces the reference's SAMFileHeader side-channel,
+  * HtsjdkReadsRdd.java:16-33).
+  */
+case class SamHeader(text: String, refs: IndexedSeq[BamRef]) {
+  @transient lazy val refIndex: Map[String, Int] = refs.iterator.map(_.name).zipWithIndex.toMap
+  def refId(contig: String): Int = if (contig == null) -1 else refIndex.getOrElse(contig, -1)
+  def refName(id: Int): String = if (id < 0 || id >= refs.length) null else refs(id).name
+}
+
+object SamHeader {
+  /** Minimal spec-valid header text for a ref dictionary. */
+  def defaultText(refs: Seq[BamRef], sortOrder: String = "coordinate"): String = {
+    val sb = new StringBuilder
+    sb.append(s"@HD\tVN:1.6\tSO:$sortOrder\n")
+    refs.foreach(r => sb.append(s"@SQ\tSN:${r.name}\tLN:${r.length}\n"))
+    sb.toString
+  }
+
+  def apply(refs: Seq[BamRef]): SamHeader = SamHeader(defaultText(refs), refs.toIndexedSeq)
+
+  /** Parse "name:length,name:length" (the `refs` data source option). */
+  def parseRefsOption(s: String): IndexedSeq[BamRef] =
+    s.split(',').iterator.filter(_.nonEmpty).map { part =>
+      val i = part.lastIndexOf(':')
+      require(i > 0, s"bad ref spec: $part (want name:length)")
+      BamRef(part.substring(0, i), part.substring(i + 1).trim.toInt)
+    }.toIndexedSeq
+
+  /** Parse @SQ lines out of header text (used when reading SAM text). */
+  def refsFromText(text: String): IndexedSeq[BamRef] =
+    text.linesIterator.filter(_.startsWith("@SQ")).map { line =>
+      val fields = line.split('\t')
+      val sn = fields.collectFirst { case f if f.startsWith("SN:") => f.substring(3) }
+      val ln = fields.collectFirst { case f if f.startsWith("LN:") => f.substring(3).toInt }
+      BamRef(sn.getOrElse(throw new IllegalArgumentException(s"@SQ without SN: $line")), ln.getOrElse(0))
+    }.toIndexedSeq
+}
