@@ -9,6 +9,23 @@ import graft.bgzf.BgzfInputStream
   * (BAMRecordCodec); field layout it validates is documented at
   * /root/reference impl/formats/bam/BamRecordGuesser.java:80-96.
   */
+/** Which expensive record fields a scan actually needs (column pruning).
+  * `cigarAndEnd` gates the cigar walk that also yields `end`.
+  */
+final case class BamFieldMask(cigarAndEnd: Boolean, seq: Boolean, qual: Boolean, attrs: Boolean)
+    extends Serializable
+
+object BamFieldMask {
+  val All = BamFieldMask(cigarAndEnd = true, seq = true, qual = true, attrs = true)
+
+  /** Derive from the pruned column set Catalyst hands the scan. */
+  def fromColumns(cols: Set[String]): BamFieldMask = BamFieldMask(
+    cigarAndEnd = cols.contains("cigar") || cols.contains("end"),
+    seq = cols.contains("seq"),
+    qual = cols.contains("qual"),
+    attrs = cols.contains("attributes"))
+}
+
 object BamCodec {
 
   val Magic: Array[Byte] = Array('B', 'A', 'M', 1).map(_.toByte)
@@ -72,7 +89,15 @@ object BamCodec {
     decodeRecord(rec, blockSize, header)
   }
 
-  def decodeRecord(rec: Array[Byte], blockSize: Int, header: SamHeader): AlignmentRecord = {
+  def decodeRecord(rec: Array[Byte], blockSize: Int, header: SamHeader): AlignmentRecord =
+    decodeRecord(rec, blockSize, header, BamFieldMask.All)
+
+  /** Column-pruned decode: skip building the expensive string/map fields the
+    * scan does not need (the "lazy record decode" the reference gets from
+    * htsjdk, AbstractSamSource.java:66-69 — here driven by Catalyst's
+    * SupportsPushDownRequiredColumns). Skipped fields are null/0.
+    */
+  def decodeRecord(rec: Array[Byte], blockSize: Int, header: SamHeader, mask: BamFieldMask): AlignmentRecord = {
     val bb = ByteBuffer.wrap(rec, 0, blockSize).order(ByteOrder.LITTLE_ENDIAN)
     val refId = bb.getInt
     val pos = bb.getInt
@@ -88,34 +113,45 @@ object BamCodec {
     val nameBytes = new Array[Byte](lReadName)
     bb.get(nameBytes)
     val readName = new String(nameBytes, 0, lReadName - 1, "UTF-8")
-    val cigarSb = new StringBuilder
+    var cigarStr: String = null
     var refLen = 0
-    var i = 0
-    while (i < nCigarOp) {
-      val v = bb.getInt
-      val opLen = v >>> 4
-      val op = v & 0xf
-      if (op > 8) throw new IOException(s"bad cigar op $op")
-      val c = CigarOps.charAt(op)
-      cigarSb.append(opLen).append(c)
-      if (c == 'M' || c == 'D' || c == 'N' || c == '=' || c == 'X') refLen += opLen
-      i += 1
-    }
-    val seqSb = new StringBuilder(lSeq)
-    i = 0
-    while (i < (lSeq + 1) / 2) {
-      val byte = bb.get & 0xff
-      seqSb.append(SeqNibbles.charAt(byte >> 4))
-      if (2 * i + 1 < lSeq) seqSb.append(SeqNibbles.charAt(byte & 0xf))
-      i += 1
-    }
-    val qualBytes = new Array[Byte](lSeq)
-    bb.get(qualBytes)
-    val qual =
-      if (lSeq == 0) "*"
-      else if (lSeq > 0 && (qualBytes(0) & 0xff) == 0xff) "*"
-      else { val sb = new StringBuilder(lSeq); qualBytes.foreach(q => sb.append((33 + (q & 0xff)).toChar)); sb.toString }
-    val attrs = decodeTags(bb)
+    if (mask.cigarAndEnd) {
+      val cigarSb = new StringBuilder
+      var i = 0
+      while (i < nCigarOp) {
+        val v = bb.getInt
+        val opLen = v >>> 4
+        val op = v & 0xf
+        if (op > 8) throw new IOException(s"bad cigar op $op")
+        val c = CigarOps.charAt(op)
+        cigarSb.append(opLen).append(c)
+        if (c == 'M' || c == 'D' || c == 'N' || c == '=' || c == 'X') refLen += opLen
+        i += 1
+      }
+      cigarStr = cigarSb.toString
+    } else bb.position(bb.position() + 4 * nCigarOp)
+    var seqStr: String = null
+    if (mask.seq) {
+      val seqSb = new StringBuilder(lSeq)
+      var i = 0
+      while (i < (lSeq + 1) / 2) {
+        val byte = bb.get & 0xff
+        seqSb.append(SeqNibbles.charAt(byte >> 4))
+        if (2 * i + 1 < lSeq) seqSb.append(SeqNibbles.charAt(byte & 0xf))
+        i += 1
+      }
+      seqStr = seqSb.toString
+    } else bb.position(bb.position() + (lSeq + 1) / 2)
+    var qual: String = null
+    if (mask.qual) {
+      val qualBytes = new Array[Byte](lSeq)
+      bb.get(qualBytes)
+      qual =
+        if (lSeq == 0) "*"
+        else if ((qualBytes(0) & 0xff) == 0xff) "*"
+        else { val sb = new StringBuilder(lSeq); qualBytes.foreach(q => sb.append((33 + (q & 0xff)).toChar)); sb.toString }
+    } else bb.position(bb.position() + lSeq)
+    val attrs = if (mask.attrs) decodeTags(bb) else null
     val start = if (pos < 0) 0 else pos + 1
     AlignmentRecord(
       readName = if (readName == "*") null else readName,
@@ -124,11 +160,11 @@ object BamCodec {
       start = start,
       end = if (start > 0 && refLen > 0) start + refLen - 1 else 0,
       mapq = mapq,
-      cigar = if (nCigarOp == 0) "*" else cigarSb.toString,
+      cigar = if (!mask.cigarAndEnd) null else if (nCigarOp == 0) "*" else cigarStr,
       mateContig = header.refName(nextRefId),
       mateStart = if (nextPos < 0) 0 else nextPos + 1,
       tlen = tlen,
-      seq = if (lSeq == 0) "*" else seqSb.toString,
+      seq = if (!mask.seq) null else if (lSeq == 0) "*" else seqStr,
       qual = qual,
       attributes = attrs)
   }

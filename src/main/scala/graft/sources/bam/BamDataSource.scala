@@ -1,0 +1,385 @@
+package graft.sources.bam
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.bam._
+import graft.bgzf.Bgzf
+import graft.sources.{GenomicInterval, HadoopIO, SerializableConf}
+
+/** `spark.read.format("bam")` / `df.write.format("bam")` — the Spark-native
+  * re-expression of the reference's HtsjdkReadsRddStorage BAM path
+  * (HtsjdkReadsRddStorage.java:128-245, BamSource.java:60-188,
+  * BamSink.java:31-69).
+  *
+  * Read options:
+  *   - `splitSize` (bytes, default 64 MiB — reference default 128 MiB FileSystem
+  *     block or SPLIT_MAXSIZE, PathSplitSource.java:56-58)
+  *   - `intervals` = "chr21:5000-9999,…" genomic predicate (1-based closed)
+  *   - `unplacedUnmapped` = true → ALSO emit unmapped reads without position
+  *     (HtsjdkReadsTraversalParameters semantics, README.md:119-138)
+  * Write options:
+  *   - `refs` = "chr20:1000000,chr21:1000135" reference dictionary (required)
+  *   - `headerText` optional literal SAM header text
+  *   - path ending in ".bam" → single file via headerless parts + concat
+  *     commit; otherwise a directory of complete per-partition BAMs
+  *     (write-option inference as in HtsjdkReadsRddStorage.java:217-257)
+  */
+class BamDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "bam"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = AlignmentRecord.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new BamTable(properties.asScala.toMap)
+}
+
+class BamTable(properties: Map[String, String]) extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"bam:${properties.getOrElse("path", "?")}"
+  override def schema(): StructType = AlignmentRecord.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BamScanBuilder(options.asScala.toMap)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new BamWriteBuilder(info.options.asScala.toMap, info.schema())
+}
+
+// ---------------------------------------------------------------------------
+// Read path
+// ---------------------------------------------------------------------------
+
+/** Option lookups must be case-insensitive: CaseInsensitiveStringMap hands
+  * the connector lowercased keys, while users write `splitSize` etc.
+  */
+private[bam] object Opts {
+  def normalize(m: Map[String, String]): Map[String, String] =
+    m.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+}
+
+class BamScanBuilder(options0: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private val options = Opts.normalize(options0)
+
+  private var required: StructType = AlignmentRecord.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** Record interval-translatable filters (contig =, start/end bounds) for
+    * reader-side filtering + explain visibility; everything stays residual
+    * (Spark re-applies), mirroring the coarse-index + residual-iterator
+    * split of the reference (AbstractBinarySamSource.java:86-113).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case EqualTo("contig", _) => true
+      case GreaterThan("start", _) | GreaterThanOrEqual("start", _) => true
+      case LessThan("start", _) | LessThanOrEqual("start", _) => true
+      case GreaterThan("end", _) | GreaterThanOrEqual("end", _) => true
+      case LessThan("end", _) | LessThanOrEqual("end", _) => true
+      case _ => false
+    }
+    filters // all residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new BamScan(options, required, pushed)
+}
+
+/** Filter-derived coordinate constraint used by readers when no explicit
+  * `intervals` option is given: (contig, minStart..maxStart upper bounds).
+  */
+private[bam] case class PushedRegion(contig: String, startMin: Int, startMax: Int) extends Serializable
+
+class BamScan(options0: Map[String, String], required: StructType, pushed: Array[Filter])
+    extends Scan with Batch {
+  private val options = Opts.normalize(options0)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val iv = options.get("intervals").map(i => s" intervals=$i").getOrElse("")
+    s"graft-bam ${options.getOrElse("path", "")}$iv pushed=[${pushed.mkString(",")}]"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val pathStr = options.getOrElse("path",
+      throw new IllegalArgumentException("bam source requires a path"))
+    val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val intervals = options.get("intervals")
+      .map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
+    val unplacedUnmapped = options.get("unplacedunmapped").exists(_.toBoolean)
+    val files = HadoopIO.listInputFiles(pathStr, conf)
+    files.flatMap { file =>
+      val in = HadoopIO.open(file, conf)
+      try {
+        val (header, headerEnd) = BamIO.readHeader(in)
+        val size = in.size
+        // byte splits tile the file; each split owns records whose start
+        // virtual offset lies in a block starting within the split
+        val nSplits = math.max(1L, (size + splitSize - 1) / splitSize)
+        (0L until nSplits).map { i =>
+          BamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
+            header, headerEnd, intervals, unplacedUnmapped)
+        }
+      } finally in.close()
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
+    new BamPartitionReaderFactory(conf, required)
+  }
+}
+
+case class BamInputPartition(
+    file: String, splitStart: Long, splitEnd: Long,
+    header: SamHeader, headerEndVoff: Long,
+    intervals: Option[Seq[GenomicInterval]], unplacedUnmapped: Boolean)
+  extends InputPartition
+
+class BamPartitionReaderFactory(conf: SerializableConf, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new BamPartitionReader(partition.asInstanceOf[BamInputPartition], conf, required)
+}
+
+/** Executor-side reader: boundary search then sequential decode, exactly the
+  * reference's executor phases 4–5 (BamSource.getFirstReadInPartition:115-158,
+  * AbstractBinarySamSource.getReads:61-135) with decode pruned to `required`.
+  */
+class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val input = HadoopIO.open(new Path(p.file), conf.conf)
+  private val needFilter = p.intervals.isDefined
+  private val mask = {
+    val cols = required.fieldNames.toSet
+    val m = BamFieldMask.fromColumns(cols)
+    if (needFilter) m.copy(cigarAndEnd = true) else m // interval test needs end
+  }
+  private val stream = new graft.bgzf.BgzfInputStream(input)
+  private var currentRow: InternalRow = _
+  private var exhausted = false
+
+  // boundary search (guesser shares the pread-based input with the stream)
+  locally {
+    val guesser = new BamRecordGuesser(input, p.header.refs.length, p.headerEndVoff)
+    val first = guesser.firstRecordAtOrAfter(p.splitStart, p.splitEnd)
+    if (first < 0) exhausted = true
+    else stream.seekVirtual(first)
+  }
+
+  private val fieldGetters: Array[AlignmentRecord => Any] =
+    required.fieldNames.map {
+      case "readName" => (r: AlignmentRecord) => if (r.readName == null) null else UTF8String.fromString(r.readName)
+      case "flags" => (r: AlignmentRecord) => r.flags
+      case "contig" => (r: AlignmentRecord) => if (r.contig == null) null else UTF8String.fromString(r.contig)
+      case "start" => (r: AlignmentRecord) => r.start
+      case "end" => (r: AlignmentRecord) => r.end
+      case "mapq" => (r: AlignmentRecord) => r.mapq
+      case "cigar" => (r: AlignmentRecord) => if (r.cigar == null) null else UTF8String.fromString(r.cigar)
+      case "mateContig" => (r: AlignmentRecord) => if (r.mateContig == null) null else UTF8String.fromString(r.mateContig)
+      case "mateStart" => (r: AlignmentRecord) => r.mateStart
+      case "tlen" => (r: AlignmentRecord) => r.tlen
+      case "seq" => (r: AlignmentRecord) => if (r.seq == null) null else UTF8String.fromString(r.seq)
+      case "qual" => (r: AlignmentRecord) => if (r.qual == null) null else UTF8String.fromString(r.qual)
+      case "attributes" => (r: AlignmentRecord) =>
+        if (r.attributes == null) null
+        else {
+          val keys = new Array[Any](r.attributes.size)
+          val vals = new Array[Any](r.attributes.size)
+          var i = 0
+          r.attributes.foreach { case (k, v) =>
+            keys(i) = UTF8String.fromString(k); vals(i) = UTF8String.fromString(v); i += 1
+          }
+          new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+        }
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }.toArray
+
+  private def keep(r: AlignmentRecord): Boolean = p.intervals match {
+    case None => true
+    case Some(ivs) =>
+      val unplaced = (r.flags & AlignmentRecord.FlagUnmapped) != 0 && r.start == 0
+      (p.unplacedUnmapped && unplaced) ||
+        (r.contig != null && ivs.exists(_.overlaps(r.contig, r.start, math.max(r.end, r.start))))
+  }
+
+  override def next(): Boolean = {
+    if (exhausted) return false
+    while (true) {
+      // stop when the next record starts in a block owned by the next split
+      if (stream.atEof || stream.blockStartOffset >= p.splitEnd) { exhausted = true; return false }
+      val rec = readOne()
+      if (rec == null) { exhausted = true; return false }
+      if (keep(rec)) {
+        val vals = new Array[Any](fieldGetters.length)
+        var i = 0
+        while (i < vals.length) { vals(i) = fieldGetters(i)(rec); i += 1 }
+        currentRow = new GenericInternalRow(vals)
+        return true
+      }
+    }
+    false
+  }
+
+  private def readOne(): AlignmentRecord = {
+    val szb = new Array[Byte](4)
+    val got = stream.read(szb, 0, 1)
+    if (got < 0) return null
+    stream.readFully(szb, 1, 3)
+    val blockSize = (szb(0) & 0xff) | ((szb(1) & 0xff) << 8) | ((szb(2) & 0xff) << 16) | ((szb(3) & 0xff) << 24)
+    val rec = new Array[Byte](blockSize)
+    stream.readFully(rec, 0, blockSize)
+    BamCodec.decodeRecord(rec, blockSize, p.header, mask)
+  }
+
+  override def get(): InternalRow = currentRow
+  override def close(): Unit = stream.close()
+}
+
+// ---------------------------------------------------------------------------
+// Write path
+// ---------------------------------------------------------------------------
+
+class BamWriteBuilder(options: Map[String, String], schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = this // writes always replace (reference README.md:53)
+  override def build(): Write = new BamWrite(options, schema)
+}
+
+class BamWrite(options0: Map[String, String], schema: StructType) extends Write {
+  private val options = Opts.normalize(options0)
+  override def toBatch: BatchWrite = {
+    val path = options.getOrElse("path", throw new IllegalArgumentException("bam sink requires a path"))
+    val refs = SamHeader.parseRefsOption(options.getOrElse("refs",
+      throw new IllegalArgumentException("bam sink requires option refs=name:length,…")))
+    val header = options.get("headertext") match {
+      case Some(t) => SamHeader(t, refs)
+      case None => SamHeader(refs)
+    }
+    val singleFile = path.endsWith(".bam")
+    new BamBatchWrite(path, header, singleFile, schema,
+      new SerializableConf(SparkSession.active.sessionState.newHadoopConf()))
+  }
+}
+
+case class BamPartMessage(path: String, records: Long) extends WriterCommitMessage
+
+/** Single-file mode: tasks write headerless BGZF parts into `path.parts/`;
+  * commit writes `header` + `terminator` and merges in name order (names
+  * chosen so header < part-* < terminator lexicographically — the invariant
+  * the reference's Merger relies on, BamSink.java:41-68, Merger.java:17-29).
+  * Sharded mode: tasks write complete per-partition BAMs (AnySamSinkMultiple
+  * .java:39-73 semantics — native Spark one-file-per-partition shape).
+  */
+class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
+                    schema: StructType, conf: SerializableConf) extends BatchWrite {
+
+  private val tempDir = path + ".parts"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val fs = new Path(path).getFileSystem(conf.conf)
+    if (singleFile) {
+      fs.delete(new Path(path), false)
+      fs.delete(new Path(tempDir), true)
+      fs.mkdirs(new Path(tempDir))
+    } else {
+      fs.delete(new Path(path), true)
+      fs.mkdirs(new Path(path))
+    }
+    new BamDataWriterFactory(if (singleFile) tempDir else path, header, singleFile, schema, conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = if (singleFile) {
+    val fs = new Path(path).getFileSystem(conf.conf)
+    // header part (BGZF, no terminator)
+    val ho = fs.create(new Path(tempDir, "header"), true)
+    val hb = new graft.bgzf.BgzfOutputStream(ho, writeEof = false)
+    BamCodec.writeHeader(hb, header)
+    hb.close()
+    // terminator part: the spec 28-byte EOF block
+    val to = fs.create(new Path(tempDir, "terminator"), true)
+    to.write(Bgzf.EofBlock)
+    to.close()
+    HadoopIO.mergeParts(new Path(tempDir), new Path(path), conf.conf)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.conf)
+    if (singleFile) fs.delete(new Path(tempDir), true)
+  }
+}
+
+class BamDataWriterFactory(dir: String, header: SamHeader, singleFile: Boolean,
+                           schema: StructType, conf: SerializableConf) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new BamDataWriter(dir, header, singleFile, schema, conf, partitionId)
+}
+
+class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
+                    schema: StructType, conf: SerializableConf, partitionId: Int)
+    extends DataWriter[InternalRow] {
+
+  private val name = if (singleFile) f"part-$partitionId%05d" else f"part-$partitionId%05d.bam"
+  private val partPath = new Path(dir, name)
+  private val fs = partPath.getFileSystem(conf.conf)
+  private val raw = fs.create(partPath, true)
+  private val out = new graft.bgzf.BgzfOutputStream(raw, writeEof = !singleFile)
+  private var count = 0L
+  private val idx = RowToRecord.indices(schema)
+
+  if (!singleFile) BamCodec.writeHeader(out, header)
+
+  override def write(row: InternalRow): Unit = {
+    out.write(BamCodec.encodeRecord(RowToRecord.convert(row, idx), header))
+    count += 1
+  }
+  override def commit(): WriterCommitMessage = { out.close(); BamPartMessage(partPath.toString, count) }
+  override def abort(): Unit = { out.close(); fs.delete(partPath, false) }
+  override def close(): Unit = ()
+}
+
+/** InternalRow (in dataframe column order) → AlignmentRecord. */
+object RowToRecord {
+  case class Idx(readName: Int, flags: Int, contig: Int, start: Int, end: Int, mapq: Int,
+                 cigar: Int, mateContig: Int, mateStart: Int, tlen: Int, seq: Int, qual: Int,
+                 attributes: Int) extends Serializable
+
+  def indices(schema: StructType): Idx = {
+    def i(n: String) = schema.fieldNames.indexOf(n)
+    Idx(i("readName"), i("flags"), i("contig"), i("start"), i("end"), i("mapq"), i("cigar"),
+      i("mateContig"), i("mateStart"), i("tlen"), i("seq"), i("qual"), i("attributes"))
+  }
+
+  def convert(row: InternalRow, x: Idx): AlignmentRecord = {
+    def str(i: Int): String = if (i < 0 || row.isNullAt(i)) null else row.getUTF8String(i).toString
+    def int(i: Int): Int = if (i < 0 || row.isNullAt(i)) 0 else row.getInt(i)
+    val attrs: Map[String, String] =
+      if (x.attributes < 0 || row.isNullAt(x.attributes)) Map.empty
+      else {
+        val m = row.getMap(x.attributes)
+        val ks = m.keyArray(); val vs = m.valueArray()
+        (0 until m.numElements()).map(i => ks.getUTF8String(i).toString -> vs.getUTF8String(i).toString).toMap
+      }
+    AlignmentRecord(str(x.readName), int(x.flags), str(x.contig), int(x.start), int(x.end),
+      int(x.mapq), str(x.cigar), str(x.mateContig), int(x.mateStart), int(x.tlen),
+      str(x.seq), str(x.qual), attrs)
+  }
+}
