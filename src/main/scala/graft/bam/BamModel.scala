@@ -26,17 +26,19 @@ case class AlignmentRecord(
     attributes: Map[String, String]) // tag -> "T:value" (T = SAM type char)
 
 object AlignmentRecord {
+  // All fields nullable so arbitrary computed DataFrames can be written
+  // without nullability friction; the sink treats null ints as 0/unset.
   val schema: StructType = StructType(Seq(
     StructField("readName", StringType, nullable = true),
-    StructField("flags", IntegerType, nullable = false),
+    StructField("flags", IntegerType, nullable = true),
     StructField("contig", StringType, nullable = true),
-    StructField("start", IntegerType, nullable = false),
-    StructField("end", IntegerType, nullable = false),
-    StructField("mapq", IntegerType, nullable = false),
+    StructField("start", IntegerType, nullable = true),
+    StructField("end", IntegerType, nullable = true),
+    StructField("mapq", IntegerType, nullable = true),
     StructField("cigar", StringType, nullable = true),
     StructField("mateContig", StringType, nullable = true),
-    StructField("mateStart", IntegerType, nullable = false),
-    StructField("tlen", IntegerType, nullable = false),
+    StructField("mateStart", IntegerType, nullable = true),
+    StructField("tlen", IntegerType, nullable = true),
     StructField("seq", StringType, nullable = true),
     StructField("qual", StringType, nullable = true),
     StructField("attributes", MapType(StringType, StringType, valueContainsNull = false), nullable = true)))

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Format-layer queries that make the BAM source/sink DuckDB-verifiable:
+  * deterministic alignment records are derived from `lineitem`, pushed
+  * through a full write→read cycle of the connector, and aggregated; the
+  * oracle computes the identical aggregate from `lineitem` directly. If any
+  * stage of the binary codec, split planning, boundary guessing, or the
+  * concat commit corrupted / dropped / duplicated a record, the aggregate
+  * hashes diverge.
+  *
+  * This is the reference's differential-count oracle strategy (SURVEY.md §5)
+  * strengthened to field-level sums.
+  */
+object FormatQueries {
+
+  private def tmpBase = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+
+  /** Deterministic reads derived from lineitem (schema = AlignmentRecord). */
+  private def syntheticReads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d).select(
+      concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+      lit(0).cast("int").as("flags"),
+      concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+      ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+      ((($"l_partkey" * 37) % 999000) + 151).cast("int").as("end"),
+      lit(60).cast("int").as("mapq"),
+      lit("151M").as("cigar"),
+      lit(null).cast("string").as("mateContig"),
+      lit(0).cast("int").as("mateStart"),
+      lit(0).cast("int").as("tlen"),
+      lit("*").as("seq"),
+      lit("*").as("qual"),
+      map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
+        .as("attributes"))
+  }
+
+  private val Refs = "chr0:1000000,chr1:1000000,chr2:1000000"
+
+  /** Aggregate whose value pins down count, coordinates, cigar-derived end,
+    * and the tag payload per contig.
+    */
+  private def readsAggregate(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.groupBy($"contig")
+      .agg(
+        count(lit(1)).as("n_reads"),
+        sum($"start".cast("long")).as("sum_start"),
+        sum($"end".cast("long")).as("sum_end"),
+        min($"start").cast("int").as("min_start"),
+        max($"end").cast("int").as("max_end"),
+        sum(substring(element_at($"attributes", "XO"), 3, 10).cast("long")).as("sum_tag"))
+      .orderBy($"contig")
+  }
+
+  private def oracleAggregate(where: String): String =
+    s"""WITH reads AS (
+       |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+       |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS rstart,
+       |    CAST((l_partkey * 37) % 999000 + 151 AS BIGINT) AS rend,
+       |    l_orderkey % 100 AS tag
+       |  FROM lineitem)
+       |SELECT contig, COUNT(*) AS n_reads, CAST(SUM(rstart) AS BIGINT) AS sum_start,
+       |  CAST(SUM(rend) AS BIGINT) AS sum_end, CAST(MIN(rstart) AS INTEGER) AS min_start,
+       |  CAST(MAX(rend) AS INTEGER) AS max_end, CAST(SUM(tag) AS BIGINT) AS sum_tag
+       |FROM reads $where
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // single-file sink (headerless parts + concat commit) → splittable scan
+    "q_bam_roundtrip_single" -> { (s, d) =>
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/single.bam"
+      syntheticReads(s, d).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      readsAggregate(back)
+    },
+
+    // sharded sink (complete per-partition files) → multi-file scan
+    "q_bam_roundtrip_sharded" -> { (s, d) =>
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/sharded"
+      syntheticReads(s, d).repartition(8).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      val back = s.read.format("bam").load(path)
+      readsAggregate(back)
+    },
+
+    // genomic interval predicate applied inside the scan (traversal params)
+    "q_bam_intervals" -> { (s, d) =>
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/iv.bam"
+      syntheticReads(s, d).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024)
+        .option("intervals", "chr0:1-5000,chr1:2000-7000")
+        .load(path)
+      readsAggregate(back)
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_bam_roundtrip_single" -> oracleAggregate(""),
+    "q_bam_roundtrip_sharded" -> oracleAggregate(""),
+    "q_bam_intervals" -> oracleAggregate(
+      """WHERE (contig = 'chr0' AND rstart <= 5000 AND rend >= 1)
+        |   OR (contig = 'chr1' AND rstart <= 7000 AND rend >= 2000)""".stripMargin)
+  )
+}
