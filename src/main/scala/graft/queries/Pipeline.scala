@@ -1,0 +1,439 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/** Large-scale training-data pipeline operators over `documents` /
+  * `embeddings`: deduplication (exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, embedding-cosine), similarity search (brute-force + LSH-bucketed
+  * ANN), and text analysis (token counting, language ID, quality scoring,
+  * fingerprinting).
+  *
+  * Every hash is engine-portable (md5-hex-prefix → 60-bit int, see
+  * [[graft.functions.GraftFunctions.hash60]]) and every similarity is
+  * integer-quantized, so the DuckDB oracle reproduces results bit-for-bit —
+  * no float drift at any parallelism.
+  *
+  * Scale notes (100 TB discipline):
+  *  - per-document signatures (minhash/simhash/fingerprints) are computed
+  *    with array higher-order functions inside whole-stage codegen — one
+  *    narrow pass, no explode, no shuffle until the (tiny) band join;
+  *  - pair generation is always bucketed (LSH band, (lang, source) group,
+  *    label) so candidate pairs stay near-linear, never all-pairs global;
+  *  - the ANN query side is a broadcast (5 vectors), so the big side never
+  *    shuffles; the LSH variant prunes candidates by bucket equality first.
+  */
+object Pipeline {
+
+  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit")
+  private val StopFr = Seq("le", "la", "les", "et", "est", "un", "une", "dans")
+  private val StopEs = Seq("el", "la", "los", "y", "es", "un", "una", "en")
+
+  private val MinhashK = 16
+  private val Bands = 4 // rows per band = 4
+  private val SimhashBits = 60
+  private val FpMod = 17 // keep word-5-gram fingerprints where hash % 17 == 0
+  private val QdotThreshold = 300000L // quantized cosine ≥ 0.3
+  private val LshPlanes = 8
+
+  // ---- shared Spark-side builders ---------------------------------------
+
+  /** words + 3-word shingles, guarded for <3-word docs. */
+  private def withShingles(df: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    df.withColumn("ws", ws)
+      .withColumn("shingles",
+        when(size(col("ws")) >= 3,
+          transform(sequence(lit(1), size(col("ws")) - 2),
+            i => concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2))))
+          .otherwise(array()))
+  }
+
+  /** 16-element MinHash signature over 3-shingles. */
+  private def minhashSig: Column =
+    transform(sequence(lit(0), lit(MinhashK - 1)),
+      k => array_min(transform(col("shingles"),
+        sh => hash60(concat(k.cast("string"), lit("|"), sh)))))
+
+  /** Quantize a float-array embedding to integer millis (exact x-engine). */
+  private def quantized(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1000).cast("long"))
+
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  // ---- queries ----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // == text analysis ===================================================
+
+    // token counting: whitespace tokens + BPE-ish regex token count
+    "q_text_tokens" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id",
+        size(words($"text")).as("n_ws_tokens"),
+        size(regexp_extract_all($"text", lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+          .as("n_bpe_tokens"),
+        length($"text").as("len_chars"))
+        .orderBy($"doc_id")
+    },
+
+    // language ID: stopword-vote heuristic with deterministic tie-break
+    "q_text_langid" -> { (s, d) =>
+      import s.implicits._
+      def hits(stops: Seq[String]) =
+        size(filter(words($"text"), w => w.isInCollection(stops)))
+      val df = Tables.documents(s, d).select(
+        $"doc_id", $"lang".as("tagged_lang"),
+        hits(StopEn).as("en_hits"), hits(StopDe).as("de_hits"),
+        hits(StopFr).as("fr_hits"), hits(StopEs).as("es_hits"))
+      df.withColumn("pred_lang",
+        when($"en_hits" >= greatest($"de_hits", $"fr_hits", $"es_hits"), "en")
+          .when($"de_hits" >= greatest($"fr_hits", $"es_hits"), "de")
+          .when($"fr_hits" >= $"es_hits", "fr")
+          .otherwise("es"))
+        .orderBy($"doc_id")
+    },
+
+    // quality scoring: integer ratios → deterministic class
+    "q_text_quality" -> { (s, d) =>
+      import s.implicits._
+      val allStops = StopEn ++ StopDe ++ StopFr ++ StopEs
+      Tables.documents(s, d)
+        .withColumn("ws", words($"text"))
+        .select(
+          $"doc_id",
+          size($"ws").as("n_tokens"),
+          (size(filter($"ws", w => w.isInCollection(allStops))) * 1000 / size($"ws"))
+            .cast("long").as("stop_milli"),
+          (length($"text") * 1000 / size($"ws")).cast("long").as("wlen_milli"))
+        .withColumn("quality_class",
+          when($"n_tokens" < 20, "short")
+            .when($"stop_milli" > 400, "boilerplate")
+            .when($"wlen_milli" > 9000, "long_words")
+            .otherwise("ok"))
+        .orderBy($"doc_id")
+    },
+
+    // rolling-hash fingerprinting: word 5-grams sampled by hash % 17 == 0
+    "q_text_fingerprint" -> { (s, d) =>
+      import s.implicits._
+      val df = Tables.documents(s, d)
+        .withColumn("ws", words($"text"))
+        .withColumn("grams",
+          when(size($"ws") >= 5,
+            transform(sequence(lit(1), size($"ws") - 4),
+              i => hash60(concat_ws(" ", (0 until 5).map(k => element_at($"ws", i + k)): _*))))
+            .otherwise(array()))
+        .withColumn("fps", filter($"grams", h => h % FpMod === 0))
+      df.select($"doc_id",
+        size($"fps").as("n_fp"),
+        aggregate($"fps", lit(0L), (acc, v) => acc + (v % 1000000007L)).as("fp_sum"))
+        .orderBy($"doc_id")
+    },
+
+    // == deduplication ===================================================
+
+    // exact dedup on a normalized content key (first 8 words)
+    "q_dedup_exact" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("ws", words($"text"))
+        .withColumn("key", concat_ws(" ", slice($"ws", 1, 8)))
+        .groupBy(hash60($"key").as("key_hash"))
+        .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+        .select($"keeper", $"n_copies", $"key_hash")
+        .orderBy($"keeper")
+    },
+
+    // MinHash signature + band hashes per doc (the LSH precursor)
+    "q_dedup_minhash_sig" -> { (s, d) =>
+      import s.implicits._
+      withShingles(Tables.documents(s, d))
+        .withColumn("sig", minhashSig)
+        .withColumn("bands",
+          transform(sequence(lit(0), lit(Bands - 1)),
+            b => hash60(concat_ws(",",
+              transform(slice($"sig", b * lit(MinhashK / Bands) + 1, lit(MinhashK / Bands)),
+                v => v.cast("string"))))))
+        .select($"doc_id",
+          aggregate($"sig", lit(0L), (acc, v) => acc + (v % 1000000007L)).as("sig_sum"),
+          aggregate($"bands", lit(0L), (acc, v) => acc + (v % 1000000007L)).as("band_sum"))
+        .orderBy($"doc_id")
+    },
+
+    // LSH candidate pairs: docs sharing at least one minhash band
+    "q_dedup_minhash_pairs" -> { (s, d) =>
+      import s.implicits._
+      val sigs = withShingles(Tables.documents(s, d))
+        .withColumn("sig", minhashSig)
+        .select($"doc_id", posexplode(
+          transform(sequence(lit(0), lit(Bands - 1)),
+            b => hash60(concat_ws(",",
+              transform(slice($"sig", b * lit(MinhashK / Bands) + 1, lit(MinhashK / Bands)),
+                v => v.cast("string")))))).as(Seq("band", "bandhash")))
+      sigs.as("a").join(sigs.as("b"),
+          $"a.band" === $"b.band" && $"a.bandhash" === $"b.bandhash" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .distinct()
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // SimHash: 60-bit signature from per-word hash bit votes
+    "q_dedup_simhash" -> { (s, d) =>
+      import s.implicits._
+      val df = Tables.documents(s, d)
+        .withColumn("wh", transform(words($"text"), w => hash60(w)))
+      // bit j vote: #words with bit set minus #words with bit clear
+      val simhash = (0 until SimhashBits).map { j =>
+        val set = size(filter($"wh", h => shiftright(h, j) % 2 === 1))
+        when(set * 2 > size($"wh"), lit(1L) * math.pow(2, j).toLong).otherwise(0L)
+      }.reduce(_ + _)
+      df.select($"doc_id", simhash.as("simhash")).orderBy($"doc_id")
+    },
+
+    // n-gram Jaccard near-dup within (lang, source) buckets
+    "q_dedup_ngram_jaccard" -> { (s, d) =>
+      import s.implicits._
+      val sh = withShingles(Tables.documents(s, d))
+        .select($"doc_id", $"lang", $"source", array_distinct($"shingles").as("sh"))
+      sh.as("a").join(sh.as("b"),
+          $"a.lang" === $"b.lang" && $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          size(array_intersect($"a.sh", $"b.sh")).as("inter"),
+          (size($"a.sh") + size($"b.sh") - size(array_intersect($"a.sh", $"b.sh"))).as("uni"))
+        .filter($"inter" > 0)
+        .withColumn("jacc_milli", ($"inter" * 1000 / $"uni").cast("long"))
+        .filter($"jacc_milli" >= 30)
+        .select($"doc_a", $"doc_b", $"inter", $"uni", $"jacc_milli")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // embedding-cosine near-dup within label buckets (quantized, exact)
+    "q_dedup_embedding" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, d).select($"vec_id", $"label", quantized($"embedding").as("q"))
+      e.as("a").join(e.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+          qdot($"a.q", $"b.q").as("qdot"))
+        .filter($"qdot" >= QdotThreshold)
+        .orderBy($"vec_a", $"vec_b")
+    },
+
+    // == similarity search ===============================================
+
+    // brute-force top-10 nearest (by quantized dot) for 5 query vectors;
+    // query side broadcast, big side scanned once — the exact baseline
+    "q_ann_bruteforce" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
+      val queriesDf = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"q".as("qq"))
+      val scored = e.join(broadcast(queriesDf), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id", qdot($"q", $"qq").as("dot"))
+      val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 10)
+        .select($"query_id", $"rnk", $"vec_id", $"dot")
+        .orderBy($"query_id", $"rnk")
+    },
+
+    // LSH-bucketed ANN: sign-bit bucket from 8 deterministic hyperplanes,
+    // candidates = same-bucket vectors only (the 100-TB scale path: bucket
+    // is a shuffle key, each query touches one bucket)
+    "q_ann_lsh" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
+      // plane p component i = (hash60("p|i") % 2001) - 1000, fixed + portable
+      val bucket = (0 until LshPlanes).map { p =>
+        val dot = aggregate(
+          zip_with($"q",
+            transform(sequence(lit(1), lit(64)),
+              i => hash60(concat(lit(s"$p|"), i.cast("string"))) % 2001 - 1000),
+            (x, w) => x * w),
+          lit(0L), (acc, v) => acc + v)
+        when(dot > 0, lit(1L) * (1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+      val bucketed = e.withColumn("bucket", bucket)
+      val queriesDf = bucketed.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"q".as("qq"), $"bucket".as("qbucket"))
+      val scored = bucketed.join(broadcast(queriesDf),
+          $"bucket" === $"qbucket" && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id", qdot($"q", $"qq").as("dot"))
+      val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"query_id", $"rnk", $"vec_id", $"dot")
+        .orderBy($"query_id", $"rnk")
+    }
+  )
+
+  // ---- DuckDB oracles ----------------------------------------------------
+
+  private def h60(expr: String) = s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+
+  private val wsExpr = "list_filter(string_split(text, ' '), w -> len(w) > 0)"
+
+  private def stopList(s: Seq[String]) = s.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracles: Map[String, String] = Map(
+    "q_text_tokens" ->
+      s"""SELECT doc_id, len($wsExpr) AS n_ws_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+         |  len(text) AS len_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang AS tagged_lang,
+         |  len(list_filter($wsExpr, w -> list_contains(${stopList(StopEn)}, w))) AS en_hits,
+         |  len(list_filter($wsExpr, w -> list_contains(${stopList(StopDe)}, w))) AS de_hits,
+         |  len(list_filter($wsExpr, w -> list_contains(${stopList(StopFr)}, w))) AS fr_hits,
+         |  len(list_filter($wsExpr, w -> list_contains(${stopList(StopEs)}, w))) AS es_hits
+         |  FROM documents)
+         |SELECT doc_id, tagged_lang, en_hits, de_hits, fr_hits, es_hits,
+         |  CASE WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+         |       WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+         |       WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS pred_lang
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" -> {
+      val allStops = stopList(StopEn ++ StopDe ++ StopFr ++ StopEs)
+      s"""WITH t AS (SELECT doc_id, $wsExpr AS ws, text FROM documents),
+         |u AS (SELECT doc_id, len(ws) AS n_tokens,
+         |  CAST(len(list_filter(ws, w -> list_contains($allStops, w))) * 1000 // len(ws) AS BIGINT) AS stop_milli,
+         |  CAST(len(text) * 1000 // len(ws) AS BIGINT) AS wlen_milli
+         |  FROM t)
+         |SELECT doc_id, n_tokens, stop_milli, wlen_milli,
+         |  CASE WHEN n_tokens < 20 THEN 'short'
+         |       WHEN stop_milli > 400 THEN 'boilerplate'
+         |       WHEN wlen_milli > 9000 THEN 'long_words'
+         |       ELSE 'ok' END AS quality_class
+         |FROM u ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(ws) >= 5 THEN list_transform(range(1, len(ws) - 3),
+         |    i -> ${h60("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]")})
+         |  ELSE [] END AS grams FROM t),
+         |f AS (SELECT doc_id, list_filter(grams, h -> h % $FpMod = 0) AS fps FROM g)
+         |SELECT doc_id, len(fps) AS n_fp,
+         |  CAST(coalesce(list_sum(list_transform(fps, v -> v % 1000000007)), 0) AS BIGINT) AS fp_sum
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  array_to_string(list_slice($wsExpr, 1, 8), ' ') AS key FROM documents)
+         |SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies, ${h60("key")} AS key_hash
+         |FROM t GROUP BY key_hash ORDER BY keeper""".stripMargin,
+
+    "q_dedup_minhash_sig" -> {
+      val shingle = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
+      s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
+         |    list_transform(range(1, len(ws) - 1), i -> $shingle) ELSE [] END AS shingles FROM t),
+         |sig AS (SELECT doc_id, list_transform(range(0, $MinhashK),
+         |    k -> list_min(list_transform(shingles, sh -> ${h60("CAST(k AS VARCHAR) || '|' || sh")}))) AS sig
+         |  FROM sh),
+         |b AS (SELECT doc_id, sig, list_transform(range(0, $Bands),
+         |    b -> ${h60(s"array_to_string(list_transform(list_slice(sig, b * ${MinhashK / Bands} + 1, (b + 1) * ${MinhashK / Bands}), v -> CAST(v AS VARCHAR)), ',')")}) AS bands
+         |  FROM sig)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(sig, v -> v % 1000000007)) AS BIGINT) AS sig_sum,
+         |  CAST(list_sum(list_transform(bands, v -> v % 1000000007)) AS BIGINT) AS band_sum
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_minhash_pairs" -> {
+      val shingle = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
+      s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
+         |    list_transform(range(1, len(ws) - 1), i -> $shingle) ELSE [] END AS shingles FROM t),
+         |sig AS (SELECT doc_id, list_transform(range(0, $MinhashK),
+         |    k -> list_min(list_transform(shingles, sh -> ${h60("CAST(k AS VARCHAR) || '|' || sh")}))) AS sig
+         |  FROM sh),
+         |bands AS (SELECT doc_id, b AS band,
+         |    ${h60(s"array_to_string(list_transform(list_slice(sig, b * ${MinhashK / Bands} + 1, (b + 1) * ${MinhashK / Bands}), v -> CAST(v AS VARCHAR)), ',')")} AS bandhash
+         |  FROM sig, UNNEST(range(0, $Bands)) AS u(b))
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bandhash = b.bandhash
+         |  AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_dedup_simhash" -> {
+      val bitTerms = (0 until SimhashBits).map { j =>
+        s"CASE WHEN 2 * len(list_filter(wh, h -> (h >> $j) % 2 = 1)) > len(wh) THEN ${1L << j} ELSE 0 END"
+      }.mkString(" +\n  ")
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform($wsExpr, w -> ${h60("w")}) AS wh FROM documents)
+         |SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_ngram_jaccard" -> {
+      val shingle = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
+      s"""WITH t AS (SELECT doc_id, lang, source, $wsExpr AS ws FROM documents),
+         |sh AS (SELECT doc_id, lang, source, list_distinct(CASE WHEN len(ws) >= 3 THEN
+         |    list_transform(range(1, len(ws) - 1), i -> $shingle) ELSE [] END) AS sh FROM t),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.sh, b.sh)) AS inter,
+         |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
+         |    AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, inter, uni, CAST(inter * 1000 // uni AS BIGINT) AS jacc_milli
+         |FROM p WHERE inter > 0 AND inter * 1000 // uni >= 30
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT) AS qdot
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) >= $QdotThreshold
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |s AS (SELECT qv.vec_id AS query_id, v.vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> v.q[i] * qv.q[i])) AS BIGINT) AS dot
+         |  FROM e v JOIN e qv ON qv.vec_id < 5 AND v.vec_id <> qv.vec_id),
+         |r AS (SELECT query_id, vec_id, dot,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM s)
+         |SELECT query_id, rnk, vec_id, dot FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q_ann_lsh" -> {
+      val bucketTerms = (0 until LshPlanes).map { p =>
+        s"CASE WHEN list_sum(list_transform(range(1, 65), i -> q[i] * (${h60(s"'$p|' || CAST(i AS VARCHAR)")} % 2001 - 1000))) > 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" +\n  ")
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, q, CAST($bucketTerms AS BIGINT) AS bucket FROM e),
+         |s AS (SELECT qv.vec_id AS query_id, v.vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> v.q[i] * qv.q[i])) AS BIGINT) AS dot
+         |  FROM b v JOIN b qv ON qv.vec_id < 5 AND v.bucket = qv.bucket AND v.vec_id <> qv.vec_id),
+         |r AS (SELECT query_id, vec_id, dot,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM s)
+         |SELECT query_id, rnk, vec_id, dot FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    }
+  )
+}

@@ -11,7 +11,8 @@ object Registry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Relational.queries, Relational.oracles),
-      (FormatQueries.queries, FormatQueries.oracles)
+      (FormatQueries.queries, FormatQueries.oracles),
+      (Pipeline.queries, Pipeline.oracles)
     )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {
