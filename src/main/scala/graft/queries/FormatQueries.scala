@@ -89,6 +89,43 @@ object FormatQueries {
       readsAggregate(back)
     },
 
+    // SAM text sink/scan round-trip (same aggregate, text codec path)
+    "q_sam_roundtrip" -> { (s, d) =>
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/single.sam"
+      syntheticReads(s, d).write.format("sam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      val back = s.read.format("sam").option("splitSize", 1024 * 1024).load(path)
+      readsAggregate(back)
+    },
+
+    // VCF sink/scan round-trip through splittable BGZF text
+    "q_vcf_roundtrip" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/single.vcf.bgz"
+      val variants = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"),
+        array(substring(lit("CGTA"), ($"l_linenumber" % 4).cast("int") + 1, lit(1))).as("alt"),
+        ($"l_orderkey" % 100).cast("double").as("qual"),
+        array(lit("PASS")).as("filters"),
+        map(lit("DP"), $"l_suppkey".cast("string")).as("info"),
+        array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false)).as("genotypes"))
+      variants.write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      back.groupBy($"contig")
+        .agg(
+          count(lit(1)).as("n_variants"),
+          sum($"start".cast("long")).as("sum_start"),
+          sum($"qual").cast("long").as("sum_qual"),
+          sum(element_at($"info", "DP").cast("long")).as("sum_dp"),
+          sum(when(element_at($"alt", 1) === "G", 1L).otherwise(0L)).as("n_alt_g"))
+        .orderBy($"contig")
+    },
+
     // genomic interval predicate applied inside the scan (traversal params)
     "q_bam_intervals" -> { (s, d) =>
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/iv.bam"
@@ -104,6 +141,18 @@ object FormatQueries {
   def oracles: Map[String, String] = Map(
     "q_bam_roundtrip_single" -> oracleAggregate(""),
     "q_bam_roundtrip_sharded" -> oracleAggregate(""),
+    "q_sam_roundtrip" -> oracleAggregate(""),
+    "q_vcf_roundtrip" ->
+      """WITH v AS (
+        |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS vstart,
+        |    l_orderkey % 100 AS q, l_suppkey AS dp,
+        |    substr('CGTA', CAST(l_linenumber % 4 AS INTEGER) + 1, 1) AS alt1
+        |  FROM lineitem)
+        |SELECT contig, COUNT(*) AS n_variants, CAST(SUM(vstart) AS BIGINT) AS sum_start,
+        |  CAST(SUM(q) AS BIGINT) AS sum_qual, CAST(SUM(dp) AS BIGINT) AS sum_dp,
+        |  CAST(SUM(CASE WHEN alt1 = 'G' THEN 1 ELSE 0 END) AS BIGINT) AS n_alt_g
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bam_intervals" -> oracleAggregate(
       """WHERE (contig = 'chr0' AND rstart <= 5000 AND rend >= 1)
         |   OR (contig = 'chr1' AND rstart <= 7000 AND rend >= 2000)""".stripMargin)

@@ -52,11 +52,20 @@ object Pipeline {
           .otherwise(array()))
   }
 
-  /** 16-element MinHash signature over 3-shingles. */
-  private def minhashSig: Column =
+  /** One md5 per shingle (the expensive part), then a universal-hash
+    * family h_k = ((2k+1)·h + 1000003·k) mod (2^31-1) for the K minhash
+    * slots — 16× fewer md5s than hashing (k, shingle) pairs, same
+    * minhash semantics, still portable integer arithmetic.
+    */
+  private val MinhashP = 2147483647L // 2^31 - 1
+
+  private def shingleHashes: Column =
+    transform(col("shingles"), sh => hash60(sh) % MinhashP)
+
+  private def minhashSigFrom(shash: Column): Column =
     transform(sequence(lit(0), lit(MinhashK - 1)),
-      k => array_min(transform(col("shingles"),
-        sh => hash60(concat(k.cast("string"), lit("|"), sh)))))
+      k => array_min(transform(shash,
+        h => ((k * 2 + 1) * h + k * lit(1000003L)) % MinhashP)))
 
   /** Quantize a float-array embedding to integer millis (exact x-engine). */
   private def quantized(c: Column): Column =
@@ -155,7 +164,8 @@ object Pipeline {
     "q_dedup_minhash_sig" -> { (s, d) =>
       import s.implicits._
       withShingles(Tables.documents(s, d))
-        .withColumn("sig", minhashSig)
+        .withColumn("shash", shingleHashes)
+        .withColumn("sig", minhashSigFrom(col("shash")))
         .withColumn("bands",
           transform(sequence(lit(0), lit(Bands - 1)),
             b => hash60(concat_ws(",",
@@ -171,12 +181,14 @@ object Pipeline {
     "q_dedup_minhash_pairs" -> { (s, d) =>
       import s.implicits._
       val sigs = withShingles(Tables.documents(s, d))
-        .withColumn("sig", minhashSig)
+        .withColumn("shash", shingleHashes)
+        .withColumn("sig", minhashSigFrom(col("shash")))
         .select($"doc_id", posexplode(
           transform(sequence(lit(0), lit(Bands - 1)),
             b => hash60(concat_ws(",",
               transform(slice($"sig", b * lit(MinhashK / Bands) + 1, lit(MinhashK / Bands)),
                 v => v.cast("string")))))).as(Seq("band", "bandhash")))
+        .persist() // self-join: compute signatures once, not per join side
       sigs.as("a").join(sigs.as("b"),
           $"a.band" === $"b.band" && $"a.bandhash" === $"b.bandhash" &&
             $"a.doc_id" < $"b.doc_id")
@@ -202,12 +214,14 @@ object Pipeline {
     "q_dedup_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
       val sh = withShingles(Tables.documents(s, d))
-        .select($"doc_id", $"lang", $"source", array_distinct($"shingles").as("sh"))
+        .select($"doc_id", $"lang", $"source",
+          array_distinct(transform($"shingles", x => hash60(x))).as("sh"))
+        .persist() // self-join: hash shingles once, not per join side
       sh.as("a").join(sh.as("b"),
           $"a.lang" === $"b.lang" && $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-          size(array_intersect($"a.sh", $"b.sh")).as("inter"),
-          (size($"a.sh") + size($"b.sh") - size(array_intersect($"a.sh", $"b.sh"))).as("uni"))
+        .withColumn("inter", size(array_intersect($"a.sh", $"b.sh")))
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"inter",
+          (size($"a.sh") + size($"b.sh") - $"inter").as("uni"))
         .filter($"inter" > 0)
         .withColumn("jacc_milli", ($"inter" * 1000 / $"uni").cast("long"))
         .filter($"jacc_milli" >= 30)
@@ -341,9 +355,10 @@ object Pipeline {
       s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
          |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
          |    list_transform(range(1, len(ws) - 1), i -> $shingle) ELSE [] END AS shingles FROM t),
+         |sh2 AS (SELECT doc_id, list_transform(shingles, sh -> ${h60("sh")} % 2147483647) AS shash FROM sh),
          |sig AS (SELECT doc_id, list_transform(range(0, $MinhashK),
-         |    k -> list_min(list_transform(shingles, sh -> ${h60("CAST(k AS VARCHAR) || '|' || sh")}))) AS sig
-         |  FROM sh),
+         |    k -> list_min(list_transform(shash, h -> ((k * 2 + 1) * h + k * 1000003) % 2147483647))) AS sig
+         |  FROM sh2),
          |b AS (SELECT doc_id, sig, list_transform(range(0, $Bands),
          |    b -> ${h60(s"array_to_string(list_transform(list_slice(sig, b * ${MinhashK / Bands} + 1, (b + 1) * ${MinhashK / Bands}), v -> CAST(v AS VARCHAR)), ',')")}) AS bands
          |  FROM sig)
@@ -358,9 +373,10 @@ object Pipeline {
       s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
          |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
          |    list_transform(range(1, len(ws) - 1), i -> $shingle) ELSE [] END AS shingles FROM t),
+         |sh2 AS (SELECT doc_id, list_transform(shingles, sh -> ${h60("sh")} % 2147483647) AS shash FROM sh),
          |sig AS (SELECT doc_id, list_transform(range(0, $MinhashK),
-         |    k -> list_min(list_transform(shingles, sh -> ${h60("CAST(k AS VARCHAR) || '|' || sh")}))) AS sig
-         |  FROM sh),
+         |    k -> list_min(list_transform(shash, h -> ((k * 2 + 1) * h + k * 1000003) % 2147483647))) AS sig
+         |  FROM sh2),
          |bands AS (SELECT doc_id, b AS band,
          |    ${h60(s"array_to_string(list_transform(list_slice(sig, b * ${MinhashK / Bands} + 1, (b + 1) * ${MinhashK / Bands}), v -> CAST(v AS VARCHAR)), ',')")} AS bandhash
          |  FROM sig, UNNEST(range(0, $Bands)) AS u(b))
@@ -384,7 +400,7 @@ object Pipeline {
       val shingle = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
       s"""WITH t AS (SELECT doc_id, lang, source, $wsExpr AS ws FROM documents),
          |sh AS (SELECT doc_id, lang, source, list_distinct(CASE WHEN len(ws) >= 3 THEN
-         |    list_transform(range(1, len(ws) - 1), i -> $shingle) ELSE [] END) AS sh FROM t),
+         |    list_transform(range(1, len(ws) - 1), i -> ${h60(shingle)}) ELSE [] END) AS sh FROM t),
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    len(list_intersect(a.sh, b.sh)) AS inter,
          |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni

@@ -1,0 +1,253 @@
+package graft.sources.sam
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.bam.{AlignmentRecord, SamHeader}
+import graft.sam.SamCodec
+import graft.sources.{GenomicInterval, HadoopIO, SerializableConf, SplitTextReader}
+import graft.sources.bam.RowToRecord
+
+/** `format("sam")` — plain-text SAM scan/sink (reference SamSource.java:35-87,
+  * SamSink.java:27-46). Text splits with exact line ownership; data lines
+  * cannot start with '@' (QNAME charset excludes it), so header skipping is
+  * a plain line filter, as in the reference.
+  */
+class SamDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "sam"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = AlignmentRecord.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SamTable(properties.asScala.toMap)
+}
+
+class SamTable(properties: Map[String, String]) extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"sam:${properties.getOrElse("path", "?")}"
+  override def schema(): StructType = AlignmentRecord.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val opts = options.asScala.toMap.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    new SamScanBuilder(opts)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val opts = info.options.asScala.toMap.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    new SamWriteBuilder(opts, info.schema())
+  }
+}
+
+class SamScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = AlignmentRecord.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new SamScan(options, required)
+}
+
+class SamScan(options: Map[String, String], required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-sam ${options.getOrElse("path", "")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val pathStr = options.getOrElse("path", throw new IllegalArgumentException("sam source requires a path"))
+    val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val intervals = options.get("intervals")
+      .map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
+    val unplacedUnmapped = options.get("unplacedunmapped").exists(_.toBoolean)
+    HadoopIO.listInputFiles(pathStr, conf).flatMap { file =>
+      val in = HadoopIO.open(file, conf)
+      try {
+        // header text: leading @-lines of the file
+        val headerText = SplitTextReader.lines(in, 0, Long.MaxValue, bgzf = false)
+          .takeWhile(_.startsWith("@")).mkString("", "\n", "\n")
+        val header = SamHeader(headerText, SamHeader.refsFromText(headerText))
+        val size = in.size
+        val nSplits = math.max(1L, (size + splitSize - 1) / splitSize)
+        (0L until nSplits).map { i =>
+          SamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
+            header, intervals, unplacedUnmapped)
+        }
+      } finally in.close()
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
+    val req = required
+    (partition: InputPartition) => new SamPartitionReader(
+      partition.asInstanceOf[SamInputPartition], conf, req)
+  }
+}
+
+case class SamInputPartition(file: String, splitStart: Long, splitEnd: Long,
+    header: SamHeader, intervals: Option[Seq[GenomicInterval]], unplacedUnmapped: Boolean)
+  extends InputPartition
+
+class SamPartitionReader(p: SamInputPartition, conf: SerializableConf, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val input = HadoopIO.open(new Path(p.file), conf.conf)
+  private val lines = SplitTextReader.lines(input, p.splitStart, p.splitEnd, bgzf = false)
+  private val getters = AlignmentRowBuilder.getters(required)
+  private var currentRow: InternalRow = _
+
+  private def keep(r: AlignmentRecord): Boolean = p.intervals match {
+    case None => true
+    case Some(ivs) =>
+      val unplaced = (r.flags & AlignmentRecord.FlagUnmapped) != 0 && r.start == 0
+      (p.unplacedUnmapped && unplaced) ||
+        (r.contig != null && ivs.exists(_.overlaps(r.contig, r.start, math.max(r.end, r.start))))
+  }
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val line = lines.next()
+      if (line.nonEmpty && !line.startsWith("@")) {
+        val rec = SamCodec.fromLine(line, p.header)
+        if (keep(rec)) {
+          currentRow = AlignmentRowBuilder.build(rec, getters)
+          return true
+        }
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = currentRow
+  override def close(): Unit = input.close()
+}
+
+/** AlignmentRecord → InternalRow for a required schema (shared with BAM). */
+object AlignmentRowBuilder {
+  type Getter = AlignmentRecord => Any
+
+  def getters(required: StructType): Array[Getter] =
+    required.fieldNames.map[Getter] {
+      case "readName" => r => if (r.readName == null) null else UTF8String.fromString(r.readName)
+      case "flags" => r => r.flags
+      case "contig" => r => if (r.contig == null) null else UTF8String.fromString(r.contig)
+      case "start" => r => r.start
+      case "end" => r => r.end
+      case "mapq" => r => r.mapq
+      case "cigar" => r => if (r.cigar == null) null else UTF8String.fromString(r.cigar)
+      case "mateContig" => r => if (r.mateContig == null) null else UTF8String.fromString(r.mateContig)
+      case "mateStart" => r => r.mateStart
+      case "tlen" => r => r.tlen
+      case "seq" => r => if (r.seq == null) null else UTF8String.fromString(r.seq)
+      case "qual" => r => if (r.qual == null) null else UTF8String.fromString(r.qual)
+      case "attributes" => r =>
+        if (r.attributes == null) null
+        else {
+          val keys = new Array[Any](r.attributes.size)
+          val vals = new Array[Any](r.attributes.size)
+          var i = 0
+          r.attributes.foreach { case (k, v) =>
+            keys(i) = UTF8String.fromString(k); vals(i) = UTF8String.fromString(v); i += 1
+          }
+          new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+        }
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+
+  def build(r: AlignmentRecord, getters: Array[Getter]): InternalRow = {
+    val vals = new Array[Any](getters.length)
+    var i = 0
+    while (i < vals.length) { vals(i) = getters(i)(r); i += 1 }
+    new GenericInternalRow(vals)
+  }
+}
+
+// ---- write path -----------------------------------------------------------
+
+class SamWriteBuilder(options: Map[String, String], schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = this
+  override def build(): Write = new SamWrite(options, schema)
+}
+
+class SamWrite(options: Map[String, String], schema: StructType) extends Write {
+  override def toBatch: BatchWrite = {
+    val path = options.getOrElse("path", throw new IllegalArgumentException("sam sink requires a path"))
+    val refs = options.get("refs").map(SamHeader.parseRefsOption).getOrElse(IndexedSeq.empty)
+    val header = options.get("headertext") match {
+      case Some(t) => SamHeader(t, SamHeader.refsFromText(t))
+      case None => SamHeader(refs)
+    }
+    new SamBatchWrite(path, header, path.endsWith(".sam"), schema,
+      new SerializableConf(SparkSession.active.sessionState.newHadoopConf()))
+  }
+}
+
+/** Single-file: headerless text parts + `header` part + name-order concat
+  * (no terminator — SamSink.java:37-45). Sharded: complete .sam per part.
+  */
+class SamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
+                    schema: StructType, conf: SerializableConf) extends BatchWrite {
+  private val tempDir = path + ".parts"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val fs = new Path(path).getFileSystem(conf.conf)
+    if (singleFile) {
+      fs.delete(new Path(path), false)
+      fs.delete(new Path(tempDir), true)
+      fs.mkdirs(new Path(tempDir))
+    } else {
+      fs.delete(new Path(path), true)
+      fs.mkdirs(new Path(path))
+    }
+    val dir = if (singleFile) tempDir else path
+    val hdr = header
+    val sf = singleFile
+    val c = conf
+    val sch = schema
+    (partitionId: Int, _: Long) => new SamDataWriter(dir, hdr, sf, sch, c, partitionId)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = if (singleFile) {
+    val fs = new Path(path).getFileSystem(conf.conf)
+    val ho = fs.create(new Path(tempDir, "header"), true)
+    ho.write(header.text.getBytes("UTF-8"))
+    ho.close()
+    HadoopIO.mergeParts(new Path(tempDir), new Path(path), conf.conf)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.conf)
+    if (singleFile) fs.delete(new Path(tempDir), true)
+  }
+}
+
+class SamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
+                    schema: StructType, conf: SerializableConf, partitionId: Int)
+    extends DataWriter[InternalRow] {
+  private val name = if (singleFile) f"part-$partitionId%05d" else f"part-$partitionId%05d.sam"
+  private val partPath = new Path(dir, name)
+  private val fs = partPath.getFileSystem(conf.conf)
+  private val out = new java.io.BufferedOutputStream(fs.create(partPath, true), 1 << 16)
+  private val idx = RowToRecord.indices(schema)
+  if (!singleFile) out.write(header.text.getBytes("UTF-8"))
+
+  override def write(row: InternalRow): Unit = {
+    out.write(SamCodec.toLine(RowToRecord.convert(row, idx)).getBytes("UTF-8"))
+    out.write('\n')
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    new WriterCommitMessage {}
+  }
+  override def abort(): Unit = { out.close(); fs.delete(partPath, false) }
+  override def close(): Unit = ()
+}

@@ -1,0 +1,339 @@
+package graft.sources.vcf
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{GenomicInterval, HadoopIO, SerializableConf, SplitTextReader}
+import graft.vcf.{Genotype, Variant, VcfCodec, VcfHeader}
+
+/** `format("vcf")` — VCF scan/sink over plain, BGZF (.vcf.bgz / BGZF .vcf.gz,
+  * splittable), or plain-gzip (readable, single split) text, mirroring the
+  * reference's VcfSource/VcfSink (VcfSource.java:88-129, VcfSink.java:27-68,
+  * BGZFEnhancedGzipCodec.java:38-77).
+  *
+  * Read options: `splitSize`, `intervals` ("chr1:100-200,…").
+  * Write options: `vcfHeader` (literal ##-lines + #CHROM line) — else a
+  * minimal header with sample names taken from the first record's genotypes;
+  * path `.vcf` → single plain file, `.vcf.bgz`/`.vcf.gz` → single BGZF file
+  * (with empty-block terminator), else sharded directory of complete .vcf.
+  */
+class VcfDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "vcf"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = Variant.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new VcfTable(properties.asScala.toMap)
+}
+
+class VcfTable(properties: Map[String, String]) extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"vcf:${properties.getOrElse("path", "?")}"
+  override def schema(): StructType = Variant.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val opts = options.asScala.toMap.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    new VcfScanBuilder(opts)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val opts = info.options.asScala.toMap.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    new VcfWriteBuilder(opts, info.schema())
+  }
+}
+
+class VcfScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = Variant.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new VcfScan(options, required)
+}
+
+class VcfScan(options: Map[String, String], required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val iv = options.get("intervals").map(i => s" intervals=$i").getOrElse("")
+    s"graft-vcf ${options.getOrElse("path", "")}$iv"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val pathStr = options.getOrElse("path", throw new IllegalArgumentException("vcf source requires a path"))
+    val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val intervals = options.get("intervals")
+      .map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
+    HadoopIO.listInputFiles(pathStr, conf).flatMap { file =>
+      val in = HadoopIO.open(file, conf)
+      try {
+        val bgzf = SplitTextReader.isBgzf(in)
+        val plainGzip = !bgzf && SplitTextReader.isPlainGzip(in)
+        val header = VcfHeader.parse(SplitTextReader.allLines(in))
+        val size = in.size
+        if (plainGzip) {
+          // non-splittable: one whole-file partition (reference
+          // BGZFEnhancedGzipCodec fallback semantics)
+          Seq(VcfInputPartition(file.toString, 0L, Long.MaxValue, header, bgzf = false,
+            wholeGzip = true, intervals))
+        } else {
+          val nSplits = math.max(1L, (size + splitSize - 1) / splitSize)
+          (0L until nSplits).map { i =>
+            VcfInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
+              header, bgzf, wholeGzip = false, intervals)
+          }
+        }
+      } finally in.close()
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
+    val req = required
+    (partition: InputPartition) => new VcfPartitionReader(
+      partition.asInstanceOf[VcfInputPartition], conf, req)
+  }
+}
+
+case class VcfInputPartition(file: String, splitStart: Long, splitEnd: Long,
+    header: VcfHeader, bgzf: Boolean, wholeGzip: Boolean,
+    intervals: Option[Seq[GenomicInterval]]) extends InputPartition
+
+class VcfPartitionReader(p: VcfInputPartition, conf: SerializableConf, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val input = HadoopIO.open(new Path(p.file), conf.conf)
+  private val lines =
+    if (p.wholeGzip) SplitTextReader.allLines(input)
+    else SplitTextReader.lines(input, p.splitStart, p.splitEnd, p.bgzf)
+  private val getters = VariantRowBuilder.getters(required)
+  private var currentRow: InternalRow = _
+
+  private def keep(v: Variant): Boolean = p.intervals match {
+    case None => true
+    case Some(ivs) => ivs.exists(_.overlaps(v.contig, v.start, v.end))
+  }
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val line = lines.next()
+      if (line.nonEmpty && line.charAt(0) != '#') {
+        val v = VcfCodec.fromLine(line, p.header.samples)
+        if (keep(v)) {
+          currentRow = VariantRowBuilder.build(v, getters)
+          return true
+        }
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = currentRow
+  override def close(): Unit = input.close()
+}
+
+object VariantRowBuilder {
+  type Getter = Variant => Any
+
+  private def strArray(xs: Seq[String]): GenericArrayData =
+    new GenericArrayData(xs.map(x => UTF8String.fromString(x): Any).toArray)
+
+  private def strMap(m: Map[String, String]): ArrayBasedMapData = {
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    var i = 0
+    m.foreach { case (k, v) => keys(i) = UTF8String.fromString(k); vals(i) = UTF8String.fromString(v); i += 1 }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  def getters(required: StructType): Array[Getter] =
+    required.fieldNames.map[Getter] {
+      case "contig" => v => UTF8String.fromString(v.contig)
+      case "start" => v => v.start
+      case "end" => v => v.end
+      case "id" => v => if (v.id == null) null else UTF8String.fromString(v.id)
+      case "ref" => v => UTF8String.fromString(v.ref)
+      case "alt" => v => strArray(v.alt)
+      case "qual" => v => if (v.qual == null) null else v.qual.doubleValue()
+      case "filters" => v => strArray(v.filters)
+      case "info" => v => strMap(v.info)
+      case "genotypes" => v => new GenericArrayData(v.genotypes.map { g =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(g.sample), UTF8String.fromString(g.gt), strMap(g.fields))): Any
+      }.toArray)
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+
+  def build(v: Variant, getters: Array[Getter]): InternalRow = {
+    val vals = new Array[Any](getters.length)
+    var i = 0
+    while (i < vals.length) { vals(i) = getters(i)(v); i += 1 }
+    new GenericInternalRow(vals)
+  }
+}
+
+// ---- write path -----------------------------------------------------------
+
+class VcfWriteBuilder(options: Map[String, String], schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = this
+  override def build(): Write = new VcfWrite(options, schema)
+}
+
+class VcfWrite(options: Map[String, String], schema: StructType) extends Write {
+  override def toBatch: BatchWrite = {
+    val path = options.getOrElse("path", throw new IllegalArgumentException("vcf sink requires a path"))
+    val single = path.endsWith(".vcf") || path.endsWith(".vcf.bgz") || path.endsWith(".vcf.gz")
+    val bgzf = path.endsWith(".bgz") || path.endsWith(".gz")
+    new VcfBatchWrite(path, options.get("vcfheader"), single, bgzf, schema,
+      new SerializableConf(SparkSession.active.sessionState.newHadoopConf()))
+  }
+}
+
+/** Single-file: headerless parts + `header` part (+ BGZF terminator part for
+  * compressed output) merged in name order (VcfSink.java:27-68). Sharded:
+  * complete plain .vcf per partition (VcfSinkMultiple.java:20-44).
+  */
+class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean,
+                    bgzf: Boolean, schema: StructType, conf: SerializableConf) extends BatchWrite {
+  private val tempDir = path + ".parts"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val fs = new Path(path).getFileSystem(conf.conf)
+    if (singleFile) {
+      fs.delete(new Path(path), false)
+      fs.delete(new Path(tempDir), true)
+      fs.mkdirs(new Path(tempDir))
+    } else {
+      fs.delete(new Path(path), true)
+      fs.mkdirs(new Path(path))
+    }
+    val dir = if (singleFile) tempDir else path
+    val ho = headerOpt; val sf = singleFile; val bz = bgzf; val c = conf; val sch = schema
+    (partitionId: Int, _: Long) => new VcfDataWriter(dir, ho, sf, bz, sch, c, partitionId)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = if (singleFile) {
+    val fs = new Path(path).getFileSystem(conf.conf)
+    // header from option, or synthesized with samples reported by writers
+    val samples = messages.collectFirst { case m: VcfPartMessage if m.samples.nonEmpty => m.samples }
+      .getOrElse(Seq.empty)
+    val headerText = headerOpt.getOrElse(VcfHeader(Seq("##fileformat=VCFv4.2"), samples).headerText)
+    val ho = fs.create(new Path(tempDir, "header"), true)
+    if (bgzf) {
+      val b = new graft.bgzf.BgzfOutputStream(ho, writeEof = false)
+      b.write(headerText.getBytes("UTF-8")); b.close()
+    } else { ho.write(headerText.getBytes("UTF-8")); ho.close() }
+    if (bgzf) {
+      val to = fs.create(new Path(tempDir, "terminator"), true)
+      to.write(graft.bgzf.Bgzf.EofBlock)
+      to.close()
+    }
+    HadoopIO.mergeParts(new Path(tempDir), new Path(path), conf.conf)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.conf)
+    if (singleFile) fs.delete(new Path(tempDir), true)
+  }
+}
+
+case class VcfPartMessage(samples: Seq[String]) extends WriterCommitMessage
+
+class VcfDataWriter(dir: String, headerOpt: Option[String], singleFile: Boolean, bgzf: Boolean,
+                    schema: StructType, conf: SerializableConf, partitionId: Int)
+    extends DataWriter[InternalRow] {
+  private val name = if (singleFile) f"part-$partitionId%05d" else f"part-$partitionId%05d.vcf"
+  private val partPath = new Path(dir, name)
+  private val fs = partPath.getFileSystem(conf.conf)
+  private val raw = fs.create(partPath, true)
+  private val out: java.io.OutputStream =
+    if (singleFile && bgzf) new graft.bgzf.BgzfOutputStream(raw, writeEof = false)
+    else new java.io.BufferedOutputStream(raw, 1 << 16)
+  private val idx = RowToVariant.indices(schema)
+  private var samples: Seq[String] = Seq.empty
+  private var wroteShardHeader = false
+
+  override def write(row: InternalRow): Unit = {
+    val v = RowToVariant.convert(row, idx)
+    if (samples.isEmpty && v.genotypes.nonEmpty) samples = v.genotypes.map(_.sample)
+    if (!singleFile && !wroteShardHeader) {
+      val text = headerOpt.getOrElse(VcfHeader(Seq("##fileformat=VCFv4.2"), samples).headerText)
+      out.write(text.getBytes("UTF-8"))
+      wroteShardHeader = true
+    }
+    out.write(VcfCodec.toLine(v).getBytes("UTF-8"))
+    out.write('\n')
+  }
+  override def commit(): WriterCommitMessage = {
+    if (!singleFile && !wroteShardHeader) {
+      val text = headerOpt.getOrElse(VcfHeader.Minimal.headerText)
+      out.write(text.getBytes("UTF-8"))
+    }
+    out.close()
+    VcfPartMessage(samples)
+  }
+  override def abort(): Unit = { out.close(); fs.delete(partPath, false) }
+  override def close(): Unit = ()
+}
+
+/** InternalRow → Variant (write side). */
+object RowToVariant {
+  case class Idx(contig: Int, start: Int, end: Int, id: Int, ref: Int, alt: Int,
+                 qual: Int, filters: Int, info: Int, genotypes: Int) extends Serializable
+
+  def indices(schema: StructType): Idx = {
+    def i(n: String) = schema.fieldNames.indexOf(n)
+    Idx(i("contig"), i("start"), i("end"), i("id"), i("ref"), i("alt"), i("qual"),
+      i("filters"), i("info"), i("genotypes"))
+  }
+
+  def convert(row: InternalRow, x: Idx): Variant = {
+    def str(i: Int): String = if (i < 0 || row.isNullAt(i)) null else row.getUTF8String(i).toString
+    def strSeq(i: Int): Seq[String] =
+      if (i < 0 || row.isNullAt(i)) Nil
+      else {
+        val a = row.getArray(i)
+        (0 until a.numElements()).map(j => a.getUTF8String(j).toString)
+      }
+    def strMap(i: Int): Map[String, String] =
+      if (i < 0 || row.isNullAt(i)) Map.empty
+      else {
+        val m = row.getMap(i)
+        val ks = m.keyArray(); val vs = m.valueArray()
+        (0 until m.numElements()).map(j => ks.getUTF8String(j).toString -> vs.getUTF8String(j).toString).toMap
+      }
+    val genotypes: Seq[Genotype] =
+      if (x.genotypes < 0 || row.isNullAt(x.genotypes)) Nil
+      else {
+        val a = row.getArray(x.genotypes)
+        (0 until a.numElements()).map { j =>
+          val g = a.getStruct(j, 3)
+          val fields =
+            if (g.isNullAt(2)) Map.empty[String, String]
+            else {
+              val m = g.getMap(2)
+              val ks = m.keyArray(); val vs = m.valueArray()
+              (0 until m.numElements()).map(t => ks.getUTF8String(t).toString -> vs.getUTF8String(t).toString).toMap
+            }
+          Genotype(if (g.isNullAt(0)) null else g.getUTF8String(0).toString,
+            if (g.isNullAt(1)) "./." else g.getUTF8String(1).toString, fields)
+        }
+      }
+    Variant(str(x.contig),
+      if (row.isNullAt(x.start)) 0 else row.getInt(x.start),
+      if (x.end < 0 || row.isNullAt(x.end)) 0 else row.getInt(x.end),
+      str(x.id), str(x.ref), strSeq(x.alt),
+      if (x.qual < 0 || row.isNullAt(x.qual)) null else java.lang.Double.valueOf(row.getDouble(x.qual)),
+      strSeq(x.filters), strMap(x.info), genotypes)
+  }
+}

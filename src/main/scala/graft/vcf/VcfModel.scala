@@ -1,0 +1,69 @@
+package graft.vcf
+
+import org.apache.spark.sql.types._
+
+/** VCF record model — every column a plain Catalyst type (reference record:
+  * htsjdk VariantContext, HtsjdkVariantsRdd.java:19; field semantics VCF
+  * spec §1.6, decoded by VCFCodec at VcfSource.java:104-116).
+  */
+case class Variant(
+    contig: String,
+    start: Int,            // POS, 1-based
+    end: Int,              // POS + len(REF) - 1, or INFO END
+    id: String,            // null for "."
+    ref: String,
+    alt: Seq[String],      // empty for "."
+    qual: java.lang.Double, // null for "."
+    filters: Seq[String],  // empty for "."; ["PASS"] when passing
+    info: Map[String, String],     // flag keys map to ""
+    genotypes: Seq[Genotype])
+
+case class Genotype(sample: String, gt: String, fields: Map[String, String])
+
+object Variant {
+  val genotypeType: StructType = StructType(Seq(
+    StructField("sample", StringType, nullable = true),
+    StructField("gt", StringType, nullable = true),
+    StructField("fields", MapType(StringType, StringType, valueContainsNull = false), nullable = true)))
+
+  val schema: StructType = StructType(Seq(
+    StructField("contig", StringType, nullable = true),
+    StructField("start", IntegerType, nullable = true),
+    StructField("end", IntegerType, nullable = true),
+    StructField("id", StringType, nullable = true),
+    StructField("ref", StringType, nullable = true),
+    StructField("alt", ArrayType(StringType, containsNull = false), nullable = true),
+    StructField("qual", DoubleType, nullable = true),
+    StructField("filters", ArrayType(StringType, containsNull = false), nullable = true),
+    StructField("info", MapType(StringType, StringType, valueContainsNull = false), nullable = true),
+    StructField("genotypes", ArrayType(genotypeType, containsNull = false), nullable = true)))
+}
+
+/** VCF header: the ## meta lines + sample names from the #CHROM line. */
+case class VcfHeader(metaLines: Seq[String], samples: Seq[String]) {
+  def headerText: String = {
+    val cols = Seq("#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO") ++
+      (if (samples.nonEmpty) "FORMAT" +: samples else Nil)
+    (metaLines :+ cols.mkString("\t")).mkString("", "\n", "\n")
+  }
+}
+
+object VcfHeader {
+  val Minimal = VcfHeader(Seq("##fileformat=VCFv4.2"), Nil)
+
+  def parse(lines: Iterator[String]): VcfHeader = {
+    val metas = Seq.newBuilder[String]
+    var samples: Seq[String] = Nil
+    var done = false
+    while (!done && lines.hasNext) {
+      val l = lines.next()
+      if (l.startsWith("##")) metas += l
+      else if (l.startsWith("#CHROM")) {
+        val f = l.split('\t')
+        samples = if (f.length > 9) f.drop(9).toSeq else Nil
+        done = true
+      } else done = true
+    }
+    VcfHeader(metas.result(), samples)
+  }
+}

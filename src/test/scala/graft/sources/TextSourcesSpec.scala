@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.bam.TestReads
+import graft.bgzf.{BgzfOutputStream, SeekableInput}
+import graft.vcf.{Genotype, Variant, VcfCodec, VcfHeader}
+
+class SplitTextReaderSpec extends AnyFunSuite {
+  private val rng = new scala.util.Random(7)
+
+  private def mkLines(n: Int): Seq[String] =
+    (0 until n).map(i => s"line-$i-" + ("x" * rng.nextInt(120)))
+
+  test("plain text: every split size yields exactly the full line set") {
+    val lines = mkLines(500)
+    val bytes = lines.mkString("", "\n", "\n").getBytes("UTF-8")
+    val in = SeekableInput.ofBytes(bytes)
+    for (splitSize <- Seq(37, 1000, 8192, bytes.length + 1)) {
+      val got = Seq.newBuilder[String]
+      var start = 0L
+      while (start < bytes.length) {
+        val end = math.min(bytes.length.toLong, start + splitSize)
+        got ++= SplitTextReader.lines(in, start, end, bgzf = false)
+        start = end
+      }
+      assert(got.result() == lines, s"splitSize=$splitSize")
+    }
+  }
+
+  test("plain text: no trailing newline on last line") {
+    val bytes = "a\nb\nc".getBytes("UTF-8")
+    val in = SeekableInput.ofBytes(bytes)
+    assert(SplitTextReader.lines(in, 0, bytes.length.toLong, bgzf = false).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("bgzf text: every split size yields exactly the full line set") {
+    val lines = mkLines(2000)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new BgzfOutputStream(bos)
+    out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+    val file = bos.toByteArray
+    val in = SeekableInput.ofBytes(file)
+    for (splitSize <- Seq(1000, 9973, 64 * 1024, file.length + 1)) {
+      val got = Seq.newBuilder[String]
+      var start = 0L
+      while (start < file.length) {
+        val end = math.min(file.length.toLong, start + splitSize)
+        got ++= SplitTextReader.lines(in, start, end, bgzf = true)
+        start = end
+      }
+      assert(got.result() == lines, s"splitSize=$splitSize")
+    }
+  }
+}
+
+class SamVcfSourceSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmpDir(): java.nio.file.Path = {
+    val d = Files.createTempDirectory("textsrc")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  test("SAM: write single-file, read back, round-trips all fields") {
+    import spark.implicits._
+    val recs = TestReads.mixed(300)
+    val dir = tmpDir()
+    val out = dir.resolve("t.sam")
+    spark.createDataset(recs).toDF()
+      .write.format("sam").mode("overwrite")
+      .option("refs", "chr20:1000000,chr21:1000135").save(out.toString)
+    // file starts with header
+    val first = Files.readAllLines(out).get(0)
+    assert(first.startsWith("@HD"))
+    val back = spark.read.format("sam").option("splitSize", 8192).load(out.toString)
+      .as[graft.bam.AlignmentRecord].collect()
+    assert(back.length == recs.size)
+    assert(back.sortBy(r => (r.readName, r.flags)).toSeq == recs.sortBy(r => (r.readName, r.flags)))
+  }
+
+  test("SAM: intervals option filters like BAM") {
+    import spark.implicits._
+    val recs = TestReads.mixed(300)
+    val dir = tmpDir()
+    val out = dir.resolve("iv.sam")
+    spark.createDataset(recs).toDF()
+      .write.format("sam").mode("overwrite")
+      .option("refs", "chr20:1000000,chr21:1000135").save(out.toString)
+    val n = spark.read.format("sam").option("intervals", "chr21:5000-9999").load(out.toString).count()
+    val want = recs.count(r => r.contig == "chr21" && r.start <= 9999 && math.max(r.end, r.start) >= 5000)
+    assert(n == want)
+  }
+
+  private def sampleVariants(n: Int): Seq[Variant] =
+    (0 until n).map { i =>
+      val ref = "ACT".take(1 + i % 3)
+      Variant("chr1", 1000 + i * 10, 1000 + i * 10 + ref.length - 1, if (i % 3 == 0) s"rs$i" else null,
+        ref, if (i % 4 == 0) Seq("A", "T") else Seq("G"),
+        if (i % 5 == 0) null else java.lang.Double.valueOf(30.0 + i % 50),
+        if (i % 2 == 0) Seq("PASS") else Seq("q10"),
+        Map("DP" -> (100 + i).toString, "AF" -> "0.5") ++ (if (i % 7 == 0) Map("DB" -> "") else Map.empty),
+        Seq(Genotype("s1", "0/1", Map("DP" -> "30", "GQ" -> "99")),
+          Genotype("s2", "1/1", Map("DP" -> "28", "GQ" -> "87"))))
+    }
+
+  test("VCF codec: line round-trip") {
+    sampleVariants(40).foreach { v =>
+      val line = VcfCodec.toLine(v)
+      val v2 = VcfCodec.fromLine(line, Seq("s1", "s2"))
+      assert(v2 == v, s"line: $line")
+    }
+  }
+
+  test("VCF: single-file plain + bgz round-trips through spark") {
+    import spark.implicits._
+    val vs = sampleVariants(500)
+    val dir = tmpDir()
+    for (name <- Seq("t.vcf", "t.vcf.bgz")) {
+      val out = dir.resolve(name)
+      spark.createDataset(vs).toDF()
+        .write.format("vcf").mode("overwrite").save(out.toString)
+      val back = spark.read.format("vcf").option("splitSize", 4096).load(out.toString)
+        .as[Variant].collect()
+      assert(back.length == vs.size, name)
+      assert(back.sortBy(_.start).toSeq == vs.sortBy(_.start), name)
+    }
+    // bgz variant ends with BGZF terminator
+    val bytes = Files.readAllBytes(dir.resolve("t.vcf.bgz"))
+    assert(bytes.takeRight(28).sameElements(graft.bgzf.Bgzf.EofBlock))
+  }
+
+  test("VCF: plain-gzip fallback reads whole file in one split") {
+    import spark.implicits._
+    val vs = sampleVariants(100)
+    val dir = tmpDir()
+    val plain = dir.resolve("t.vcf")
+    spark.createDataset(vs).toDF().write.format("vcf").mode("overwrite").save(plain.toString)
+    // gzip it (non-BGZF)
+    val gz = dir.resolve("t2.vcf.gz")
+    val go = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    go.write(Files.readAllBytes(plain)); go.close()
+    val back = spark.read.format("vcf").load(gz.toString)
+    assert(back.count() == vs.size)
+    assert(back.rdd.getNumPartitions == 1) // not splittable
+  }
+
+  test("VCF: intervals filter + sharded write") {
+    import spark.implicits._
+    val vs = sampleVariants(500)
+    val dir = tmpDir().resolve("sharded")
+    spark.createDataset(vs).toDF().repartition(4)
+      .write.format("vcf").mode("overwrite").save(dir.toString)
+    val back = spark.read.format("vcf").load(dir.toString)
+    assert(back.count() == vs.size)
+    val n = spark.read.format("vcf").option("intervals", "chr1:2000-3000").load(dir.toString).count()
+    val want = vs.count(v => v.start <= 3000 && v.end >= 2000)
+    assert(n == want)
+  }
+}
