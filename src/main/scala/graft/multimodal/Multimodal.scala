@@ -1,0 +1,98 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads ride through the
+  * engine as opaque `binary` columns with typed metadata; decode / feature
+  * extraction runs batched per partition.
+  *
+  * The actual codec step is STUBBED (this container has no image/audio
+  * libraries): [[FakeCodec]] is a deterministic stand-in with the same shape
+  * a real decoder would have — bytes in, fixed-width float features out.
+  * Everything around it — schema, partition-batched execution via
+  * `mapPartitions` (the Scala-side analogue of `mapInPandas`), feature
+  * schema, downstream similarity compatibility — is real and tested.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata, the storage schema a
+    * 100 TB multimodal corpus would use (payload column stays unread unless
+    * selected — parquet column pruning does the heavy lifting).
+    */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                      width: Int, height: Int, format: String)
+
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           features: Array[Float])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType), StructField("kind", StringType),
+    StructField("payload", BinaryType), StructField("width", IntegerType),
+    StructField("height", IntegerType), StructField("format", StringType)))
+
+  /** STUB decoder — a real implementation would call an image/audio codec
+    * here (???-equivalent). Deterministic: 16 features, feature k = mean of
+    * bytes congruent to k mod 16, scaled to [0,1]; plus byte count. Shape,
+    * determinism, and batch-iteration contract match a real decoder.
+    */
+  object FakeCodec {
+    val FeatureDim = 16
+    def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
+      val sums = new Array[Long](FeatureDim)
+      val counts = new Array[Long](FeatureDim)
+      var i = 0
+      while (i < payload.length) {
+        val b = payload(i) & 0xff
+        sums(b % FeatureDim) += b
+        counts(b % FeatureDim) += 1
+        i += 1
+      }
+      Array.tabulate(FeatureDim)(k =>
+        if (counts(k) == 0) 0f else (sums(k).toDouble / counts(k) / 255.0).toFloat)
+    }
+  }
+
+  /** Batched feature extraction: one decoder instantiation per partition,
+    * records streamed through it — the execution shape that amortizes model
+    * or codec setup at scale (mapInPandas semantics, Scala-typed).
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup would happen here (codec/model init)
+      rows.map { r =>
+        MediaFeatures(r.media_id, r.kind, r.payload.length,
+          FakeCodec.decodeToFeatures(r.payload))
+      }
+    }
+  }
+
+  /** Deterministic synthetic media derived from the documents table — stands
+    * in for real payloads so the plumbing is exercised end-to-end on the
+    * driver's data (doc text bytes as the "payload").
+    */
+  def syntheticMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".as("media_id"),
+        when($"doc_id" % 2 === 0, "image").otherwise("audio").as("kind"),
+        encode($"text", "UTF-8").as("payload"),
+        lit(64).as("width"), lit(64).as("height"), lit("fake").as("format"))
+      .as[MediaRow]
+  }
+
+  /** Per-kind feature summary — the query-shaped surface over the stub:
+    * deterministic, so the driver's rows>0 smoke check is stable.
+    */
+  def featureSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(syntheticMedia(spark, sfDir))
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n_media"),
+        sum($"n_bytes".cast("long")).as("total_bytes"),
+        sum(round(element_at($"features", 1) * 1000).cast("long")).as("f0_milli_sum"))
+      .orderBy($"kind")
+  }
+}

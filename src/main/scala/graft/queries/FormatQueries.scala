@@ -71,11 +71,13 @@ object FormatQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // single-file sink (headerless parts + concat commit) → splittable scan
+    // single-file sink (headerless parts + concat commit + .sbi co-write)
+    // → splittable scan planned from the SBI index (binary search, no
+    // heuristic boundary scan)
     "q_bam_roundtrip_single" -> { (s, d) =>
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/single.bam"
       syntheticReads(s, d).write.format("bam").mode("overwrite")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).option("writeSbi", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
       readsAggregate(back)
     },

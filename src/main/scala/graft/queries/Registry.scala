@@ -12,7 +12,8 @@ object Registry {
     Seq(
       (Relational.queries, Relational.oracles),
       (FormatQueries.queries, FormatQueries.oracles),
-      (Pipeline.queries, Pipeline.oracles)
+      (Pipeline.queries, Pipeline.oracles),
+      (Extras.queries, Extras.oracles)
     )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {

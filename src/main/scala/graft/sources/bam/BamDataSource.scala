@@ -19,6 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.bam._
 import graft.bgzf.Bgzf
+import graft.index.{SbiIndex, SbiSampler}
 import graft.sources.{GenomicInterval, HadoopIO, SerializableConf}
 
 /** `spark.read.format("bam")` / `df.write.format("bam")` — the Spark-native
@@ -125,17 +126,37 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
       .map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
     val unplacedUnmapped = options.get("unplacedunmapped").exists(_.toBoolean)
     val files = HadoopIO.listInputFiles(pathStr, conf)
+      .filterNot(_.getName.endsWith(".sbi")) // indexes are side files, not inputs
     files.flatMap { file =>
       val in = HadoopIO.open(file, conf)
       try {
         val (header, headerEnd) = BamIO.readHeader(in)
         val size = in.size
-        // byte splits tile the file; each split owns records whose start
-        // virtual offset lies in a block starting within the split
         val nSplits = math.max(1L, (size + splitSize - 1) / splitSize)
-        (0L until nSplits).map { i =>
-          BamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
-            header, headerEnd, intervals, unplacedUnmapped)
+        val fs = file.getFileSystem(conf)
+        val sbiPath = new Path(file.toString + ".sbi")
+        if (fs.exists(sbiPath)) {
+          // SBI path: split edges snap to indexed record offsets via binary
+          // search — no heuristic boundary scan in the readers (intended
+          // reference semantics, BamSource.java:74-92)
+          val sbiIn = HadoopIO.open(sbiPath, conf)
+          val sbi = try SbiIndex.read(sbiIn) finally sbiIn.close()
+          val bounds = (0L to nSplits).map { i =>
+            if (i == nSplits) sbi.offsets.last else sbi.boundaryAtOrAfter(i * splitSize)
+          }
+          (0L until nSplits).flatMap { i =>
+            val (cs, ce) = (bounds(i.toInt), bounds(i.toInt + 1))
+            if (cs >= ce) None
+            else Some(BamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
+              header, headerEnd, intervals, unplacedUnmapped, cs, ce))
+          }
+        } else {
+          // heuristic path: byte splits tile the file; each split owns
+          // records whose start voff lies in a block starting within it
+          (0L until nSplits).map { i =>
+            BamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
+              header, headerEnd, intervals, unplacedUnmapped, -1L, -1L)
+          }
         }
       } finally in.close()
     }.toArray
@@ -150,7 +171,8 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
 case class BamInputPartition(
     file: String, splitStart: Long, splitEnd: Long,
     header: SamHeader, headerEndVoff: Long,
-    intervals: Option[Seq[GenomicInterval]], unplacedUnmapped: Boolean)
+    intervals: Option[Seq[GenomicInterval]], unplacedUnmapped: Boolean,
+    chunkStartVoff: Long, chunkEndVoff: Long) // -1 when no .sbi (heuristic)
   extends InputPartition
 
 class BamPartitionReaderFactory(conf: SerializableConf, required: StructType)
@@ -177,12 +199,18 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
   private var currentRow: InternalRow = _
   private var exhausted = false
 
-  // boundary search (guesser shares the pread-based input with the stream)
+  private val sbiMode = p.chunkStartVoff >= 0
+
+  // boundary: exact from the SBI chunk, else heuristic search (the guesser
+  // shares the pread-based input with the stream)
   locally {
-    val guesser = new BamRecordGuesser(input, p.header.refs.length, p.headerEndVoff)
-    val first = guesser.firstRecordAtOrAfter(p.splitStart, p.splitEnd)
-    if (first < 0) exhausted = true
-    else stream.seekVirtual(first)
+    if (sbiMode) stream.seekVirtual(p.chunkStartVoff)
+    else {
+      val guesser = new BamRecordGuesser(input, p.header.refs.length, p.headerEndVoff)
+      val first = guesser.firstRecordAtOrAfter(p.splitStart, p.splitEnd)
+      if (first < 0) exhausted = true
+      else stream.seekVirtual(first)
+    }
   }
 
   private val fieldGetters: Array[AlignmentRecord => Any] =
@@ -224,8 +252,12 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
   override def next(): Boolean = {
     if (exhausted) return false
     while (true) {
-      // stop when the next record starts in a block owned by the next split
-      if (stream.atEof || stream.blockStartOffset >= p.splitEnd) { exhausted = true; return false }
+      // stop when the next record start leaves this partition's territory:
+      // exact chunk end (SBI) or block owned by the next split (heuristic)
+      val done =
+        if (sbiMode) stream.atEof || stream.virtualOffset >= p.chunkEndVoff
+        else stream.atEof || stream.blockStartOffset >= p.splitEnd
+      if (done) { exhausted = true; return false }
       val rec = readOne()
       if (rec == null) { exhausted = true; return false }
       if (keep(rec)) {
@@ -275,12 +307,17 @@ class BamWrite(options0: Map[String, String], schema: StructType) extends Write 
       case None => SamHeader(refs)
     }
     val singleFile = path.endsWith(".bam")
-    new BamBatchWrite(path, header, singleFile, schema,
+    val sbiGranularity =
+      if (options.get("writesbi").exists(_.toBoolean))
+        options.get("sbigranularity").map(_.toLong).getOrElse(SbiIndex.DefaultGranularity)
+      else -1L
+    new BamBatchWrite(path, header, singleFile, schema, sbiGranularity,
       new SerializableConf(SparkSession.active.sessionState.newHadoopConf()))
   }
 }
 
-case class BamPartMessage(path: String, records: Long) extends WriterCommitMessage
+case class BamPartMessage(path: String, records: Long, compressedBytes: Long,
+    sampledVoffs: Array[Long]) extends WriterCommitMessage
 
 /** Single-file mode: tasks write headerless BGZF parts into `path.parts/`;
   * commit writes `header` + `terminator` and merges in name order (names
@@ -290,7 +327,8 @@ case class BamPartMessage(path: String, records: Long) extends WriterCommitMessa
   * .java:39-73 semantics — native Spark one-file-per-partition shape).
   */
 class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
-                    schema: StructType, conf: SerializableConf) extends BatchWrite {
+                    schema: StructType, sbiGranularity: Long,
+                    conf: SerializableConf) extends BatchWrite {
 
   private val tempDir = path + ".parts"
 
@@ -304,7 +342,8 @@ class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
       fs.delete(new Path(path), true)
       fs.mkdirs(new Path(path))
     }
-    new BamDataWriterFactory(if (singleFile) tempDir else path, header, singleFile, schema, conf)
+    new BamDataWriterFactory(if (singleFile) tempDir else path, header, singleFile, schema,
+      sbiGranularity, conf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = if (singleFile) {
@@ -314,10 +353,29 @@ class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
     val hb = new graft.bgzf.BgzfOutputStream(ho, writeEof = false)
     BamCodec.writeHeader(hb, header)
     hb.close()
+    val headerBytes = fs.getFileStatus(new Path(tempDir, "header")).getLen
     // terminator part: the spec 28-byte EOF block
     val to = fs.create(new Path(tempDir, "terminator"), true)
     to.write(Bgzf.EofBlock)
     to.close()
+    // SBI co-write: parts' sampled offsets shift by the bytes that precede
+    // them after concat (header + earlier parts); voff += base << 16
+    if (sbiGranularity > 0) {
+      val parts = messages.collect { case m: BamPartMessage => m }.sortBy(_.path)
+      var base = headerBytes
+      val all = Array.newBuilder[Long]
+      var total = 0L
+      parts.foreach { m =>
+        m.sampledVoffs.foreach(v => all += v + (base << 16))
+        base += m.compressedBytes
+        total += m.records
+      }
+      all += (base << 16) // sentinel: end of records (terminator start)
+      val fileLength = base + Bgzf.EofBlock.length
+      val so = fs.create(new Path(path + ".sbi"), true)
+      SbiIndex.write(so, SbiIndex(fileLength, total, sbiGranularity, all.result()))
+      so.close()
+    }
     HadoopIO.mergeParts(new Path(tempDir), new Path(path), conf.conf)
   }
 
@@ -328,13 +386,15 @@ class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
 }
 
 class BamDataWriterFactory(dir: String, header: SamHeader, singleFile: Boolean,
-                           schema: StructType, conf: SerializableConf) extends DataWriterFactory {
+                           schema: StructType, sbiGranularity: Long,
+                           conf: SerializableConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BamDataWriter(dir, header, singleFile, schema, conf, partitionId)
+    new BamDataWriter(dir, header, singleFile, schema, sbiGranularity, conf, partitionId)
 }
 
 class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
-                    schema: StructType, conf: SerializableConf, partitionId: Int)
+                    schema: StructType, sbiGranularity: Long,
+                    conf: SerializableConf, partitionId: Int)
     extends DataWriter[InternalRow] {
 
   private val name = if (singleFile) f"part-$partitionId%05d" else f"part-$partitionId%05d.bam"
@@ -344,14 +404,29 @@ class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
   private val out = new graft.bgzf.BgzfOutputStream(raw, writeEof = !singleFile)
   private var count = 0L
   private val idx = RowToRecord.indices(schema)
+  private val sampler = if (sbiGranularity > 0) new SbiSampler(sbiGranularity) else null
 
   if (!singleFile) BamCodec.writeHeader(out, header)
 
   override def write(row: InternalRow): Unit = {
+    if (sampler != null) sampler.record(out.virtualOffset)
     out.write(BamCodec.encodeRecord(RowToRecord.convert(row, idx), header))
     count += 1
   }
-  override def commit(): WriterCommitMessage = { out.close(); BamPartMessage(partPath.toString, count) }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    val compressed = Bgzf.blockStart(out.virtualOffset) // total bytes after close
+    if (sampler != null && !singleFile) {
+      // sharded mode: each complete file gets its own .sbi directly;
+      // compressedWritten excludes the trailing EOF block
+      val so = fs.create(new Path(partPath.toString + ".sbi"), true)
+      SbiIndex.write(so, SbiIndex(compressed + Bgzf.EofBlock.length, sampler.total,
+        sbiGranularity, sampler.sampled :+ (compressed << 16)))
+      so.close()
+    }
+    BamPartMessage(partPath.toString, count, compressed,
+      if (sampler != null) sampler.sampled else Array.empty[Long])
+  }
   override def abort(): Unit = { out.close(); fs.delete(partPath, false) }
   override def close(): Unit = ()
 }
