@@ -132,7 +132,7 @@ object FormatQueries {
     "q_bam_intervals" -> { (s, d) =>
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/iv.bam"
       syntheticReads(s, d).write.format("bam").mode("overwrite")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).option("writeSbi", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024)
         .option("intervals", "chr0:1-5000,chr1:2000-7000")
         .load(path)

@@ -177,7 +177,10 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
-    // LSH candidate pairs: docs sharing at least one minhash band
+    // LSH candidate pairs: docs sharing at least one minhash band.
+    // Scale shape: one narrow pass computes signatures, ONE shuffle groups
+    // by (band, bandhash), pairs are generated inside each (tiny) bucket —
+    // no self-join, no global pair space, bucket size bounds the blow-up.
     "q_dedup_minhash_pairs" -> { (s, d) =>
       import s.implicits._
       val sigs = withShingles(Tables.documents(s, d))
@@ -188,11 +191,13 @@ object Pipeline {
             b => hash60(concat_ws(",",
               transform(slice($"sig", b * lit(MinhashK / Bands) + 1, lit(MinhashK / Bands)),
                 v => v.cast("string")))))).as(Seq("band", "bandhash")))
-        .persist() // self-join: compute signatures once, not per join side
-      sigs.as("a").join(sigs.as("b"),
-          $"a.band" === $"b.band" && $"a.bandhash" === $"b.bandhash" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      sigs.groupBy($"band", $"bandhash")
+        .agg(sort_array(collect_list($"doc_id")).as("ids"))
+        .filter(size($"ids") > 1)
+        .select(explode(flatten(transform($"ids", (x, i) =>
+          transform(slice($"ids", i + lit(2), size($"ids")),
+            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+        .select($"p.doc_a", $"p.doc_b")
         .distinct()
         .orderBy($"doc_a", $"doc_b")
     },
