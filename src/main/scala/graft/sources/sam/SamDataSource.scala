@@ -69,6 +69,7 @@ class SamScan(options: Map[String, String], required: StructType) extends Scan w
     val intervals = options.get("intervals")
       .map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
     val unplacedUnmapped = options.get("unplacedunmapped").exists(_.toBoolean)
+    val permissive = options.get("mode").exists(_.equalsIgnoreCase("permissive"))
     HadoopIO.listInputFiles(pathStr, conf).flatMap { file =>
       val in = HadoopIO.open(file, conf)
       try {
@@ -80,7 +81,7 @@ class SamScan(options: Map[String, String], required: StructType) extends Scan w
         val nSplits = math.max(1L, (size + splitSize - 1) / splitSize)
         (0L until nSplits).map { i =>
           SamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
-            header, intervals, unplacedUnmapped)
+            header, intervals, unplacedUnmapped, permissive)
         }
       } finally in.close()
     }.toArray
@@ -95,7 +96,8 @@ class SamScan(options: Map[String, String], required: StructType) extends Scan w
 }
 
 case class SamInputPartition(file: String, splitStart: Long, splitEnd: Long,
-    header: SamHeader, intervals: Option[Seq[GenomicInterval]], unplacedUnmapped: Boolean)
+    header: SamHeader, intervals: Option[Seq[GenomicInterval]], unplacedUnmapped: Boolean,
+    permissive: Boolean) // validation stringency: permissive skips bad lines
   extends InputPartition
 
 class SamPartitionReader(p: SamInputPartition, conf: SerializableConf, required: StructType)
@@ -117,8 +119,16 @@ class SamPartitionReader(p: SamInputPartition, conf: SerializableConf, required:
     while (lines.hasNext) {
       val line = lines.next()
       if (line.nonEmpty && !line.startsWith("@")) {
-        val rec = SamCodec.fromLine(line, p.header)
-        if (keep(rec)) {
+        // validation stringency (reference HtsjdkReadsRddStorage.java:97-100):
+        // permissive = skip malformed lines; default = fail fast with context
+        val rec =
+          try SamCodec.fromLine(line, p.header)
+          catch {
+            case e: Exception if p.permissive => null
+            case e: Exception =>
+              throw new java.io.IOException(s"bad SAM line in ${p.file}: $line", e)
+          }
+        if (rec != null && keep(rec)) {
           currentRow = AlignmentRowBuilder.build(rec, getters)
           return true
         }

@@ -75,6 +75,7 @@ class VcfScan(options: Map[String, String], required: StructType) extends Scan w
     val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
     val intervals = options.get("intervals")
       .map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
+    val permissive = options.get("mode").exists(_.equalsIgnoreCase("permissive"))
     HadoopIO.listInputFiles(pathStr, conf).flatMap { file =>
       val in = HadoopIO.open(file, conf)
       try {
@@ -86,12 +87,12 @@ class VcfScan(options: Map[String, String], required: StructType) extends Scan w
           // non-splittable: one whole-file partition (reference
           // BGZFEnhancedGzipCodec fallback semantics)
           Seq(VcfInputPartition(file.toString, 0L, Long.MaxValue, header, bgzf = false,
-            wholeGzip = true, intervals))
+            wholeGzip = true, intervals, permissive))
         } else {
           val nSplits = math.max(1L, (size + splitSize - 1) / splitSize)
           (0L until nSplits).map { i =>
             VcfInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
-              header, bgzf, wholeGzip = false, intervals)
+              header, bgzf, wholeGzip = false, intervals, permissive)
           }
         }
       } finally in.close()
@@ -108,7 +109,8 @@ class VcfScan(options: Map[String, String], required: StructType) extends Scan w
 
 case class VcfInputPartition(file: String, splitStart: Long, splitEnd: Long,
     header: VcfHeader, bgzf: Boolean, wholeGzip: Boolean,
-    intervals: Option[Seq[GenomicInterval]]) extends InputPartition
+    intervals: Option[Seq[GenomicInterval]],
+    permissive: Boolean) extends InputPartition
 
 class VcfPartitionReader(p: VcfInputPartition, conf: SerializableConf, required: StructType)
     extends PartitionReader[InternalRow] {
@@ -128,8 +130,14 @@ class VcfPartitionReader(p: VcfInputPartition, conf: SerializableConf, required:
     while (lines.hasNext) {
       val line = lines.next()
       if (line.nonEmpty && line.charAt(0) != '#') {
-        val v = VcfCodec.fromLine(line, p.header.samples)
-        if (keep(v)) {
+        val v =
+          try VcfCodec.fromLine(line, p.header.samples)
+          catch {
+            case e: Exception if p.permissive => null
+            case e: Exception =>
+              throw new java.io.IOException(s"bad VCF line in ${p.file}: $line", e)
+          }
+        if (v != null && keep(v)) {
           currentRow = VariantRowBuilder.build(v, getters)
           return true
         }
