@@ -91,11 +91,15 @@ object Relational {
         .orderBy($"o_custkey", $"rk")
     },
 
-    // -- Anti join: customers with no orders (NOT EXISTS).
+    // -- Anti join: customers with no 1995 orders (NOT EXISTS with a
+    //    correlated predicate — non-empty at every scale factor).
     "q_customers_without_orders" -> { (s, d) =>
       import s.implicits._
+      val o95 = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .join(o95, $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_mktsegment")
         .orderBy($"c_custkey")
     },
@@ -241,7 +245,9 @@ object Relational {
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
     "q_customers_without_orders" ->
       """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
     "q_active_suppliers" ->
       """SELECT s_suppkey, s_name FROM supplier
