@@ -101,10 +101,32 @@ class BamScanBuilder(options0: Map[String, String])
   override def build(): Scan = new BamScan(options, required, pushed)
 }
 
-/** Filter-derived coordinate constraint used by readers when no explicit
-  * `intervals` option is given: (contig, minStart..maxStart upper bounds).
+/** Conservative filter→interval translation, used when no explicit
+  * `intervals` option is given: a conjunction of `contig = c` with bounds on
+  * `start` becomes the interval c:[lo,hi]. The overlap test the readers
+  * apply (`r.start <= hi && r.end >= lo`) is a superset of the original
+  * predicate, and every filter stays residual, so this only *prunes* rows
+  * early — Catalyst re-applies the exact predicate above the scan
+  * (the reference's coarse-index + residual-filter split,
+  * AbstractBinarySamSource.java:86-113).
   */
-private[bam] case class PushedRegion(contig: String, startMin: Int, startMax: Int) extends Serializable
+private[bam] object PushedRegion {
+  def toIntervals(pushed: Array[Filter]): Option[Seq[GenomicInterval]] = {
+    val contig = pushed.collectFirst { case EqualTo("contig", v: String) => v }
+    contig.map { c =>
+      var lo = 1
+      var hi = Int.MaxValue
+      pushed.foreach {
+        case GreaterThan("start", v: Number) => lo = math.max(lo, v.intValue() + 1)
+        case GreaterThanOrEqual("start", v: Number) => lo = math.max(lo, v.intValue())
+        case LessThan("start", v: Number) => hi = math.min(hi, v.intValue() - 1)
+        case LessThanOrEqual("start", v: Number) => hi = math.min(hi, v.intValue())
+        case _ =>
+      }
+      Seq(GenomicInterval(c, lo, hi))
+    }
+  }
+}
 
 class BamScan(options0: Map[String, String], required: StructType, pushed: Array[Filter])
     extends Scan with Batch {
@@ -124,6 +146,7 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
     val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
     val intervals = options.get("intervals")
       .map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
+      .orElse(PushedRegion.toIntervals(pushed)) // filter-derived pushdown
     val unplacedUnmapped = options.get("unplacedunmapped").exists(_.toBoolean)
     val files = HadoopIO.listInputFiles(pathStr, conf)
       .filterNot(_.getName.endsWith(".sbi")) // indexes are side files, not inputs
