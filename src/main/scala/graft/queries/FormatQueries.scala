@@ -70,7 +70,65 @@ object FormatQueries {
        |FROM reads $where
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Reads where every first-line item is an unplaced-unmapped fragment. */
+  private def syntheticReadsWithUnmapped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val unm = $"l_linenumber" === 1
+    Tables.lineitem(s, d).select(
+      concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+      when(unm, 4).otherwise(0).cast("int").as("flags"),
+      when(unm, lit(null).cast("string"))
+        .otherwise(concat(lit("chr"), ($"l_orderkey" % 3).cast("string"))).as("contig"),
+      when(unm, 0).otherwise((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+      when(unm, 0).otherwise((($"l_partkey" * 37) % 999000) + 151).cast("int").as("end"),
+      lit(60).cast("int").as("mapq"),
+      when(unm, "*").otherwise("151M").as("cigar"),
+      lit(null).cast("string").as("mateContig"),
+      lit(0).cast("int").as("mateStart"),
+      lit(0).cast("int").as("tlen"),
+      lit("*").as("seq"),
+      lit("*").as("qual"),
+      map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
+        .as("attributes"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // unplaced-unmapped traversal: intervals + the unmapped tail together
+    // (HtsjdkReadsTraversalParameters semantics, reference README.md:119-138)
+    "q_bam_unmapped_traversal" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/unm.bam"
+      syntheticReadsWithUnmapped(s, d).write.format("bam").mode("overwrite")
+        .option("refs", Refs).option("writeSbi", "true").save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024)
+        .option("intervals", "chr0:1-5000").option("unplacedUnmapped", "true")
+        .load(path)
+      back.groupBy(coalesce($"contig", lit("*")).as("contig_k"))
+        .agg(count(lit(1)).as("n_reads"), sum($"start".cast("long")).as("sum_start"))
+        .orderBy($"contig_k")
+    },
+
+    // coverage-per-interval: the flagship domain query of SURVEY.md §2.5 —
+    // reads from OUR bam source range-joined against a broadcast bin table,
+    // depth per bin (format layer composing with the relational layer)
+    "q_bam_coverage" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/cov.bam"
+      syntheticReads(s, d).write.format("bam").mode("overwrite")
+        .option("refs", Refs).option("writeSbi", "true").save(path)
+      // pruned scan: only contig/start/end decoded
+      val reads = s.read.format("bam").load(path).select($"contig", $"start", $"end")
+      val bins = Tables.nation(s, d).select(
+        concat(lit("chr"), ($"n_nationkey" % 3).cast("string")).as("icontig"),
+        ($"n_nationkey".cast("long") * 4000).as("istart"))
+        .withColumn("iend", $"istart" + 3999)
+      reads.join(broadcast(bins),
+          $"contig" === $"icontig" && $"start" <= $"iend" && $"end" >= $"istart")
+        .groupBy($"icontig", $"istart", $"iend")
+        .agg(count(lit(1)).as("depth"))
+        .orderBy($"icontig", $"istart")
+    },
+
     // single-file sink (headerless parts + concat commit + .sbi co-write)
     // → splittable scan planned from the SBI index (binary search, no
     // heuristic boundary scan)
@@ -141,6 +199,34 @@ object FormatQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bam_unmapped_traversal" ->
+      """WITH reads AS (
+        |  SELECT CASE WHEN l_linenumber = 1 THEN NULL
+        |           ELSE 'chr' || CAST(l_orderkey % 3 AS VARCHAR) END AS contig,
+        |    CASE WHEN l_linenumber = 1 THEN 0
+        |      ELSE (l_partkey * 37) % 999000 + 1 END AS rstart,
+        |    CASE WHEN l_linenumber = 1 THEN 0
+        |      ELSE (l_partkey * 37) % 999000 + 151 END AS rend
+        |  FROM lineitem)
+        |SELECT COALESCE(contig, '*') AS contig_k, COUNT(*) AS n_reads,
+        |  CAST(SUM(rstart) AS BIGINT) AS sum_start
+        |FROM reads
+        |WHERE (contig = 'chr0' AND rstart <= 5000 AND rend >= 1) OR contig IS NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bam_coverage" ->
+      """WITH reads AS (
+        |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS rstart,
+        |    CAST((l_partkey * 37) % 999000 + 151 AS BIGINT) AS rend
+        |  FROM lineitem),
+        |bins AS (
+        |  SELECT 'chr' || CAST(n_nationkey % 3 AS VARCHAR) AS icontig,
+        |    CAST(n_nationkey AS BIGINT) * 4000 AS istart,
+        |    CAST(n_nationkey AS BIGINT) * 4000 + 3999 AS iend
+        |  FROM nation)
+        |SELECT icontig, istart, iend, COUNT(*) AS depth
+        |FROM reads JOIN bins ON contig = icontig AND rstart <= iend AND rend >= istart
+        |GROUP BY 1, 2, 3 ORDER BY icontig, istart""".stripMargin,
     "q_bam_roundtrip_single" -> oracleAggregate(""),
     "q_bam_roundtrip_sharded" -> oracleAggregate(""),
     "q_sam_roundtrip" -> oracleAggregate(""),
