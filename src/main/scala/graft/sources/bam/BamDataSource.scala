@@ -148,6 +148,7 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
       .map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
       .orElse(PushedRegion.toIntervals(pushed)) // filter-derived pushdown
     val unplacedUnmapped = options.get("unplacedunmapped").exists(_.toBoolean)
+    val pairAware = options.get("keeppairstogether").exists(_.toBoolean)
     val files = HadoopIO.listInputFiles(pathStr, conf)
       .filterNot(_.getName.endsWith(".sbi")) // indexes are side files, not inputs
     files.flatMap { file =>
@@ -171,14 +172,14 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
             val (cs, ce) = (bounds(i.toInt), bounds(i.toInt + 1))
             if (cs >= ce) None
             else Some(BamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
-              header, headerEnd, intervals, unplacedUnmapped, cs, ce))
+              header, headerEnd, intervals, unplacedUnmapped, cs, ce, pairAware))
           }
         } else {
           // heuristic path: byte splits tile the file; each split owns
           // records whose start voff lies in a block starting within it
           (0L until nSplits).map { i =>
             BamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
-              header, headerEnd, intervals, unplacedUnmapped, -1L, -1L)
+              header, headerEnd, intervals, unplacedUnmapped, -1L, -1L, pairAware)
           }
         }
       } finally in.close()
@@ -195,7 +196,8 @@ case class BamInputPartition(
     file: String, splitStart: Long, splitEnd: Long,
     header: SamHeader, headerEndVoff: Long,
     intervals: Option[Seq[GenomicInterval]], unplacedUnmapped: Boolean,
-    chunkStartVoff: Long, chunkEndVoff: Long) // -1 when no .sbi (heuristic)
+    chunkStartVoff: Long, chunkEndVoff: Long, // -1 when no .sbi (heuristic)
+    pairAware: Boolean = false) // name-runs never split across partitions
   extends InputPartition
 
 class BamPartitionReaderFactory(conf: SerializableConf, required: StructType)
@@ -221,6 +223,8 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
   private val stream = new graft.bgzf.BgzfInputStream(input)
   private var currentRow: InternalRow = _
   private var exhausted = false
+  private var lastReadName: String = _ // run tracking for pairAware
+  private var prevName: String = _     // name of the record before our first
 
   private val sbiMode = p.chunkStartVoff >= 0
 
@@ -234,6 +238,44 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
       if (first < 0) exhausted = true
       else stream.seekVirtual(first)
     }
+    if (!exhausted && p.pairAware) prevName = findPrevName(stream.virtualOffset)
+  }
+
+  /** Pair-integrity (reference README.md:156-160, unimplemented upstream —
+    * support-matrix ✗ at README.md:35): a contiguous run of records sharing
+    * a read name is owned by the partition that owns the run's FIRST record.
+    * We skip a leading run continuing from the previous partition (its name
+    * = name of the record immediately before our first record) and read past
+    * our boundary to finish a run we started. Queryname-grouped files thus
+    * never split a pair across partitions.
+    */
+  private def findPrevName(firstVoff: Long): String = {
+    if (p.splitStart == 0) return null
+    val guesser = new BamRecordGuesser(input, p.header.refs.length, p.headerEndVoff)
+    val firstBlock = Bgzf.blockStart(firstVoff)
+    var backBlocks = 1L
+    var found = -1L
+    while (found < 0) {
+      val pos = math.max(0L, firstBlock - backBlocks * Bgzf.MaxBlockSize)
+      val cand = guesser.firstRecordAtOrAfter(pos, Long.MaxValue)
+      if (cand >= 0 && cand < firstVoff) found = cand
+      else if (pos == 0) return null // our first record is the file's first
+      else backBlocks *= 2
+      if (backBlocks > 512) return null // >32 MB of recordless space: give up
+    }
+    val s2 = new graft.bgzf.BgzfInputStream(input)
+    s2.seekVirtual(found)
+    val m = BamFieldMask(cigarAndEnd = false, seq = false, qual = false, attrs = false)
+    var name: String = null
+    val szb = new Array[Byte](4)
+    while (!s2.atEof && s2.virtualOffset < firstVoff) {
+      s2.readFully(szb, 0, 4)
+      val blockSize = (szb(0) & 0xff) | ((szb(1) & 0xff) << 8) | ((szb(2) & 0xff) << 16) | ((szb(3) & 0xff) << 24)
+      val rec = new Array[Byte](blockSize)
+      s2.readFully(rec, 0, blockSize)
+      name = BamCodec.decodeRecord(rec, blockSize, p.header, m).readName
+    }
+    name
   }
 
   private val fieldGetters: Array[AlignmentRecord => Any] =
@@ -275,23 +317,38 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
   override def next(): Boolean = {
     if (exhausted) return false
     while (true) {
-      // stop when the next record start leaves this partition's territory:
-      // exact chunk end (SBI) or block owned by the next split (heuristic)
-      val done =
-        if (sbiMode) stream.atEof || stream.virtualOffset >= p.chunkEndVoff
-        else stream.atEof || stream.blockStartOffset >= p.splitEnd
-      if (done) { exhausted = true; return false }
-      val rec = readOne()
-      if (rec == null) { exhausted = true; return false }
-      if (keep(rec)) {
-        val vals = new Array[Any](fieldGetters.length)
-        var i = 0
-        while (i < vals.length) { vals(i) = fieldGetters(i)(rec); i += 1 }
-        currentRow = new GenericInternalRow(vals)
-        return true
+      // territory: the next record start owned by this partition —
+      // exact chunk end (SBI) or block owned by this split (heuristic)
+      val inTerritory = !stream.atEof &&
+        (if (sbiMode) stream.virtualOffset < p.chunkEndVoff
+         else stream.blockStartOffset < p.splitEnd)
+      if (!inTerritory) {
+        // pairAware: finish a name-run we started before stopping
+        if (!p.pairAware || lastReadName == null || stream.atEof) { exhausted = true; return false }
+        val rec = readOne()
+        if (rec == null || rec.readName != lastReadName) { exhausted = true; return false }
+        if (keep(rec)) { currentRow = toRow(rec); return true }
+      } else {
+        val rec = readOne()
+        if (rec == null) { exhausted = true; return false }
+        if (p.pairAware && prevName != null) {
+          // leading run continuing from the previous partition: skip
+          if (rec.readName == prevName) { /* owned by predecessor */ }
+          else { prevName = null; lastReadName = rec.readName; if (keep(rec)) { currentRow = toRow(rec); return true } }
+        } else {
+          lastReadName = rec.readName
+          if (keep(rec)) { currentRow = toRow(rec); return true }
+        }
       }
     }
     false
+  }
+
+  private def toRow(rec: AlignmentRecord): InternalRow = {
+    val vals = new Array[Any](fieldGetters.length)
+    var i = 0
+    while (i < vals.length) { vals(i) = fieldGetters(i)(rec); i += 1 }
+    new GenericInternalRow(vals)
   }
 
   private def readOne(): AlignmentRecord = {
