@@ -87,3 +87,62 @@ final class SbiSampler(granularity: Long) extends Serializable {
   def sampled: Array[Long] = acc.result()
   def total: Long = count
 }
+
+/** Genomic coordinate sidecar (graft-native, written alongside `.sbi` by
+  * the single-file BAM sink): for every SBI-sampled record, its (refId,
+  * pos). For coordinate-sorted files this bounds the coordinate range of
+  * every SBI chunk, letting interval scans prune whole partitions at
+  * planning time — the role tabix/bai split pruning plays in the reference
+  * (TribbleIndexIntervalFilteringTextInputFormat.java:33-73), here driven
+  * by our own sidecar since we own both sides.
+  *
+  * Layout (LE): magic "GCI\1" | sorted u8 | granularity i64 | n i64 |
+  * n × (voff i64, refId i32, pos i32). `sorted` is verified at write time;
+  * readers ignore the file when 0. refId -1 (unmapped tail) is remapped to
+  * Int.MaxValue so it orders last, matching BAM coordinate sort.
+  */
+final case class GciIndex(sorted: Boolean, granularity: Long,
+                          voffs: Array[Long], refs: Array[Int], pos: Array[Int]) {
+  /** Index of the entry whose voff equals `v` (entries mirror SBI offsets). */
+  def entryAt(v: Long): Int = java.util.Arrays.binarySearch(voffs, v)
+}
+
+object GciIndex {
+  val Magic: Array[Byte] = Array('G', 'C', 'I', 1).map(_.toByte)
+
+  /** Order key: unmapped (refId < 0) sorts after every mapped position. */
+  def orderRef(refId: Int): Int = if (refId < 0) Int.MaxValue else refId
+
+  def write(out: java.io.OutputStream, idx: GciIndex): Unit = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 1 + 8 + 8 + 16 * idx.voffs.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(Magic)
+    bb.put(if (idx.sorted) 1.toByte else 0.toByte)
+    bb.putLong(idx.granularity)
+    bb.putLong(idx.voffs.length.toLong)
+    var i = 0
+    while (i < idx.voffs.length) {
+      bb.putLong(idx.voffs(i)); bb.putInt(idx.refs(i)); bb.putInt(idx.pos(i)); i += 1
+    }
+    out.write(bb.array(), 0, bb.position())
+  }
+
+  def read(in: graft.bgzf.SeekableInput): GciIndex = {
+    val head = new Array[Byte](4 + 1 + 8 + 8)
+    require(in.preadFully(0, head, 0, head.length) == head.length, "truncated GCI header")
+    val hb = java.nio.ByteBuffer.wrap(head).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val magic = new Array[Byte](4)
+    hb.get(magic)
+    require(magic.sameElements(Magic), "bad GCI magic")
+    val sorted = hb.get() == 1
+    val granularity = hb.getLong
+    val n = hb.getLong.toInt
+    val buf = new Array[Byte](16 * n)
+    require(in.preadFully(head.length.toLong, buf, 0, buf.length) == buf.length, "truncated GCI entries")
+    val eb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val voffs = new Array[Long](n); val refs = new Array[Int](n); val pos = new Array[Int](n)
+    var i = 0
+    while (i < n) { voffs(i) = eb.getLong; refs(i) = eb.getInt; pos(i) = eb.getInt; i += 1 }
+    GciIndex(sorted, granularity, voffs, refs, pos)
+  }
+}

@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.bam._
 import graft.bgzf.Bgzf
-import graft.index.{SbiIndex, SbiSampler}
+import graft.index.{GciIndex, SbiIndex}
 import graft.sources.{GenomicInterval, HadoopIO, SerializableConf}
 
 /** `spark.read.format("bam")` / `df.write.format("bam")` — the Spark-native
@@ -168,9 +168,41 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
           val bounds = (0L to nSplits).map { i =>
             if (i == nSplits) sbi.offsets.last else sbi.boundaryAtOrAfter(i * splitSize)
           }
+          // coordinate sidecar: for sorted files, drop whole partitions whose
+          // coordinate range cannot overlap any requested interval (split
+          // pruning, the tabix/bai role — residual filters keep exactness)
+          val gciPath = new Path(file.toString + ".gci")
+          val gci: Option[GciIndex] =
+            if (intervals.isDefined && fs.exists(gciPath)) {
+              val gin = HadoopIO.open(gciPath, conf)
+              try { val g = GciIndex.read(gin); if (g.sorted) Some(g) else None }
+              finally gin.close()
+            } else None
+          val slack = options.get("intervalslack").map(_.toInt).getOrElse(10000)
+          def mayOverlap(cs: Long, ce: Long): Boolean = gci match {
+            case None => true
+            case Some(g) =>
+              val j0 = g.entryAt(cs); val j1 = g.entryAt(ce)
+              if (j0 < 0 || j1 < 0) true // defensive: unknown boundary
+              else {
+                val loR = GciIndex.orderRef(g.refs(j0)); val loP = g.pos(j0)
+                val hiR = GciIndex.orderRef(g.refs(j1)); val hiP = g.pos(j1)
+                val hasUnmappedTail = hiR == Int.MaxValue
+                (unplacedUnmapped && hasUnmappedTail) ||
+                  intervals.get.exists { iv =>
+                    header.refIndex.get(iv.contig).exists { r =>
+                      val ivLoP = iv.start - 1 - slack; val ivHiP = iv.end - 1
+                      // lexicographic overlap of [(loR,loP),(hiR,hiP)] with [(r,ivLoP),(r,ivHiP)]
+                      val below = hiR < r || (hiR == r && hiP < ivLoP)
+                      val above = loR > r || (loR == r && loP > ivHiP)
+                      !below && !above
+                    }
+                  }
+              }
+          }
           (0L until nSplits).flatMap { i =>
             val (cs, ce) = (bounds(i.toInt), bounds(i.toInt + 1))
-            if (cs >= ce) None
+            if (cs >= ce || !mayOverlap(cs, ce)) None
             else Some(BamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
               header, headerEnd, intervals, unplacedUnmapped, cs, ce, pairAware))
           }
@@ -397,7 +429,9 @@ class BamWrite(options0: Map[String, String], schema: StructType) extends Write 
 }
 
 case class BamPartMessage(path: String, records: Long, compressedBytes: Long,
-    sampledVoffs: Array[Long]) extends WriterCommitMessage
+    sampledVoffs: Array[Long], sampledRefs: Array[Int], sampledPos: Array[Int],
+    partSorted: Boolean, firstRef: Int, firstPos: Int, lastRef: Int, lastPos: Int)
+  extends WriterCommitMessage
 
 /** Single-file mode: tasks write headerless BGZF parts into `path.parts/`;
   * commit writes `header` + `terminator` and merges in name order (names
@@ -444,17 +478,41 @@ class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
       val parts = messages.collect { case m: BamPartMessage => m }.sortBy(_.path)
       var base = headerBytes
       val all = Array.newBuilder[Long]
+      val gRefs = Array.newBuilder[Int]
+      val gPos = Array.newBuilder[Int]
       var total = 0L
+      // file is coordinate-sorted iff every part is internally sorted and
+      // part boundaries are non-decreasing (writers checked every record)
+      var sorted = true
+      var prevRef = Int.MinValue; var prevPos = Int.MinValue
+      var lastRef = -1; var lastPos = -1
       parts.foreach { m =>
-        m.sampledVoffs.foreach(v => all += v + (base << 16))
+        var i = 0
+        while (i < m.sampledVoffs.length) {
+          all += m.sampledVoffs(i) + (base << 16)
+          gRefs += m.sampledRefs(i); gPos += m.sampledPos(i)
+          i += 1
+        }
+        if (!m.partSorted) sorted = false
+        if (m.records > 0) {
+          val fr = GciIndex.orderRef(m.firstRef)
+          if (fr < prevRef || (fr == prevRef && m.firstPos < prevPos)) sorted = false
+          prevRef = GciIndex.orderRef(m.lastRef); prevPos = m.lastPos
+          lastRef = m.lastRef; lastPos = m.lastPos
+        }
         base += m.compressedBytes
         total += m.records
       }
       all += (base << 16) // sentinel: end of records (terminator start)
+      gRefs += lastRef; gPos += lastPos
+      val offsets = all.result() // single result() call: builders are one-shot
       val fileLength = base + Bgzf.EofBlock.length
       val so = fs.create(new Path(path + ".sbi"), true)
-      SbiIndex.write(so, SbiIndex(fileLength, total, sbiGranularity, all.result()))
+      SbiIndex.write(so, SbiIndex(fileLength, total, sbiGranularity, offsets))
       so.close()
+      val go = fs.create(new Path(path + ".gci"), true)
+      GciIndex.write(go, GciIndex(sorted, sbiGranularity, offsets, gRefs.result(), gPos.result()))
+      go.close()
     }
     HadoopIO.mergeParts(new Path(tempDir), new Path(path), conf.conf)
   }
@@ -484,28 +542,47 @@ class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
   private val out = new graft.bgzf.BgzfOutputStream(raw, writeEof = !singleFile)
   private var count = 0L
   private val idx = RowToRecord.indices(schema)
-  private val sampler = if (sbiGranularity > 0) new SbiSampler(sbiGranularity) else null
+  // SBI voffs + genomic coordinates of sampled records + sortedness check
+  private val sVoffs = Array.newBuilder[Long]
+  private val sRefs = Array.newBuilder[Int]
+  private val sPos = Array.newBuilder[Int]
+  private var partSorted = true
+  private var firstRef = -2; private var firstPos = -2
+  private var prevRef = Int.MinValue; private var prevPos = Int.MinValue
 
   if (!singleFile) BamCodec.writeHeader(out, header)
 
   override def write(row: InternalRow): Unit = {
-    if (sampler != null) sampler.record(out.virtualOffset)
-    out.write(BamCodec.encodeRecord(RowToRecord.convert(row, idx), header))
+    val rec = RowToRecord.convert(row, idx)
+    val refId = header.refId(rec.contig)
+    val pos0 = rec.start - 1
+    if (sbiGranularity > 0) {
+      if (count % sbiGranularity == 0) {
+        sVoffs += out.virtualOffset; sRefs += refId; sPos += pos0
+      }
+      val oRef = GciIndex.orderRef(refId)
+      if (oRef < prevRef || (oRef == prevRef && pos0 < prevPos)) partSorted = false
+      prevRef = oRef; prevPos = pos0
+      if (firstRef == -2) { firstRef = refId; firstPos = pos0 }
+    }
+    out.write(BamCodec.encodeRecord(rec, header))
     count += 1
   }
   override def commit(): WriterCommitMessage = {
     out.close()
     val compressed = Bgzf.blockStart(out.virtualOffset) // total bytes after close
-    if (sampler != null && !singleFile) {
+    if (sbiGranularity > 0 && !singleFile) {
       // sharded mode: each complete file gets its own .sbi directly;
       // compressedWritten excludes the trailing EOF block
       val so = fs.create(new Path(partPath.toString + ".sbi"), true)
-      SbiIndex.write(so, SbiIndex(compressed + Bgzf.EofBlock.length, sampler.total,
-        sbiGranularity, sampler.sampled :+ (compressed << 16)))
+      SbiIndex.write(so, SbiIndex(compressed + Bgzf.EofBlock.length, count,
+        sbiGranularity, sVoffs.result() :+ (compressed << 16)))
       so.close()
     }
     BamPartMessage(partPath.toString, count, compressed,
-      if (sampler != null) sampler.sampled else Array.empty[Long])
+      sVoffs.result(), sRefs.result(), sPos.result(),
+      partSorted, firstRef, firstPos,
+      if (prevRef == Int.MinValue) -2 else prevRef, prevPos)
   }
   override def abort(): Unit = { out.close(); fs.delete(partPath, false) }
   override def close(): Unit = ()
