@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: every SparkEntry query timed over N runs (median
+  * reported), one JSON line. The line is BOTH printed and written to a file
+  * (`BENCH_OUT` env path, default ./BENCH_OUT.json) because sbt prefixes
+  * stdout with `[info]`, which broke the driver's parse in round 1.
+  *
+  * Query failures are NOT swallowed: the error message is recorded per
+  * query under "errors" and the process exits non-zero — a regression must
+  * never read as a fast run.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,20 +28,48 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/nation.parquet").count()
     } catch { case _: Throwable => }
-    // stable order + per-query cache isolation: queries that persist()
-    // intermediates (self-join dedup) must not bleed memory pressure into
-    // later measurements
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    val errors = scala.collection.mutable.Map[String, String]()
+    // round-robin over runs (not same-query back-to-back) so a query's
+    // median doesn't benefit from its own just-warmed caches
+    for (_ <- 1 to runs; name <- names if !errors.contains(name)) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      }
       spark.catalog.clearCache()
-      name -> dt
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) -1.0 else s(s.length / 2)
+    }
+    val medians = names.map(n => n -> median(samples(n)))
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = medians.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = medians.collect { case (_, v) if v >= 0 => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""runs":$runs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    val outPath = sys.env.getOrElse("BENCH_OUT", "BENCH_OUT.json")
+    try Files.writeString(Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

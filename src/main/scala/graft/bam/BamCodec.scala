@@ -234,6 +234,12 @@ object BamCodec {
     val bb = ByteBuffer.allocate(4 + size).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(size)
     val refId = header.refId(r.contig)
+    // a contig absent from the dictionary must fail, not silently become
+    // unmapped — a wrong `refs` option would otherwise corrupt every record
+    // (htsjdk throws the same way)
+    if (r.contig != null && refId < 0)
+      throw new IllegalArgumentException(
+        s"contig '${r.contig}' not in reference dictionary (refs option / header @SQ lines)")
     val pos = r.start - 1 // 1-based → 0-based; start=0 → -1 (unplaced)
     bb.putInt(refId)
     bb.putInt(pos)

@@ -12,11 +12,12 @@ import graft.bgzf.{Bgzf, BgzfBlockGuesser, BgzfInputStream, SeekableInput}
   * bounds, printable nul-terminated name, cigar ops ≤ 8, section lengths
   * tiling block_size). Runs executor-side in the partition reader's setup.
   */
-final class BamRecordGuesser(input: SeekableInput, nRef: Int, headerEndVoff: Long) {
+final class BamRecordGuesser(input: SeekableInput, refs: IndexedSeq[BamRef], headerEndVoff: Long) {
 
   import BamRecordGuesser._
 
   private val stream = new BgzfInputStream(input)
+  private val nRef = refs.length
 
   /** First record-start virtual offset v with
     * `headerEndVoff <= v`, `splitStart <= blockStart(v) < splitEnd`;
@@ -91,7 +92,7 @@ final class BamRecordGuesser(input: SeekableInput, nRef: Int, headerEndVoff: Lon
     val refId = bb.getInt
     if (refId < -1 || refId >= nRef) return false
     val pos = bb.getInt
-    if (pos < -1 || pos > MaxPos) return false
+    if (!posOk(refId, pos)) return false
     val lReadName = bb.get & 0xff
     if (lReadName < 1) return false
     bb.get // mapq
@@ -103,7 +104,7 @@ final class BamRecordGuesser(input: SeekableInput, nRef: Int, headerEndVoff: Lon
     val nextRefId = bb.getInt
     if (nextRefId < -1 || nextRefId >= nRef) return false
     val nextPos = bb.getInt
-    if (nextPos < -1 || nextPos > MaxPos) return false
+    if (!posOk(nextRefId, nextPos)) return false
     bb.getInt // tlen
     val fixed = 32 + lReadName + 4L * nCigar + (lSeq + 1L) / 2 + lSeq
     if (fixed > blockSize) return false
@@ -126,6 +127,16 @@ final class BamRecordGuesser(input: SeekableInput, nRef: Int, headerEndVoff: Lon
     true
   }
 
+  /** Position bound from the header's reference dictionary, not a fixed cap:
+    * contigs up to 2^31-1 are legal (wheat/axolotl exceed 2^29), so a fixed
+    * cap would reject valid records and silently drop whole splits. A mapped
+    * read's pos must lie within [−1, refLength]; an unmapped read (refId −1)
+    * carries no contig to bound it, so only int sanity applies.
+    */
+  private def posOk(refId: Int, pos: Int): Boolean =
+    if (refId < 0) pos >= -1
+    else pos >= -1 && pos <= refs(refId).length
+
   def close(): Unit = stream.close()
 }
 
@@ -134,6 +145,4 @@ object BamRecordGuesser {
   val ReadsToCheck = 10
   /** Upper bound on a sane record size (reference uses 10 MB search cap). */
   val MaxRecordSize = 10000000
-  /** Max plausible 0-based position (largest human contig < 2^28). */
-  val MaxPos = (1 << 29) - 1
 }

@@ -90,31 +90,46 @@ final class SbiSampler(granularity: Long) extends Serializable {
 
 /** Genomic coordinate sidecar (graft-native, written alongside `.sbi` by
   * the single-file BAM sink): for every SBI-sampled record, its (refId,
-  * pos). For coordinate-sorted files this bounds the coordinate range of
-  * every SBI chunk, letting interval scans prune whole partitions at
-  * planning time — the role tabix/bai split pruning plays in the reference
+  * pos), plus the max alignment SPAN (end − start) of the records in the
+  * window between this sample and the next. For coordinate-sorted files
+  * this bounds the coordinate range of every SBI chunk — including the
+  * reach of long-spanning alignments (spliced RNA-seq, long reads) that
+  * START before an interval but overlap it — letting interval scans prune
+  * whole partitions at planning time without a guessed slack. This is the
+  * role tabix/bai split pruning plays in the reference
   * (TribbleIndexIntervalFilteringTextInputFormat.java:33-73), here driven
   * by our own sidecar since we own both sides.
   *
-  * Layout (LE): magic "GCI\1" | sorted u8 | granularity i64 | n i64 |
-  * n × (voff i64, refId i32, pos i32). `sorted` is verified at write time;
-  * readers ignore the file when 0. refId -1 (unmapped tail) is remapped to
-  * Int.MaxValue so it orders last, matching BAM coordinate sort.
+  * Layout (LE): magic "GCI\2" | sorted u8 | granularity i64 | n i64 |
+  * n × (voff i64, refId i32, pos i32, maxSpan i32). `sorted` is verified at
+  * write time; readers ignore the file when 0. refId -1 (unmapped tail) is
+  * remapped to Int.MaxValue so it orders last, matching BAM coordinate sort.
   */
 final case class GciIndex(sorted: Boolean, granularity: Long,
-                          voffs: Array[Long], refs: Array[Int], pos: Array[Int]) {
+                          voffs: Array[Long], refs: Array[Int], pos: Array[Int],
+                          spans: Array[Int]) {
   /** Index of the entry whose voff equals `v` (entries mirror SBI offsets). */
   def entryAt(v: Long): Int = java.util.Arrays.binarySearch(voffs, v)
+
+  /** Max alignment span over windows [j0, j1) — bounds the end coordinate of
+    * every record in the chunk delimited by entries j0 and j1.
+    */
+  def maxSpan(j0: Int, j1: Int): Int = {
+    var m = 0
+    var j = j0
+    while (j < j1) { if (spans(j) > m) m = spans(j); j += 1 }
+    m
+  }
 }
 
 object GciIndex {
-  val Magic: Array[Byte] = Array('G', 'C', 'I', 1).map(_.toByte)
+  val Magic: Array[Byte] = Array('G', 'C', 'I', 2).map(_.toByte)
 
   /** Order key: unmapped (refId < 0) sorts after every mapped position. */
   def orderRef(refId: Int): Int = if (refId < 0) Int.MaxValue else refId
 
   def write(out: java.io.OutputStream, idx: GciIndex): Unit = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 1 + 8 + 8 + 16 * idx.voffs.length)
+    val bb = java.nio.ByteBuffer.allocate(4 + 1 + 8 + 8 + 20 * idx.voffs.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put(Magic)
     bb.put(if (idx.sorted) 1.toByte else 0.toByte)
@@ -122,27 +137,35 @@ object GciIndex {
     bb.putLong(idx.voffs.length.toLong)
     var i = 0
     while (i < idx.voffs.length) {
-      bb.putLong(idx.voffs(i)); bb.putInt(idx.refs(i)); bb.putInt(idx.pos(i)); i += 1
+      bb.putLong(idx.voffs(i)); bb.putInt(idx.refs(i)); bb.putInt(idx.pos(i))
+      bb.putInt(idx.spans(i)); i += 1
     }
     out.write(bb.array(), 0, bb.position())
   }
 
+  /** Throws on unknown magic/version (callers treat that as "no sidecar" —
+    * an old-format file must disable pruning, never mis-prune).
+    */
   def read(in: graft.bgzf.SeekableInput): GciIndex = {
     val head = new Array[Byte](4 + 1 + 8 + 8)
     require(in.preadFully(0, head, 0, head.length) == head.length, "truncated GCI header")
     val hb = java.nio.ByteBuffer.wrap(head).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val magic = new Array[Byte](4)
     hb.get(magic)
-    require(magic.sameElements(Magic), "bad GCI magic")
+    require(magic.sameElements(Magic), "bad GCI magic/version")
     val sorted = hb.get() == 1
     val granularity = hb.getLong
     val n = hb.getLong.toInt
-    val buf = new Array[Byte](16 * n)
+    val buf = new Array[Byte](20 * n)
     require(in.preadFully(head.length.toLong, buf, 0, buf.length) == buf.length, "truncated GCI entries")
     val eb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val voffs = new Array[Long](n); val refs = new Array[Int](n); val pos = new Array[Int](n)
+    val voffs = new Array[Long](n); val refs = new Array[Int](n)
+    val pos = new Array[Int](n); val spans = new Array[Int](n)
     var i = 0
-    while (i < n) { voffs(i) = eb.getLong; refs(i) = eb.getInt; pos(i) = eb.getInt; i += 1 }
-    GciIndex(sorted, granularity, voffs, refs, pos)
+    while (i < n) {
+      voffs(i) = eb.getLong; refs(i) = eb.getInt; pos(i) = eb.getInt; spans(i) = eb.getInt
+      i += 1
+    }
+    GciIndex(sorted, granularity, voffs, refs, pos, spans)
   }
 }

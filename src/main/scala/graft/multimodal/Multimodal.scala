@@ -83,8 +83,11 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** Per-kind feature summary — the query-shaped surface over the stub:
-    * deterministic, so the driver's rows>0 smoke check is stable.
+  /** Per-kind feature summary — the query-shaped surface over the stub.
+    * Deterministic AND oracle-exact: the float32 feature is widened to
+    * double BEFORE the ×1000 (float×int would multiply in float32, whose
+    * rounding DuckDB can't portably mirror; double(float) is exact), so
+    * DuckDB reproduces the value bit-for-bit via CAST(… AS REAL) → DOUBLE.
     */
   def featureSummary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -92,7 +95,8 @@ object Multimodal {
       .groupBy($"kind")
       .agg(count(lit(1)).as("n_media"),
         sum($"n_bytes".cast("long")).as("total_bytes"),
-        sum(round(element_at($"features", 1) * 1000).cast("long")).as("f0_milli_sum"))
+        sum(round(element_at($"features", 1).cast("double") * 1000).cast("long"))
+          .as("f0_milli_sum"))
       .orderBy($"kind")
   }
 }

@@ -18,6 +18,16 @@ object FormatQueries {
 
   private def tmpBase = sys.props.getOrElse("java.io.tmpdir", "/tmp")
 
+  /** Single-file sinks inherit the input's partitioning, and the synthetic
+    * reads come from one small parquet file (one partition) — so without an
+    * explicit repartition ALL record encode + BGZF deflate would serialize
+    * on one core. Spread the write stage across the cluster: the sink's
+    * name-ordered concat commit makes parallel parts safe (same shape the
+    * sharded sink uses).
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Deterministic reads derived from lineitem (schema = AlignmentRecord). */
   private def syntheticReads(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -98,7 +108,7 @@ object FormatQueries {
     "q_bam_unmapped_traversal" -> { (s, d) =>
       import s.implicits._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/unm.bam"
-      syntheticReadsWithUnmapped(s, d).write.format("bam").mode("overwrite")
+      spread(syntheticReadsWithUnmapped(s, d)).write.format("bam").mode("overwrite")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024)
         .option("intervals", "chr0:1-5000").option("unplacedUnmapped", "true")
@@ -114,7 +124,7 @@ object FormatQueries {
     "q_bam_coverage" -> { (s, d) =>
       import s.implicits._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/cov.bam"
-      syntheticReads(s, d).write.format("bam").mode("overwrite")
+      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       // pruned scan: only contig/start/end decoded
       val reads = s.read.format("bam").load(path).select($"contig", $"start", $"end")
@@ -134,7 +144,7 @@ object FormatQueries {
     // heuristic boundary scan)
     "q_bam_roundtrip_single" -> { (s, d) =>
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/single.bam"
-      syntheticReads(s, d).write.format("bam").mode("overwrite")
+      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
       readsAggregate(back)
@@ -152,7 +162,7 @@ object FormatQueries {
     // SAM text sink/scan round-trip (same aggregate, text codec path)
     "q_sam_roundtrip" -> { (s, d) =>
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/single.sam"
-      syntheticReads(s, d).write.format("sam").mode("overwrite")
+      spread(syntheticReads(s, d)).write.format("sam").mode("overwrite")
         .option("refs", Refs).save(path)
       val back = s.read.format("sam").option("splitSize", 1024 * 1024).load(path)
       readsAggregate(back)
@@ -174,7 +184,7 @@ object FormatQueries {
         array(lit("PASS")).as("filters"),
         map(lit("DP"), $"l_suppkey".cast("string")).as("info"),
         array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false)).as("genotypes"))
-      variants.write.format("vcf").mode("overwrite").save(path)
+      spread(variants).write.format("vcf").mode("overwrite").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       back.groupBy($"contig")
         .agg(
@@ -189,7 +199,7 @@ object FormatQueries {
     // genomic interval predicate applied inside the scan (traversal params)
     "q_bam_intervals" -> { (s, d) =>
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/iv.bam"
-      syntheticReads(s, d).write.format("bam").mode("overwrite")
+      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024)
         .option("intervals", "chr0:1-5000,chr1:2000-7000")

@@ -37,6 +37,12 @@ object Pipeline {
   private val FpMod = 17 // keep word-5-gram fingerprints where hash % 17 == 0
   private val QdotThreshold = 300000L // quantized cosine ≥ 0.3
   private val LshPlanes = 8
+  /** LSH bucket-size guard: a (band, bandhash) bucket larger than this is
+    * dropped instead of pair-expanded — collect_list+quadratic pair
+    * generation inside one hot bucket is the classic 100 TB skew bomb, and
+    * a bucket this large signals degenerate content, not near-duplicates.
+    */
+  private val MaxBucket = 64
 
   // ---- shared Spark-side builders ---------------------------------------
 
@@ -73,6 +79,59 @@ object Pipeline {
 
   private def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** doc_id + shingle hashes + minhash signature, EMPTY SIGNATURES DROPPED:
+    * a doc with <3 words has no shingles, and without this filter every such
+    * doc produces the identical all-NULL signature — one corpus-sized
+    * (band, bandhash) bucket of semantically meaningless pairs (zero shared
+    * shingles). Filtering is both the correct semantics and the skew fix.
+    */
+  private def signedDocs(df: DataFrame): DataFrame =
+    withShingles(df)
+      .filter(size(col("shingles")) > 0)
+      .withColumn("shash", shingleHashes)
+      .withColumn("sig", minhashSigFrom(col("shash")))
+
+  /** Band hashes over `sig`: Bands slices of the signature, each hashed. */
+  private def bandsCol: Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      b => hash60(concat_ws(",",
+        transform(slice(col("sig"), b * lit(MinhashK / Bands) + 1, lit(MinhashK / Bands)),
+          v => v.cast("string")))))
+
+  /** Distinct LSH candidate pairs: ONE shuffle groups docs by
+    * (band, bandhash); pairs are generated inside each bucket (no self-join,
+    * no global pair space) and oversized buckets are dropped ([[MaxBucket]]),
+    * so the pair count stays near-linear in corpus size.
+    */
+  private def lshCandidatePairs(sigs: DataFrame): DataFrame = {
+    val s = sigs.sparkSession
+    import s.implicits._
+    sigs.select($"doc_id", posexplode(bandsCol).as(Seq("band", "bandhash")))
+      .groupBy($"band", $"bandhash")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") > 1 && size($"ids") <= MaxBucket)
+      .select(explode(flatten(transform($"ids", (x, i) =>
+        transform(slice($"ids", i + lit(2), size($"ids")),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select($"p.doc_a", $"p.doc_b")
+      .distinct()
+  }
+
+  /** Sign-bit ANN bucket over a quantized embedding column `q`: 8
+    * deterministic hyperplanes (plane p component i = hash60("p|i") mod
+    * 2001 - 1000), bit p set iff dot > 0. Portable integer arithmetic.
+    */
+  private def lshBucket: Column =
+    (0 until LshPlanes).map { p =>
+      val dot = aggregate(
+        zip_with(col("q"),
+          transform(sequence(lit(1), lit(64)),
+            i => hash60(concat(lit(s"$p|"), i.cast("string"))) % 2001 - 1000),
+          (x, w) => x * w),
+        lit(0L), (acc, v) => acc + v)
+      when(dot > 0, lit(1L) * (1L << p)).otherwise(0L)
+    }.reduce(_ + _)
 
   // ---- queries ----------------------------------------------------------
 
@@ -180,25 +239,10 @@ object Pipeline {
     // LSH candidate pairs: docs sharing at least one minhash band.
     // Scale shape: one narrow pass computes signatures, ONE shuffle groups
     // by (band, bandhash), pairs are generated inside each (tiny) bucket —
-    // no self-join, no global pair space, bucket size bounds the blow-up.
+    // no self-join, no global pair space, bucket size capped (MaxBucket).
     "q_dedup_minhash_pairs" -> { (s, d) =>
       import s.implicits._
-      val sigs = withShingles(Tables.documents(s, d))
-        .withColumn("shash", shingleHashes)
-        .withColumn("sig", minhashSigFrom(col("shash")))
-        .select($"doc_id", posexplode(
-          transform(sequence(lit(0), lit(Bands - 1)),
-            b => hash60(concat_ws(",",
-              transform(slice($"sig", b * lit(MinhashK / Bands) + 1, lit(MinhashK / Bands)),
-                v => v.cast("string")))))).as(Seq("band", "bandhash")))
-      sigs.groupBy($"band", $"bandhash")
-        .agg(sort_array(collect_list($"doc_id")).as("ids"))
-        .filter(size($"ids") > 1)
-        .select(explode(flatten(transform($"ids", (x, i) =>
-          transform(slice($"ids", i + lit(2), size($"ids")),
-            y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-        .select($"p.doc_a", $"p.doc_b")
-        .distinct()
+      lshCandidatePairs(signedDocs(Tables.documents(s, d)))
         .orderBy($"doc_a", $"doc_b")
     },
 
@@ -215,18 +259,20 @@ object Pipeline {
       df.select($"doc_id", simhash.as("simhash")).orderBy($"doc_id")
     },
 
-    // n-gram Jaccard near-dup within (lang, source) buckets
+    // n-gram Jaccard near-dup: exact Jaccard scored ONLY on LSH candidate
+    // pairs (the scale-safe shape — candidate generation is near-linear,
+    // re-scoring touches candidate rows only; never an all-pairs join)
     "q_dedup_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
-      val sh = withShingles(Tables.documents(s, d))
-        .select($"doc_id", $"lang", $"source",
-          array_distinct(transform($"shingles", x => hash60(x))).as("sh"))
-        .persist() // self-join: hash shingles once, not per join side
-      sh.as("a").join(sh.as("b"),
-          $"a.lang" === $"b.lang" && $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
-        .withColumn("inter", size(array_intersect($"a.sh", $"b.sh")))
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"), $"inter",
-          (size($"a.sh") + size($"b.sh") - $"inter").as("uni"))
+      val base = signedDocs(Tables.documents(s, d))
+        .select($"doc_id", $"sig", array_distinct($"shash").as("sh"))
+        .persist() // shingle-hash once: feeds both band join and re-score
+      val cand = lshCandidatePairs(base)
+      cand
+        .join(base.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+        .join(base.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+        .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+        .withColumn("uni", size($"sh_a") + size($"sh_b") - $"inter")
         .filter($"inter" > 0)
         .withColumn("jacc_milli", ($"inter" * 1000 / $"uni").cast("long"))
         .filter($"jacc_milli" >= 30)
@@ -234,11 +280,17 @@ object Pipeline {
         .orderBy($"doc_a", $"doc_b")
     },
 
-    // embedding-cosine near-dup within label buckets (quantized, exact)
+    // embedding-cosine near-dup: exact quantized dot scored only on
+    // ANN-bucket candidates (same-sign-bucket vectors) — the bucket is the
+    // shuffle key, so the pair space is per-bucket, not global or
+    // per-label (a label bucket is ~the corpus at 100 TB)
     "q_dedup_embedding" -> { (s, d) =>
       import s.implicits._
-      val e = Tables.embeddings(s, d).select($"vec_id", $"label", quantized($"embedding").as("q"))
-      e.as("a").join(e.as("b"), $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      val e = Tables.embeddings(s, d)
+        .select($"vec_id", quantized($"embedding").as("q"))
+        .withColumn("bucket", lshBucket)
+        .persist() // quantize+bucket once, not per join side
+      e.as("a").join(e.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
           qdot($"a.q", $"b.q").as("qdot"))
         .filter($"qdot" >= QdotThreshold)
@@ -272,16 +324,7 @@ object Pipeline {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
       // plane p component i = (hash60("p|i") % 2001) - 1000, fixed + portable
-      val bucket = (0 until LshPlanes).map { p =>
-        val dot = aggregate(
-          zip_with($"q",
-            transform(sequence(lit(1), lit(64)),
-              i => hash60(concat(lit(s"$p|"), i.cast("string"))) % 2001 - 1000),
-            (x, w) => x * w),
-          lit(0L), (acc, v) => acc + v)
-        when(dot > 0, lit(1L) * (1L << p)).otherwise(0L)
-      }.reduce(_ + _)
-      val bucketed = e.withColumn("bucket", bucket)
+      val bucketed = e.withColumn("bucket", lshBucket)
       val queriesDf = bucketed.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"q".as("qq"), $"bucket".as("qbucket"))
       val scored = bucketed.join(broadcast(queriesDf),
@@ -302,6 +345,27 @@ object Pipeline {
   private val wsExpr = "list_filter(string_split(text, ' '), w -> len(w) > 0)"
 
   private def stopList(s: Seq[String]) = s.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Shared oracle CTE chain mirroring [[signedDocs]]+[[lshCandidatePairs]]:
+    * words → shingles (docs with <3 words dropped) → shingle hashes →
+    * minhash sig → per-band hashes, plus `bok` = buckets within the
+    * [2, MaxBucket] size window. Ends WITHOUT a trailing comma.
+    */
+  private def oracleBandsCte(): String = {
+    val shingle = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
+    s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+       |sh AS (SELECT doc_id, list_transform(range(1, len(ws) - 1), i -> $shingle) AS shingles
+       |  FROM t WHERE len(ws) >= 3),
+       |sh2 AS (SELECT doc_id, list_transform(shingles, sh -> ${h60("sh")} % 2147483647) AS shash FROM sh),
+       |sig AS (SELECT doc_id, shash, list_transform(range(0, $MinhashK),
+       |    k -> list_min(list_transform(shash, h -> ((k * 2 + 1) * h + k * 1000003) % 2147483647))) AS sig
+       |  FROM sh2),
+       |bands AS (SELECT doc_id, b AS band,
+       |    ${h60(s"array_to_string(list_transform(list_slice(sig, b * ${MinhashK / Bands} + 1, (b + 1) * ${MinhashK / Bands}), v -> CAST(v AS VARCHAR)), ',')")} AS bandhash
+       |  FROM sig, UNNEST(range(0, $Bands)) AS u(b)),
+       |bok AS (SELECT band, bandhash FROM bands GROUP BY band, bandhash
+       |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket)""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "q_text_tokens" ->
@@ -374,20 +438,11 @@ object Pipeline {
     },
 
     "q_dedup_minhash_pairs" -> {
-      val shingle = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
-      s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
-         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
-         |    list_transform(range(1, len(ws) - 1), i -> $shingle) ELSE [] END AS shingles FROM t),
-         |sh2 AS (SELECT doc_id, list_transform(shingles, sh -> ${h60("sh")} % 2147483647) AS shash FROM sh),
-         |sig AS (SELECT doc_id, list_transform(range(0, $MinhashK),
-         |    k -> list_min(list_transform(shash, h -> ((k * 2 + 1) * h + k * 1000003) % 2147483647))) AS sig
-         |  FROM sh2),
-         |bands AS (SELECT doc_id, b AS band,
-         |    ${h60(s"array_to_string(list_transform(list_slice(sig, b * ${MinhashK / Bands} + 1, (b + 1) * ${MinhashK / Bands}), v -> CAST(v AS VARCHAR)), ',')")} AS bandhash
-         |  FROM sig, UNNEST(range(0, $Bands)) AS u(b))
+      s"""${oracleBandsCte()}
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.bandhash = b.bandhash
          |  AND a.doc_id < b.doc_id
+         |JOIN bok o ON o.band = a.band AND o.bandhash = a.bandhash
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
@@ -402,29 +457,35 @@ object Pipeline {
     },
 
     "q_dedup_ngram_jaccard" -> {
-      val shingle = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
-      s"""WITH t AS (SELECT doc_id, lang, source, $wsExpr AS ws FROM documents),
-         |sh AS (SELECT doc_id, lang, source, list_distinct(CASE WHEN len(ws) >= 3 THEN
-         |    list_transform(range(1, len(ws) - 1), i -> ${h60(shingle)}) ELSE [] END) AS sh FROM t),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      s"""${oracleBandsCte()},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandhash = b.bandhash
+         |    AND a.doc_id < b.doc_id
+         |  JOIN bok o ON o.band = a.band AND o.bandhash = a.bandhash),
+         |ss AS (SELECT doc_id, list_distinct(shash) AS sh FROM sh2),
+         |p AS (SELECT c.doc_a, c.doc_b,
          |    len(list_intersect(a.sh, b.sh)) AS inter,
          |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
-         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source
-         |    AND a.doc_id < b.doc_id)
+         |  FROM cand c JOIN ss a ON a.doc_id = c.doc_a JOIN ss b ON b.doc_id = c.doc_b)
          |SELECT doc_a, doc_b, inter, uni, CAST(inter * 1000 // uni AS BIGINT) AS jacc_milli
          |FROM p WHERE inter > 0 AND inter * 1000 // uni >= 30
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
-    "q_dedup_embedding" ->
-      s"""WITH e AS (SELECT vec_id, label,
+    "q_dedup_embedding" -> {
+      val bucketTerms = (0 until LshPlanes).map { p =>
+        s"CASE WHEN list_sum(list_transform(range(1, 65), i -> q[i] * (${h60(s"'$p|' || CAST(i AS VARCHAR)")} % 2001 - 1000))) > 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" +\n  ")
+      s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
-         |  FROM embeddings)
+         |  FROM embeddings),
+         |eb AS (SELECT vec_id, q, CAST($bucketTerms AS BIGINT) AS bucket FROM e)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT) AS qdot
-         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) >= $QdotThreshold
-         |ORDER BY vec_a, vec_b""".stripMargin,
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     "q_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id,

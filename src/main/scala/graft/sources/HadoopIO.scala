@@ -36,9 +36,17 @@ object HadoopIO {
     }
   }
 
+  /** Index/sidecar extensions that live NEXT TO data files and must never be
+    * read as inputs (graft's own .sbi/.gci co-writes land in the same
+    * directory as sharded outputs; standard genomics indexes likewise).
+    */
+  private val SideFileExts = Seq(".sbi", ".gci", ".bai", ".crai", ".tbi", ".idx")
+  def isSideFile(name: String): Boolean = SideFileExts.exists(name.endsWith)
+
   /** Input files of a path that may be a single file or a flat directory:
-    * non-hidden entries, lexicographic name order (reference semantics,
-    * HadoopFileSystemWrapper.listDirectory:76-83 + README.md:81-91).
+    * non-hidden entries, index side files skipped, lexicographic name order
+    * (reference semantics, HadoopFileSystemWrapper.listDirectory:76-83 +
+    * README.md:81-91).
     */
   def listInputFiles(pathStr: String, conf: Configuration): Seq[Path] = {
     val path = new Path(pathStr)
@@ -49,14 +57,19 @@ object HadoopIO {
       fs.listStatus(path).toSeq
         .filter(s => !s.isDirectory)
         .map(_.getPath)
-        .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+        .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_") &&
+          !isSideFile(p.getName))
         .sortBy(_.getName)
   }
 
-  /** Order-preserving merge of a temp dir's parts into one file: sorted
-    * listing, skip hidden, sequential copy (FileSystem.concat where the FS
-    * supports it would be a pure win; local FS does not — reference fallback
-    * HadoopFileSystemWrapper.concat:86-121, Merger.java:17-29).
+  /** Order-preserving merge of a temp dir's parts into one file.
+    *
+    * Fast path: `FileSystem.concat` — a metadata-only block concatenation
+    * (HDFS-class filesystems), so the merge costs O(parts) RPCs instead of
+    * O(bytes) through one driver stream. Filesystems without concat support
+    * (local FS, most object stores) throw UnsupportedOperationException
+    * before mutating anything, and we fall back to the serial copy the
+    * reference uses (HadoopFileSystemWrapper.concat:86-121, Merger.java:17-29).
     */
   def mergeParts(tempDir: Path, target: Path, conf: Configuration): Unit = {
     val fs = tempDir.getFileSystem(conf)
@@ -65,17 +78,30 @@ object HadoopIO {
       .map(_.getPath)
       .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
       .sortBy(_.getName)
-    val out = fs.create(target, true)
-    try {
-      val buf = new Array[Byte](1 << 20)
-      parts.foreach { p =>
-        val in = fs.open(p)
-        try {
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        } finally in.close()
+    val concatenated = parts.nonEmpty && {
+      try {
+        if (parts.length > 1) fs.concat(parts.head, parts.tail.toArray)
+        fs.delete(target, false)
+        if (!fs.rename(parts.head, target))
+          throw new java.io.IOException(s"rename ${parts.head} -> $target failed")
+        true
+      } catch {
+        case _: UnsupportedOperationException => false // concat not supported here
       }
-    } finally out.close()
+    }
+    if (!concatenated) {
+      val out = fs.create(target, true)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        parts.foreach { p =>
+          val in = fs.open(p)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        }
+      } finally out.close()
+    }
     fs.delete(tempDir, true)
   }
 }

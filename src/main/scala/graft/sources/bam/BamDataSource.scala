@@ -149,9 +149,10 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
       .orElse(PushedRegion.toIntervals(pushed)) // filter-derived pushdown
     val unplacedUnmapped = options.get("unplacedunmapped").exists(_.toBoolean)
     val pairAware = options.get("keeppairstogether").exists(_.toBoolean)
+    val extraSlack = options.get("intervalslack").map(_.toInt).getOrElse(0)
     val files = HadoopIO.listInputFiles(pathStr, conf)
-      .filterNot(_.getName.endsWith(".sbi")) // indexes are side files, not inputs
-    files.flatMap { file =>
+
+    def planFile(file: Path): Seq[InputPartition] = {
       val in = HadoopIO.open(file, conf)
       try {
         val (header, headerEnd) = BamIO.readHeader(in)
@@ -170,15 +171,15 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
           }
           // coordinate sidecar: for sorted files, drop whole partitions whose
           // coordinate range cannot overlap any requested interval (split
-          // pruning, the tabix/bai role — residual filters keep exactness)
+          // pruning, the tabix/bai role — residual filters keep exactness).
+          // Unknown/old sidecar versions disable pruning, never mis-prune.
           val gciPath = new Path(file.toString + ".gci")
           val gci: Option[GciIndex] =
             if (intervals.isDefined && fs.exists(gciPath)) {
               val gin = HadoopIO.open(gciPath, conf)
-              try { val g = GciIndex.read(gin); if (g.sorted) Some(g) else None }
+              try scala.util.Try(GciIndex.read(gin)).toOption.filter(_.sorted)
               finally gin.close()
             } else None
-          val slack = options.get("intervalslack").map(_.toInt).getOrElse(10000)
           def mayOverlap(cs: Long, ce: Long): Boolean = gci match {
             case None => true
             case Some(g) =>
@@ -187,6 +188,11 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
               else {
                 val loR = GciIndex.orderRef(g.refs(j0)); val loP = g.pos(j0)
                 val hiR = GciIndex.orderRef(g.refs(j1)); val hiP = g.pos(j1)
+                // recorded max alignment span of THIS chunk's records bounds
+                // how far before an interval a still-overlapping record can
+                // start — exact, not a guessed slack (a spliced/long read
+                // spanning further than a fixed slack would be mis-pruned)
+                val slack = g.maxSpan(j0, j1) + extraSlack
                 val hasUnmappedTail = hiR == Int.MaxValue
                 (unplacedUnmapped && hasUnmappedTail) ||
                   intervals.get.exists { iv =>
@@ -215,7 +221,23 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
           }
         }
       } finally in.close()
-    }.toArray
+    }
+
+    // Per-file planning does real I/O (header + SBI + GCI reads): at 100k
+    // input files a serial loop is O(files) sequential RPCs on the driver.
+    // Fan out on a bounded pool; result order preserves the lexicographic
+    // file order (the ordering guarantee of multi-file inputs).
+    if (files.lengthCompare(2) < 0) files.flatMap(planFile).toArray
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, files.size))
+      try {
+        files.map { f =>
+          pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
+            override def call(): Seq[InputPartition] = planFile(f)
+          })
+        }.flatMap(_.get()).toArray
+      } finally pool.shutdown()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -265,7 +287,7 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
   locally {
     if (sbiMode) stream.seekVirtual(p.chunkStartVoff)
     else {
-      val guesser = new BamRecordGuesser(input, p.header.refs.length, p.headerEndVoff)
+      val guesser = new BamRecordGuesser(input, p.header.refs, p.headerEndVoff)
       val first = guesser.firstRecordAtOrAfter(p.splitStart, p.splitEnd)
       if (first < 0) exhausted = true
       else stream.seekVirtual(first)
@@ -283,7 +305,7 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
     */
   private def findPrevName(firstVoff: Long): String = {
     if (p.splitStart == 0) return null
-    val guesser = new BamRecordGuesser(input, p.header.refs.length, p.headerEndVoff)
+    val guesser = new BamRecordGuesser(input, p.header.refs, p.headerEndVoff)
     val firstBlock = Bgzf.blockStart(firstVoff)
     var backBlocks = 1L
     var found = -1L
@@ -293,7 +315,15 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
       if (cand >= 0 && cand < firstVoff) found = cand
       else if (pos == 0) return null // our first record is the file's first
       else backBlocks *= 2
-      if (backBlocks > 512) return null // >32 MB of recordless space: give up
+      if (backBlocks > 512) {
+        // >32 MB of recordless space before this partition: give up on
+        // predecessor-run detection. Pathological files only — log it so a
+        // split pair is diagnosable rather than silent.
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"pairAware: no predecessor record found within 32 MB before voff $firstVoff " +
+            s"in ${p.file}; a name-run crossing this boundary would be split")
+        return null
+      }
     }
     val s2 = new graft.bgzf.BgzfInputStream(input)
     s2.seekVirtual(found)
@@ -430,6 +460,7 @@ class BamWrite(options0: Map[String, String], schema: StructType) extends Write 
 
 case class BamPartMessage(path: String, records: Long, compressedBytes: Long,
     sampledVoffs: Array[Long], sampledRefs: Array[Int], sampledPos: Array[Int],
+    sampledSpans: Array[Int], // max (end−start) per sample window
     partSorted: Boolean, firstRef: Int, firstPos: Int, lastRef: Int, lastPos: Int)
   extends WriterCommitMessage
 
@@ -480,6 +511,7 @@ class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
       val all = Array.newBuilder[Long]
       val gRefs = Array.newBuilder[Int]
       val gPos = Array.newBuilder[Int]
+      val gSpans = Array.newBuilder[Int]
       var total = 0L
       // file is coordinate-sorted iff every part is internally sorted and
       // part boundaries are non-decreasing (writers checked every record)
@@ -491,6 +523,7 @@ class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
         while (i < m.sampledVoffs.length) {
           all += m.sampledVoffs(i) + (base << 16)
           gRefs += m.sampledRefs(i); gPos += m.sampledPos(i)
+          gSpans += m.sampledSpans(i)
           i += 1
         }
         if (!m.partSorted) sorted = false
@@ -504,14 +537,15 @@ class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
         total += m.records
       }
       all += (base << 16) // sentinel: end of records (terminator start)
-      gRefs += lastRef; gPos += lastPos
+      gRefs += lastRef; gPos += lastPos; gSpans += 0 // sentinel window is empty
       val offsets = all.result() // single result() call: builders are one-shot
       val fileLength = base + Bgzf.EofBlock.length
       val so = fs.create(new Path(path + ".sbi"), true)
       SbiIndex.write(so, SbiIndex(fileLength, total, sbiGranularity, offsets))
       so.close()
       val go = fs.create(new Path(path + ".gci"), true)
-      GciIndex.write(go, GciIndex(sorted, sbiGranularity, offsets, gRefs.result(), gPos.result()))
+      GciIndex.write(go, GciIndex(sorted, sbiGranularity, offsets,
+        gRefs.result(), gPos.result(), gSpans.result()))
       go.close()
     }
     HadoopIO.mergeParts(new Path(tempDir), new Path(path), conf.conf)
@@ -546,6 +580,8 @@ class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
   private val sVoffs = Array.newBuilder[Long]
   private val sRefs = Array.newBuilder[Int]
   private val sPos = Array.newBuilder[Int]
+  private val sSpans = Array.newBuilder[Int] // max (end−start) per window
+  private var curSpan = 0
   private var partSorted = true
   private var firstRef = -2; private var firstPos = -2
   private var prevRef = Int.MinValue; private var prevPos = Int.MinValue
@@ -558,8 +594,11 @@ class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
     val pos0 = rec.start - 1
     if (sbiGranularity > 0) {
       if (count % sbiGranularity == 0) {
+        if (count > 0) { sSpans += curSpan; curSpan = 0 } // close previous window
         sVoffs += out.virtualOffset; sRefs += refId; sPos += pos0
       }
+      val span = math.max(0, rec.end - rec.start) // == end0 − pos0
+      if (span > curSpan) curSpan = span
       val oRef = GciIndex.orderRef(refId)
       if (oRef < prevRef || (oRef == prevRef && pos0 < prevPos)) partSorted = false
       prevRef = oRef; prevPos = pos0
@@ -579,8 +618,9 @@ class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
         sbiGranularity, sVoffs.result() :+ (compressed << 16)))
       so.close()
     }
+    if (count > 0) sSpans += curSpan // close the final (possibly partial) window
     BamPartMessage(partPath.toString, count, compressed,
-      sVoffs.result(), sRefs.result(), sPos.result(),
+      sVoffs.result(), sRefs.result(), sPos.result(), sSpans.result(),
       partSorted, firstRef, firstPos,
       if (prevRef == Int.MinValue) -2 else prevRef, prevPos)
   }

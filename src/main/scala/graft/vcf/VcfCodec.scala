@@ -23,7 +23,9 @@ object VcfCodec {
           val fields = fmtKeys.zipWithIndex.collect {
             case (k, i) if i < vals.length => k -> vals(i)
           }.toMap
-          Genotype(samples(si), fields.getOrElse("GT", "./."), fields - "GT")
+          // gt = null when FORMAT has no GT (site-only annotations like
+          // DP-only) — fabricating "./." would invent genotype calls
+          Genotype(samples(si), fields.getOrElse("GT", null), fields - "GT")
         }
       } else Nil
     Variant(
@@ -49,11 +51,18 @@ object VcfCodec {
     sb.append(if (v.filters.isEmpty) "." else v.filters.mkString(";")).append('\t')
     sb.append(formatInfo(v))
     if (v.genotypes.nonEmpty) {
-      // FORMAT keys: GT first, then the union of field keys in sorted order
+      // FORMAT keys: GT first IF any genotype carries one (VCF spec: GT must
+      // be first when present; omit entirely when absent — site-only lines
+      // must not grow fabricated ./. calls), then the union of field keys
+      // in sorted order
+      val hasGt = v.genotypes.exists(_.gt != null)
       val keys = v.genotypes.flatMap(_.fields.keys).distinct.sorted
-      sb.append('\t').append(("GT" +: keys).mkString(":"))
+      val fmtKeys = if (hasGt) "GT" +: keys else keys
+      sb.append('\t').append(fmtKeys.mkString(":"))
       v.genotypes.foreach { g =>
-        sb.append('\t').append((g.gt +: keys.map(k => g.fields.getOrElse(k, "."))).mkString(":"))
+        val cells = keys.map(k => g.fields.getOrElse(k, "."))
+        val all = if (hasGt) (if (g.gt == null) "./." else g.gt) +: cells else cells
+        sb.append('\t').append(all.mkString(":"))
       }
     }
     sb.toString

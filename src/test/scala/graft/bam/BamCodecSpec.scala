@@ -9,7 +9,10 @@ import graft.bgzf.{Bgzf, BgzfInputStream, BgzfOutputStream, SeekableInput}
   * fragments, unplaced-unmapped tail).
   */
 object TestReads {
-  val refs = IndexedSeq(BamRef("chr20", 1000000), BamRef("chr21", 1000135))
+  // chr21 long enough for pairs(1200) (max start 1_200_100): records beyond
+  // the declared contig length are invalid BAM, and the guesser correctly
+  // rejects them when probing split boundaries
+  val refs = IndexedSeq(BamRef("chr20", 1000000), BamRef("chr21", 2000135))
   val header: SamHeader = SamHeader(refs)
 
   def pairs(n: Int, contig: String = "chr21"): Seq[AlignmentRecord] = {
@@ -126,7 +129,7 @@ class BamCodecSpec extends AnyFunSuite {
     bgzf.close()
     val file = bos.toByteArray
     val si = SeekableInput.ofBytes(file)
-    val guesser = new BamRecordGuesser(si, header.refs.length, headerEnd)
+    val guesser = new BamRecordGuesser(si, header.refs, headerEnd)
     // enumerate every valid virtual offset in the file
     var blockOff = 0L
     var checkedTrue = 0
@@ -160,7 +163,7 @@ class BamCodecSpec extends AnyFunSuite {
     val file = bos.toByteArray
     val truth = starts.result()
     val si = SeekableInput.ofBytes(file)
-    val guesser = new BamRecordGuesser(si, header.refs.length, headerEnd)
+    val guesser = new BamRecordGuesser(si, header.refs, headerEnd)
     // for a sample of byte offsets: result must equal the first true record
     // start in a block starting at/after that offset
     for (splitStart <- 0L until file.length.toLong by 997L) {

@@ -14,7 +14,7 @@ class BamDataSourceSpec extends AnyFunSuite with SparkFixture {
     d
   }
 
-  private val refsOpt = "chr20:1000000,chr21:1000135"
+  private val refsOpt = "chr20:1000000,chr21:2000135"
 
   test("read a BamIO-written file: counts, content, multiple split sizes") {
     val recs = TestReads.mixed(1000) // 2002 records
@@ -99,7 +99,7 @@ class BamDataSourceSpec extends AnyFunSuite with SparkFixture {
     assert(readIv("chr21:5000-9999", uu = true) == oracle + oracleUu)
     // whole-chromosome interval = all placed chr21 records
     val all21 = recs.count(r => r.contig == "chr21")
-    assert(readIv("chr21:1-1000135", uu = false) == all21)
+    assert(readIv("chr21:1-2000135", uu = false) == all21)
   }
 
   test("column pruning: projected scan still correct (pruned decode path)") {
