@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Scratch runner: `runMain graft.DebugOne <sfDir> <outDir> <query...>` —
+  * runs the named SparkEntry queries only, writes each result to parquet,
+  * prints collected rows. Debug aid, not part of the driver contract.
+  */
+object DebugOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names = args.drop(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      println(s"=== $name ===")
+      spark.read.parquet(s"$outDir/$name").orderBy(spark.read.parquet(s"$outDir/$name").columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*).show(100, truncate = false)
+    }
+    spark.stop()
+  }
+}

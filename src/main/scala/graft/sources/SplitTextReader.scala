@@ -125,23 +125,32 @@ object SplitTextReader {
     if (stream.atEof) return Iterator.empty
 
     // does a line start at the very beginning of firstBlock? yes iff file
-    // start, or the predecessor block's last byte is '\n'
+    // start, or the last *data* byte before firstBlock is '\n'. The
+    // predecessor block is inflated directly — NOT probed via
+    // BgzfInputStream.read(), whose cursor eagerly advances into the next
+    // block after a block's final byte, which made a read()-loop probe
+    // return the second-to-last byte and silently drop one line per
+    // newline-aligned block seam (exactly what the single-file sink's
+    // part merge produces).
     var startsAtBlockBegin = firstBlock == 0
     if (firstBlock > 0) {
-      val prevStart = BgzfBlockGuesser.nextBlockOffset(in, math.max(0L, firstBlock - Bgzf.MaxBlockSize))
-      var b = prevStart
-      var prev = -1L
-      while (b >= 0 && b < firstBlock) { prev = b; b = nextBlockAfter(in, b) }
-      if (prev >= 0) {
-        val probe = new BgzfInputStream(in)
-        probe.seekBlock(prev)
-        var last = -1
-        var c = probe.read()
-        while (c >= 0 && probe.blockStartOffset <= prev) { last = c; c = probe.read() }
-        // `last` is the final byte of block `prev` (stream advanced into
-        // firstBlock when the block was exhausted)
-        startsAtBlockBegin = last == '\n'
-        probe.close()
+      var window = 2L * Bgzf.MaxBlockSize
+      var decided = false
+      while (!decided) {
+        val scanFrom = math.max(0L, firstBlock - window)
+        val chainStart =
+          if (scanFrom == 0) 0L else BgzfBlockGuesser.nextBlockOffset(in, scanFrom)
+        // predecessor block offsets in [chainStart, firstBlock), newest first
+        var prevs = List.empty[Long]
+        var b = chainStart
+        while (b >= 0 && b < firstBlock) { prevs = b :: prevs; b = nextBlockAfter(in, b) }
+        // last byte of the most recent non-empty predecessor (empty blocks —
+        // e.g. EOF terminators concatenated mid-file — carry no line bytes)
+        prevs.iterator.map(off => lastByteOfBlock(in, off)).find(_ >= 0) match {
+          case Some(last) => startsAtBlockBegin = last == '\n'; decided = true
+          case None if scanFrom == 0 => startsAtBlockBegin = true; decided = true
+          case None => window *= 2 // only empty predecessors in window: look further back
+        }
       }
     }
     if (!startsAtBlockBegin) {
@@ -166,6 +175,22 @@ object SplitTextReader {
       def hasNext: Boolean = nextLine != null
       def next(): String = { val l = nextLine; nextLine = advance(); l }
     }
+  }
+
+  /** Final uncompressed byte of the block at `blockOff`, or -1 if the block
+    * is empty / unreadable. One header pread + one block inflate.
+    */
+  private def lastByteOfBlock(in: SeekableInput, blockOff: Long): Int = {
+    val hdr = new Array[Byte](Bgzf.HeaderLength)
+    val got = in.preadFully(blockOff, hdr, 0, Bgzf.HeaderLength)
+    if (got < Bgzf.HeaderLength) return -1
+    val blockLen = Bgzf.parseBlockLength(hdr, 0, got)
+    if (blockLen < 0) return -1
+    val comp = new Array[Byte](blockLen)
+    if (in.preadFully(blockOff, comp, 0, blockLen) < blockLen) return -1
+    val out = new Array[Byte](Bgzf.MaxBlockSize)
+    val n = Bgzf.inflateBlock(comp, 0, blockLen, out)
+    if (n == 0) -1 else out(n - 1) & 0xff
   }
 
   private def nextBlockAfter(in: SeekableInput, blockOff: Long): Long = {

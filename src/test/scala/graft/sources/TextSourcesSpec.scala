@@ -54,6 +54,63 @@ class SplitTextReaderSpec extends AnyFunSuite {
       assert(got.result() == lines, s"splitSize=$splitSize")
     }
   }
+
+  test("bgzf text: concatenated newline-aligned parts lose no line at any split size") {
+    // The single-file sink's merge produces exactly this shape: N independent
+    // headerless BGZF streams back to back, every part seam a block boundary
+    // whose predecessor block ends with '\n'. Regression: the predecessor
+    // probe used BgzfInputStream.read(), whose eager block advance hid the
+    // final byte of the predecessor block, so the split starting at a seam
+    // skipped its genuine first line (one dropped record per unlucky seam —
+    // CORRECTNESS_r02 q_vcf_roundtrip).
+    val parts = (0 until 8).map(p => mkLines(120).map(l => s"p$p-$l"))
+    val bos = new java.io.ByteArrayOutputStream()
+    parts.foreach { ls =>
+      val out = new BgzfOutputStream(bos, writeEof = false)
+      out.write(ls.mkString("", "\n", "\n").getBytes("UTF-8"))
+      out.close()
+    }
+    bos.write(graft.bgzf.Bgzf.EofBlock)
+    val file = bos.toByteArray
+    val all = parts.flatten
+    val in = SeekableInput.ofBytes(file)
+    for (splitSize <- Seq(517, 1000, 4096, 9973, file.length + 1)) {
+      val got = Seq.newBuilder[String]
+      var start = 0L
+      while (start < file.length) {
+        val end = math.min(file.length.toLong, start + splitSize)
+        got ++= SplitTextReader.lines(in, start, end, bgzf = true)
+        start = end
+      }
+      assert(got.result() == all, s"splitSize=$splitSize")
+    }
+  }
+
+  test("bgzf text: empty predecessor blocks (mid-file EOF terminators) are skipped") {
+    // parts concatenated WITH their EOF terminators: predecessor of a seam
+    // block is an empty block; ownership must look through it to the last
+    // data byte
+    val parts = (0 until 4).map(p => (0 until 50).map(i => s"e$p-$i"))
+    val bos = new java.io.ByteArrayOutputStream()
+    parts.foreach { ls =>
+      val out = new BgzfOutputStream(bos, writeEof = true) // EOF block per part
+      out.write(ls.mkString("", "\n", "\n").getBytes("UTF-8"))
+      out.close()
+    }
+    val file = bos.toByteArray
+    val all = parts.flatten
+    val in = SeekableInput.ofBytes(file)
+    for (splitSize <- Seq(311, 1024, file.length + 1)) {
+      val got = Seq.newBuilder[String]
+      var start = 0L
+      while (start < file.length) {
+        val end = math.min(file.length.toLong, start + splitSize)
+        got ++= SplitTextReader.lines(in, start, end, bgzf = true)
+        start = end
+      }
+      assert(got.result() == all, s"splitSize=$splitSize")
+    }
+  }
 }
 
 class SamVcfSourceSpec extends AnyFunSuite with SparkFixture {
