@@ -68,10 +68,21 @@ object Pipeline {
   private def shingleHashes: Column =
     transform(col("shingles"), sh => hash60(sh) % MinhashP)
 
+  /** Minhash signature as ONE fold over the shingle hashes.
+    *
+    * The per-slot form `transform(0..K-1, k => array_min(transform(shash,
+    * h => h_k(h))))` references `shash` inside the per-k lambda, so when
+    * Catalyst collapses projections the whole md5 shingle pass is inlined
+    * and re-evaluated K times per row (and higher-order functions are
+    * CodegenFallback, i.e. interpreted) — 16× the dominant cost. The fold
+    * evaluates each element of `shash` exactly once no matter how the
+    * expression is inlined: same values, 1 md5 pass.
+    */
   private def minhashSigFrom(shash: Column): Column =
-    transform(sequence(lit(0), lit(MinhashK - 1)),
-      k => array_min(transform(shash,
-        h => ((k * 2 + 1) * h + k * lit(1000003L)) % MinhashP)))
+    aggregate(shash,
+      transform(sequence(lit(0), lit(MinhashK - 1)), _ => lit(MinhashP)),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(MinhashK - 1)),
+        (m, k) => least(m, ((k * 2 + 1) * h + k * lit(1000003L)) % MinhashP)))
 
   /** Quantize a float-array embedding to integer millis (exact x-engine). */
   private def quantized(c: Column): Column =
@@ -88,7 +99,11 @@ object Pipeline {
     */
   private def signedDocs(df: DataFrame): DataFrame =
     withShingles(df)
-      .filter(size(col("shingles")) > 0)
+      // same rows as size(shingles) > 0, but the predicate Catalyst pushes
+      // into the parquet scan only re-derives the word split, not the full
+      // shingle concat pass (filter on derived columns is evaluated at the
+      // scan with the defining expressions inlined)
+      .filter(size(filter(split(col("text"), " "), w => length(w) > 0)) >= 3)
       .withColumn("shash", shingleHashes)
       .withColumn("sig", minhashSigFrom(col("shash")))
 
@@ -242,7 +257,11 @@ object Pipeline {
     // no self-join, no global pair space, bucket size capped (MaxBucket).
     "q_dedup_minhash_pairs" -> { (s, d) =>
       import s.implicits._
-      lshCandidatePairs(signedDocs(Tables.documents(s, d)))
+      // persist = materialization barrier: without it CollapseProject
+      // inlines the signature pipeline into the band-explode lambda and the
+      // (interpreted, CodegenFallback) md5 pass runs once per band
+      val sigs = signedDocs(Tables.documents(s, d)).select($"doc_id", $"sig").persist()
+      lshCandidatePairs(sigs)
         .orderBy($"doc_a", $"doc_b")
     },
 
