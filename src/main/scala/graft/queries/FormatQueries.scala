@@ -205,6 +205,24 @@ object FormatQueries {
         .option("intervals", "chr0:1-5000,chr1:2000-7000")
         .load(path)
       readsAggregate(back)
+    },
+
+    // interval scan driven by the standard external `.bai` index: the file
+    // is coordinate-sorted (range partition + sort, parts concat in range
+    // order), indexed at write, and carries NO .sbi/.gci — the scan must
+    // jump via BAI bins/linear index alone (external-BAM interop path)
+    "q_bam_bai_intervals" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/bai.bam"
+      syntheticReads(s, d)
+        .repartitionByRange(8, $"contig", $"start")
+        .sortWithinPartitions($"contig", $"start")
+        .write.format("bam").mode("overwrite")
+        .option("refs", Refs).option("writeBai", "true").save(path)
+      val back = s.read.format("bam").option("splitSize", 64 * 1024)
+        .option("intervals", "chr0:1-5000,chr1:2000-7000")
+        .load(path)
+      readsAggregate(back)
     }
   )
 
@@ -252,6 +270,9 @@ object FormatQueries {
         |  CAST(SUM(CASE WHEN alt1 = 'G' THEN 1 ELSE 0 END) AS BIGINT) AS n_alt_g
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bam_intervals" -> oracleAggregate(
+      """WHERE (contig = 'chr0' AND rstart <= 5000 AND rend >= 1)
+        |   OR (contig = 'chr1' AND rstart <= 7000 AND rend >= 2000)""".stripMargin),
+    "q_bam_bai_intervals" -> oracleAggregate(
       """WHERE (contig = 'chr0' AND rstart <= 5000 AND rend >= 1)
         |   OR (contig = 'chr1' AND rstart <= 7000 AND rend >= 2000)""".stripMargin)
   )

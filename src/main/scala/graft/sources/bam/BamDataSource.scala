@@ -213,11 +213,64 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
               header, headerEnd, intervals, unplacedUnmapped, cs, ce, pairAware))
           }
         } else {
-          // heuristic path: byte splits tile the file; each split owns
-          // records whose start voff lies in a block starting within it
-          (0L until nSplits).map { i =>
-            BamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
-              header, headerEnd, intervals, unplacedUnmapped, -1L, -1L, pairAware)
+          // External-index path: with intervals and a standard `.bai` next
+          // to the file (the overwhelmingly common indexed-BAM case), jump
+          // straight to the matching file regions — candidate bins' chunks,
+          // linear-index floor, merged spans (reference
+          // AbstractBinarySamSource.java:86-113, BAMFileReader2.java:1002-1098).
+          // Records inside spans that don't overlap keep()'s residual filter
+          // are dropped record-level, so pruning never changes results.
+          val baiPath = new Path(file.toString + ".bai")
+          val baiRanges: Option[Seq[(Long, Long)]] =
+            if (intervals.isDefined && fs.exists(baiPath)) {
+              val bin = HadoopIO.open(baiPath, conf)
+              val bai = try scala.util.Try(graft.index.BaiIndex.read(bin)).toOption
+                finally bin.close()
+              bai.map { b =>
+                val ivSpans = intervals.get.flatMap { iv =>
+                  header.refIndex.get(iv.contig).toSeq.flatMap { r =>
+                    b.spans(r, iv.start - 1, iv.end - 1)
+                  }
+                }
+                val tail: Seq[(Long, Long)] =
+                  if (unplacedUnmapped) {
+                    // unplaced-unmapped records sit after the last mapped
+                    // record; the BAI has no bins for them
+                    var maxEnd = headerEnd
+                    b.refs.foreach(_.binChunks.foreach { cs =>
+                      var i = 1
+                      while (i < cs.length) { if (cs(i) > maxEnd) maxEnd = cs(i); i += 2 }
+                    })
+                    Seq((maxEnd, Long.MaxValue))
+                  } else Nil
+                // voff spans → block-start byte ranges (a record of interest
+                // STARTS in a block within [beg block, end block]), merged
+                (ivSpans ++ tail).map { case (bv, ev) =>
+                  (Bgzf.blockStart(bv),
+                    math.min(size, (if (ev == Long.MaxValue) size else Bgzf.blockStart(ev)) + 1))
+                }.filter(r => r._1 < r._2).sortBy(_._1)
+                  .foldLeft(List.empty[(Long, Long)]) {
+                    case ((ps, pe) :: rest, (s0, e0)) if s0 <= pe => (ps, math.max(pe, e0)) :: rest
+                    case (acc, r) => r :: acc
+                  }.reverse
+              }
+            } else None
+          baiRanges match {
+            case Some(ranges) =>
+              ranges.flatMap { case (rs, re) =>
+                val n = ((re - rs) + splitSize - 1) / splitSize
+                (0L until n).map { i =>
+                  BamInputPartition(file.toString, rs + i * splitSize, math.min(re, rs + (i + 1) * splitSize),
+                    header, headerEnd, intervals, unplacedUnmapped, -1L, -1L, pairAware)
+                }
+              }
+            case None =>
+              // heuristic path: byte splits tile the file; each split owns
+              // records whose start voff lies in a block starting within it
+              (0L until nSplits).map { i =>
+                BamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
+                  header, headerEnd, intervals, unplacedUnmapped, -1L, -1L, pairAware)
+              }
           }
         }
       } finally in.close()
@@ -453,7 +506,8 @@ class BamWrite(options0: Map[String, String], schema: StructType) extends Write 
       if (options.get("writesbi").exists(_.toBoolean))
         options.get("sbigranularity").map(_.toLong).getOrElse(SbiIndex.DefaultGranularity)
       else -1L
-    new BamBatchWrite(path, header, singleFile, schema, sbiGranularity,
+    val writeBai = options.get("writebai").exists(_.toBoolean) && singleFile
+    new BamBatchWrite(path, header, singleFile, schema, sbiGranularity, writeBai,
       new SerializableConf(SparkSession.active.sessionState.newHadoopConf()))
   }
 }
@@ -461,7 +515,8 @@ class BamWrite(options0: Map[String, String], schema: StructType) extends Write 
 case class BamPartMessage(path: String, records: Long, compressedBytes: Long,
     sampledVoffs: Array[Long], sampledRefs: Array[Int], sampledPos: Array[Int],
     sampledSpans: Array[Int], // max (end−start) per sample window
-    partSorted: Boolean, firstRef: Int, firstPos: Int, lastRef: Int, lastPos: Int)
+    partSorted: Boolean, firstRef: Int, firstPos: Int, lastRef: Int, lastPos: Int,
+    bai: graft.index.BaiPartData) // null unless writeBai
   extends WriterCommitMessage
 
 /** Single-file mode: tasks write headerless BGZF parts into `path.parts/`;
@@ -472,7 +527,7 @@ case class BamPartMessage(path: String, records: Long, compressedBytes: Long,
   * .java:39-73 semantics — native Spark one-file-per-partition shape).
   */
 class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
-                    schema: StructType, sbiGranularity: Long,
+                    schema: StructType, sbiGranularity: Long, writeBai: Boolean,
                     conf: SerializableConf) extends BatchWrite {
 
   private val tempDir = path + ".parts"
@@ -488,7 +543,7 @@ class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
       fs.mkdirs(new Path(path))
     }
     new BamDataWriterFactory(if (singleFile) tempDir else path, header, singleFile, schema,
-      sbiGranularity, conf)
+      sbiGranularity, writeBai, conf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = if (singleFile) {
@@ -503,10 +558,36 @@ class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
     val to = fs.create(new Path(tempDir, "terminator"), true)
     to.write(Bgzf.EofBlock)
     to.close()
+    val allParts = messages.collect { case m: BamPartMessage => m }.sortBy(_.path)
+    // bytes preceding each part after concat (header + earlier parts)
+    val shifts = { var b = headerBytes; allParts.map { m => val s = b; b += m.compressedBytes; s } }
+    // BAI co-write: merge per-part contributions, rebased by their shifts.
+    // Only meaningful for coordinate-sorted output — each writer tracked
+    // record order, the boundary check below completes the proof.
+    if (writeBai) {
+      var sorted = allParts.forall(_.partSorted)
+      var prevRef = Int.MinValue; var prevPos = Int.MinValue
+      allParts.foreach { m =>
+        if (m.records > 0) {
+          val fr = GciIndex.orderRef(m.firstRef)
+          if (fr < prevRef || (fr == prevRef && m.firstPos < prevPos)) sorted = false
+          prevRef = GciIndex.orderRef(m.lastRef); prevPos = m.lastPos
+        }
+      }
+      if (sorted) {
+        val idx = graft.index.BaiPartData.merge(
+          allParts.map(_.bai), shifts, header.refs.length)
+        val bo = fs.create(new Path(path + ".bai"), true)
+        graft.index.BaiIndex.write(bo, idx)
+        bo.close()
+      } else
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"writeBai: output $path is not coordinate-sorted; skipping .bai")
+    }
     // SBI co-write: parts' sampled offsets shift by the bytes that precede
     // them after concat (header + earlier parts); voff += base << 16
     if (sbiGranularity > 0) {
-      val parts = messages.collect { case m: BamPartMessage => m }.sortBy(_.path)
+      val parts = allParts
       var base = headerBytes
       val all = Array.newBuilder[Long]
       val gRefs = Array.newBuilder[Int]
@@ -558,14 +639,14 @@ class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
 }
 
 class BamDataWriterFactory(dir: String, header: SamHeader, singleFile: Boolean,
-                           schema: StructType, sbiGranularity: Long,
+                           schema: StructType, sbiGranularity: Long, writeBai: Boolean,
                            conf: SerializableConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BamDataWriter(dir, header, singleFile, schema, sbiGranularity, conf, partitionId)
+    new BamDataWriter(dir, header, singleFile, schema, sbiGranularity, writeBai, conf, partitionId)
 }
 
 class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
-                    schema: StructType, sbiGranularity: Long,
+                    schema: StructType, sbiGranularity: Long, writeBai: Boolean,
                     conf: SerializableConf, partitionId: Int)
     extends DataWriter[InternalRow] {
 
@@ -588,6 +669,8 @@ class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
 
   if (!singleFile) BamCodec.writeHeader(out, header)
 
+  private val bai = if (writeBai) new graft.index.BaiBuilder else null
+
   override def write(row: InternalRow): Unit = {
     val rec = RowToRecord.convert(row, idx)
     val refId = header.refId(rec.contig)
@@ -599,12 +682,16 @@ class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
       }
       val span = math.max(0, rec.end - rec.start) // == end0 − pos0
       if (span > curSpan) curSpan = span
+    }
+    if (sbiGranularity > 0 || bai != null) {
       val oRef = GciIndex.orderRef(refId)
       if (oRef < prevRef || (oRef == prevRef && pos0 < prevPos)) partSorted = false
       prevRef = oRef; prevPos = pos0
       if (firstRef == -2) { firstRef = refId; firstPos = pos0 }
     }
+    val vBeg = out.virtualOffset
     out.write(BamCodec.encodeRecord(rec, header))
+    if (bai != null) bai.add(refId, pos0, math.max(pos0, rec.end - 1), vBeg, out.virtualOffset)
     count += 1
   }
   override def commit(): WriterCommitMessage = {
@@ -622,7 +709,8 @@ class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
     BamPartMessage(partPath.toString, count, compressed,
       sVoffs.result(), sRefs.result(), sPos.result(), sSpans.result(),
       partSorted, firstRef, firstPos,
-      if (prevRef == Int.MinValue) -2 else prevRef, prevPos)
+      if (prevRef == Int.MinValue) -2 else prevRef, prevPos,
+      if (bai != null) bai.result() else null)
   }
   override def abort(): Unit = { out.close(); fs.delete(partPath, false) }
   override def close(): Unit = ()
