@@ -34,15 +34,35 @@ final case class BaiIndex(refs: IndexedSeq[BaiRef], noCoor: Long) {
     * bins' chunks, floor-clipped by the linear index, merged when their
     * compressed blocks touch (the BAMFileReader2.getFileSpan shape).
     */
-  def spans(refId: Int, start0: Int, end0: Int): Seq[(Long, Long)] = {
-    if (refId < 0 || refId >= refs.length) return Nil
-    val ref = refs(refId)
+  def spans(refId: Int, start0: Int, end0: Int): Seq[(Long, Long)] =
+    if (refId < 0 || refId >= refs.length) Nil
+    else BaiIndex.spansOf(refs(refId), start0, end0)
+}
+
+object BaiIndex {
+  val Magic: Array[Byte] = Array('B', 'A', 'I', 1).map(_.toByte)
+  val PseudoBin = 37450 // samtools metadata pseudo-bin (= bin(8,9) sentinel)
+  val MaxBins = 37450   // bins 0..37449 for positions < 2^29
+
+  /** Bin of the smallest interval containing [beg, end) (SAM spec §5.3). */
+  def reg2bin(beg: Int, end: Int): Int = {
+    val e = end - 1
+    if (beg >> 14 == e >> 14) ((1 << 15) - 1) / 7 + (beg >> 14)
+    else if (beg >> 17 == e >> 17) ((1 << 12) - 1) / 7 + (beg >> 17)
+    else if (beg >> 20 == e >> 20) ((1 << 9) - 1) / 7 + (beg >> 20)
+    else if (beg >> 23 == e >> 23) ((1 << 6) - 1) / 7 + (beg >> 23)
+    else if (beg >> 26 == e >> 26) ((1 << 3) - 1) / 7 + (beg >> 26)
+    else 0
+  }
+
+  /** Shared bins+linear span computation (same scheme for BAI and tabix). */
+  def spansOf(ref: BaiRef, start0: Int, end0: Int): Seq[(Long, Long)] = {
     val window = start0 >>> 14
     val minOffset =
       if (ref.linear.isEmpty) 0L
       else ref.linear(math.min(window, ref.linear.length - 1))
     val acc = Array.newBuilder[Long] // interleaved beg,end
-    BaiIndex.reg2bins(start0, end0 + 1).foreach { bin =>
+    reg2bins(start0, end0 + 1).foreach { bin =>
       val cs = ref.chunksOf(bin)
       var i = 0
       while (i < cs.length) {
@@ -62,23 +82,6 @@ final case class BaiIndex(refs: IndexedSeq[BaiRef], noCoor: Long) {
       else merged += ((b, e))
     }
     merged.toSeq
-  }
-}
-
-object BaiIndex {
-  val Magic: Array[Byte] = Array('B', 'A', 'I', 1).map(_.toByte)
-  val PseudoBin = 37450 // samtools metadata pseudo-bin (= bin(8,9) sentinel)
-  val MaxBins = 37450   // bins 0..37449 for positions < 2^29
-
-  /** Bin of the smallest interval containing [beg, end) (SAM spec §5.3). */
-  def reg2bin(beg: Int, end: Int): Int = {
-    val e = end - 1
-    if (beg >> 14 == e >> 14) ((1 << 15) - 1) / 7 + (beg >> 14)
-    else if (beg >> 17 == e >> 17) ((1 << 12) - 1) / 7 + (beg >> 17)
-    else if (beg >> 20 == e >> 20) ((1 << 9) - 1) / 7 + (beg >> 20)
-    else if (beg >> 23 == e >> 23) ((1 << 6) - 1) / 7 + (beg >> 23)
-    else if (beg >> 26 == e >> 26) ((1 << 3) - 1) / 7 + (beg >> 26)
-    else 0
   }
 
   /** All bins overlapping [beg, end) — every level of the 6-level hierarchy. */

@@ -89,10 +89,45 @@ class VcfScan(options: Map[String, String], required: StructType) extends Scan w
           Seq(VcfInputPartition(file.toString, 0L, Long.MaxValue, header, bgzf = false,
             wholeGzip = true, intervals, permissive))
         } else {
-          val nSplits = math.max(1L, (size + splitSize - 1) / splitSize)
-          (0L until nSplits).map { i =>
-            VcfInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
-              header, bgzf, wholeGzip = false, intervals, permissive)
+          // tabix split pruning: with intervals and a `.tbi` next to a BGZF
+          // file, plan only byte ranges whose blocks can hold overlapping
+          // records (reference TribbleIndexIntervalFilteringTextInputFormat
+          // .java:33-73 / VcfSource.java:143-168); record-level residual
+          // filters keep exactness
+          val fs = file.getFileSystem(conf)
+          val tbiPath = new org.apache.hadoop.fs.Path(file.toString + ".tbi")
+          val tbiRanges: Option[Seq[(Long, Long)]] =
+            if (bgzf && intervals.isDefined && fs.exists(tbiPath)) {
+              val tin = HadoopIO.open(tbiPath, conf)
+              val tbi = try scala.util.Try(graft.index.TbiIndex.read(tin)).toOption
+                finally tin.close()
+              tbi.map { t =>
+                intervals.get.flatMap(iv => t.spans(iv.contig, iv.start - 1, iv.end - 1))
+                  .map { case (bv, ev) =>
+                    (graft.bgzf.Bgzf.blockStart(bv),
+                      math.min(size, graft.bgzf.Bgzf.blockStart(ev) + 1))
+                  }.filter(r => r._1 < r._2).sortBy(_._1)
+                  .foldLeft(List.empty[(Long, Long)]) {
+                    case ((ps, pe) :: rest, (s0, e0)) if s0 <= pe => (ps, math.max(pe, e0)) :: rest
+                    case (acc, r) => r :: acc
+                  }.reverse
+              }
+            } else None
+          tbiRanges match {
+            case Some(ranges) =>
+              ranges.flatMap { case (rs, re) =>
+                val n = ((re - rs) + splitSize - 1) / splitSize
+                (0L until n).map { i =>
+                  VcfInputPartition(file.toString, rs + i * splitSize, math.min(re, rs + (i + 1) * splitSize),
+                    header, bgzf, wholeGzip = false, intervals, permissive)
+                }
+              }
+            case None =>
+              val nSplits = math.max(1L, (size + splitSize - 1) / splitSize)
+              (0L until nSplits).map { i =>
+                VcfInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
+                  header, bgzf, wholeGzip = false, intervals, permissive)
+              }
           }
         }
       } finally in.close()
@@ -202,7 +237,8 @@ class VcfWrite(options: Map[String, String], schema: StructType) extends Write {
     val path = options.getOrElse("path", throw new IllegalArgumentException("vcf sink requires a path"))
     val single = path.endsWith(".vcf") || path.endsWith(".vcf.bgz") || path.endsWith(".vcf.gz")
     val bgzf = path.endsWith(".bgz") || path.endsWith(".gz")
-    new VcfBatchWrite(path, options.get("vcfheader"), single, bgzf, schema,
+    val writeTbi = options.get("writetbi").exists(_.toBoolean) && single && bgzf
+    new VcfBatchWrite(path, options.get("vcfheader"), single, bgzf, writeTbi, schema,
       new SerializableConf(SparkSession.active.sessionState.newHadoopConf()))
   }
 }
@@ -212,7 +248,8 @@ class VcfWrite(options: Map[String, String], schema: StructType) extends Write {
   * complete plain .vcf per partition (VcfSinkMultiple.java:20-44).
   */
 class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean,
-                    bgzf: Boolean, schema: StructType, conf: SerializableConf) extends BatchWrite {
+                    bgzf: Boolean, writeTbi: Boolean, schema: StructType,
+                    conf: SerializableConf) extends BatchWrite {
   private val tempDir = path + ".parts"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -227,7 +264,8 @@ class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean
     }
     val dir = if (singleFile) tempDir else path
     val ho = headerOpt; val sf = singleFile; val bz = bgzf; val c = conf; val sch = schema
-    (partitionId: Int, _: Long) => new VcfDataWriter(dir, ho, sf, bz, sch, c, partitionId)
+    val tb = writeTbi
+    (partitionId: Int, _: Long) => new VcfDataWriter(dir, ho, sf, bz, tb, sch, c, partitionId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = if (singleFile) {
@@ -246,6 +284,22 @@ class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean
       to.write(graft.bgzf.Bgzf.EofBlock)
       to.close()
     }
+    if (writeTbi) {
+      // rebase each part's index contribution by the compressed bytes that
+      // precede it after concat; a non-sorted result skips the index
+      val headerBytes = fs.getFileStatus(new Path(tempDir, "header")).getLen
+      val parts = messages.collect { case m: VcfPartMessage => m }.sortBy(_.path)
+      val shifts = { var b = headerBytes; parts.map { m => val s = b; b += m.compressedBytes; s } }
+      graft.index.TbiPartData.mergeSorted(parts.map(_.tbi).toSeq, shifts.toSeq) match {
+        case Some(idx) =>
+          val io = fs.create(new Path(path + ".tbi"), true)
+          graft.index.TbiIndex.write(io, idx)
+          io.close()
+        case None =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"writeTbi: output $path is not coordinate-sorted; skipping .tbi")
+      }
+    }
     HadoopIO.mergeParts(new Path(tempDir), new Path(path), conf.conf)
   }
 
@@ -255,21 +309,26 @@ class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean
   }
 }
 
-case class VcfPartMessage(samples: Seq[String]) extends WriterCommitMessage
+case class VcfPartMessage(path: String, samples: Seq[String], compressedBytes: Long,
+    tbi: graft.index.TbiPartData) extends WriterCommitMessage
 
 class VcfDataWriter(dir: String, headerOpt: Option[String], singleFile: Boolean, bgzf: Boolean,
-                    schema: StructType, conf: SerializableConf, partitionId: Int)
+                    writeTbi: Boolean, schema: StructType, conf: SerializableConf,
+                    partitionId: Int)
     extends DataWriter[InternalRow] {
   private val name = if (singleFile) f"part-$partitionId%05d" else f"part-$partitionId%05d.vcf"
   private val partPath = new Path(dir, name)
   private val fs = partPath.getFileSystem(conf.conf)
   private val raw = fs.create(partPath, true)
+  private val bgzfOut: graft.bgzf.BgzfOutputStream =
+    if (singleFile && bgzf) new graft.bgzf.BgzfOutputStream(raw, writeEof = false) else null
   private val out: java.io.OutputStream =
-    if (singleFile && bgzf) new graft.bgzf.BgzfOutputStream(raw, writeEof = false)
+    if (bgzfOut != null) bgzfOut
     else new java.io.BufferedOutputStream(raw, 1 << 16)
   private val idx = RowToVariant.indices(schema)
   private var samples: Seq[String] = Seq.empty
   private var wroteShardHeader = false
+  private val tbi = if (writeTbi && bgzfOut != null) new graft.index.TbiBuilder else null
 
   override def write(row: InternalRow): Unit = {
     val v = RowToVariant.convert(row, idx)
@@ -279,8 +338,11 @@ class VcfDataWriter(dir: String, headerOpt: Option[String], singleFile: Boolean,
       out.write(text.getBytes("UTF-8"))
       wroteShardHeader = true
     }
+    val vBeg = if (tbi != null) bgzfOut.virtualOffset else 0L
     out.write(VcfCodec.toLine(v).getBytes("UTF-8"))
     out.write('\n')
+    if (tbi != null)
+      tbi.add(v.contig, v.start - 1, math.max(v.start, v.end) - 1, vBeg, bgzfOut.virtualOffset)
   }
   override def commit(): WriterCommitMessage = {
     if (!singleFile && !wroteShardHeader) {
@@ -288,7 +350,9 @@ class VcfDataWriter(dir: String, headerOpt: Option[String], singleFile: Boolean,
       out.write(text.getBytes("UTF-8"))
     }
     out.close()
-    VcfPartMessage(samples)
+    VcfPartMessage(partPath.toString, samples,
+      if (bgzfOut != null) graft.bgzf.Bgzf.blockStart(bgzfOut.virtualOffset) else 0L,
+      if (tbi != null) tbi.result() else null)
   }
   override def abort(): Unit = { out.close(); fs.delete(partPath, false) }
   override def close(): Unit = ()
