@@ -149,6 +149,10 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
       .orElse(PushedRegion.toIntervals(pushed)) // filter-derived pushdown
     val unplacedUnmapped = options.get("unplacedunmapped").exists(_.toBoolean)
     val pairAware = options.get("keeppairstogether").exists(_.toBoolean)
+    // validation stringency on the binary path (reference
+    // HtsjdkReadsRddStorage.java:97-100): permissive skips undecodable
+    // records (framing stays aligned), default throws with file/voff context
+    val permissive = options.get("mode").exists(_.equalsIgnoreCase("permissive"))
     val extraSlack = options.get("intervalslack").map(_.toInt).getOrElse(0)
     val files = HadoopIO.listInputFiles(pathStr, conf)
 
@@ -210,7 +214,7 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
             val (cs, ce) = (bounds(i.toInt), bounds(i.toInt + 1))
             if (cs >= ce || !mayOverlap(cs, ce)) None
             else Some(BamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
-              header, headerEnd, intervals, unplacedUnmapped, cs, ce, pairAware))
+              header, headerEnd, intervals, unplacedUnmapped, cs, ce, pairAware, permissive))
           }
         } else {
           // External-index path: with intervals and a standard `.bai` next
@@ -261,7 +265,7 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
                 val n = ((re - rs) + splitSize - 1) / splitSize
                 (0L until n).map { i =>
                   BamInputPartition(file.toString, rs + i * splitSize, math.min(re, rs + (i + 1) * splitSize),
-                    header, headerEnd, intervals, unplacedUnmapped, -1L, -1L, pairAware)
+                    header, headerEnd, intervals, unplacedUnmapped, -1L, -1L, pairAware, permissive)
                 }
               }
             case None =>
@@ -269,7 +273,7 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
               // records whose start voff lies in a block starting within it
               (0L until nSplits).map { i =>
                 BamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
-                  header, headerEnd, intervals, unplacedUnmapped, -1L, -1L, pairAware)
+                  header, headerEnd, intervals, unplacedUnmapped, -1L, -1L, pairAware, permissive)
               }
           }
         }
@@ -304,7 +308,8 @@ case class BamInputPartition(
     header: SamHeader, headerEndVoff: Long,
     intervals: Option[Seq[GenomicInterval]], unplacedUnmapped: Boolean,
     chunkStartVoff: Long, chunkEndVoff: Long, // -1 when no .sbi (heuristic)
-    pairAware: Boolean = false) // name-runs never split across partitions
+    pairAware: Boolean = false, // name-runs never split across partitions
+    permissive: Boolean = false) // skip undecodable records instead of failing
   extends InputPartition
 
 class BamPartitionReaderFactory(conf: SerializableConf, required: StructType)
@@ -466,19 +471,43 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
     new GenericInternalRow(vals)
   }
 
+  private var skippedCorrupt = 0L
+
   private def readOne(): AlignmentRecord = {
-    val szb = new Array[Byte](4)
-    val got = stream.read(szb, 0, 1)
-    if (got < 0) return null
-    stream.readFully(szb, 1, 3)
-    val blockSize = (szb(0) & 0xff) | ((szb(1) & 0xff) << 8) | ((szb(2) & 0xff) << 16) | ((szb(3) & 0xff) << 24)
-    val rec = new Array[Byte](blockSize)
-    stream.readFully(rec, 0, blockSize)
-    BamCodec.decodeRecord(rec, blockSize, p.header, mask)
+    while (true) {
+      val recVoff = stream.virtualOffset
+      val szb = new Array[Byte](4)
+      val got = stream.read(szb, 0, 1)
+      if (got < 0) return null
+      stream.readFully(szb, 1, 3)
+      val blockSize = (szb(0) & 0xff) | ((szb(1) & 0xff) << 8) | ((szb(2) & 0xff) << 16) | ((szb(3) & 0xff) << 24)
+      if (blockSize < 32 || blockSize > (64 << 20))
+        // implausible framing means the stream itself is desynced — fatal in
+        // every stringency (skipping would emit garbage, not drop one record)
+        throw new java.io.IOException(
+          s"bad BAM record block_size $blockSize at voff $recVoff in ${p.file}")
+      val rec = new Array[Byte](blockSize)
+      stream.readFully(rec, 0, blockSize)
+      try return BamCodec.decodeRecord(rec, blockSize, p.header, mask)
+      catch {
+        case e: Exception if p.permissive =>
+          skippedCorrupt += 1 // framing was sane: next record follows
+        case e: Exception =>
+          throw new java.io.IOException(
+            s"undecodable BAM record at voff $recVoff in ${p.file}", e)
+      }
+    }
+    null // unreachable
   }
 
   override def get(): InternalRow = currentRow
-  override def close(): Unit = stream.close()
+  override def close(): Unit = {
+    if (skippedCorrupt > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"permissive mode skipped $skippedCorrupt undecodable records in ${p.file} " +
+          s"[${p.splitStart}, ${p.splitEnd})")
+    stream.close()
+  }
 }
 
 // ---------------------------------------------------------------------------
