@@ -1,0 +1,209 @@
+package graft.cram
+
+import graft.bgzf.SeekableInput
+
+/** CRAM 3.x container-boundary planning (reference CramSource.java:57-151):
+  * walk container headers without decoding payloads, so splits snap to
+  * container offsets and interval scans can prune whole containers via the
+  * `.crai` index. The record CODEC is out of scope (SURVEY.md §7.4) — this
+  * layer answers "where can a split start and which byte ranges matter",
+  * which is the Spark-side half of CRAM support.
+  *
+  * Layout (CRAM 3.0 spec §6/§9, public hts-specs): 26-byte file definition
+  * ("CRAM" major minor + 20-byte id), then containers: int32-LE data length,
+  * ITF-8 refSeqId/startPos/alignmentSpan/nRecords, LTF-8 recordCounter/bases,
+  * ITF-8 nBlocks + landmark array, CRC32, then `length` payload bytes. The
+  * file ends with a special EOF container (refSeqId -1, zero records).
+  */
+object Itf8 {
+  /** Read an ITF-8 signed 32-bit int; returns (value, bytesConsumed). */
+  def read(buf: Array[Byte], off: Int): (Int, Int) = {
+    val b1 = buf(off) & 0xff
+    if ((b1 & 0x80) == 0) (b1, 1)
+    else if ((b1 & 0x40) == 0)
+      (((b1 & 0x7f) << 8) | (buf(off + 1) & 0xff), 2)
+    else if ((b1 & 0x20) == 0)
+      (((b1 & 0x3f) << 16) | ((buf(off + 1) & 0xff) << 8) | (buf(off + 2) & 0xff), 3)
+    else if ((b1 & 0x10) == 0)
+      (((b1 & 0x1f) << 24) | ((buf(off + 1) & 0xff) << 16) | ((buf(off + 2) & 0xff) << 8) | (buf(off + 3) & 0xff), 4)
+    else
+      (((b1 & 0x0f) << 28) | ((buf(off + 1) & 0xff) << 20) | ((buf(off + 2) & 0xff) << 12) |
+        ((buf(off + 3) & 0xff) << 4) | (buf(off + 4) & 0x0f), 5)
+  }
+
+  /** Encode an ITF-8 int (htsjdk-compatible byte shapes). */
+  def write(v: Int): Array[Byte] = {
+    val u = v.toLong & 0xffffffffL
+    if (u < (1 << 7)) Array(u.toByte)
+    else if (u < (1 << 14)) Array((0x80 | (u >> 8)).toByte, u.toByte)
+    else if (u < (1 << 21)) Array((0xc0 | (u >> 16)).toByte, (u >> 8).toByte, u.toByte)
+    else if (u < (1 << 28)) Array((0xe0 | (u >> 24)).toByte, (u >> 16).toByte, (u >> 8).toByte, u.toByte)
+    else Array((0xf0 | (u >> 28)).toByte, (u >> 20).toByte, (u >> 12).toByte, (u >> 4).toByte, (u & 0x0f).toByte)
+  }
+}
+
+object Ltf8 {
+  /** Read an LTF-8 signed 64-bit int; returns (value, bytesConsumed). */
+  def read(buf: Array[Byte], off: Int): (Long, Int) = {
+    val b1 = buf(off) & 0xff
+    var n = 0
+    while (n < 8 && (b1 & (0x80 >> n)) != 0) n += 1
+    if (n == 0) (b1.toLong, 1)
+    else {
+      var v: Long = if (n == 8) 0L else (b1 & (0x7f >> n)).toLong
+      var i = 1
+      while (i <= n) { v = (v << 8) | (buf(off + i) & 0xff); i += 1 }
+      (v, n + 1)
+    }
+  }
+
+  /** Encode an LTF-8 long (htsjdk-compatible): n extra bytes, n = smallest
+    * count with v < 2^(7·(n+1)), 9-byte form for the full 64-bit range.
+    */
+  def write(v: Long): Array[Byte] = {
+    var n = 0
+    while (n < 8 && (v >>> (7 * (n + 1))) != 0) n += 1
+    if (n == 0) Array(v.toByte)
+    else if (n == 8) {
+      val out = new Array[Byte](9)
+      out(0) = 0xff.toByte
+      var i = 0
+      while (i < 8) { out(8 - i) = (v >>> (8 * i)).toByte; i += 1 }
+      out
+    } else {
+      val out = new Array[Byte](n + 1)
+      var prefix = 0
+      var i = 0
+      while (i < n) { prefix |= 0x80 >> i; i += 1 }
+      out(0) = (prefix | ((v >>> (8 * n)) & (0x7f >> n))).toByte
+      i = 0
+      while (i < n) { out(n - i) = (v >>> (8 * i)).toByte; i += 1 }
+      out
+    }
+  }
+}
+
+/** One container's header fields + file geometry. */
+final case class CramContainer(offset: Long, totalLength: Long, dataLength: Int,
+                               refSeqId: Int, startPos: Int, alignmentSpan: Int,
+                               nRecords: Int) {
+  def isEof: Boolean = refSeqId == -1 && nRecords == 0
+  /** 1-based inclusive coordinate range (mapped containers only). */
+  def overlaps(r: Int, start1: Int, end1: Int): Boolean =
+    refSeqId == r && startPos <= end1 && startPos + math.max(0, alignmentSpan) - 1 >= start1
+}
+
+object CramContainers {
+  val FileDefinitionLength = 26
+
+  /** Validate the file definition; returns (major, minor). */
+  def readFileDefinition(in: SeekableInput): (Int, Int) = {
+    val hdr = new Array[Byte](FileDefinitionLength)
+    require(in.preadFully(0, hdr, 0, hdr.length) == hdr.length, "truncated CRAM file definition")
+    require(hdr(0) == 'C' && hdr(1) == 'R' && hdr(2) == 'A' && hdr(3) == 'M', "bad CRAM magic")
+    (hdr(4) & 0xff, hdr(5) & 0xff)
+  }
+
+  /** Walk every container header (EOF container included, flagged). */
+  def containers(in: SeekableInput): Seq[CramContainer] = {
+    readFileDefinition(in)
+    val size = in.size
+    val out = Seq.newBuilder[CramContainer]
+    var off = FileDefinitionLength.toLong
+    val buf = new Array[Byte](64) // header fields fit comfortably
+    while (off < size) {
+      val got = in.preadFully(off, buf, 0, math.min(buf.length, (size - off).toInt))
+      require(got >= 10, s"truncated CRAM container header at $off")
+      val dataLength = (buf(0) & 0xff) | ((buf(1) & 0xff) << 8) | ((buf(2) & 0xff) << 16) | ((buf(3) & 0xff) << 24)
+      var p = 4
+      val (refSeqId, n1) = Itf8.read(buf, p); p += n1
+      val (startPos, n2) = Itf8.read(buf, p); p += n2
+      val (span, n3) = Itf8.read(buf, p); p += n3
+      val (nRecords, n4) = Itf8.read(buf, p); p += n4
+      val (_, n5) = Ltf8.read(buf, p); p += n5 // record counter
+      val (_, n6) = Ltf8.read(buf, p); p += n6 // bases
+      val (nBlocks, n7) = Itf8.read(buf, p); p += n7
+      val (nLandmarks, n8) = Itf8.read(buf, p); p += n8
+      var l = 0
+      while (l < nLandmarks) { val (_, nl) = Itf8.read(buf, p); p += nl; l += 1 }
+      p += 4 // CRC32 (v3)
+      val total = p + dataLength.toLong
+      out += CramContainer(off, total, dataLength, refSeqId, startPos, span, nRecords)
+      require(nBlocks >= 0, s"negative block count at $off")
+      off += total
+    }
+    out.result()
+  }
+
+  /** Partition plan: tile data containers by target split size with edges
+    * snapping to container offsets — every container belongs to exactly one
+    * partition, none is split (reference CramSource.java:96-151 semantics).
+    */
+  def planPartitions(cs: Seq[CramContainer], splitSize: Long): Seq[(Long, Long)] = {
+    val data = cs.filterNot(_.isEof)
+    if (data.isEmpty) return Nil
+    val parts = Seq.newBuilder[(Long, Long)]
+    var start = data.head.offset
+    var end = start
+    data.foreach { c =>
+      if (c.offset + c.totalLength - start > splitSize && c.offset > start) {
+        parts += ((start, c.offset))
+        start = c.offset
+      }
+      end = c.offset + c.totalLength
+    }
+    if (end > start) parts += ((start, end))
+    parts.result()
+  }
+
+  /** Containers that may hold records overlapping the 1-based interval —
+    * via `.crai` entries when present, else container-header coordinates.
+    */
+  def prune(cs: Seq[CramContainer], crai: Option[CraiIndex],
+            refId: Int, start1: Int, end1: Int): Seq[CramContainer] = crai match {
+    case Some(idx) =>
+      val offsets = idx.containerOffsets(refId, start1, end1)
+      cs.filter(c => offsets.contains(c.offset))
+    case None =>
+      cs.filterNot(_.isEof).filter(c =>
+        c.refSeqId == -2 /* multi-ref: cannot judge without decode */ ||
+          c.overlaps(refId, start1, end1))
+  }
+}
+
+/** `.crai` — gzip-compressed text index: one line per slice with
+  * `seqId \t alignmentStart \t alignmentSpan \t containerOffset \t
+  * sliceHeaderOffset \t sliceSize` (CRAM spec appendix; reference reads it
+  * at CramSource.java:96-120).
+  */
+final case class CraiEntry(seqId: Int, start: Int, span: Int,
+                           containerOffset: Long, sliceOffset: Int, sliceSize: Int)
+
+final case class CraiIndex(entries: Seq[CraiEntry]) {
+  /** Distinct container offsets whose slices may overlap [start1, end1]. */
+  def containerOffsets(refId: Int, start1: Int, end1: Int): Set[Long] =
+    entries.filter(e => e.seqId == refId && e.start <= end1 && e.start + math.max(0, e.span) - 1 >= start1)
+      .map(_.containerOffset).toSet
+}
+
+object CraiIndex {
+  def read(in: SeekableInput): CraiIndex = {
+    val raw = new Array[Byte](in.size.toInt)
+    require(in.preadFully(0, raw, 0, raw.length) == raw.length, "truncated crai")
+    val gz = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(raw))
+    val text = new String(gz.readAllBytes(), "UTF-8")
+    CraiIndex(text.split('\n').iterator.filter(_.nonEmpty).map { line =>
+      val f = line.split('\t')
+      CraiEntry(f(0).toInt, f(1).toInt, f(2).toInt, f(3).toLong, f(4).toInt, f(5).toInt)
+    }.toSeq)
+  }
+
+  def write(out: java.io.OutputStream, idx: CraiIndex): Unit = {
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    idx.entries.foreach { e =>
+      gz.write(s"${e.seqId}\t${e.start}\t${e.span}\t${e.containerOffset}\t${e.sliceOffset}\t${e.sliceSize}\n"
+        .getBytes("UTF-8"))
+    }
+    gz.finish()
+  }
+}

@@ -1,0 +1,112 @@
+package graft.cram
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.bgzf.SeekableInput
+
+class CramContainersSpec extends AnyFunSuite {
+
+  test("itf8 / ltf8 round-trip across the size ladder") {
+    for (v <- Seq(0, 1, 127, 128, 300, 16383, 16384, 2097151, 2097152,
+        268435455, 268435456, Int.MaxValue, -1)) {
+      val b = Itf8.write(v)
+      val (back, n) = Itf8.read(b, 0)
+      assert(back == v && n == b.length, s"itf8 $v -> ${b.toSeq} -> $back")
+    }
+    for (v <- Seq(0L, 1L, 127L, 128L, 16383L, 16384L, (1L << 21) - 1, 1L << 21,
+        (1L << 28) - 1, 1L << 28, (1L << 35), (1L << 42), (1L << 49), (1L << 56),
+        Long.MaxValue, -1L)) {
+      val b = Ltf8.write(v)
+      val (back, n) = Ltf8.read(b, 0)
+      assert(back == v && n == b.length, s"ltf8 $v -> ${b.toSeq} -> $back")
+    }
+  }
+
+  /** Synthetic CRAM: file definition + data containers + EOF container. */
+  private def syntheticCram(sizes: Seq[Int]): (Array[Byte], Seq[Long]) = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("CRAM".getBytes("UTF-8"))
+    bos.write(3); bos.write(0)
+    bos.write(new Array[Byte](20)) // file id
+    val offsets = Seq.newBuilder[Long]
+    var refPos = 1000
+    def writeContainer(dataLen: Int, refSeqId: Int, start: Int, span: Int, nRec: Int): Unit = {
+      offsets += bos.size().toLong
+      val len = new Array[Byte](4)
+      len(0) = dataLen.toByte; len(1) = (dataLen >> 8).toByte
+      len(2) = (dataLen >> 16).toByte; len(3) = (dataLen >> 24).toByte
+      bos.write(len)
+      bos.write(Itf8.write(refSeqId)); bos.write(Itf8.write(start))
+      bos.write(Itf8.write(span)); bos.write(Itf8.write(nRec))
+      bos.write(Ltf8.write(12345L)); bos.write(Ltf8.write(99999L))
+      bos.write(Itf8.write(2)) // nBlocks
+      bos.write(Itf8.write(2)); bos.write(Itf8.write(0)); bos.write(Itf8.write(dataLen / 2)) // landmarks
+      bos.write(new Array[Byte](4)) // crc
+      bos.write(new Array[Byte](dataLen)) // opaque payload (codec out of scope)
+    }
+    sizes.foreach { sz =>
+      writeContainer(sz, refSeqId = 0, start = refPos, span = 5000, nRec = 100)
+      refPos += 5000
+    }
+    writeContainer(0, refSeqId = -1, start = 4542278, span = 0, nRec = 0) // EOF
+    (bos.toByteArray, offsets.result())
+  }
+
+  test("container walk recovers every offset of a synthetic layout") {
+    val sizes = Seq(5000, 12000, 800, 64000, 3000, 25000, 100, 47000)
+    val (bytes, offsets) = syntheticCram(sizes)
+    val cs = CramContainers.containers(SeekableInput.ofBytes(bytes))
+    assert(cs.map(_.offset) == offsets)
+    assert(cs.last.isEof)
+    assert(cs.init.forall(!_.isEof))
+    assert(cs.init.map(_.dataLength) == sizes)
+    // geometry closes: each container ends where the next begins
+    cs.sliding(2).foreach {
+      case Seq(a, b) => assert(a.offset + a.totalLength == b.offset)
+      case _ =>
+    }
+  }
+
+  test("split planning snaps edges to container offsets, covers all, splits none") {
+    val sizes = Seq(5000, 12000, 800, 64000, 3000, 25000, 100, 47000, 9000, 2000)
+    val (bytes, offsets) = syntheticCram(sizes)
+    val cs = CramContainers.containers(SeekableInput.ofBytes(bytes))
+    for (splitSize <- Seq(1000L, 20000L, 50000L, 1000000L)) {
+      val parts = CramContainers.planPartitions(cs, splitSize)
+      // edges are container offsets (or the end of the last data container)
+      val valid = offsets.toSet + (cs.init.last.offset + cs.init.last.totalLength)
+      parts.foreach { case (s, e) =>
+        assert(valid.contains(s), s"start $s not a container offset")
+        assert(valid.contains(e), s"end $e not a container offset")
+      }
+      // disjoint, ordered, complete coverage of data containers
+      parts.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(e1 == s2)
+        case _ =>
+      }
+      assert(parts.head._1 == offsets.head)
+      val owned = cs.init.map { c =>
+        parts.count { case (s, e) => c.offset >= s && c.offset < e }
+      }
+      assert(owned.forall(_ == 1), s"containers must be owned exactly once: $owned")
+    }
+  }
+
+  test("crai round-trip prunes containers to the interval") {
+    val sizes = Seq(5000, 12000, 800, 64000, 3000)
+    val (bytes, offsets) = syntheticCram(sizes)
+    val cs = CramContainers.containers(SeekableInput.ofBytes(bytes))
+    // one crai entry per data container, mirroring its coordinates
+    val entries = cs.init.map(c => CraiEntry(c.refSeqId, c.startPos, c.alignmentSpan,
+      c.offset, 0, c.dataLength))
+    val bos = new java.io.ByteArrayOutputStream()
+    CraiIndex.write(bos, CraiIndex(entries))
+    val crai = CraiIndex.read(SeekableInput.ofBytes(bos.toByteArray))
+    assert(crai.entries == entries)
+    // interval covering containers 1..2 only (starts 6000, 11000)
+    val hit = CramContainers.prune(cs, Some(crai), refId = 0, start1 = 6200, end1 = 12000)
+    assert(hit.map(_.offset) == Seq(offsets(1), offsets(2)))
+    // header-coordinate fallback agrees when no crai is present
+    val hit2 = CramContainers.prune(cs, None, refId = 0, start1 = 6200, end1 = 12000)
+    assert(hit2.map(_.offset) == Seq(offsets(1), offsets(2)))
+  }
+}
