@@ -238,8 +238,13 @@ class VcfWrite(options: Map[String, String], schema: StructType) extends Write {
     val single = path.endsWith(".vcf") || path.endsWith(".vcf.bgz") || path.endsWith(".vcf.gz")
     val bgzf = path.endsWith(".bgz") || path.endsWith(".gz")
     val writeTbi = options.get("writetbi").exists(_.toBoolean) && single && bgzf
-    new VcfBatchWrite(path, options.get("vcfheader"), single, bgzf, writeTbi, schema,
-      new SerializableConf(SparkSession.active.sessionState.newHadoopConf()))
+    // sharded mode: per-shard extension decides the shard codec (reference
+    // VcfOutputFormat.java:24-71 — plain, gzip-named-BGZF, or BGZF shards)
+    val shardSuffix = options.getOrElse("shardsuffix", ".vcf")
+    require(Seq(".vcf", ".vcf.gz", ".vcf.bgz").contains(shardSuffix),
+      s"unsupported shardSuffix $shardSuffix")
+    new VcfBatchWrite(path, options.get("vcfheader"), single, bgzf, writeTbi, shardSuffix,
+      schema, new SerializableConf(SparkSession.active.sessionState.newHadoopConf()))
   }
 }
 
@@ -248,8 +253,8 @@ class VcfWrite(options: Map[String, String], schema: StructType) extends Write {
   * complete plain .vcf per partition (VcfSinkMultiple.java:20-44).
   */
 class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean,
-                    bgzf: Boolean, writeTbi: Boolean, schema: StructType,
-                    conf: SerializableConf) extends BatchWrite {
+                    bgzf: Boolean, writeTbi: Boolean, shardSuffix: String,
+                    schema: StructType, conf: SerializableConf) extends BatchWrite {
   private val tempDir = path + ".parts"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -264,8 +269,8 @@ class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean
     }
     val dir = if (singleFile) tempDir else path
     val ho = headerOpt; val sf = singleFile; val bz = bgzf; val c = conf; val sch = schema
-    val tb = writeTbi
-    (partitionId: Int, _: Long) => new VcfDataWriter(dir, ho, sf, bz, tb, sch, c, partitionId)
+    val tb = writeTbi; val ss = shardSuffix
+    (partitionId: Int, _: Long) => new VcfDataWriter(dir, ho, sf, bz, tb, ss, sch, c, partitionId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = if (singleFile) {
@@ -313,15 +318,18 @@ case class VcfPartMessage(path: String, samples: Seq[String], compressedBytes: L
     tbi: graft.index.TbiPartData) extends WriterCommitMessage
 
 class VcfDataWriter(dir: String, headerOpt: Option[String], singleFile: Boolean, bgzf: Boolean,
-                    writeTbi: Boolean, schema: StructType, conf: SerializableConf,
-                    partitionId: Int)
+                    writeTbi: Boolean, shardSuffix: String, schema: StructType,
+                    conf: SerializableConf, partitionId: Int)
     extends DataWriter[InternalRow] {
-  private val name = if (singleFile) f"part-$partitionId%05d" else f"part-$partitionId%05d.vcf"
+  private val name = if (singleFile) f"part-$partitionId%05d" else f"part-$partitionId%05d$shardSuffix"
   private val partPath = new Path(dir, name)
   private val fs = partPath.getFileSystem(conf.conf)
   private val raw = fs.create(partPath, true)
+  private val shardBgzf = !singleFile && (shardSuffix.endsWith(".gz") || shardSuffix.endsWith(".bgz"))
   private val bgzfOut: graft.bgzf.BgzfOutputStream =
-    if (singleFile && bgzf) new graft.bgzf.BgzfOutputStream(raw, writeEof = false) else null
+    if (singleFile && bgzf) new graft.bgzf.BgzfOutputStream(raw, writeEof = false)
+    else if (shardBgzf) new graft.bgzf.BgzfOutputStream(raw, writeEof = true) // complete standalone file
+    else null
   private val out: java.io.OutputStream =
     if (bgzfOut != null) bgzfOut
     else new java.io.BufferedOutputStream(raw, 1 << 16)

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkFixture
 import graft.bam.TestReads
@@ -187,6 +188,30 @@ class SamVcfSourceSpec extends AnyFunSuite with SparkFixture {
     // bgz variant ends with BGZF terminator
     val bytes = Files.readAllBytes(dir.resolve("t.vcf.bgz"))
     assert(bytes.takeRight(28).sameElements(graft.bgzf.Bgzf.EofBlock))
+  }
+
+  test("VCF: sharded sink writes complete per-shard files, plain and BGZF") {
+    import spark.implicits._
+    val vs = sampleVariants(400)
+    for (suffix <- Seq(".vcf", ".vcf.bgz", ".vcf.gz")) {
+      val dir = tmpDir()
+      val out = dir.resolve("shards")
+      spark.createDataset(vs).toDF().repartition(4)
+        .write.format("vcf").mode("overwrite")
+        .option("shardSuffix", suffix).save(out.toString)
+      val shards = Files.list(out).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("part-"))
+      assert(shards.size == 4, s"$suffix: $shards")
+      assert(shards.forall(_.getFileName.toString.endsWith(suffix)), s"$suffix")
+      if (suffix != ".vcf") shards.foreach { p =>
+        // every BGZF shard is a complete standalone file (terminator present)
+        val bytes = Files.readAllBytes(p)
+        assert(bytes.takeRight(28).sameElements(graft.bgzf.Bgzf.EofBlock), s"$p")
+      }
+      val back = spark.read.format("vcf").load(out.toString).as[Variant].collect()
+      assert(back.length == vs.size, suffix)
+      assert(back.sortBy(_.start).toSeq == vs.sortBy(_.start), suffix)
+    }
   }
 
   test("VCF: plain-gzip fallback reads whole file in one split") {
