@@ -284,17 +284,35 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
     // input files a serial loop is O(files) sequential RPCs on the driver.
     // Fan out on a bounded pool; result order preserves the lexicographic
     // file order (the ordering guarantee of multi-file inputs).
-    if (files.lengthCompare(2) < 0) files.flatMap(planFile).toArray
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, files.size))
-      try {
-        files.map { f =>
-          pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
-            override def call(): Seq[InputPartition] = planFile(f)
-          })
-        }.flatMap(_.get()).toArray
-      } finally pool.shutdown()
+    val planned: Array[InputPartition] =
+      if (files.lengthCompare(2) < 0) files.flatMap(planFile).toArray
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, files.size))
+        try {
+          files.map { f =>
+            pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
+              override def call(): Seq[InputPartition] = planFile(f)
+            })
+          }.flatMap(_.get()).toArray
+        } finally pool.shutdown()
+      }
+    // header-compat across directory inputs (reference leaves this
+    // undefined and silently uses the first header): a shard whose sequence
+    // dictionary differs would mislabel every refId it carries — fail at
+    // planning with the offending file named
+    val refsByFile = scala.collection.mutable.LinkedHashMap[String, IndexedSeq[BamRef]]()
+    planned.foreach { p0 =>
+      val p = p0.asInstanceOf[BamInputPartition]
+      refsByFile.getOrElseUpdate(p.file, p.header.refs)
     }
+    refsByFile.headOption.foreach { case (firstFile, firstRefs) =>
+      refsByFile.foreach { case (f, r) =>
+        if (r != firstRefs)
+          throw new IllegalArgumentException(
+            s"incompatible sequence dictionaries in directory input: $f does not match $firstFile")
+      }
+    }
+    planned
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -131,7 +131,23 @@ class VcfScan(options: Map[String, String], required: StructType) extends Scan w
           }
         }
       } finally in.close()
-    }.toArray
+    }.toArray match { case planned =>
+      // header-compat across directory inputs: genotype columns are decoded
+      // against the per-file sample list, so shards with different sample
+      // sets would silently mislabel genotypes — fail at planning instead
+      val samplesByFile = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+      planned.foreach { p =>
+        samplesByFile.getOrElseUpdate(p.file, p.header.samples)
+      }
+      samplesByFile.headOption.foreach { case (firstFile, firstSamples) =>
+        samplesByFile.foreach { case (f, ss) =>
+          if (ss != firstSamples)
+            throw new IllegalArgumentException(
+              s"incompatible sample lists in directory input: $f does not match $firstFile")
+        }
+      }
+      planned.toArray[InputPartition]
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
