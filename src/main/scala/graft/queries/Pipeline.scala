@@ -354,6 +354,42 @@ object Pipeline {
         .filter($"rnk" <= 5)
         .select($"query_id", $"rnk", $"vec_id", $"dot")
         .orderBy($"query_id", $"rnk")
+    },
+
+    // IVF-style ANN: coarse quantizer (16 deterministic centroids standing
+    // in for an offline-trained codebook) partitions the corpus by nearest
+    // centroid in ONE map-side pass (broadcast centroids + partial-agg
+    // argmax — no corpus shuffle); each query probes its 2 nearest cells
+    // and scores only vectors assigned there. The third scale shape next to
+    // brute-force (scan-all baseline) and LSH buckets (hash cells).
+    "q_ann_ivf" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
+      val cents = e.filter($"vec_id" < 16).select($"vec_id".as("cid"), $"q".as("cq"))
+      // nearest centroid per vector: argmax(cdot, tie → smaller cid) as a
+      // map-side partial aggregation (rows for one vec_id are co-located)
+      val assigned = e.join(broadcast(cents))
+        .select($"vec_id", $"q", $"cid", qdot($"q", $"cq").as("cdot"))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"cid", $"q"), struct($"cdot", -$"cid")).as("a"))
+        .select($"vec_id", $"a.cid".as("cid"), $"a.q".as("q"))
+      // probe set: each query's 2 nearest centroids (tiny, broadcast)
+      val qs = e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"q".as("qq"))
+      val pw = Window.partitionBy($"query_id").orderBy($"pdot".desc, $"cid")
+      val probes = qs.join(broadcast(cents))
+        .select($"query_id", $"qq", $"cid", qdot($"qq", $"cq").as("pdot"))
+        .withColumn("prn", row_number().over(pw))
+        .filter($"prn" <= 2)
+        .select($"query_id", $"qq", $"cid")
+      val scored = assigned.join(broadcast(probes),
+          assigned("cid") === probes("cid") && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id", qdot($"q", $"qq").as("dot"))
+      val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 10)
+        .select($"query_id", $"rnk", $"vec_id", $"dot")
+        .orderBy($"query_id", $"rnk")
     }
   )
 
@@ -534,6 +570,33 @@ object Pipeline {
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
          |  FROM s)
          |SELECT query_id, rnk, vec_id, dot FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    },
+
+    "q_ann_ivf" -> {
+      val dot = "CAST(list_sum(list_transform(range(1, 65), i -> %s[i] * %s[i])) AS BIGINT)"
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 16),
+         |ad AS (SELECT v.vec_id, c.cid, ${dot.format("v.q", "c.cq")} AS cdot FROM e v CROSS JOIN c),
+         |a AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < 5),
+         |probe AS (SELECT query_id, cid FROM (
+         |    SELECT qs.query_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY ${dot.format("qs.qq", "c.cq")} DESC, c.cid) AS rn
+         |    FROM qs CROSS JOIN c) WHERE rn <= 2),
+         |s AS (SELECT p.query_id, a.vec_id, ${dot.format("v.q", "qs.qq")} AS dot
+         |  FROM a JOIN probe p ON a.cid = p.cid
+         |  JOIN e v ON v.vec_id = a.vec_id
+         |  JOIN qs ON qs.query_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id),
+         |r AS (SELECT query_id, vec_id, dot,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM s)
+         |SELECT query_id, rnk, vec_id, dot FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin
     }
   )
