@@ -184,8 +184,36 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
               try scala.util.Try(GciIndex.read(gin)).toOption.filter(_.sorted)
               finally gin.close()
             } else None
+          // no sidecar but a standard .bai: prune SBI chunks through the
+          // external index instead (compressed-range intersection with the
+          // merged interval spans; unmapped tail lives past the last span)
+          val baiRanges: Option[(Seq[(Long, Long)], Long)] =
+            if (gci.isEmpty && intervals.isDefined && fs.exists(new Path(file.toString + ".bai"))) {
+              val bin = HadoopIO.open(new Path(file.toString + ".bai"), conf)
+              val bai = try scala.util.Try(graft.index.BaiIndex.read(bin)).toOption
+                finally bin.close()
+              bai.map { b =>
+                val spans = intervals.get.flatMap { iv =>
+                  header.refIndex.get(iv.contig).toSeq.flatMap(r => b.spans(r, iv.start - 1, iv.end - 1))
+                }
+                var maxEnd = headerEnd
+                b.refs.foreach(_.binChunks.foreach { cs0 =>
+                  var i = 1
+                  while (i < cs0.length) { if (cs0(i) > maxEnd) maxEnd = cs0(i); i += 2 }
+                })
+                (spans.map { case (bv, ev) => (Bgzf.blockStart(bv), Bgzf.blockStart(ev)) },
+                  Bgzf.blockStart(maxEnd))
+              }
+            } else None
           def mayOverlap(cs: Long, ce: Long): Boolean = gci match {
-            case None => true
+            case None =>
+              baiRanges match {
+                case None => true
+                case Some((ranges, mappedEnd)) =>
+                  val c0 = Bgzf.blockStart(cs); val c1 = Bgzf.blockStart(ce)
+                  ranges.exists { case (r0, r1) => c0 <= r1 && c1 >= r0 } ||
+                    (unplacedUnmapped && c1 >= mappedEnd)
+              }
             case Some(g) =>
               val j0 = g.entryAt(cs); val j1 = g.entryAt(ce)
               if (j0 < 0 || j1 < 0) true // defensive: unknown boundary

@@ -86,6 +86,33 @@ class BaiIndexSpec extends AnyFunSuite with SparkFixture {
     assert(ivu.count() == want) // no unmapped records in this fixture
   }
 
+  test("bai prunes SBI-planned chunks when the .gci sidecar is absent") {
+    import spark.implicits._
+    val recs = (0 until 4000).map { i =>
+      TestReads.pairs(1).head.copy(
+        readName = f"r$i%06d", start = 1 + i * 250, end = 1 + i * 250 + 35)
+    }
+    val dir = Files.createTempDirectory("baisbi")
+    dir.toFile.deleteOnExit()
+    val out = dir.resolve("sorted.bam")
+    spark.createDataset(recs).toDF()
+      .repartitionByRange(4, $"start").sortWithinPartitions($"start")
+      .write.format("bam").mode("overwrite")
+      .option("refs", "chr20:1000000,chr21:1000135")
+      .option("writeSbi", "true").option("sbiGranularity", "50")
+      .option("writeBai", "true")
+      .save(out.toString)
+    Files.delete(dir.resolve("sorted.bam.gci")) // force the .bai fallback
+    val all = spark.read.format("bam").option("splitSize", 2048).load(out.toString)
+    val nPartsAll = all.rdd.getNumPartitions
+    val iv = spark.read.format("bam").option("splitSize", 2048)
+      .option("intervals", "chr21:100000-110000").load(out.toString)
+    val nPartsIv = iv.rdd.getNumPartitions
+    assert(nPartsIv < nPartsAll, s"no pruning: $nPartsIv vs $nPartsAll")
+    val want = recs.count(r => r.start <= 110000 && r.end >= 100000)
+    assert(iv.count() == want)
+  }
+
   test("unsorted input skips .bai, scan stays exact") {
     import spark.implicits._
     val recs = (0 until 1000).map { i =>
