@@ -97,15 +97,16 @@ object Pipeline {
     * (band, bandhash) bucket of semantically meaningless pairs (zero shared
     * shingles). Filtering is both the correct semantics and the skew fix.
     */
-  private def signedDocs(df: DataFrame): DataFrame =
-    withShingles(df)
-      // same rows as size(shingles) > 0, but the predicate Catalyst pushes
-      // into the parquet scan only re-derives the word split, not the full
-      // shingle concat pass (filter on derived columns is evaluated at the
-      // scan with the defining expressions inlined)
-      .filter(size(filter(split(col("text"), " "), w => length(w) > 0)) >= 3)
-      .withColumn("shash", shingleHashes)
-      .withColumn("sig", minhashSigFrom(col("shash")))
+  private def signedDocs(df: DataFrame): DataFrame = {
+    // native expression: the whole split→shingle→md5→K-min pipeline is one
+    // static call inside whole-stage codegen (the composed HOF form is
+    // interpreted; q_dedup_minhash_sig keeps it as the executable spec of
+    // the portable semantics, and NativeExprSpec pins equality). NULL sig =
+    // <3 words = the rows the old filter dropped.
+    graft.functions.MinhashSigExpr.register(df.sparkSession)
+    df.withColumn("sig", expr("graft_minhash_sig(text)"))
+      .filter(col("sig").isNotNull)
+  }
 
   /** Band hashes over `sig`: Bands slices of the signature, each hashed. */
   private def bandsCol: Column =
@@ -283,7 +284,8 @@ object Pipeline {
     // re-scoring touches candidate rows only; never an all-pairs join)
     "q_dedup_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
-      val base = signedDocs(Tables.documents(s, d))
+      val base = withShingles(signedDocs(Tables.documents(s, d)))
+        .withColumn("shash", shingleHashes)
         .select($"doc_id", $"sig", array_distinct($"shash").as("sh"))
         .persist() // shingle-hash once: feeds both band join and re-score
       val cand = lshCandidatePairs(base)
