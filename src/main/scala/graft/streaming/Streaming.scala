@@ -44,4 +44,52 @@ object Streaming {
     */
   def dedupByKey(events: DataFrame, keyCol: String, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates(keyCol, "ts")
+
+  /** Event-time sessionization per user with a gap timeout: the streaming
+    * twin of q_events_sessions, expressed with the DECLARATIVE
+    * `session_window` (Catalyst manages merging/state/watermark eviction —
+    * no hand-rolled state needed when the built-in fits).
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_c"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("value_c"))
+
+  /** Stream-static enrichment: events joined against a small static
+    * dimension. The static side is broadcast — the stream never shuffles,
+    * which is the only join shape that scales on an unbounded source.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Per-user running profile via flatMapGroupsWithState — custom state the
+    * declarative operators cannot express: cumulative event count and the
+    * set of distinct event types per user, emitted on every update.
+    * State is per-key and lives until ProcessingTimeTimeout... no timeout
+    * here: callers bound keys (user ids), not time.
+    */
+  def userProfiles(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    case class Profile(n: Long, types: Set[String])
+    events.select(col("user_id").cast("long"), col("event_type").cast("string"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Set[String]), (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[(Long, Set[String])]) =>
+          val (n0, t0) = state.getOption.getOrElse((0L, Set.empty[String]))
+          var n = n0
+          var types = t0
+          rows.foreach { case (_, t) => n += 1; types += t }
+          state.update((n, types))
+          Iterator((uid, n, types.size.toLong))
+      }
+      .toDF("user_id", "n_events", "n_distinct_types")
+  }
 }

@@ -37,6 +37,70 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("sessionize: streaming session_window equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 3 users, bursts with >30m gaps between them
+    val events = (0 until 300).map { i =>
+      val burst = i / 100           // 0,1,2
+      val within = i % 100          // minutes inside the burst
+      Ev(ts(burst * 200 + within / 3), "click", i % 3, 1.0)
+    }
+    val stream = MemoryStream[Ev]
+    val q = Streaming.sessionize(stream.toDF())
+      .writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3), r.getLong(4))).toSet
+      val want = spark.createDataset(events).toDF()
+        .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(graft.functions.GraftFunctions.cents($"value")).as("value_c"))
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getStruct(0).getTimestamp(0), r.getAs[Long]("n_events"), r.getAs[Long]("value_c"))).toSet
+      assert(got == want)
+      assert(got.size >= 9, s"3 users x 3 bursts expected, got ${got.size}") // sessions split at gaps
+    } finally q.stop()
+  }
+
+  test("enrich: stream-static broadcast join matches batch join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = (0 until 100).map(i => Ev(ts(i), "click", i % 5, 1.0))
+    val dim = Seq((0L, "gold"), (1L, "silver"), (2L, "bronze")).toDF("user_id", "tier")
+    val stream = MemoryStream[Ev]
+    val q = Streaming.enrich(stream.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      val got = spark.table("enriched").groupBy($"tier").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == Map("gold" -> 20L, "silver" -> 20L, "bronze" -> 20L, (null: String) -> 40L))
+    } finally q.stop()
+  }
+
+  test("userProfiles: custom state accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = Streaming.userProfiles(stream.toDF())
+      .writeStream.format("memory").queryName("profiles").outputMode("append").start()
+    try {
+      stream.addData((0 until 10).map(i => Ev(ts(i), "click", 1, 1.0)))
+      q.processAllAvailable()
+      stream.addData((0 until 5).map(i => Ev(ts(i), "view", 1, 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("profiles")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // first batch: 10 clicks; second batch: state carried over → 15 events, 2 types
+      assert(rows.contains((1L, 10L, 1L)), rows)
+      assert(rows.contains((1L, 15L, 2L)), rows)
+    } finally q.stop()
+  }
+
   test("dedupByKey drops in-horizon duplicates") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
