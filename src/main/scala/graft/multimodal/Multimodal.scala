@@ -69,6 +69,53 @@ object Multimodal {
     }
   }
 
+  case class FrameRow(media_id: Long, frame_idx: Int, frame_len: Int, frame_sum: Long)
+
+  /** STUB resize — a real implementation would decode, scale, re-encode.
+    * The fake is nearest-neighbor byte striding: output byte j of an
+    * outW×outH "image" is input byte (j·len)/(outW·outH). Deterministic,
+    * oracle-reproducible, and the plumbing (batched per-partition transform
+    * returning a re-usable MediaRow) is exactly a real resizer's shape.
+    */
+  def resize(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    val outLen = outW * outH
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.payload.length
+        val out = new Array[Byte](if (n == 0) 0 else outLen)
+        var j = 0
+        while (j < out.length) { out(j) = r.payload((j.toLong * n / outLen).toInt); j += 1 }
+        r.copy(payload = out, width = outW, height = outH)
+      }
+    }
+  }
+
+  /** STUB frame sampling — video payloads as fixed-size frame chunks, every
+    * `everyNth` frame emitted as its own row (the explode shape a video
+    * pipeline feeds downstream models with; last partial frame kept).
+    * Frame content is summarized (len + byte sum) so the result is
+    * DuckDB-verifiable per frame.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
+                   everyNth: Int = 4): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.payload.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        (0 until nFrames).iterator.filter(_ % everyNth == 0).map { fi =>
+          val off = fi * frameBytes
+          val len = math.min(frameBytes, n - off)
+          var sum = 0L
+          var i = off
+          while (i < off + len) { sum += r.payload(i) & 0xff; i += 1 }
+          FrameRow(r.media_id, fi, len, sum)
+        }
+      }
+    }
+  }
+
   /** Deterministic synthetic media derived from the documents table — stands
     * in for real payloads so the plumbing is exercised end-to-end on the
     * driver's data (doc text bytes as the "payload").

@@ -10,10 +10,69 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Extras {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_features" -> { (s, d) => graft.multimodal.Multimodal.featureSummary(s, d) }
+    "q_multimodal_features" -> { (s, d) => graft.multimodal.Multimodal.featureSummary(s, d) },
+
+    // stub resize (nearest-neighbor byte striding): per-kind totals over
+    // the resized 8x8 payloads — pins the stride math + batch plumbing
+    "q_multimodal_resize" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val m = graft.multimodal.Multimodal.syntheticMedia(s, d)
+      graft.multimodal.Multimodal.resize(m, 8, 8).toDF()
+        .select($"media_id", $"kind", $"payload")
+        .as[(Long, String, Array[Byte])]
+        .map { case (id, kind, p) => (id, kind, p.length, p.map(b => (b & 0xff).toLong).sum) }
+        .toDF("media_id", "kind", "out_len", "byte_sum")
+        .groupBy($"kind")
+        .agg(count(lit(1)).as("n_media"), sum($"out_len").as("total_len"),
+          sum($"byte_sum").as("total_byte_sum"))
+        .orderBy($"kind")
+    },
+
+    // stub frame sampling: every 4th 64-byte frame as its own row —
+    // row-level oracle (one row per sampled frame, len + byte sum each)
+    "q_multimodal_frames" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val m = graft.multimodal.Multimodal.syntheticMedia(s, d)
+      graft.multimodal.Multimodal.sampleFrames(m).toDF()
+        .orderBy($"media_id", $"frame_idx")
+    }
   )
 
   def oracles: Map[String, String] = Map(
+    "q_multimodal_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |    encode(text) AS payload FROM documents),
+        |b AS (SELECT doc_id, kind, octet_length(payload) AS n,
+        |    list_transform(range(0, octet_length(payload)),
+        |      i -> CAST('0x' || substr(hex(payload), CAST(2 * i + 1 AS INTEGER), 2) AS INTEGER)) AS bytes
+        |  FROM m),
+        |r AS (SELECT doc_id, kind,
+        |    CASE WHEN n = 0 THEN 0 ELSE 64 END AS out_len,
+        |    CASE WHEN n = 0 THEN 0 ELSE
+        |      list_sum(list_transform(range(0, 64), j -> bytes[CAST(j * n // 64 + 1 AS INTEGER)]))
+        |    END AS byte_sum
+        |  FROM b)
+        |SELECT kind, COUNT(*) AS n_media, CAST(SUM(out_len) AS BIGINT) AS total_len,
+        |  CAST(SUM(byte_sum) AS BIGINT) AS total_byte_sum
+        |FROM r GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload FROM documents),
+        |b AS (SELECT media_id, octet_length(payload) AS n,
+        |    list_transform(range(0, octet_length(payload)),
+        |      i -> CAST('0x' || substr(hex(payload), CAST(2 * i + 1 AS INTEGER), 2) AS INTEGER)) AS bytes
+        |  FROM m),
+        |f AS (SELECT media_id, n, bytes, CAST(u.fi AS INTEGER) AS frame_idx
+        |  FROM b, UNNEST(range(0, (n + 63) // 64)) AS u(fi)
+        |  WHERE u.fi % 4 = 0)
+        |SELECT media_id, frame_idx,
+        |  CAST(LEAST(64, n - frame_idx * 64) AS INTEGER) AS frame_len,
+        |  CAST(list_sum(list_slice(bytes, frame_idx * 64 + 1,
+        |    frame_idx * 64 + LEAST(64, n - frame_idx * 64))) AS BIGINT) AS frame_sum
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "q_multimodal_features" ->
       """WITH m AS (SELECT doc_id,
         |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,

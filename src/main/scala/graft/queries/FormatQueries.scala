@@ -16,7 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object FormatQueries {
 
-  private def tmpBase = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+  /** Scratch root for round-trip files — unique per JVM so concurrent
+    * harness runs at the same SF (bench + verify overlapping) can never
+    * clobber a file another JVM is mid-scan on.
+    */
+  private lazy val runId = java.util.UUID.randomUUID().toString.take(8)
+  private def tmpBase = {
+    val b = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    s"$b/graft-run-$runId"
+  }
 
   /** Single-file sinks inherit the input's partitioning, and the synthetic
     * reads come from one small parquet file (one partition) — so without an

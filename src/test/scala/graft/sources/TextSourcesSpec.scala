@@ -87,6 +87,42 @@ class SplitTextReaderSpec extends AnyFunSuite {
     }
   }
 
+  test("bgzf text: arbitrary block boundaries (newline-aligned, mid-line, tiny) never lose or duplicate lines") {
+    // Simulates foreign writers: blocks cut at ARBITRARY byte positions —
+    // some exactly after '\n' (the ownership-decision case), some mid-line,
+    // some 1-byte. Built with Bgzf.compressBlock directly so the cut points
+    // are ours, not the stream's fixed payload size.
+    val rng2 = new scala.util.Random(13)
+    val lines = mkLines(400)
+    val payload = lines.mkString("", "\n", "\n").getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    var off = 0
+    while (off < payload.length) {
+      val cut = rng2.nextInt(4) match {
+        case 0 => // cut exactly after the next newline
+          val i = payload.indexOf('\n', off + 1)
+          if (i < 0) payload.length else i + 1
+        case 1 => off + 1 // single-byte block
+        case _ => math.min(payload.length, off + 1 + rng2.nextInt(300))
+      }
+      bos.write(graft.bgzf.Bgzf.compressBlock(payload, off, cut - off))
+      off = cut
+    }
+    bos.write(graft.bgzf.Bgzf.EofBlock)
+    val file = bos.toByteArray
+    val in = SeekableInput.ofBytes(file)
+    for (splitSize <- Seq(97, 512, 2048, 9973, file.length + 1)) {
+      val got = Seq.newBuilder[String]
+      var start = 0L
+      while (start < file.length) {
+        val end = math.min(file.length.toLong, start + splitSize)
+        got ++= SplitTextReader.lines(in, start, end, bgzf = true)
+        start = end
+      }
+      assert(got.result() == lines, s"splitSize=$splitSize")
+    }
+  }
+
   test("bgzf text: empty predecessor blocks (mid-file EOF terminators) are skipped") {
     // parts concatenated WITH their EOF terminators: predecessor of a seam
     // block is an empty block; ownership must look through it to the last
