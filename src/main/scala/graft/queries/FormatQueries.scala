@@ -248,6 +248,40 @@ object FormatQueries {
         .orderBy($"contig")
     },
 
+    // interval scan over PLAIN-TEXT VCF pruned via the tribble `.idx`
+    // linear index (the reference's other index route, IndexFactory-loaded
+    // at VcfSource.java:157) — same aggregate as q_vcf_intervals so any
+    // pruning loss would hash-mismatch
+    "q_vcf_idx_intervals" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/idxiv.vcf"
+      val variants = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"),
+        array(substring(lit("CGTA"), ($"l_linenumber" % 4).cast("int") + 1, lit(1))).as("alt"),
+        ($"l_orderkey" % 100).cast("double").as("qual"),
+        array(lit("PASS")).as("filters"),
+        map(lit("DP"), $"l_suppkey".cast("string")).as("info"),
+        array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false)).as("genotypes"))
+      variants
+        .repartitionByRange(8, $"contig", $"start")
+        .sortWithinPartitions($"contig", $"start")
+        .write.format("vcf").mode("overwrite").option("writeIdx", "true").save(path)
+      val back = s.read.format("vcf").option("splitSize", 64 * 1024)
+        .option("intervals", "chr0:1-5000,chr2:30000-40000")
+        .load(path)
+      back.groupBy($"contig")
+        .agg(
+          count(lit(1)).as("n_variants"),
+          sum($"start".cast("long")).as("sum_start"),
+          sum(element_at($"info", "DP").cast("long")).as("sum_dp"))
+        .orderBy($"contig")
+    },
+
     // interval scan driven by the standard external `.bai` index: the file
     // is coordinate-sorted (range partition + sort, parts concat in range
     // order), indexed at write, and carries NO .sbi/.gci — the scan must
@@ -317,6 +351,19 @@ object FormatQueries {
       """WHERE (contig = 'chr0' AND rstart <= 5000 AND rend >= 1)
         |   OR (contig = 'chr1' AND rstart <= 7000 AND rend >= 2000)""".stripMargin),
     "q_vcf_intervals" ->
+      """WITH v AS (
+        |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS vstart,
+        |    l_suppkey AS dp
+        |  FROM lineitem)
+        |SELECT contig, COUNT(*) AS n_variants, CAST(SUM(vstart) AS BIGINT) AS sum_start,
+        |  CAST(SUM(dp) AS BIGINT) AS sum_dp
+        |FROM v
+        |WHERE (contig = 'chr0' AND vstart <= 5000 AND vstart >= 1)
+        |   OR (contig = 'chr2' AND vstart <= 40000 AND vstart >= 30000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_vcf_idx_intervals" ->
       """WITH v AS (
         |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
         |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS vstart,

@@ -113,7 +113,30 @@ class VcfScan(options: Map[String, String], required: StructType) extends Scan w
                   }.reverse
               }
             } else None
-          tbiRanges match {
+          // tribble `.idx` pruning — the plain-text counterpart of tabix
+          // (reference loads either via IndexFactory, VcfSource.java:157).
+          // Index positions are plain byte offsets for uncompressed text,
+          // BGZF virtual offsets when htsjdk indexed a compressed file.
+          val idxPath = new org.apache.hadoop.fs.Path(file.toString + ".idx")
+          val idxRanges: Option[Seq[(Long, Long)]] =
+            if (tbiRanges.isEmpty && intervals.isDefined && fs.exists(idxPath)) {
+              val iin = HadoopIO.open(idxPath, conf)
+              val idx = try scala.util.Try(graft.index.TribbleIdx.read(iin)).toOption
+                finally iin.close()
+              idx.map { t =>
+                intervals.get.flatMap(iv => t.blocks(iv.contig, iv.start, iv.end))
+                  .map { case (s0, e0) =>
+                    if (bgzf) (graft.bgzf.Bgzf.blockStart(s0),
+                      math.min(size, graft.bgzf.Bgzf.blockStart(e0) + 1))
+                    else (s0, math.min(size, e0))
+                  }.filter(r => r._1 < r._2).sortBy(_._1)
+                  .foldLeft(List.empty[(Long, Long)]) {
+                    case ((ps, pe) :: rest, (s0, e0)) if s0 <= pe => (ps, math.max(pe, e0)) :: rest
+                    case (acc, r) => r :: acc
+                  }.reverse
+              }
+            } else None
+          tbiRanges.orElse(idxRanges) match {
             case Some(ranges) =>
               ranges.flatMap { case (rs, re) =>
                 val n = ((re - rs) + splitSize - 1) / splitSize
@@ -254,12 +277,14 @@ class VcfWrite(options: Map[String, String], schema: StructType) extends Write {
     val single = path.endsWith(".vcf") || path.endsWith(".vcf.bgz") || path.endsWith(".vcf.gz")
     val bgzf = path.endsWith(".bgz") || path.endsWith(".gz")
     val writeTbi = options.get("writetbi").exists(_.toBoolean) && single && bgzf
+    // tribble `.idx` co-write: the plain-text counterpart of writeTbi
+    val writeIdx = options.get("writeidx").exists(_.toBoolean) && single && !bgzf
     // sharded mode: per-shard extension decides the shard codec (reference
     // VcfOutputFormat.java:24-71 — plain, gzip-named-BGZF, or BGZF shards)
     val shardSuffix = options.getOrElse("shardsuffix", ".vcf")
     require(Seq(".vcf", ".vcf.gz", ".vcf.bgz").contains(shardSuffix),
       s"unsupported shardSuffix $shardSuffix")
-    new VcfBatchWrite(path, options.get("vcfheader"), single, bgzf, writeTbi, shardSuffix,
+    new VcfBatchWrite(path, options.get("vcfheader"), single, bgzf, writeTbi, writeIdx, shardSuffix,
       schema, new SerializableConf(SparkSession.active.sessionState.newHadoopConf()))
   }
 }
@@ -269,7 +294,7 @@ class VcfWrite(options: Map[String, String], schema: StructType) extends Write {
   * complete plain .vcf per partition (VcfSinkMultiple.java:20-44).
   */
 class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean,
-                    bgzf: Boolean, writeTbi: Boolean, shardSuffix: String,
+                    bgzf: Boolean, writeTbi: Boolean, writeIdx: Boolean, shardSuffix: String,
                     schema: StructType, conf: SerializableConf) extends BatchWrite {
   private val tempDir = path + ".parts"
 
@@ -285,8 +310,8 @@ class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean
     }
     val dir = if (singleFile) tempDir else path
     val ho = headerOpt; val sf = singleFile; val bz = bgzf; val c = conf; val sch = schema
-    val tb = writeTbi; val ss = shardSuffix
-    (partitionId: Int, _: Long) => new VcfDataWriter(dir, ho, sf, bz, tb, ss, sch, c, partitionId)
+    val tb = writeTbi; val ti = writeIdx; val ss = shardSuffix
+    (partitionId: Int, _: Long) => new VcfDataWriter(dir, ho, sf, bz, tb, ti, ss, sch, c, partitionId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = if (singleFile) {
@@ -310,7 +335,7 @@ class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean
       // precede it after concat; a non-sorted result skips the index
       val headerBytes = fs.getFileStatus(new Path(tempDir, "header")).getLen
       val parts = messages.collect { case m: VcfPartMessage => m }.sortBy(_.path)
-      val shifts = { var b = headerBytes; parts.map { m => val s = b; b += m.compressedBytes; s } }
+      val shifts = { var b = headerBytes; parts.map { m => val s = b; b += m.partBytes; s } }
       graft.index.TbiPartData.mergeSorted(parts.map(_.tbi).toSeq, shifts.toSeq) match {
         case Some(idx) =>
           val io = fs.create(new Path(path + ".tbi"), true)
@@ -319,6 +344,22 @@ class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean
         case None =>
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"writeTbi: output $path is not coordinate-sorted; skipping .tbi")
+      }
+    }
+    if (writeIdx) {
+      // rebase each part's byte offsets by the plain bytes preceding it
+      val headerBytes = fs.getFileStatus(new Path(tempDir, "header")).getLen
+      val parts = messages.collect { case m: VcfPartMessage => m }.sortBy(_.path)
+      val shifts = { var b = headerBytes; parts.map { m => val s = b; b += m.partBytes; s } }
+      val totalBytes = headerBytes + parts.map(_.partBytes).sum
+      graft.index.TribblePartData.mergeSorted(parts.map(_.idx).toSeq, shifts.toSeq) match {
+        case Some(idx) =>
+          val io = fs.create(new Path(path + ".idx"), true)
+          graft.index.TribbleIdx.write(io, idx, new Path(path).getName, totalBytes)
+          io.close()
+        case None =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"writeIdx: output $path is not coordinate-sorted; skipping .idx")
       }
     }
     HadoopIO.mergeParts(new Path(tempDir), new Path(path), conf.conf)
@@ -330,11 +371,28 @@ class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean
   }
 }
 
-case class VcfPartMessage(path: String, samples: Seq[String], compressedBytes: Long,
-    tbi: graft.index.TbiPartData) extends WriterCommitMessage
+/** `partBytes` is the part's on-disk length: compressed bytes for BGZF
+  * parts, plain bytes otherwise — commit uses it to rebase per-part index
+  * offsets to post-concat positions.
+  */
+case class VcfPartMessage(path: String, samples: Seq[String], partBytes: Long,
+    tbi: graft.index.TbiPartData,
+    idx: graft.index.TribblePartData) extends WriterCommitMessage
+
+/** Byte counter above the write buffer so offsets are exact at write time. */
+private[vcf] final class CountingOutputStream(under: java.io.OutputStream)
+    extends java.io.OutputStream {
+  var count = 0L
+  override def write(b: Int): Unit = { under.write(b); count += 1 }
+  override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+    under.write(b, off, len); count += len
+  }
+  override def flush(): Unit = under.flush()
+  override def close(): Unit = under.close()
+}
 
 class VcfDataWriter(dir: String, headerOpt: Option[String], singleFile: Boolean, bgzf: Boolean,
-                    writeTbi: Boolean, shardSuffix: String, schema: StructType,
+                    writeTbi: Boolean, writeIdx: Boolean, shardSuffix: String, schema: StructType,
                     conf: SerializableConf, partitionId: Int)
     extends DataWriter[InternalRow] {
   private val name = if (singleFile) f"part-$partitionId%05d" else f"part-$partitionId%05d$shardSuffix"
@@ -346,13 +404,16 @@ class VcfDataWriter(dir: String, headerOpt: Option[String], singleFile: Boolean,
     if (singleFile && bgzf) new graft.bgzf.BgzfOutputStream(raw, writeEof = false)
     else if (shardBgzf) new graft.bgzf.BgzfOutputStream(raw, writeEof = true) // complete standalone file
     else null
+  private val counting: CountingOutputStream =
+    if (bgzfOut == null) new CountingOutputStream(new java.io.BufferedOutputStream(raw, 1 << 16))
+    else null
   private val out: java.io.OutputStream =
-    if (bgzfOut != null) bgzfOut
-    else new java.io.BufferedOutputStream(raw, 1 << 16)
+    if (bgzfOut != null) bgzfOut else counting
   private val idx = RowToVariant.indices(schema)
   private var samples: Seq[String] = Seq.empty
   private var wroteShardHeader = false
   private val tbi = if (writeTbi && bgzfOut != null) new graft.index.TbiBuilder else null
+  private val tidx = if (writeIdx && singleFile && bgzfOut == null) new graft.index.TribbleIdxBuilder() else null
 
   override def write(row: InternalRow): Unit = {
     val v = RowToVariant.convert(row, idx)
@@ -363,10 +424,13 @@ class VcfDataWriter(dir: String, headerOpt: Option[String], singleFile: Boolean,
       wroteShardHeader = true
     }
     val vBeg = if (tbi != null) bgzfOut.virtualOffset else 0L
+    val pBeg = if (tidx != null) counting.count else 0L
     out.write(VcfCodec.toLine(v).getBytes("UTF-8"))
     out.write('\n')
     if (tbi != null)
       tbi.add(v.contig, v.start - 1, math.max(v.start, v.end) - 1, vBeg, bgzfOut.virtualOffset)
+    if (tidx != null)
+      tidx.add(v.contig, v.start, math.max(v.start, v.end), pBeg, counting.count)
   }
   override def commit(): WriterCommitMessage = {
     if (!singleFile && !wroteShardHeader) {
@@ -375,8 +439,9 @@ class VcfDataWriter(dir: String, headerOpt: Option[String], singleFile: Boolean,
     }
     out.close()
     VcfPartMessage(partPath.toString, samples,
-      if (bgzfOut != null) graft.bgzf.Bgzf.blockStart(bgzfOut.virtualOffset) else 0L,
-      if (tbi != null) tbi.result() else null)
+      if (bgzfOut != null) graft.bgzf.Bgzf.blockStart(bgzfOut.virtualOffset) else counting.count,
+      if (tbi != null) tbi.result() else null,
+      if (tidx != null) tidx.result() else null)
   }
   override def abort(): Unit = { out.close(); fs.delete(partPath, false) }
   override def close(): Unit = ()
