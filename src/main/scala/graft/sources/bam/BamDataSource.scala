@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.bam._
 import graft.bgzf.Bgzf
 import graft.index.{GciIndex, SbiIndex}
-import graft.sources.{GenomicInterval, HadoopIO, SerializableConf}
+import graft.sources.{GenomicInterval, HadoopIO, PushedRegion, SerializableConf}
 
 /** `spark.read.format("bam")` / `df.write.format("bam")` — the Spark-native
   * re-expression of the reference's HtsjdkReadsRddStorage BAM path
@@ -84,14 +84,7 @@ class BamScanBuilder(options0: Map[String, String])
     * split of the reference (AbstractBinarySamSource.java:86-113).
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter {
-      case EqualTo("contig", _) => true
-      case GreaterThan("start", _) | GreaterThanOrEqual("start", _) => true
-      case LessThan("start", _) | LessThanOrEqual("start", _) => true
-      case GreaterThan("end", _) | GreaterThanOrEqual("end", _) => true
-      case LessThan("end", _) | LessThanOrEqual("end", _) => true
-      case _ => false
-    }
+    pushed = filters.filter(PushedRegion.accepts)
     filters // all residual
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -99,33 +92,6 @@ class BamScanBuilder(options0: Map[String, String])
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def build(): Scan = new BamScan(options, required, pushed)
-}
-
-/** Conservative filter→interval translation, used when no explicit
-  * `intervals` option is given: a conjunction of `contig = c` with bounds on
-  * `start` becomes the interval c:[lo,hi]. The overlap test the readers
-  * apply (`r.start <= hi && r.end >= lo`) is a superset of the original
-  * predicate, and every filter stays residual, so this only *prunes* rows
-  * early — Catalyst re-applies the exact predicate above the scan
-  * (the reference's coarse-index + residual-filter split,
-  * AbstractBinarySamSource.java:86-113).
-  */
-private[bam] object PushedRegion {
-  def toIntervals(pushed: Array[Filter]): Option[Seq[GenomicInterval]] = {
-    val contig = pushed.collectFirst { case EqualTo("contig", v: String) => v }
-    contig.map { c =>
-      var lo = 1
-      var hi = Int.MaxValue
-      pushed.foreach {
-        case GreaterThan("start", v: Number) => lo = math.max(lo, v.intValue() + 1)
-        case GreaterThanOrEqual("start", v: Number) => lo = math.max(lo, v.intValue())
-        case LessThan("start", v: Number) => hi = math.min(hi, v.intValue() - 1)
-        case LessThanOrEqual("start", v: Number) => hi = math.min(hi, v.intValue())
-        case _ =>
-      }
-      Seq(GenomicInterval(c, lo, hi))
-    }
-  }
 }
 
 class BamScan(options0: Map[String, String], required: StructType, pushed: Array[Filter])

@@ -51,16 +51,28 @@ class SamTable(properties: Map[String, String]) extends Table with SupportsRead 
 }
 
 class SamScanBuilder(options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = AlignmentRecord.schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  /** Interval-translatable filters → reader-side record filter (SAM text has
+    * no index, matching the reference's record-level-only path,
+    * SamSource.java:68-77); everything stays residual.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(graft.sources.PushedRegion.accepts)
+    filters // all residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new SamScan(options, required)
+  override def build(): Scan = new SamScan(options, required, pushed)
 }
 
-class SamScan(options: Map[String, String], required: StructType) extends Scan with Batch {
+class SamScan(options: Map[String, String], required: StructType,
+              pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"graft-sam ${options.getOrElse("path", "")}"
+  override def description(): String =
+    s"graft-sam ${options.getOrElse("path", "")} pushed=[${pushed.mkString(",")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -68,6 +80,7 @@ class SamScan(options: Map[String, String], required: StructType) extends Scan w
     val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
     val intervals = options.get("intervals")
       .map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
+      .orElse(graft.sources.PushedRegion.toIntervals(pushed)) // filter-derived pushdown
     val unplacedUnmapped = options.get("unplacedunmapped").exists(_.toBoolean)
     val permissive = options.get("mode").exists(_.equalsIgnoreCase("permissive"))
     HadoopIO.listInputFiles(pathStr, conf).flatMap { file =>

@@ -55,18 +55,28 @@ class VcfTable(properties: Map[String, String]) extends Table with SupportsRead 
 }
 
 class VcfScanBuilder(options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var required: StructType = Variant.schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  /** Interval-translatable filters recorded for split pruning (via .tbi /
+    * .idx) + reader-side filtering; everything stays residual.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(graft.sources.PushedRegion.accepts)
+    filters // all residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new VcfScan(options, required)
+  override def build(): Scan = new VcfScan(options, required, pushed)
 }
 
-class VcfScan(options: Map[String, String], required: StructType) extends Scan with Batch {
+class VcfScan(options: Map[String, String], required: StructType,
+              pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val iv = options.get("intervals").map(i => s" intervals=$i").getOrElse("")
-    s"graft-vcf ${options.getOrElse("path", "")}$iv"
+    s"graft-vcf ${options.getOrElse("path", "")}$iv pushed=[${pushed.mkString(",")}]"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -75,6 +85,7 @@ class VcfScan(options: Map[String, String], required: StructType) extends Scan w
     val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
     val intervals = options.get("intervals")
       .map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
+      .orElse(graft.sources.PushedRegion.toIntervals(pushed)) // filter-derived pushdown
     val permissive = options.get("mode").exists(_.equalsIgnoreCase("permissive"))
     HadoopIO.listInputFiles(pathStr, conf).flatMap { file =>
       val in = HadoopIO.open(file, conf)

@@ -104,6 +104,27 @@ class TribbleIdxSpec extends AnyFunSuite with SparkFixture {
     assert(all.count() == vs.size)
   }
 
+  test("corrupt or unsupported .idx falls back to unpruned scan, stays exact") {
+    import spark.implicits._
+    val vs = variants(500, sorted = true)
+    val dir = Files.createTempDirectory("tidx3")
+    dir.toFile.deleteOnExit()
+    val out = dir.resolve("sorted.vcf")
+    spark.createDataset(vs).toDF().coalesce(1)
+      .write.format("vcf").mode("overwrite").save(out.toString)
+    // an interval-tree (type=2) index we don't parse: reader must Try-fail
+    // into the unpruned path, never mis-prune
+    val bos = new java.io.ByteArrayOutputStream()
+    val bb = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(TribbleIdx.Magic); bb.putInt(TribbleIdx.TypeIntervalTree); bb.putInt(3)
+    bos.write(bb.array())
+    Files.write(dir.resolve("sorted.vcf.idx"), bos.toByteArray)
+    val iv = spark.read.format("vcf").option("splitSize", 2048)
+      .option("intervals", "chr21:50000-60000").load(out.toString)
+    val want = vs.count(v => v.start <= 60000 && v.end >= 50000)
+    assert(iv.count() == want)
+  }
+
   test("unsorted vcf skips .idx, interval scan stays exact") {
     import spark.implicits._
     val vs = variants(1000, sorted = false)
