@@ -86,7 +86,7 @@ object Ltf8 {
 /** One container's header fields + file geometry. */
 final case class CramContainer(offset: Long, totalLength: Long, dataLength: Int,
                                refSeqId: Int, startPos: Int, alignmentSpan: Int,
-                               nRecords: Int) {
+                               nRecords: Int, nBlocks: Int = 0) {
   def isEof: Boolean = refSeqId == -1 && nRecords == 0
   /** 1-based inclusive coordinate range (mapped containers only). */
   def overlaps(r: Int, start1: Int, end1: Int): Boolean =
@@ -104,36 +104,109 @@ object CramContainers {
     (hdr(4) & 0xff, hdr(5) & 0xff)
   }
 
+  /** Parse the container header at `off`. The buffer grows on demand —
+    * each varint's length is declared by its first byte, so every read is
+    * bounds-checked against what was actually fetched and a multi-landmark
+    * header (many slices) can never run the cursor past the buffer or into
+    * stale bytes from a previous iteration.
+    */
+  def readContainerHeader(in: SeekableInput, off: Long, size: Long): CramContainer = {
+    // fixed-field worst case: 4 + 4×5 (ITF-8) + 2×9 (LTF-8) + 2×5 + CRC 4 = 60
+    var buf = new Array[Byte](96)
+    var got = in.preadFully(off, buf, 0, math.min(buf.length.toLong, size - off).toInt)
+    require(got >= 10, s"truncated CRAM container header at $off")
+    // grow to exactly `need` bytes (must exist in the file)
+    def ensure(need: Int): Unit = if (need > got) {
+      require(off + need <= size, s"truncated CRAM container header at $off")
+      val nb = new Array[Byte](need)
+      require(in.preadFully(off, nb, 0, need) == need,
+        s"truncated CRAM container header at $off")
+      buf = nb; got = need
+    }
+    val dataLength = (buf(0) & 0xff) | ((buf(1) & 0xff) << 8) | ((buf(2) & 0xff) << 16) | ((buf(3) & 0xff) << 24)
+    var p = 4
+    def itf8(): Int = {
+      ensure(p + 1)
+      val b1 = buf(p) & 0xff
+      val n = if ((b1 & 0x80) == 0) 1 else if ((b1 & 0x40) == 0) 2
+        else if ((b1 & 0x20) == 0) 3 else if ((b1 & 0x10) == 0) 4 else 5
+      ensure(p + n)
+      val (v, nn) = Itf8.read(buf, p); p += nn; v
+    }
+    def ltf8(): Long = {
+      ensure(p + 1)
+      val b1 = buf(p) & 0xff
+      var n = 0
+      while (n < 8 && (b1 & (0x80 >> n)) != 0) n += 1
+      ensure(p + n + 1)
+      val (v, nn) = Ltf8.read(buf, p); p += nn; v
+    }
+    val refSeqId = itf8()
+    val startPos = itf8()
+    val span = itf8()
+    val nRecords = itf8()
+    ltf8() // record counter
+    ltf8() // bases
+    val nBlocks = itf8()
+    require(nBlocks >= 0, s"negative block count at $off")
+    val nLandmarks = itf8()
+    require(nLandmarks >= 0 && nLandmarks <= (1 << 20), s"implausible landmark count $nLandmarks at $off")
+    var l = 0
+    while (l < nLandmarks) { itf8(); l += 1 }
+    ensure(p + 4); p += 4 // CRC32 (v3)
+    CramContainer(off, p + dataLength.toLong, dataLength, refSeqId, startPos, span, nRecords, nBlocks)
+  }
+
   /** Walk every container header (EOF container included, flagged). */
   def containers(in: SeekableInput): Seq[CramContainer] = {
     readFileDefinition(in)
     val size = in.size
     val out = Seq.newBuilder[CramContainer]
     var off = FileDefinitionLength.toLong
-    val buf = new Array[Byte](64) // header fields fit comfortably
     while (off < size) {
-      val got = in.preadFully(off, buf, 0, math.min(buf.length, (size - off).toInt))
-      require(got >= 10, s"truncated CRAM container header at $off")
-      val dataLength = (buf(0) & 0xff) | ((buf(1) & 0xff) << 8) | ((buf(2) & 0xff) << 16) | ((buf(3) & 0xff) << 24)
-      var p = 4
-      val (refSeqId, n1) = Itf8.read(buf, p); p += n1
-      val (startPos, n2) = Itf8.read(buf, p); p += n2
-      val (span, n3) = Itf8.read(buf, p); p += n3
-      val (nRecords, n4) = Itf8.read(buf, p); p += n4
-      val (_, n5) = Ltf8.read(buf, p); p += n5 // record counter
-      val (_, n6) = Ltf8.read(buf, p); p += n6 // bases
-      val (nBlocks, n7) = Itf8.read(buf, p); p += n7
-      val (nLandmarks, n8) = Itf8.read(buf, p); p += n8
-      var l = 0
-      while (l < nLandmarks) { val (_, nl) = Itf8.read(buf, p); p += nl; l += 1 }
-      p += 4 // CRC32 (v3)
-      val total = p + dataLength.toLong
-      out += CramContainer(off, total, dataLength, refSeqId, startPos, span, nRecords)
-      require(nBlocks >= 0, s"negative block count at $off")
-      off += total
+      val c = readContainerHeader(in, off, size)
+      out += c
+      off += c.totalLength
     }
     out.result()
   }
+
+  /** Encode one container: int32-LE data length, ITF-8/LTF-8 header fields,
+    * a single landmark at 0, a real CRC32 over the preceding header bytes,
+    * then `dataLength` opaque payload bytes (zeros — the record codec is out
+    * of scope, SURVEY.md §7.4; the layout is what split planning consumes).
+    */
+  def encodeContainer(dataLength: Int, refSeqId: Int, startPos: Int, span: Int,
+                      nRecords: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(96 + dataLength)
+    bos.write(dataLength & 0xff); bos.write((dataLength >> 8) & 0xff)
+    bos.write((dataLength >> 16) & 0xff); bos.write((dataLength >> 24) & 0xff)
+    bos.write(Itf8.write(refSeqId)); bos.write(Itf8.write(startPos))
+    bos.write(Itf8.write(span)); bos.write(Itf8.write(nRecords))
+    bos.write(Ltf8.write(0L)) // record counter
+    bos.write(Ltf8.write(0L)) // bases
+    bos.write(Itf8.write(1)) // nBlocks
+    bos.write(Itf8.write(1)); bos.write(Itf8.write(0)) // one landmark at 0
+    val hdr = bos.toByteArray
+    val crc = new java.util.zip.CRC32()
+    crc.update(hdr)
+    val c = crc.getValue
+    bos.write((c & 0xff).toInt); bos.write(((c >> 8) & 0xff).toInt)
+    bos.write(((c >> 16) & 0xff).toInt); bos.write(((c >> 24) & 0xff).toInt)
+    bos.write(new Array[Byte](dataLength))
+    bos.toByteArray
+  }
+
+  /** The 26-byte file definition: "CRAM" major minor + 20-byte file id. */
+  def encodeFileDefinition(major: Int = 3, minor: Int = 0): Array[Byte] = {
+    val out = new Array[Byte](FileDefinitionLength)
+    out(0) = 'C'; out(1) = 'R'; out(2) = 'A'; out(3) = 'M'
+    out(4) = major.toByte; out(5) = minor.toByte
+    out
+  }
+
+  /** The trailing EOF container (refSeqId −1, zero records; spec start pos). */
+  def encodeEofContainer(): Array[Byte] = encodeContainer(0, -1, 4542278, 0, 0)
 
   /** Partition plan: tile data containers by target split size with edges
     * snapping to container offsets — every container belongs to exactly one

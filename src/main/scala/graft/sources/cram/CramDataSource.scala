@@ -1,0 +1,324 @@
+package graft.sources.cram
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.bam.SamHeader
+import graft.cram.{CraiEntry, CraiIndex, CramContainer, CramContainers}
+import graft.sources.{GenomicInterval, HadoopIO, SerializableConf}
+
+/** `format("cram")` — container-level CRAM scan/sink (reference
+  * CramSource.java:57-151, CramSink.java:35-85 planning semantics). One row
+  * per data container: the file geometry + alignment span the reference's
+  * split planner computes, surfaced as a queryable DataFrame. Splits snap to
+  * container offsets; interval scans prune whole containers via the `.crai`
+  * index when present (CramSource.java:96-120's NavigableSet shape) with a
+  * residual coordinate filter for exactness. The record CODEC (rANS,
+  * reference-based decode) is the documented non-goal of SURVEY.md §7.4 —
+  * htsjdk is absent from this environment — so payloads are opaque bytes;
+  * everything Spark-side (planning, pruning, sink geometry, `.crai`
+  * co-write rebased through the concat commit) is real.
+  */
+class CramDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "cram"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = CramTable.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new CramTable(properties.asScala.toMap)
+}
+
+object CramTable {
+  val schema: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("data_length", IntegerType, nullable = false),
+    StructField("ref_seq_id", IntegerType, nullable = false),
+    StructField("start_pos", IntegerType, nullable = false),
+    StructField("span", IntegerType, nullable = false),
+    StructField("n_records", IntegerType, nullable = false),
+    StructField("n_blocks", IntegerType, nullable = false)))
+}
+
+class CramTable(properties: Map[String, String]) extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"cram:${properties.getOrElse("path", "?")}"
+  override def schema(): StructType = CramTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CramScanBuilder(options.asScala.toMap.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v })
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val opts = info.options.asScala.toMap.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    new CramWriteBuilder(opts, info.schema())
+  }
+}
+
+class CramScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = CramTable.schema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new CramScan(options, required)
+}
+
+/** Interval predicate at container granularity: (refSeqId, 1-based range). */
+private[cram] final case class RefInterval(refId: Int, start1: Int, end1: Int)
+
+class CramScan(options: Map[String, String], required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-cram ${options.getOrElse("path", "")}" +
+      options.get("intervals").map(i => s" intervals=$i").getOrElse("")
+
+  /** contig-name intervals → refSeqId intervals via the `refs` option
+    * (name:length,… — same format the BAM sink takes); bare numeric contigs
+    * are accepted as refSeqIds directly.
+    */
+  private def refIntervals: Option[Seq[RefInterval]] = options.get("intervals").map { s =>
+    val names: Map[String, Int] = options.get("refs")
+      .map(r => SamHeader.parseRefsOption(r).zipWithIndex.map { case (ref, i) => ref.name -> i }.toMap)
+      .getOrElse(Map.empty)
+    GenomicInterval.optimize(GenomicInterval.parseList(s)).flatMap { iv =>
+      names.get(iv.contig).orElse(iv.contig.toIntOption)
+        .map(id => RefInterval(id, iv.start, iv.end))
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val pathStr = options.getOrElse("path", throw new IllegalArgumentException("cram source requires a path"))
+    val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
+    val ivs = refIntervals
+    val files = HadoopIO.listInputFiles(pathStr, conf)
+
+    def planFile(file: Path): Seq[InputPartition] = {
+      val in = HadoopIO.open(file, conf)
+      try {
+        CramContainers.readFileDefinition(in)
+        val size = in.size
+        val fs = file.getFileSystem(conf)
+        val craiPath = new Path(file.toString + ".crai")
+        // (offset, estimated container bytes) of the data containers to scan
+        val selected: Seq[(Long, Long)] =
+          if (fs.exists(craiPath)) {
+            // index route: container offsets come from `.crai` — O(index)
+            // driver I/O, no header walk (the shape that matters at 100 TB)
+            val cin = HadoopIO.open(craiPath, conf)
+            val crai = try CraiIndex.read(cin) finally cin.close()
+            val all = crai.entries.map(_.containerOffset).distinct.sorted
+            val want: Set[Long] = ivs match {
+              case None => all.toSet
+              case Some(rs) => rs.flatMap(r => crai.containerOffsets(r.refId, r.start1, r.end1)).toSet
+            }
+            val sizes = all.zipAll(all.drop(1).map(Some(_)), 0L, None).map {
+              case (o, Some(next)) => (o, next - o)
+              case (o, None) => (o, size - o) // tail estimate incl. EOF container
+            }
+            sizes.filter { case (o, _) => want.contains(o) }
+          } else {
+            // no index: walk container headers (the reference does the same
+            // full-file walk when unindexed) and prune on header coordinates
+            val cs = CramContainers.containers(in).filterNot(_.isEof)
+            val kept = ivs match {
+              case None => cs
+              case Some(rs) => cs.filter(c =>
+                c.refSeqId == -2 /* multi-ref: cannot judge without decode */ ||
+                  rs.exists(r => c.overlaps(r.refId, r.start1, r.end1)))
+            }
+            kept.map(c => (c.offset, c.totalLength))
+          }
+        // tile into partitions of ~splitSize, never splitting a container
+        val parts = Seq.newBuilder[CramInputPartition]
+        val cur = Seq.newBuilder[Long]
+        var bytes = 0L
+        var n = 0
+        selected.foreach { case (o, len) =>
+          if (n > 0 && bytes + len > splitSize) {
+            parts += CramInputPartition(file.toString, cur.result().toArray, ivs)
+            cur.clear(); bytes = 0L; n = 0
+          }
+          cur += o; bytes += len; n += 1
+        }
+        if (n > 0) parts += CramInputPartition(file.toString, cur.result().toArray, ivs)
+        parts.result()
+      } finally in.close()
+    }
+
+    files.flatMap(planFile).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
+    val req = required
+    (partition: InputPartition) =>
+      new CramPartitionReader(partition.asInstanceOf[CramInputPartition], conf, req)
+  }
+}
+
+case class CramInputPartition(file: String, offsets: Array[Long],
+                              intervals: Option[Seq[RefInterval]]) extends InputPartition
+
+class CramPartitionReader(p: CramInputPartition, conf: SerializableConf, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val input = HadoopIO.open(new Path(p.file), conf.conf)
+  private val size = input.size
+  private var i = 0
+  private var currentRow: InternalRow = _
+
+  private val getters: Array[CramContainer => Any] = required.fieldNames.map[CramContainer => Any] {
+    case "offset" => c => c.offset
+    case "data_length" => c => c.dataLength
+    case "ref_seq_id" => c => c.refSeqId
+    case "start_pos" => c => c.startPos
+    case "span" => c => c.alignmentSpan
+    case "n_records" => c => c.nRecords
+    case "n_blocks" => c => c.nBlocks
+    case other => throw new IllegalArgumentException(s"unknown column $other")
+  }
+
+  /** residual exactness filter — `.crai` pruning may overclaim */
+  private def keep(c: CramContainer): Boolean = !c.isEof && (p.intervals match {
+    case None => true
+    case Some(rs) => c.refSeqId == -2 ||
+      rs.exists(r => c.overlaps(r.refId, r.start1, r.end1))
+  })
+
+  override def next(): Boolean = {
+    while (i < p.offsets.length) {
+      val c = CramContainers.readContainerHeader(input, p.offsets(i), size)
+      i += 1
+      if (keep(c)) {
+        val vals = new Array[Any](getters.length)
+        var j = 0
+        while (j < vals.length) { vals(j) = getters(j)(c); j += 1 }
+        currentRow = new GenericInternalRow(vals)
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = currentRow
+  override def close(): Unit = input.close()
+}
+
+// ---- write path -----------------------------------------------------------
+
+class CramWriteBuilder(options: Map[String, String], schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = this
+  override def build(): Write = new CramWrite(options, schema)
+}
+
+class CramWrite(options: Map[String, String], schema: StructType) extends Write {
+  override def toBatch: BatchWrite = {
+    val path = options.getOrElse("path", throw new IllegalArgumentException("cram sink requires a path"))
+    require(path.endsWith(".cram"),
+      "cram sink writes a single .cram file (container-level; record codec is out of scope)")
+    val writeCrai = options.get("writecrai").exists(_.toBoolean)
+    new CramBatchWrite(path, writeCrai, schema,
+      new SerializableConf(SparkSession.active.sessionState.newHadoopConf()))
+  }
+}
+
+case class CramPartMessage(path: String, bytes: Long, entries: Seq[CraiEntry])
+  extends WriterCommitMessage
+
+/** Single-file sink: file-definition part + headerless container parts +
+  * EOF-container part, name-order concat (the BamSink geometry,
+  * reference CramSink.java:44-78); `.crai` entries collected per part and
+  * rebased by the bytes that precede each part after the merge.
+  */
+class CramBatchWrite(path: String, writeCrai: Boolean, schema: StructType,
+                     conf: SerializableConf) extends BatchWrite {
+  private val tempDir = path + ".parts"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val fs = new Path(path).getFileSystem(conf.conf)
+    fs.delete(new Path(path), false)
+    fs.delete(new Path(tempDir), true)
+    fs.mkdirs(new Path(tempDir))
+    val dir = tempDir
+    val sch = schema
+    val c = conf
+    (partitionId: Int, _: Long) => new CramDataWriter(dir, sch, c, partitionId)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.conf)
+    val ho = fs.create(new Path(tempDir, "header"), true)
+    ho.write(CramContainers.encodeFileDefinition())
+    ho.close()
+    val to = fs.create(new Path(tempDir, "terminator"), true)
+    to.write(CramContainers.encodeEofContainer())
+    to.close()
+    val parts = messages.collect { case m: CramPartMessage => m }.sortBy(_.path)
+    if (writeCrai) {
+      var base = CramContainers.FileDefinitionLength.toLong
+      val rebased = Seq.newBuilder[CraiEntry]
+      parts.foreach { m =>
+        m.entries.foreach(e => rebased += e.copy(containerOffset = e.containerOffset + base))
+        base += m.bytes
+      }
+      val co = fs.create(new Path(path + ".crai"), true)
+      CraiIndex.write(co, CraiIndex(rebased.result()))
+      co.close()
+    }
+    HadoopIO.mergeParts(new Path(tempDir), new Path(path), conf.conf)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.conf)
+    fs.delete(new Path(tempDir), true)
+  }
+}
+
+/** Rows are container specs: ref_seq_id, start_pos, span, n_records,
+  * data_length (payload bytes are opaque zeros — codec out of scope).
+  */
+class CramDataWriter(dir: String, schema: StructType, conf: SerializableConf, partitionId: Int)
+    extends DataWriter[InternalRow] {
+  private val partPath = new Path(dir, f"part-$partitionId%05d")
+  private val fs = partPath.getFileSystem(conf.conf)
+  private val out = new java.io.BufferedOutputStream(fs.create(partPath, true), 1 << 16)
+  private var written = 0L
+  private val entries = Seq.newBuilder[CraiEntry]
+
+  private def idx(n: String): Int = {
+    val i = schema.fieldNames.indexOf(n)
+    require(i >= 0, s"cram sink requires column $n")
+    i
+  }
+  private val iRef = idx("ref_seq_id")
+  private val iStart = idx("start_pos")
+  private val iSpan = idx("span")
+  private val iRecs = idx("n_records")
+  private val iLen = idx("data_length")
+
+  override def write(row: InternalRow): Unit = {
+    val dataLength = row.getInt(iLen)
+    require(dataLength >= 0, s"negative data_length $dataLength")
+    val refSeqId = row.getInt(iRef)
+    val startPos = row.getInt(iStart)
+    val span = row.getInt(iSpan)
+    val bytes = CramContainers.encodeContainer(dataLength, refSeqId, startPos, span, row.getInt(iRecs))
+    out.write(bytes)
+    entries += CraiEntry(refSeqId, startPos, span, written, 0, dataLength)
+    written += bytes.length
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    CramPartMessage(partPath.toString, written, entries.result())
+  }
+  override def abort(): Unit = { out.close(); fs.delete(partPath, false) }
+  override def close(): Unit = ()
+}
