@@ -34,11 +34,17 @@ object Bench {
     val errors = scala.collection.mutable.Map[String, String]()
     // round-robin over runs (not same-query back-to-back) so a query's
     // median doesn't benefit from its own just-warmed caches
+    var rowChecksum = 0L
     for (_ <- 1 to runs; name <- names if !errors.contains(name)) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        // consume the FULL ordered result — under a bare .count() Catalyst's
+        // EliminateSorts legally drops top-level orderBys, undercounting
+        // queries whose cost includes the output sort; collect() returns the
+        // sorted rows, and the checksum keeps the work observable
+        val rows = fn(spark, sfDir).collect()
+        rowChecksum ^= rows.length.toLong
         samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
       } catch {
         case e: Throwable =>
@@ -63,6 +69,7 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""runs":$runs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
+    System.err.println(s"[bench] row checksum $rowChecksum")
     val outPath = sys.env.getOrElse("BENCH_OUT", "BENCH_OUT.json")
     try Files.writeString(Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e") }

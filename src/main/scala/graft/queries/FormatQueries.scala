@@ -21,9 +21,19 @@ object FormatQueries {
     * clobber a file another JVM is mid-scan on.
     */
   private lazy val runId = java.util.UUID.randomUUID().toString.take(8)
-  private def tmpBase = {
+  private lazy val tmpBase = {
     val b = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    s"$b/graft-run-$runId"
+    val dir = s"$b/graft-run-$runId"
+    // scratch hygiene: repeated bench/verify runs must not accumulate
+    // ~100 MB of round-trip files per JVM in /tmp
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(new java.io.File(dir))))
+    dir
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Single-file sinks inherit the input's partitioning, and the synthetic
@@ -57,6 +67,25 @@ object FormatQueries {
   }
 
   private val Refs = "chr0:1000000,chr1:1000000,chr2:1000000"
+
+  /** Deterministic variants derived from lineitem (schema = Variant) —
+    * shared by the three VCF round-trip/interval queries.
+    */
+  private def syntheticVariants(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    Tables.lineitem(s, d).select(
+      concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+      ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+      ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+      lit(null).cast("string").as("id"),
+      lit("A").as("ref"),
+      array(substring(lit("CGTA"), ($"l_linenumber" % 4).cast("int") + 1, lit(1))).as("alt"),
+      ($"l_orderkey" % 100).cast("double").as("qual"),
+      array(lit("PASS")).as("filters"),
+      map(lit("DP"), $"l_suppkey".cast("string")).as("info"),
+      array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false)).as("genotypes"))
+  }
 
   /** Aggregate whose value pins down count, coordinates, cigar-derived end,
     * and the tag payload per contig.
@@ -179,20 +208,8 @@ object FormatQueries {
     // VCF sink/scan round-trip through splittable BGZF text
     "q_vcf_roundtrip" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.types._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/single.vcf.bgz"
-      val variants = Tables.lineitem(s, d).select(
-        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
-        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
-        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
-        lit(null).cast("string").as("id"),
-        lit("A").as("ref"),
-        array(substring(lit("CGTA"), ($"l_linenumber" % 4).cast("int") + 1, lit(1))).as("alt"),
-        ($"l_orderkey" % 100).cast("double").as("qual"),
-        array(lit("PASS")).as("filters"),
-        map(lit("DP"), $"l_suppkey".cast("string")).as("info"),
-        array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false)).as("genotypes"))
-      spread(variants).write.format("vcf").mode("overwrite").save(path)
+      spread(syntheticVariants(s, d)).write.format("vcf").mode("overwrite").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       back.groupBy($"contig")
         .agg(
@@ -220,20 +237,8 @@ object FormatQueries {
     // overlap (split pruning), residual filter keeps exactness
     "q_vcf_intervals" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.types._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/iv.vcf.bgz"
-      val variants = Tables.lineitem(s, d).select(
-        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
-        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
-        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
-        lit(null).cast("string").as("id"),
-        lit("A").as("ref"),
-        array(substring(lit("CGTA"), ($"l_linenumber" % 4).cast("int") + 1, lit(1))).as("alt"),
-        ($"l_orderkey" % 100).cast("double").as("qual"),
-        array(lit("PASS")).as("filters"),
-        map(lit("DP"), $"l_suppkey".cast("string")).as("info"),
-        array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false)).as("genotypes"))
-      variants
+      syntheticVariants(s, d)
         .repartitionByRange(8, $"contig", $"start")
         .sortWithinPartitions($"contig", $"start")
         .write.format("vcf").mode("overwrite").option("writeTbi", "true").save(path)
@@ -254,20 +259,8 @@ object FormatQueries {
     // pruning loss would hash-mismatch
     "q_vcf_idx_intervals" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.types._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/idxiv.vcf"
-      val variants = Tables.lineitem(s, d).select(
-        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
-        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
-        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
-        lit(null).cast("string").as("id"),
-        lit("A").as("ref"),
-        array(substring(lit("CGTA"), ($"l_linenumber" % 4).cast("int") + 1, lit(1))).as("alt"),
-        ($"l_orderkey" % 100).cast("double").as("qual"),
-        array(lit("PASS")).as("filters"),
-        map(lit("DP"), $"l_suppkey".cast("string")).as("info"),
-        array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false)).as("genotypes"))
-      variants
+      syntheticVariants(s, d)
         .repartitionByRange(8, $"contig", $"start")
         .sortWithinPartitions($"contig", $"start")
         .write.format("vcf").mode("overwrite").option("writeIdx", "true").save(path)
@@ -280,6 +273,40 @@ object FormatQueries {
           sum($"start".cast("long")).as("sum_start"),
           sum(element_at($"info", "DP").cast("long")).as("sum_dp"))
         .orderBy($"contig")
+    },
+
+    // CRAM container-level round-trip (reference CramSource.java:57-151 /
+    // CramSink.java:35-85 planning semantics): deterministic container specs
+    // are written through the single-file cram sink (file definition +
+    // containers + EOF terminator + `.crai` co-write rebased through the
+    // concat commit), then scanned back with an interval predicate — the
+    // scan prunes whole containers via the `.crai` (never walking pruned
+    // headers) with a residual header-coordinate filter for exactness. The
+    // record codec is the documented non-goal (SURVEY.md §7.4); container
+    // geometry is what the reference's split planner computes and is fully
+    // oracle-able without it.
+    "q_cram_containers" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/inv.cram"
+      val containers = Tables.supplier(s, d).select(
+        ($"s_suppkey" % 3).cast("int").as("ref_seq_id"),
+        (($"s_suppkey" * 131) % 99000 + 1).cast("int").as("start_pos"),
+        (($"s_suppkey" % 50) * 10 + 100).cast("int").as("span"),
+        ($"s_suppkey" % 100 + 1).cast("int").as("n_records"),
+        (($"s_suppkey" % 7) * 16).cast("int").as("data_length"))
+      spread(containers).write.format("cram").mode("overwrite")
+        .option("writeCrai", "true").save(path)
+      val back = s.read.format("cram").option("splitSize", 4 * 1024)
+        .option("intervals", "0:1-50000,2:60000-99999")
+        .load(path)
+      back.groupBy($"ref_seq_id")
+        .agg(
+          count(lit(1)).as("n_containers"),
+          sum($"start_pos".cast("long")).as("sum_start"),
+          sum($"span".cast("long")).as("sum_span"),
+          sum($"n_records".cast("long")).as("sum_records"),
+          sum($"data_length".cast("long")).as("sum_len"))
+        .orderBy($"ref_seq_id")
     },
 
     // interval scan driven by the standard external `.bai` index: the file
@@ -330,6 +357,23 @@ object FormatQueries {
         |SELECT icontig, istart, iend, COUNT(*) AS depth
         |FROM reads JOIN bins ON contig = icontig AND rstart <= iend AND rend >= istart
         |GROUP BY 1, 2, 3 ORDER BY icontig, istart""".stripMargin,
+    "q_cram_containers" ->
+      """WITH c AS (
+        |  SELECT CAST(s_suppkey % 3 AS INTEGER) AS ref_seq_id,
+        |    (s_suppkey * 131) % 99000 + 1 AS start_pos,
+        |    (s_suppkey % 50) * 10 + 100 AS span,
+        |    s_suppkey % 100 + 1 AS n_records,
+        |    (s_suppkey % 7) * 16 AS data_length
+        |  FROM supplier)
+        |SELECT ref_seq_id, COUNT(*) AS n_containers,
+        |  CAST(SUM(start_pos) AS BIGINT) AS sum_start,
+        |  CAST(SUM(span) AS BIGINT) AS sum_span,
+        |  CAST(SUM(n_records) AS BIGINT) AS sum_records,
+        |  CAST(SUM(data_length) AS BIGINT) AS sum_len
+        |FROM c
+        |WHERE (ref_seq_id = 0 AND start_pos <= 50000 AND start_pos + span - 1 >= 1)
+        |   OR (ref_seq_id = 2 AND start_pos <= 99999 AND start_pos + span - 1 >= 60000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bam_roundtrip_single" -> oracleAggregate(""),
     "q_bam_roundtrip_sharded" -> oracleAggregate(""),
     "q_sam_roundtrip" -> oracleAggregate(""),

@@ -304,16 +304,28 @@ object Pipeline {
     // embedding-cosine near-dup: exact quantized dot scored only on
     // ANN-bucket candidates (same-sign-bucket vectors) — the bucket is the
     // shuffle key, so the pair space is per-bucket, not global or
-    // per-label (a label bucket is ~the corpus at 100 TB)
+    // per-label (a label bucket is ~the corpus at 100 TB). Candidate pairs
+    // come from the same capped collect_list shape as [[lshCandidatePairs]]:
+    // a degenerate embedding cluster (near-duplicate spam, zero vectors)
+    // would make one bucket's pair space quadratic in corpus size — buckets
+    // past [[MaxBucket]] are dropped, not exploded.
     "q_dedup_embedding" -> { (s, d) =>
       import s.implicits._
       val e = Tables.embeddings(s, d)
         .select($"vec_id", quantized($"embedding").as("q"))
         .withColumn("bucket", lshBucket)
-        .persist() // quantize+bucket once, not per join side
-      e.as("a").join(e.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-          qdot($"a.q", $"b.q").as("qdot"))
+        .persist() // quantize+bucket once: feeds pair generation and scoring
+      val pairs = e.groupBy($"bucket")
+        .agg(sort_array(collect_list($"vec_id")).as("ids"))
+        .filter(size($"ids") > 1 && size($"ids") <= MaxBucket)
+        .select(explode(flatten(transform($"ids", (x, i) =>
+          transform(slice($"ids", i + lit(2), size($"ids")),
+            y => struct(x.as("vec_a"), y.as("vec_b")))))).as("p"))
+        .select($"p.vec_a", $"p.vec_b")
+      pairs
+        .join(e.select($"vec_id".as("vec_a"), $"q".as("qa")), "vec_a")
+        .join(e.select($"vec_id".as("vec_b"), $"q".as("qb")), "vec_b")
+        .select($"vec_a", $"vec_b", qdot($"qa", $"qb").as("qdot"))
         .filter($"qdot" >= QdotThreshold)
         .orderBy($"vec_a", $"vec_b")
     },
@@ -536,10 +548,13 @@ object Pipeline {
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
          |  FROM embeddings),
-         |eb AS (SELECT vec_id, q, CAST($bucketTerms AS BIGINT) AS bucket FROM e)
+         |eb AS (SELECT vec_id, q, CAST($bucketTerms AS BIGINT) AS bucket FROM e),
+         |bok AS (SELECT bucket FROM eb GROUP BY bucket
+         |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT) AS qdot
          |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |JOIN bok o ON o.bucket = a.bucket
          |WHERE list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) >= $QdotThreshold
          |ORDER BY vec_a, vec_b""".stripMargin
     },

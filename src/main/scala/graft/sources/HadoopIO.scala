@@ -62,6 +62,26 @@ object HadoopIO {
         .sortBy(_.getName)
   }
 
+  /** Fan per-file split planning out on a bounded thread pool. Planning a
+    * file does real I/O (header read, index sidecar reads), so at 100k input
+    * shards a serial loop is O(files) sequential driver RPCs; the pool bounds
+    * concurrency while the result preserves lexicographic file order (the
+    * ordering guarantee of multi-file inputs). Shared by the BAM/SAM/VCF/CRAM
+    * scans.
+    */
+  def planFiles[T](files: Seq[Path])(planFile: Path => Seq[T]): Seq[T] =
+    if (files.lengthCompare(2) < 0) files.flatMap(planFile)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, files.size))
+      try
+        files.map { f =>
+          pool.submit(new java.util.concurrent.Callable[Seq[T]] {
+            override def call(): Seq[T] = planFile(f)
+          })
+        }.flatMap(_.get())
+      finally pool.shutdown()
+    }
+
   /** Order-preserving merge of a temp dir's parts into one file.
     *
     * Fast path: `FileSystem.concat` — a metadata-only block concatenation

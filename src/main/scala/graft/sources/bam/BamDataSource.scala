@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.bam._
 import graft.bgzf.Bgzf
 import graft.index.{GciIndex, SbiIndex}
-import graft.sources.{GenomicInterval, HadoopIO, PushedRegion, SerializableConf}
+import graft.sources.{GenomicInterval, HadoopIO, PushedRegion, SerializableConf, Stringency, StringencyLog}
 
 /** `spark.read.format("bam")` / `df.write.format("bam")` — the Spark-native
   * re-expression of the reference's HtsjdkReadsRddStorage BAM path
@@ -110,15 +110,29 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
     val pathStr = options.getOrElse("path",
       throw new IllegalArgumentException("bam source requires a path"))
     val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
-    val intervals = options.get("intervals")
+    val intervals0 = options.get("intervals")
       .map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
       .orElse(PushedRegion.toIntervals(pushed)) // filter-derived pushdown
-    val unplacedUnmapped = options.get("unplacedunmapped").exists(_.toBoolean)
+    val unplacedUnmappedOpt = options.get("unplacedunmapped").map(_.toBoolean)
+    val unplacedUnmapped = unplacedUnmappedOpt.getOrElse(false)
+    // traversal-parameter parity (reference AbstractBinarySamSource.java:50-54
+    // + :95-118): an explicit unplacedUnmapped WITHOUT intervals means
+    // "mapped only" (false → rejected upstream too) or "unplaced-unmapped
+    // ONLY" (true → empty interval list, so only the unmapped tail matches;
+    // index paths then prune all mapped partitions). No option at all keeps
+    // the read-everything traversal.
+    val intervals =
+      if (intervals0.isEmpty && unplacedUnmappedOpt.isDefined) {
+        if (!unplacedUnmapped)
+          throw new IllegalArgumentException("traversing mapped reads only is not supported")
+        Some(Nil)
+      } else intervals0
     val pairAware = options.get("keeppairstogether").exists(_.toBoolean)
     // validation stringency on the binary path (reference
-    // HtsjdkReadsRddStorage.java:97-100): permissive skips undecodable
-    // records (framing stays aligned), default throws with file/voff context
-    val permissive = options.get("mode").exists(_.equalsIgnoreCase("permissive"))
+    // HtsjdkReadsRddStorage.java:97-100): strict fails with file/voff
+    // context, lenient warns+counts (salvaging tag-only failures), and
+    // permissive skips silently — framing stays aligned in every tier
+    val stringency = Stringency.fromOptions(options)
     val extraSlack = options.get("intervalslack").map(_.toInt).getOrElse(0)
     val files = HadoopIO.listInputFiles(pathStr, conf)
 
@@ -208,7 +222,7 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
             val (cs, ce) = (bounds(i.toInt), bounds(i.toInt + 1))
             if (cs >= ce || !mayOverlap(cs, ce)) None
             else Some(BamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
-              header, headerEnd, intervals, unplacedUnmapped, cs, ce, pairAware, permissive))
+              header, headerEnd, intervals, unplacedUnmapped, cs, ce, pairAware, stringency))
           }
         } else {
           // External-index path: with intervals and a standard `.bai` next
@@ -259,7 +273,7 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
                 val n = ((re - rs) + splitSize - 1) / splitSize
                 (0L until n).map { i =>
                   BamInputPartition(file.toString, rs + i * splitSize, math.min(re, rs + (i + 1) * splitSize),
-                    header, headerEnd, intervals, unplacedUnmapped, -1L, -1L, pairAware, permissive)
+                    header, headerEnd, intervals, unplacedUnmapped, -1L, -1L, pairAware, stringency)
                 }
               }
             case None =>
@@ -267,29 +281,16 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
               // records whose start voff lies in a block starting within it
               (0L until nSplits).map { i =>
                 BamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
-                  header, headerEnd, intervals, unplacedUnmapped, -1L, -1L, pairAware, permissive)
+                  header, headerEnd, intervals, unplacedUnmapped, -1L, -1L, pairAware, stringency)
               }
           }
         }
       } finally in.close()
     }
 
-    // Per-file planning does real I/O (header + SBI + GCI reads): at 100k
-    // input files a serial loop is O(files) sequential RPCs on the driver.
-    // Fan out on a bounded pool; result order preserves the lexicographic
-    // file order (the ordering guarantee of multi-file inputs).
-    val planned: Array[InputPartition] =
-      if (files.lengthCompare(2) < 0) files.flatMap(planFile).toArray
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, files.size))
-        try {
-          files.map { f =>
-            pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
-              override def call(): Seq[InputPartition] = planFile(f)
-            })
-          }.flatMap(_.get()).toArray
-        } finally pool.shutdown()
-      }
+    // Per-file planning does real I/O (header + SBI + GCI reads) — fan out
+    // on the shared bounded pool, lexicographic file order preserved.
+    val planned: Array[InputPartition] = HadoopIO.planFiles(files)(planFile).toArray
     // header-compat across directory inputs (reference leaves this
     // undefined and silently uses the first header): a shard whose sequence
     // dictionary differs would mislabel every refId it carries — fail at
@@ -321,7 +322,7 @@ case class BamInputPartition(
     intervals: Option[Seq[GenomicInterval]], unplacedUnmapped: Boolean,
     chunkStartVoff: Long, chunkEndVoff: Long, // -1 when no .sbi (heuristic)
     pairAware: Boolean = false, // name-runs never split across partitions
-    permissive: Boolean = false) // skip undecodable records instead of failing
+    stringency: Stringency = Stringency.Strict) // malformed-record policy
   extends InputPartition
 
 class BamPartitionReaderFactory(conf: SerializableConf, required: StructType)
@@ -483,7 +484,7 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
     new GenericInternalRow(vals)
   }
 
-  private var skippedCorrupt = 0L
+  private val slog = new StringencyLog(s"${p.file} [${p.splitStart}, ${p.splitEnd})")
 
   private def readOne(): AlignmentRecord = {
     while (true) {
@@ -502,8 +503,21 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
       stream.readFully(rec, 0, blockSize)
       try return BamCodec.decodeRecord(rec, blockSize, p.header, mask)
       catch {
-        case e: Exception if p.permissive =>
-          skippedCorrupt += 1 // framing was sane: next record follows
+        case _: Exception if p.stringency eq Stringency.Permissive =>
+          slog.skipSilently() // framing was sane: next record follows
+        case e: Exception if p.stringency eq Stringency.Lenient =>
+          // a failure confined to the optional-tag region is recoverable:
+          // the record re-decodes cleanly without the attribute map
+          val salvagedRec =
+            if (mask.attrs)
+              try BamCodec.decodeRecord(rec, blockSize, p.header, mask.copy(attrs = false))
+              catch { case _: Exception => null }
+            else null
+          if (salvagedRec != null) {
+            slog.salvage(s"tag region of BAM record at voff $recVoff in ${p.file}: ${e.getMessage}")
+            return salvagedRec
+          }
+          slog.skip(s"undecodable BAM record at voff $recVoff in ${p.file}: ${e.getMessage}")
         case e: Exception =>
           throw new java.io.IOException(
             s"undecodable BAM record at voff $recVoff in ${p.file}", e)
@@ -514,10 +528,7 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
 
   override def get(): InternalRow = currentRow
   override def close(): Unit = {
-    if (skippedCorrupt > 0)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"permissive mode skipped $skippedCorrupt undecodable records in ${p.file} " +
-          s"[${p.splitStart}, ${p.splitEnd})")
+    slog.summarize()
     stream.close()
   }
 }

@@ -53,8 +53,13 @@ object CramTable {
 class CramTable(properties: Map[String, String]) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"cram:${properties.getOrElse("path", "?")}"
   override def schema(): StructType = CramTable.schema
+  // ACCEPT_ANY_SCHEMA: the sink takes container SPECS (ref_seq_id, start_pos,
+  // span, n_records, data_length) — offset/n_blocks are geometry the writer
+  // computes, so the input never carries the full read schema; the writer
+  // resolves its required columns by name and fails fast on what's missing
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CramScanBuilder(options.asScala.toMap.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v })
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -154,7 +159,8 @@ class CramScan(options: Map[String, String], required: StructType) extends Scan 
       } finally in.close()
     }
 
-    files.flatMap(planFile).toArray
+    // per-file container/index I/O fanned out on the shared bounded pool
+    HadoopIO.planFiles(files)(planFile).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

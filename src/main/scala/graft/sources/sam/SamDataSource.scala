@@ -78,12 +78,24 @@ class SamScan(options: Map[String, String], required: StructType,
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val pathStr = options.getOrElse("path", throw new IllegalArgumentException("sam source requires a path"))
     val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
-    val intervals = options.get("intervals")
+    val intervals0 = options.get("intervals")
       .map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
       .orElse(graft.sources.PushedRegion.toIntervals(pushed)) // filter-derived pushdown
-    val unplacedUnmapped = options.get("unplacedunmapped").exists(_.toBoolean)
-    val permissive = options.get("mode").exists(_.equalsIgnoreCase("permissive"))
-    HadoopIO.listInputFiles(pathStr, conf).flatMap { file =>
+    val unplacedUnmappedOpt = options.get("unplacedunmapped").map(_.toBoolean)
+    val unplacedUnmapped = unplacedUnmappedOpt.getOrElse(false)
+    // traversal-parameter parity (reference AbstractBinarySamSource.java:50-54):
+    // explicit unplacedUnmapped without intervals = mapped-only (rejected)
+    // or unplaced-unmapped-only (empty interval list)
+    val intervals =
+      if (intervals0.isEmpty && unplacedUnmappedOpt.isDefined) {
+        if (!unplacedUnmapped)
+          throw new IllegalArgumentException("traversing mapped reads only is not supported")
+        Some(Nil)
+      } else intervals0
+    val stringency = graft.sources.Stringency.fromOptions(options)
+    // per-file header I/O fanned out on the shared bounded pool (O(files)
+    // serial driver RPCs otherwise), lexicographic file order preserved
+    HadoopIO.planFiles(HadoopIO.listInputFiles(pathStr, conf)) { file =>
       val in = HadoopIO.open(file, conf)
       try {
         // header text: leading @-lines of the file
@@ -94,7 +106,7 @@ class SamScan(options: Map[String, String], required: StructType,
         val nSplits = math.max(1L, (size + splitSize - 1) / splitSize)
         (0L until nSplits).map { i =>
           SamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
-            header, intervals, unplacedUnmapped, permissive)
+            header, intervals, unplacedUnmapped, stringency)
         }
       } finally in.close()
     }.toArray
@@ -110,7 +122,7 @@ class SamScan(options: Map[String, String], required: StructType,
 
 case class SamInputPartition(file: String, splitStart: Long, splitEnd: Long,
     header: SamHeader, intervals: Option[Seq[GenomicInterval]], unplacedUnmapped: Boolean,
-    permissive: Boolean) // validation stringency: permissive skips bad lines
+    stringency: graft.sources.Stringency) // malformed-line policy
   extends InputPartition
 
 class SamPartitionReader(p: SamInputPartition, conf: SerializableConf, required: StructType)
@@ -119,6 +131,7 @@ class SamPartitionReader(p: SamInputPartition, conf: SerializableConf, required:
   private val lines = SplitTextReader.lines(input, p.splitStart, p.splitEnd, bgzf = false)
   private val getters = AlignmentRowBuilder.getters(required)
   private var currentRow: InternalRow = _
+  private val slog = new graft.sources.StringencyLog(s"${p.file} [${p.splitStart}, ${p.splitEnd})")
 
   private def keep(r: AlignmentRecord): Boolean = p.intervals match {
     case None => true
@@ -133,11 +146,23 @@ class SamPartitionReader(p: SamInputPartition, conf: SerializableConf, required:
       val line = lines.next()
       if (line.nonEmpty && !line.startsWith("@")) {
         // validation stringency (reference HtsjdkReadsRddStorage.java:97-100):
-        // permissive = skip malformed lines; default = fail fast with context
+        // strict fails fast with context, lenient warns+counts (salvaging
+        // lines whose failure is confined to the optional columns past the
+        // 11 mandatory SAM fields), permissive skips silently
         val rec =
           try SamCodec.fromLine(line, p.header)
           catch {
-            case e: Exception if p.permissive => null
+            case _: Exception if p.stringency eq graft.sources.Stringency.Permissive =>
+              slog.skipSilently(); null
+            case e: Exception if p.stringency eq graft.sources.Stringency.Lenient =>
+              val mandatory = line.split('\t').take(11).mkString("\t")
+              val salvagedRec =
+                try SamCodec.fromLine(mandatory, p.header)
+                catch { case _: Exception => null }
+              if (salvagedRec != null)
+                slog.salvage(s"optional columns of SAM line in ${p.file}: ${e.getMessage}")
+              else slog.skip(s"bad SAM line in ${p.file}: ${e.getMessage}")
+              salvagedRec
             case e: Exception =>
               throw new java.io.IOException(s"bad SAM line in ${p.file}: $line", e)
           }
@@ -150,7 +175,7 @@ class SamPartitionReader(p: SamInputPartition, conf: SerializableConf, required:
     false
   }
   override def get(): InternalRow = currentRow
-  override def close(): Unit = input.close()
+  override def close(): Unit = { slog.summarize(); input.close() }
 }
 
 /** AlignmentRecord → InternalRow for a required schema (shared with BAM). */

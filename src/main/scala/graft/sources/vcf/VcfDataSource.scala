@@ -86,8 +86,10 @@ class VcfScan(options: Map[String, String], required: StructType,
     val intervals = options.get("intervals")
       .map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
       .orElse(graft.sources.PushedRegion.toIntervals(pushed)) // filter-derived pushdown
-    val permissive = options.get("mode").exists(_.equalsIgnoreCase("permissive"))
-    HadoopIO.listInputFiles(pathStr, conf).flatMap { file =>
+    val stringency = graft.sources.Stringency.fromOptions(options)
+    // per-file header/index I/O fanned out on the shared bounded pool
+    // (O(files) serial driver RPCs otherwise), lexicographic order preserved
+    HadoopIO.planFiles(HadoopIO.listInputFiles(pathStr, conf)) { file =>
       val in = HadoopIO.open(file, conf)
       try {
         val bgzf = SplitTextReader.isBgzf(in)
@@ -98,7 +100,7 @@ class VcfScan(options: Map[String, String], required: StructType,
           // non-splittable: one whole-file partition (reference
           // BGZFEnhancedGzipCodec fallback semantics)
           Seq(VcfInputPartition(file.toString, 0L, Long.MaxValue, header, bgzf = false,
-            wholeGzip = true, intervals, permissive))
+            wholeGzip = true, intervals, stringency))
         } else {
           // tabix split pruning: with intervals and a `.tbi` next to a BGZF
           // file, plan only byte ranges whose blocks can hold overlapping
@@ -153,14 +155,14 @@ class VcfScan(options: Map[String, String], required: StructType,
                 val n = ((re - rs) + splitSize - 1) / splitSize
                 (0L until n).map { i =>
                   VcfInputPartition(file.toString, rs + i * splitSize, math.min(re, rs + (i + 1) * splitSize),
-                    header, bgzf, wholeGzip = false, intervals, permissive)
+                    header, bgzf, wholeGzip = false, intervals, stringency)
                 }
               }
             case None =>
               val nSplits = math.max(1L, (size + splitSize - 1) / splitSize)
               (0L until nSplits).map { i =>
                 VcfInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
-                  header, bgzf, wholeGzip = false, intervals, permissive)
+                  header, bgzf, wholeGzip = false, intervals, stringency)
               }
           }
         }
@@ -195,7 +197,7 @@ class VcfScan(options: Map[String, String], required: StructType,
 case class VcfInputPartition(file: String, splitStart: Long, splitEnd: Long,
     header: VcfHeader, bgzf: Boolean, wholeGzip: Boolean,
     intervals: Option[Seq[GenomicInterval]],
-    permissive: Boolean) extends InputPartition
+    stringency: graft.sources.Stringency) extends InputPartition
 
 class VcfPartitionReader(p: VcfInputPartition, conf: SerializableConf, required: StructType)
     extends PartitionReader[InternalRow] {
@@ -205,6 +207,7 @@ class VcfPartitionReader(p: VcfInputPartition, conf: SerializableConf, required:
     else SplitTextReader.lines(input, p.splitStart, p.splitEnd, p.bgzf)
   private val getters = VariantRowBuilder.getters(required)
   private var currentRow: InternalRow = _
+  private val slog = new graft.sources.StringencyLog(s"${p.file} [${p.splitStart}, ${p.splitEnd})")
 
   private def keep(v: Variant): Boolean = p.intervals match {
     case None => true
@@ -215,10 +218,23 @@ class VcfPartitionReader(p: VcfInputPartition, conf: SerializableConf, required:
     while (lines.hasNext) {
       val line = lines.next()
       if (line.nonEmpty && line.charAt(0) != '#') {
+        // stringency: strict fails fast, lenient warns+counts (salvaging
+        // lines whose failure is confined to the FORMAT/genotype columns
+        // past the 8 mandatory VCF fields), permissive skips silently
         val v =
           try VcfCodec.fromLine(line, p.header.samples)
           catch {
-            case e: Exception if p.permissive => null
+            case _: Exception if p.stringency eq graft.sources.Stringency.Permissive =>
+              slog.skipSilently(); null
+            case e: Exception if p.stringency eq graft.sources.Stringency.Lenient =>
+              val mandatory = line.split('\t').take(8).mkString("\t")
+              val salvagedV =
+                try VcfCodec.fromLine(mandatory, Nil)
+                catch { case _: Exception => null }
+              if (salvagedV != null)
+                slog.salvage(s"genotype columns of VCF line in ${p.file}: ${e.getMessage}")
+              else slog.skip(s"bad VCF line in ${p.file}: ${e.getMessage}")
+              salvagedV
             case e: Exception =>
               throw new java.io.IOException(s"bad VCF line in ${p.file}: $line", e)
           }
@@ -231,7 +247,7 @@ class VcfPartitionReader(p: VcfInputPartition, conf: SerializableConf, required:
     false
   }
   override def get(): InternalRow = currentRow
-  override def close(): Unit = input.close()
+  override def close(): Unit = { slog.summarize(); input.close() }
 }
 
 object VariantRowBuilder {

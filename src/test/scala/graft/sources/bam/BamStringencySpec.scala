@@ -59,4 +59,72 @@ class BamStringencySpec extends AnyFunSuite with SparkFixture {
       .load(path.toString).count()
     assert(got == 399)
   }
+
+  /** A BAM where record `corruptAt`'s LAST optional tag has an invalid type
+    * byte — core fields stay decodable, only the tag region is broken
+    * (both TestReads tags encode to 7 bytes, so the type byte of the last
+    * one sits at length-5 regardless of map order).
+    */
+  private def tagCorruptBam(n: Int, corruptAt: Int): java.nio.file.Path = {
+    val recs = TestReads.pairs(n / 2 + 1).take(n)
+    val dir = Files.createTempDirectory("stringency-tag")
+    dir.toFile.deleteOnExit()
+    val path = dir.resolve("tagcorrupt.bam")
+    val out = new BgzfOutputStream(Files.newOutputStream(path))
+    BamCodec.writeHeader(out, TestReads.header)
+    recs.zipWithIndex.foreach { case (r, i) =>
+      val bytes = BamCodec.encodeRecord(r, TestReads.header)
+      if (i == corruptAt) bytes(bytes.length - 5) = 'q'.toByte // bad tag type
+      out.write(bytes)
+    }
+    out.close()
+    path
+  }
+
+  // --- three-tier matrix (strict | lenient | permissive) ------------------
+
+  test("strict: tag-region corruption fails when tags are decoded") {
+    val path = tagCorruptBam(40, corruptAt = 11)
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.format("bam").load(path.toString)
+        .selectExpr("readName", "attributes").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).mkString(" | ").contains("undecodable BAM record at voff"))
+  }
+
+  test("lenient: tag-corrupt record salvaged without attributes, none dropped") {
+    val path = tagCorruptBam(40, corruptAt = 11)
+    val rows = spark.read.format("bam").option("mode", "lenient")
+      .load(path.toString)
+      .selectExpr("readName", "attributes").collect()
+    assert(rows.length == 40) // the record survives, minus its tag map
+    assert(rows.count(_.isNullAt(1)) == 1)
+  }
+
+  test("permissive: tag-corrupt record dropped whole") {
+    val path = tagCorruptBam(40, corruptAt = 11)
+    val rows = spark.read.format("bam").option("mode", "permissive")
+      .load(path.toString)
+      .selectExpr("readName", "attributes").collect()
+    assert(rows.length == 39)
+  }
+
+  test("lenient: core-field corruption skips the record, keeps the rest") {
+    val path = corruptBam(40, corruptAt = 17)
+    val got = spark.read.format("bam").option("mode", "lenient")
+      .load(path.toString).count()
+    assert(got == 39)
+  }
+
+  test("unknown mode fails fast at planning") {
+    val path = corruptBam(4, corruptAt = 1)
+    val e = intercept[Exception] {
+      spark.read.format("bam").option("mode", "bogus").load(path.toString).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).mkString(" | ").contains("unknown mode 'bogus'"))
+  }
 }
