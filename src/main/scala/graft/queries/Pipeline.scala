@@ -330,6 +330,85 @@ object Pipeline {
         .orderBy($"vec_a", $"vec_b")
     },
 
+    // dedup RESOLUTION: candidate pairs → connected components → canonical
+    // keeper per cluster (min doc_id). Pairs alone don't dedup a corpus —
+    // A~B and B~C must collapse to ONE keeper even though A~C was never a
+    // candidate. Min-label propagation to fixpoint over the (tiny,
+    // MaxBucket-capped) candidate graph: each iteration is one shuffle join
+    // on candidate-sized data, iterations bounded by cluster diameter —
+    // the corpus itself is never touched after signature generation.
+    "q_dedup_clusters" -> { (s, d) =>
+      import s.implicits._
+      val sigs = signedDocs(Tables.documents(s, d)).select($"doc_id", $"sig").persist()
+      val pairs = lshCandidatePairs(sigs)
+      val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        .persist()
+      var labels = edges.select($"src".as("id")).distinct()
+        .select($"id", $"id".as("lbl")).persist()
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < 100) {
+        val nbr = edges
+          .join(labels.select($"id".as("nid"), $"lbl".as("nlbl")), $"dst" === $"nid")
+          .groupBy($"src").agg(min($"nlbl").as("nbl"))
+        val next = labels.as("o")
+          .join(nbr, $"o.id" === nbr("src"), "left")
+          .select($"o.id".as("id"), least($"o.lbl", coalesce($"nbl", $"o.lbl")).as("lbl"))
+          .persist()
+        changed = next.as("n").join(labels.as("o"), "id")
+          .filter($"n.lbl" =!= $"o.lbl").count()
+        labels.unpersist()
+        labels = next
+        iters += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $iters iterations")
+      labels.groupBy($"lbl".as("keeper"))
+        .agg(count(lit(1)).as("n_members"), sum($"id").as("sum_ids"))
+        .orderBy($"keeper")
+    },
+
+    // stratified train/val/test assignment by portable content-stable hash:
+    // the split is a pure function of doc_id, so re-runs, backfills, and
+    // different partitionings all agree — one narrow pass + tiny aggregate
+    "q_split_assign" -> { (s, d) =>
+      import s.implicits._
+      val df = Tables.documents(s, d)
+        .withColumn("bucket", hash60(concat(lit("split|"), $"doc_id".cast("string"))) % 1000)
+        .withColumn("split",
+          when($"bucket" < 900, "train").when($"bucket" < 950, "val").otherwise("test"))
+      df.groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars".cast("long")).as("sum_chars"),
+          min($"doc_id").as("min_doc"))
+        .orderBy($"lang", $"split")
+    },
+
+    // integer-quantized TF-IDF top terms per document: tf from one explode +
+    // count, document frequency over the full corpus, idf_milli = N*1000 div
+    // df (pure integer — no float drift between engines), top-5 terms per
+    // doc by window. The tf side is filtered to the report slice BEFORE the
+    // join; df/idf stay corpus-wide as the statistic requires.
+    "q_text_tfidf" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tf = docs.select($"doc_id", explode(words($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.filter($"doc_id" < 50)
+        .join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("idf_milli", expr("n * 1000 div df"))
+        .withColumn("tfidf_milli", $"tf" * $"idf_milli")
+      val w = Window.partitionBy($"doc_id").orderBy($"tfidf_milli".desc, $"term")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"doc_id", $"rnk", $"term", $"tf", $"df", $"tfidf_milli")
+        .orderBy($"doc_id", $"rnk")
+    },
+
     // == similarity search ===============================================
 
     // brute-force top-10 nearest (by quantized dot) for 5 query vectors;
@@ -540,6 +619,47 @@ object Pipeline {
          |FROM p WHERE inter > 0 AND inter * 1000 // uni >= 30
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    "q_dedup_clusters" -> {
+      // transitive closure over the capped candidate pairs (recursive CTE =
+      // the fixpoint Spark reaches by min-label propagation)
+      s"""${oracleBandsCte().replace("WITH t AS", "WITH RECURSIVE t AS")},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandhash = b.bandhash
+         |    AND a.doc_id < b.doc_id
+         |  JOIN bok o ON o.band = a.band AND o.bandhash = a.bandhash),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS lbl FROM reach GROUP BY src)
+         |SELECT lbl AS keeper, COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS sum_ids
+         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_split_assign" ->
+      s"""WITH t AS (SELECT lang, n_chars, doc_id,
+         |  ${h60("'split|' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket FROM documents),
+         |u AS (SELECT lang, CASE WHEN bucket < 900 THEN 'train'
+         |    WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split, n_chars, doc_id FROM t)
+         |SELECT lang, split, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_text_tfidf" ->
+      s"""WITH w AS (SELECT doc_id, unnest($wsExpr) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |s AS (SELECT t.doc_id, t.term, t.tf, d.df,
+         |    t.tf * ((SELECT n FROM n) * 1000 // d.df) AS tfidf_milli
+         |  FROM tf t JOIN dfreq d USING (term) WHERE t.doc_id < 50),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf_milli DESC, term) AS rnk FROM s)
+         |SELECT doc_id, rnk, term, tf, df, tfidf_milli FROM r WHERE rnk <= 5
+         |ORDER BY doc_id, rnk""".stripMargin,
 
     "q_dedup_embedding" -> {
       val bucketTerms = (0 until LshPlanes).map { p =>
