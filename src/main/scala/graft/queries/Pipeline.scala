@@ -348,13 +348,20 @@ object Pipeline {
         .select($"id", $"id".as("lbl")).persist()
       var changed = 1L
       var iters = 0
-      while (changed > 0 && iters < 100) {
+      while (changed > 0 && iters < 64) {
         val nbr = edges
           .join(labels.select($"id".as("nid"), $"lbl".as("nlbl")), $"dst" === $"nid")
           .groupBy($"src").agg(min($"nlbl").as("nbl"))
-        val next = labels.as("o")
+        val prop = labels.as("o")
           .join(nbr, $"o.id" === nbr("src"), "left")
           .select($"o.id".as("id"), least($"o.lbl", coalesce($"nbl", $"o.lbl")).as("lbl"))
+        // pointer jumping: also adopt the label OF my label (lbl is always a
+        // node id, so the self-join hits) — convergence in O(log diameter)
+        // rounds instead of O(diameter), which is what bounds wall-clock on
+        // a long chain of near-duplicates
+        val next = prop.as("x")
+          .join(prop.select($"id".as("pid"), $"lbl".as("plbl")), $"x.lbl" === $"pid", "left")
+          .select($"x.id".as("id"), least($"x.lbl", coalesce($"plbl", $"x.lbl")).as("lbl"))
           .persist()
         changed = next.as("n").join(labels.as("o"), "id")
           .filter($"n.lbl" =!= $"o.lbl").count()

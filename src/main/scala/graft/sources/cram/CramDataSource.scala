@@ -228,10 +228,13 @@ class CramWriteBuilder(options: Map[String, String], schema: StructType)
 class CramWrite(options: Map[String, String], schema: StructType) extends Write {
   override def toBatch: BatchWrite = {
     val path = options.getOrElse("path", throw new IllegalArgumentException("cram sink requires a path"))
-    require(path.endsWith(".cram"),
-      "cram sink writes a single .cram file (container-level; record codec is out of scope)")
+    // write-option inference (the BAM/VCF convention): a `.cram` path is a
+    // single file via parts + name-order concat; anything else is a sharded
+    // directory of COMPLETE per-partition .cram files (AnySamSinkMultiple
+    // semantics, reference AnySamSinkMultiple.java:39-73)
+    val singleFile = path.endsWith(".cram")
     val writeCrai = options.get("writecrai").exists(_.toBoolean)
-    new CramBatchWrite(path, writeCrai, schema,
+    new CramBatchWrite(path, singleFile, writeCrai, schema,
       new SerializableConf(SparkSession.active.sessionState.newHadoopConf()))
   }
 }
@@ -239,27 +242,37 @@ class CramWrite(options: Map[String, String], schema: StructType) extends Write 
 case class CramPartMessage(path: String, bytes: Long, entries: Seq[CraiEntry])
   extends WriterCommitMessage
 
-/** Single-file sink: file-definition part + headerless container parts +
+/** Single-file mode: file-definition part + headerless container parts +
   * EOF-container part, name-order concat (the BamSink geometry,
   * reference CramSink.java:44-78); `.crai` entries collected per part and
   * rebased by the bytes that precede each part after the merge.
+  * Sharded mode: each partition writes a COMPLETE standalone .cram (file
+  * definition + containers + EOF terminator), with a per-shard `.crai`
+  * written executor-side when requested — no driver-side merge at all.
   */
-class CramBatchWrite(path: String, writeCrai: Boolean, schema: StructType,
-                     conf: SerializableConf) extends BatchWrite {
+class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
+                     schema: StructType, conf: SerializableConf) extends BatchWrite {
   private val tempDir = path + ".parts"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val fs = new Path(path).getFileSystem(conf.conf)
-    fs.delete(new Path(path), false)
-    fs.delete(new Path(tempDir), true)
-    fs.mkdirs(new Path(tempDir))
-    val dir = tempDir
+    if (singleFile) {
+      fs.delete(new Path(path), false)
+      fs.delete(new Path(tempDir), true)
+      fs.mkdirs(new Path(tempDir))
+    } else {
+      fs.delete(new Path(path), true)
+      fs.mkdirs(new Path(path))
+    }
+    val dir = if (singleFile) tempDir else path
     val sch = schema
     val c = conf
-    (partitionId: Int, _: Long) => new CramDataWriter(dir, sch, c, partitionId)
+    val complete = !singleFile
+    val shardCrai = writeCrai && !singleFile
+    (partitionId: Int, _: Long) => new CramDataWriter(dir, sch, c, partitionId, complete, shardCrai)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit = if (singleFile) {
     val fs = new Path(path).getFileSystem(conf.conf)
     val ho = fs.create(new Path(tempDir, "header"), true)
     ho.write(CramContainers.encodeFileDefinition())
@@ -280,23 +293,34 @@ class CramBatchWrite(path: String, writeCrai: Boolean, schema: StructType,
       co.close()
     }
     HadoopIO.mergeParts(new Path(tempDir), new Path(path), conf.conf)
-  }
+  } // sharded: every shard (and its .crai) is already complete on disk
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.conf)
-    fs.delete(new Path(tempDir), true)
+    fs.delete(new Path(if (singleFile) tempDir else path), true)
   }
 }
 
 /** Rows are container specs: ref_seq_id, start_pos, span, n_records,
   * data_length (payload bytes are opaque zeros — codec out of scope).
+  * `complete` = sharded mode: this writer emits a standalone .cram
+  * (file definition up front, EOF container at commit, absolute `.crai`
+  * offsets written next to the shard when `shardCrai`).
   */
-class CramDataWriter(dir: String, schema: StructType, conf: SerializableConf, partitionId: Int)
+class CramDataWriter(dir: String, schema: StructType, conf: SerializableConf, partitionId: Int,
+                     complete: Boolean = false, shardCrai: Boolean = false)
     extends DataWriter[InternalRow] {
-  private val partPath = new Path(dir, f"part-$partitionId%05d")
+  private val partPath = new Path(dir, f"part-$partitionId%05d" + (if (complete) ".cram" else ""))
   private val fs = partPath.getFileSystem(conf.conf)
   private val out = new java.io.BufferedOutputStream(fs.create(partPath, true), 1 << 16)
   private var written = 0L
+  locally {
+    if (complete) {
+      val fd = CramContainers.encodeFileDefinition()
+      out.write(fd)
+      written += fd.length
+    }
+  }
   private val entries = Seq.newBuilder[CraiEntry]
 
   private def idx(n: String): Int = {
@@ -322,7 +346,13 @@ class CramDataWriter(dir: String, schema: StructType, conf: SerializableConf, pa
     written += bytes.length
   }
   override def commit(): WriterCommitMessage = {
+    if (complete) out.write(CramContainers.encodeEofContainer())
     out.close()
+    if (shardCrai) {
+      val co = fs.create(new Path(partPath.toString + ".crai"), true)
+      CraiIndex.write(co, CraiIndex(entries.result()))
+      co.close()
+    }
     CramPartMessage(partPath.toString, written, entries.result())
   }
   override def abort(): Unit = { out.close(); fs.delete(partPath, false) }
