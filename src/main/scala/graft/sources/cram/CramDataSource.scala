@@ -69,21 +69,65 @@ class CramTable(properties: Map[String, String]) extends Table with SupportsRead
 }
 
 class CramScanBuilder(options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = CramTable.schema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  /** Interval-translatable filters recorded for container pruning; all stay
+    * residual so Catalyst re-applies the exact predicate above the scan.
+    */
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    pushed = filters.filter(CramPushedRegion.accepts)
+    filters // all residual
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new CramScan(options, required)
+  override def build(): Scan = new CramScan(options, required, pushed)
+}
+
+/** Conservative filter→interval translation for the container schema (the
+  * [[graft.sources.PushedRegion]] pattern): `ref_seq_id = r` plus bounds on
+  * `start_pos` prune whole containers via `.crai`/header coordinates; the
+  * overlap test is a superset of the original predicate and every filter
+  * stays residual, so pushdown only prunes, never changes results.
+  */
+object CramPushedRegion {
+  import org.apache.spark.sql.sources._
+  def toRefIntervals(pushed: Array[Filter]): Option[Seq[RefInterval]] = {
+    val ref = pushed.collectFirst { case EqualTo("ref_seq_id", v: Number) => v.intValue() }
+    ref.map { r =>
+      var lo = 1
+      var hi = Int.MaxValue
+      pushed.foreach {
+        case GreaterThan("start_pos", v: Number) => lo = math.max(lo, v.intValue() + 1)
+        case GreaterThanOrEqual("start_pos", v: Number) => lo = math.max(lo, v.intValue())
+        case LessThan("start_pos", v: Number) => hi = math.min(hi, v.intValue() - 1)
+        case LessThanOrEqual("start_pos", v: Number) => hi = math.min(hi, v.intValue())
+        case _ =>
+      }
+      Seq(RefInterval(r, lo, hi))
+    }
+  }
+  def accepts(f: Filter): Boolean = f match {
+    case EqualTo("ref_seq_id", _) => true
+    case GreaterThan("start_pos", _) | GreaterThanOrEqual("start_pos", _) => true
+    case LessThan("start_pos", _) | LessThanOrEqual("start_pos", _) => true
+    case _ => false
+  }
 }
 
 /** Interval predicate at container granularity: (refSeqId, 1-based range). */
 private[cram] final case class RefInterval(refId: Int, start1: Int, end1: Int)
 
-class CramScan(options: Map[String, String], required: StructType) extends Scan with Batch {
+class CramScan(options: Map[String, String], required: StructType,
+               pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-cram ${options.getOrElse("path", "")}" +
-      options.get("intervals").map(i => s" intervals=$i").getOrElse("")
+      options.get("intervals").map(i => s" intervals=$i").getOrElse("") +
+      (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(",")}]" else "")
 
   /** contig-name intervals → refSeqId intervals via the `refs` option
     * (name:length,… — same format the BAM sink takes); bare numeric contigs
@@ -97,7 +141,7 @@ class CramScan(options: Map[String, String], required: StructType) extends Scan 
       names.get(iv.contig).orElse(iv.contig.toIntOption)
         .map(id => RefInterval(id, iv.start, iv.end))
     }
-  }
+  }.orElse(CramPushedRegion.toRefIntervals(pushed)) // filter-derived pushdown
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()

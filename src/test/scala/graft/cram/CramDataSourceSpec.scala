@@ -67,6 +67,21 @@ class CramDataSourceSpec extends AnyFunSuite with SparkFixture {
     assert(back.count() == 300)
   }
 
+  test("catalyst filter pushdown prunes containers without the intervals option") {
+    val dir = tmpDir()
+    val out = dir.resolve("pf.cram")
+    containers(2000).coalesce(1).sortWithinPartitions(col("ref_seq_id"), col("start_pos"))
+      .write.format("cram").mode("overwrite").option("writeCrai", "true").save(out.toString)
+    val all = spark.read.format("cram").option("splitSize", 8192).load(out.toString)
+    val filtered = all.filter(col("ref_seq_id") === 1 && col("start_pos") <= 60000)
+    val (nAll, nF) = (all.rdd.getNumPartitions, filtered.rdd.getNumPartitions)
+    assert(nAll > 4, s"want many unfiltered partitions, got $nAll")
+    assert(nF < nAll, s"filter pushdown did not prune: $nF vs $nAll")
+    // Catalyst re-applies the exact predicate: rows match the plain filter
+    val want = (0 until 2000).count(i => i % 3 == 1 && i * 100 + 1 <= 60000)
+    assert(filtered.count() == want)
+  }
+
   test("unindexed interval scan prunes on container-header coordinates") {
     val dir = tmpDir()
     val out = dir.resolve("noidx.cram")
