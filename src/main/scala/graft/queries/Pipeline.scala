@@ -416,6 +416,53 @@ object Pipeline {
         .orderBy($"doc_id", $"rnk")
     },
 
+    // sequence PACKING for pretraining batches: contiguous greedy fill of
+    // 512-token bins via a running token prefix-sum. The window partitions
+    // by (lang, source) — the shard a packer would own — so no global
+    // single-task sort ever exists; each shard's packing is independent,
+    // which is exactly how a 100 TB packer shards the work.
+    "q_pack_sequences" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"source", size(words($"text")).as("n_tok"))
+      val w = Window.partitionBy($"lang", $"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.withColumn("cum", sum($"n_tok").over(w))
+        .withColumn("bin", expr("(cum - n_tok) div 512"))
+        .groupBy($"lang", $"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok".cast("long")).as("sum_tok"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"lang", $"source", $"bin")
+    },
+
+    // end-to-end curation: quality gate -> exact-dedup keepers (within the
+    // surviving set) -> stratified split, reported per (lang, split). The
+    // composition the individual operators exist for — one narrow pass, one
+    // dedup shuffle, one keeper join on doc_id, tiny aggregate.
+    "q_curation_pipeline" -> { (s, d) =>
+      import s.implicits._
+      val allStops = StopEn ++ StopDe ++ StopFr ++ StopEs
+      val scored = Tables.documents(s, d)
+        .withColumn("ws", words($"text"))
+        .withColumn("n_tokens", size($"ws"))
+        .withColumn("stop_milli",
+          (size(filter($"ws", w => w.isInCollection(allStops))) * 1000 / size($"ws")).cast("long"))
+        .withColumn("wlen_milli", (length($"text") * 1000 / size($"ws")).cast("long"))
+        .filter($"n_tokens" >= 20 && $"stop_milli" <= 400 && $"wlen_milli" <= 9000)
+      val keepers = scored
+        .withColumn("key_hash", hash60(concat_ws(" ", slice($"ws", 1, 8))))
+        .groupBy($"key_hash").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      scored.join(keepers, "doc_id")
+        .withColumn("bucket", hash60(concat(lit("split|"), $"doc_id".cast("string"))) % 1000)
+        .withColumn("split",
+          when($"bucket" < 900, "train").when($"bucket" < 950, "val").otherwise("test"))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens".cast("long")).as("sum_tokens"))
+        .orderBy($"lang", $"split")
+    },
+
     // == similarity search ===============================================
 
     // brute-force top-10 nearest (by quantized dot) for 5 query vectors;
@@ -644,6 +691,36 @@ object Pipeline {
          |comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS lbl FROM reach GROUP BY src)
          |SELECT lbl AS keeper, COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS sum_ids
          |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, len($wsExpr) AS n_tok FROM documents),
+         |c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+         |b AS (SELECT lang, source, CAST((cum - n_tok) // 512 AS BIGINT) AS bin, n_tok, doc_id FROM c)
+         |SELECT lang, source, bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_curation_pipeline" -> {
+      val allStops = stopList(StopEn ++ StopDe ++ StopFr ++ StopEs)
+      s"""WITH t AS (SELECT doc_id, lang, text, $wsExpr AS ws FROM documents),
+         |q AS (SELECT doc_id, lang, ws, len(ws) AS n_tokens
+         |  FROM t
+         |  WHERE len(ws) >= 20
+         |    AND len(list_filter(ws, w -> list_contains($allStops, w))) * 1000 // len(ws) <= 400
+         |    AND len(text) * 1000 // len(ws) <= 9000),
+         |k AS (SELECT ${h60("array_to_string(list_slice(ws, 1, 8), ' ')")} AS key_hash,
+         |    MIN(doc_id) AS doc_id FROM q GROUP BY 1),
+         |j AS (SELECT q.doc_id, q.lang, q.n_tokens FROM q JOIN k ON q.doc_id = k.doc_id),
+         |u AS (SELECT lang, n_tokens,
+         |    CASE WHEN ${h60("'split|' || CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'train'
+         |         WHEN ${h60("'split|' || CAST(doc_id AS VARCHAR)")} % 1000 < 950 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM j)
+         |SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     "q_split_assign" ->
