@@ -344,17 +344,26 @@ object Pipeline {
       val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
         .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
         .persist()
+      // localCheckpoint truncates lineage each round: the jump self-join
+      // references the previous label table on THREE paths, so without
+      // truncation the logical plan (and analyzer time) grows exponentially
+      // with iterations — the classic iterative-DataFrame trap. The
+      // checkpointed state is the label table (candidate-graph-sized, tiny
+      // relative to the corpus), so executor-local storage is cheap.
       var labels = edges.select($"src".as("id")).distinct()
-        .select($"id", $"id".as("lbl")).persist()
+        .select($"id", $"id".as("lbl")).localCheckpoint()
       var changed = 1L
       var iters = 0
       while (changed > 0 && iters < 64) {
         val nbr = edges
           .join(labels.select($"id".as("nid"), $"lbl".as("nlbl")), $"dst" === $"nid")
           .groupBy($"src").agg(min($"nlbl").as("nbl"))
+        // persisted: prop feeds BOTH sides of the jump self-join below —
+        // uncached it would execute the neighbor join twice per iteration
         val prop = labels.as("o")
           .join(nbr, $"o.id" === nbr("src"), "left")
           .select($"o.id".as("id"), least($"o.lbl", coalesce($"nbl", $"o.lbl")).as("lbl"))
+          .persist()
         // pointer jumping: also adopt the label OF my label (lbl is always a
         // node id, so the self-join hits) — convergence in O(log diameter)
         // rounds instead of O(diameter), which is what bounds wall-clock on
@@ -362,10 +371,10 @@ object Pipeline {
         val next = prop.as("x")
           .join(prop.select($"id".as("pid"), $"lbl".as("plbl")), $"x.lbl" === $"pid", "left")
           .select($"x.id".as("id"), least($"x.lbl", coalesce($"plbl", $"x.lbl")).as("lbl"))
-          .persist()
+          .localCheckpoint() // eager: materializes + truncates the plan
         changed = next.as("n").join(labels.as("o"), "id")
           .filter($"n.lbl" =!= $"o.lbl").count()
-        labels.unpersist()
+        prop.unpersist()
         labels = next
         iters += 1
       }
