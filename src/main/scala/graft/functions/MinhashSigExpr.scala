@@ -113,7 +113,7 @@ object MinhashSigExpr {
   * SparkSessionExtensions injection point).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinhashSigExpr].getName, "graft_minhash_sig"),
@@ -121,4 +121,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "graft_minhash_sig(text) takes one argument")
         MinhashSigExpr(exprs.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_simhash(text) takes one argument")
+        SimhashExpr(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprints"),
+      new ExpressionInfo(classOf[FingerprintsExpr].getName, "graft_fingerprints"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_fingerprints(text) takes one argument")
+        FingerprintsExpr(exprs.head)
+      }))
+  }
 }

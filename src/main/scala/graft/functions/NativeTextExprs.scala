@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared word-split + 60-bit md5-prefix hashing for the native text
+  * expressions — the exact semantics of `GraftFunctions.words` /
+  * `GraftFunctions.hash60` (single-space split, empties dropped; first 15
+  * md5 hex chars as a 60-bit integer), so values stay bit-identical to the
+  * composed forms and the DuckDB oracles.
+  */
+private[functions] object NativeText {
+  def splitWords(text: UTF8String): java.util.ArrayList[String] = {
+    val s = text.toString
+    val words = new java.util.ArrayList[String](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      var j = s.indexOf(' ', i)
+      if (j < 0) j = n
+      if (j > i) words.add(s.substring(i, j))
+      i = j + 1
+    }
+    words
+  }
+
+  /** Top 60 bits of md5(s), as hash60 computes them. */
+  def h60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val digest = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 0
+    while (b < 7) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+    (h << 4) | ((digest(7) & 0xf0L) >> 4)
+  }
+}
+
+/** Native 60-bit SimHash of a text column: per-word md5-prefix hashes, bit j
+  * of the result set when more than half the words have bit j set. One tight
+  * JVM pass inside whole-stage codegen — the composed form is 60 interpreted
+  * `filter` lambdas per row (CodegenFallback), ~60 array walks.
+  * NativeExprSpec pins bit-equality to the composed form.
+  */
+case class SimhashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimhashExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimhashExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+}
+
+object SimhashExpr {
+  val Bits = 60
+
+  def compute(text: UTF8String): Long = {
+    val words = NativeText.splitWords(text)
+    val w = words.size
+    if (w == 0) return 0L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val setCounts = new Array[Int](Bits)
+    var i = 0
+    while (i < w) {
+      val h = NativeText.h60(md, words.get(i))
+      var j = 0
+      while (j < Bits) {
+        if (((h >> j) & 1L) == 1L) setCounts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < Bits) {
+      if (2 * setCounts(j) > w) sim |= 1L << j
+      j += 1
+    }
+    sim
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_simhash(text) takes one argument")
+        SimhashExpr(exprs.head)
+      })
+}
+
+/** Native word-5-gram fingerprint sampler: hash60 of every 5-word gram,
+  * keeping hashes where h % 17 == 0 (the winnowing-style document sketch of
+  * q_text_fingerprint). Returns an empty array for docs under 5 words.
+  * The md5-per-gram pass is the dominant cost — one static call replaces an
+  * interpreted transform+filter chain.
+  */
+case class FingerprintsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_fingerprints"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FingerprintsExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FingerprintsExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): FingerprintsExpr =
+    copy(child = newChild)
+}
+
+object FingerprintsExpr {
+  val Gram = 5
+  val Mod = 17
+
+  def compute(text: UTF8String): ArrayData = {
+    val words = NativeText.splitWords(text)
+    val w = words.size
+    val out = new java.util.ArrayList[java.lang.Long](8)
+    if (w >= Gram) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sb = new java.lang.StringBuilder(128)
+      var t = 0
+      while (t + Gram - 1 < w) {
+        sb.setLength(0)
+        var g = 0
+        while (g < Gram) {
+          if (g > 0) sb.append(' ')
+          sb.append(words.get(t + g))
+          g += 1
+        }
+        val h = NativeText.h60(md, sb.toString)
+        if (h % Mod == 0) out.add(h)
+        t += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_fingerprints"),
+      new ExpressionInfo(classOf[FingerprintsExpr].getName, "graft_fingerprints"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_fingerprints(text) takes one argument")
+        FingerprintsExpr(exprs.head)
+      })
+}

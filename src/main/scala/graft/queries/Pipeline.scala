@@ -204,20 +204,18 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
-    // rolling-hash fingerprinting: word 5-grams sampled by hash % 17 == 0
+    // rolling-hash fingerprinting: word 5-grams sampled by hash % 17 == 0.
+    // The md5-per-gram pass runs as a native expression inside whole-stage
+    // codegen (graft.functions.FingerprintsExpr — the composed HOF form is
+    // interpreted CodegenFallback; NativeExprSpec pins bit-equality).
     "q_text_fingerprint" -> { (s, d) =>
       import s.implicits._
-      val df = Tables.documents(s, d)
-        .withColumn("ws", words($"text"))
-        .withColumn("grams",
-          when(size($"ws") >= 5,
-            transform(sequence(lit(1), size($"ws") - 4),
-              i => hash60(concat_ws(" ", (0 until 5).map(k => element_at($"ws", i + k)): _*))))
-            .otherwise(array()))
-        .withColumn("fps", filter($"grams", h => h % FpMod === 0))
-      df.select($"doc_id",
-        size($"fps").as("n_fp"),
-        aggregate($"fps", lit(0L), (acc, v) => acc + (v % 1000000007L)).as("fp_sum"))
+      graft.functions.FingerprintsExpr.register(s)
+      Tables.documents(s, d)
+        .withColumn("fps", expr("graft_fingerprints(text)"))
+        .select($"doc_id",
+          size($"fps").as("n_fp"),
+          aggregate($"fps", lit(0L), (acc, v) => acc + (v % 1000000007L)).as("fp_sum"))
         .orderBy($"doc_id")
     },
 
@@ -266,17 +264,16 @@ object Pipeline {
         .orderBy($"doc_a", $"doc_b")
     },
 
-    // SimHash: 60-bit signature from per-word hash bit votes
+    // SimHash: 60-bit signature from per-word hash bit votes (bit j set when
+    // more than half the words have it set). One native codegen'd pass
+    // (graft.functions.SimhashExpr) — the composed form is 60 interpreted
+    // filter lambdas per row; NativeExprSpec pins bit-equality.
     "q_dedup_simhash" -> { (s, d) =>
       import s.implicits._
-      val df = Tables.documents(s, d)
-        .withColumn("wh", transform(words($"text"), w => hash60(w)))
-      // bit j vote: #words with bit set minus #words with bit clear
-      val simhash = (0 until SimhashBits).map { j =>
-        val set = size(filter($"wh", h => shiftright(h, j) % 2 === 1))
-        when(set * 2 > size($"wh"), lit(1L) * math.pow(2, j).toLong).otherwise(0L)
-      }.reduce(_ + _)
-      df.select($"doc_id", simhash.as("simhash")).orderBy($"doc_id")
+      graft.functions.SimhashExpr.register(s)
+      Tables.documents(s, d)
+        .select($"doc_id", expr("graft_simhash(text)").as("simhash"))
+        .orderBy($"doc_id")
     },
 
     // n-gram Jaccard near-dup: exact Jaccard scored ONLY on LSH candidate

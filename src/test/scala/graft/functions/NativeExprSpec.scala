@@ -57,6 +57,43 @@ class NativeExprSpec extends AnyFunSuite with SparkFixture {
       t.split(" ").count(_.nonEmpty) >= 3 })
   }
 
+  private def randomDocs(seed: Int, n: Int): Seq[(Long, String)] = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val nw = rng.nextInt(30)
+      (i.toLong, (0 until nw).map(_ => rng.alphanumeric.take(1 + rng.nextInt(8)).mkString)
+        .mkString(" ") + (if (i % 5 == 0) "  doubled  spaces " else ""))
+    } :+ ((9000L, "")) :+ ((9001L, "a b c d")) :+ ((9002L, "a b c d e f"))
+  }
+
+  test("native graft_simhash equals the composed bit-vote form") {
+    import spark.implicits._
+    SimhashExpr.register(spark)
+    val df = randomDocs(13, 200).toDF("doc_id", "text")
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    val wh = transform(ws, w => GraftFunctions.hash60(w))
+    val composed = (0 until 60).map { j =>
+      val set = size(filter(wh, h => shiftright(h, j) % 2 === 1))
+      when(set * 2 > size(wh), lit(1L) * math.pow(2, j).toLong).otherwise(0L)
+    }.reduce(_ + _)
+    val rows = df.select(expr("graft_simhash(text)"), composed).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
+
+  test("native graft_fingerprints equals the composed gram-sample form") {
+    import spark.implicits._
+    FingerprintsExpr.register(spark)
+    val df = randomDocs(17, 200).toDF("doc_id", "text")
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    val grams = when(size(ws) >= 5,
+      transform(sequence(lit(1), size(ws) - 4),
+        i => GraftFunctions.hash60(concat_ws(" ", (0 until 5).map(k => element_at(ws, i + k)): _*))))
+      .otherwise(array())
+    val composed = filter(grams, h => h % 17 === 0)
+    val rows = df.select(expr("graft_fingerprints(text)"), composed).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
+  }
+
   test("extension class injects the function at session build time") {
     val ext = new GraftExtensions
     // smoke: applying the injector to fresh extensions must not throw; the
