@@ -469,6 +469,27 @@ object Pipeline {
         .orderBy($"lang", $"split")
     },
 
+    // benchmark DECONTAMINATION: train-split documents sharing at least one
+    // sampled 5-gram fingerprint with a holdout document, with overlap
+    // counts. The fingerprint sample (1/17 of grams) is the standard
+    // decontamination sketch: the exploded fp table is ~|corpus|/17 rows and
+    // the join shuffles on the fp hash — never a doc×doc comparison.
+    "q_decontaminate" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.FingerprintsExpr.register(s)
+      val docs = Tables.documents(s, d)
+        .withColumn("bucket", hash60(concat(lit("split|"), $"doc_id".cast("string"))) % 1000)
+        .withColumn("split", when($"bucket" < 900, "train").otherwise("holdout"))
+        .select($"doc_id", $"split", explode(expr("graft_fingerprints(text)")).as("fp"))
+      val train = docs.filter($"split" === "train").select($"doc_id".as("train_doc"), $"fp")
+      val holdout = docs.filter($"split" =!= "train").select($"doc_id".as("holdout_doc"), $"fp")
+      train.join(holdout, "fp")
+        .groupBy($"train_doc")
+        .agg(countDistinct($"holdout_doc").as("n_holdout_docs"),
+          count(lit(1)).as("n_shared_fps"))
+        .orderBy($"train_doc")
+    },
+
     // == similarity search ===============================================
 
     // brute-force top-10 nearest (by quantized dot) for 5 query vectors;
@@ -698,6 +719,23 @@ object Pipeline {
          |SELECT lbl AS keeper, COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS sum_ids
          |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "q_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $wsExpr AS ws,
+         |    CASE WHEN ${h60("'split|' || CAST(doc_id AS VARCHAR)")} % 1000 < 900
+         |      THEN 'train' ELSE 'holdout' END AS split
+         |  FROM documents),
+         |g AS (SELECT doc_id, split,
+         |  CASE WHEN len(ws) >= 5 THEN list_transform(range(1, len(ws) - 3),
+         |    i -> ${h60("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]")})
+         |  ELSE [] END AS grams FROM t),
+         |f AS (SELECT doc_id, split, list_filter(grams, h -> h % $FpMod = 0) AS fps FROM g),
+         |e AS (SELECT doc_id, split, unnest(fps) AS fp FROM f),
+         |tr AS (SELECT doc_id AS train_doc, fp FROM e WHERE split = 'train'),
+         |te AS (SELECT doc_id AS holdout_doc, fp FROM e WHERE split <> 'train')
+         |SELECT train_doc, COUNT(DISTINCT holdout_doc) AS n_holdout_docs,
+         |  COUNT(*) AS n_shared_fps
+         |FROM tr JOIN te USING (fp) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, lang, source, len($wsExpr) AS n_tok FROM documents),
