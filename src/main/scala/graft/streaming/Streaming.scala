@@ -66,6 +66,55 @@ object Streaming {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming NEAR-DUPLICATE candidate detection — the streaming twin of
+    * the batch LSH pass (`Pipeline.lshCandidatePairs`): each arriving
+    * document's minhash signature (native expression, one codegen'd pass)
+    * is banded, and per-(band, bandhash) state holds the bucket's previously
+    * seen doc ids; a new member emits a candidate pair against each of them.
+    * The bucket cap mirrors the batch `MaxBucket` skew guard, adapted to
+    * streaming semantics: a bucket at the cap stops ADMITTING members
+    * (already-emitted pairs cannot be retracted), so one degenerate bucket's
+    * state and pair output stay bounded on an unbounded stream. Pairs can
+    * repeat across bands — dedupe downstream if exact-once pairs matter.
+    */
+  def nearDupCandidates(docs: DataFrame, maxBucket: Int = 64): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.MinhashSigExpr.register(s)
+    val bands = 4
+    val k = 16
+    val banded = docs
+      .withColumn("sig", expr("graft_minhash_sig(text)"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => graft.functions.GraftFunctions.hash60(concat_ws(",",
+            transform(slice(col("sig"), b * lit(k / bands) + 1, lit(k / bands)),
+              v => v.cast("string")))))).as(Seq("band", "bandhash")))
+      .as[(Long, Int, Long)]
+    banded
+      .groupByKey { case (_, band, bandhash) => (band, bandhash) }
+      .flatMapGroupsWithState[Seq[Long], (Long, Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _), rows, state: GroupState[Seq[Long]]) =>
+          var seen = state.getOption.getOrElse(Vector.empty[Long])
+          val out = Seq.newBuilder[(Long, Long, Int)]
+          rows.foreach { case (docId, _, _) =>
+            if (!seen.contains(docId) && seen.size < maxBucket) {
+              seen.foreach { prev =>
+                val (a, b) = if (prev < docId) (prev, docId) else (docId, prev)
+                out += ((a, b, band))
+              }
+              seen = seen :+ docId
+            }
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF("doc_a", "doc_b", "band")
+  }
+
   /** Per-user running profile via flatMapGroupsWithState — custom state the
     * declarative operators cannot express: cumulative event count and the
     * set of distinct event types per user, emitted on every update.

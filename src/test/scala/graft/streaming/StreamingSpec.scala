@@ -114,6 +114,44 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(spark.table("dedup").count() == base.size)
     } finally q.stop()
   }
+
+  test("nearDupCandidates: streaming LSH pairs equal the batch band join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 40 docs over 10 templates → exact repeats share every band
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"alpha beta gamma delta t${i % 10} epsilon zeta eta theta word${i % 10}")
+    }
+    val stream = MemoryStream[(Long, String)]
+    val q = Streaming.nearDupCandidates(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    try {
+      stream.addData(docs.take(20))
+      q.processAllAvailable()
+      stream.addData(docs.drop(20)) // state carries across micro-batches
+      q.processAllAvailable()
+      val got = spark.table("neardup")
+        .select($"doc_a", $"doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin: band-hash self-join over the same documents
+      graft.functions.MinhashSigExpr.register(spark)
+      val banded = docs.toDF("doc_id", "text")
+        .withColumn("sig", expr("graft_minhash_sig(text)"))
+        .filter($"sig".isNotNull)
+        .select($"doc_id",
+          posexplode(transform(sequence(lit(0), lit(3)),
+            b => graft.functions.GraftFunctions.hash60(concat_ws(",",
+              transform(slice($"sig", b * lit(4) + 1, lit(4)),
+                v => v.cast("string")))))).as(Seq("band", "bandhash")))
+      val want = banded.as("a").join(banded.as("b"),
+          $"a.band" === $"b.band" && $"a.bandhash" === $"b.bandhash" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id", $"b.doc_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+      assert(got.size >= 60, s"10 templates x 4 identical copies → >=60 pairs, got ${got.size}")
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
