@@ -6,9 +6,11 @@ import graft.functions.GraftFunctions._
 
 /** Large-scale training-data pipeline operators over `documents` /
   * `embeddings`: deduplication (exact, MinHash+LSH, SimHash, n-gram
-  * Jaccard, embedding-cosine), similarity search (brute-force + LSH-bucketed
-  * ANN), and text analysis (token counting, language ID, quality scoring,
-  * fingerprinting).
+  * Jaccard, embedding-cosine, cluster resolution to canonical keepers),
+  * similarity search (brute-force + LSH-bucketed + IVF ANN), text analysis
+  * (token counting, language ID, quality scoring, fingerprinting, TF-IDF),
+  * and pipeline assembly (stratified split assignment, sequence packing,
+  * quality->dedup->split curation, benchmark decontamination).
   *
   * Every hash is engine-portable (md5-hex-prefix → 60-bit int, see
   * [[graft.functions.GraftFunctions.hash60]]) and every similarity is
