@@ -628,7 +628,7 @@ class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
       }
       if (sorted) {
         val idx = graft.index.BaiPartData.merge(
-          allParts.map(_.bai), shifts, header.refs.length)
+          allParts.map(_.bai).toSeq, shifts.toSeq, header.refs.length)
         val bo = fs.create(new Path(path + ".bai"), true)
         graft.index.BaiIndex.write(bo, idx)
         bo.close()
