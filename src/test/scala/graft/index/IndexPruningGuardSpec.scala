@@ -65,6 +65,30 @@ class IndexPruningGuardSpec extends AnyFunSuite with SparkFixture {
     assert(iv.count() == want)
   }
 
+  test("tribble .idx prunes planned partitions on plain-text VCF interval scans") {
+    import spark.implicits._
+    val vs = (0 until 6000).map { i =>
+      Variant("chr1", 1000 + i * 150, 1000 + i * 150, null, "A", Seq("G"),
+        java.lang.Double.valueOf(30.0), Seq("PASS"), Map("DP" -> i.toString), Nil)
+    }
+    val dir = Files.createTempDirectory("idxguard")
+    dir.toFile.deleteOnExit()
+    val out = dir.resolve("sorted.vcf")
+    spark.createDataset(vs).toDF().coalesce(1).sortWithinPartitions($"start")
+      .write.format("vcf").mode("overwrite")
+      .option("writeIdx", "true").save(out.toString)
+    assert(Files.exists(dir.resolve("sorted.vcf.idx")))
+
+    val all = spark.read.format("vcf").option("splitSize", 4096).load(out.toString)
+    val iv = spark.read.format("vcf").option("splitSize", 4096)
+      .option("intervals", "chr1:200000-220000").load(out.toString)
+    val (nAll, nIv) = (all.rdd.getNumPartitions, iv.rdd.getNumPartitions)
+    assert(nAll > 4, s"want many unfiltered partitions, got $nAll")
+    assert(nIv < nAll, s"idx pruning lost: $nIv vs $nAll")
+    val want = vs.count(v => v.start <= 220000 && v.end >= 200000)
+    assert(iv.count() == want)
+  }
+
   test("crai prunes planned partitions on CRAM interval scans") {
     import spark.implicits._
     val dir = Files.createTempDirectory("craiguard")
