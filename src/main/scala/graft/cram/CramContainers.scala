@@ -88,9 +88,12 @@ final case class CramContainer(offset: Long, totalLength: Long, dataLength: Int,
                                refSeqId: Int, startPos: Int, alignmentSpan: Int,
                                nRecords: Int, nBlocks: Int = 0) {
   def isEof: Boolean = refSeqId == -1 && nRecords == 0
-  /** 1-based inclusive coordinate range (mapped containers only). */
+  /** 1-based inclusive coordinate range (mapped containers only); long
+    * arithmetic so startPos + span near Int.MaxValue cannot wrap negative
+    * and silently drop an overlapping container. */
   def overlaps(r: Int, start1: Int, end1: Int): Boolean =
-    refSeqId == r && startPos <= end1 && startPos + math.max(0, alignmentSpan) - 1 >= start1
+    refSeqId == r && startPos <= end1 &&
+      startPos.toLong + math.max(0, alignmentSpan) - 1 >= start1
 }
 
 object CramContainers {
@@ -253,9 +256,15 @@ final case class CraiEntry(seqId: Int, start: Int, span: Int,
                            containerOffset: Long, sliceOffset: Int, sliceSize: Int)
 
 final case class CraiIndex(entries: Seq[CraiEntry]) {
-  /** Distinct container offsets whose slices may overlap [start1, end1]. */
+  /** Distinct container offsets whose slices may overlap [start1, end1].
+    * Multi-ref slices (seqId -2) are always candidates — their members
+    * cannot be judged without record decode, so pruning them would make the
+    * indexed scan return fewer rows than the unindexed walk (which keeps
+    * refSeqId == -2 conservatively). Long arithmetic avoids start+span
+    * wrap-around. */
   def containerOffsets(refId: Int, start1: Int, end1: Int): Set[Long] =
-    entries.filter(e => e.seqId == refId && e.start <= end1 && e.start + math.max(0, e.span) - 1 >= start1)
+    entries.filter(e => e.seqId == -2 ||
+        (e.seqId == refId && e.start <= end1 && e.start.toLong + math.max(0, e.span) - 1 >= start1))
       .map(_.containerOffset).toSet
 }
 

@@ -71,7 +71,7 @@ object MinhashSigExpr {
     if (w < 3) return null
     val sig = new Array[Long](K)
     java.util.Arrays.fill(sig, P)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = NativeText.md5.get() // per-thread: no per-row JCA lookup
     val sb = new java.lang.StringBuilder(96)
     var t = 0
     while (t + 2 < w) {

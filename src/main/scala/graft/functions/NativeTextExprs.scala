@@ -15,6 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * composed forms and the DuckDB oracles.
   */
 private[functions] object NativeText {
+  /** Per-thread digest instance: getInstance per ROW is a JCA provider
+    * lookup + allocation inside the hot path these expressions exist to
+    * optimize; reset() makes reuse safe.
+    */
+  val md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
   def splitWords(text: UTF8String): java.util.ArrayList[String] = {
     val s = text.toString
     val words = new java.util.ArrayList[String](64)
@@ -67,7 +74,7 @@ object SimhashExpr {
     val words = NativeText.splitWords(text)
     val w = words.size
     if (w == 0) return 0L
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = NativeText.md5.get()
     val setCounts = new Array[Int](Bits)
     var i = 0
     while (i < w) {
@@ -127,7 +134,7 @@ object FingerprintsExpr {
     val w = words.size
     val out = new java.util.ArrayList[java.lang.Long](8)
     if (w >= Gram) {
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = NativeText.md5.get()
       val sb = new java.lang.StringBuilder(128)
       var t = 0
       while (t + Gram - 1 < w) {

@@ -33,8 +33,8 @@ object Pipeline {
   private val StopFr = Seq("le", "la", "les", "et", "est", "un", "une", "dans")
   private val StopEs = Seq("el", "la", "los", "y", "es", "un", "una", "en")
 
-  private val MinhashK = 16
-  private val Bands = 4 // rows per band = 4
+  private[graft] val MinhashK = 16
+  private[graft] val Bands = 4 // rows per band = 4
   private val SimhashBits = 60
   private val FpMod = 17 // keep word-5-gram fingerprints where hash % 17 == 0
   private val QdotThreshold = 300000L // quantized cosine ≥ 0.3
@@ -483,6 +483,7 @@ object Pipeline {
         .withColumn("bucket", hash60(concat(lit("split|"), $"doc_id".cast("string"))) % 1000)
         .withColumn("split", when($"bucket" < 900, "train").otherwise("holdout"))
         .select($"doc_id", $"split", explode(expr("graft_fingerprints(text)")).as("fp"))
+        .persist() // feeds BOTH join sides: fingerprint once, not per branch
       val train = docs.filter($"split" === "train").select($"doc_id".as("train_doc"), $"fp")
       val holdout = docs.filter($"split" =!= "train").select($"doc_id".as("holdout_doc"), $"fp")
       train.join(holdout, "fp")

@@ -78,7 +78,13 @@ object HadoopIO {
           pool.submit(new java.util.concurrent.Callable[Seq[T]] {
             override def call(): Seq[T] = planFile(f)
           })
-        }.flatMap(_.get())
+        }.flatMap { fut =>
+          // surface the ORIGINAL planning exception, not Future.get's
+          // ExecutionException wrapper — the serial single-file path throws
+          // the cause directly and callers match on it
+          try fut.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
       finally pool.shutdown()
     }
 

@@ -370,6 +370,11 @@ class CramDataWriter(dir: String, schema: StructType, conf: SerializableConf, pa
   private def idx(n: String): Int = {
     val i = schema.fieldNames.indexOf(n)
     require(i >= 0, s"cram sink requires column $n")
+    // ACCEPT_ANY_SCHEMA skips Spark's write-side validation, so enforce the
+    // type here: reading an int from a non-int UnsafeRow field would
+    // silently truncate (e.g. bigint 2^32 -> 0) into the container header
+    require(schema.fields(i).dataType == org.apache.spark.sql.types.IntegerType,
+      s"cram sink column $n must be INT, got ${schema.fields(i).dataType.simpleString}")
     i
   }
   private val iRef = idx("ref_seq_id")

@@ -82,8 +82,10 @@ object Streaming {
     val s = docs.sparkSession
     import s.implicits._
     graft.functions.MinhashSigExpr.register(s)
-    val bands = 4
-    val k = 16
+    // the batch pass's parameters — shared so the streaming twin can never
+    // silently diverge from Pipeline's banding
+    val bands = graft.queries.Pipeline.Bands
+    val k = graft.queries.Pipeline.MinhashK
     val banded = docs
       .withColumn("sig", expr("graft_minhash_sig(text)"))
       .filter(col("sig").isNotNull)

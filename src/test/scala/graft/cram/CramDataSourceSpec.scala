@@ -82,6 +82,48 @@ class CramDataSourceSpec extends AnyFunSuite with SparkFixture {
     assert(filtered.count() == want)
   }
 
+  test("multi-ref (-2) containers survive crai-indexed interval pruning") {
+    val dir = tmpDir()
+    val out = dir.resolve("multi.cram")
+    val s = spark
+    import s.implicits._
+    // 50 mapped ref-0 containers plus one multi-ref container (-2): the
+    // crai route must keep it (its members can't be judged without decode),
+    // exactly like the unindexed walk and the reader's residual filter
+    val rows = (0 until 50).map(i => (0, i * 100 + 1, 90, 5, 16)) :+ ((-2, 0, 0, 7, 16))
+    rows.toDF("ref_seq_id", "start_pos", "span", "n_records", "data_length")
+      .coalesce(1).write.format("cram").mode("overwrite")
+      .option("writeCrai", "true").save(out.toString)
+    val got = spark.read.format("cram")
+      .option("intervals", "0:1-1000").load(out.toString)
+      .select("ref_seq_id").collect().map(_.getInt(0)).sorted
+    val gotNoIdx = {
+      java.nio.file.Files.delete(dir.resolve("multi.cram.crai"))
+      spark.read.format("cram")
+        .option("intervals", "0:1-1000").load(out.toString)
+        .select("ref_seq_id").collect().map(_.getInt(0)).sorted
+    }
+    assert(got.toSeq == gotNoIdx.toSeq, "indexed and unindexed scans must agree")
+    assert(got.count(_ == -2) == 1 && got.count(_ == 0) == 10)
+  }
+
+  test("bad column type is rejected by the cram sink, not truncated") {
+    val dir = tmpDir()
+    val s = spark
+    import s.implicits._
+    val e = intercept[Exception] {
+      spark.range(3).select(
+        col("id").as("ref_seq_id"), // bigint, not int
+        lit(1).as("start_pos"), lit(10).as("span"),
+        lit(1).as("n_records"), lit(0).as("data_length"))
+        .write.format("cram").mode("overwrite")
+        .save(dir.resolve("bad.cram").toString)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).mkString(" | ").contains("must be INT"))
+  }
+
   test("unindexed interval scan prunes on container-header coordinates") {
     val dir = tmpDir()
     val out = dir.resolve("noidx.cram")
