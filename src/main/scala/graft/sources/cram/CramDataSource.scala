@@ -85,27 +85,38 @@ class CramScanBuilder(options: Map[String, String])
   override def build(): Scan = new CramScan(options, required, pushed)
 }
 
-/** Conservative filter→interval translation for the container schema (the
+/** Conservative filter→predicate translation for the container schema (the
   * [[graft.sources.PushedRegion]] pattern): `ref_seq_id = r` plus bounds on
-  * `start_pos` prune whole containers via `.crai`/header coordinates; the
-  * overlap test is a superset of the original predicate and every filter
-  * stays residual, so pushdown only prunes, never changes results.
+  * `start_pos` prune whole containers. Because the scan's rows ARE container
+  * headers, the pushed predicate constrains the header fields themselves —
+  * so the pruning test is POINT CONTAINMENT on `start_pos` and plain
+  * equality on `ref_seq_id`, NOT the alignment-span overlap used for
+  * genomic `intervals` (overlap semantics would wrongly prune a span-0
+  * container at `start_pos = lo`, and any negative `ref_seq_id` — unmapped
+  * −1, multi-ref −2 — can never pass a coordinate test). Every filter stays
+  * residual, so pushdown only prunes, never changes results.
   */
 object CramPushedRegion {
   import org.apache.spark.sql.sources._
-  def toRefIntervals(pushed: Array[Filter]): Option[Seq[RefInterval]] = {
+  def toPredicate(pushed: Array[Filter]): Option[PushedContainerPred] = {
     val ref = pushed.collectFirst { case EqualTo("ref_seq_id", v: Number) => v.intValue() }
     ref.map { r =>
-      var lo = 1
-      var hi = Int.MaxValue
+      var lo: Option[Int] = None
+      var hi: Option[Int] = None
+      // long arithmetic then clamp: `> Int.MaxValue` must not wrap to MinValue
+      // (clamping widens the bound — a superset, which pruning requires)
+      def tighterLo(b: Long): Unit =
+        lo = Some(math.max(lo.getOrElse(Int.MinValue).toLong, math.min(b, Int.MaxValue)).toInt)
+      def tighterHi(b: Long): Unit =
+        hi = Some(math.min(hi.getOrElse(Int.MaxValue).toLong, math.max(b, Int.MinValue)).toInt)
       pushed.foreach {
-        case GreaterThan("start_pos", v: Number) => lo = math.max(lo, v.intValue() + 1)
-        case GreaterThanOrEqual("start_pos", v: Number) => lo = math.max(lo, v.intValue())
-        case LessThan("start_pos", v: Number) => hi = math.min(hi, v.intValue() - 1)
-        case LessThanOrEqual("start_pos", v: Number) => hi = math.min(hi, v.intValue())
+        case GreaterThan("start_pos", v: Number) => tighterLo(v.intValue().toLong + 1)
+        case GreaterThanOrEqual("start_pos", v: Number) => tighterLo(v.intValue().toLong)
+        case LessThan("start_pos", v: Number) => tighterHi(v.intValue().toLong - 1)
+        case LessThanOrEqual("start_pos", v: Number) => tighterHi(v.intValue().toLong)
         case _ =>
       }
-      Seq(RefInterval(r, lo, hi))
+      PushedContainerPred(r, lo, hi)
     }
   }
   def accepts(f: Filter): Boolean = f match {
@@ -118,6 +129,34 @@ object CramPushedRegion {
 
 /** Interval predicate at container granularity: (refSeqId, 1-based range). */
 private[cram] final case class RefInterval(refId: Int, start1: Int, end1: Int)
+
+/** Which containers a scan must keep; planning may over-select (the reader
+  * re-tests on the parsed header, and for filter-derived predicates Catalyst
+  * additionally re-applies the exact residual), but must never under-select.
+  */
+private[cram] sealed trait ContainerPredicate extends Serializable {
+  def keep(c: CramContainer): Boolean
+}
+
+/** Genomic `intervals` option: alignment-span OVERLAP semantics, multi-ref
+  * (−2) containers kept conservatively (members unjudgeable without decode).
+  */
+private[cram] final case class IntervalContainerPred(ivs: Seq[RefInterval]) extends ContainerPredicate {
+  def keep(c: CramContainer): Boolean =
+    c.refSeqId == -2 || ivs.exists(r => c.overlaps(r.refId, r.start1, r.end1))
+}
+
+/** Filter-derived pushdown: exact point test on the header fields the
+  * pushed predicate constrains — `ref_seq_id == refId` (negative ids
+  * included) and `start_pos` within the optional bounds. No span, no −2
+  * special case: a multi-ref container's header field is −2 and simply
+  * doesn't equal a non-negative pushed value.
+  */
+private[cram] final case class PushedContainerPred(refId: Int, lo: Option[Int], hi: Option[Int])
+    extends ContainerPredicate {
+  def keep(c: CramContainer): Boolean =
+    c.refSeqId == refId && lo.forall(c.startPos >= _) && hi.forall(c.startPos <= _)
+}
 
 class CramScan(options: Map[String, String], required: StructType,
                pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
@@ -133,21 +172,22 @@ class CramScan(options: Map[String, String], required: StructType,
     * (name:length,… — same format the BAM sink takes); bare numeric contigs
     * are accepted as refSeqIds directly.
     */
-  private def refIntervals: Option[Seq[RefInterval]] = options.get("intervals").map { s =>
+  private def containerPred: Option[ContainerPredicate] = options.get("intervals").map { s =>
     val names: Map[String, Int] = options.get("refs")
       .map(r => SamHeader.parseRefsOption(r).zipWithIndex.map { case (ref, i) => ref.name -> i }.toMap)
       .getOrElse(Map.empty)
-    GenomicInterval.optimize(GenomicInterval.parseList(s)).flatMap { iv =>
-      names.get(iv.contig).orElse(iv.contig.toIntOption)
-        .map(id => RefInterval(id, iv.start, iv.end))
-    }
-  }.orElse(CramPushedRegion.toRefIntervals(pushed)) // filter-derived pushdown
+    IntervalContainerPred(
+      GenomicInterval.optimize(GenomicInterval.parseList(s)).flatMap { iv =>
+        names.get(iv.contig).orElse(iv.contig.toIntOption)
+          .map(id => RefInterval(id, iv.start, iv.end))
+      })
+  }.orElse(CramPushedRegion.toPredicate(pushed)) // filter-derived pushdown
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val pathStr = options.getOrElse("path", throw new IllegalArgumentException("cram source requires a path"))
     val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
-    val ivs = refIntervals
+    val pred = containerPred
     val files = HadoopIO.listInputFiles(pathStr, conf)
 
     def planFile(file: Path): Seq[InputPartition] = {
@@ -165,9 +205,17 @@ class CramScan(options: Map[String, String], required: StructType,
             val cin = HadoopIO.open(craiPath, conf)
             val crai = try CraiIndex.read(cin) finally cin.close()
             val all = crai.entries.map(_.containerOffset).distinct.sorted
-            val want: Set[Long] = ivs match {
+            val want: Set[Long] = pred match {
               case None => all.toSet
-              case Some(rs) => rs.flatMap(r => crai.containerOffsets(r.refId, r.start1, r.end1)).toSet
+              case Some(IntervalContainerPred(rs)) =>
+                rs.flatMap(r => crai.containerOffsets(r.refId, r.start1, r.end1)).toSet
+              case Some(PushedContainerPred(refId, _, _)) =>
+                // `.crai` entries record SLICE coordinates, not the header
+                // start_pos the pushed predicate constrains, so prune on
+                // seqId equality only (−2 kept defensively — superset) and
+                // leave the start_pos bounds to the reader's header re-test
+                crai.entries.filter(e => e.seqId == refId || e.seqId == -2)
+                  .map(_.containerOffset).toSet
             }
             val sizes = all.zipAll(all.drop(1).map(Some(_)), 0L, None).map {
               case (o, Some(next)) => (o, next - o)
@@ -178,11 +226,9 @@ class CramScan(options: Map[String, String], required: StructType,
             // no index: walk container headers (the reference does the same
             // full-file walk when unindexed) and prune on header coordinates
             val cs = CramContainers.containers(in).filterNot(_.isEof)
-            val kept = ivs match {
+            val kept = pred match {
               case None => cs
-              case Some(rs) => cs.filter(c =>
-                c.refSeqId == -2 /* multi-ref: cannot judge without decode */ ||
-                  rs.exists(r => c.overlaps(r.refId, r.start1, r.end1)))
+              case Some(p) => cs.filter(p.keep)
             }
             kept.map(c => (c.offset, c.totalLength))
           }
@@ -193,12 +239,12 @@ class CramScan(options: Map[String, String], required: StructType,
         var n = 0
         selected.foreach { case (o, len) =>
           if (n > 0 && bytes + len > splitSize) {
-            parts += CramInputPartition(file.toString, cur.result().toArray, ivs)
+            parts += CramInputPartition(file.toString, cur.result().toArray, pred)
             cur.clear(); bytes = 0L; n = 0
           }
           cur += o; bytes += len; n += 1
         }
-        if (n > 0) parts += CramInputPartition(file.toString, cur.result().toArray, ivs)
+        if (n > 0) parts += CramInputPartition(file.toString, cur.result().toArray, pred)
         parts.result()
       } finally in.close()
     }
@@ -216,7 +262,7 @@ class CramScan(options: Map[String, String], required: StructType,
 }
 
 case class CramInputPartition(file: String, offsets: Array[Long],
-                              intervals: Option[Seq[RefInterval]]) extends InputPartition
+                              pred: Option[ContainerPredicate]) extends InputPartition
 
 class CramPartitionReader(p: CramInputPartition, conf: SerializableConf, required: StructType)
     extends PartitionReader[InternalRow] {
@@ -237,11 +283,7 @@ class CramPartitionReader(p: CramInputPartition, conf: SerializableConf, require
   }
 
   /** residual exactness filter — `.crai` pruning may overclaim */
-  private def keep(c: CramContainer): Boolean = !c.isEof && (p.intervals match {
-    case None => true
-    case Some(rs) => c.refSeqId == -2 ||
-      rs.exists(r => c.overlaps(r.refId, r.start1, r.end1))
-  })
+  private def keep(c: CramContainer): Boolean = !c.isEof && p.pred.forall(_.keep(c))
 
   override def next(): Boolean = {
     while (i < p.offsets.length) {

@@ -107,6 +107,41 @@ class CramDataSourceSpec extends AnyFunSuite with SparkFixture {
     assert(got.count(_ == -2) == 1 && got.count(_ == 0) == 10)
   }
 
+  test("filter pushdown keeps span-0 and negative-ref containers (point semantics)") {
+    val dir = tmpDir()
+    val out = dir.resolve("edge.cram")
+    val s = spark
+    import s.implicits._
+    // the two rows a span-OVERLAP translation of the pushed filters would
+    // wrongly prune: a span-0 container at start_pos=1 (1 + 0 - 1 = 0 < lo=1)
+    // and unmapped containers (ref_seq_id -1 never passes a coordinate test)
+    val rows = Seq(
+      (0, 1, 0, 3, 8),      // span-0 at start_pos=1
+      (0, 500, 90, 4, 8),   // ordinary mapped
+      (-1, 0, 0, 5, 8),     // unmapped
+      (-1, 0, 0, 6, 8),     // unmapped
+      (1, 42, 10, 7, 8))
+    rows.toDF("ref_seq_id", "start_pos", "span", "n_records", "data_length")
+      .coalesce(1).write.format("cram").mode("overwrite")
+      .option("writeCrai", "true").save(out.toString)
+
+    def check(): Unit = {
+      val df = spark.read.format("cram").load(out.toString)
+      // plain equality filter: the span-0 container at start_pos=1 must survive
+      assert(df.filter($"ref_seq_id" === 0).count() == 2)
+      // negative ref_seq_id: unmapped containers must be returned
+      assert(df.filter($"ref_seq_id" === -1).count() == 2)
+      assert(df.filter($"ref_seq_id" === -1).agg(sum("n_records")).head.getLong(0) == 11)
+      // bound at exactly the span-0 container's position
+      assert(df.filter($"ref_seq_id" === 0 && $"start_pos" >= 1 && $"start_pos" <= 1).count() == 1)
+      // unmapped containers sit at start_pos 0 — no implicit lo=1 floor
+      assert(df.filter($"ref_seq_id" === -1 && $"start_pos" <= 0).count() == 2)
+    }
+    check() // `.crai` route
+    Files.delete(dir.resolve("edge.cram.crai"))
+    check() // header-walk route
+  }
+
   test("bad column type is rejected by the cram sink, not truncated") {
     val dir = tmpDir()
     val s = spark
