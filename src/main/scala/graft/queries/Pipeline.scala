@@ -70,22 +70,6 @@ object Pipeline {
   private def shingleHashes: Column =
     transform(col("shingles"), sh => hash60(sh) % MinhashP)
 
-  /** Minhash signature as ONE fold over the shingle hashes.
-    *
-    * The per-slot form `transform(0..K-1, k => array_min(transform(shash,
-    * h => h_k(h))))` references `shash` inside the per-k lambda, so when
-    * Catalyst collapses projections the whole md5 shingle pass is inlined
-    * and re-evaluated K times per row (and higher-order functions are
-    * CodegenFallback, i.e. interpreted) — 16× the dominant cost. The fold
-    * evaluates each element of `shash` exactly once no matter how the
-    * expression is inlined: same values, 1 md5 pass.
-    */
-  private def minhashSigFrom(shash: Column): Column =
-    aggregate(shash,
-      transform(sequence(lit(0), lit(MinhashK - 1)), _ => lit(MinhashP)),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(MinhashK - 1)),
-        (m, k) => least(m, ((k * 2 + 1) * h + k * lit(1000003L)) % MinhashP)))
-
   /** Quantize a float-array embedding to integer millis (exact x-engine). */
   private def quantized(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000).cast("long"))
@@ -235,17 +219,23 @@ object Pipeline {
         .orderBy($"keeper")
     },
 
-    // MinHash signature + band hashes per doc (the LSH precursor)
+    // MinHash signature + band hashes per doc (the LSH precursor).
+    // The signature runs as the native codegen'd graft_minhash_sig
+    // expression (one static call per row inside whole-stage codegen) — the
+    // composed HOF form it replaces lives on as the equality-pinned
+    // executable spec in NativeExprSpec. `sig` is referenced several times
+    // below (band slices + sig_sum), which keeps CollapseProject from
+    // inlining the non-cheap expression into each consumer.
     "q_dedup_minhash_sig" -> { (s, d) =>
       import s.implicits._
-      withShingles(Tables.documents(s, d))
-        .withColumn("shash", shingleHashes)
-        .withColumn("sig", minhashSigFrom(col("shash")))
-        .withColumn("bands",
-          transform(sequence(lit(0), lit(Bands - 1)),
-            b => hash60(concat_ws(",",
-              transform(slice($"sig", b * lit(MinhashK / Bands) + 1, lit(MinhashK / Bands)),
-                v => v.cast("string"))))))
+      graft.functions.MinhashSigExpr.register(s)
+      Tables.documents(s, d)
+        // coalesce preserves the composed form's <3-word value (the
+        // untouched fold init, [MinhashP]*K) where the expression says NULL,
+        // so the swap cannot change results on degenerate docs
+        .withColumn("sig", coalesce(expr("graft_minhash_sig(text)"),
+          transform(sequence(lit(0), lit(MinhashK - 1)), _ => lit(MinhashP))))
+        .withColumn("bands", bandsCol)
         .select($"doc_id",
           aggregate($"sig", lit(0L), (acc, v) => acc + (v % 1000000007L)).as("sig_sum"),
           aggregate($"bands", lit(0L), (acc, v) => acc + (v % 1000000007L)).as("band_sum"))
