@@ -39,12 +39,22 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {
-        // consume the FULL ordered result — under a bare .count() Catalyst's
-        // EliminateSorts legally drops top-level orderBys, undercounting
-        // queries whose cost includes the output sort; collect() returns the
-        // sorted rows, and the checksum keeps the work observable
-        val rows = fn(spark, sfDir).collect()
-        rowChecksum ^= rows.length.toLong
+        // Consume the FULL ordered result EXECUTOR-side. A bare .count()
+        // lets EliminateSorts drop top-level orderBys; a driver collect()
+        // materializes per-document results on the driver (OOM at real
+        // scale) and folds deserialization into the timing. Executing the
+        // already-planned physical plan keeps the final sort in the plan
+        // (we never wrap the query in another operator Catalyst could
+        // optimize through) while every row's bytes are hashed where they
+        // were produced — content-level proof of consumption, O(1) driver
+        // memory.
+        val (h, n) = fn(spark, sfDir).queryExecution.executedPlan.execute()
+          .mapPartitions { it =>
+            var acc = 0L; var cnt = 0L
+            while (it.hasNext) { acc ^= it.next().hashCode().toLong; cnt += 1 }
+            Iterator.single((acc, cnt))
+          }.fold((0L, 0L))((a, b) => (a._1 ^ b._1, a._2 + b._2))
+        rowChecksum ^= h ^ n
         samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
       } catch {
         case e: Throwable =>
