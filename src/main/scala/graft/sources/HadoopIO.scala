@@ -73,6 +73,7 @@ object HadoopIO {
     if (files.lengthCompare(2) < 0) files.flatMap(planFile)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, files.size))
+      var failed = false
       try
         files.map { f =>
           pool.submit(new java.util.concurrent.Callable[Seq[T]] {
@@ -83,9 +84,18 @@ object HadoopIO {
           // ExecutionException wrapper — the serial single-file path throws
           // the cause directly and callers match on it
           try fut.get()
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              failed = true; throw e.getCause
+          }
         }
-      finally pool.shutdown()
+      finally {
+        // shutdown() alone would let every still-queued planFile keep doing
+        // header/index I/O after the first failure — at 100k input files
+        // that is minutes of doomed driver work; shutdownNow() cancels the
+        // queue and interrupts in-flight tasks so planning aborts promptly
+        if (failed) pool.shutdownNow() else pool.shutdown()
+      }
     }
 
   /** Order-preserving merge of a temp dir's parts into one file.
