@@ -71,13 +71,24 @@ object Streaming {
     * document's minhash signature (native expression, one codegen'd pass)
     * is banded, and per-(band, bandhash) state holds the bucket's previously
     * seen doc ids; a new member emits a candidate pair against each of them.
-    * The bucket cap mirrors the batch `MaxBucket` skew guard, adapted to
-    * streaming semantics: a bucket at the cap stops ADMITTING members
-    * (already-emitted pairs cannot be retracted), so one degenerate bucket's
-    * state and pair output stay bounded on an unbounded stream. Pairs can
-    * repeat across bands — dedupe downstream if exact-once pairs matter.
+    * `docs` must carry `doc_id`, `text`, and an event-time `ts`.
+    *
+    * State is bounded on BOTH axes on an unbounded stream:
+    *  - per bucket, the cap mirrors the batch `MaxBucket` skew guard adapted
+    *    to streaming semantics — a bucket at the cap stops ADMITTING members
+    *    (already-emitted pairs cannot be retracted);
+    *  - across buckets, an EVENT-TIME TTL evicts any bucket once the
+    *    watermark passes its newest member by `bucketTtlMs` — without it the
+    *    number of (band, bandhash) groups, and so total state-store size,
+    *    grows with the distinct-content cardinality of the stream forever.
+    *    An arrival after eviction re-opens the bucket fresh (it pairs only
+    *    against members seen from then on — the trade for bounded state).
+    * Pairs can repeat across bands — dedupe downstream if exact-once pairs
+    * matter.
     */
-  def nearDupCandidates(docs: DataFrame, maxBucket: Int = 64): DataFrame = {
+  def nearDupCandidates(docs: DataFrame, maxBucket: Int = 64,
+                        watermark: String = "1 hour",
+                        bucketTtlMs: Long = 3600000L): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val s = docs.sparkSession
     import s.implicits._
@@ -87,32 +98,47 @@ object Streaming {
     val bands = graft.queries.Pipeline.Bands
     val k = graft.queries.Pipeline.MinhashK
     val banded = docs
+      .withWatermark("ts", watermark)
       .withColumn("sig", expr("graft_minhash_sig(text)"))
       .filter(col("sig").isNotNull)
-      .select(col("doc_id").cast("long").as("doc_id"),
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => graft.functions.GraftFunctions.hash60(concat_ws(",",
             transform(slice(col("sig"), b * lit(k / bands) + 1, lit(k / bands)),
               v => v.cast("string")))))).as(Seq("band", "bandhash")))
-      .as[(Long, Int, Long)]
+      .as[(Long, java.sql.Timestamp, Int, Long)]
     banded
-      .groupByKey { case (_, band, bandhash) => (band, bandhash) }
+      .groupByKey { case (_, _, band, bandhash) => (band, bandhash) }
       .flatMapGroupsWithState[Seq[Long], (Long, Long, Int)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case ((band, _), rows, state: GroupState[Seq[Long]]) =>
-          var seen = state.getOption.getOrElse(Vector.empty[Long])
-          val out = Seq.newBuilder[(Long, Long, Int)]
-          rows.foreach { case (docId, _, _) =>
-            if (!seen.contains(docId) && seen.size < maxBucket) {
-              seen.foreach { prev =>
-                val (a, b) = if (prev < docId) (prev, docId) else (docId, prev)
-                out += ((a, b, band))
+          if (state.hasTimedOut) {
+            // watermark passed this bucket's newest member by the TTL —
+            // drop the whole bucket
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Vector.empty[Long])
+            var maxTs = Long.MinValue
+            val out = Seq.newBuilder[(Long, Long, Int)]
+            rows.foreach { case (docId, t, _, _) =>
+              if (t != null && t.getTime > maxTs) maxTs = t.getTime
+              if (!seen.contains(docId) && seen.size < maxBucket) {
+                seen.foreach { prev =>
+                  val (a, b) = if (prev < docId) (prev, docId) else (docId, prev)
+                  out += ((a, b, band))
+                }
+                seen = seen :+ docId
               }
-              seen = seen :+ docId
             }
+            state.update(seen)
+            // evict once the watermark passes the newest member by the TTL;
+            // the timestamp must sit strictly above the current watermark
+            // (late rows can carry ts already below it)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + bucketTtlMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
           }
-          state.update(seen)
-          out.result().iterator
       }
       .toDF("doc_a", "doc_b", "band")
   }

@@ -118,12 +118,13 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
   test("nearDupCandidates: streaming LSH pairs equal the batch band join") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // 40 docs over 10 templates → exact repeats share every band
+    // 40 docs over 10 templates → exact repeats share every band; all within
+    // the watermark horizon so eviction can't fire during the equality check
     val docs = (0 until 40).map { i =>
-      (i.toLong, s"alpha beta gamma delta t${i % 10} epsilon zeta eta theta word${i % 10}")
+      (i.toLong, s"alpha beta gamma delta t${i % 10} epsilon zeta eta theta word${i % 10}", ts(i))
     }
-    val stream = MemoryStream[(Long, String)]
-    val q = Streaming.nearDupCandidates(stream.toDF().toDF("doc_id", "text"))
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.nearDupCandidates(stream.toDF().toDF("doc_id", "text", "ts"))
       .writeStream.format("memory").queryName("neardup").outputMode("append").start()
     try {
       stream.addData(docs.take(20))
@@ -135,7 +136,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       // batch twin: band-hash self-join over the same documents
       graft.functions.MinhashSigExpr.register(spark)
-      val banded = docs.toDF("doc_id", "text")
+      val banded = docs.toDF("doc_id", "text", "ts")
         .withColumn("sig", expr("graft_minhash_sig(text)"))
         .filter($"sig".isNotNull)
         .select($"doc_id",
@@ -150,6 +151,43 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == want)
       assert(got.size >= 60, s"10 templates x 4 identical copies → >=60 pairs, got ${got.size}")
+    } finally q.stop()
+  }
+
+  test("nearDupCandidates: event-time TTL evicts stale buckets; arrivals re-open them") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tpl = "alpha beta gamma delta shared epsilon zeta eta theta words"
+    def other(i: Int) = s"totally different unrelated content number$i with enough words here"
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    // 1h watermark delay + 1h TTL (the defaults)
+    val q = Streaming.nearDupCandidates(stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("neardup_ttl").outputMode("append").start()
+    try {
+      def pairs(): Set[(Long, Long)] = spark.table("neardup_ttl")
+        .select($"doc_a", $"doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch 1: two copies of the template at t≈0 → pair (1,2)
+      stream.addData(Seq((1L, tpl, ts(0)), (2L, tpl, ts(1))))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L -> 2L)))
+      // batch 2: an unrelated doc 10h later advances the watermark to 9h —
+      // far past the template bucket's newest member (t=1m) + 1h TTL
+      stream.addData(Seq((100L, other(0), ts(600))))
+      q.processAllAvailable()
+      // batch 3: another unrelated doc triggers the timed-out bucket's
+      // eviction (timeouts fire in the batch after the watermark moves)
+      stream.addData(Seq((101L, other(1), ts(601))))
+      q.processAllAvailable()
+      // batch 4: a fresh copy of the template re-opens the (now empty)
+      // bucket — NO pair against 1/2 may appear; a second fresh copy then
+      // pairs against the re-opened bucket's first member only
+      stream.addData(Seq((3L, tpl, ts(602))))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L -> 2L)), s"evicted bucket leaked state: ${pairs()}")
+      stream.addData(Seq((4L, tpl, ts(603))))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 2L), (3L, 4L)), pairs().toString)
     } finally q.stop()
   }
 }
