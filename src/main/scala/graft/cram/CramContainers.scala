@@ -160,6 +160,116 @@ object CramContainers {
     CramContainer(off, p + dataLength.toLong, dataLength, refSeqId, startPos, span, nRecords, nBlocks)
   }
 
+  /** Parse + validate a container header from an in-memory window; `None`
+    * when the bytes at `bufOff` are not a plausible CRAM v3 container header.
+    * Validation: non-negative varint fields, bounded landmark count, the
+    * container fitting inside the file — and the header's own CRC32 (v3
+    * stores a CRC of the preceding header bytes), which makes a random-byte
+    * false positive a ~2^-32 event. Used by the executor-side boundary
+    * guesser; cheap checks run before the CRC so non-candidates die fast.
+    */
+  def tryParseValidated(buf: Array[Byte], bufOff: Int, limit: Int,
+                        fileOff: Long, fileSize: Long): Option[CramContainer] = {
+    if (bufOff + 10 > limit) return None
+    val dataLength = (buf(bufOff) & 0xff) | ((buf(bufOff + 1) & 0xff) << 8) |
+      ((buf(bufOff + 2) & 0xff) << 16) | ((buf(bufOff + 3) & 0xff) << 24)
+    if (dataLength < 0) return None
+    var p = bufOff + 4
+    var bad = false
+    def itf8(): Int = {
+      if (bad || p >= limit) { bad = true; return 0 }
+      val b1 = buf(p) & 0xff
+      val n = if ((b1 & 0x80) == 0) 1 else if ((b1 & 0x40) == 0) 2
+        else if ((b1 & 0x20) == 0) 3 else if ((b1 & 0x10) == 0) 4 else 5
+      if (p + n > limit) { bad = true; return 0 }
+      val (v, nn) = Itf8.read(buf, p); p += nn; v
+    }
+    def ltf8(): Long = {
+      if (bad || p >= limit) { bad = true; return 0L }
+      val b1 = buf(p) & 0xff
+      var n = 0
+      while (n < 8 && (b1 & (0x80 >> n)) != 0) n += 1
+      if (p + n + 1 > limit) { bad = true; return 0L }
+      val (v, nn) = Ltf8.read(buf, p); p += nn; v
+    }
+    val refSeqId = itf8()
+    val startPos = itf8()
+    val span = itf8()
+    val nRecords = itf8()
+    val recCounter = ltf8()
+    val bases = ltf8()
+    val nBlocks = itf8()
+    val nLandmarks = itf8()
+    if (bad || refSeqId < -2 || startPos < 0 || span < 0 || nRecords < 0 ||
+      recCounter < 0 || bases < 0 || nBlocks < 0 ||
+      nLandmarks < 0 || nLandmarks > (1 << 20)) return None
+    var l = 0
+    while (l < nLandmarks && !bad) { itf8(); l += 1 }
+    if (bad || p + 4 > limit) return None
+    val crc = new java.util.zip.CRC32()
+    crc.update(buf, bufOff, p - bufOff)
+    val stored = (buf(p) & 0xffL) | ((buf(p + 1) & 0xffL) << 8) |
+      ((buf(p + 2) & 0xffL) << 16) | ((buf(p + 3) & 0xffL) << 24)
+    if (crc.getValue != stored) return None
+    p += 4
+    val headerLen = p - bufOff
+    if (fileOff + headerLen + dataLength > fileSize) return None
+    Some(CramContainer(fileOff, headerLen + dataLength.toLong, dataLength,
+      refSeqId, startPos, span, nRecords, nBlocks))
+  }
+
+  /** Worst-case header window the boundary guesser parses per candidate:
+    * fixed fields (~60 B) + up to 2^20 5-byte landmarks won't fit — bound to
+    * 64 KiB, i.e. ~13k landmarks, far beyond real slice counts.
+    */
+  private val HeaderWindow = 1 << 16
+
+  /** First container boundary at-or-after `from`, discovered by scanning —
+    * the executor-side twin of the BAM record-boundary guesser
+    * (reference BamRecordGuesser semantics, CramSource.java:121-151 does
+    * this walk on the driver instead). A candidate offset must parse as a
+    * CRC-valid header AND chain into `confirmDepth` further CRC-valid
+    * headers (or end-of-file), so a payload byte that happens to look like
+    * a header (≈2^-32 per offset) cannot survive (≈2^-64 for the chain).
+    * Returns `size` when no boundary exists in `[from, size)`.
+    */
+  def findBoundary(in: SeekableInput, from: Long, size: Long, confirmDepth: Int = 2): Long = {
+    val Window = 1 << 20
+    var base = math.max(from, FileDefinitionLength.toLong)
+    while (base < size) {
+      // candidates live in the first Window bytes; the HeaderWindow tail is
+      // parse margin so a header straddling the window edge isn't rejected
+      val want = math.min((Window + HeaderWindow).toLong, size - base).toInt
+      val buf = new Array[Byte](want)
+      require(in.preadFully(base, buf, 0, want) == want, s"short read at $base")
+      val scanEnd = if (base + want >= size) want else math.min(Window, want)
+      var i = 0
+      while (i < scanEnd) {
+        tryParseValidated(buf, i, want, base + i, size) match {
+          case Some(c) if confirmChain(in, c, size, confirmDepth) => return base + i
+          case _ =>
+        }
+        i += 1
+      }
+      base += scanEnd
+    }
+    size
+  }
+
+  private def confirmChain(in: SeekableInput, c: CramContainer, size: Long, depth: Int): Boolean = {
+    if (depth <= 0) return true
+    val next = c.offset + c.totalLength
+    if (next == size) return true
+    if (next > size) return false
+    val want = math.min(HeaderWindow.toLong, size - next).toInt
+    val buf = new Array[Byte](want)
+    if (in.preadFully(next, buf, 0, want) != want) return false
+    tryParseValidated(buf, 0, want, next, size) match {
+      case Some(n) => confirmChain(in, n, size, depth - 1)
+      case None => false
+    }
+  }
+
   /** Walk every container header (EOF container included, flagged). */
   def containers(in: SeekableInput): Seq[CramContainer] = {
     readFileDefinition(in)

@@ -197,55 +197,61 @@ class CramScan(options: Map[String, String], required: StructType,
         val size = in.size
         val fs = file.getFileSystem(conf)
         val craiPath = new Path(file.toString + ".crai")
-        // (offset, estimated container bytes) of the data containers to scan
-        val selected: Seq[(Long, Long)] =
-          if (fs.exists(craiPath)) {
-            // index route: container offsets come from `.crai` — O(index)
-            // driver I/O, no header walk (the shape that matters at 100 TB)
-            val cin = HadoopIO.open(craiPath, conf)
-            val crai = try CraiIndex.read(cin) finally cin.close()
-            val all = crai.entries.map(_.containerOffset).distinct.sorted
-            val want: Set[Long] = pred match {
-              case None => all.toSet
-              case Some(IntervalContainerPred(rs)) =>
-                rs.flatMap(r => crai.containerOffsets(r.refId, r.start1, r.end1)).toSet
-              case Some(PushedContainerPred(refId, _, _)) =>
-                // `.crai` entries record SLICE coordinates, not the header
-                // start_pos the pushed predicate constrains, so prune on
-                // seqId equality only (−2 kept defensively — superset) and
-                // leave the start_pos bounds to the reader's header re-test
-                crai.entries.filter(e => e.seqId == refId || e.seqId == -2)
-                  .map(_.containerOffset).toSet
-            }
-            val sizes = all.zipAll(all.drop(1).map(Some(_)), 0L, None).map {
-              case (o, Some(next)) => (o, next - o)
-              case (o, None) => (o, size - o) // tail estimate incl. EOF container
-            }
-            sizes.filter { case (o, _) => want.contains(o) }
-          } else {
-            // no index: walk container headers (the reference does the same
-            // full-file walk when unindexed) and prune on header coordinates
-            val cs = CramContainers.containers(in).filterNot(_.isEof)
-            val kept = pred match {
-              case None => cs
-              case Some(p) => cs.filter(p.keep)
-            }
-            kept.map(c => (c.offset, c.totalLength))
+        if (fs.exists(craiPath)) {
+          // index route: container offsets come from `.crai` — O(index)
+          // driver I/O, no header walk (the shape that matters at 100 TB)
+          val cin = HadoopIO.open(craiPath, conf)
+          val crai = try CraiIndex.read(cin) finally cin.close()
+          val all = crai.entries.map(_.containerOffset).distinct.sorted
+          val want: Set[Long] = pred match {
+            case None => all.toSet
+            case Some(IntervalContainerPred(rs)) =>
+              rs.flatMap(r => crai.containerOffsets(r.refId, r.start1, r.end1)).toSet
+            case Some(PushedContainerPred(refId, _, _)) =>
+              // `.crai` entries record SLICE coordinates, not the header
+              // start_pos the pushed predicate constrains, so prune on
+              // seqId equality only (−2 kept defensively — superset) and
+              // leave the start_pos bounds to the reader's header re-test
+              crai.entries.filter(e => e.seqId == refId || e.seqId == -2)
+                .map(_.containerOffset).toSet
           }
-        // tile into partitions of ~splitSize, never splitting a container
-        val parts = Seq.newBuilder[CramInputPartition]
-        val cur = Seq.newBuilder[Long]
-        var bytes = 0L
-        var n = 0
-        selected.foreach { case (o, len) =>
-          if (n > 0 && bytes + len > splitSize) {
-            parts += CramInputPartition(file.toString, cur.result().toArray, pred)
-            cur.clear(); bytes = 0L; n = 0
+          // (offset, estimated container bytes) of the containers to scan
+          val sizes = all.zipAll(all.drop(1).map(Some(_)), 0L, None).map {
+            case (o, Some(next)) => (o, next - o)
+            case (o, None) => (o, size - o) // tail estimate incl. EOF container
           }
-          cur += o; bytes += len; n += 1
+          val selected = sizes.filter { case (o, _) => want.contains(o) }
+          // tile into partitions of ~splitSize, never splitting a container
+          val parts = Seq.newBuilder[InputPartition]
+          val cur = Seq.newBuilder[Long]
+          var bytes = 0L
+          var n = 0
+          selected.foreach { case (o, len) =>
+            if (n > 0 && bytes + len > splitSize) {
+              parts += CramInputPartition(file.toString, cur.result().toArray, pred)
+              cur.clear(); bytes = 0L; n = 0
+            }
+            cur += o; bytes += len; n += 1
+          }
+          if (n > 0) parts += CramInputPartition(file.toString, cur.result().toArray, pred)
+          parts.result()
+        } else {
+          // no index: plain byte-range splits — container discovery happens
+          // EXECUTOR-side (each reader snaps its range start to the first
+          // CRC-confirmed container boundary, CramContainers.findBoundary).
+          // The driver does O(1) I/O per file: file definition + size. The
+          // reference walks every container header on the driver here
+          // (CramSource.java:121-151) — O(file bytes) of driver I/O before
+          // the first task, a scale-killer this path must not inherit.
+          // Predicate pruning runs in the reader (it sees each header
+          // anyway); each container belongs to the split containing its
+          // START offset.
+          val start0 = CramContainers.FileDefinitionLength.toLong
+          Iterator.iterate(start0)(_ + splitSize).takeWhile(_ < size).map { s =>
+            CramRangePartition(file.toString, s, math.min(s + splitSize, size), pred)
+              : InputPartition
+          }.toSeq
         }
-        if (n > 0) parts += CramInputPartition(file.toString, cur.result().toArray, pred)
-        parts.result()
       } finally in.close()
     }
 
@@ -256,13 +262,44 @@ class CramScan(options: Map[String, String], required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
     val req = required
-    (partition: InputPartition) =>
-      new CramPartitionReader(partition.asInstanceOf[CramInputPartition], conf, req)
+    (partition: InputPartition) => partition match {
+      case p: CramInputPartition => new CramPartitionReader(p, conf, req)
+      case p: CramRangePartition => new CramRangePartitionReader(p, conf, req)
+      case other => throw new IllegalArgumentException(s"unexpected partition $other")
+    }
   }
 }
 
 case class CramInputPartition(file: String, offsets: Array[Long],
                               pred: Option[ContainerPredicate]) extends InputPartition
+
+/** Unindexed route: a raw byte range; the READER discovers the first
+  * container boundary at-or-after `start` and owns every container whose
+  * start offset falls in `[start, end)`.
+  */
+case class CramRangePartition(file: String, start: Long, end: Long,
+                              pred: Option[ContainerPredicate]) extends InputPartition
+
+private[cram] object ContainerRow {
+  def getters(required: StructType): Array[CramContainer => Any] =
+    required.fieldNames.map[CramContainer => Any] {
+      case "offset" => c => c.offset
+      case "data_length" => c => c.dataLength
+      case "ref_seq_id" => c => c.refSeqId
+      case "start_pos" => c => c.startPos
+      case "span" => c => c.alignmentSpan
+      case "n_records" => c => c.nRecords
+      case "n_blocks" => c => c.nBlocks
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+
+  def toRow(c: CramContainer, getters: Array[CramContainer => Any]): InternalRow = {
+    val vals = new Array[Any](getters.length)
+    var j = 0
+    while (j < vals.length) { vals(j) = getters(j)(c); j += 1 }
+    new GenericInternalRow(vals)
+  }
+}
 
 class CramPartitionReader(p: CramInputPartition, conf: SerializableConf, required: StructType)
     extends PartitionReader[InternalRow] {
@@ -270,17 +307,7 @@ class CramPartitionReader(p: CramInputPartition, conf: SerializableConf, require
   private val size = input.size
   private var i = 0
   private var currentRow: InternalRow = _
-
-  private val getters: Array[CramContainer => Any] = required.fieldNames.map[CramContainer => Any] {
-    case "offset" => c => c.offset
-    case "data_length" => c => c.dataLength
-    case "ref_seq_id" => c => c.refSeqId
-    case "start_pos" => c => c.startPos
-    case "span" => c => c.alignmentSpan
-    case "n_records" => c => c.nRecords
-    case "n_blocks" => c => c.nBlocks
-    case other => throw new IllegalArgumentException(s"unknown column $other")
-  }
+  private val getters = ContainerRow.getters(required)
 
   /** residual exactness filter — `.crai` pruning may overclaim */
   private def keep(c: CramContainer): Boolean = !c.isEof && p.pred.forall(_.keep(c))
@@ -290,10 +317,42 @@ class CramPartitionReader(p: CramInputPartition, conf: SerializableConf, require
       val c = CramContainers.readContainerHeader(input, p.offsets(i), size)
       i += 1
       if (keep(c)) {
-        val vals = new Array[Any](getters.length)
-        var j = 0
-        while (j < vals.length) { vals(j) = getters(j)(c); j += 1 }
-        currentRow = new GenericInternalRow(vals)
+        currentRow = ContainerRow.toRow(c, getters)
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = currentRow
+  override def close(): Unit = input.close()
+}
+
+/** Unindexed route: snap the range start to the first CRC-confirmed
+  * container boundary (executor-side discovery — the driver planned a bare
+  * byte range), then follow the container chain while starts stay inside
+  * the range. A container straddling `end` belongs to THIS split; the next
+  * split's own boundary search lands past it — exactly-once ownership with
+  * zero coordination.
+  */
+class CramRangePartitionReader(p: CramRangePartition, conf: SerializableConf, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val input = HadoopIO.open(new Path(p.file), conf.conf)
+  private val size = input.size
+  private var off: Long =
+    if (p.start <= CramContainers.FileDefinitionLength)
+      CramContainers.FileDefinitionLength.toLong
+    else CramContainers.findBoundary(input, p.start, size)
+  private var currentRow: InternalRow = _
+  private val getters = ContainerRow.getters(required)
+
+  private def keep(c: CramContainer): Boolean = !c.isEof && p.pred.forall(_.keep(c))
+
+  override def next(): Boolean = {
+    while (off < p.end && off < size) {
+      val c = CramContainers.readContainerHeader(input, off, size)
+      off += c.totalLength
+      if (keep(c)) {
+        currentRow = ContainerRow.toRow(c, getters)
         return true
       }
     }

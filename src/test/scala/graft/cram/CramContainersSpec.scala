@@ -91,6 +91,71 @@ class CramContainersSpec extends AnyFunSuite {
     }
   }
 
+  /** Synthetic CRAM with REAL header CRCs (encodeContainer), as the boundary
+    * guesser requires; returns (bytes, data-container offsets).
+    */
+  private def crcCram(specs: Seq[(Int, Int, Int, Int, Int)]): (Array[Byte], Seq[Long]) = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(CramContainers.encodeFileDefinition())
+    val offsets = Seq.newBuilder[Long]
+    specs.foreach { case (dataLen, ref, start, span, nRec) =>
+      offsets += bos.size().toLong
+      bos.write(CramContainers.encodeContainer(dataLen, ref, start, span, nRec))
+    }
+    bos.write(CramContainers.encodeEofContainer())
+    (bos.toByteArray, offsets.result())
+  }
+
+  test("findBoundary: exact boundary, mid-container snap, end-of-data") {
+    val specs = (0 until 8).map(i => (500 + i * 37, 0, 1000 + i * 100, 90, 10))
+    val (bytes, offsets) = crcCram(specs)
+    val in = SeekableInput.ofBytes(bytes)
+    val size = bytes.length.toLong
+    // from an exact boundary: returns it
+    offsets.foreach(o => assert(CramContainers.findBoundary(in, o, size) == o))
+    // from one byte past a boundary: snaps to the NEXT boundary
+    offsets.sliding(2).foreach {
+      case Seq(a, b) => assert(CramContainers.findBoundary(in, a + 1, size) == b)
+      case _ =>
+    }
+    // mid-payload: also the next boundary
+    assert(CramContainers.findBoundary(in, offsets(2) + 40, size) == offsets(3))
+    // past the last data container: the EOF container's boundary, then size
+    val eofOff = offsets.last +
+      CramContainers.readContainerHeader(in, offsets.last, size).totalLength
+    assert(CramContainers.findBoundary(in, offsets.last + 1, size) == eofOff)
+    assert(CramContainers.findBoundary(in, eofOff + 1, size) == size)
+  }
+
+  test("findBoundary: an embedded header copy in a payload is rejected by chain confirm") {
+    // craft container 0's payload to contain a byte-exact copy of container
+    // 1's header: CRC-valid in isolation, but its chain points into garbage
+    val c1bytes = CramContainers.encodeContainer(600, 0, 2000, 90, 10)
+    val c1headerLen = c1bytes.length - 600
+    val fakeHeader = java.util.Arrays.copyOfRange(c1bytes, 0, c1headerLen)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(CramContainers.encodeFileDefinition())
+    val c0off = bos.size().toLong
+    // payload: 100 zeros, the fake header, zeros to 1000
+    val payload = new Array[Byte](1000)
+    System.arraycopy(fakeHeader, 0, payload, 100, fakeHeader.length)
+    val c0 = {
+      // encodeContainer writes zero payload; splice ours in after the header
+      val base = CramContainers.encodeContainer(1000, 0, 1000, 90, 10)
+      System.arraycopy(payload, 0, base, base.length - 1000, 1000)
+      base
+    }
+    bos.write(c0)
+    val c1off = bos.size().toLong
+    bos.write(c1bytes)
+    bos.write(CramContainers.encodeEofContainer())
+    val bytes = bos.toByteArray
+    val in = SeekableInput.ofBytes(bytes)
+    // scanning from inside c0 (before the embedded copy) must skip the
+    // CRC-valid fake at c0off+hdr+100 and land on the true c1 boundary
+    assert(CramContainers.findBoundary(in, c0off + 1, bytes.length.toLong) == c1off)
+  }
+
   test("crai round-trip prunes containers to the interval") {
     val sizes = Seq(5000, 12000, 800, 64000, 3000)
     val (bytes, offsets) = syntheticCram(sizes)

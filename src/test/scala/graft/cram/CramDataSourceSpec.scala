@@ -159,6 +159,34 @@ class CramDataSourceSpec extends AnyFunSuite with SparkFixture {
     assert(messages(e).mkString(" | ").contains("must be INT"))
   }
 
+  test("unindexed planning is byte-range splits; discovery happens in the reader") {
+    val dir = tmpDir()
+    val out = dir.resolve("noidx2.cram")
+    containers(500).coalesce(1).write.format("cram").mode("overwrite").save(out.toString)
+    assert(!Files.exists(dir.resolve("noidx2.cram.crai")))
+    val size = Files.size(out)
+    val splitSize = 4096L
+    // plan directly: every partition must be a raw byte range (the driver
+    // never walks container headers — O(splits) planning, not O(file bytes))
+    val scan = new graft.sources.cram.CramScan(
+      Map("path" -> out.toString, "splitsize" -> splitSize.toString),
+      graft.sources.cram.CramTable.schema)
+    val parts = scan.planInputPartitions()
+    assert(parts.nonEmpty && parts.forall(_.isInstanceOf[graft.sources.cram.CramRangePartition]),
+      parts.take(3).mkString(","))
+    val dataBytes = size - 26 // file definition
+    assert(parts.length == ((dataBytes + splitSize - 1) / splitSize).toInt)
+    // executor-side discovery recovers exactly the rows the crai route sees
+    val gotNoIdx = spark.read.format("cram").option("splitSize", splitSize)
+      .load(out.toString).orderBy(col("offset")).collect().map(_.toSeq)
+    containers(500).coalesce(1).write.format("cram").mode("overwrite")
+      .option("writeCrai", "true").save(dir.resolve("idx.cram").toString)
+    val gotIdx = spark.read.format("cram").option("splitSize", splitSize)
+      .load(dir.resolve("idx.cram").toString).orderBy(col("offset")).collect().map(_.toSeq)
+    assert(gotNoIdx.length == 500)
+    assert(gotNoIdx.toSeq == gotIdx.toSeq)
+  }
+
   test("unindexed interval scan prunes on container-header coordinates") {
     val dir = tmpDir()
     val out = dir.resolve("noidx.cram")
