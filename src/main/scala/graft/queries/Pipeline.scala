@@ -120,12 +120,35 @@ object Pipeline {
       .distinct()
   }
 
-  /** Sign-bit ANN bucket over a quantized embedding column `q`: 8
+  /** Hyperplane count for the sign-bit LSH bucket, derived from corpus
+    * size: the smallest count ≥ [[LshPlanes]] whose EXPECTED occupancy
+    * n/2^planes sits at or under MaxBucket/8. A fixed plane count is a
+    * silent recall cliff at scale — with 8 planes there are only 256
+    * buckets, so past ~16k vectors most buckets exceed [[MaxBucket]] and
+    * get dropped, discarding nearly every candidate pair. Deriving planes
+    * from n keeps the bucket count growing with the corpus instead.
+    *
+    * The /8 margin is deliberate: sign-bit orthant masses are NOT uniform
+    * (fixed hyperplanes are not orthogonal, so some sign patterns carry
+    * several times the average mass — LshScalingSpec measures ~7× on a
+    * 50k synthetic corpus), so sizing for expected ≈ cap/2 still drops
+    * buckets; expected ≤ cap/8 keeps the heaviest observed bucket inside
+    * the cap. At the oracle scale factor (sf0.01, 500 vectors — and any n
+    * ≤ 2048) this resolves to exactly [[LshPlanes]] = 8, so oracle-scale
+    * results equal the fixed-plane DuckDB oracle.
+    */
+  private[graft] def lshPlanesFor(n: Long): Int = {
+    var planes = LshPlanes
+    while (planes < 60 && (n >> planes) > MaxBucket / 8) planes += 1
+    planes
+  }
+
+  /** Sign-bit ANN bucket over a quantized embedding column `q`:
     * deterministic hyperplanes (plane p component i = hash60("p|i") mod
     * 2001 - 1000), bit p set iff dot > 0. Portable integer arithmetic.
     */
-  private def lshBucket: Column =
-    (0 until LshPlanes).map { p =>
+  private[graft] def lshBucket(planes: Int = LshPlanes): Column =
+    (0 until planes).map { p =>
       val dot = aggregate(
         zip_with(col("q"),
           transform(sequence(lit(1), lit(64)),
@@ -134,6 +157,9 @@ object Pipeline {
         lit(0L), (acc, v) => acc + v)
       when(dot > 0, lit(1L) * (1L << p)).otherwise(0L)
     }.reduce(_ + _)
+
+  /** MaxBucket, exposed for the scaling spec. */
+  private[graft] def maxBucket: Int = MaxBucket
 
   // ---- queries ----------------------------------------------------------
 
@@ -300,9 +326,12 @@ object Pipeline {
     // past [[MaxBucket]] are dropped, not exploded.
     "q_dedup_embedding" -> { (s, d) =>
       import s.implicits._
-      val e = Tables.embeddings(s, d)
+      val base = Tables.embeddings(s, d)
+      // planes scale with corpus size (8 at oracle scale; see lshPlanesFor)
+      val planes = lshPlanesFor(base.count())
+      val e = base
         .select($"vec_id", quantized($"embedding").as("q"))
-        .withColumn("bucket", lshBucket)
+        .withColumn("bucket", lshBucket(planes))
         .persist() // quantize+bucket once: feeds pair generation and scoring
       val pairs = e.groupBy($"bucket")
         .agg(sort_array(collect_list($"vec_id")).as("ids"))
@@ -502,15 +531,18 @@ object Pipeline {
         .orderBy($"query_id", $"rnk")
     },
 
-    // LSH-bucketed ANN: sign-bit bucket from 8 deterministic hyperplanes,
-    // candidates = same-bucket vectors only (the 100-TB scale path: bucket
-    // is a shuffle key, each query touches one bucket)
+    // LSH-bucketed ANN: sign-bit bucket from deterministic hyperplanes
+    // (count scales with corpus size, lshPlanesFor), candidates =
+    // same-bucket vectors only (the 100-TB scale path: bucket is a shuffle
+    // key, each query touches one bucket)
     "q_ann_lsh" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
+      val base = Tables.embeddings(s, d)
+      val planes = lshPlanesFor(base.count())
+      val e = base.select($"vec_id", quantized($"embedding").as("q"))
       // plane p component i = (hash60("p|i") % 2001) - 1000, fixed + portable
-      val bucketed = e.withColumn("bucket", lshBucket)
+      val bucketed = e.withColumn("bucket", lshBucket(planes))
       val queriesDf = bucketed.filter($"vec_id" < 5)
         .select($"vec_id".as("query_id"), $"q".as("qq"), $"bucket".as("qbucket"))
       val scored = bucketed.join(broadcast(queriesDf),

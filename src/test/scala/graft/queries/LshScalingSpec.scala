@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.functions.GraftFunctions.hash60
+
+/** The LSH plane count must scale with corpus size (VERDICT r5 #2): with
+  * the plane count fixed at 8 there are only 256 sign-bit buckets, so on a
+  * corpus ~100× denser than the oracle scale nearly every bucket blows past
+  * the MaxBucket cap and is DROPPED — a silent recall cliff for
+  * q_dedup_embedding / q_ann_lsh. This spec builds that denser corpus
+  * (50k vectors, deterministic pseudo-random directions, 500 planted
+  * exact-duplicate pairs) and pins:
+  *  - the derived plane count keeps every planted pair inside a bucket at
+  *    or under the cap (candidate recall stays 1.0);
+  *  - the fixed 8-plane bucketing drops essentially all of them;
+  *  - at the oracle scale factors the derivation still resolves to 8, so
+  *    the DuckDB oracles remain valid.
+  */
+class LshScalingSpec extends AnyFunSuite with SparkFixture {
+
+  private val N = 50000 // 100× the sf0.01 embeddings table
+  private val Pairs = 500 // vec_ids 0..999 are 500 exact-duplicate pairs
+
+  /** Quantized 64-dim vectors in [-1000, 1000], a pure hash of the seed id —
+    * ids 2k and 2k+1 below 1000 share a seed, i.e. exact duplicates.
+    */
+  private def corpus(): DataFrame = {
+    val seed = when(col("vec_id") < Pairs * 2, floor(col("vec_id") / 2) * 2)
+      .otherwise(col("vec_id"))
+    spark.range(N.toLong).select(col("id").as("vec_id"))
+      .withColumn("q", transform(sequence(lit(1), lit(64)),
+        i => hash60(concat(seed.cast("string"), lit("#"), i.cast("string"))) % 2001 - 1000))
+  }
+
+  test("derivation pins to 8 at the oracle scale factor") {
+    assert(Pipeline.lshPlanesFor(500) == 8)  // sf0.01 — the correctness gate
+    assert(Pipeline.lshPlanesFor(2048) == 8) // the edge of the pinned regime
+    assert(Pipeline.lshPlanesFor(N) > 8)
+    // monotone, bounded
+    assert(Pipeline.lshPlanesFor(1L << 40) <= 60)
+  }
+
+  test("derived planes keep the 100x-denser corpus inside the bucket cap; fixed 8 planes collapse") {
+    val planes = Pipeline.lshPlanesFor(N)
+    val cap = Pipeline.maxBucket
+    val df = corpus().persist()
+    try {
+      def pairSurvival(p: Int): (Long, Long) = {
+        val bucketed = df.withColumn("bucket", Pipeline.lshBucket(p))
+        val sizes = bucketed.groupBy("bucket").agg(count(lit(1)).as("n"))
+        // a planted pair survives when its (shared) bucket is within the cap
+        val survivors = bucketed.filter(col("vec_id") < Pairs * 2)
+          .join(sizes, "bucket")
+          .filter(col("vec_id") % 2 === 0 && col("n") <= cap)
+          .count()
+        val maxBucket = sizes.agg(max(col("n"))).head.getLong(0)
+        (survivors, maxBucket)
+      }
+      // exact duplicates always share a bucket, so survival == recall here
+      val (survived, maxOcc) = pairSurvival(planes)
+      assert(maxOcc <= cap,
+        s"derived $planes planes still leave an over-cap bucket: max occupancy $maxOcc > $cap")
+      assert(survived == Pairs,
+        s"recall collapsed under derived planes: $survived/$Pairs planted pairs survive")
+      // the pre-fix behavior: at this density the 256 fixed buckets hold
+      // ~195 vectors each — over the cap, so candidates are mass-dropped
+      val (survived8, maxOcc8) = pairSurvival(8)
+      assert(maxOcc8 > cap, s"expected over-cap buckets at 8 planes, max was $maxOcc8")
+      assert(survived8 < Pairs / 10,
+        s"fixed 8 planes unexpectedly kept $survived8/$Pairs pairs — densify the spec corpus")
+    } finally df.unpersist()
+  }
+}
