@@ -34,6 +34,37 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(n == recs.count(r => r.contig == "chr21" && r.start <= 9999 && math.max(r.end, r.start) >= 5000))
   }
 
+  test("format(htsjdk) facade auto-dispatches bam/sam/cram by extension") {
+    import spark.implicits._
+    val recs = TestReads.mixed(60)
+    val df = spark.createDataset(recs).toDF()
+    val dir = tmpDir()
+    Reads.write(df, dir.resolve("x.bam").toString, refs)
+    Reads.write(df, dir.resolve("x.sam").toString, refs, format = Some("sam"))
+    // one registered source, three container formats
+    assert(spark.read.format("htsjdk").load(dir.resolve("x.bam").toString).count() == recs.size)
+    assert(spark.read.format("htsjdk").load(dir.resolve("x.sam").toString).count() == recs.size)
+    // cram: container specs in, container rows out
+    Seq((0, 100, 50, 7, 16), (1, 500, 90, 3, 8))
+      .toDF("ref_seq_id", "start_pos", "span", "n_records", "data_length")
+      .coalesce(1).write.format("cram").mode("overwrite")
+      .save(dir.resolve("x.cram").toString)
+    assert(spark.read.format("htsjdk").load(dir.resolve("x.cram").toString).count() == 2)
+    // directory dispatch: first file's extension decides
+    Reads.write(df.repartition(2), dir.resolve("shard2").toString, refs)
+    assert(spark.read.format("htsjdk").load(dir.resolve("shard2").toString).count() == recs.size)
+    // options pass through to the resolved source
+    val n = spark.read.format("htsjdk").option("intervals", "chr21:5000-9999")
+      .load(dir.resolve("x.bam").toString).count()
+    assert(n == recs.count(r => r.contig == "chr21" && r.start <= 9999 && math.max(r.end, r.start) >= 5000))
+    // unknown extension: a clear error, not a misparse
+    Files.write(dir.resolve("x.unknown"), "not a reads file".getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("htsjdk").load(dir.resolve("x.unknown").toString).count()
+    }
+    assert(ex.getMessage.contains("cannot infer reads format"))
+  }
+
   test("permissive mode skips malformed lines; default mode fails fast") {
     val dir = tmpDir()
     val sam = dir.resolve("bad.sam")
