@@ -261,13 +261,27 @@ object CramContainers {
     val next = c.offset + c.totalLength
     if (next == size) return true
     if (next > size) return false
-    val want = math.min(HeaderWindow.toLong, size - next).toInt
-    val buf = new Array[Byte](want)
-    if (in.preadFully(next, buf, 0, want) != want) return false
-    tryParseValidated(buf, 0, want, next, size) match {
+    readValidatedHeader(in, next, size) match {
       case Some(n) => confirmChain(in, n, size, depth - 1)
       case None => false
     }
+  }
+
+  /** CRC-validating variant of [[readContainerHeader]]: `None` on ANY
+    * malformation (structural or CRC mismatch) instead of throwing or
+    * returning partial garbage — what the scan readers use so stringency
+    * tiers can decide skip-vs-fail. Reads a small window first; the 64 KiB
+    * retry only fires for very-many-landmark headers (or real corruption).
+    */
+  def readValidatedHeader(in: SeekableInput, off: Long, size: Long): Option[CramContainer] = {
+    def attempt(window: Int): Option[CramContainer] = {
+      val want = math.min(window.toLong, size - off).toInt
+      if (want < 10) return None
+      val buf = new Array[Byte](want)
+      if (in.preadFully(off, buf, 0, want) != want) return None
+      tryParseValidated(buf, 0, want, off, size)
+    }
+    attempt(512).orElse(if (size - off > 512) attempt(HeaderWindow) else None)
   }
 
   /** Walk every container header (EOF container included, flagged). */

@@ -262,9 +262,10 @@ class CramScan(options: Map[String, String], required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
     val req = required
+    val mode = graft.sources.Stringency.fromOptions(options)
     (partition: InputPartition) => partition match {
-      case p: CramInputPartition => new CramPartitionReader(p, conf, req)
-      case p: CramRangePartition => new CramRangePartitionReader(p, conf, req)
+      case p: CramInputPartition => new CramPartitionReader(p, conf, req, mode)
+      case p: CramRangePartition => new CramRangePartitionReader(p, conf, req, mode)
       case other => throw new IllegalArgumentException(s"unexpected partition $other")
     }
   }
@@ -301,30 +302,45 @@ private[cram] object ContainerRow {
   }
 }
 
-class CramPartitionReader(p: CramInputPartition, conf: SerializableConf, required: StructType)
+class CramPartitionReader(p: CramInputPartition, conf: SerializableConf, required: StructType,
+                          mode: graft.sources.Stringency = graft.sources.Stringency.Strict)
     extends PartitionReader[InternalRow] {
+  import graft.sources.Stringency
   private val input = HadoopIO.open(new Path(p.file), conf.conf)
   private val size = input.size
   private var i = 0
   private var currentRow: InternalRow = _
   private val getters = ContainerRow.getters(required)
+  private val slog = new graft.sources.StringencyLog(s"cram ${p.file}")
 
   /** residual exactness filter — `.crai` pruning may overclaim */
   private def keep(c: CramContainer): Boolean = !c.isEof && p.pred.forall(_.keep(c))
 
   override def next(): Boolean = {
     while (i < p.offsets.length) {
-      val c = CramContainers.readContainerHeader(input, p.offsets(i), size)
+      val off = p.offsets(i)
       i += 1
-      if (keep(c)) {
-        currentRow = ContainerRow.toRow(c, getters)
-        return true
+      CramContainers.readValidatedHeader(input, off, size) match {
+        case Some(c) =>
+          if (keep(c)) {
+            currentRow = ContainerRow.toRow(c, getters)
+            return true
+          }
+        case None => mode match {
+          // `.crai`-listed offsets are independent: the malformed container
+          // is droppable without losing the rest of the partition
+          case Stringency.Strict =>
+            throw new java.io.IOException(
+              s"malformed CRAM container header at $off in ${p.file}")
+          case Stringency.Lenient => slog.skip(s"container at $off in ${p.file}")
+          case Stringency.Permissive => slog.skipSilently()
+        }
       }
     }
     false
   }
   override def get(): InternalRow = currentRow
-  override def close(): Unit = input.close()
+  override def close(): Unit = { slog.summarize(); input.close() }
 }
 
 /** Unindexed route: snap the range start to the first CRC-confirmed
@@ -334,8 +350,10 @@ class CramPartitionReader(p: CramInputPartition, conf: SerializableConf, require
   * split's own boundary search lands past it — exactly-once ownership with
   * zero coordination.
   */
-class CramRangePartitionReader(p: CramRangePartition, conf: SerializableConf, required: StructType)
+class CramRangePartitionReader(p: CramRangePartition, conf: SerializableConf, required: StructType,
+                               mode: graft.sources.Stringency = graft.sources.Stringency.Strict)
     extends PartitionReader[InternalRow] {
+  import graft.sources.Stringency
   private val input = HadoopIO.open(new Path(p.file), conf.conf)
   private val size = input.size
   private var off: Long =
@@ -344,22 +362,41 @@ class CramRangePartitionReader(p: CramRangePartition, conf: SerializableConf, re
     else CramContainers.findBoundary(input, p.start, size)
   private var currentRow: InternalRow = _
   private val getters = ContainerRow.getters(required)
+  private val slog = new graft.sources.StringencyLog(s"cram ${p.file}")
 
   private def keep(c: CramContainer): Boolean = !c.isEof && p.pred.forall(_.keep(c))
 
   override def next(): Boolean = {
     while (off < p.end && off < size) {
-      val c = CramContainers.readContainerHeader(input, off, size)
-      off += c.totalLength
-      if (keep(c)) {
-        currentRow = ContainerRow.toRow(c, getters)
-        return true
+      CramContainers.readValidatedHeader(input, off, size) match {
+        case Some(c) =>
+          off += c.totalLength
+          if (keep(c)) {
+            currentRow = ContainerRow.toRow(c, getters)
+            return true
+          }
+        case None => mode match {
+          case Stringency.Strict =>
+            throw new java.io.IOException(
+              s"malformed CRAM container header at $off in ${p.file}")
+          case _ =>
+            // LENIENT/PERMISSIVE salvage: re-sync to the next CRC-confirmed
+            // boundary — the CRC requirement means a skip can never emit
+            // garbage rows, only drop the corrupt container (the Stringency
+            // contract's framing rule is honored because re-sync is
+            // validated, not guessed)
+            val resync = CramContainers.findBoundary(input, off + 1, size)
+            if (mode == Stringency.Lenient)
+              slog.skip(s"container at $off in ${p.file} (re-synced to $resync)")
+            else slog.skipSilently()
+            off = resync
+        }
       }
     }
     false
   }
   override def get(): InternalRow = currentRow
-  override def close(): Unit = input.close()
+  override def close(): Unit = { slog.summarize(); input.close() }
 }
 
 // ---- write path -----------------------------------------------------------

@@ -187,6 +187,42 @@ class CramDataSourceSpec extends AnyFunSuite with SparkFixture {
     assert(gotNoIdx.toSeq == gotIdx.toSeq)
   }
 
+  test("stringency matrix: corrupt header fails strict, lenient/permissive skip and re-sync") {
+    val dir = tmpDir()
+    val out = dir.resolve("corrupt.cram")
+    containers(30).coalesce(1).write.format("cram").mode("overwrite")
+      .option("writeCrai", "true").save(out.toString)
+    // locate container 10 and flip one header byte (breaks its CRC)
+    val in = graft.bgzf.SeekableInput.ofFile(out)
+    val victim = try CramContainers.containers(in)(10).offset finally in.close()
+    val raf = new java.io.RandomAccessFile(out.toFile, "rw")
+    try {
+      raf.seek(victim + 5)
+      val b = raf.read()
+      raf.seek(victim + 5)
+      raf.write(b ^ 0x40)
+    } finally raf.close()
+    // drop Hadoop LocalFileSystem's own .crc sidecar — the out-of-band edit
+    // invalidated it and we want OUR validation to see the corrupt bytes
+    Files.deleteIfExists(dir.resolve(".corrupt.cram.crc"))
+
+    def count(mode: Option[String]): Long = {
+      var r = spark.read.format("cram")
+      mode.foreach(m => r = r.option("mode", m))
+      r.load(out.toString).count()
+    }
+    // both routes: `.crai`-listed offsets first, then byte-range discovery
+    for (route <- Seq("crai", "range")) {
+      if (route == "range") Files.delete(dir.resolve("corrupt.cram.crai"))
+      val ex = intercept[Exception](count(None)) // strict default
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(ex).mkString(" | ").contains("malformed CRAM container header"), s"$route: $ex")
+      assert(count(Some("lenient")) == 29, route)    // the corrupt container is dropped
+      assert(count(Some("permissive")) == 29, route) // same, silently
+    }
+  }
+
   test("unindexed interval scan prunes on container-header coordinates") {
     val dir = tmpDir()
     val out = dir.resolve("noidx.cram")
