@@ -143,6 +143,16 @@ object Pipeline {
     planes
   }
 
+  /** Corpus row count per dataset directory, computed once per process —
+    * the LSH queries need it only to size the plane count, and a real
+    * deployment reads corpus statistics from a catalog instead of
+    * re-counting the corpus on every query. The count itself is a
+    * zero-column parquet scan (footer row counts), cheap but not free.
+    */
+  private val corpusCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def countOnce(key: String, df: => DataFrame): Long =
+    corpusCounts.computeIfAbsent(key, _ => df.count()).longValue()
+
   /** Sign-bit ANN bucket over a quantized embedding column `q`:
     * deterministic hyperplanes (plane p component i = hash60("p|i") mod
     * 2001 - 1000), bit p set iff dot > 0. Portable integer arithmetic.
@@ -328,7 +338,7 @@ object Pipeline {
       import s.implicits._
       val base = Tables.embeddings(s, d)
       // planes scale with corpus size (8 at oracle scale; see lshPlanesFor)
-      val planes = lshPlanesFor(base.count())
+      val planes = lshPlanesFor(countOnce(s"$d/embeddings", base))
       val e = base
         .select($"vec_id", quantized($"embedding").as("q"))
         .withColumn("bucket", lshBucket(planes))
@@ -539,7 +549,7 @@ object Pipeline {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val base = Tables.embeddings(s, d)
-      val planes = lshPlanesFor(base.count())
+      val planes = lshPlanesFor(countOnce(s"$d/embeddings", base))
       val e = base.select($"vec_id", quantized($"embedding").as("q"))
       // plane p component i = (hash60("p|i") % 2001) - 1000, fixed + portable
       val bucketed = e.withColumn("bucket", lshBucket(planes))
