@@ -241,6 +241,24 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // repetition signals (Gopher/MassiveText-style quality rules):
+    // type-token ratio + duplicate 3-gram fraction, integer-quantized —
+    // one narrow array pass per document, no shuffle before the final sort
+    "q_text_repetition" -> { (s, d) =>
+      import s.implicits._
+      withShingles(Tables.documents(s, d))
+        .select($"doc_id",
+          size($"ws").as("n_words"),
+          (size(array_distinct($"ws")).cast("long") * 1000 / size($"ws"))
+            .cast("long").as("ttr_milli"),
+          when(size($"shingles") > 0,
+            ((size($"shingles") - size(array_distinct($"shingles"))).cast("long") * 1000
+              / size($"shingles")).cast("long"))
+            .otherwise(0L).as("dup3_milli"))
+        .withColumn("repetitive", $"dup3_milli" > 200 || $"ttr_milli" < 300)
+        .orderBy($"doc_id")
+    },
+
     // == deduplication ===================================================
 
     // exact dedup on a normalized content key (first 8 words)
@@ -676,6 +694,21 @@ object Pipeline {
          |SELECT doc_id, len(fps) AS n_fp,
          |  CAST(coalesce(list_sum(list_transform(fps, v -> v % 1000000007)), 0) AS BIGINT) AS fp_sum
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_text_repetition" -> {
+      val shingle = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
+      s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |g AS (SELECT doc_id, ws, CASE WHEN len(ws) >= 3 THEN
+         |    list_transform(range(1, len(ws) - 1), i -> $shingle) ELSE [] END AS sh FROM t),
+         |u AS (SELECT doc_id, len(ws) AS n_words,
+         |  CAST(len(list_distinct(ws)) * 1000 // len(ws) AS BIGINT) AS ttr_milli,
+         |  CASE WHEN len(sh) > 0 THEN
+         |    CAST((len(sh) - len(list_distinct(sh))) * 1000 // len(sh) AS BIGINT)
+         |  ELSE 0 END AS dup3_milli FROM g)
+         |SELECT doc_id, n_words, ttr_milli, dup3_milli,
+         |  (dup3_milli > 200 OR ttr_milli < 300) AS repetitive
+         |FROM u ORDER BY doc_id""".stripMargin
+    },
 
     "q_dedup_exact" ->
       s"""WITH t AS (SELECT doc_id,

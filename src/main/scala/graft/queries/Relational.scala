@@ -202,6 +202,30 @@ object Relational {
         .groupBy($"user_id")
         .agg(sum($"new_session").as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy($"user_id")
+    },
+
+    // -- Ordered funnel: per user, first view -> first later click -> first
+    // later purchase. Each stage joins only its stage-filtered slice on
+    // user_id (never the full stream against itself), and every stage
+    // shares the user_id shuffle key, so at scale the three aggregations
+    // co-partition and the funnel costs one filtered pass per stage.
+    "q_events_funnel" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_type", unix_millis($"ts").as("ms"))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ms").as("t_view_ms"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ms" > $"t_view_ms")
+        .groupBy($"user_id").agg(min($"ms").as("t_click_ms"))
+      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ms" > $"t_click_ms")
+        .groupBy($"user_id").agg(min($"ms").as("t_purchase_ms"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select($"user_id", $"t_view_ms", $"t_click_ms", $"t_purchase_ms",
+          ($"t_purchase_ms" - $"t_view_ms").as("conv_ms"))
+        .orderBy($"user_id")
     }
   )
 
@@ -309,6 +333,19 @@ object Relational {
         |    SELECT user_id, ts,
         |      LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
         |    FROM events) t1) t2
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |v AS (SELECT user_id, MIN(ms) AS t_view_ms FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ms) AS t_click_ms FROM e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ms > v.t_view_ms GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ms) AS t_purchase_ms FROM e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ms > c.t_click_ms GROUP BY 1)
+        |SELECT v.user_id, v.t_view_ms, c.t_click_ms, p.t_purchase_ms,
+        |  p.t_purchase_ms - v.t_view_ms AS conv_ms
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin
   )
 }
