@@ -171,6 +171,22 @@ object Pipeline {
   /** MaxBucket, exposed for the scaling spec. */
   private[graft] def maxBucket: Int = MaxBucket
 
+  /** Per-plane signed dot products of `q` with the deterministic
+    * hyperplanes — the margins multi-probe uses to pick which sign bits to
+    * flip (computed on the tiny query side only).
+    */
+  private def lshPlaneDots(planes: Int): Column =
+    transform(sequence(lit(0), lit(planes - 1)), p =>
+      aggregate(
+        zip_with(col("q"),
+          transform(sequence(lit(1), lit(64)),
+            i => hash60(concat(p.cast("string"), lit("|"), i.cast("string"))) % 2001 - 1000),
+          (x, w) => x * w),
+        lit(0L), (acc, v) => acc + v))
+
+  /** Extra buckets probed per ANN query in the multi-probe variant. */
+  private val MultiProbes = 2
+
   // ---- queries ----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -583,6 +599,39 @@ object Pipeline {
         .orderBy($"query_id", $"rnk")
     },
 
+    // Multi-probe LSH ANN: besides its own sign-bit bucket, each query
+    // probes the buckets reached by flipping its lowest-|margin| planes —
+    // the standard recall repair for bucketed LSH once the plane count
+    // grows with the corpus (a near neighbor differs in exactly the sign
+    // bits whose dot sits near zero). Margins and probe buckets are
+    // computed on the 5-row broadcast query side only; the corpus side is
+    // identical to q_ann_lsh (one bucket per vector, bucket-equality join).
+    "q_ann_multiprobe" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.embeddings(s, d)
+      val planes = lshPlanesFor(countOnce(s"$d/embeddings", base))
+      val powers = array((0 until planes).map(p => lit(1L << p)): _*)
+      val e = base.select($"vec_id", quantized($"embedding").as("q"))
+      val bucketed = e.withColumn("bucket", lshBucket(planes))
+      val qs = bucketed.filter($"vec_id" < 5)
+        .withColumn("dots", lshPlaneDots(planes))
+        .withColumn("flips", slice(array_sort(
+          zip_with($"dots", powers, (dd, pw) => struct(abs(dd).as("a"), pw.as("pw")))),
+          1, MultiProbes))
+        .select($"vec_id".as("query_id"), $"q".as("qq"),
+          explode(concat(array($"bucket"),
+            transform($"flips", f => $"bucket".bitwiseXOR(f.getField("pw"))))).as("pbucket"))
+      val scored = bucketed.join(broadcast(qs),
+          $"bucket" === $"pbucket" && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id", qdot($"q", $"qq").as("dot"))
+      val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"query_id", $"rnk", $"vec_id", $"dot")
+        .orderBy($"query_id", $"rnk")
+    },
+
     // IVF-style ANN: coarse quantizer (16 deterministic centroids standing
     // in for an offline-trained codebook) partitions the corpus by nearest
     // centroid in ONE map-side pass (broadcast centroids + partial-agg
@@ -899,6 +948,39 @@ object Pipeline {
          |s AS (SELECT qv.vec_id AS query_id, v.vec_id,
          |    CAST(list_sum(list_transform(range(1, 65), i -> v.q[i] * qv.q[i])) AS BIGINT) AS dot
          |  FROM b v JOIN b qv ON qv.vec_id < 5 AND v.bucket = qv.bucket AND v.vec_id <> qv.vec_id),
+         |r AS (SELECT query_id, vec_id, dot,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |  FROM s)
+         |SELECT query_id, rnk, vec_id, dot FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    },
+
+    "q_ann_multiprobe" -> {
+      val np = LshPlanes // 8 at the oracle-pinned scale (see lshPlanesFor)
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, q, list_transform(range(0, $np), p ->
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> q[i] * (${h60("CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)")} % 2001 - 1000)))) AS dots
+         |  FROM e),
+         |bb AS (SELECT vec_id, q, dots,
+         |    CAST(list_sum(list_transform(range(1, ${np + 1}),
+         |      p -> CASE WHEN dots[p] > 0 THEN (1 << (p - 1)) ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM b),
+         |qs AS (SELECT vec_id AS query_id, q AS qq, dots, bucket FROM bb WHERE vec_id < 5),
+         |m AS (SELECT query_id, (1 << (p - 1)) AS pw,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY abs(dots[p]), p) AS rn
+         |  FROM qs, UNNEST(range(1, ${np + 1})) AS u(p)),
+         |pr AS (SELECT query_id, bucket AS pbucket FROM qs
+         |  UNION ALL
+         |  SELECT f.query_id, xor(q2.bucket, CAST(f.pw AS BIGINT))
+         |  FROM m f JOIN qs q2 USING (query_id) WHERE f.rn <= 2),
+         |s AS (SELECT q3.query_id, v.vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> v.q[i] * q3.qq[i])) AS BIGINT) AS dot
+         |  FROM bb v JOIN pr ON v.bucket = pr.pbucket
+         |  JOIN qs q3 ON q3.query_id = pr.query_id
+         |  WHERE v.vec_id <> q3.query_id),
          |r AS (SELECT query_id, vec_id, dot,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
          |  FROM s)
