@@ -135,5 +135,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "graft_fingerprints(text) takes one argument")
         FingerprintsExpr(exprs.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_stop_hits"),
+      new ExpressionInfo(classOf[StopHitsExpr].getName, "graft_stop_hits"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_stop_hits(text) takes one argument")
+        StopHitsExpr(exprs.head)
+      }))
   }
 }

@@ -165,3 +165,72 @@ object FingerprintsExpr {
         FingerprintsExpr(exprs.head)
       })
 }
+
+/** Native stopword occurrence counter: one word-split pass producing
+  * `[en, de, fr, es, union]` hit counts — the composed form is five
+  * interpreted `filter` lambdas per row (CodegenFallback), five array
+  * walks. The union slot counts words in ANY list once per occurrence
+  * (not the sum of the four — shared words like "la"/"un" would double
+  * count). The lists here are the canonical ones; `Pipeline` reads them
+  * from this object so query and oracle can never diverge from the
+  * expression.
+  */
+case class StopHitsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_stop_hits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    StopHitsExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StopHitsExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StopHitsExpr =
+    copy(child = newChild)
+}
+
+object StopHitsExpr {
+  val En: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  val De: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit")
+  val Fr: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "dans")
+  val Es: Seq[String] = Seq("el", "la", "los", "y", "es", "un", "una", "en")
+
+  private val sets: Array[java.util.HashSet[String]] =
+    Array(En, De, Fr, Es).map { l =>
+      val s = new java.util.HashSet[String](l.size * 2)
+      l.foreach(s.add)
+      s
+    }
+  private val union: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](64)
+    (En ++ De ++ Fr ++ Es).foreach(s.add)
+    s
+  }
+
+  def compute(text: UTF8String): ArrayData = {
+    val words = NativeText.splitWords(text)
+    val counts = new Array[Long](5)
+    var i = 0
+    val n = words.size
+    while (i < n) {
+      val w = words.get(i)
+      var k = 0
+      while (k < 4) {
+        if (sets(k).contains(w)) counts(k) += 1
+        k += 1
+      }
+      if (union.contains(w)) counts(4) += 1
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_stop_hits"),
+      new ExpressionInfo(classOf[StopHitsExpr].getName, "graft_stop_hits"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_stop_hits(text) takes one argument")
+        StopHitsExpr(exprs.head)
+      })
+}

@@ -28,10 +28,13 @@ import graft.functions.GraftFunctions._
   */
 object Pipeline {
 
-  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on")
-  private val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit")
-  private val StopFr = Seq("le", "la", "les", "et", "est", "un", "une", "dans")
-  private val StopEs = Seq("el", "la", "los", "y", "es", "un", "una", "en")
+  // canonical stop lists live next to the native expression that counts
+  // them (graft_stop_hits) — the oracle SQL below is built from the same
+  // Seqs, so query, expression, and oracle cannot diverge
+  private val StopEn = graft.functions.StopHitsExpr.En
+  private val StopDe = graft.functions.StopHitsExpr.De
+  private val StopFr = graft.functions.StopHitsExpr.Fr
+  private val StopEs = graft.functions.StopHitsExpr.Es
 
   private[graft] val MinhashK = 16
   private[graft] val Bands = 4 // rows per band = 4
@@ -205,15 +208,19 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
-    // language ID: stopword-vote heuristic with deterministic tie-break
+    // language ID: stopword-vote heuristic with deterministic tie-break.
+    // The four per-language counts come from ONE native codegen pass
+    // (graft_stop_hits) — the composed form is four interpreted filter
+    // lambdas per row; NativeExprSpec pins equality.
     "q_text_langid" -> { (s, d) =>
       import s.implicits._
-      def hits(stops: Seq[String]) =
-        size(filter(words($"text"), w => w.isInCollection(stops)))
-      val df = Tables.documents(s, d).select(
-        $"doc_id", $"lang".as("tagged_lang"),
-        hits(StopEn).as("en_hits"), hits(StopDe).as("de_hits"),
-        hits(StopFr).as("fr_hits"), hits(StopEs).as("es_hits"))
+      graft.functions.StopHitsExpr.register(s)
+      val df = Tables.documents(s, d)
+        .withColumn("sh", expr("graft_stop_hits(text)"))
+        .select(
+          $"doc_id", $"lang".as("tagged_lang"),
+          $"sh".getItem(0).as("en_hits"), $"sh".getItem(1).as("de_hits"),
+          $"sh".getItem(2).as("fr_hits"), $"sh".getItem(3).as("es_hits"))
       df.withColumn("pred_lang",
         when($"en_hits" >= greatest($"de_hits", $"fr_hits", $"es_hits"), "en")
           .when($"de_hits" >= greatest($"fr_hits", $"es_hits"), "de")
@@ -222,16 +229,17 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
-    // quality scoring: integer ratios → deterministic class
+    // quality scoring: integer ratios → deterministic class (the union
+    // stopword count comes from graft_stop_hits slot 4 — same single pass)
     "q_text_quality" -> { (s, d) =>
       import s.implicits._
-      val allStops = StopEn ++ StopDe ++ StopFr ++ StopEs
+      graft.functions.StopHitsExpr.register(s)
       Tables.documents(s, d)
         .withColumn("ws", words($"text"))
         .select(
           $"doc_id",
           size($"ws").as("n_tokens"),
-          (size(filter($"ws", w => w.isInCollection(allStops))) * 1000 / size($"ws"))
+          (expr("graft_stop_hits(text)").getItem(4) * 1000 / size($"ws"))
             .cast("long").as("stop_milli"),
           (length($"text") * 1000 / size($"ws")).cast("long").as("wlen_milli"))
         .withColumn("quality_class",

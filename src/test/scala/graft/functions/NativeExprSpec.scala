@@ -94,6 +94,26 @@ class NativeExprSpec extends AnyFunSuite with SparkFixture {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
   }
 
+  test("native graft_stop_hits equals the composed filter-count forms") {
+    import spark.implicits._
+    StopHitsExpr.register(spark)
+    // random docs salted with real stopwords so every slot gets exercised
+    val rng = new scala.util.Random(19)
+    val stopPool = (StopHitsExpr.En ++ StopHitsExpr.De ++ StopHitsExpr.Fr ++ StopHitsExpr.Es).toIndexedSeq
+    val docs = randomDocs(19, 150).map { case (id, t) =>
+      val salt = (0 until rng.nextInt(6)).map(_ => stopPool(rng.nextInt(stopPool.size))).mkString(" ")
+      (id, s"$t $salt")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    def hits(stops: Seq[String]) = size(filter(ws, w => w.isInCollection(stops))).cast("long")
+    val union = (StopHitsExpr.En ++ StopHitsExpr.De ++ StopHitsExpr.Fr ++ StopHitsExpr.Es).distinct
+    val rows = df.select(expr("graft_stop_hits(text)").as("native"),
+      array(hits(StopHitsExpr.En), hits(StopHitsExpr.De), hits(StopHitsExpr.Fr),
+        hits(StopHitsExpr.Es), hits(union)).as("composed")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
+  }
+
   test("extension class injects the function at session build time") {
     val ext = new GraftExtensions
     // smoke: applying the injector to fresh extensions must not throw; the
