@@ -109,20 +109,22 @@ object Streaming {
       .as[(Long, java.sql.Timestamp, Int, Long)]
     banded
       .groupByKey { case (_, _, band, bandhash) => (band, bandhash) }
-      .flatMapGroupsWithState[Seq[Long], (Long, Long, Int)](
+      .flatMapGroupsWithState[(Seq[Long], Long), (Long, Long, Int)](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case ((band, _), rows, state: GroupState[Seq[Long]]) =>
+        case ((band, _), rows, state: GroupState[(Seq[Long], Long)]) =>
           if (state.hasTimedOut) {
             // watermark passed this bucket's newest member by the TTL —
             // drop the whole bucket
             state.remove()
             Iterator.empty
           } else {
-            var seen = state.getOption.getOrElse(Vector.empty[Long])
-            var maxTs = Long.MinValue
+            var (seen, newestTs) = state.getOption.getOrElse((Vector.empty[Long], Long.MinValue))
             val out = Seq.newBuilder[(Long, Long, Int)]
             rows.foreach { case (docId, t, _, _) =>
-              if (t != null && t.getTime > maxTs) maxTs = t.getTime
+              // the NEWEST member ever seen rides along in state: an
+              // out-of-order (but in-watermark) batch must not pull the
+              // TTL earlier than a previous member already pushed it
+              if (t != null && t.getTime > newestTs) newestTs = t.getTime
               if (!seen.contains(docId) && seen.size < maxBucket) {
                 seen.foreach { prev =>
                   val (a, b) = if (prev < docId) (prev, docId) else (docId, prev)
@@ -131,12 +133,15 @@ object Streaming {
                 seen = seen :+ docId
               }
             }
-            state.update(seen)
+            state.update((seen, newestTs))
             // evict once the watermark passes the newest member by the TTL;
             // the timestamp must sit strictly above the current watermark
-            // (late rows can carry ts already below it)
+            // (late rows can carry ts already below it). A bucket that has
+            // never seen a non-null ts keeps a full TTL from the watermark
+            // instead of being evicted on the next tick.
+            val anchor = if (newestTs == Long.MinValue) state.getCurrentWatermarkMs() else newestTs
             state.setTimeoutTimestamp(
-              math.max(maxTs + bucketTtlMs, state.getCurrentWatermarkMs() + 1))
+              math.max(anchor + bucketTtlMs, state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }

@@ -190,6 +190,40 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(pairs() == Set((1L, 2L), (3L, 4L)), pairs().toString)
     } finally q.stop()
   }
+
+  test("nearDupCandidates: out-of-order members never pull the TTL earlier") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tpl = "alpha beta gamma delta shared epsilon zeta eta theta words"
+    def other(i: Int) = s"totally different unrelated content number$i with enough words here"
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.nearDupCandidates(stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("neardup_ooo").outputMode("append").start()
+    try {
+      def pairs(): Set[(Long, Long)] = spark.table("neardup_ooo")
+        .select($"doc_a", $"doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // newest member at 10:05 → TTL anchor must stay 10:05 + 1h = 11:05
+      stream.addData(Seq((1L, tpl, ts(600)), (2L, tpl, ts(605))))
+      q.processAllAvailable()
+      // out-of-order (but in-watermark) member at 9:35: pre-fix this reset
+      // the timeout to 9:35 + 1h = 10:35, AHEAD of the newest member's TTL
+      stream.addData(Seq((3L, tpl, ts(575))))
+      q.processAllAvailable()
+      // advance the watermark to 10:40 — past the buggy 10:35 timeout but
+      // before the correct 11:05 one — and give timeouts a batch to fire
+      stream.addData(Seq((100L, other(0), ts(700))))
+      q.processAllAvailable()
+      stream.addData(Seq((101L, other(1), ts(705))))
+      q.processAllAvailable()
+      // a 10:50 member is still inside the bucket's true TTL: it must pair
+      // against ALL previous members — an early-evicted bucket would not
+      stream.addData(Seq((4L, tpl, ts(650))))
+      q.processAllAvailable()
+      assert(Set((1L, 4L), (2L, 4L), (3L, 4L)).subsetOf(pairs()),
+        s"bucket was evicted early: ${pairs()}")
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
