@@ -218,11 +218,16 @@ object CramContainers {
       refSeqId, startPos, span, nRecords, nBlocks))
   }
 
-  /** Worst-case header window the boundary guesser parses per candidate:
-    * fixed fields (~60 B) + up to 2^20 5-byte landmarks won't fit — bound to
-    * 64 KiB, i.e. ~13k landmarks, far beyond real slice counts.
+  /** Header window the boundary guesser parses per candidate: 64 KiB
+    * covers ~13k landmarks, far beyond real slice counts, so the scan stays
+    * cheap. [[readValidatedHeader]] escalates to [[HeaderWindowMax]] (the
+    * true worst case of the `nLandmarks <= 2^20` bound: fixed fields + 2^20
+    * five-byte landmarks) so a legitimately huge header can never be
+    * misread as malformed by a window that is smaller than the validator's
+    * own landmark bound.
     */
   private val HeaderWindow = 1 << 16
+  private val HeaderWindowMax = 64 + 5 * (1 << 20) + 4
 
   /** First container boundary at-or-after `from`, discovered by scanning —
     * the executor-side twin of the BAM record-boundary guesser
@@ -281,7 +286,12 @@ object CramContainers {
       if (in.preadFully(off, buf, 0, want) != want) return None
       tryParseValidated(buf, 0, want, off, size)
     }
-    attempt(512).orElse(if (size - off > 512) attempt(HeaderWindow) else None)
+    // ladder: tiny window (real headers are ~50–200 B) → 64 KiB (headers
+    // with thousands of landmarks) → the validator's true worst case, so
+    // window size can never reject a header the validator would accept
+    attempt(512)
+      .orElse(if (size - off > 512) attempt(HeaderWindow) else None)
+      .orElse(if (size - off > HeaderWindow) attempt(HeaderWindowMax) else None)
   }
 
   /** Walk every container header (EOF container included, flagged). */

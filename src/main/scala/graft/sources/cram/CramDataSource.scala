@@ -207,13 +207,21 @@ class CramScan(options: Map[String, String], required: StructType,
             case None => all.toSet
             case Some(IntervalContainerPred(rs)) =>
               rs.flatMap(r => crai.containerOffsets(r.refId, r.start1, r.end1)).toSet
-            case Some(PushedContainerPred(refId, _, _)) =>
+            case Some(PushedContainerPred(refId, _, _)) if refId >= 0 =>
               // `.crai` entries record SLICE coordinates, not the header
               // start_pos the pushed predicate constrains, so prune on
               // seqId equality only (−2 kept defensively — superset) and
               // leave the start_pos bounds to the reader's header re-test
               crai.entries.filter(e => e.seqId == refId || e.seqId == -2)
                 .map(_.containerOffset).toSet
+            case Some(PushedContainerPred(_, _, _)) =>
+              // negative pushed ids (unmapped −1, multi-ref −2): index
+              // conventions vary (multi-ref containers may be indexed as
+              // one entry PER reference with real seqIds; unmapped entries
+              // may be absent), so seqId pruning could under-select — scan
+              // all indexed containers and let the reader's header re-test
+              // apply the predicate exactly
+              all.toSet
           }
           // (offset, estimated container bytes) of the containers to scan
           val sizes = all.zipAll(all.drop(1).map(Some(_)), 0L, None).map {

@@ -156,6 +156,39 @@ class CramContainersSpec extends AnyFunSuite {
     assert(CramContainers.findBoundary(in, c0off + 1, bytes.length.toLong) == c1off)
   }
 
+  test("readValidatedHeader parses a many-landmark header larger than the 64 KiB window") {
+    // 20k five-byte-capable landmarks → header well past 64 KiB; the window
+    // ladder must escalate instead of misreading a valid header as corrupt
+    val nLandmarks = 20000
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(CramContainers.encodeFileDefinition())
+    val off = bos.size().toLong
+    val hdr = new java.io.ByteArrayOutputStream()
+    val dataLen = 64
+    hdr.write(dataLen & 0xff); hdr.write((dataLen >> 8) & 0xff)
+    hdr.write((dataLen >> 16) & 0xff); hdr.write((dataLen >> 24) & 0xff)
+    hdr.write(Itf8.write(0)); hdr.write(Itf8.write(1000))
+    hdr.write(Itf8.write(90)); hdr.write(Itf8.write(5))
+    hdr.write(Ltf8.write(0L)); hdr.write(Ltf8.write(0L))
+    hdr.write(Itf8.write(nLandmarks)) // nBlocks
+    hdr.write(Itf8.write(nLandmarks))
+    (0 until nLandmarks).foreach(i => hdr.write(Itf8.write(i * 300000))) // 4-byte ITF-8s
+    val hb = hdr.toByteArray
+    val crc = new java.util.zip.CRC32(); crc.update(hb)
+    val c = crc.getValue
+    hdr.write((c & 0xff).toInt); hdr.write(((c >> 8) & 0xff).toInt)
+    hdr.write(((c >> 16) & 0xff).toInt); hdr.write(((c >> 24) & 0xff).toInt)
+    bos.write(hdr.toByteArray)
+    bos.write(new Array[Byte](dataLen))
+    bos.write(CramContainers.encodeEofContainer())
+    val bytes = bos.toByteArray
+    assert(hdr.size() > (1 << 16), s"header must exceed 64 KiB, was ${hdr.size()}")
+    val in = SeekableInput.ofBytes(bytes)
+    val parsed = CramContainers.readValidatedHeader(in, off, bytes.length.toLong)
+    assert(parsed.isDefined, "window ladder failed to escalate for a valid huge header")
+    assert(parsed.get.nBlocks == nLandmarks && parsed.get.dataLength == dataLen)
+  }
+
   test("crai round-trip prunes containers to the interval") {
     val sizes = Seq(5000, 12000, 800, 64000, 3000)
     val (bytes, offsets) = syntheticCram(sizes)
