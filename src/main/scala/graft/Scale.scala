@@ -90,7 +90,11 @@ object Scale {
     val documents = src("documents")
     val sd = strideOf(documents, "doc_id")
     write("documents", replicate(documents)((d, r) => {
-      val txt = if (r == 0) col("text") else concat(col("text"), lit(s" rep$r"))
+      // PREFIX the replica token: exact-dedup keys hash the FIRST words, so
+      // a suffix would leave every replica group exactly-duplicated (the
+      // replica-spam distortion this tool exists to avoid) while a prefix
+      // perturbs the key and shifts one shingle — near-duplicate shape
+      val txt = if (r == 0) col("text") else concat(lit(s"rep$r "), col("text"))
       d.withColumn("doc_id", col("doc_id") + lit(r * sd))
         .withColumn("text", txt)
         .withColumn("n_chars", length(txt).cast("long"))

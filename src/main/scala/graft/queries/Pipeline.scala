@@ -146,15 +146,21 @@ object Pipeline {
     planes
   }
 
-  /** Corpus row count per dataset directory, computed once per process —
-    * the LSH queries need it only to size the plane count, and a real
-    * deployment reads corpus statistics from a catalog instead of
-    * re-counting the corpus on every query. The count itself is a
-    * zero-column parquet scan (footer row counts), cheap but not free.
+  /** Corpus row count per dataset, computed once per process — the LSH
+    * queries need it only to size the plane count, and a real deployment
+    * reads corpus statistics from a catalog instead of re-counting the
+    * corpus on every query. The memo key folds in the dataset's resolved
+    * FILE LIST (already materialized by the DataFrame's file index, no
+    * extra RPCs): rewrites and appends change the part-file names, so a
+    * long-lived session re-counts when the data changes instead of sizing
+    * planes from a stale count — the silent recall cliff again, one step
+    * removed. The count itself is a zero-column parquet scan.
     */
   private val corpusCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def countOnce(key: String, df: => DataFrame): Long =
-    corpusCounts.computeIfAbsent(key, _ => df.count()).longValue()
+  private def countOnce(key: String, df: DataFrame): Long = {
+    val versioned = s"$key#${java.util.Arrays.hashCode(df.inputFiles.sorted.asInstanceOf[Array[AnyRef]])}"
+    corpusCounts.computeIfAbsent(versioned, _ => df.count()).longValue()
+  }
 
   /** Sign-bit ANN bucket over a quantized embedding column `q`:
     * deterministic hyperplanes (plane p component i = hash60("p|i") mod

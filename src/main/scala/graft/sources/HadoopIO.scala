@@ -73,9 +73,9 @@ object HadoopIO {
     if (files.lengthCompare(2) < 0) files.flatMap(planFile)
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, files.size))
-      var failed = false
-      try
-        files.map { f =>
+      var failed = true // any non-normal exit (planning failure, interrupt, cancellation) aborts
+      try {
+        val out = files.map { f =>
           pool.submit(new java.util.concurrent.Callable[Seq[T]] {
             override def call(): Seq[T] = planFile(f)
           })
@@ -84,16 +84,16 @@ object HadoopIO {
           // ExecutionException wrapper — the serial single-file path throws
           // the cause directly and callers match on it
           try fut.get()
-          catch {
-            case e: java.util.concurrent.ExecutionException =>
-              failed = true; throw e.getCause
-          }
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
         }
-      finally {
+        failed = false
+        out
+      } finally {
         // shutdown() alone would let every still-queued planFile keep doing
         // header/index I/O after the first failure — at 100k input files
         // that is minutes of doomed driver work; shutdownNow() cancels the
         // queue and interrupts in-flight tasks so planning aborts promptly
+        // on ANY abnormal exit (planFile exception, interrupt, cancellation)
         if (failed) pool.shutdownNow() else pool.shutdown()
       }
     }

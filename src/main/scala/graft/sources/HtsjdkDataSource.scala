@@ -24,18 +24,29 @@ import graft.sources.sam.SamDataSource
 class HtsjdkDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "htsjdk"
 
+  /** Spark calls inferSchema and getTable on the SAME provider instance
+    * during one read resolution — cache the dispatch per path so the
+    * directory listing (O(files) driver RPCs on a sharded input) happens
+    * once here, not once per callback.
+    */
+  private var cached: (String, TableProvider) = _
+
   private def resolve(path: String): TableProvider = {
     require(path != null && path.nonEmpty, "htsjdk source requires a path")
+    if (cached != null && cached._1 == path) return cached._2
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val files = HadoopIO.listInputFiles(path, conf)
     val name = if (files.isEmpty) new org.apache.hadoop.fs.Path(path).getName
       else files.head.getName
-    if (name.endsWith(".bam")) new BamDataSource
-    else if (name.endsWith(".sam")) new SamDataSource
-    else if (name.endsWith(".cram")) new CramDataSource
-    else throw new IllegalArgumentException(
-      s"cannot infer reads format from '$name' (want .bam/.sam/.cram); " +
-        "use spark.read.format(\"bam\"|\"sam\"|\"cram\") directly")
+    val resolved =
+      if (name.endsWith(".bam")) new BamDataSource
+      else if (name.endsWith(".sam")) new SamDataSource
+      else if (name.endsWith(".cram")) new CramDataSource
+      else throw new IllegalArgumentException(
+        s"cannot infer reads format from '$name' (want .bam/.sam/.cram); " +
+          "use spark.read.format(\"bam\"|\"sam\"|\"cram\") directly")
+    cached = (path, resolved)
+    resolved
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
