@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** Pins the SCALE-CRITICAL physical-plan shapes of the pipeline queries the
+  * same way IndexPruningGuardSpec pins index pruning: a refactor that
+  * silently turns a broadcast join into a corpus shuffle, or re-evaluates a
+  * native expression per consumer, would pass the correctness gate (same
+  * rows) while destroying the 100×-scale story — so the plan itself is the
+  * asserted contract.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** FINAL plan after execution — AQE's initial plan may still show
+    * sort-merge joins that the runtime replaces, so assert on what ran
+    * (the adaptive plan's toString appends the initial plan; cut it off).
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  test("ANN queries join the corpus against a BROADCAST query side") {
+    for (q <- Seq("q_ann_bruteforce", "q_ann_lsh", "q_ann_multiprobe")) {
+      val p = finalPlan(Pipeline.queries(q)(spark, sf))
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: query side is not broadcast\n$p")
+      // the corpus must never shuffle to MEET a join: a bucket-keyed hash
+      // exchange would mean the join degraded to sort-merge/shuffled-hash
+      // (the post-join window legitimately exchanges on query_id)
+      val bucketExchanges = p.linesIterator
+        .filter(_.contains("Exchange hashpartitioning"))
+        .filterNot(_.contains("query_id")).toSeq
+      assert(bucketExchanges.isEmpty,
+        s"$q: corpus-side shuffle appeared: ${bucketExchanges.mkString("; ")}\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q: join degraded to sort-merge\n$p")
+    }
+  }
+
+  test("funnel stages join broadcast per-user aggregates, not stream-vs-stream") {
+    // events.parquet carries TIMESTAMP(NANOS); the Verify/Bench sessions set
+    // this at build time, the shared test fixture does not
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = finalPlan(Relational.queries("q_events_funnel")(spark, sf))
+    // the scale contract: every join the RAW event stream participates in
+    // (the stage joins, recognizable by their ms > bound condition) builds
+    // a broadcast of the per-user aggregate — the stream itself never
+    // shuffles to meet a join. Aggregate-vs-aggregate assembly joins may
+    // be sort-merge; both sides are user-cardinality and co-partitioned.
+    val stageJoins = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("(ms#")).toSeq
+    assert(stageJoins.nonEmpty, s"no stage joins found\n$p")
+    assert(stageJoins.forall(_.contains("BroadcastHashJoin")),
+      s"a stage join shuffles the event stream: ${stageJoins.mkString("; ")}\n$p")
+  }
+
+  test("q_dedup_minhash_sig evaluates the native expression exactly once") {
+    val analyzed = Pipeline.queries("q_dedup_minhash_sig")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    val evals = "graft_minhash_sig".r.findAllIn(analyzed).length
+    assert(evals == 1,
+      s"graft_minhash_sig appears $evals times in the optimized plan — " +
+        s"projection collapse re-inlined the non-cheap expression\n$analyzed")
+  }
+
+  test("q_text_langid and q_text_quality evaluate graft_stop_hits once each") {
+    for (q <- Seq("q_text_langid", "q_text_quality")) {
+      val analyzed = Pipeline.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
+      val evals = "graft_stop_hits".r.findAllIn(analyzed).length
+      assert(evals == 1, s"$q: graft_stop_hits appears $evals times\n$analyzed")
+    }
+  }
+}
