@@ -148,6 +148,51 @@ object Streaming {
       .toDF("doc_a", "doc_b", "band")
   }
 
+  /** Streaming ordered funnel — the streaming twin of q_events_funnel:
+    * per-user state machine tracking first view → first later click →
+    * first later purchase, emitting the user's funnel row whenever a stage
+    * advances (Append mode: downstream keeps the latest row per user).
+    * Rows within a micro-batch are processed in event-time order, so
+    * in-batch disorder cannot skip a stage; an event arriving in a LATER
+    * batch than a stage it should precede is a miss (the inherent
+    * approximation of single-pass streaming funnels — the batch twin over
+    * the same complete data is the exact answer). State is three
+    * timestamps per user: bounded by the user population, like
+    * [[userProfiles]] — no TTL needed where callers bound keys.
+    */
+  def funnel(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("event_type").cast("string"),
+        unix_millis(col("ts")).as("ms"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Option[Long], Option[Long], Option[Long]),
+        (Long, Option[Long], Option[Long], Option[Long])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[(Option[Long], Option[Long], Option[Long])]) =>
+          var (v, c, p) = state.getOption
+            .getOrElse((Option.empty[Long], Option.empty[Long], Option.empty[Long]))
+          val before = (v, c, p)
+          rows.toSeq.sortBy(_._3).foreach { case (_, et, ms) =>
+            et match {
+              case "view" if v.isEmpty => v = Some(ms)
+              case "click" if c.isEmpty && v.exists(ms > _) => c = Some(ms)
+              case "purchase" if p.isEmpty && c.exists(ms > _) => p = Some(ms)
+              case _ => // stage already reached, precondition unmet, or other event type
+            }
+          }
+          if ((v, c, p) != before) {
+            state.update((v, c, p))
+            Iterator((uid, v, c, p))
+          } else Iterator.empty
+      }
+      .toDF("user_id", "t_view_ms", "t_click_ms", "t_purchase_ms")
+  }
+
   /** Per-user running profile via flatMapGroupsWithState — custom state the
     * declarative operators cannot express: cumulative event count and the
     * set of distinct event types per user, emitted on every update.

@@ -115,6 +115,58 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("funnel: streaming state machine equals the batch per-stage min-joins") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // users exercising every shape: full funnel, view-only, click-before-
+    // view (ignored), purchase-before-click (ignored), multiple clicks
+    // (first AFTER the view wins, not the first overall)
+    val events = Seq(
+      Ev(ts(10), "view", 1, 1.0), Ev(ts(20), "click", 1, 1.0), Ev(ts(30), "purchase", 1, 1.0),
+      Ev(ts(10), "view", 2, 1.0), // view only
+      Ev(ts(5), "click", 3, 1.0), Ev(ts(10), "view", 3, 1.0), Ev(ts(40), "click", 3, 1.0),
+      Ev(ts(5), "purchase", 4, 1.0), Ev(ts(10), "view", 4, 1.0), Ev(ts(20), "click", 4, 1.0),
+        Ev(ts(60), "purchase", 4, 1.0),
+      Ev(ts(10), "view", 5, 1.0), Ev(ts(12), "click", 5, 1.0), Ev(ts(25), "click", 5, 1.0),
+        Ev(ts(26), "purchase", 5, 1.0))
+    val stream = MemoryStream[Ev]
+    val q = Streaming.funnel(stream.toDF())
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      // two batches split at t=15, respecting cross-batch event order
+      val (b1, b2) = events.partition(_.ts.getTime <= ts(15).getTime)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      // latest emitted row per user = the funnel state
+      val got = spark.table("funnel")
+        .groupBy($"user_id")
+        .agg(max_by(struct($"t_view_ms", $"t_click_ms", $"t_purchase_ms"),
+          struct(coalesce($"t_purchase_ms", lit(-1L)), coalesce($"t_click_ms", lit(-1L)),
+            coalesce($"t_view_ms", lit(-1L)))).as("s"))
+        .select($"user_id", $"s.*")
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+      def ms(min: Int): Long = ts(min).getTime
+      assert(got(1L) == ((Some(ms(10)), Some(ms(20)), Some(ms(30)))))
+      assert(got(2L) == ((Some(ms(10)), None, None)))
+      assert(got(3L) == ((Some(ms(10)), Some(ms(40)), None)))
+      assert(got(4L) == ((Some(ms(10)), Some(ms(20)), Some(ms(60)))))
+      assert(got(5L) == ((Some(ms(10)), Some(ms(12)), Some(ms(26)))))
+      // batch twin agrees on the same complete data
+      val ev = spark.createDataset(events).toDF()
+        .select($"user_id", $"event_type", unix_millis($"ts").as("ms"))
+      val v = ev.filter($"event_type" === "view").groupBy($"user_id").agg(min($"ms").as("tv"))
+      val c = ev.filter($"event_type" === "click").join(v, "user_id")
+        .filter($"ms" > $"tv").groupBy($"user_id").agg(min($"ms").as("tc"))
+      val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+        .filter($"ms" > $"tc").groupBy($"user_id").agg(min($"ms").as("tp"))
+      val want = v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("nearDupCandidates: streaming LSH pairs equal the batch band join") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
