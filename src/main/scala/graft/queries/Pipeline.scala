@@ -97,8 +97,11 @@ object Pipeline {
       .filter(col("sig").isNotNull)
   }
 
-  /** Band hashes over `sig`: Bands slices of the signature, each hashed. */
-  private def bandsCol: Column =
+  /** Band hashes over `sig`: Bands slices of the signature, each hashed.
+    * Shared with the streaming near-dup twin so the banding expression
+    * (not just its parameters) is one definition.
+    */
+  private[graft] def bandsCol: Column =
     transform(sequence(lit(0), lit(Bands - 1)),
       b => hash60(concat_ws(",",
         transform(slice(col("sig"), b * lit(MinhashK / Bands) + 1, lit(MinhashK / Bands)),
@@ -162,27 +165,12 @@ object Pipeline {
     corpusCounts.computeIfAbsent(versioned, _ => df.count()).longValue()
   }
 
-  /** Sign-bit ANN bucket over a quantized embedding column `q`:
-    * deterministic hyperplanes (plane p component i = hash60("p|i") mod
-    * 2001 - 1000), bit p set iff dot > 0. Portable integer arithmetic.
-    */
-  private[graft] def lshBucket(planes: Int = LshPlanes): Column =
-    (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(col("q"),
-          transform(sequence(lit(1), lit(64)),
-            i => hash60(concat(lit(s"$p|"), i.cast("string"))) % 2001 - 1000),
-          (x, w) => x * w),
-        lit(0L), (acc, v) => acc + v)
-      when(dot > 0, lit(1L) * (1L << p)).otherwise(0L)
-    }.reduce(_ + _)
-
-  /** MaxBucket, exposed for the scaling spec. */
-  private[graft] def maxBucket: Int = MaxBucket
-
   /** Per-plane signed dot products of `q` with the deterministic
-    * hyperplanes — the margins multi-probe uses to pick which sign bits to
-    * flip (computed on the tiny query side only).
+    * hyperplanes (plane p component i = hash60("p|i") mod 2001 − 1000,
+    * portable integer arithmetic) — the ONE place the plane-weight formula
+    * lives: [[lshBucket]] signs these into bits and multi-probe ranks them
+    * as flip margins, so the formula cannot drift between consumers (or
+    * from the oracle SQL mirroring it).
     */
   private def lshPlaneDots(planes: Int): Column =
     transform(sequence(lit(0), lit(planes - 1)), p =>
@@ -192,6 +180,22 @@ object Pipeline {
             i => hash60(concat(p.cast("string"), lit("|"), i.cast("string"))) % 2001 - 1000),
           (x, w) => x * w),
         lit(0L), (acc, v) => acc + v))
+
+  /** Bit value of each plane, aligned with [[lshPlaneDots]]' order. */
+  private def planePowers(planes: Int): Column =
+    array((0 until planes).map(p => lit(1L << p)): _*)
+
+  /** Sign-bit ANN bucket over a quantized embedding column `q`: bit p set
+    * iff the plane-p dot is positive.
+    */
+  private[graft] def lshBucket(planes: Int = LshPlanes): Column =
+    aggregate(
+      zip_with(lshPlaneDots(planes), planePowers(planes),
+        (d, pw) => when(d > 0, pw).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** MaxBucket, exposed for the scaling spec. */
+  private[graft] def maxBucket: Int = MaxBucket
 
   /** Extra buckets probed per ANN query in the multi-probe variant. */
   private val MultiProbes = 2
@@ -625,13 +629,12 @@ object Pipeline {
       import org.apache.spark.sql.expressions.Window
       val base = Tables.embeddings(s, d)
       val planes = lshPlanesFor(countOnce(s"$d/embeddings", base))
-      val powers = array((0 until planes).map(p => lit(1L << p)): _*)
       val e = base.select($"vec_id", quantized($"embedding").as("q"))
       val bucketed = e.withColumn("bucket", lshBucket(planes))
       val qs = bucketed.filter($"vec_id" < 5)
         .withColumn("dots", lshPlaneDots(planes))
         .withColumn("flips", slice(array_sort(
-          zip_with($"dots", powers, (dd, pw) => struct(abs(dd).as("a"), pw.as("pw")))),
+          zip_with($"dots", planePowers(planes), (dd, pw) => struct(abs(dd).as("a"), pw.as("pw")))),
           1, MultiProbes))
         .select($"vec_id".as("query_id"), $"q".as("qq"),
           explode(concat(array($"bucket"),

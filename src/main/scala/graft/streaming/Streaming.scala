@@ -93,19 +93,14 @@ object Streaming {
     val s = docs.sparkSession
     import s.implicits._
     graft.functions.MinhashSigExpr.register(s)
-    // the batch pass's parameters — shared so the streaming twin can never
-    // silently diverge from Pipeline's banding
-    val bands = graft.queries.Pipeline.Bands
-    val k = graft.queries.Pipeline.MinhashK
+    // the batch pass's banding EXPRESSION is reused verbatim
+    // (Pipeline.bandsCol) so the streaming twin can never silently diverge
     val banded = docs
       .withWatermark("ts", watermark)
       .withColumn("sig", expr("graft_minhash_sig(text)"))
       .filter(col("sig").isNotNull)
       .select(col("doc_id").cast("long").as("doc_id"), col("ts"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => graft.functions.GraftFunctions.hash60(concat_ws(",",
-            transform(slice(col("sig"), b * lit(k / bands) + 1, lit(k / bands)),
-              v => v.cast("string")))))).as(Seq("band", "bandhash")))
+        posexplode(graft.queries.Pipeline.bandsCol).as(Seq("band", "bandhash")))
       .as[(Long, java.sql.Timestamp, Int, Long)]
     banded
       .groupByKey { case (_, _, band, bandhash) => (band, bandhash) }

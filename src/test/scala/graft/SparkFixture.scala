@@ -17,5 +17,8 @@ object SparkFixture {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
+    // match the Verify/Bench sessions: events.parquet carries
+    // TIMESTAMP(NANOS), surfaced as long and converted in Tables.events
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 }

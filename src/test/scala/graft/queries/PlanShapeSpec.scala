@@ -43,9 +43,6 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("funnel stages join broadcast per-user aggregates, not stream-vs-stream") {
-    // events.parquet carries TIMESTAMP(NANOS); the Verify/Bench sessions set
-    // this at build time, the shared test fixture does not
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val p = finalPlan(Relational.queries("q_events_funnel")(spark, sf))
     // the scale contract: every join the RAW event stream participates in
     // (the stage joins, recognizable by their ms > bound condition) builds
