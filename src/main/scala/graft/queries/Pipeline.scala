@@ -200,6 +200,23 @@ object Pipeline {
   /** Extra buckets probed per ANN query in the multi-probe variant. */
   private val MultiProbes = 2
 
+  /** The multi-probe bucket set over columns `bucket` and `dots`: the own
+    * bucket plus the buckets reached by flipping the `probes`
+    * lowest-|margin| planes. Shared by q_ann_multiprobe and the scaling
+    * spec's recall measurement.
+    */
+  private[graft] def probeBucketsCol(planes: Int, probes: Int = MultiProbes): Column = {
+    val flips = slice(array_sort(
+      zip_with(col("dots"), planePowers(planes),
+        (dd, pw) => struct(abs(dd).as("a"), pw.as("pw")))),
+      1, probes)
+    concat(array(col("bucket")),
+      transform(flips, f => col("bucket").bitwiseXOR(f.getField("pw"))))
+  }
+
+  /** lshPlaneDots, exposed for the scaling spec. */
+  private[graft] def planeDots(planes: Int): Column = lshPlaneDots(planes)
+
   // ---- queries ----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -633,12 +650,8 @@ object Pipeline {
       val bucketed = e.withColumn("bucket", lshBucket(planes))
       val qs = bucketed.filter($"vec_id" < 5)
         .withColumn("dots", lshPlaneDots(planes))
-        .withColumn("flips", slice(array_sort(
-          zip_with($"dots", planePowers(planes), (dd, pw) => struct(abs(dd).as("a"), pw.as("pw")))),
-          1, MultiProbes))
         .select($"vec_id".as("query_id"), $"q".as("qq"),
-          explode(concat(array($"bucket"),
-            transform($"flips", f => $"bucket".bitwiseXOR(f.getField("pw"))))).as("pbucket"))
+          explode(probeBucketsCol(planes)).as("pbucket"))
       val scored = bucketed.join(broadcast(qs),
           $"bucket" === $"pbucket" && $"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id", qdot($"q", $"qq").as("dot"))

@@ -43,6 +43,39 @@ class LshScalingSpec extends AnyFunSuite with SparkFixture {
     assert(Pipeline.lshPlanesFor(1L << 40) <= 60)
   }
 
+  test("multi-probe recovers NEAR pairs that single-bucket probing loses at derived planes") {
+    // near-duplicate (not exact) pairs: partner = same seed vector with one
+    // component nudged, so a few low-margin sign bits may flip — exactly
+    // the loss mode multi-probe exists to repair as planes grow with the
+    // corpus. Measured on the 100×-denser corpus at the derived plane count.
+    val planes = Pipeline.lshPlanesFor(N)
+    val base = corpus().filter(col("vec_id") >= Pairs * 2) // drop the exact-dup block
+      .limit(4000)
+    val near = base.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+      transform(col("q"), (x, i) => when(i === 0, x + 90L).otherwise(x)).as("q"))
+    val all = base.unionByName(near)
+      .withColumn("bucket", Pipeline.lshBucket(planes))
+      .withColumn("dots", Pipeline.planeDots(planes))
+      .withColumn("probes", Pipeline.probeBucketsCol(planes))
+      .select(col("vec_id"), col("bucket"), col("probes"))
+      .persist()
+    try {
+      val a = all.filter(col("vec_id") < 10000000L)
+        .select(col("vec_id").as("id"), col("bucket").as("b_a"), col("probes").as("p_a"))
+      val b = all.filter(col("vec_id") >= 10000000L)
+        .select((col("vec_id") - 10000000L).as("id"), col("bucket").as("b_b"))
+      val joined = a.join(b, "id")
+        .select(col("b_a") === col("b_b"), array_contains(col("p_a"), col("b_b")))
+        .collect()
+      val n = joined.length.toDouble
+      val single = joined.count(_.getBoolean(0)) / n
+      val multi = joined.count(_.getBoolean(1)) / n
+      assert(multi > single,
+        f"multi-probe recall $multi%.3f did not beat single-bucket $single%.3f")
+      assert(multi >= 0.9, f"multi-probe recall collapsed: $multi%.3f (single $single%.3f)")
+    } finally all.unpersist()
+  }
+
   test("derived planes keep the 100x-denser corpus inside the bucket cap; fixed 8 planes collapse") {
     val planes = Pipeline.lshPlanesFor(N)
     val cap = Pipeline.maxBucket
