@@ -167,32 +167,24 @@ object Pipeline {
 
   /** Per-plane signed dot products of `q` with the deterministic
     * hyperplanes (plane p component i = hash60("p|i") mod 2001 − 1000,
-    * portable integer arithmetic) — the ONE place the plane-weight formula
-    * lives: [[lshBucket]] signs these into bits and multi-probe ranks them
-    * as flip margins, so the formula cannot drift between consumers (or
-    * from the oracle SQL mirroring it).
+    * portable integer arithmetic) — the native expression computes the
+    * weights once per JVM and runs inside whole-stage codegen; the
+    * composed HOF form (which recomputed 64 md5s per plane PER ROW,
+    * interpreted) survives only as the equality-pinned spec in
+    * NativeExprSpec. Callers must have registered [[graft.functions.NativeLsh]]
+    * on the session.
     */
-  private def lshPlaneDots(planes: Int): Column =
-    transform(sequence(lit(0), lit(planes - 1)), p =>
-      aggregate(
-        zip_with(col("q"),
-          transform(sequence(lit(1), lit(64)),
-            i => hash60(concat(p.cast("string"), lit("|"), i.cast("string"))) % 2001 - 1000),
-          (x, w) => x * w),
-        lit(0L), (acc, v) => acc + v))
+  private def lshPlaneDots(planes: Int): Column = expr(s"graft_lsh_dots(q, $planes)")
 
   /** Bit value of each plane, aligned with [[lshPlaneDots]]' order. */
   private def planePowers(planes: Int): Column =
     array((0 until planes).map(p => lit(1L << p)): _*)
 
   /** Sign-bit ANN bucket over a quantized embedding column `q`: bit p set
-    * iff the plane-p dot is positive.
+    * iff the plane-p dot is positive (native; see [[lshPlaneDots]]).
     */
   private[graft] def lshBucket(planes: Int = LshPlanes): Column =
-    aggregate(
-      zip_with(lshPlaneDots(planes), planePowers(planes),
-        (d, pw) => when(d > 0, pw).otherwise(0L)),
-      lit(0L), (acc, v) => acc + v)
+    expr(s"graft_lsh_bucket(q, $planes)")
 
   /** MaxBucket, exposed for the scaling spec. */
   private[graft] def maxBucket: Int = MaxBucket
@@ -405,6 +397,7 @@ object Pipeline {
     // past [[MaxBucket]] are dropped, not exploded.
     "q_dedup_embedding" -> { (s, d) =>
       import s.implicits._
+      graft.functions.NativeLsh.register(s)
       val base = Tables.embeddings(s, d)
       // planes scale with corpus size (8 at oracle scale; see lshPlanesFor)
       val planes = lshPlanesFor(countOnce(s"$d/embeddings", base))
@@ -617,6 +610,7 @@ object Pipeline {
     "q_ann_lsh" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      graft.functions.NativeLsh.register(s)
       val base = Tables.embeddings(s, d)
       val planes = lshPlanesFor(countOnce(s"$d/embeddings", base))
       val e = base.select($"vec_id", quantized($"embedding").as("q"))
@@ -644,6 +638,7 @@ object Pipeline {
     "q_ann_multiprobe" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      graft.functions.NativeLsh.register(s)
       val base = Tables.embeddings(s, d)
       val planes = lshPlanesFor(countOnce(s"$d/embeddings", base))
       val e = base.select($"vec_id", quantized($"embedding").as("q"))

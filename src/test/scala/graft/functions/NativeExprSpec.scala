@@ -114,6 +114,42 @@ class NativeExprSpec extends AnyFunSuite with SparkFixture {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
   }
 
+  test("native graft_lsh_bucket / graft_lsh_dots equal the composed HOF forms") {
+    import spark.implicits._
+    NativeLsh.register(spark)
+    // deterministic pseudo-random 64-dim quantized vectors
+    val df = spark.range(200).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        i => GraftFunctions.hash60(concat(col("id").cast("string"), lit("#"), i.cast("string")))
+          % 2001 - 1000).as("q"))
+    for (planes <- Seq(8, 11)) {
+      // the composed forms this expression replaced (per-row md5 weights)
+      val composedDots = transform(sequence(lit(0), lit(planes - 1)), p =>
+        aggregate(
+          zip_with(col("q"),
+            transform(sequence(lit(1), lit(64)),
+              i => GraftFunctions.hash60(concat(p.cast("string"), lit("|"), i.cast("string"))) % 2001 - 1000),
+            (x, w) => x * w),
+          lit(0L), (acc, v) => acc + v))
+      val composedBucket = (0 until planes).map { p =>
+        val dot = aggregate(
+          zip_with(col("q"),
+            transform(sequence(lit(1), lit(64)),
+              i => GraftFunctions.hash60(concat(lit(s"$p|"), i.cast("string"))) % 2001 - 1000),
+            (x, w) => x * w),
+          lit(0L), (acc, v) => acc + v)
+        when(dot > 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+      val rows = df.select(
+        expr(s"graft_lsh_bucket(q, $planes)"), composedBucket,
+        expr(s"graft_lsh_dots(q, $planes)"), composedDots).collect()
+      rows.foreach { r =>
+        assert(r.getLong(0) == r.getLong(1), s"bucket mismatch at $planes planes: $r")
+        assert(r.getSeq[Long](2) == r.getSeq[Long](3), s"dots mismatch at $planes planes: $r")
+      }
+    }
+  }
+
   test("extension class injects the function at session build time") {
     val ext = new GraftExtensions
     // smoke: applying the injector to fresh extensions must not throw; the

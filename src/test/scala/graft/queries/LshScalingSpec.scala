@@ -24,6 +24,11 @@ class LshScalingSpec extends AnyFunSuite with SparkFixture {
   private val N = 50000 // 100× the sf0.01 embeddings table
   private val Pairs = 500 // vec_ids 0..999 are 500 exact-duplicate pairs
 
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.functions.NativeLsh.register(spark)
+  }
+
   /** Quantized 64-dim vectors in [-1000, 1000], a pure hash of the seed id —
     * ids 2k and 2k+1 below 1000 share a seed, i.e. exact duplicates.
     */
