@@ -449,10 +449,13 @@ object Pipeline {
           .join(labels.select($"id".as("nid"), $"lbl".as("nlbl")), $"dst" === $"nid")
           .groupBy($"src").agg(min($"nlbl").as("nbl"))
         // persisted: prop feeds BOTH sides of the jump self-join below —
-        // uncached it would execute the neighbor join twice per iteration
+        // uncached it would execute the neighbor join twice per iteration.
+        // The PREVIOUS label rides along as olbl so convergence detection is
+        // a filter-count over the checkpointed result, not another join.
         val prop = labels.as("o")
           .join(nbr, $"o.id" === nbr("src"), "left")
-          .select($"o.id".as("id"), least($"o.lbl", coalesce($"nbl", $"o.lbl")).as("lbl"))
+          .select($"o.id".as("id"), least($"o.lbl", coalesce($"nbl", $"o.lbl")).as("lbl"),
+            $"o.lbl".as("olbl"))
           .persist()
         // pointer jumping: also adopt the label OF my label (lbl is always a
         // node id, so the self-join hits) — convergence in O(log diameter)
@@ -460,12 +463,12 @@ object Pipeline {
         // a long chain of near-duplicates
         val next = prop.as("x")
           .join(prop.select($"id".as("pid"), $"lbl".as("plbl")), $"x.lbl" === $"pid", "left")
-          .select($"x.id".as("id"), least($"x.lbl", coalesce($"plbl", $"x.lbl")).as("lbl"))
+          .select($"x.id".as("id"), least($"x.lbl", coalesce($"plbl", $"x.lbl")).as("lbl"),
+            $"x.olbl".as("olbl"))
           .localCheckpoint() // eager: materializes + truncates the plan
-        changed = next.as("n").join(labels.as("o"), "id")
-          .filter($"n.lbl" =!= $"o.lbl").count()
+        changed = next.filter($"lbl" =!= $"olbl").count()
         prop.unpersist()
-        labels = next
+        labels = next.select($"id", $"lbl")
         iters += 1
       }
       require(changed == 0, s"label propagation did not converge in $iters iterations")
