@@ -209,6 +209,66 @@ object Pipeline {
   /** lshPlaneDots, exposed for the scaling spec. */
   private[graft] def planeDots(planes: Int): Column = lshPlaneDots(planes)
 
+  /** Symmetric LSH candidate-pair edge list over the documents table (the
+    * input to cluster resolution), persisted — it is scanned once per
+    * propagation round.
+    */
+  private def candidateEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = signedDocs(Tables.documents(s, d)).select($"doc_id", $"sig").persist()
+    val pairs = lshCandidatePairs(sigs)
+    pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .persist()
+  }
+
+  /** Connected components over a symmetric edge list by min-label
+    * propagation with pointer jumping: returns (id, lbl) with lbl = the
+    * component's minimum id. localCheckpoint truncates lineage each round —
+    * the jump self-join references the previous label table on THREE paths,
+    * so without truncation the logical plan (and analyzer time) grows
+    * exponentially with iterations, the classic iterative-DataFrame trap.
+    * The checkpointed state is the label table (candidate-graph-sized, tiny
+    * relative to the corpus), so executor-local storage is cheap.
+    */
+  private def resolveClusters(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var labels = edges.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("lbl")).localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < 64) {
+      val nbr = edges
+        .join(labels.select($"id".as("nid"), $"lbl".as("nlbl")), $"dst" === $"nid")
+        .groupBy($"src").agg(min($"nlbl").as("nbl"))
+      // persisted: prop feeds BOTH sides of the jump self-join below —
+      // uncached it would execute the neighbor join twice per iteration.
+      // The PREVIOUS label rides along as olbl so convergence detection is
+      // a filter-count over the checkpointed result, not another join.
+      val prop = labels.as("o")
+        .join(nbr, $"o.id" === nbr("src"), "left")
+        .select($"o.id".as("id"), least($"o.lbl", coalesce($"nbl", $"o.lbl")).as("lbl"),
+          $"o.lbl".as("olbl"))
+        .persist()
+      // pointer jumping: also adopt the label OF my label (lbl is always a
+      // node id, so the self-join hits) — convergence in O(log diameter)
+      // rounds instead of O(diameter), which is what bounds wall-clock on
+      // a long chain of near-duplicates
+      val next = prop.as("x")
+        .join(prop.select($"id".as("pid"), $"lbl".as("plbl")), $"x.lbl" === $"pid", "left")
+        .select($"x.id".as("id"), least($"x.lbl", coalesce($"plbl", $"x.lbl")).as("lbl"),
+          $"x.olbl".as("olbl"))
+        .localCheckpoint() // eager: materializes + truncates the plan
+      changed = next.filter($"lbl" =!= $"olbl").count()
+      prop.unpersist()
+      labels = next.select($"id", $"lbl")
+      iters += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $iters iterations")
+    labels
+  }
+
   // ---- queries ----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -429,52 +489,29 @@ object Pipeline {
     // the corpus itself is never touched after signature generation.
     "q_dedup_clusters" -> { (s, d) =>
       import s.implicits._
-      val sigs = signedDocs(Tables.documents(s, d)).select($"doc_id", $"sig").persist()
-      val pairs = lshCandidatePairs(sigs)
-      val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-        .persist()
-      // localCheckpoint truncates lineage each round: the jump self-join
-      // references the previous label table on THREE paths, so without
-      // truncation the logical plan (and analyzer time) grows exponentially
-      // with iterations — the classic iterative-DataFrame trap. The
-      // checkpointed state is the label table (candidate-graph-sized, tiny
-      // relative to the corpus), so executor-local storage is cheap.
-      var labels = edges.select($"src".as("id")).distinct()
-        .select($"id", $"id".as("lbl")).localCheckpoint()
-      var changed = 1L
-      var iters = 0
-      while (changed > 0 && iters < 64) {
-        val nbr = edges
-          .join(labels.select($"id".as("nid"), $"lbl".as("nlbl")), $"dst" === $"nid")
-          .groupBy($"src").agg(min($"nlbl").as("nbl"))
-        // persisted: prop feeds BOTH sides of the jump self-join below —
-        // uncached it would execute the neighbor join twice per iteration.
-        // The PREVIOUS label rides along as olbl so convergence detection is
-        // a filter-count over the checkpointed result, not another join.
-        val prop = labels.as("o")
-          .join(nbr, $"o.id" === nbr("src"), "left")
-          .select($"o.id".as("id"), least($"o.lbl", coalesce($"nbl", $"o.lbl")).as("lbl"),
-            $"o.lbl".as("olbl"))
-          .persist()
-        // pointer jumping: also adopt the label OF my label (lbl is always a
-        // node id, so the self-join hits) — convergence in O(log diameter)
-        // rounds instead of O(diameter), which is what bounds wall-clock on
-        // a long chain of near-duplicates
-        val next = prop.as("x")
-          .join(prop.select($"id".as("pid"), $"lbl".as("plbl")), $"x.lbl" === $"pid", "left")
-          .select($"x.id".as("id"), least($"x.lbl", coalesce($"plbl", $"x.lbl")).as("lbl"),
-            $"x.olbl".as("olbl"))
-          .localCheckpoint() // eager: materializes + truncates the plan
-        changed = next.filter($"lbl" =!= $"olbl").count()
-        prop.unpersist()
-        labels = next.select($"id", $"lbl")
-        iters += 1
-      }
-      require(changed == 0, s"label propagation did not converge in $iters iterations")
+      val labels = resolveClusters(candidateEdges(s, d))
       labels.groupBy($"lbl".as("keeper"))
         .agg(count(lit(1)).as("n_members"), sum($"id").as("sum_ids"))
         .orderBy($"keeper")
+    },
+
+    // keeper SELECTION POLICY: real curation keeps the best-quality member
+    // of each near-dup cluster (longest document here; ties → smallest id),
+    // not the arbitrary min-id — the same resolved components joined with
+    // per-doc quality, argmax per cluster
+    "q_dedup_keep_best" -> { (s, d) =>
+      import s.implicits._
+      val labels = resolveClusters(candidateEdges(s, d))
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", size(words($"text")).as("n_tokens"))
+      val sizes = labels.groupBy($"lbl").agg(count(lit(1)).as("n_members"))
+      labels.join(toks, $"id" === $"doc_id")
+        .groupBy($"lbl")
+        .agg(max_by(struct($"id", $"n_tokens"), struct($"n_tokens", -$"id")).as("k"))
+        .join(sizes, "lbl")
+        .select($"lbl".as("cluster"), $"k.id".as("keeper"),
+          $"k.n_tokens".as("keeper_tokens"), $"n_members")
+        .orderBy($"cluster")
     },
 
     // stratified train/val/test assignment by portable content-stable hash:
@@ -863,6 +900,29 @@ object Pipeline {
          |comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS lbl FROM reach GROUP BY src)
          |SELECT lbl AS keeper, COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS sum_ids
          |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_dedup_keep_best" -> {
+      s"""${oracleBandsCte().replace("WITH t AS", "WITH RECURSIVE t AS")},
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandhash = b.bandhash
+         |    AND a.doc_id < b.doc_id
+         |  JOIN bok o ON o.band = a.band AND o.bandhash = a.bandhash),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS lbl FROM reach GROUP BY src),
+         |toks AS (SELECT doc_id, len(ws) AS n_tokens FROM t),
+         |sizes AS (SELECT lbl, COUNT(*) AS n_members FROM comp GROUP BY 1),
+         |ranked AS (SELECT c.lbl, c.id, k.n_tokens,
+         |    ROW_NUMBER() OVER (PARTITION BY c.lbl ORDER BY k.n_tokens DESC, c.id) AS rn
+         |  FROM comp c JOIN toks k ON k.doc_id = c.id)
+         |SELECT r.lbl AS cluster, r.id AS keeper, r.n_tokens AS keeper_tokens, s.n_members
+         |FROM ranked r JOIN sizes s ON s.lbl = r.lbl
+         |WHERE r.rn = 1 ORDER BY cluster""".stripMargin
     },
 
     "q_decontaminate" ->
