@@ -142,19 +142,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "graft_stop_hits(text) takes one argument")
         StopHitsExpr(exprs.head)
       }))
+    // same validated builders as NativeLsh.register — ONE validation path
     ext.injectFunction((
       FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucketExpr].getName, "graft_lsh_bucket"),
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 2, "graft_lsh_bucket(q, planes) takes two arguments")
-        LshBucketExpr(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
-      }))
+      NativeLsh.bucketBuilder))
     ext.injectFunction((
       FunctionIdentifier("graft_lsh_dots"),
       new ExpressionInfo(classOf[LshDotsExpr].getName, "graft_lsh_dots"),
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 2, "graft_lsh_dots(q, planes) takes two arguments")
-        LshDotsExpr(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())
-      }))
+      NativeLsh.dotsBuilder))
   }
 }

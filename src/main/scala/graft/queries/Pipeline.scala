@@ -210,16 +210,22 @@ object Pipeline {
   private[graft] def planeDots(planes: Int): Column = lshPlaneDots(planes)
 
   /** Symmetric LSH candidate-pair edge list over the documents table (the
-    * input to cluster resolution), persisted — it is scanned once per
-    * propagation round.
+    * input to cluster resolution). localCheckpoint (eager) materializes the
+    * edges so the per-round scans of the propagation loop replay stored
+    * blocks, and lets the intermediate signature cache be released
+    * immediately — a plain persist here would pin both the signature table
+    * and the edge list in executor storage for the session's lifetime
+    * (checkpoint blocks are freed by the ContextCleaner once unreferenced).
     */
   private def candidateEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sigs = signedDocs(Tables.documents(s, d)).select($"doc_id", $"sig").persist()
-    val pairs = lshCandidatePairs(sigs)
-    pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
-      .persist()
+    try {
+      val pairs = lshCandidatePairs(sigs)
+      pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+        .localCheckpoint()
+    } finally sigs.unpersist()
   }
 
   /** Connected components over a symmetric edge list by min-label

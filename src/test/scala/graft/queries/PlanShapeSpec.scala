@@ -65,11 +65,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
         s"projection collapse re-inlined the non-cheap expression\n$analyzed")
   }
 
-  test("q_text_langid and q_text_quality evaluate graft_stop_hits once each") {
-    for (q <- Seq("q_text_langid", "q_text_quality")) {
+  test("single-consumer native expressions evaluate exactly once each") {
+    // (the LSH bucket legitimately appears twice in the ANN plans: once on
+    // the corpus side, once on the query side of the self-derived join)
+    val oncePer = Seq(
+      "q_text_langid" -> "graft_stop_hits",
+      "q_text_quality" -> "graft_stop_hits",
+      "q_dedup_simhash" -> "graft_simhash",
+      "q_text_fingerprint" -> "graft_fingerprints")
+    for ((q, fn) <- oncePer) {
       val analyzed = Pipeline.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
-      val evals = "graft_stop_hits".r.findAllIn(analyzed).length
-      assert(evals == 1, s"$q: graft_stop_hits appears $evals times\n$analyzed")
+      val evals = fn.r.findAllIn(analyzed).length
+      assert(evals == 1, s"$q: $fn appears $evals times\n$analyzed")
     }
   }
 }
