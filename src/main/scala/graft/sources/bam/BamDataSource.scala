@@ -143,8 +143,9 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
         val size = in.size
         val nSplits = math.max(1L, (size + splitSize - 1) / splitSize)
         val fs = file.getFileSystem(conf)
+        val hostsOf = HadoopIO.blockHostsFor(fs, file, size)
         val sbiPath = new Path(file.toString + ".sbi")
-        if (fs.exists(sbiPath)) {
+        val parts: Seq[BamInputPartition] = if (fs.exists(sbiPath)) {
           // SBI path: split edges snap to indexed record offsets via binary
           // search — no heuristic boundary scan in the readers (intended
           // reference semantics, BamSource.java:74-92)
@@ -285,6 +286,9 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
               }
           }
         }
+        // locality hints: block hosts of each split's byte range (one
+        // block-list fetch per file, shared by every split)
+        parts.map(p => p.copy(hosts = hostsOf(p.splitStart, p.splitEnd)))
       } finally in.close()
     }
 
@@ -322,8 +326,11 @@ case class BamInputPartition(
     intervals: Option[Seq[GenomicInterval]], unplacedUnmapped: Boolean,
     chunkStartVoff: Long, chunkEndVoff: Long, // -1 when no .sbi (heuristic)
     pairAware: Boolean = false, // name-runs never split across partitions
-    stringency: Stringency = Stringency.Strict) // malformed-record policy
-  extends InputPartition
+    stringency: Stringency = Stringency.Strict, // malformed-record policy
+    hosts: Array[String] = Array.empty) // block hosts of the split's range
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = hosts
+}
 
 class BamPartitionReaderFactory(conf: SerializableConf, required: StructType)
     extends PartitionReaderFactory {

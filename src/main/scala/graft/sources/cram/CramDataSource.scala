@@ -196,6 +196,9 @@ class CramScan(options: Map[String, String], required: StructType,
         CramContainers.readFileDefinition(in)
         val size = in.size
         val fs = file.getFileSystem(conf)
+        // locality hints: block hosts of each partition's byte range (one
+        // block-list fetch per file, shared by every partition)
+        val hostsOf = HadoopIO.blockHostsFor(fs, file, size)
         val craiPath = new Path(file.toString + ".crai")
         if (fs.exists(craiPath)) {
           // index route: container offsets come from `.crai` — O(index)
@@ -234,14 +237,18 @@ class CramScan(options: Map[String, String], required: StructType,
           val cur = Seq.newBuilder[Long]
           var bytes = 0L
           var n = 0
-          selected.foreach { case (o, len) =>
-            if (n > 0 && bytes + len > splitSize) {
-              parts += CramInputPartition(file.toString, cur.result().toArray, pred)
-              cur.clear(); bytes = 0L; n = 0
-            }
-            cur += o; bytes += len; n += 1
+          var groupEnd = 0L
+          def flush(): Unit = {
+            val offs = cur.result().toArray
+            parts += CramInputPartition(file.toString, offs, pred,
+              hostsOf(offs.head, groupEnd))
+            cur.clear(); bytes = 0L; n = 0
           }
-          if (n > 0) parts += CramInputPartition(file.toString, cur.result().toArray, pred)
+          selected.foreach { case (o, len) =>
+            if (n > 0 && bytes + len > splitSize) flush()
+            cur += o; bytes += len; n += 1; groupEnd = o + len
+          }
+          if (n > 0) flush()
           parts.result()
         } else {
           // no index: plain byte-range splits — container discovery happens
@@ -256,7 +263,8 @@ class CramScan(options: Map[String, String], required: StructType,
           // START offset.
           val start0 = CramContainers.FileDefinitionLength.toLong
           Iterator.iterate(start0)(_ + splitSize).takeWhile(_ < size).map { s =>
-            CramRangePartition(file.toString, s, math.min(s + splitSize, size), pred)
+            val e = math.min(s + splitSize, size)
+            CramRangePartition(file.toString, s, e, pred, hostsOf(s, e))
               : InputPartition
           }.toSeq
         }
@@ -280,14 +288,20 @@ class CramScan(options: Map[String, String], required: StructType,
 }
 
 case class CramInputPartition(file: String, offsets: Array[Long],
-                              pred: Option[ContainerPredicate]) extends InputPartition
+                              pred: Option[ContainerPredicate],
+                              hosts: Array[String] = Array.empty) extends InputPartition {
+  override def preferredLocations(): Array[String] = hosts
+}
 
 /** Unindexed route: a raw byte range; the READER discovers the first
   * container boundary at-or-after `start` and owns every container whose
   * start offset falls in `[start, end)`.
   */
 case class CramRangePartition(file: String, start: Long, end: Long,
-                              pred: Option[ContainerPredicate]) extends InputPartition
+                              pred: Option[ContainerPredicate],
+                              hosts: Array[String] = Array.empty) extends InputPartition {
+  override def preferredLocations(): Array[String] = hosts
+}
 
 private[cram] object ContainerRow {
   def getters(required: StructType): Array[CramContainer => Any] =

@@ -104,9 +104,13 @@ class SamScan(options: Map[String, String], required: StructType,
         val header = SamHeader(headerText, SamHeader.refsFromText(headerText))
         val size = in.size
         val nSplits = math.max(1L, (size + splitSize - 1) / splitSize)
+        // locality hints: block hosts of each split's byte range (one
+        // block-list fetch per file, shared by every split)
+        val hostsOf = HadoopIO.blockHostsFor(file.getFileSystem(conf), file, size)
         (0L until nSplits).map { i =>
-          SamInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
-            header, intervals, unplacedUnmapped, stringency)
+          val (s0, e0) = (i * splitSize, math.min(size, (i + 1) * splitSize))
+          SamInputPartition(file.toString, s0, e0,
+            header, intervals, unplacedUnmapped, stringency, hostsOf(s0, e0))
         }
       } finally in.close()
     }.toArray
@@ -122,8 +126,11 @@ class SamScan(options: Map[String, String], required: StructType,
 
 case class SamInputPartition(file: String, splitStart: Long, splitEnd: Long,
     header: SamHeader, intervals: Option[Seq[GenomicInterval]], unplacedUnmapped: Boolean,
-    stringency: graft.sources.Stringency) // malformed-line policy
-  extends InputPartition
+    stringency: graft.sources.Stringency, // malformed-line policy
+    hosts: Array[String] = Array.empty) // block hosts of the split's range
+  extends InputPartition {
+  override def preferredLocations(): Array[String] = hosts
+}
 
 class SamPartitionReader(p: SamInputPartition, conf: SerializableConf, required: StructType)
     extends PartitionReader[InternalRow] {

@@ -96,7 +96,9 @@ class VcfScan(options: Map[String, String], required: StructType,
         val plainGzip = !bgzf && SplitTextReader.isPlainGzip(in)
         val header = VcfHeader.parse(SplitTextReader.allLines(in))
         val size = in.size
-        if (plainGzip) {
+        val fs = file.getFileSystem(conf)
+        val hostsOf = HadoopIO.blockHostsFor(fs, file, size)
+        val parts: Seq[VcfInputPartition] = if (plainGzip) {
           // non-splittable: one whole-file partition (reference
           // BGZFEnhancedGzipCodec fallback semantics)
           Seq(VcfInputPartition(file.toString, 0L, Long.MaxValue, header, bgzf = false,
@@ -107,7 +109,6 @@ class VcfScan(options: Map[String, String], required: StructType,
           // records (reference TribbleIndexIntervalFilteringTextInputFormat
           // .java:33-73 / VcfSource.java:143-168); record-level residual
           // filters keep exactness
-          val fs = file.getFileSystem(conf)
           val tbiPath = new org.apache.hadoop.fs.Path(file.toString + ".tbi")
           val tbiRanges: Option[Seq[(Long, Long)]] =
             if (bgzf && intervals.isDefined && fs.exists(tbiPath)) {
@@ -166,6 +167,9 @@ class VcfScan(options: Map[String, String], required: StructType,
               }
           }
         }
+        // locality hints: block hosts of each split's byte range (one
+        // block-list fetch per file, shared by every split)
+        parts.map(p => p.copy(hosts = hostsOf(p.splitStart, p.splitEnd)))
       } finally in.close()
     }.toArray match { case planned =>
       // header-compat across directory inputs: genotype columns are decoded
@@ -197,7 +201,10 @@ class VcfScan(options: Map[String, String], required: StructType,
 case class VcfInputPartition(file: String, splitStart: Long, splitEnd: Long,
     header: VcfHeader, bgzf: Boolean, wholeGzip: Boolean,
     intervals: Option[Seq[GenomicInterval]],
-    stringency: graft.sources.Stringency) extends InputPartition
+    stringency: graft.sources.Stringency,
+    hosts: Array[String] = Array.empty) extends InputPartition {
+  override def preferredLocations(): Array[String] = hosts
+}
 
 class VcfPartitionReader(p: VcfInputPartition, conf: SerializableConf, required: StructType)
     extends PartitionReader[InternalRow] {
