@@ -151,39 +151,70 @@ object Streaming {
     * in-batch disorder cannot skip a stage; an event arriving in a LATER
     * batch than a stage it should precede is a miss (the inherent
     * approximation of single-pass streaming funnels — the batch twin over
-    * the same complete data is the exact answer). State is three
-    * timestamps per user: bounded by the user population, like
-    * [[userProfiles]] — no TTL needed where callers bound keys.
+    * the same complete data is the exact answer).
+    *
+    * State is three timestamps per user, but user populations at pipeline
+    * scale grow monotonically — so by default an EVENT-TIME TTL evicts a
+    * user once the watermark passes their newest event by `idleTtlMs`
+    * (the [[nearDupCandidates]] shape: eviction anchored to the newest
+    * member ever seen, never pulled earlier by out-of-order arrivals). A
+    * user who returns after eviction starts a FRESH funnel — the trade
+    * for bounded state. Pass `idleTtlMs = None` for the old unbounded
+    * semantics: funnels can then complete across arbitrary idle gaps, but
+    * state grows with every user ever seen, FOREVER — only safe when the
+    * key population is known-bounded.
     */
-  def funnel(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+  def funnel(events: DataFrame, watermark: String = "2 hours",
+             idleTtlMs: Option[Long] = Some(86400000L)): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val s = events.sparkSession
     import s.implicits._
+    val timeoutConf =
+      if (idleTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .withWatermark("ts", watermark)
+      // the watermark column must SURVIVE the projection for event-time
+      // timeouts — dropping `ts` here fails analysis under EventTimeTimeout
       .select(col("user_id").cast("long"), col("event_type").cast("string"),
-        unix_millis(col("ts")).as("ms"))
-      .as[(Long, String, Long)]
+        unix_millis(col("ts")).as("ms"), col("ts"))
+      .as[(Long, String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Option[Long], Option[Long], Option[Long]),
+      .flatMapGroupsWithState[(Option[Long], Option[Long], Option[Long], Long),
         (Long, Option[Long], Option[Long], Option[Long])](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (uid, rows, state: GroupState[(Option[Long], Option[Long], Option[Long])]) =>
-          var (v, c, p) = state.getOption
-            .getOrElse((Option.empty[Long], Option.empty[Long], Option.empty[Long]))
-          val before = (v, c, p)
-          rows.toSeq.sortBy(_._3).foreach { case (_, et, ms) =>
-            et match {
-              case "view" if v.isEmpty => v = Some(ms)
-              case "click" if c.isEmpty && v.exists(ms > _) => c = Some(ms)
-              case "purchase" if p.isEmpty && c.exists(ms > _) => p = Some(ms)
-              case _ => // stage already reached, precondition unmet, or other event type
+        OutputMode.Append(), timeoutConf) {
+        case (uid, rows, state: GroupState[(Option[Long], Option[Long], Option[Long], Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed this user's newest event by the TTL
+            state.remove()
+            Iterator.empty
+          } else {
+            var (v, c, p, newest) = state.getOption.getOrElse(
+              (Option.empty[Long], Option.empty[Long], Option.empty[Long], Long.MinValue))
+            val before = (v, c, p)
+            rows.toSeq.sortBy(_._3).foreach { case (_, et, ms, _) =>
+              if (ms > newest) newest = ms // ANY event keeps the user alive
+              et match {
+                case "view" if v.isEmpty => v = Some(ms)
+                case "click" if c.isEmpty && v.exists(ms > _) => c = Some(ms)
+                case "purchase" if p.isEmpty && c.exists(ms > _) => p = Some(ms)
+                case _ => // stage already reached, precondition unmet, or other event type
+              }
             }
+            val advanced = (v, c, p) != before
+            idleTtlMs match {
+              case Some(ttl) =>
+                // always update: the timeout anchor must track the newest
+                // event even when no stage advanced
+                state.update((v, c, p, newest))
+                val anchor = if (newest == Long.MinValue) state.getCurrentWatermarkMs() else newest
+                state.setTimeoutTimestamp(
+                  math.max(anchor + ttl, state.getCurrentWatermarkMs() + 1))
+              case None =>
+                if (advanced) state.update((v, c, p, newest))
+            }
+            if (advanced) Iterator((uid, v, c, p)) else Iterator.empty
           }
-          if ((v, c, p) != before) {
-            state.update((v, c, p))
-            Iterator((uid, v, c, p))
-          } else Iterator.empty
       }
       .toDF("user_id", "t_view_ms", "t_click_ms", "t_purchase_ms")
   }
@@ -191,27 +222,66 @@ object Streaming {
   /** Per-user running profile via flatMapGroupsWithState — custom state the
     * declarative operators cannot express: cumulative event count and the
     * set of distinct event types per user, emitted on every update.
-    * State is per-key and lives until ProcessingTimeTimeout... no timeout
-    * here: callers bound keys (user ids), not time.
+    *
+    * Same state-bound story as [[funnel]]: by default an event-time TTL
+    * evicts users idle past `idleTtlMs` (anchored to the newest event ever
+    * seen; a returning user starts a fresh profile). `idleTtlMs = None`
+    * restores the unbounded accumulate-forever semantics — state then
+    * grows with every user ever seen and never shrinks; only safe for
+    * known-bounded key populations. The TTL path requires an event-time
+    * `ts` column; the unbounded path does not.
     */
-  def userProfiles(events: DataFrame): DataFrame = {
+  def userProfiles(events: DataFrame,
+                   idleTtlMs: Option[Long] = Some(86400000L),
+                   watermark: String = "2 hours"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val s = events.sparkSession
     import s.implicits._
-    case class Profile(n: Long, types: Set[String])
-    events.select(col("user_id").cast("long"), col("event_type").cast("string"))
-      .as[(Long, String)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Set[String]), (Long, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (uid, rows, state: GroupState[(Long, Set[String])]) =>
-          val (n0, t0) = state.getOption.getOrElse((0L, Set.empty[String]))
-          var n = n0
-          var types = t0
-          rows.foreach { case (_, t) => n += 1; types += t }
-          state.update((n, types))
-          Iterator((uid, n, types.size.toLong))
-      }
-      .toDF("user_id", "n_events", "n_distinct_types")
+    idleTtlMs match {
+      case Some(ttl) =>
+        events
+          .withWatermark("ts", watermark)
+          // keep `ts`: the watermark column must survive the projection
+          .select(col("user_id").cast("long"), col("event_type").cast("string"),
+            unix_millis(col("ts")).as("ms"), col("ts"))
+          .as[(Long, String, Long, java.sql.Timestamp)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Set[String], Long), (Long, Long, Long)](
+            OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+            case (uid, rows, state: GroupState[(Long, Set[String], Long)]) =>
+              if (state.hasTimedOut) {
+                state.remove()
+                Iterator.empty
+              } else {
+                var (n, types, newest) = state.getOption
+                  .getOrElse((0L, Set.empty[String], Long.MinValue))
+                rows.foreach { case (_, t, ms, _) =>
+                  n += 1; types += t
+                  if (ms > newest) newest = ms
+                }
+                state.update((n, types, newest))
+                val anchor = if (newest == Long.MinValue) state.getCurrentWatermarkMs() else newest
+                state.setTimeoutTimestamp(
+                  math.max(anchor + ttl, state.getCurrentWatermarkMs() + 1))
+                Iterator((uid, n, types.size.toLong))
+              }
+          }
+          .toDF("user_id", "n_events", "n_distinct_types")
+      case None =>
+        events.select(col("user_id").cast("long"), col("event_type").cast("string"))
+          .as[(Long, String)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Set[String]), (Long, Long, Long)](
+            OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            case (uid, rows, state: GroupState[(Long, Set[String])]) =>
+              val (n0, t0) = state.getOption.getOrElse((0L, Set.empty[String]))
+              var n = n0
+              var types = t0
+              rows.foreach { case (_, t) => n += 1; types += t }
+              state.update((n, types))
+              Iterator((uid, n, types.size.toLong))
+          }
+          .toDF("user_id", "n_events", "n_distinct_types")
+    }
   }
 }

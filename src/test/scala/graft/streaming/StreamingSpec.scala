@@ -167,6 +167,72 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("funnel: event-time TTL evicts idle users; a return starts a fresh funnel") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    // 1h watermark delay + 1h idle TTL
+    val q = Streaming.funnel(stream.toDF(), watermark = "1 hour",
+        idleTtlMs = Some(3600000L))
+      .writeStream.format("memory").queryName("funnel_ttl").outputMode("append").start()
+    try {
+      def rowsFor(uid: Long): Set[(Option[Any], Option[Any], Option[Any])] =
+        spark.table("funnel_ttl").filter($"user_id" === uid)
+          .collect().map(r => (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toSet
+      def ms(min: Int): Long = ts(min).getTime
+      // user 1 reaches view+click at t≈20m
+      stream.addData(Seq(Ev(ts(10), "view", 1, 1.0), Ev(ts(20), "click", 1, 1.0)))
+      q.processAllAvailable()
+      assert(rowsFor(1L) == Set((Some(ms(10)), Some(ms(20)), None)))
+      // an unrelated user 10h later advances the watermark to 9h — far past
+      // user 1's newest event (20m) + 1h TTL; the NEXT batch fires timeouts
+      stream.addData(Seq(Ev(ts(600), "view", 99, 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Ev(ts(601), "view", 98, 1.0)))
+      q.processAllAvailable()
+      // user 1's purchase after eviction must NOT complete the old funnel
+      // (fresh state: purchase without a prior click is ignored, no row)
+      stream.addData(Seq(Ev(ts(602), "purchase", 1, 1.0)))
+      q.processAllAvailable()
+      assert(rowsFor(1L) == Set((Some(ms(10)), Some(ms(20)), None)),
+        s"evicted funnel state leaked: ${rowsFor(1L)}")
+      // a later view starts a FRESH funnel
+      stream.addData(Seq(Ev(ts(603), "view", 1, 1.0)))
+      q.processAllAvailable()
+      assert(rowsFor(1L) == Set(
+        (Some(ms(10)), Some(ms(20)), None),
+        (Some(ms(603)), None, None)), rowsFor(1L).toString)
+    } finally q.stop()
+  }
+
+  test("userProfiles: event-time TTL evicts idle users; a return starts fresh") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = Streaming.userProfiles(stream.toDF(), idleTtlMs = Some(3600000L),
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("profiles_ttl").outputMode("append").start()
+    try {
+      def rowsFor(uid: Long): Set[(Long, Long)] =
+        spark.table("profiles_ttl").filter($"user_id" === uid)
+          .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      stream.addData((0 until 10).map(i => Ev(ts(i), "click", 1, 1.0)))
+      q.processAllAvailable()
+      assert(rowsFor(1L) == Set((10L, 1L)))
+      // advance the watermark far past user 1's newest event + TTL, then
+      // give timeouts a batch to fire
+      stream.addData(Seq(Ev(ts(600), "view", 99, 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Ev(ts(601), "view", 98, 1.0)))
+      q.processAllAvailable()
+      // the returning user accumulates from scratch — 1 event, not 11
+      stream.addData(Seq(Ev(ts(602), "click", 1, 1.0)))
+      q.processAllAvailable()
+      assert(rowsFor(1L) == Set((10L, 1L), (1L, 1L)),
+        s"evicted profile state leaked: ${rowsFor(1L)}")
+    } finally q.stop()
+  }
+
   test("nearDupCandidates: streaming LSH pairs equal the batch band join") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
