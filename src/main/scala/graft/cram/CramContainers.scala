@@ -153,7 +153,7 @@ object CramContainers {
     val nBlocks = itf8()
     require(nBlocks >= 0, s"negative block count at $off")
     val nLandmarks = itf8()
-    require(nLandmarks >= 0 && nLandmarks <= (1 << 20), s"implausible landmark count $nLandmarks at $off")
+    require(nLandmarks >= 0 && nLandmarks <= MaxLandmarks, s"implausible landmark count $nLandmarks at $off")
     var l = 0
     while (l < nLandmarks) { itf8(); l += 1 }
     ensure(p + 4); p += 4 // CRC32 (v3)
@@ -202,7 +202,7 @@ object CramContainers {
     val nLandmarks = itf8()
     if (bad || refSeqId < -2 || startPos < 0 || span < 0 || nRecords < 0 ||
       recCounter < 0 || bases < 0 || nBlocks < 0 ||
-      nLandmarks < 0 || nLandmarks > (1 << 20)) return None
+      nLandmarks < 0 || nLandmarks > MaxLandmarks) return None
     var l = 0
     while (l < nLandmarks && !bad) { itf8(); l += 1 }
     if (bad || p + 4 > limit) return None
@@ -218,16 +218,18 @@ object CramContainers {
       refSeqId, startPos, span, nRecords, nBlocks))
   }
 
-  /** Header window the boundary guesser parses per candidate: 64 KiB
-    * covers ~13k landmarks, far beyond real slice counts, so the scan stays
-    * cheap. [[readValidatedHeader]] escalates to [[HeaderWindowMax]] (the
-    * true worst case of the `nLandmarks <= 2^20` bound: fixed fields + 2^20
-    * five-byte landmarks) so a legitimately huge header can never be
-    * misread as malformed by a window that is smaller than the validator's
-    * own landmark bound.
+  /** Header window every parse path gets per candidate: 64 KiB. The
+    * validator's landmark bound [[MaxLandmarks]] is DERIVED from it (fixed
+    * fields ≤64 B + ≤5 B per landmark + 4 B CRC must fit), so window size
+    * can never reject a header the validator would accept — the two bounds
+    * are one definition, and the old escalate-to-5-MiB retry ladder (which
+    * [[findBoundary]]'s per-candidate margin could still undercut at a
+    * range-split start, silently dropping that container) is gone rather
+    * than patched. Real containers carry one landmark per slice — single
+    * to low double digits; ~13k is far beyond any real encoder.
     */
   private val HeaderWindow = 1 << 16
-  private val HeaderWindowMax = 64 + 5 * (1 << 20) + 4
+  private[cram] val MaxLandmarks = (HeaderWindow - 64 - 4) / 5
 
   /** First container boundary at-or-after `from`, discovered by scanning —
     * the executor-side twin of the BAM record-boundary guesser
@@ -286,12 +288,11 @@ object CramContainers {
       if (in.preadFully(off, buf, 0, want) != want) return None
       tryParseValidated(buf, 0, want, off, size)
     }
-    // ladder: tiny window (real headers are ~50–200 B) → 64 KiB (headers
-    // with thousands of landmarks) → the validator's true worst case, so
-    // window size can never reject a header the validator would accept
+    // ladder: tiny window (real headers are ~50–200 B) → [[HeaderWindow]],
+    // which by construction holds ANY header the validator accepts
+    // (nLandmarks ≤ [[MaxLandmarks]])
     attempt(512)
       .orElse(if (size - off > 512) attempt(HeaderWindow) else None)
-      .orElse(if (size - off > HeaderWindow) attempt(HeaderWindowMax) else None)
   }
 
   /** Walk every container header (EOF container included, flagged). */

@@ -27,13 +27,18 @@ class HtsjdkDataSource extends TableProvider with DataSourceRegister {
   /** Spark calls inferSchema and getTable on the SAME provider instance
     * during one read resolution — cache the dispatch per path so the
     * directory listing (O(files) driver RPCs on a sharded input) happens
-    * once here, not once per callback.
+    * once here, not once per callback. An AtomicReference makes the
+    * benign-race semantics explicit: concurrent planning threads may each
+    * resolve once (identical result, last write wins), but no thread can
+    * ever observe a torn or stale (path, provider) pair and dispatch a
+    * path to the wrong format.
     */
-  private var cached: (String, TableProvider) = _
+  private val cached = new java.util.concurrent.atomic.AtomicReference[(String, TableProvider)]
 
   private def resolve(path: String): TableProvider = {
     require(path != null && path.nonEmpty, "htsjdk source requires a path")
-    if (cached != null && cached._1 == path) return cached._2
+    val c = cached.get()
+    if (c != null && c._1 == path) return c._2
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val files = HadoopIO.listInputFiles(path, conf)
     val name = if (files.isEmpty) new org.apache.hadoop.fs.Path(path).getName
@@ -45,7 +50,7 @@ class HtsjdkDataSource extends TableProvider with DataSourceRegister {
       else throw new IllegalArgumentException(
         s"cannot infer reads format from '$name' (want .bam/.sam/.cram); " +
           "use spark.read.format(\"bam\"|\"sam\"|\"cram\") directly")
-    cached = (path, resolved)
+    cached.set((path, resolved))
     resolved
   }
 

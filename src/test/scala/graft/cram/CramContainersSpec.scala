@@ -156,15 +156,11 @@ class CramContainersSpec extends AnyFunSuite {
     assert(CramContainers.findBoundary(in, c0off + 1, bytes.length.toLong) == c1off)
   }
 
-  test("readValidatedHeader parses a many-landmark header larger than the 64 KiB window") {
-    // 20k five-byte-capable landmarks → header well past 64 KiB; the window
-    // ladder must escalate instead of misreading a valid header as corrupt
-    val nLandmarks = 20000
-    val bos = new java.io.ByteArrayOutputStream()
-    bos.write(CramContainers.encodeFileDefinition())
-    val off = bos.size().toLong
+  /** A synthetic container whose header carries `nLandmarks` five-byte
+    * landmarks (header + zero payload + CRC), returned as raw bytes.
+    */
+  private def bigLandmarkContainer(nLandmarks: Int, dataLen: Int = 64): Array[Byte] = {
     val hdr = new java.io.ByteArrayOutputStream()
-    val dataLen = 64
     hdr.write(dataLen & 0xff); hdr.write((dataLen >> 8) & 0xff)
     hdr.write((dataLen >> 16) & 0xff); hdr.write((dataLen >> 24) & 0xff)
     hdr.write(Itf8.write(0)); hdr.write(Itf8.write(1000))
@@ -172,21 +168,62 @@ class CramContainersSpec extends AnyFunSuite {
     hdr.write(Ltf8.write(0L)); hdr.write(Ltf8.write(0L))
     hdr.write(Itf8.write(nLandmarks)) // nBlocks
     hdr.write(Itf8.write(nLandmarks))
-    (0 until nLandmarks).foreach(i => hdr.write(Itf8.write(i * 300000))) // 4-byte ITF-8s
+    (0 until nLandmarks).foreach(i => hdr.write(Itf8.write(0x10000000 + i))) // 5-byte ITF-8s
     val hb = hdr.toByteArray
     val crc = new java.util.zip.CRC32(); crc.update(hb)
     val c = crc.getValue
     hdr.write((c & 0xff).toInt); hdr.write(((c >> 8) & 0xff).toInt)
     hdr.write(((c >> 16) & 0xff).toInt); hdr.write(((c >> 24) & 0xff).toInt)
-    bos.write(hdr.toByteArray)
-    bos.write(new Array[Byte](dataLen))
+    hdr.write(new Array[Byte](dataLen))
+    hdr.toByteArray
+  }
+
+  test("validator and parse window share ONE bound: near-max header parses, over-bound rejects") {
+    // the landmark bound is DERIVED from the 64 KiB parse window, so any
+    // header the validator accepts fits every parse path's margin — the
+    // old escalate-past-the-window ladder (whose findBoundary margin could
+    // still silently drop a range-split container) is gone by construction
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(CramContainers.encodeFileDefinition())
+    val off = bos.size().toLong
+    val maxed = bigLandmarkContainer(CramContainers.MaxLandmarks)
+    bos.write(maxed)
     bos.write(CramContainers.encodeEofContainer())
     val bytes = bos.toByteArray
-    assert(hdr.size() > (1 << 16), s"header must exceed 64 KiB, was ${hdr.size()}")
-    val in = SeekableInput.ofBytes(bytes)
-    val parsed = CramContainers.readValidatedHeader(in, off, bytes.length.toLong)
-    assert(parsed.isDefined, "window ladder failed to escalate for a valid huge header")
-    assert(parsed.get.nBlocks == nLandmarks && parsed.get.dataLength == dataLen)
+    // near-max header fills most of — but by construction fits — the window
+    val hdrSize = maxed.length - 64
+    assert(hdrSize > (1 << 16) - 100 && hdrSize <= (1 << 16),
+      s"near-max header should fill the 64 KiB window, was $hdrSize")
+    val parsed = CramContainers.readValidatedHeader(SeekableInput.ofBytes(bytes), off, bytes.length.toLong)
+    assert(parsed.isDefined, "a valid max-landmark header must parse inside the window")
+    assert(parsed.get.nBlocks == CramContainers.MaxLandmarks)
+    // one landmark past the bound → implausible, rejected (policy, not margin)
+    val over = new java.io.ByteArrayOutputStream()
+    over.write(CramContainers.encodeFileDefinition())
+    over.write(bigLandmarkContainer(CramContainers.MaxLandmarks + 1))
+    over.write(CramContainers.encodeEofContainer())
+    val ob = over.toByteArray
+    assert(CramContainers.readValidatedHeader(SeekableInput.ofBytes(ob), off, ob.length.toLong).isEmpty)
+  }
+
+  test("findBoundary finds a near-max header at a scan-window margin edge") {
+    // place the container so its candidate offset sits at the very end of
+    // findBoundary's 1 MiB scan window: the parse margin there is exactly
+    // the 64 KiB tail, which must hold ANY validator-accepted header
+    val rng = new scala.util.Random(42)
+    val junkLen = (1 << 20) - 7 // container lands just before the window edge
+    val junk = new Array[Byte](junkLen)
+    rng.nextBytes(junk)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(CramContainers.encodeFileDefinition())
+    val defLen = bos.size()
+    bos.write(junk)
+    val off = bos.size().toLong
+    bos.write(bigLandmarkContainer(CramContainers.MaxLandmarks))
+    bos.write(CramContainers.encodeEofContainer())
+    val bytes = bos.toByteArray
+    val found = CramContainers.findBoundary(SeekableInput.ofBytes(bytes), defLen.toLong, bytes.length.toLong)
+    assert(found == off, s"boundary scan missed the margin-edge container: found $found, want $off")
   }
 
   test("crai round-trip prunes containers to the interval") {
