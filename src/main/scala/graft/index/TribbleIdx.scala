@@ -28,7 +28,16 @@ import graft.bgzf.SeekableInput
 final case class TribbleChr(name: String, binWidth: Int, longestFeature: Int,
                             nFeatures: Int, blockStarts: Array[Long], lastEnd: Long)
 
-final case class TribbleIdx(chrs: IndexedSeq[TribbleChr]) {
+/** Common query surface of the two tribble index flavors ([[TribbleIdx]]
+  * linear, [[TribbleTreeIdx]] interval-tree): candidate byte ranges for a
+  * 1-based interval — always a superset, record-level residual filters
+  * provide exactness.
+  */
+sealed trait TribbleIndex {
+  def blocks(name: String, start1: Int, end1: Int): Seq[(Long, Long)]
+}
+
+final case class TribbleIdx(chrs: IndexedSeq[TribbleChr]) extends TribbleIndex {
   private val byName: Map[String, TribbleChr] = chrs.map(c => c.name -> c).toMap
 
   /** Candidate-feature position range for 1-based query [start1, end1] —
@@ -58,6 +67,41 @@ final case class TribbleIdx(chrs: IndexedSeq[TribbleChr]) {
     }
 }
 
+/** Interval-tree tribble index (type 2) — the other flavor htsjdk's
+  * IndexFactory can emit (IntervalIndexCreator groups runs of features into
+  * intervals of [min start, max end] covering one byte block each). The
+  * on-disk ChrIndex after the shared header:
+  *   name str | nIntervals i32 ×
+  *     [start i32 | end i32 | blockPos i64 | blockSize i64]
+  * Query = blocks of every stored interval overlapping the request —
+  * no bin arithmetic, the intervals ARE the index.
+  */
+final case class TribbleTreeChr(name: String, starts: Array[Int], ends: Array[Int],
+                                blockPos: Array[Long], blockSize: Array[Long])
+
+final case class TribbleTreeIdx(chrs: IndexedSeq[TribbleTreeChr]) extends TribbleIndex {
+  private val byName: Map[String, TribbleTreeChr] = chrs.map(c => c.name -> c).toMap
+
+  def blocks(name: String, start1: Int, end1: Int): Seq[(Long, Long)] =
+    byName.get(name) match {
+      case Some(c) =>
+        val hits = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        var i = 0
+        while (i < c.starts.length) {
+          if (c.starts(i) <= end1 && c.ends(i) >= start1)
+            hits += ((c.blockPos(i), c.blockPos(i) + c.blockSize(i)))
+          i += 1
+        }
+        // merge overlapping/adjacent candidate ranges (intervals are stored
+        // in feature order, so their blocks are position-sorted)
+        hits.sortBy(_._1).foldLeft(List.empty[(Long, Long)]) {
+          case ((ps, pe) :: rest, (s, e)) if s <= pe => (ps, math.max(pe, e)) :: rest
+          case (acc, r) => r :: acc
+        }.reverse
+      case None => Nil
+    }
+}
+
 object TribbleIdx {
   /** "TIDX" read as a little-endian int (htsjdk tribble magic). */
   val Magic = 1480870228
@@ -67,7 +111,7 @@ object TribbleIdx {
   /** htsjdk LinearIndexCreator default bin width (bp per linear bin). */
   val DefaultBinWidth = 8000
 
-  def read(in: SeekableInput): TribbleIdx = {
+  def read(in: SeekableInput): TribbleIndex = {
     val size = in.size
     require(size <= Int.MaxValue, "oversized .idx")
     val bytes = new Array[Byte](size.toInt)
@@ -81,7 +125,8 @@ object TribbleIdx {
     }
     require(bb.getInt == Magic, "bad tribble .idx magic")
     val typ = bb.getInt
-    require(typ == TypeLinear, s"unsupported tribble index type $typ (only linear)")
+    require(typ == TypeLinear || typ == TypeIntervalTree,
+      s"unsupported tribble index type $typ (want linear=1 or interval-tree=2)")
     val version = bb.getInt
     require(version >= 3, s"unsupported tribble index version $version")
     str() // indexedFile
@@ -91,20 +136,65 @@ object TribbleIdx {
     var nProps = bb.getInt
     while (nProps > 0) { str(); str(); nProps -= 1 }
     val nChr = bb.getInt
-    val chrs = (0 until nChr).map { _ =>
-      val name = str()
-      val binWidth = bb.getInt
-      val nBins = bb.getInt
-      val longest = bb.getInt
-      bb.getInt // old-v3 largest block size, always 0 in modern writers
-      val nFeatures = bb.getInt
-      val blocks = new Array[Long](nBins)
-      var i = 0
-      while (i < nBins) { blocks(i) = bb.getLong; i += 1 }
-      val lastEnd = bb.getLong
-      TribbleChr(name, binWidth, longest, nFeatures, blocks, lastEnd)
+    if (typ == TypeLinear) {
+      val chrs = (0 until nChr).map { _ =>
+        val name = str()
+        val binWidth = bb.getInt
+        val nBins = bb.getInt
+        val longest = bb.getInt
+        bb.getInt // old-v3 largest block size, always 0 in modern writers
+        val nFeatures = bb.getInt
+        val blocks = new Array[Long](nBins)
+        var i = 0
+        while (i < nBins) { blocks(i) = bb.getLong; i += 1 }
+        val lastEnd = bb.getLong
+        TribbleChr(name, binWidth, longest, nFeatures, blocks, lastEnd)
+      }
+      TribbleIdx(chrs)
+    } else {
+      val chrs = (0 until nChr).map { _ =>
+        val name = str()
+        val n = bb.getInt
+        require(n >= 0, s"negative interval count for $name")
+        val starts = new Array[Int](n)
+        val ends = new Array[Int](n)
+        val pos = new Array[Long](n)
+        val sz = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          starts(i) = bb.getInt; ends(i) = bb.getInt
+          pos(i) = bb.getLong; sz(i) = bb.getLong
+          i += 1
+        }
+        TribbleTreeChr(name, starts, ends, pos, sz)
+      }
+      TribbleTreeIdx(chrs)
     }
-    TribbleIdx(chrs)
+  }
+
+  /** Serialize an interval-tree index (used by specs to author type-2
+    * fixtures; the VCF sink co-writes linear indexes via [[write]]).
+    */
+  def writeTree(out: OutputStream, idx: TribbleTreeIdx, indexedFile: String, fileSize: Long): Unit = {
+    val bos = new ByteArrayOutputStream(1 << 12)
+    val b4 = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    def i32(v: Int): Unit = { b4.clear(); b4.putInt(v); bos.write(b4.array(), 0, 4) }
+    def i64(v: Long): Unit = { b4.clear(); b4.putLong(v); bos.write(b4.array(), 0, 8) }
+    def str(s: String): Unit = { bos.write(s.getBytes("UTF-8")); bos.write(0) }
+    i32(Magic); i32(TypeIntervalTree); i32(Version)
+    str(indexedFile); i64(fileSize); i64(0L)
+    str(""); i32(0)
+    i32(0) // no properties
+    i32(idx.chrs.length)
+    idx.chrs.foreach { c =>
+      str(c.name); i32(c.starts.length)
+      var i = 0
+      while (i < c.starts.length) {
+        i32(c.starts(i)); i32(c.ends(i)); i64(c.blockPos(i)); i64(c.blockSize(i))
+        i += 1
+      }
+    }
+    out.write(bos.toByteArray)
   }
 
   def write(out: OutputStream, idx: TribbleIdx, indexedFile: String, fileSize: Long): Unit = {

@@ -31,6 +31,7 @@ class TribbleIdxSpec extends AnyFunSuite with SparkFixture {
     // on-disk magic is the literal bytes "TIDX"
     assert(new String(bos.toByteArray.take(4), "ASCII") == "TIDX")
     val back = TribbleIdx.read(graft.bgzf.SeekableInput.ofBytes(bos.toByteArray))
+      .asInstanceOf[TribbleIdx]
     assert(back.chrs.map(_.name) == IndexedSeq("chr1", "chr2"))
     assert(back.chrs.head.binWidth == 1000 && back.chrs.head.nFeatures == 300)
     // every feature overlapping the query must fall inside the block range
@@ -112,8 +113,8 @@ class TribbleIdxSpec extends AnyFunSuite with SparkFixture {
     val out = dir.resolve("sorted.vcf")
     spark.createDataset(vs).toDF().coalesce(1)
       .write.format("vcf").mode("overwrite").save(out.toString)
-    // an interval-tree (type=2) index we don't parse: reader must Try-fail
-    // into the unpruned path, never mis-prune
+    // a TRUNCATED index (magic + type but no payload): reader must
+    // Try-fail into the unpruned path, never mis-prune
     val bos = new java.io.ByteArrayOutputStream()
     val bb = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.putInt(TribbleIdx.Magic); bb.putInt(TribbleIdx.TypeIntervalTree); bb.putInt(3)
@@ -123,6 +124,58 @@ class TribbleIdxSpec extends AnyFunSuite with SparkFixture {
       .option("intervals", "chr21:50000-60000").load(out.toString)
     val want = vs.count(v => v.start <= 60000 && v.end >= 50000)
     assert(iv.count() == want)
+  }
+
+  test("interval-tree (type=2) .idx round-trips and prunes plain-text interval scans") {
+    import spark.implicits._
+    val vs = variants(4000, sorted = true)
+    val dir = Files.createTempDirectory("tidx2")
+    dir.toFile.deleteOnExit()
+    val out = dir.resolve("sorted.vcf")
+    spark.createDataset(vs).toDF().coalesce(1)
+      .write.format("vcf").mode("overwrite").save(out.toString)
+    // author the type-2 sidecar the way htsjdk's IntervalIndexCreator does:
+    // runs of features collapse into [min start, max end] intervals, each
+    // covering one byte block (pos + size)
+    val bytes = Files.readAllBytes(out)
+    val feats = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]() // (start1, offBeg, offEnd)
+    var off = 0L
+    new String(bytes, "UTF-8").split("\n", -1).iterator.takeWhile(_ => off < bytes.length).foreach { line =>
+      val len = line.getBytes("UTF-8").length + 1
+      if (line.nonEmpty && !line.startsWith("#"))
+        feats += ((line.split("\t")(1).toInt, off, off + len))
+      off += len
+    }
+    assert(feats.size == vs.size)
+    val perInterval = 200
+    val groups = feats.grouped(perInterval).toSeq
+    val tree = TribbleTreeIdx(IndexedSeq(TribbleTreeChr("chr21",
+      groups.map(_.head._1).toArray,
+      groups.map(_.last._1).toArray, // SNVs: end = start
+      groups.map(_.head._2).toArray,
+      groups.map(g => g.last._3 - g.head._2).toArray)))
+    val bos = new java.io.ByteArrayOutputStream()
+    TribbleIdx.writeTree(bos, tree, "sorted.vcf", bytes.length.toLong)
+    Files.write(dir.resolve("sorted.vcf.idx"), bos.toByteArray)
+    // reader recovers the same structure
+    TribbleIdx.read(graft.bgzf.SeekableInput.ofBytes(bos.toByteArray)) match {
+      case t: TribbleTreeIdx =>
+        assert(t.chrs.head.starts.length == groups.size)
+        // a query inside one interval returns (only) that interval's block
+        val Seq((s0, e0)) = t.blocks("chr21", 100000, 110000)
+        assert(e0 - s0 < bytes.length / 4, s"block range too wide: $s0..$e0")
+      case other => fail(s"expected TribbleTreeIdx, got $other")
+    }
+    // end to end: interval scan prunes splits and stays exact
+    val all = spark.read.format("vcf").option("splitSize", 4096).load(out.toString)
+    val nPartsAll = all.rdd.getNumPartitions
+    val iv = spark.read.format("vcf").option("splitSize", 4096)
+      .option("intervals", "chr21:100000-110000").load(out.toString)
+    assert(iv.rdd.getNumPartitions < nPartsAll,
+      s"type-2 index did not prune: ${iv.rdd.getNumPartitions} vs $nPartsAll")
+    val want = vs.count(v => v.start <= 110000 && v.end >= 100000)
+    assert(iv.count() == want)
+    assert(all.count() == vs.size)
   }
 
   test("unsorted vcf skips .idx, interval scan stays exact") {
