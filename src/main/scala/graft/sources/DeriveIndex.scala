@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import graft.bam.{BamRecordGuesser, BamRef}
+import graft.bgzf.Bgzf
+import graft.cram.{CraiEntry, CraiIndex, CramContainers}
+import graft.index.SbiIndex
+
+/** First-contact index derivation (`.option("deriveIndex", true)`): the
+  * unindexed read paths already discover executor-side exactly what a
+  * splitting index would record — the BAM heuristic finds each split's
+  * first record voff, the CRAM boundary snap finds each range's container
+  * chain. With the option set, planning runs that discovery ONCE as a tiny
+  * distributed job (one task per byte tile, O(index) bytes collected to the
+  * driver), writes the sidecar back next to the file (atomic
+  * write-then-rename), and re-plans through the indexed route — so every
+  * later query over the same file plans O(index) with zero heuristic work.
+  *
+  * Failure is never fatal: a read-only filesystem, a concurrent deriver, or
+  * any discovery error just returns false and the caller stays on the
+  * unindexed path for this query. Derivation only ever writes what a reader
+  * would have computed anyway, so a half-written sidecar can't exist (the
+  * rename is the commit point) and a concurrent winner's sidecar is
+  * byte-equivalent.
+  */
+object DeriveIndex {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def tiles(start0: Long, size: Long, splitSize: Long): Seq[(Long, Long)] =
+    Iterator.iterate(start0)(_ + splitSize).takeWhile(_ < size)
+      .map(s => (s, math.min(s + splitSize, size))).toSeq
+
+  /** Atomic publish: write to a task-unique temp name, rename into place.
+    * Loses the race gracefully (any existing sidecar wins — it records the
+    * same facts).
+    */
+  private def publish(conf: SerializableConf, target: Path)(write: java.io.OutputStream => Unit): Boolean = {
+    val fs = target.getFileSystem(conf.conf)
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.derive.${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val out = fs.create(tmp, false)
+      try write(out) finally out.close()
+      if (fs.exists(target)) { fs.delete(tmp, false); true } // lost a benign race
+      else fs.rename(tmp, target)
+    } catch {
+      case e: Exception =>
+        log.warn(s"deriveIndex: could not publish $target: ${e.getMessage}")
+        scala.util.Try(fs.delete(tmp, false))
+        false
+    }
+  }
+
+  /** Derive a `.sbi` for an unindexed BAM: one task per `splitSize` tile
+    * runs the record-boundary guesser a heuristic reader would run anyway;
+    * the collected first-record voffs (plus the past-last-record sentinel)
+    * ARE a valid SBI offset ladder at tile granularity — planning with ANY
+    * later splitSize snaps to these offsets and still tiles the record
+    * space exactly. totalRecords/granularity are recorded as 0 (unknown —
+    * nothing in planning consumes them; counting would cost a full decode).
+    */
+  def deriveBamSbi(file: String, refs: IndexedSeq[BamRef], headerEndVoff: Long,
+                   size: Long, splitSize: Long, conf: SerializableConf): Boolean = {
+    val spark = SparkSession.active
+    try {
+      val ts = tiles(0L, size, splitSize)
+      val voffs = spark.sparkContext.parallelize(ts, ts.size)
+        .map { case (s, e) =>
+          val in = HadoopIO.open(new Path(file), conf.conf)
+          try new BamRecordGuesser(in, refs, headerEndVoff).firstRecordAtOrAfter(s, e)
+          finally in.close()
+        }
+        .collect().filter(_ >= 0).distinct.sorted
+      if (voffs.isEmpty) { log.warn(s"deriveIndex: no records found in $file"); return false }
+      // sentinel: just past the last record — the EOF terminator's block
+      // start when present, else end-of-file
+      val tail = new Array[Byte](Bgzf.EofBlock.length)
+      val in = HadoopIO.open(new Path(file), conf.conf)
+      val hasEof = try
+        size >= Bgzf.EofBlock.length &&
+          in.preadFully(size - Bgzf.EofBlock.length, tail, 0, tail.length) == tail.length &&
+          tail.sameElements(Bgzf.EofBlock)
+      finally in.close()
+      val sentinel = (if (hasEof) size - Bgzf.EofBlock.length else size) << 16
+      publish(conf, new Path(file + ".sbi")) { out =>
+        SbiIndex.write(out, SbiIndex(size, 0L, 0L, voffs :+ sentinel))
+      }
+    } catch {
+      case e: Exception =>
+        log.warn(s"deriveIndex: sbi derivation failed for $file: ${e.getMessage}")
+        false
+    }
+  }
+
+  /** Derive a `.crai` for an unindexed CRAM: one task per byte tile snaps
+    * to the first CRC-confirmed container boundary (the range reader's
+    * existing discovery) and walks the headers of the containers STARTING
+    * in its tile — together the tiles see every container exactly once.
+    */
+  def deriveCramCrai(file: String, size: Long, splitSize: Long,
+                     conf: SerializableConf): Boolean = {
+    val spark = SparkSession.active
+    try {
+      val start0 = CramContainers.FileDefinitionLength.toLong
+      val ts = tiles(start0, size, splitSize)
+      val perTile = spark.sparkContext.parallelize(ts, ts.size)
+        .map { case (s, e) =>
+          val in = HadoopIO.open(new Path(file), conf.conf)
+          try {
+            val out = Seq.newBuilder[CraiEntry]
+            var off = CramContainers.findBoundary(in, s, size)
+            var covered = off >= e // no container starts in this tile
+            var c = if (off < e) CramContainers.readValidatedHeader(in, off, size) else None
+            while (c.isDefined && c.get.offset < e) {
+              val cc = c.get
+              if (!cc.isEof)
+                out += CraiEntry(cc.refSeqId, cc.startPos, cc.alignmentSpan,
+                  cc.offset, 0, cc.dataLength)
+              off = cc.offset + cc.totalLength
+              covered = off >= e || off >= size
+              c = if (off < size) CramContainers.readValidatedHeader(in, off, size) else None
+            }
+            // an unparseable mid-tile header means containers after it would
+            // be silently MISSING from the index — a lenient unindexed read
+            // re-syncs past corruption, an indexed read cannot. Mark the
+            // tile incomplete so derivation aborts instead of writing an
+            // index that loses data.
+            (out.result(), covered || c.isDefined)
+          } finally in.close()
+        }
+        .collect()
+      if (perTile.exists(!_._2)) {
+        log.warn(s"deriveIndex: $file has an unparseable region; not writing a lossy .crai")
+        return false
+      }
+      val entries = perTile.flatMap(_._1).sortBy(_.containerOffset).toSeq
+      if (entries.isEmpty) { log.warn(s"deriveIndex: no containers found in $file"); return false }
+      publish(conf, new Path(file + ".crai")) { out =>
+        CraiIndex.write(out, CraiIndex(entries))
+      }
+    } catch {
+      case e: Exception =>
+        log.warn(s"deriveIndex: crai derivation failed for $file: ${e.getMessage}")
+        false
+    }
+  }
+}

@@ -278,6 +278,12 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
                 }
               }
             case None =>
+              // first-contact derivation: run the guesser ONCE as a tiny
+              // distributed job, write the .sbi back, re-plan O(index)
+              if (options.get("deriveindex").exists(_.toBoolean) &&
+                  graft.sources.DeriveIndex.deriveBamSbi(
+                    file.toString, header.refs, headerEnd, size, splitSize, new SerializableConf(conf)))
+                return planFile(file) // .sbi now exists → SBI route
               // heuristic path: byte splits tile the file; each split owns
               // records whose start voff lies in a block starting within it
               (0L until nSplits).map { i =>

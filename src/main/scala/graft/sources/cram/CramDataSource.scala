@@ -261,6 +261,13 @@ class CramScan(options: Map[String, String], required: StructType,
           // Predicate pruning runs in the reader (it sees each header
           // anyway); each container belongs to the split containing its
           // START offset.
+          // first-contact derivation: run the boundary snap + header walk
+          // ONCE as a tiny distributed job, write the .crai back, re-plan
+          // O(index)
+          if (options.get("deriveindex").exists(_.toBoolean) &&
+              graft.sources.DeriveIndex.deriveCramCrai(
+                file.toString, size, splitSize, new graft.sources.SerializableConf(conf)))
+            return planFile(file) // .crai now exists → indexed route
           val start0 = CramContainers.FileDefinitionLength.toLong
           Iterator.iterate(start0)(_ + splitSize).takeWhile(_ < size).map { s =>
             val e = math.min(s + splitSize, size)

@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import graft.bam.TestReads
+
+/** `.option("deriveIndex", true)`: the first unindexed query runs the
+  * discovery the readers would do anyway as one distributed pass, writes
+  * the sidecar back, and every later query plans through the indexed
+  * route — asserted here via partition types/fields on a second scan.
+  */
+class DeriveIndexSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmpDir(): java.nio.file.Path = {
+    val d = Files.createTempDirectory("derive")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private val refsOpt = "chr20:1000000,chr21:2000135"
+
+  test("BAM: first deriveIndex read writes .sbi; second scan plans the SBI route") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    val out = dir.resolve("t.bam")
+    val recs = TestReads.mixed(800)
+    spark.createDataset(recs).toDF()
+      .write.format("bam").mode("overwrite").option("refs", refsOpt).save(out.toString)
+    assert(!Files.exists(dir.resolve("t.bam.sbi")))
+    // heuristic baseline (no derivation)
+    val base = spark.read.format("bam").option("splitSize", 4096)
+      .load(out.toString).collect().map(_.toSeq)
+    assert(!Files.exists(dir.resolve("t.bam.sbi")))
+    // first contact with deriveIndex: same rows, sidecar appears
+    val derived = spark.read.format("bam").option("splitSize", 4096)
+      .option("deriveIndex", "true").load(out.toString).collect().map(_.toSeq)
+    assert(derived.toSeq == base.toSeq)
+    assert(Files.exists(dir.resolve("t.bam.sbi")), "deriveIndex did not write the .sbi")
+    // second scan (no option needed): SBI route — exact chunk voffs, no
+    // heuristic boundary guessing in any partition
+    val scan = new graft.sources.bam.BamScan(
+      Map("path" -> out.toString, "splitsize" -> "4096"),
+      graft.bam.AlignmentRecord.schema, Array.empty)
+    val parts = scan.planInputPartitions()
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val bp = p.asInstanceOf[graft.sources.bam.BamInputPartition]
+      assert(bp.chunkStartVoff >= 0, s"partition still heuristic: $bp")
+    }
+    // and the indexed read returns the same rows
+    val again = spark.read.format("bam").option("splitSize", 4096)
+      .load(out.toString).collect().map(_.toSeq)
+    assert(again.toSeq == base.toSeq)
+  }
+
+  test("CRAM: first deriveIndex read writes .crai; second scan plans the indexed route") {
+    val dir = tmpDir()
+    val out = dir.resolve("t.cram")
+    val df = spark.range(300).select(
+      (col("id") % 3).cast("int").as("ref_seq_id"),
+      (col("id") * 100 + 1).cast("int").as("start_pos"),
+      lit(90).as("span"),
+      (col("id") % 10 + 1).cast("int").as("n_records"),
+      ((col("id") % 5) * 8).cast("int").as("data_length"))
+    df.coalesce(1).write.format("cram").mode("overwrite").save(out.toString)
+    assert(!Files.exists(dir.resolve("t.cram.crai")))
+    val base = spark.read.format("cram").option("splitSize", 4096)
+      .load(out.toString).orderBy(col("offset")).collect().map(_.toSeq)
+    val derived = spark.read.format("cram").option("splitSize", 4096)
+      .option("deriveIndex", "true").load(out.toString).orderBy(col("offset")).collect().map(_.toSeq)
+    assert(derived.toSeq == base.toSeq)
+    assert(Files.exists(dir.resolve("t.cram.crai")), "deriveIndex did not write the .crai")
+    val scan = new graft.sources.cram.CramScan(
+      Map("path" -> out.toString, "splitsize" -> "4096"),
+      graft.sources.cram.CramTable.schema)
+    val parts = scan.planInputPartitions()
+    assert(parts.nonEmpty && parts.forall(_.isInstanceOf[graft.sources.cram.CramInputPartition]),
+      s"still range partitions: ${parts.take(3).mkString(",")}")
+    val again = spark.read.format("cram").option("splitSize", 4096)
+      .load(out.toString).orderBy(col("offset")).collect().map(_.toSeq)
+    assert(again.toSeq == base.toSeq)
+  }
+
+  test("derived .crai equals the sink-written one in pruning behavior") {
+    val dir = tmpDir()
+    val df = spark.range(300).select(
+      (col("id") % 3).cast("int").as("ref_seq_id"),
+      (col("id") * 100 + 1).cast("int").as("start_pos"),
+      lit(90).as("span"),
+      (col("id") % 10 + 1).cast("int").as("n_records"),
+      ((col("id") % 5) * 8).cast("int").as("data_length"))
+    val derivedOut = dir.resolve("derived.cram")
+    val sinkOut = dir.resolve("sink.cram")
+    df.coalesce(1).write.format("cram").mode("overwrite").save(derivedOut.toString)
+    df.coalesce(1).write.format("cram").mode("overwrite")
+      .option("writeCrai", "true").save(sinkOut.toString)
+    // derive, then compare interval pruning across both indexes
+    spark.read.format("cram").option("splitSize", 4096)
+      .option("deriveIndex", "true").load(derivedOut.toString).count()
+    assert(Files.exists(dir.resolve("derived.cram.crai")))
+    for (iv <- Seq("0:1-5000", "1:20000-29999", "2:1-200000")) {
+      val a = spark.read.format("cram").option("intervals", iv)
+        .load(derivedOut.toString).orderBy(col("offset")).collect().map(_.toSeq.drop(1))
+      val b = spark.read.format("cram").option("intervals", iv)
+        .load(sinkOut.toString).orderBy(col("offset")).collect().map(_.toSeq.drop(1))
+      assert(a.toSeq == b.toSeq, s"interval $iv")
+    }
+  }
+}
