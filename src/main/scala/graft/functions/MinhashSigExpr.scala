@@ -151,5 +151,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_lsh_dots"),
       new ExpressionInfo(classOf[LshDotsExpr].getName, "graft_lsh_dots"),
       NativeLsh.dotsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ivf_argmax"),
+      new ExpressionInfo(classOf[IvfArgmaxExpr].getName, "graft_ivf_argmax"),
+      NativeIvf.builder))
   }
 }

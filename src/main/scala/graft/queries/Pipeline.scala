@@ -735,18 +735,19 @@ object Pipeline {
     "q_ann_ivf" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      graft.functions.NativeIvf.register(s)
       val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
       val cents = e.filter($"vec_id" < 16).select($"vec_id".as("cid"), $"q".as("cq"))
       // the codebook as ONE row (16 structs): a real IVF codebook is an
       // offline-trained artifact of fixed tiny size, so collapsing it to a
       // broadcast value — not a join relation — is the honest scale shape
       val codebook = cents.agg(sort_array(collect_list(struct($"cid", $"cq"))).as("cents"))
-      // nearest centroid per vector: argmax(cdot, tie → smaller cid) via
-      // struct ordering on (cdot, -cid) — narrow, no Exchange on vec_id
+      // nearest centroid per vector: native argmax(dot, tie → smaller cid)
+      // — narrow (no Exchange on vec_id) AND codegen'd (the composed HOF
+      // form allocates a zipped array per centroid per row, interpreted;
+      // it survives as the equality-pinned spec in NativeExprSpec)
       val assigned = e.crossJoin(broadcast(codebook))
-        .withColumn("a", array_max(transform($"cents",
-          c => struct(qdot($"q", c("cq")).as("cdot"), (-c("cid")).as("ncid")))))
-        .select($"vec_id", (-$"a.ncid").as("cid"), $"q")
+        .select($"vec_id", expr("graft_ivf_argmax(q, cents)").as("cid"), $"q")
       // probe set: each query's 2 nearest centroids (tiny, broadcast)
       val qs = e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"q".as("qq"))
       val pw = Window.partitionBy($"query_id").orderBy($"pdot".desc, $"cid")

@@ -150,6 +150,31 @@ class NativeExprSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("native graft_ivf_argmax equals the composed argmax-over-codebook form") {
+    import spark.implicits._
+    NativeIvf.register(spark)
+    val df = spark.range(300).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        i => GraftFunctions.hash60(concat(col("id").cast("string"), lit("#"), i.cast("string")))
+          % 2001 - 1000).as("q"))
+    val cents = df.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cq")))).as("cents"))
+    val joined = df.crossJoin(broadcast(cents))
+    // the composed HOF form the native expression replaced
+    val qdot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    val composed = joined.withColumn("a", array_max(transform(col("cents"),
+        c => struct(qdot(col("q"), c("cq")).as("cdot"), (-c("cid")).as("ncid")))))
+      .select(col("vec_id"), (-col("a.ncid")).as("cid"))
+    val native = joined.select(col("vec_id"), expr("graft_ivf_argmax(q, cents)").as("cid"))
+    val c1 = composed.orderBy(col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n1 = native.orderBy(col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(n1.toSeq == c1.toSeq)
+    // ties and argmax actually vary across centroids (not all one bucket)
+    assert(n1.map(_._2).distinct.length > 4)
+  }
+
   test("extension class injects the function at session build time") {
     val ext = new GraftExtensions
     // smoke: applying the injector to fresh extensions must not throw; the
