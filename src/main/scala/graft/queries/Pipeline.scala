@@ -39,6 +39,8 @@ object Pipeline {
   private[graft] val MinhashK = 16
   private[graft] val Bands = 4 // rows per band = 4
   private val SimhashBits = 60
+  /** 4 bands × 15 bits: pigeonhole guarantees hamming ≤ 3 pairs collide. */
+  private val SimhashBands = 4
   private val FpMod = 17 // keep word-5-gram fingerprints where hash % 17 == 0
   private val QdotThreshold = 300000L // quantized cosine ≥ 0.3
   private val LshPlanes = 8
@@ -452,6 +454,35 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // SimHash near-dup candidate pairs: band the 60-bit fingerprint into
+    // 4 × 15-bit keys (pigeonhole — a pair within hamming distance 3 shares
+    // at least one intact band), bucket by (band, key) in ONE shuffle, pair
+    // within size-capped buckets exactly like the minhash LSH pass, then
+    // keep pairs whose EXACT hamming distance ≤ 3. The cheapest of the
+    // near-dup sweeps: signature is one native pass, candidate space is
+    // bucket-local, the re-check is two bit ops per pair.
+    "q_dedup_simhash_pairs" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.SimhashExpr.register(s)
+      val sims = Tables.documents(s, d)
+        .select($"doc_id", expr("graft_simhash(text)").as("sh"))
+      val banded = sims.select($"doc_id", $"sh",
+        posexplode(array((0 until SimhashBands).map(b =>
+          shiftright($"sh", b * 15).bitwiseAND(lit(0x7fffL))): _*)).as(Seq("band", "key")))
+      banded.groupBy($"band", $"key")
+        .agg(sort_array(collect_list(struct($"doc_id", $"sh"))).as("ms"))
+        .filter(size($"ms") > 1 && size($"ms") <= MaxBucket)
+        .select(explode(flatten(transform($"ms", (x, i) =>
+          transform(slice($"ms", i + lit(2), size($"ms")),
+            y => struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
+              bit_count(x.getField("sh").bitwiseXOR(y.getField("sh"))).cast("long")
+                .as("hamming")))))).as("p"))
+        .select($"p.doc_a", $"p.doc_b", $"p.hamming")
+        .filter($"hamming" <= 3)
+        .distinct()
+        .orderBy($"doc_a", $"doc_b")
+    },
+
     // n-gram Jaccard near-dup: exact Jaccard scored ONLY on LSH candidate
     // pairs (the scale-safe shape — candidate generation is near-linear,
     // re-scoring touches candidate rows only; never an all-pairs join)
@@ -780,6 +811,13 @@ object Pipeline {
     * minhash sig → per-band hashes, plus `bok` = buckets within the
     * [2, MaxBucket] size window. Ends WITHOUT a trailing comma.
     */
+  /** The simhash bit-vote expression over a `wh` word-hash list — shared by
+    * the signature oracle and the pairs oracle so the two can never diverge.
+    */
+  private lazy val simhashBitTerms: String = (0 until SimhashBits).map { j =>
+    s"CASE WHEN 2 * len(list_filter(wh, h -> (h >> $j) % 2 = 1)) > len(wh) THEN ${1L << j} ELSE 0 END"
+  }.mkString(" +\n  ")
+
   private def oracleBandsCte(): String = {
     val shingle = "ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]"
     s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
@@ -891,13 +929,27 @@ object Pipeline {
     },
 
     "q_dedup_simhash" -> {
-      val bitTerms = (0 until SimhashBits).map { j =>
-        s"CASE WHEN 2 * len(list_filter(wh, h -> (h >> $j) % 2 = 1)) > len(wh) THEN ${1L << j} ELSE 0 END"
-      }.mkString(" +\n  ")
       s"""WITH t AS (SELECT doc_id,
          |  list_transform($wsExpr, w -> ${h60("w")}) AS wh FROM documents)
-         |SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+         |SELECT doc_id, CAST($simhashBitTerms AS BIGINT) AS simhash
          |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_simhash_pairs" -> {
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform($wsExpr, w -> ${h60("w")}) AS wh FROM documents),
+         |shs AS (SELECT doc_id, CAST($simhashBitTerms AS BIGINT) AS sh FROM t),
+         |bb AS (SELECT doc_id, sh, band, (sh >> (band * 15)) & 32767 AS key
+         |  FROM shs, UNNEST(range(0, $SimhashBands)) AS u(band)),
+         |bok AS (SELECT band, key FROM bb GROUP BY band, key
+         |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket)
+         |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sh, b2.sh)) AS BIGINT) AS hamming
+         |FROM bb a JOIN bb b2 ON a.band = b2.band AND a.key = b2.key
+         |  AND a.doc_id < b2.doc_id
+         |JOIN bok o ON o.band = a.band AND o.key = a.key
+         |WHERE bit_count(xor(a.sh, b2.sh)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "q_dedup_ngram_jaccard" -> {

@@ -226,6 +226,23 @@ object Relational {
         .select($"user_id", $"t_view_ms", $"t_click_ms", $"t_purchase_ms",
           ($"t_purchase_ms" - $"t_view_ms").as("conv_ms"))
         .orderBy($"user_id")
+    },
+
+    // -- Cohort retention: users grouped by first-activity week; for each
+    // (cohort_week, weeks_since) the distinct users still active that week.
+    // The cohort assignment and the join back share the user_id shuffle key
+    // (co-partitioned, no extra exchange shape), and the final rollup is
+    // cohort × week cardinality — tiny at any corpus size.
+    "q_events_retention" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"user_id", date_trunc("week", $"ts").as("wk"))
+      val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cwk"))
+      ev.join(cohort, "user_id")
+        .groupBy(date_format($"cwk", "yyyy-MM-dd").as("cohort_week"),
+          (datediff($"wk", $"cwk") / 7).cast("long").as("weeks_since"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort_week", $"weeks_since")
     }
   )
 
@@ -346,6 +363,15 @@ object Relational {
         |SELECT v.user_id, v.t_view_ms, c.t_click_ms, p.t_purchase_ms,
         |  p.t_purchase_ms - v.t_view_ms AS conv_ms
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    "q_events_retention" ->
+      """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        |coh AS (SELECT user_id, MIN(wk) AS cwk FROM ev GROUP BY 1)
+        |SELECT strftime(coh.cwk, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', coh.cwk, ev.wk) / 7 AS BIGINT) AS weeks_since,
+        |  COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN coh USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
