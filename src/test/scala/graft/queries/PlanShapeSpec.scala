@@ -83,10 +83,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
   test("single-consumer native expressions evaluate exactly once each") {
     // (the LSH bucket legitimately appears twice in the ANN plans: once on
     // the corpus side, once on the query side of the self-derived join)
+    // (q_ann_ivf's graft_ivf_argmax is deliberately NOT pinned to one: the
+    // probes side carries a cid < 16 constraint, and InferFiltersFromConstraints
+    // pushes `argmax < 16 AND isnotnull(argmax)` below the aliasing
+    // projection — up to 3 evals of a ~1k-madd kernel per row, measured
+    // harmless; the load-bearing IVF guard is the no-Exchange test above)
     val oncePer = Seq(
       "q_text_langid" -> "graft_stop_hits",
       "q_text_quality" -> "graft_stop_hits",
       "q_dedup_simhash" -> "graft_simhash",
+      "q_dedup_simhash_pairs" -> "graft_simhash",
       "q_text_fingerprint" -> "graft_fingerprints")
     for ((q, fn) <- oncePer) {
       val analyzed = Pipeline.queries(q)(spark, sf).queryExecution.optimizedPlan.toString
