@@ -113,7 +113,13 @@ object CramContainers {
     * header (many slices) can never run the cursor past the buffer or into
     * stale bytes from a previous iteration.
     */
-  def readContainerHeader(in: SeekableInput, off: Long, size: Long): CramContainer = {
+  def readContainerHeader(in: SeekableInput, off: Long, size: Long): CramContainer =
+    readContainerHeader(in, off, size, 3)
+
+  /** Major-version-aware variant: CRAM 2.x stores the record counter as
+    * ITF-8 and has no trailing header CRC32 (both changed in 3.0).
+    */
+  def readContainerHeader(in: SeekableInput, off: Long, size: Long, major: Int): CramContainer = {
     // fixed-field worst case: 4 + 4×5 (ITF-8) + 2×9 (LTF-8) + 2×5 + CRC 4 = 60
     var buf = new Array[Byte](96)
     var got = in.preadFully(off, buf, 0, math.min(buf.length.toLong, size - off).toInt)
@@ -148,7 +154,7 @@ object CramContainers {
     val startPos = itf8()
     val span = itf8()
     val nRecords = itf8()
-    ltf8() // record counter
+    if (major >= 3) ltf8() else itf8() // record counter (ITF-8 before 3.0)
     ltf8() // bases
     val nBlocks = itf8()
     require(nBlocks >= 0, s"negative block count at $off")
@@ -156,7 +162,7 @@ object CramContainers {
     require(nLandmarks >= 0 && nLandmarks <= MaxLandmarks, s"implausible landmark count $nLandmarks at $off")
     var l = 0
     while (l < nLandmarks) { itf8(); l += 1 }
-    ensure(p + 4); p += 4 // CRC32 (v3)
+    if (major >= 3) { ensure(p + 4); p += 4 } // CRC32 (3.0+)
     CramContainer(off, p + dataLength.toLong, dataLength, refSeqId, startPos, span, nRecords, nBlocks)
   }
 
@@ -297,42 +303,54 @@ object CramContainers {
 
   /** Walk every container header (EOF container included, flagged). */
   def containers(in: SeekableInput): Seq[CramContainer] = {
-    readFileDefinition(in)
+    val (major, _) = readFileDefinition(in)
     val size = in.size
     val out = Seq.newBuilder[CramContainer]
     var off = FileDefinitionLength.toLong
     while (off < size) {
-      val c = readContainerHeader(in, off, size)
+      val c = readContainerHeader(in, off, size, major)
       out += c
       off += c.totalLength
     }
     out.result()
   }
 
-  /** Encode one container: int32-LE data length, ITF-8/LTF-8 header fields,
-    * a single landmark at 0, a real CRC32 over the preceding header bytes,
-    * then `dataLength` opaque payload bytes (zeros — the record codec is out
-    * of scope, SURVEY.md §7.4; the layout is what split planning consumes).
+  /** Encode a v3 container HEADER (int32-LE data length, ITF-8/LTF-8
+    * fields, landmarks, CRC32 over the preceding header bytes). The caller
+    * appends `dataLength` payload bytes.
     */
-  def encodeContainer(dataLength: Int, refSeqId: Int, startPos: Int, span: Int,
-                      nRecords: Int): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream(96 + dataLength)
+  def encodeContainerHeader(dataLength: Int, refSeqId: Int, startPos: Int, span: Int,
+                            nRecords: Int, recordCounter: Long, bases: Long,
+                            nBlocks: Int, landmarks: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(96)
     bos.write(dataLength & 0xff); bos.write((dataLength >> 8) & 0xff)
     bos.write((dataLength >> 16) & 0xff); bos.write((dataLength >> 24) & 0xff)
     bos.write(Itf8.write(refSeqId)); bos.write(Itf8.write(startPos))
     bos.write(Itf8.write(span)); bos.write(Itf8.write(nRecords))
-    bos.write(Ltf8.write(0L)) // record counter
-    bos.write(Ltf8.write(0L)) // bases
-    bos.write(Itf8.write(1)) // nBlocks
-    bos.write(Itf8.write(1)); bos.write(Itf8.write(0)) // one landmark at 0
+    bos.write(Ltf8.write(recordCounter))
+    bos.write(Ltf8.write(bases))
+    bos.write(Itf8.write(nBlocks))
+    bos.write(Itf8.write(landmarks.length))
+    landmarks.foreach(l => bos.write(Itf8.write(l)))
     val hdr = bos.toByteArray
     val crc = new java.util.zip.CRC32()
     crc.update(hdr)
     val c = crc.getValue
     bos.write((c & 0xff).toInt); bos.write(((c >> 8) & 0xff).toInt)
     bos.write(((c >> 16) & 0xff).toInt); bos.write(((c >> 24) & 0xff).toInt)
-    bos.write(new Array[Byte](dataLength))
     bos.toByteArray
+  }
+
+  /** Encode one container with a zero-filled payload: the container-spec
+    * sink's row shape (record payloads come from [[CramRecordWriter]]).
+    */
+  def encodeContainer(dataLength: Int, refSeqId: Int, startPos: Int, span: Int,
+                      nRecords: Int): Array[Byte] = {
+    val hdr = encodeContainerHeader(dataLength, refSeqId, startPos, span, nRecords,
+      0L, 0L, 1, Seq(0))
+    val out = new Array[Byte](hdr.length + dataLength)
+    System.arraycopy(hdr, 0, out, 0, hdr.length)
+    out
   }
 
   /** The 26-byte file definition: "CRAM" major minor + 20-byte file id. */
