@@ -94,3 +94,49 @@ object SamHeader {
       BamRef(sn.getOrElse(throw new IllegalArgumentException(s"@SQ without SN: $line")), ln.getOrElse(0))
     }.toIndexedSeq
 }
+
+/** [[AlignmentRecord]] → `InternalRow` projection in a required-schema's
+  * column order — shared by every record-producing SAM-family reader (BAM,
+  * CRAM records mode), so the column semantics can't drift between formats.
+  */
+object RecordToRow {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def getters(required: StructType): Array[AlignmentRecord => Any] =
+    required.fieldNames.map[AlignmentRecord => Any] {
+      case "readName" => r => if (r.readName == null) null else UTF8String.fromString(r.readName)
+      case "flags" => r => r.flags
+      case "contig" => r => if (r.contig == null) null else UTF8String.fromString(r.contig)
+      case "start" => r => r.start
+      case "end" => r => r.end
+      case "mapq" => r => r.mapq
+      case "cigar" => r => if (r.cigar == null) null else UTF8String.fromString(r.cigar)
+      case "mateContig" => r => if (r.mateContig == null) null else UTF8String.fromString(r.mateContig)
+      case "mateStart" => r => r.mateStart
+      case "tlen" => r => r.tlen
+      case "seq" => r => if (r.seq == null) null else UTF8String.fromString(r.seq)
+      case "qual" => r => if (r.qual == null) null else UTF8String.fromString(r.qual)
+      case "attributes" => r =>
+        if (r.attributes == null) null
+        else {
+          val keys = new Array[Any](r.attributes.size)
+          val vals = new Array[Any](r.attributes.size)
+          var i = 0
+          r.attributes.foreach { case (k, v) =>
+            keys(i) = UTF8String.fromString(k); vals(i) = UTF8String.fromString(v); i += 1
+          }
+          new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+        }
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    }
+
+  def toRow(rec: AlignmentRecord, getters: Array[AlignmentRecord => Any]): InternalRow = {
+    val vals = new Array[Any](getters.length)
+    var i = 0
+    while (i < vals.length) { vals(i) = getters(i)(rec); i += 1 }
+    new GenericInternalRow(vals)
+  }
+}

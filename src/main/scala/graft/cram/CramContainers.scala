@@ -5,9 +5,9 @@ import graft.bgzf.SeekableInput
 /** CRAM 3.x container-boundary planning (reference CramSource.java:57-151):
   * walk container headers without decoding payloads, so splits snap to
   * container offsets and interval scans can prune whole containers via the
-  * `.crai` index. The record CODEC is out of scope (SURVEY.md §7.4) — this
-  * layer answers "where can a split start and which byte ranges matter",
-  * which is the Spark-side half of CRAM support.
+  * `.crai` index. This layer answers "where can a split start and which
+  * byte ranges matter"; the record CODEC (decode/encode of the payloads)
+  * lives in [[CramRecordCodec]]/[[CramRecordWriter]].
   *
   * Layout (CRAM 3.0 spec §6/§9, public hts-specs): 26-byte file definition
   * ("CRAM" major minor + 20-byte id), then containers: int32-LE data length,
@@ -300,6 +300,17 @@ object CramContainers {
     attempt(512)
       .orElse(if (size - off > 512) attempt(HeaderWindow) else None)
   }
+
+  /** Major-aware optional header read: v3+ validates the trailing header
+    * CRC32 ([[readValidatedHeader]]); CRAM 2.x headers carry no CRC, so
+    * validation there is structural only (the bounds-checked parse). 2.x
+    * callers must therefore start from a KNOWN boundary (file walk or
+    * `.crai` offset) — mid-file boundary discovery needs the CRC and stays
+    * v3-only ([[findBoundary]]).
+    */
+  def readHeaderOption(in: SeekableInput, off: Long, size: Long, major: Int): Option[CramContainer] =
+    if (major >= 3) readValidatedHeader(in, off, size)
+    else scala.util.Try(readContainerHeader(in, off, size, major)).toOption
 
   /** Walk every container header (EOF container included, flagged). */
   def containers(in: SeekableInput): Seq[CramContainer] = {

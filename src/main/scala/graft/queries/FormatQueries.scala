@@ -281,10 +281,10 @@ object FormatQueries {
     // containers + EOF terminator + `.crai` co-write rebased through the
     // concat commit), then scanned back with an interval predicate — the
     // scan prunes whole containers via the `.crai` (never walking pruned
-    // headers) with a residual header-coordinate filter for exactness. The
-    // record codec is the documented non-goal (SURVEY.md §7.4); container
-    // geometry is what the reference's split planner computes and is fully
-    // oracle-able without it.
+    // headers) with a residual header-coordinate filter for exactness.
+    // Container geometry is what the reference's split planner computes;
+    // the RECORD model has its own round-trips (q_cram_roundtrip,
+    // q_cram_intervals below).
     "q_cram_containers" -> { (s, d) =>
       import s.implicits._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/inv.cram"
@@ -307,6 +307,42 @@ object FormatQueries {
           sum($"n_records".cast("long")).as("sum_records"),
           sum($"data_length".cast("long")).as("sum_len"))
         .orderBy($"ref_seq_id")
+    },
+
+    // CRAM RECORD-level round-trip: the same synthetic reads as the BAM
+    // round-trips pushed through the native record codec (CramRecordWriter
+    // v3 profile encode → headerless parts + concat + rebased `.crai` →
+    // CramRecordCodec decode over crai-planned container splits). Any codec
+    // asymmetry, container framing error, or crai rebase bug hash-mismatches
+    // against the SAME DuckDB oracle the BAM/SAM round-trips use.
+    "q_cram_roundtrip" -> { (s, d) =>
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/rec.cram"
+      spread(syntheticReads(s, d)).write.format("cram").mode("overwrite")
+        .option("records", "true").option("refs", Refs)
+        .option("writeCrai", "true").save(path)
+      val back = s.read.format("cram").option("records", "true")
+        .option("splitSize", 256 * 1024).load(path)
+      readsAggregate(back)
+    },
+
+    // CRAM record-level interval scan: coordinate-sorted records, `.crai`
+    // container pruning + record-level residual filter (the CRAM twin of
+    // q_bam_intervals — identical oracle WHERE)
+    "q_cram_intervals" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/iv.cram"
+      syntheticReads(s, d)
+        .repartitionByRange(8, $"contig", $"start")
+        .sortWithinPartitions($"contig", $"start")
+        .write.format("cram").mode("overwrite")
+        .option("records", "true").option("refs", Refs)
+        .option("recordsPerContainer", "2000")
+        .option("writeCrai", "true").save(path)
+      val back = s.read.format("cram").option("records", "true")
+        .option("splitSize", 64 * 1024)
+        .option("intervals", "chr0:1-5000,chr1:2000-7000")
+        .load(path)
+      readsAggregate(back)
     },
 
     // interval scan driven by the standard external `.bai` index: the file
@@ -377,6 +413,10 @@ object FormatQueries {
     "q_bam_roundtrip_single" -> oracleAggregate(""),
     "q_bam_roundtrip_sharded" -> oracleAggregate(""),
     "q_sam_roundtrip" -> oracleAggregate(""),
+    "q_cram_roundtrip" -> oracleAggregate(""),
+    "q_cram_intervals" -> oracleAggregate(
+      """WHERE (contig = 'chr0' AND rstart <= 5000 AND rend >= 1)
+        |   OR (contig = 'chr1' AND rstart <= 7000 AND rend >= 2000)""".stripMargin),
     "q_vcf_roundtrip" ->
       """WITH v AS (
         |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,

@@ -424,33 +424,7 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
     name
   }
 
-  private val fieldGetters: Array[AlignmentRecord => Any] =
-    required.fieldNames.map {
-      case "readName" => (r: AlignmentRecord) => if (r.readName == null) null else UTF8String.fromString(r.readName)
-      case "flags" => (r: AlignmentRecord) => r.flags
-      case "contig" => (r: AlignmentRecord) => if (r.contig == null) null else UTF8String.fromString(r.contig)
-      case "start" => (r: AlignmentRecord) => r.start
-      case "end" => (r: AlignmentRecord) => r.end
-      case "mapq" => (r: AlignmentRecord) => r.mapq
-      case "cigar" => (r: AlignmentRecord) => if (r.cigar == null) null else UTF8String.fromString(r.cigar)
-      case "mateContig" => (r: AlignmentRecord) => if (r.mateContig == null) null else UTF8String.fromString(r.mateContig)
-      case "mateStart" => (r: AlignmentRecord) => r.mateStart
-      case "tlen" => (r: AlignmentRecord) => r.tlen
-      case "seq" => (r: AlignmentRecord) => if (r.seq == null) null else UTF8String.fromString(r.seq)
-      case "qual" => (r: AlignmentRecord) => if (r.qual == null) null else UTF8String.fromString(r.qual)
-      case "attributes" => (r: AlignmentRecord) =>
-        if (r.attributes == null) null
-        else {
-          val keys = new Array[Any](r.attributes.size)
-          val vals = new Array[Any](r.attributes.size)
-          var i = 0
-          r.attributes.foreach { case (k, v) =>
-            keys(i) = UTF8String.fromString(k); vals(i) = UTF8String.fromString(v); i += 1
-          }
-          new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
-        }
-      case other => throw new IllegalArgumentException(s"unknown column $other")
-    }.toArray
+  private val fieldGetters: Array[AlignmentRecord => Any] = RecordToRow.getters(required)
 
   private def keep(r: AlignmentRecord): Boolean = p.intervals match {
     case None => true
@@ -490,12 +464,7 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
     false
   }
 
-  private def toRow(rec: AlignmentRecord): InternalRow = {
-    val vals = new Array[Any](fieldGetters.length)
-    var i = 0
-    while (i < vals.length) { vals(i) = fieldGetters(i)(rec); i += 1 }
-    new GenericInternalRow(vals)
-  }
+  private def toRow(rec: AlignmentRecord): InternalRow = RecordToRow.toRow(rec, fieldGetters)
 
   private val slog = new StringencyLog(s"${p.file} [${p.splitStart}, ${p.splitEnd})")
 

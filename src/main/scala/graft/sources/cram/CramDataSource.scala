@@ -15,28 +15,43 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.bam.SamHeader
-import graft.cram.{CraiEntry, CraiIndex, CramContainer, CramContainers}
-import graft.sources.{GenomicInterval, HadoopIO, SerializableConf}
+import graft.bam.{AlignmentRecord, RecordToRow, SamHeader}
+import graft.cram.{CraiEntry, CraiIndex, CramContainer, CramContainers,
+  CramRecordCodec, CramRecordWriter, CramRefSource, Fasta, FastaRefSource, NoRefSource}
+import graft.sources.{GenomicInterval, HadoopIO, SerializableConf, Stringency, StringencyLog}
 
-/** `format("cram")` — container-level CRAM scan/sink (reference
-  * CramSource.java:57-151, CramSink.java:35-85 planning semantics). One row
-  * per data container: the file geometry + alignment span the reference's
-  * split planner computes, surfaced as a queryable DataFrame. Splits snap to
+/** `format("cram")` — CRAM scan/sink (reference CramSource.java:57-151,
+  * CramSink.java:35-85).
+  *
+  * Two row models, chosen by the `records` option:
+  *   - default: CONTAINER-level — one row per data container (the file
+  *     geometry + alignment span the reference's split planner computes,
+  *     surfaced as a queryable DataFrame; payload bytes stay opaque).
+  *   - `records=true`: RECORD-level — the full [[graft.bam.AlignmentRecord]]
+  *     schema shared with the BAM/SAM sources, decoded by the native record
+  *     codec ([[graft.cram.CramRecordCodec]]: v2.1/v3.0 entropy codecs,
+  *     reference-based sequence reconstruction via the `fasta` option) and
+  *     encoded by the reference-free v3 writer profile
+  *     ([[graft.cram.CramRecordWriter]], `refs` option like the BAM sink).
+  *
+  * Both models share the planning/pruning machinery: splits snap to
   * container offsets; interval scans prune whole containers via the `.crai`
   * index when present (CramSource.java:96-120's NavigableSet shape) with a
-  * residual coordinate filter for exactness. The record CODEC (rANS,
-  * reference-based decode) is the documented non-goal of SURVEY.md §7.4 —
-  * htsjdk is absent from this environment — so payloads are opaque bytes;
-  * everything Spark-side (planning, pruning, sink geometry, `.crai`
-  * co-write rebased through the concat commit) is real.
+  * residual coordinate filter for exactness (record-level in records mode).
   */
 class CramDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "cram"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = CramTable.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    if (options.getBoolean("records", false)) AlignmentRecord.schema else CramTable.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new CramTable(properties.asScala.toMap)
+}
+
+object CramDataSource {
+  /** `records` flag from an options/properties map of unknown key casing. */
+  def recordsMode(options: Map[String, String]): Boolean =
+    options.exists { case (k, v) => k.equalsIgnoreCase("records") && v.toBoolean }
 }
 
 object CramTable {
@@ -51,8 +66,10 @@ object CramTable {
 }
 
 class CramTable(properties: Map[String, String]) extends Table with SupportsRead with SupportsWrite {
+  private val records = CramDataSource.recordsMode(properties)
   override def name(): String = s"cram:${properties.getOrElse("path", "?")}"
-  override def schema(): StructType = CramTable.schema
+  override def schema(): StructType =
+    if (records) AlignmentRecord.schema else CramTable.schema
   // ACCEPT_ANY_SCHEMA: the sink takes container SPECS (ref_seq_id, start_pos,
   // span, n_records, data_length) — offset/n_blocks are geometry the writer
   // computes, so the input never carries the full read schema; the writer
@@ -71,13 +88,17 @@ class CramTable(properties: Map[String, String]) extends Table with SupportsRead
 class CramScanBuilder(options: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
-  private var required: StructType = CramTable.schema
+  private val records = CramDataSource.recordsMode(options)
+  private var required: StructType =
+    if (records) AlignmentRecord.schema else CramTable.schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   /** Interval-translatable filters recorded for container pruning; all stay
     * residual so Catalyst re-applies the exact predicate above the scan.
+    * (Container mode only — the records schema has no header-field columns;
+    * its pruning channel is the `intervals` option.)
     */
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
-    pushed = filters.filter(CramPushedRegion.accepts)
+    pushed = if (records) Array.empty else filters.filter(CramPushedRegion.accepts)
     filters // all residual
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
@@ -158,15 +179,35 @@ private[cram] final case class PushedContainerPred(refId: Int, lo: Option[Int], 
     c.refSeqId == refId && lo.forall(c.startPos >= _) && hi.forall(c.startPos <= _)
 }
 
+/** Records-mode container pruning for genomic `intervals`: alignment-span
+  * overlap like [[IntervalContainerPred]] (the record-level residual filter
+  * restores exactness), with unmapped (−1) containers additionally kept when
+  * the traversal asks for `unplacedUnmapped`. The refSeqIds come from the
+  * FILE's own header dictionary (resolved at planning), not a `refs` option.
+  */
+private[cram] final case class RecordsContainerPred(ivs: Seq[RefInterval], keepUnmapped: Boolean)
+    extends ContainerPredicate {
+  def keep(c: CramContainer): Boolean =
+    c.refSeqId == -2 || (keepUnmapped && c.refSeqId == -1) ||
+      ivs.exists(r => c.overlaps(r.refId, r.start1, r.end1))
+}
+
 class CramScan(options: Map[String, String], required: StructType,
                pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with Batch {
+  private val records = CramDataSource.recordsMode(options)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-cram ${options.getOrElse("path", "")}" +
+      (if (records) " records" else "") +
       options.get("intervals").map(i => s" intervals=$i").getOrElse("") +
       (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(",")}]" else "")
+
+  private def parsedIntervals: Option[Seq[GenomicInterval]] =
+    options.get("intervals").map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
+  private def unplacedUnmapped: Boolean =
+    options.get("unplacedunmapped").exists(_.toBoolean)
 
   /** contig-name intervals → refSeqId intervals via the `refs` option
     * (name:length,… — same format the BAM sink takes); bare numeric contigs
@@ -187,14 +228,29 @@ class CramScan(options: Map[String, String], required: StructType,
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val pathStr = options.getOrElse("path", throw new IllegalArgumentException("cram source requires a path"))
     val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
-    val pred = containerPred
+    val basePred = if (records) None else containerPred
+    val recIvs = if (records) parsedIntervals else None
+    val keepUnm = unplacedUnmapped
     val files = HadoopIO.listInputFiles(pathStr, conf)
 
     def planFile(file: Path): Seq[InputPartition] = {
       val in = HadoopIO.open(file, conf)
       try {
-        CramContainers.readFileDefinition(in)
+        val (major, _) = CramContainers.readFileDefinition(in)
         val size = in.size
+        // records mode resolves interval contig names against the FILE's own
+        // header dictionary (one O(1) container read per file at planning;
+        // container mode keeps the refs-option/numeric resolution above)
+        val pred: Option[ContainerPredicate] = recIvs match {
+          case None => basePred
+          case Some(ivs) =>
+            val hdr = CramRecordCodec.readSamHeader(in)
+            Some(RecordsContainerPred(
+              ivs.flatMap { iv =>
+                val id = hdr.refId(iv.contig)
+                if (id >= 0) Some(RefInterval(id, iv.start, iv.end)) else None
+              }, keepUnm))
+        }
         val fs = file.getFileSystem(conf)
         // locality hints: block hosts of each partition's byte range (one
         // block-list fetch per file, shared by every partition)
@@ -210,6 +266,15 @@ class CramScan(options: Map[String, String], required: StructType,
             case None => all.toSet
             case Some(IntervalContainerPred(rs)) =>
               rs.flatMap(r => crai.containerOffsets(r.refId, r.start1, r.end1)).toSet
+            case Some(RecordsContainerPred(rs, keepUnmapped)) =>
+              // same slice-overlap selection; unmapped (−1) entries added
+              // when the traversal wants the unplaced tail (−2 is already
+              // kept by containerOffsets' multi-ref conservatism)
+              rs.flatMap(r => crai.containerOffsets(r.refId, r.start1, r.end1)).toSet ++
+                (if (keepUnmapped)
+                  crai.entries.filter(e => e.seqId == -1 || e.seqId == -2)
+                    .map(_.containerOffset).toSet
+                 else Set.empty[Long])
             case Some(PushedContainerPred(refId, _, _)) if refId >= 0 =>
               // `.crai` entries record SLICE coordinates, not the header
               // start_pos the pushed predicate constrains, so prune on
@@ -269,7 +334,13 @@ class CramScan(options: Map[String, String], required: StructType,
                 file.toString, size, splitSize, new graft.sources.SerializableConf(conf)))
             return planFile(file) // .crai now exists → indexed route
           val start0 = CramContainers.FileDefinitionLength.toLong
-          Iterator.iterate(start0)(_ + splitSize).takeWhile(_ < size).map { s =>
+          if (major < 3)
+            // CRAM 2.x container headers carry no CRC32, so a mid-range
+            // boundary snap can't be validated — one split per file (the
+            // gzip-fallback convention; 2.x files wanting parallel scans
+            // should carry a `.crai` or be rewritten as v3)
+            Seq(CramRangePartition(file.toString, start0, size, pred, hostsOf(start0, size)))
+          else Iterator.iterate(start0)(_ + splitSize).takeWhile(_ < size).map { s =>
             val e = math.min(s + splitSize, size)
             CramRangePartition(file.toString, s, e, pred, hostsOf(s, e))
               : InputPartition
@@ -286,7 +357,18 @@ class CramScan(options: Map[String, String], required: StructType,
     val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
     val req = required
     val mode = graft.sources.Stringency.fromOptions(options)
-    (partition: InputPartition) => partition match {
+    if (records) {
+      val ivs = parsedIntervals
+      val keepUnm = unplacedUnmapped
+      val fasta = options.get("fasta")
+      (partition: InputPartition) => partition match {
+        case p: CramInputPartition =>
+          new CramRecordsPartitionReader(p.file, Left(p.offsets), p.pred, ivs, keepUnm, fasta, conf, req, mode)
+        case p: CramRangePartition =>
+          new CramRecordsPartitionReader(p.file, Right((p.start, p.end)), p.pred, ivs, keepUnm, fasta, conf, req, mode)
+        case other => throw new IllegalArgumentException(s"unexpected partition $other")
+      }
+    } else (partition: InputPartition) => partition match {
       case p: CramInputPartition => new CramPartitionReader(p, conf, req, mode)
       case p: CramRangePartition => new CramRangePartitionReader(p, conf, req, mode)
       case other => throw new IllegalArgumentException(s"unexpected partition $other")
@@ -337,6 +419,7 @@ class CramPartitionReader(p: CramInputPartition, conf: SerializableConf, require
   import graft.sources.Stringency
   private val input = HadoopIO.open(new Path(p.file), conf.conf)
   private val size = input.size
+  private val (major, _) = CramContainers.readFileDefinition(input)
   private var i = 0
   private var currentRow: InternalRow = _
   private val getters = ContainerRow.getters(required)
@@ -349,7 +432,7 @@ class CramPartitionReader(p: CramInputPartition, conf: SerializableConf, require
     while (i < p.offsets.length) {
       val off = p.offsets(i)
       i += 1
-      CramContainers.readValidatedHeader(input, off, size) match {
+      CramContainers.readHeaderOption(input, off, size, major) match {
         case Some(c) =>
           if (keep(c)) {
             currentRow = ContainerRow.toRow(c, getters)
@@ -385,6 +468,7 @@ class CramRangePartitionReader(p: CramRangePartition, conf: SerializableConf, re
   import graft.sources.Stringency
   private val input = HadoopIO.open(new Path(p.file), conf.conf)
   private val size = input.size
+  private val (major, _) = CramContainers.readFileDefinition(input)
   private var off: Long =
     if (p.start <= CramContainers.FileDefinitionLength)
       CramContainers.FileDefinitionLength.toLong
@@ -397,7 +481,7 @@ class CramRangePartitionReader(p: CramRangePartition, conf: SerializableConf, re
 
   override def next(): Boolean = {
     while (off < p.end && off < size) {
-      CramContainers.readValidatedHeader(input, off, size) match {
+      CramContainers.readHeaderOption(input, off, size, major) match {
         case Some(c) =>
           off += c.totalLength
           if (keep(c)) {
@@ -428,6 +512,149 @@ class CramRangePartitionReader(p: CramRangePartition, conf: SerializableConf, re
   override def close(): Unit = { slog.summarize(); input.close() }
 }
 
+/** Records-mode reader for BOTH planning routes: `Left(offsets)` is the
+  * `.crai`-indexed container list, `Right((start, end))` the unindexed byte
+  * range (snap to the first CRC-confirmed boundary, walk the chain — the
+  * same exactly-once ownership as [[CramRangePartitionReader]]). Each
+  * selected container is decoded by the native record codec; the `intervals`
+  * option is re-applied per RECORD for exactness (container pruning may
+  * overclaim), mirroring the BAM reader's residual filter.
+  *
+  * Per-partition setup cost is O(1): file definition + header container +
+  * (for `fasta`) the `.fai`; reference bases are pread per slice span, so an
+  * executor never holds a whole genome (reference CramSource.java:62-66
+  * hands htsjdk a lazy ReferenceSource — same access pattern).
+  */
+class CramRecordsPartitionReader(
+    file: String, plan: Either[Array[Long], (Long, Long)],
+    pred: Option[ContainerPredicate], intervals: Option[Seq[GenomicInterval]],
+    unplacedUnmapped: Boolean, fastaPath: Option[String],
+    conf: SerializableConf, required: StructType, mode: Stringency)
+    extends PartitionReader[InternalRow] {
+
+  private val input = HadoopIO.open(new Path(file), conf.conf)
+  private val size = input.size
+  private val (major, _) = CramContainers.readFileDefinition(input)
+  private val header = CramRecordCodec.readSamHeader(input)
+  private val headerEnd: Long = {
+    val hc = CramContainers.readContainerHeader(
+      input, CramContainers.FileDefinitionLength.toLong, size, major)
+    hc.offset + hc.totalLength
+  }
+  private val fastaIn = fastaPath.map(p => HadoopIO.open(new Path(p), conf.conf))
+  private val refSource: CramRefSource = fastaIn match {
+    case None => NoRefSource
+    case Some(fin) =>
+      val fai = {
+        val fin2 = HadoopIO.open(new Path(fastaPath.get + ".fai"), conf.conf)
+        try {
+          val b = new Array[Byte](fin2.size.toInt)
+          require(fin2.preadFully(0, b, 0, b.length) == b.length, "truncated .fai")
+          Fasta.parseFai(new String(b, "UTF-8"))
+        } finally fin2.close()
+      }
+      new FastaRefSource(fin, fai, header.refName)
+  }
+  private val getters = RecordToRow.getters(required)
+  private val slog = new StringencyLog(s"cram ${file}")
+
+  private var idxI = 0 // Left route: next index into the offsets array
+  private var off: Long = plan match { // Right route: walking offset
+    case Right((start, _)) =>
+      if (start <= CramContainers.FileDefinitionLength) headerEnd
+      else CramContainers.findBoundary(input, start, size)
+    case _ => 0L
+  }
+  private var recIt: Iterator[AlignmentRecord] = Iterator.empty
+  private var currentRow: InternalRow = _
+
+  private def keepC(c: CramContainer): Boolean =
+    !c.isEof && c.offset >= headerEnd && pred.forall(_.keep(c))
+
+  private def keepR(r: AlignmentRecord): Boolean = intervals match {
+    case None => true
+    case Some(ivs) =>
+      val unplaced = (r.flags & AlignmentRecord.FlagUnmapped) != 0 && r.start == 0
+      (unplacedUnmapped && unplaced) ||
+        (r.contig != null && ivs.exists(_.overlaps(r.contig, r.start, math.max(r.end, r.start))))
+  }
+
+  /** Decode `c`'s payload into `recIt`; false = container skipped (lenient/
+    * permissive salvage — the NEXT container is independent, so a payload
+    * failure drops only this one).
+    */
+  private def decodeInto(c: CramContainer): Boolean =
+    try {
+      recIt = CramRecordCodec.decodeContainer(
+        CramRecordCodec.containerPayload(input, c), major, header, refSource)
+      true
+    } catch {
+      case e: Exception if mode != Stringency.Strict =>
+        if (mode == Stringency.Lenient)
+          slog.skip(s"container payload at ${c.offset} in $file: ${e.getMessage}")
+        else slog.skipSilently()
+        false
+    }
+
+  /** Advance to the next selected+decoded container; false when exhausted. */
+  private def advance(): Boolean = plan match {
+    case Left(offsets) =>
+      while (idxI < offsets.length) {
+        val o = offsets(idxI)
+        idxI += 1
+        CramContainers.readHeaderOption(input, o, size, major) match {
+          case Some(c) =>
+            if (keepC(c) && decodeInto(c)) return true
+          case None => mode match {
+            case Stringency.Strict =>
+              throw new java.io.IOException(
+                s"malformed CRAM container header at $o in $file")
+            case Stringency.Lenient => slog.skip(s"container at $o in $file")
+            case Stringency.Permissive => slog.skipSilently()
+          }
+        }
+      }
+      false
+    case Right((_, end)) =>
+      while (off < end && off < size) {
+        CramContainers.readHeaderOption(input, off, size, major) match {
+          case Some(c) =>
+            off += c.totalLength
+            if (keepC(c) && decodeInto(c)) return true
+          case None => mode match {
+            case Stringency.Strict =>
+              throw new java.io.IOException(
+                s"malformed CRAM container header at $off in $file")
+            case _ =>
+              val resync = CramContainers.findBoundary(input, off + 1, size)
+              if (mode == Stringency.Lenient)
+                slog.skip(s"container at $off in $file (re-synced to $resync)")
+              else slog.skipSilently()
+              off = resync
+          }
+        }
+      }
+      false
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      while (recIt.hasNext) {
+        val r = recIt.next()
+        if (keepR(r)) { currentRow = RecordToRow.toRow(r, getters); return true }
+      }
+      if (!advance()) return false
+    }
+    false
+  }
+  override def get(): InternalRow = currentRow
+  override def close(): Unit = {
+    slog.summarize()
+    fastaIn.foreach(_.close())
+    input.close()
+  }
+}
+
 // ---- write path -----------------------------------------------------------
 
 class CramWriteBuilder(options: Map[String, String], schema: StructType)
@@ -445,8 +672,22 @@ class CramWrite(options: Map[String, String], schema: StructType) extends Write 
     // semantics, reference AnySamSinkMultiple.java:39-73)
     val singleFile = path.endsWith(".cram")
     val writeCrai = options.get("writecrai").exists(_.toBoolean)
+    // records mode: rows are AlignmentRecords, encoded by the v3 record
+    // writer; the header dictionary comes from `refs` like the BAM sink
+    val recordsHeader: Option[SamHeader] =
+      if (CramDataSource.recordsMode(options)) {
+        val refs = SamHeader.parseRefsOption(options.getOrElse("refs",
+          throw new IllegalArgumentException(
+            "cram records sink requires refs (name:length,…)")))
+        Some(options.get("headertext") match {
+          case Some(t) => SamHeader(t, refs)
+          case None => SamHeader(refs)
+        })
+      } else None
+    val perContainer = options.get("recordspercontainer").map(_.toInt).getOrElse(10000)
     new CramBatchWrite(path, singleFile, writeCrai, schema,
-      new SerializableConf(SparkSession.active.sessionState.newHadoopConf()))
+      new SerializableConf(SparkSession.active.sessionState.newHadoopConf()),
+      recordsHeader, perContainer)
   }
 }
 
@@ -462,7 +703,9 @@ case class CramPartMessage(path: String, bytes: Long, entries: Seq[CraiEntry])
   * written executor-side when requested — no driver-side merge at all.
   */
 class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
-                     schema: StructType, conf: SerializableConf) extends BatchWrite {
+                     schema: StructType, conf: SerializableConf,
+                     recordsHeader: Option[SamHeader] = None,
+                     perContainer: Int = 10000) extends BatchWrite {
   private val tempDir = path + ".parts"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -480,20 +723,32 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
     val c = conf
     val complete = !singleFile
     val shardCrai = writeCrai && !singleFile
-    (partitionId: Int, _: Long) => new CramDataWriter(dir, sch, c, partitionId, complete, shardCrai)
+    val hdr = recordsHeader
+    val perC = perContainer
+    (partitionId: Int, _: Long) => hdr match {
+      case Some(h) => new CramRecordsDataWriter(dir, h, sch, c, partitionId, complete, shardCrai, perC)
+      case None => new CramDataWriter(dir, sch, c, partitionId, complete, shardCrai)
+    }
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = if (singleFile) {
     val fs = new Path(path).getFileSystem(conf.conf)
+    // records mode prepends the SAM-header container to the file definition
+    // (container mode carries no header container — specs only)
+    val headBytes = recordsHeader match {
+      case Some(h) =>
+        CramContainers.encodeFileDefinition() ++ CramRecordWriter.encodeHeaderContainer(h)
+      case None => CramContainers.encodeFileDefinition()
+    }
     val ho = fs.create(new Path(tempDir, "header"), true)
-    ho.write(CramContainers.encodeFileDefinition())
+    ho.write(headBytes)
     ho.close()
     val to = fs.create(new Path(tempDir, "terminator"), true)
     to.write(CramContainers.encodeEofContainer())
     to.close()
     val parts = messages.collect { case m: CramPartMessage => m }.sortBy(_.path)
     if (writeCrai) {
-      var base = CramContainers.FileDefinitionLength.toLong
+      var base = headBytes.length.toLong
       val rebased = Seq.newBuilder[CraiEntry]
       parts.foreach { m =>
         m.entries.foreach(e => rebased += e.copy(containerOffset = e.containerOffset + base))
@@ -512,8 +767,9 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
   }
 }
 
-/** Rows are container specs: ref_seq_id, start_pos, span, n_records,
-  * data_length (payload bytes are opaque zeros — codec out of scope).
+/** Container-spec writer (the default row model): rows are ref_seq_id,
+  * start_pos, span, n_records, data_length with opaque zero payloads —
+  * geometry without records; [[CramRecordsDataWriter]] is the record path.
   * `complete` = sharded mode: this writer emits a standalone .cram
   * (file definition up front, EOF container at commit, absolute `.crai`
   * offsets written next to the shard when `shardCrai`).
@@ -562,6 +818,76 @@ class CramDataWriter(dir: String, schema: StructType, conf: SerializableConf, pa
     written += bytes.length
   }
   override def commit(): WriterCommitMessage = {
+    if (complete) out.write(CramContainers.encodeEofContainer())
+    out.close()
+    if (shardCrai) {
+      val co = fs.create(new Path(partPath.toString + ".crai"), true)
+      CraiIndex.write(co, CraiIndex(entries.result()))
+      co.close()
+    }
+    CramPartMessage(partPath.toString, written, entries.result())
+  }
+  override def abort(): Unit = { out.close(); fs.delete(partPath, false) }
+  override def close(): Unit = ()
+}
+
+/** Records-mode writer: rows are [[graft.bam.AlignmentRecord]]s, buffered
+  * into containers of `perContainer` records and encoded by the v3 record
+  * writer (one slice per container, the htsjdk-default slice size). The
+  * slice record counters restart per part — headerless parts can't know
+  * their predecessors' counts before the concat — which no CRAM reader
+  * needs for correctness (counters exist for `.crai`-less seeking hints).
+  * `complete` = sharded mode: a standalone .cram per partition (file
+  * definition + header container up front, EOF terminator at commit).
+  */
+class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
+                            conf: SerializableConf, partitionId: Int,
+                            complete: Boolean, shardCrai: Boolean, perContainer: Int)
+    extends DataWriter[InternalRow] {
+  require(perContainer > 0, s"recordsPerContainer must be positive, got $perContainer")
+  // ACCEPT_ANY_SCHEMA skips Spark's write-side validation; fail fast on a
+  // record column bound to the wrong type (a silent getInt over a bigint
+  // field would truncate into the container payload)
+  AlignmentRecord.schema.fields.foreach { f =>
+    val i = schema.fieldNames.indexOf(f.name)
+    // catalogString comparison ignores nullability flags (valueContainsNull)
+    // while still catching silent-truncation types (bigint vs int)
+    require(i < 0 || schema.fields(i).dataType.catalogString == f.dataType.catalogString,
+      s"cram records sink column ${f.name} must be ${f.dataType.simpleString}, " +
+        s"got ${schema.fields(i).dataType.simpleString}")
+  }
+  private val partPath = new Path(dir, f"part-$partitionId%05d" + (if (complete) ".cram" else ""))
+  private val fs = partPath.getFileSystem(conf.conf)
+  private val out = new java.io.BufferedOutputStream(fs.create(partPath, true), 1 << 16)
+  private var written = 0L
+  locally {
+    if (complete) {
+      val fd = CramContainers.encodeFileDefinition()
+      val hc = CramRecordWriter.encodeHeaderContainer(header)
+      out.write(fd); out.write(hc)
+      written += fd.length + hc.length
+    }
+  }
+  private val idx = graft.sources.bam.RowToRecord.indices(schema)
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[AlignmentRecord]
+  private var recordCounter = 0L
+  private val entries = Seq.newBuilder[CraiEntry]
+
+  private def flushContainer(): Unit = if (buf.nonEmpty) {
+    val enc = CramRecordWriter.encodeContainer(buf.toIndexedSeq, header, recordCounter)
+    out.write(enc.bytes)
+    entries += enc.craiEntry.copy(containerOffset = written)
+    recordCounter += buf.length
+    written += enc.bytes.length
+    buf.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    buf += graft.sources.bam.RowToRecord.convert(row, idx)
+    if (buf.length >= perContainer) flushContainer()
+  }
+  override def commit(): WriterCommitMessage = {
+    flushContainer()
     if (complete) out.write(CramContainers.encodeEofContainer())
     out.close()
     if (shardCrai) {

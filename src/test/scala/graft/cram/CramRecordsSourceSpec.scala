@@ -1,0 +1,196 @@
+package graft.cram
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+
+/** `format("cram").option("records", true)` — RECORD-level scan/sink through
+  * the native codec: single-file roundtrip over both planning routes
+  * (`.crai`-indexed offsets, unindexed boundary-snapped ranges), sharded
+  * standalone shards, record-level interval exactness, and a decode check
+  * against the htsjdk-written reference fixture via the DataFrame API.
+  */
+class CramRecordsSourceSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmpDir(): java.nio.file.Path = {
+    val d = Files.createTempDirectory("cramrecspec")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private val Refs = "chrA:1000000,chrB:1000000"
+
+  /** Deterministic reads: mapped on chrA/chrB with seq+qual, plus every 7th
+    * an unplaced-unmapped fragment (the traversal corner).
+    */
+  private def reads(n: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val unm = col("id") % 7 === 6
+    spark.range(n.toLong).select(
+      concat(lit("q"), col("id")).as("readName"),
+      when(unm, 4).otherwise(0).cast("int").as("flags"),
+      when(unm, lit(null).cast("string"))
+        .otherwise(when(col("id") % 2 === 0, "chrA").otherwise("chrB")).as("contig"),
+      when(unm, 0).otherwise((col("id") * 13 % 9000 + 1)).cast("int").as("start"),
+      // 4M2I2M consumes 6 reference bases → end = start + 5 (the decode
+      // side recomputes end from the cigar, so the input must agree)
+      when(unm, 0).otherwise((col("id") * 13 % 9000 + 6)).cast("int").as("end"),
+      lit(30).cast("int").as("mapq"),
+      when(unm, "*").otherwise("4M2I2M").as("cigar"),
+      lit(null).cast("string").as("mateContig"),
+      lit(0).cast("int").as("mateStart"),
+      lit(0).cast("int").as("tlen"),
+      lit("ACGTACGT").as("seq"),
+      lit("FFFFFFFF").as("qual"),
+      map(lit("NM"), concat(lit("i:"), (col("id") % 5).cast("string"))).as("attributes"))
+  }
+
+  private def checksum(df: DataFrame): Seq[org.apache.spark.sql.Row] =
+    df.groupBy(coalesce(col("contig"), lit("*")).as("c"))
+      .agg(count(lit(1)).as("n"), sum(col("start").cast("long")).as("ss"),
+        sum(col("end").cast("long")).as("se"),
+        sum(substring(element_at(col("attributes"), "NM"), 3, 10).cast("long")).as("st"))
+      .orderBy(col("c")).collect().toSeq
+
+  test("single-file records roundtrip over the .crai-indexed route") {
+    val dir = tmpDir()
+    val out = dir.resolve("r.cram")
+    val df = reads(5000)
+    val want = checksum(df)
+    df.repartition(4).write.format("cram").mode("overwrite")
+      .option("records", "true").option("refs", Refs)
+      .option("recordsPerContainer", "500")
+      .option("writeCrai", "true").save(out.toString)
+    assert(Files.exists(dir.resolve("r.cram.crai")))
+    val back = spark.read.format("cram")
+      .option("records", "true").option("splitSize", 16 * 1024).load(out.toString)
+    assert(back.rdd.getNumPartitions > 1, "want a split scan")
+    assert(checksum(back) == want)
+    // field-identity spot check (not just sums): exact row match on a slice
+    val one = back.filter(col("readName") === "q12").collect()
+    assert(one.length == 1)
+    val r = one.head
+    assert(r.getAs[String]("contig") == "chrA" && r.getAs[Int]("start") == (12 * 13 % 9000 + 1)
+      && r.getAs[String]("cigar") == "4M2I2M" && r.getAs[String]("seq") == "ACGTACGT"
+      && r.getAs[String]("qual") == "FFFFFFFF"
+      && r.getAs[Map[String, String]]("attributes") == Map("NM" -> "i:2"))
+  }
+
+  test("unindexed route: boundary-snapped range splits decode the same records") {
+    val dir = tmpDir()
+    val out = dir.resolve("u.cram")
+    val df = reads(4000)
+    val want = checksum(df)
+    df.repartition(3).write.format("cram").mode("overwrite")
+      .option("records", "true").option("refs", Refs)
+      .option("recordsPerContainer", "250").save(out.toString)
+    assert(!Files.exists(dir.resolve("u.cram.crai")))
+    val back = spark.read.format("cram")
+      .option("records", "true").option("splitSize", 8 * 1024).load(out.toString)
+    assert(back.rdd.getNumPartitions > 1, "want multiple range splits")
+    assert(checksum(back) == want)
+  }
+
+  test("sharded records sink: standalone shards, per-shard crai, dir scan") {
+    val dir = tmpDir()
+    val out = dir.resolve("shards")
+    val df = reads(3000)
+    val want = checksum(df)
+    df.repartition(5).write.format("cram").mode("overwrite")
+      .option("records", "true").option("refs", Refs)
+      .option("recordsPerContainer", "400")
+      .option("writeCrai", "true").save(out.toString)
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(Files.list(out).iterator())
+      .asScala.map(_.getFileName.toString).toSeq.sorted
+    assert(names.count(_.endsWith(".cram")) == 5, names)
+    assert(names.count(_.endsWith(".crai")) == 5, names)
+    names.filter(_.endsWith(".cram")).foreach { n =>
+      val in = graft.bgzf.SeekableInput.ofFile(out.resolve(n))
+      val cs = try CramContainers.containers(in) finally in.close()
+      assert(cs.last.isEof, n)
+    }
+    val back = spark.read.format("cram").option("records", "true").load(out.toString)
+    assert(checksum(back) == want)
+  }
+
+  test("record-level intervals: exact residual over pruned containers, both routes") {
+    val dir = tmpDir()
+    val df = reads(6000)
+    val s = spark
+    import s.implicits._
+    val expect = df.filter(
+      ($"contig" === "chrA" && $"start" <= 3000 && greatest($"end", $"start") >= 1) ||
+        ($"contig" === "chrB" && $"start" <= 7000 && greatest($"end", $"start") >= 5000))
+    val want = checksum(expect)
+    assert(want.nonEmpty)
+    for ((withCrai, name) <- Seq((true, "iv1.cram"), (false, "iv2.cram"))) {
+      val out = dir.resolve(name)
+      val w = df.repartitionByRange(6, $"contig", $"start")
+        .sortWithinPartitions($"contig", $"start")
+        .write.format("cram").mode("overwrite")
+        .option("records", "true").option("refs", Refs)
+        .option("recordsPerContainer", "200")
+      (if (withCrai) w.option("writeCrai", "true") else w).save(out.toString)
+      val back = spark.read.format("cram")
+        .option("records", "true").option("splitSize", 8 * 1024)
+        .option("intervals", "chrA:1-3000,chrB:5000-7000")
+        .load(out.toString)
+      assert(checksum(back) == want, s"route withCrai=$withCrai")
+    }
+  }
+
+  test("unplacedUnmapped traversal keeps the unmapped fragments alongside intervals") {
+    val dir = tmpDir()
+    val out = dir.resolve("unm.cram")
+    val df = reads(4000)
+    val s = spark
+    import s.implicits._
+    val expect = df.filter(
+      ($"contig" === "chrA" && $"start" <= 2000 && greatest($"end", $"start") >= 1) ||
+        $"contig".isNull)
+    val want = checksum(expect)
+    df.repartitionByRange(4, $"contig", $"start").sortWithinPartitions($"contig", $"start")
+      .write.format("cram").mode("overwrite")
+      .option("records", "true").option("refs", Refs)
+      .option("recordsPerContainer", "200").option("writeCrai", "true").save(out.toString)
+    val back = spark.read.format("cram")
+      .option("records", "true").option("splitSize", 8 * 1024)
+      .option("intervals", "chrA:1-2000").option("unplacedUnmapped", "true")
+      .load(out.toString)
+    assert(checksum(back) == want)
+  }
+
+  test("reads the htsjdk-written reference fixture through the DataFrame API") {
+    val refDir = java.nio.file.Paths.get("/root/reference/src/test/resources")
+    assume(Files.exists(refDir.resolve("valid.cram")))
+    val back = spark.read.format("cram").option("records", "true")
+      .option("fasta", refDir.resolve("valid.fasta").toString)
+      .load(refDir.resolve("valid.cram").toString)
+    val rows = back.orderBy(col("readName"), col("flags"), col("start")).collect()
+    // the same file decoded by the one-shot codec path
+    val in = graft.bgzf.SeekableInput.ofFile(refDir.resolve("valid.cram"))
+    val fasta = graft.bgzf.SeekableInput.ofFile(refDir.resolve("valid.fasta"))
+    val (header, recs) =
+      try {
+        val h = CramRecordCodec.readSamHeader(in)
+        val fai = Fasta.parseFai(new String(
+          Files.readAllBytes(refDir.resolve("valid.fasta.fai")), "UTF-8"))
+        CramRecordCodec.decodeFile(in, new FastaRefSource(fasta, fai, h.refName))
+      } finally { in.close(); fasta.close() }
+    assert(rows.length == recs.length && rows.nonEmpty)
+    val wantSorted = recs.sortBy(r => (r.readName, r.flags, r.start))
+    rows.zip(wantSorted).foreach { case (row, r) =>
+      assert(row.getAs[String]("readName") == r.readName)
+      assert(row.getAs[Int]("flags") == r.flags)
+      assert(row.getAs[String]("contig") == r.contig)
+      assert(row.getAs[Int]("start") == r.start)
+      assert(row.getAs[String]("cigar") == r.cigar)
+      assert(row.getAs[String]("seq") == r.seq)
+      assert(row.getAs[String]("qual") == r.qual)
+      assert(row.getAs[Map[String, String]]("attributes") == r.attributes)
+    }
+  }
+}
