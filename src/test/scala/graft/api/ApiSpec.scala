@@ -57,6 +57,15 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     val n = spark.read.format("htsjdk").option("intervals", "chr21:5000-9999")
       .load(dir.resolve("x.bam").toString).count()
     assert(n == recs.count(r => r.contig == "chr21" && r.start <= 9999 && math.max(r.end, r.start) >= 5000))
+    // records option passes through to the cram source: the SAME reads
+    // written through the facade come back as records, not container rows
+    df.coalesce(1).write.format("cram").mode("overwrite")
+      .option("records", "true").option("refs", refs)
+      .save(dir.resolve("rec.cram").toString)
+    val backRec = spark.read.format("htsjdk").option("records", "true")
+      .load(dir.resolve("rec.cram").toString)
+    assert(backRec.columns.contains("readName"))
+    assert(backRec.count() == recs.size)
     // unknown extension: a clear error, not a misparse
     Files.write(dir.resolve("x.unknown"), "not a reads file".getBytes("UTF-8"))
     val ex = intercept[IllegalArgumentException] {

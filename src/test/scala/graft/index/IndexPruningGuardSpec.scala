@@ -114,4 +114,45 @@ class IndexPruningGuardSpec extends AnyFunSuite with SparkFixture {
     val want = (0 until 2000).count(k => 500 * k + 1 <= 120000 && 500 * k + 400 >= 100000)
     assert(iv.count() == want) // residual-filtered exact
   }
+
+  test("crai prunes planned partitions on RECORD-level CRAM interval scans") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("craireccguard")
+    dir.toFile.deleteOnExit()
+    val out = dir.resolve("rec.cram")
+    // coordinate-sorted reads, small containers so the crai has enough
+    // granularity for pruning to be visible in the partition count
+    val df = spark.range(8000).select(
+      concat(lit("r"), col("id")).as("readName"),
+      lit(0).cast("int").as("flags"),
+      lit("chrZ").as("contig"),
+      (col("id") * 250 + 1).cast("int").as("start"),
+      (col("id") * 250 + 36).cast("int").as("end"),
+      lit(60).cast("int").as("mapq"),
+      lit("36M").as("cigar"),
+      lit(null).cast("string").as("mateContig"),
+      lit(0).cast("int").as("mateStart"),
+      lit(0).cast("int").as("tlen"),
+      lit("*").as("seq"),
+      lit("*").as("qual"),
+      lit(null).cast("map<string,string>").as("attributes"))
+    df.coalesce(1).sortWithinPartitions($"start")
+      .write.format("cram").mode("overwrite")
+      .option("records", "true").option("refs", "chrZ:3000000")
+      .option("recordsPerContainer", "200")
+      .option("writeCrai", "true").save(out.toString)
+    assert(Files.exists(dir.resolve("rec.cram.crai")))
+
+    val all = spark.read.format("cram").option("records", "true")
+      .option("splitSize", 8192).load(out.toString)
+    val iv = spark.read.format("cram").option("records", "true")
+      .option("splitSize", 8192)
+      .option("intervals", "chrZ:100000-120000").load(out.toString)
+    val (nAll, nIv) = (all.rdd.getNumPartitions, iv.rdd.getNumPartitions)
+    assert(nAll > 4, s"want many unfiltered partitions, got $nAll")
+    assert(nIv < nAll, s"records-mode crai pruning lost: $nIv vs $nAll")
+    val want = (0 until 8000).count(k => 250 * k + 1 <= 120000 && 250 * k + 36 >= 100000)
+    assert(iv.count() == want) // record-level residual exact
+  }
 }
