@@ -18,7 +18,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.bam.{AlignmentRecord, RecordToRow, SamHeader}
 import graft.cram.{CraiEntry, CraiIndex, CramContainer, CramContainers,
   CramRecordCodec, CramRecordWriter, CramRefSource, Fasta, FastaRefSource, NoRefSource}
-import graft.sources.{GenomicInterval, HadoopIO, SerializableConf, Stringency, StringencyLog}
+import graft.sources.{GenomicInterval, HadoopIO, PushedRegion, SerializableConf, Stringency, StringencyLog}
 
 /** `format("cram")` — CRAM scan/sink (reference CramSource.java:57-151,
   * CramSink.java:35-85).
@@ -94,11 +94,14 @@ class CramScanBuilder(options: Map[String, String])
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   /** Interval-translatable filters recorded for container pruning; all stay
     * residual so Catalyst re-applies the exact predicate above the scan.
-    * (Container mode only — the records schema has no header-field columns;
-    * its pruning channel is the `intervals` option.)
+    * Container mode accepts header-field filters (ref_seq_id/start_pos);
+    * records mode accepts the genomic contig/start/end shape every record
+    * source shares ([[graft.sources.PushedRegion]]), so a plain
+    * `.filter($"contig" === c && $"start" <= x)` prunes containers via the
+    * `.crai` exactly like an `intervals` option would.
     */
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
-    pushed = if (records) Array.empty else filters.filter(CramPushedRegion.accepts)
+    pushed = filters.filter(if (records) PushedRegion.accepts else CramPushedRegion.accepts)
     filters // all residual
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
@@ -206,6 +209,14 @@ class CramScan(options: Map[String, String], required: StructType,
 
   private def parsedIntervals: Option[Seq[GenomicInterval]] =
     options.get("intervals").map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
+
+  /** Records-mode effective intervals: the explicit option, else derived
+    * from pushed contig/start filters (filter-derived pushdown — the same
+    * only-prunes contract as BAM: every filter stays residual).
+    */
+  private def recordIntervals: Option[Seq[GenomicInterval]] =
+    if (!records) None
+    else parsedIntervals.orElse(PushedRegion.toIntervals(pushed))
   private def unplacedUnmapped: Boolean =
     options.get("unplacedunmapped").exists(_.toBoolean)
 
@@ -229,7 +240,7 @@ class CramScan(options: Map[String, String], required: StructType,
     val pathStr = options.getOrElse("path", throw new IllegalArgumentException("cram source requires a path"))
     val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
     val basePred = if (records) None else containerPred
-    val recIvs = if (records) parsedIntervals else None
+    val recIvs = recordIntervals
     val keepUnm = unplacedUnmapped
     val files = HadoopIO.listInputFiles(pathStr, conf)
 
@@ -358,7 +369,7 @@ class CramScan(options: Map[String, String], required: StructType,
     val req = required
     val mode = graft.sources.Stringency.fromOptions(options)
     if (records) {
-      val ivs = parsedIntervals
+      val ivs = recordIntervals
       val keepUnm = unplacedUnmapped
       val fasta = options.get("fasta")
       (partition: InputPartition) => partition match {

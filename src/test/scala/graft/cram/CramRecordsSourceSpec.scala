@@ -142,6 +142,27 @@ class CramRecordsSourceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("catalyst contig/start filters prune containers without an intervals option") {
+    val dir = tmpDir()
+    val out = dir.resolve("pf.cram")
+    val df = reads(8000)
+    val s = spark
+    import s.implicits._
+    df.repartitionByRange(1, $"contig", $"start").sortWithinPartitions($"contig", $"start")
+      .write.format("cram").mode("overwrite")
+      .option("records", "true").option("refs", Refs)
+      .option("recordsPerContainer", "200").option("writeCrai", "true").save(out.toString)
+    val all = spark.read.format("cram")
+      .option("records", "true").option("splitSize", 8 * 1024).load(out.toString)
+    val filtered = all.filter($"contig" === "chrA" && $"start" <= 2000)
+    val (nAll, nF) = (all.rdd.getNumPartitions, filtered.rdd.getNumPartitions)
+    assert(nAll > 4, s"want many unfiltered partitions, got $nAll")
+    assert(nF < nAll, s"records-mode filter pushdown did not prune: $nF vs $nAll")
+    // Catalyst re-applies the exact predicate: rows match the plain filter
+    val want = df.filter($"contig" === "chrA" && $"start" <= 2000).count()
+    assert(want > 0 && filtered.count() == want)
+  }
+
   test("unplacedUnmapped traversal keeps the unmapped fragments alongside intervals") {
     val dir = tmpDir()
     val out = dir.resolve("unm.cram")
