@@ -248,6 +248,12 @@ object CramRecordCodec {
       if (sh.refSeqId < 0) null
       else if (sh.embeddedRefId >= 0) ext.getOrElse(sh.embeddedRefId, null)
       else refs.region(sh.refSeqId, sh.start, sh.span)
+    // RR=1 slices reconstruct sequence FROM the reference — decoding one
+    // without bases would silently emit N-seqs; fail with the remedy instead
+    if (ch.refRequired && sh.refSeqId >= 0 && sh.span > 0 && refWindow == null)
+      throw new IOException(
+        s"slice at ref ${sh.refSeqId}:${sh.start} requires reference bases (RR=1) — " +
+          "pass the fasta option (indexed FASTA with a .fai sidecar)")
     val refBase1 = sh.start // refWindow(0) is reference position sh.start (1-based)
 
     def series(key: String): CCodec =

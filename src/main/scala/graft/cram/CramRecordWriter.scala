@@ -10,10 +10,15 @@ import graft.bam.{AlignmentRecord, SamHeader}
   * partitions encode in parallel with no driver involvement and the
   * existing part-concat + `.crai`-rebase machinery applies unchanged.
   *
-  * Profile: reference-free (`RR=false`) so executors never need a FASTA —
-  * sequence bases ride in `b`/`I`/`S` features derived from CIGAR×SEQ,
-  * positions are absolute (`AP=false`, input order is arbitrary), read
-  * names preserved. One slice per container. Every value series is
+  * Profile: reference-free (`RR=false`) by default so executors never need
+  * a FASTA — sequence bases ride in `b`/`I`/`S` features derived from
+  * CIGAR×SEQ. With a [[CramRefSource]] (the sink's `fasta` write option)
+  * single-ref slices switch to REFERENCE-BASED encode (`RR=true`): match
+  * positions emit nothing, mismatches an `X` substitution code, and the
+  * slice carries the MD5 of its reference span — the compact form external
+  * CRAM consumers expect, decodable by [[CramRecordCodec]] with the same
+  * FASTA. Positions are absolute (`AP=false`, input order is arbitrary),
+  * read names preserved. One slice per container. Every value series is
   * EXTERNAL (ITF-8 ints / raw bytes) or BYTE_ARRAY_STOP — spec-standard
   * encodings any conformant reader decodes. Block compression: rANS for
   * base/quality streams, gzip elsewhere, raw below a size floor.
@@ -30,7 +35,8 @@ object CramRecordWriter {
     "BF" -> 1, "CF" -> 2, "RI" -> 3, "RL" -> 4, "AP" -> 5, "RG" -> 6, "RN" -> 7,
     "MF" -> 8, "NS" -> 9, "NP" -> 10, "TS" -> 11, "TL" -> 12, "FN" -> 13,
     "FC" -> 14, "FP" -> 15, "BB" -> 16, "SC" -> 17, "IN" -> 18, "DL" -> 19,
-    "RS" -> 20, "HC" -> 21, "PD" -> 22, "MQ" -> 23, "QS" -> 24, "BA" -> 25)
+    "RS" -> 20, "HC" -> 21, "PD" -> 22, "MQ" -> 23, "QS" -> 24, "BA" -> 25,
+    "BS" -> 26)
 
   private def tagCid(tag: String, typ: Char): Int =
     (tag.charAt(0).toInt << 16) | (tag.charAt(1).toInt << 8) | typ.toInt
@@ -60,7 +66,14 @@ object CramRecordWriter {
     * output stream being produced).
     */
   def encodeContainer(records: IndexedSeq[AlignmentRecord], header: SamHeader,
-                      recordCounter: Long): Encoded = {
+                      recordCounter: Long): Encoded =
+    encodeContainer(records, header, recordCounter, NoRefSource)
+
+  /** Reference-aware variant: when `refSource` yields bases for a single-ref
+    * slice, the encode is reference-based (see class doc).
+    */
+  def encodeContainer(records: IndexedSeq[AlignmentRecord], header: SamHeader,
+                      recordCounter: Long, refSource: CramRefSource): Encoded = {
     require(records.nonEmpty, "empty CRAM container")
     val n = records.length
     val ext = scala.collection.mutable.Map.empty[Int, java.io.ByteArrayOutputStream]
@@ -89,6 +102,16 @@ object CramRecordWriter {
     val (sliceStart, sliceSpan) =
       if (sliceRef < 0 || mappedStarts.isEmpty) (0, 0)
       else (mappedStarts.min, mappedEnds.max - mappedStarts.min + 1)
+
+    // reference-based encode: bases covering this slice's span (single-ref
+    // slices only — multi-ref falls back to reference-free, the htsjdk
+    // convention). `region` clips at the contig end; record positions past
+    // the clip fall back to literal `b` features, so a too-short FASTA
+    // degrades the compression, never the fidelity.
+    val refBases: Array[Byte] =
+      if (sliceRef >= 0 && sliceSpan > 0) refSource.region(sliceRef, sliceStart, sliceSpan)
+      else null
+    val refBased = refBases != null
 
     // tag dictionary: distinct per-record tag lines (RG rides its own series)
     val tagLines = records.map { r =>
@@ -145,7 +168,7 @@ object CramRecordWriter {
         s.write(bin, 0, bin.length)
       }
       if (!unmapped) {
-        val feats = featuresFor(r, rl, seqKnown)
+        val feats = featuresFor(r, rl, seqKnown, refBases, sliceStart)
         putItf8("FN", feats.length)
         var prevPos = 0
         feats.foreach { case (pos, code, intVal, bytes) =>
@@ -153,6 +176,7 @@ object CramRecordWriter {
           putItf8("FP", pos - prevPos)
           prevPos = pos
           code match {
+            case 'X' => putByte("BS", intVal)
             case 'b' => putStop("BB", bytes)
             case 'S' => putStop("SC", bytes)
             case 'I' => putStop("IN", bytes)
@@ -192,7 +216,7 @@ object CramRecordWriter {
     }
     presEntry("RN", Array(1))
     presEntry("AP", Array(0))
-    presEntry("RR", Array(0))
+    presEntry("RR", Array[Byte](if (refBased) 1 else 0))
     presEntry("SM", Array.fill[Byte](5)(0x1b))
     presEntry("TD", Itf8.write(tdBytes.length) ++ tdBytes)
     val presBody = Itf8.write(5) ++ pres.toByteArray
@@ -210,6 +234,7 @@ object CramRecordWriter {
     dsEntry("FC", Encoding.external(Cid("FC")))
     dsEntry("QS", Encoding.external(Cid("QS")))
     dsEntry("BA", Encoding.external(Cid("BA")))
+    dsEntry("BS", Encoding.external(Cid("BS")))
     dsEntry("RN", Encoding.byteArrayStop(0, Cid("RN")))
     dsEntry("BB", Encoding.byteArrayStop(0, Cid("BB")))
     dsEntry("SC", Encoding.byteArrayStop(0, Cid("SC")))
@@ -246,7 +271,12 @@ object CramRecordWriter {
       b.write(Itf8.write(extBlocks.length))
       extBlocks.foreach { case (cid, _) => b.write(Itf8.write(cid)) }
       b.write(Itf8.write(-1)) // no embedded reference
-      b.write(new Array[Byte](16), 0, 16) // MD5 not applicable (RR=false)
+      // slice MD5: over the reference span when RR=1 (what conformant
+      // readers verify); zeros for reference-free slices
+      val md5 =
+        if (refBased) java.security.MessageDigest.getInstance("MD5").digest(refBases)
+        else new Array[Byte](16)
+      b.write(md5, 0, 16)
       b.toByteArray
     }
     val sliceHeaderBlock = encodeBlock(2, 0, 0, sliceBody)
@@ -271,23 +301,86 @@ object CramRecordWriter {
 
   // ---- features from CIGAR × SEQ ------------------------------------------
 
-  /** (readPos, code, intVal, bytes) features expressing the record without a
-    * reference: `b` runs carry match bases, I/S carry their own bases,
-    * D/N/H/P carry lengths. With unknown sequence only shape features are
-    * emitted (decode then reports seq `"*"` via the CF bit).
+  /** The default substitution matrix (`SM` bytes `0x1b`×5) as
+    * `m(refBaseIdx)(code) = substituted base` — the writer always emits this
+    * matrix, so the inverse lookup below is its single source of truth.
     */
-  private def featuresFor(r: AlignmentRecord, rl: Int,
-                          seqKnown: Boolean): IndexedSeq[(Int, Char, Int, Array[Byte])] = {
+  private val SubBases: Array[Byte] = "ACGTN".getBytes("ASCII")
+  private val SubMatrix: Array[Array[Byte]] = {
+    val m = Array.ofDim[Byte](5, 4)
+    var ri = 0
+    while (ri < 5) {
+      var k = 0
+      var ai = 0
+      while (ai < 5) {
+        if (ai != ri) { m(ri)((0x1b >> (6 - 2 * k)) & 3) = SubBases(ai); k += 1 }
+        ai += 1
+      }
+      ri += 1
+    }
+    m
+  }
+  private def baseIndex(b: Byte): Int = b match {
+    case 'A' => 0; case 'C' => 1; case 'G' => 2; case 'T' => 3; case _ => 4
+  }
+
+  /** Substitution code for read base `qb` over reference base `rb`, or −1
+    * when the pair isn't expressible (both map to the same matrix row —
+    * e.g. two distinct non-ACGT bases): callers fall back to a literal.
+    */
+  private def subCode(rb: Byte, qb: Byte): Int = {
+    val row = SubMatrix(baseIndex(rb))
+    var c = 0
+    while (c < 4) { if (row(c) == qb) return c; c += 1 }
+    -1
+  }
+
+  /** (readPos, code, intVal, bytes) features expressing the record: without
+    * a reference, `b` runs carry match-segment bases; WITH one (`ref` bases
+    * covering the slice span from `refStart1`), match-segment positions
+    * that agree with the reference emit nothing, mismatches an `X`
+    * substitution code, and positions outside the window or inexpressible
+    * in the substitution matrix a literal single-base `b` run. I/S carry
+    * their own bases, D/N/H/P lengths. With unknown sequence only shape
+    * features are emitted (decode then reports seq `"*"` via the CF bit).
+    */
+  private def featuresFor(r: AlignmentRecord, rl: Int, seqKnown: Boolean,
+                          ref: Array[Byte], refStart1: Int): IndexedSeq[(Int, Char, Int, Array[Byte])] = {
     val out = IndexedSeq.newBuilder[(Int, Char, Int, Array[Byte])]
     val cigar = if (r.cigar == null || r.cigar == "*") s"${rl}M" else r.cigar
     if (rl == 0) return IndexedSeq.empty
     var readPos = 1
+    var refPos = r.start // 1-based genomic position of the next M/D/N base
+    def refBase(rp: Int): Byte = {
+      val idx = rp - refStart1
+      if (ref != null && idx >= 0 && idx < ref.length) ref(idx) else 0
+    }
     cigarOps(cigar).foreach { case (len, op) =>
       op match {
         case 'M' | '=' | 'X' =>
-          if (seqKnown)
-            out += ((readPos, 'b', 0, r.seq.substring(readPos - 1, readPos - 1 + len).getBytes("ASCII")))
-          readPos += len
+          if (seqKnown) {
+            if (ref == null)
+              out += ((readPos, 'b', 0, r.seq.substring(readPos - 1, readPos - 1 + len).getBytes("ASCII")))
+            else {
+              var j = 0
+              while (j < len) {
+                val qb = r.seq.charAt(readPos - 1 + j).toByte
+                val rb = refBase(refPos + j)
+                if (rb != 0 && qb != rb) {
+                  val code = subCode(rb, qb)
+                  if (code >= 0) out += ((readPos + j, 'X', code, null))
+                  else out += ((readPos + j, 'b', 0, Array(qb)))
+                } else if (rb == 0) {
+                  // outside the fetched window (clipped contig tail):
+                  // literal base — decode's window miss reads 'N' there,
+                  // so a match can't be left implicit
+                  out += ((readPos + j, 'b', 0, Array(qb)))
+                } // else: agrees with the reference — implicit
+                j += 1
+              }
+            }
+          }
+          readPos += len; refPos += len
         case 'I' =>
           val bs = if (seqKnown) r.seq.substring(readPos - 1, readPos - 1 + len) else "N" * len
           out += ((readPos, 'I', 0, bs.getBytes("ASCII")))
@@ -296,8 +389,8 @@ object CramRecordWriter {
           val bs = if (seqKnown) r.seq.substring(readPos - 1, readPos - 1 + len) else "N" * len
           out += ((readPos, 'S', 0, bs.getBytes("ASCII")))
           readPos += len
-        case 'D' => out += ((readPos, 'D', len, null))
-        case 'N' => out += ((readPos, 'N', len, null))
+        case 'D' => out += ((readPos, 'D', len, null)); refPos += len
+        case 'N' => out += ((readPos, 'N', len, null)); refPos += len
         case 'H' => out += ((readPos, 'H', len, null))
         case 'P' => out += ((readPos, 'P', len, null))
         case other => throw new IOException(s"unsupported CIGAR op $other")

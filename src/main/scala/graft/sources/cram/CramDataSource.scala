@@ -54,6 +54,27 @@ object CramDataSource {
     options.exists { case (k, v) => k.equalsIgnoreCase("records") && v.toBoolean }
 }
 
+/** Opens the `fasta` option's indexed FASTA (`.fai` sidecar required) as a
+  * [[graft.cram.CramRefSource]] — shared by the records reader (decode) and
+  * records writer (reference-based encode). Caller closes the returned
+  * input; region reads are preads, so an executor never holds a genome.
+  */
+private[cram] object FastaRefs {
+  def open(fastaPath: String, conf: org.apache.hadoop.conf.Configuration,
+           names: Int => String): (graft.bgzf.SeekableInput, CramRefSource) = {
+    val fin = HadoopIO.open(new Path(fastaPath), conf)
+    val fai = {
+      val fin2 = HadoopIO.open(new Path(fastaPath + ".fai"), conf)
+      try {
+        val b = new Array[Byte](fin2.size.toInt)
+        require(fin2.preadFully(0, b, 0, b.length) == b.length, "truncated .fai")
+        Fasta.parseFai(new String(b, "UTF-8"))
+      } finally fin2.close()
+    }
+    (fin, new FastaRefSource(fin, fai, names))
+  }
+}
+
 object CramTable {
   val schema: StructType = StructType(Seq(
     StructField("offset", LongType, nullable = false),
@@ -552,20 +573,9 @@ class CramRecordsPartitionReader(
       input, CramContainers.FileDefinitionLength.toLong, size, major)
     hc.offset + hc.totalLength
   }
-  private val fastaIn = fastaPath.map(p => HadoopIO.open(new Path(p), conf.conf))
-  private val refSource: CramRefSource = fastaIn match {
-    case None => NoRefSource
-    case Some(fin) =>
-      val fai = {
-        val fin2 = HadoopIO.open(new Path(fastaPath.get + ".fai"), conf.conf)
-        try {
-          val b = new Array[Byte](fin2.size.toInt)
-          require(fin2.preadFully(0, b, 0, b.length) == b.length, "truncated .fai")
-          Fasta.parseFai(new String(b, "UTF-8"))
-        } finally fin2.close()
-      }
-      new FastaRefSource(fin, fai, header.refName)
-  }
+  private val fastaOpened = fastaPath.map(p => FastaRefs.open(p, conf.conf, header.refName))
+  private val fastaIn = fastaOpened.map(_._1)
+  private val refSource: CramRefSource = fastaOpened.map(_._2).getOrElse(NoRefSource)
   private val getters = RecordToRow.getters(required)
   private val slog = new StringencyLog(s"cram ${file}")
 
@@ -696,9 +706,12 @@ class CramWrite(options: Map[String, String], schema: StructType) extends Write 
         })
       } else None
     val perContainer = options.get("recordspercontainer").map(_.toInt).getOrElse(10000)
+    // reference-based encode: a fasta option on a records write switches
+    // match positions to implicit/X-substitution form (CramRecordWriter)
+    val fasta = if (recordsHeader.isDefined) options.get("fasta") else None
     new CramBatchWrite(path, singleFile, writeCrai, schema,
       new SerializableConf(SparkSession.active.sessionState.newHadoopConf()),
-      recordsHeader, perContainer)
+      recordsHeader, perContainer, fasta)
   }
 }
 
@@ -716,7 +729,8 @@ case class CramPartMessage(path: String, bytes: Long, entries: Seq[CraiEntry])
 class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
                      schema: StructType, conf: SerializableConf,
                      recordsHeader: Option[SamHeader] = None,
-                     perContainer: Int = 10000) extends BatchWrite {
+                     perContainer: Int = 10000,
+                     fastaPath: Option[String] = None) extends BatchWrite {
   private val tempDir = path + ".parts"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -736,8 +750,9 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
     val shardCrai = writeCrai && !singleFile
     val hdr = recordsHeader
     val perC = perContainer
+    val fasta = fastaPath
     (partitionId: Int, _: Long) => hdr match {
-      case Some(h) => new CramRecordsDataWriter(dir, h, sch, c, partitionId, complete, shardCrai, perC)
+      case Some(h) => new CramRecordsDataWriter(dir, h, sch, c, partitionId, complete, shardCrai, perC, fasta)
       case None => new CramDataWriter(dir, sch, c, partitionId, complete, shardCrai)
     }
   }
@@ -853,7 +868,8 @@ class CramDataWriter(dir: String, schema: StructType, conf: SerializableConf, pa
   */
 class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
                             conf: SerializableConf, partitionId: Int,
-                            complete: Boolean, shardCrai: Boolean, perContainer: Int)
+                            complete: Boolean, shardCrai: Boolean, perContainer: Int,
+                            fastaPath: Option[String] = None)
     extends DataWriter[InternalRow] {
   require(perContainer > 0, s"recordsPerContainer must be positive, got $perContainer")
   // ACCEPT_ANY_SCHEMA skips Spark's write-side validation; fail fast on a
@@ -883,9 +899,12 @@ class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
   private val buf = scala.collection.mutable.ArrayBuffer.empty[AlignmentRecord]
   private var recordCounter = 0L
   private val entries = Seq.newBuilder[CraiEntry]
+  // reference-based encode when the write carries a fasta option
+  private val fastaOpened = fastaPath.map(p => FastaRefs.open(p, conf.conf, header.refName))
+  private val refSource: CramRefSource = fastaOpened.map(_._2).getOrElse(NoRefSource)
 
   private def flushContainer(): Unit = if (buf.nonEmpty) {
-    val enc = CramRecordWriter.encodeContainer(buf.toIndexedSeq, header, recordCounter)
+    val enc = CramRecordWriter.encodeContainer(buf.toIndexedSeq, header, recordCounter, refSource)
     out.write(enc.bytes)
     entries += enc.craiEntry.copy(containerOffset = written)
     recordCounter += buf.length
@@ -909,5 +928,5 @@ class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
     CramPartMessage(partPath.toString, written, entries.result())
   }
   override def abort(): Unit = { out.close(); fs.delete(partPath, false) }
-  override def close(): Unit = ()
+  override def close(): Unit = fastaOpened.foreach(_._1.close())
 }

@@ -184,6 +184,94 @@ class CramRecordsSourceSpec extends AnyFunSuite with SparkFixture {
     assert(checksum(back) == want)
   }
 
+  // deterministic base at 0-based position p of the synthetic contig
+  private def refBase(p: Int): Char = "ACGT".charAt(p * 7 % 4)
+
+  /** Write a 60-col indexed FASTA with one contig of deterministic bases. */
+  private def writeFasta(dir: java.nio.file.Path, name: String, len: Int): String = {
+    val fa = dir.resolve("ref.fasta")
+    val sb = new StringBuilder(s">$name\n")
+    val offset = sb.length.toLong
+    var i = 0
+    while (i < len) {
+      val lineLen = math.min(60, len - i)
+      var j = 0
+      while (j < lineLen) { sb.append(refBase(i + j)); j += 1 }
+      sb.append('\n')
+      i += lineLen
+    }
+    Files.write(fa, sb.toString.getBytes("UTF-8"))
+    Files.write(dir.resolve("ref.fasta.fai"),
+      s"$name\t$len\t$offset\t60\t61\n".getBytes("UTF-8"))
+    fa.toString
+  }
+
+  test("reference-based encode: fasta write option, field-identical roundtrip, smaller file") {
+    val dir = tmpDir()
+    val fasta = writeFasta(dir, "chrR", 200000)
+    val rl = 40
+    val recs = (0 until 3000).map { i =>
+      val start = i * 31 % 99000 + 1
+      val base = (0 until rl).map(j => refBase(start - 1 + j)).mkString
+      // every 3rd read carries one planted SNP so X substitution codes are
+      // actually exercised (not just implicit matches)
+      val seq =
+        if (i % 3 == 0) {
+          val at = i % rl
+          val orig = base.charAt(at)
+          val sub = "ACGT".charAt(("ACGT".indexOf(orig) + 1) % 4)
+          base.updated(at, sub)
+        } else base
+      graft.bam.AlignmentRecord(s"r$i", 0, "chrR", start, start + rl - 1, 60, s"${rl}M",
+        null, 0, 0, seq, "F" * rl, Map("XO" -> s"i:${i % 50}"))
+    }
+    val s = spark
+    import s.implicits._
+    val df = s.createDataset(recs).toDF()
+    val refOut = dir.resolve("refbased.cram")
+    df.repartition(4).write.format("cram").mode("overwrite")
+      .option("records", "true").option("refs", "chrR:200000")
+      .option("recordsPerContainer", "500")
+      .option("fasta", fasta).option("writeCrai", "true").save(refOut.toString)
+    val freeOut = dir.resolve("reffree.cram")
+    df.repartition(4).write.format("cram").mode("overwrite")
+      .option("records", "true").option("refs", "chrR:200000")
+      .option("recordsPerContainer", "500")
+      .option("writeCrai", "true").save(freeOut.toString)
+    // high-identity reads: implicit matches must beat literal base runs
+    val (szRef, szFree) = (Files.size(refOut), Files.size(freeOut))
+    assert(szRef < szFree, s"reference-based $szRef not smaller than reference-free $szFree")
+
+    // the first data container advertises RR=1
+    val in = graft.bgzf.SeekableInput.ofFile(refOut)
+    try {
+      val cs = CramContainers.containers(in).filterNot(_.isEof)
+      val payload = CramRecordCodec.containerPayload(in, cs(1)) // 0 = SAM header
+      val (chBlock, _) = CramRecordCodec.readBlock(payload, 0, 3)
+      assert(CramRecordCodec.parseCompHeader(chBlock.data).refRequired)
+    } finally in.close()
+
+    // field-identical roundtrip through the DataFrame API with the fasta
+    val back = spark.read.format("cram").option("records", "true")
+      .option("fasta", fasta).option("splitSize", 16 * 1024)
+      .load(refOut.toString)
+      .collect().map(r => (r.getAs[String]("readName"), r.getAs[Int]("start"),
+        r.getAs[String]("cigar"), r.getAs[String]("seq"), r.getAs[String]("qual")))
+      .sortBy(_._1)
+    val want = recs.map(r => (r.readName, r.start, r.cigar, r.seq, r.qual)).sortBy(_._1)
+    assert(back.length == want.length)
+    back.zip(want).foreach { case (g, w) => assert(g == w) }
+
+    // RR=1 without a fasta is a clear error, not silent N-sequences
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.format("cram").option("records", "true")
+        .load(refOut.toString).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) String.valueOf(t.getMessage) else rootMsg(t.getCause)
+    assert(rootMsg(ex).contains("requires reference bases"))
+  }
+
   test("reads the htsjdk-written reference fixture through the DataFrame API") {
     val refDir = java.nio.file.Paths.get("/root/reference/src/test/resources")
     assume(Files.exists(refDir.resolve("valid.cram")))
