@@ -68,6 +68,35 @@ object FormatQueries {
 
   private val Refs = "chr0:1000000,chr1:1000000,chr2:1000000"
 
+  /** Deterministic indexed FASTA matching [[Refs]]: every contig is the
+    * 4-periodic "ATGC…" sequence, so a read starting at 1-based `p` agrees
+    * with `substr(repeat('ATGC',…), (p-1)%4+1, 151)` — an expression both
+    * the Spark query and the DuckDB oracle can state. Idempotent per
+    * scratch dir (same bytes every time); the `.fai` is written before the
+    * FASTA is renamed into place so a visible FASTA is always indexed.
+    */
+  private def writeRefFasta(dir: String): String = {
+    val fa = new java.io.File(dir, "ref.fasta")
+    if (!fa.exists()) {
+      fa.getParentFile.mkdirs()
+      val contigLen = 1000000
+      val names = Seq("chr0", "chr1", "chr2")
+      val lines = (contigLen + 59) / 60
+      val block = 6 + contigLen + lines // ">chrN\n" + bases + one newline per line
+      val fai = names.zipWithIndex.map { case (n, i) =>
+        s"$n\t$contigLen\t${i.toLong * block + 6}\t60\t61\n"
+      }.mkString
+      java.nio.file.Files.write(new java.io.File(dir, "ref.fasta.fai").toPath,
+        fai.getBytes("ASCII"))
+      val body = ("ATGC" * (contigLen / 4)).grouped(60).mkString("\n")
+      val tmp = new java.io.File(dir, "ref.fasta.tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        names.map(n => s">$n\n$body\n").mkString.getBytes("ASCII"))
+      tmp.renameTo(fa): Unit
+    }
+    fa.getPath
+  }
+
   /** Deterministic variants derived from lineitem (schema = Variant) —
     * shared by the three VCF round-trip/interval queries.
     */
@@ -345,6 +374,44 @@ object FormatQueries {
       readsAggregate(back)
     },
 
+    // Reference-based CRAM round-trip (RR=1): reads carry REAL sequences
+    // agreeing with a deterministic FASTA the query writes, plus a planted
+    // SNP at read position 1 on every start%10==0 read — so the encode
+    // exercises implicit-match elision AND X substitution codes, and the
+    // decode reconstructs every base from reference preads
+    // (FastaRefSource). The aggregate folds per-base composition (A/G
+    // counts) of the RECONSTRUCTED sequence: one wrong base anywhere in
+    // the corpus hash-mismatches against the analytic oracle.
+    "q_cram_refbased" -> { (s, d) =>
+      import s.implicits._
+      val dir = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
+      val fasta = writeRefFasta(dir)
+      val path = s"$dir/refb.cram"
+      val base = lit("ATGC" * 39).substr((($"start" - 1) % 4 + 1).cast("int"), lit(151))
+      val snp = lit("ATGC").substr((($"start" + 1) % 4 + 1).cast("int"), lit(1))
+      syntheticReads(s, d)
+        .withColumn("seq",
+          when($"start" % 10 === 0, concat(snp, substring(base, 2, 150))).otherwise(base))
+        .withColumn("qual", lit("F" * 151))
+        .repartitionByRange(8, $"contig", $"start")
+        .sortWithinPartitions($"contig", $"start")
+        .write.format("cram").mode("overwrite")
+        .option("records", "true").option("refs", Refs)
+        .option("recordsPerContainer", "2000")
+        .option("fasta", fasta)
+        .option("writeCrai", "true").save(path)
+      val back = s.read.format("cram").option("records", "true")
+        .option("fasta", fasta).option("splitSize", 256 * 1024).load(path)
+      back.groupBy($"contig")
+        .agg(
+          count(lit(1)).as("n_reads"),
+          sum($"start".cast("long")).as("sum_start"),
+          sum((length($"seq") - length(replace($"seq", lit("A")))).cast("long")).as("sum_a"),
+          sum((length($"seq") - length(replace($"seq", lit("G")))).cast("long")).as("sum_g"),
+          sum(substring(element_at($"attributes", "XO"), 3, 10).cast("long")).as("sum_tag"))
+        .orderBy($"contig")
+    },
+
     // interval scan driven by the standard external `.bai` index: the file
     // is coordinate-sorted (range partition + sort, parts concat in range
     // order), indexed at write, and carries NO .sbi/.gci — the scan must
@@ -417,6 +484,24 @@ object FormatQueries {
     "q_cram_intervals" -> oracleAggregate(
       """WHERE (contig = 'chr0' AND rstart <= 5000 AND rend >= 1)
         |   OR (contig = 'chr1' AND rstart <= 7000 AND rend >= 2000)""".stripMargin),
+    "q_cram_refbased" ->
+      """WITH reads AS (
+        |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS rstart,
+        |    l_orderkey % 100 AS tag
+        |  FROM lineitem),
+        |w AS (SELECT contig, rstart, tag,
+        |  substring(repeat('ATGC', 39), CAST((rstart - 1) % 4 AS INTEGER) + 1, 151) AS base,
+        |  substring('ATGC', CAST((rstart + 1) % 4 AS INTEGER) + 1, 1) AS snp
+        |  FROM reads),
+        |q AS (SELECT contig, rstart, tag,
+        |  CASE WHEN rstart % 10 = 0 THEN snp || substring(base, 2, 150) ELSE base END AS seq
+        |  FROM w)
+        |SELECT contig, COUNT(*) AS n_reads, CAST(SUM(rstart) AS BIGINT) AS sum_start,
+        |  CAST(SUM(len(seq) - len(replace(seq, 'A', ''))) AS BIGINT) AS sum_a,
+        |  CAST(SUM(len(seq) - len(replace(seq, 'G', ''))) AS BIGINT) AS sum_g,
+        |  CAST(SUM(tag) AS BIGINT) AS sum_tag
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_vcf_roundtrip" ->
       """WITH v AS (
         |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,

@@ -42,6 +42,11 @@ object Pipeline {
   /** 4 bands × 15 bits: pigeonhole guarantees hamming ≤ 3 pairs collide. */
   private val SimhashBands = 4
   private val FpMod = 17 // keep word-5-gram fingerprints where hash % 17 == 0
+
+  // PII patterns shared by the Spark query and its oracle: kept to syntax
+  // both Java regex and RE2 (DuckDB) read identically
+  private val PiiEmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PiiPhoneRe = "\\d{3}-\\d{4}-\\d{4}"
   private val QdotThreshold = 300000L // quantized cosine ≥ 0.3
   private val LshPlanes = 8
   /** LSH bucket-size guard: a (band, bandhash) bucket larger than this is
@@ -389,6 +394,37 @@ object Pipeline {
             .otherwise(0L).as("dup3_milli"))
         .withColumn("repetitive", $"dup3_milli" > 200 || $"ttr_milli" < 300)
         .orderBy($"doc_id")
+    },
+
+    // PII redaction: the corpus is synthetic word-salad, so deterministic
+    // identifiers are injected first (email on every 5th doc, phone on
+    // every 7th) and then scrubbed with two regexp passes in one narrow
+    // projection — the shape of a scrubber over 100 TB: no shuffle until
+    // the per-language report. The aggregate pins match counts AND the
+    // redacted byte count, so an over- or under-eager pattern (or a
+    // first-match-only replace) hash-mismatches.
+    "q_text_pii" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("raw", concat($"text",
+          when($"doc_id" % 5 === 0,
+            concat(lit(" contact user"), $"doc_id", lit("@example.com")))
+            .otherwise(lit("")),
+          when($"doc_id" % 7 === 0,
+            concat(lit(" call 555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+              lit("-1234")))
+            .otherwise(lit(""))))
+        .withColumn("redacted", regexp_replace(
+          regexp_replace($"raw", PiiEmailRe, "<EMAIL>"), PiiPhoneRe, "<PHONE>"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum((length($"redacted") - length(replace($"redacted", lit("<EMAIL>"))))
+            .cast("long")) / 7).cast("long").as("n_emails"),
+          (sum((length($"redacted") - length(replace($"redacted", lit("<PHONE>"))))
+            .cast("long")) / 7).cast("long").as("n_phones"),
+          sum(length($"redacted").cast("long")).as("sum_len"))
+        .orderBy($"lang")
     },
 
     // == deduplication ===================================================
@@ -894,6 +930,24 @@ object Pipeline {
          |  (dup3_milli > 200 OR ttr_milli < 300) AS repetitive
          |FROM u ORDER BY doc_id""".stripMargin
     },
+
+    "q_text_pii" ->
+      s"""WITH r AS (SELECT lang, text ||
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234'
+         |      ELSE '' END AS raw
+         |  FROM documents),
+         |x AS (SELECT lang, regexp_replace(regexp_replace(raw,
+         |    '$PiiEmailRe', '<EMAIL>', 'g'), '$PiiPhoneRe', '<PHONE>', 'g') AS redacted
+         |  FROM r)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(redacted) - len(replace(redacted, '<EMAIL>', ''))) // 7 AS BIGINT) AS n_emails,
+         |  CAST(SUM(len(redacted) - len(replace(redacted, '<PHONE>', ''))) // 7 AS BIGINT) AS n_phones,
+         |  CAST(SUM(len(redacted)) AS BIGINT) AS sum_len
+         |FROM x GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_dedup_exact" ->
       s"""WITH t AS (SELECT doc_id,
