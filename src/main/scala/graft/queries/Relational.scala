@@ -238,6 +238,44 @@ object Relational {
         .orderBy($"user_id")
     },
 
+    // -- As-of join (an operator Spark has no native form of): attribute
+    // each purchase to the user's most recent view at or before it. The
+    // distributed shape is union-both-sides + ONE window over (user_id, ts)
+    // with last(_, ignoreNulls) carry-forward — one shuffle on user_id,
+    // linear in events, no per-row range probe and no broadcast
+    // requirement; this is how an as-of join stays an equi-shuffle at
+    // 100 TB. Views pre-aggregate per (user_id, ts) so the match is
+    // deterministic at any SF; ties (purchase at a view's exact ts) take
+    // the view, matching the oracle's ASOF >= semantics. The oracle is
+    // DuckDB's native ASOF LEFT JOIN; sum_lag_us pins WHICH view matched,
+    // not just how many.
+    "q_events_asof" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val views = ev.where($"event_type" === "view")
+        .groupBy($"user_id", $"ts").agg(max(cents($"value")).as("v_value"))
+      val purch = ev.where($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"event_id")
+      val tagged = views
+        .select($"user_id", $"ts", lit(0).as("side"), $"v_value",
+          lit(null).cast("long").as("event_id"))
+        .unionByName(purch.select($"user_id", $"ts", lit(1).as("side"),
+          lit(null).cast("long").as("v_value"), $"event_id"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("lv", last($"v_value", ignoreNulls = true).over(w))
+        .withColumn("lts", last(when($"side" === 0, $"ts"), ignoreNulls = true).over(w))
+        .where($"side" === 1)
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          count($"lv").as("n_attributed"),
+          sum($"lv").as("sum_view_value"),
+          sum(unix_micros($"ts") - unix_micros($"lts")).as("sum_lag_us"))
+        .orderBy($"user_id")
+    },
+
     // -- Ordered funnel: per user, first view -> first later click -> first
     // later purchase. Each stage joins only its stage-filtered slice on
     // user_id (never the full stream against itself), and every stage
@@ -405,6 +443,22 @@ object Relational {
         |      LAG(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
         |    FROM events) t1) t2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_events_asof" ->
+      """WITH views AS (
+        |  SELECT user_id, ts, MAX(CAST(ROUND(value*100) AS BIGINT)) AS v_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |purch AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.user_id, p.ts AS pts, v.ts AS vts, v.v_value
+        |  FROM purch p ASOF LEFT JOIN views v
+        |    ON p.user_id = v.user_id AND p.ts >= v.ts)
+        |SELECT user_id, COUNT(*) AS n_purchases,
+        |  COUNT(v_value) AS n_attributed,
+        |  CAST(SUM(v_value) AS BIGINT) AS sum_view_value,
+        |  CAST(SUM(epoch_us(pts) - epoch_us(vts)) AS BIGINT) AS sum_lag_us
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
