@@ -71,6 +71,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"a stage join shuffles the event stream: ${stageJoins.mkString("; ")}\n$p")
   }
 
+  test("q_events_asof contains no join — the as-of runs as union + window") {
+    // the distributed as-of contract: a refactor that reintroduces a range
+    // join (per-row probe) or any join at all has destroyed the
+    // one-shuffle-linear shape, even though the rows stay identical
+    val p = finalPlan(Relational.queries("q_events_asof")(spark, sf))
+    assert(!p.contains("Join"), s"q_events_asof plans a join\n$p")
+    assert(p.contains("Window"), s"q_events_asof lost its window\n$p")
+  }
+
+  test("q_interval_join_binned joins on equi-keys, never a nested loop") {
+    // both sides are corpus-sized at scale: the overlap must ride the
+    // (contig, bin) equi-join (hash or sort-merge — AQE may broadcast at
+    // this SF, also fine); BroadcastNestedLoopJoin/CartesianProduct means
+    // the binning stopped reaching the join keys
+    val p = finalPlan(Relational.queries("q_interval_join_binned")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q_interval_join_binned degraded to a non-equi join\n$p")
+  }
+
   test("q_dedup_minhash_sig evaluates the native expression exactly once") {
     val analyzed = Pipeline.queries("q_dedup_minhash_sig")(spark, sf)
       .queryExecution.optimizedPlan.toString
