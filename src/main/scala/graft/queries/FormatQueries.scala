@@ -389,15 +389,15 @@ object FormatQueries {
       val path = s"$dir/refb.cram"
       val base = lit("ATGC" * 39).substr((($"start" - 1) % 4 + 1).cast("int"), lit(151))
       val snp = lit("ATGC").substr((($"start" + 1) % 4 + 1).cast("int"), lit(1))
+      // qual stays "*" (CF bit): the 90 MB quality stream would just price
+      // rANS twice more — the reference-based SEQ machinery is the measure
       syntheticReads(s, d)
         .withColumn("seq",
           when($"start" % 10 === 0, concat(snp, substring(base, 2, 150))).otherwise(base))
-        .withColumn("qual", lit("F" * 151))
         .repartitionByRange(8, $"contig", $"start")
         .sortWithinPartitions($"contig", $"start")
         .write.format("cram").mode("overwrite")
         .option("records", "true").option("refs", Refs)
-        .option("recordsPerContainer", "2000")
         .option("fasta", fasta)
         .option("writeCrai", "true").save(path)
       val back = s.read.format("cram").option("records", "true")

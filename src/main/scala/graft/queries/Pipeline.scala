@@ -831,6 +831,42 @@ object Pipeline {
         .filter($"rnk" <= 10)
         .select($"query_id", $"rnk", $"vec_id", $"dot")
         .orderBy($"query_id", $"rnk")
+    },
+
+    // == codebook training ===============================================
+
+    // Distributed k-means (Lloyd, 3 unrolled rounds) — the trainer that
+    // produces the codebook q_ann_ivf consumes. The scale shape per round:
+    // centroids collapse to ONE broadcast row, assignment is the same
+    // narrow codegen'd graft_ivf_argmax pass the IVF query uses (the
+    // corpus never shuffles, never widens to k rows per vector), and the
+    // update aggregates 64 per-dimension partial sums map-side — the only
+    // shuffle payload per round is (#centroids × 64 longs). Means
+    // floor-quantize back to integers each round, so the trajectory is
+    // engine-portable bit-for-bit; empty clusters drop identically on
+    // both sides. Output is the final codebook exploded to
+    // (cid, dim, val) rows.
+    "q_kmeans_train" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.NativeIvf.register(s)
+      val dims = 64
+      val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
+      def step(cb: DataFrame): DataFrame = {
+        val codebook = cb.agg(sort_array(collect_list(struct($"cid", $"cq"))).as("cents"))
+        val assigned = e.crossJoin(broadcast(codebook))
+          .select(expr("graft_ivf_argmax(q, cents)").as("cid"), $"q")
+        val aggs = count(lit(1)).as("n") +:
+          (0 until dims).map(i => sum(element_at($"q", i + 1)).as(s"s$i"))
+        assigned.groupBy($"cid")
+          .agg(aggs.head, aggs.tail: _*)
+          .select($"cid", array((0 until dims).map(i =>
+            floor(col(s"s$i").cast("double") / $"n").cast("long")): _*).as("cq"))
+      }
+      val init = e.filter($"vec_id" < 16).select($"vec_id".as("cid"), $"q".as("cq"))
+      step(step(step(init)))
+        .select($"cid", posexplode($"cq"))
+        .toDF("cid", "dim", "val")
+        .orderBy($"cid", $"dim")
     }
   )
 
@@ -1240,6 +1276,29 @@ object Pipeline {
          |  FROM s)
          |SELECT query_id, rnk, vec_id, dot FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin
+    },
+
+    "q_kmeans_train" -> {
+      val dot = "CAST(list_sum(list_transform(range(1, 65), i -> %s[i] * %s[i])) AS BIGINT)"
+      // one Lloyd round: argmax assignment (tie -> smaller cid, matching
+      // graft_ivf_argmax), per-(cid, dim) floor-quantized means
+      def round(n: Int, prev: String) =
+        s"""a$n AS (SELECT vec_id, cid, q FROM (
+           |    SELECT v.vec_id, c.cid, v.q,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ${dot.format("v.q", "c.cq")} DESC, c.cid) AS rn
+           |    FROM e v CROSS JOIN $prev c) WHERE rn = 1),
+           |s$n AS (SELECT cid, dim, CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+           |  FROM (SELECT cid, UNNEST(q) AS val, UNNEST(range(0, 64)) AS dim FROM a$n)
+           |  GROUP BY cid, dim),
+           |c$n AS (SELECT cid, list(val ORDER BY dim) AS cq FROM s$n GROUP BY cid)"""
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 16),
+         |${round(1, "c0")},
+         |${round(2, "c1")},
+         |${round(3, "c2")}
+         |SELECT cid, dim, val FROM s3 ORDER BY cid, dim""".stripMargin
     }
   )
 }
