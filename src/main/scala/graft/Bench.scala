@@ -31,7 +31,12 @@ object Bench {
       spark.read.parquet(s"$sfDir/nation.parquet").count()
       graft.queries.Pipeline.warmCorpusCounts(spark, sfDir)
     } catch { case _: Throwable => }
+    // optional comma-separated subset for targeted plan iteration
+    // (SPARK_GRAFT_BENCH_ONLY=q_a,q_b); the driver runs the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     val errors = scala.collection.mutable.Map[String, String]()

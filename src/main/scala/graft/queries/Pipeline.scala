@@ -167,7 +167,7 @@ object Pipeline {
     * removed. The count itself is a zero-column parquet scan.
     */
   private val corpusCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def countOnce(key: String, df: DataFrame): Long = {
+  private[queries] def countOnce(key: String, df: DataFrame): Long = {
     val versioned = s"$key#${java.util.Arrays.hashCode(df.inputFiles.sorted.asInstanceOf[Array[AnyRef]])}"
     val cached = corpusCounts.get(versioned)
     if (cached != null) return cached.longValue()
@@ -190,8 +190,11 @@ object Pipeline {
     * queries measures the query, not the one-time catalog-statistics
     * stand-in.
     */
-  private[graft] def warmCorpusCounts(s: SparkSession, d: String): Unit =
+  private[graft] def warmCorpusCounts(s: SparkSession, d: String): Unit = {
     countOnce(s"$d/embeddings", Tables.embeddings(s, d))
+    // the binned interval join sizes its contig count from this
+    countOnce(s"$d/lineitem", Tables.lineitem(s, d))
+  }
 
   /** Per-plane signed dot products of `q` with the deterministic
     * hyperplanes (plane p component i = hash60("p|i") mod 2001 − 1000,
@@ -608,6 +611,36 @@ object Pipeline {
         .orderBy($"cluster")
     },
 
+    // INCREMENTAL dedup: a new ingest batch (every 10th doc here) checked
+    // against the already-ingested corpus without re-pairing the corpus
+    // with itself. Same single band-bucket shuffle as the full pass, but
+    // pairs are emitted (corpus, new) only — the pair space is
+    // batch-linear, never corpus². At 100 TB the corpus half of this
+    // band table is computed once and stored bucketed on (band, bandhash),
+    // so a daily increment shuffles only the batch signatures; the query
+    // keeps that bucket-local pairing shape.
+    "q_dedup_incremental" -> { (s, d) =>
+      import s.implicits._
+      val sigs = signedDocs(Tables.documents(s, d))
+        .select($"doc_id", $"sig", ($"doc_id" % 10 === 0).as("is_new"))
+      sigs.select($"doc_id", $"is_new",
+          posexplode(bandsCol).as(Seq("band", "bandhash")))
+        .groupBy($"band", $"bandhash")
+        .agg(sort_array(collect_list(struct($"doc_id", $"is_new"))).as("ms"))
+        .filter(size($"ms") > 1 && size($"ms") <= MaxBucket)
+        .select(
+          filter($"ms", m => m.getField("is_new")).as("news"),
+          filter($"ms", m => !m.getField("is_new")).as("olds"))
+        .filter(size($"news") > 0 && size($"olds") > 0)
+        .select(explode(flatten(transform($"news", nw =>
+          transform($"olds", od => struct(nw.getField("doc_id").as("new_doc"),
+            od.getField("doc_id").as("dup_of")))))).as("p"))
+        .select($"p.new_doc", $"p.dup_of").distinct()
+        .groupBy($"new_doc")
+        .agg(min($"dup_of").as("dup_of"), count(lit(1)).as("n_corpus_hits"))
+        .orderBy($"new_doc")
+    },
+
     // stratified train/val/test assignment by portable content-stable hash:
     // the split is a pure function of doc_id, so re-runs, backfills, and
     // different partitionings all agree — one narrow pass + tiny aggregate
@@ -622,6 +655,30 @@ object Pipeline {
           sum($"n_chars".cast("long")).as("sum_chars"),
           min($"doc_id").as("min_doc"))
         .orderBy($"lang", $"split")
+    },
+
+    // token-budget MIXTURE sampling: cap every language at a fixed token
+    // budget (2k tokens here) by a content-stable hash threshold — how a
+    // pretraining mix hits target proportions from a skewed crawl. The
+    // per-lang totals are a tiny aggregate broadcast back onto one narrow
+    // filter pass: the corpus is read once and never shuffled, and the
+    // keep decision is a pure function of (doc_id, published frac_ppm) —
+    // re-runs, backfills, and different partitionings keep identical docs.
+    // Integer ppm arithmetic end-to-end, so the oracle matches exactly.
+    "q_mix_sample" -> { (s, d) =>
+      import s.implicits._
+      val t = Tables.documents(s, d)
+        .select($"doc_id", $"lang", size(words($"text")).cast("long").as("n_tok"))
+      val totals = t.groupBy($"lang")
+        .agg(count(lit(1)).as("n_total"), sum($"n_tok").as("tok_total"))
+        .withColumn("frac_ppm", least(lit(1000000L), expr("2000000000 div tok_total")))
+      t.join(broadcast(totals), "lang")
+        .filter(hash60(concat(lit("mix|"), $"doc_id".cast("string"))) % 1000000 < $"frac_ppm")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), sum($"n_tok").as("tok_kept"))
+        .join(broadcast(totals), "lang")
+        .select($"lang", $"n_total", $"tok_total", $"frac_ppm", $"n_kept", $"tok_kept")
+        .orderBy($"lang")
     },
 
     // integer-quantized TF-IDF top terms per document: tf from one explode +
@@ -1018,6 +1075,17 @@ object Pipeline {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
+    "q_dedup_incremental" -> {
+      s"""${oracleBandsCte()},
+         |m AS (SELECT b.doc_id, b.band, b.bandhash, (b.doc_id % 10 = 0) AS is_new
+         |  FROM bands b JOIN bok o ON o.band = b.band AND o.bandhash = b.bandhash),
+         |p AS (SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS dup_of
+         |  FROM m n JOIN m c ON n.band = c.band AND n.bandhash = c.bandhash
+         |  WHERE n.is_new AND NOT c.is_new)
+         |SELECT new_doc, MIN(dup_of) AS dup_of, COUNT(*) AS n_corpus_hits
+         |FROM p GROUP BY new_doc ORDER BY new_doc""".stripMargin
+    },
+
     "q_dedup_simhash" -> {
       s"""WITH t AS (SELECT doc_id,
          |  list_transform($wsExpr, w -> ${h60("w")}) AS wh FROM documents)
@@ -1155,6 +1223,18 @@ object Pipeline {
          |SELECT lang, split, COUNT(*) AS n_docs,
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
          |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_mix_sample" ->
+      s"""WITH t AS (SELECT doc_id, lang, len($wsExpr) AS n_tok FROM documents),
+         |tot AS (SELECT lang, COUNT(*) AS n_total, CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+         |    CAST(LEAST(1000000, 2000000000 // SUM(n_tok)) AS BIGINT) AS frac_ppm
+         |  FROM t GROUP BY lang),
+         |k AS (SELECT t.lang, t.n_tok FROM t JOIN tot USING (lang)
+         |  WHERE ${h60("'mix|' || CAST(doc_id AS VARCHAR)")} % 1000000 < frac_ppm),
+         |kk AS (SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tok_kept
+         |  FROM k GROUP BY lang)
+         |SELECT tot.lang, tot.n_total, tot.tok_total, tot.frac_ppm, kk.n_kept, kk.tok_kept
+         |FROM tot JOIN kk ON tot.lang = kk.lang ORDER BY tot.lang""".stripMargin,
 
     "q_text_tfidf" ->
       s"""WITH w AS (SELECT doc_id, unnest($wsExpr) AS term FROM documents),

@@ -180,15 +180,23 @@ object Relational {
     // plans that as BroadcastNestedLoop when nothing is broadcastable);
     // Catalyst/AQE still broadcast the small side at test SF, which is the
     // right call there and irrelevant at scale.
+    //
+    // The CONTIG COUNT scales with the corpus (one per ~20k reads, the
+    // memoized catalog-count stand-in; 3 at oracle SF): a fixed coordinate
+    // space would make overlap density — and the true pair count — grow
+    // with SF, turning the join quadratic at scale. More samples means
+    // more genomes, not denser ones; per-contig density is a constant of
+    // the data, so the pair space stays corpus-LINEAR.
     "q_interval_join_binned" -> { (s, d) =>
       import s.implicits._
+      val nc = math.max(3L, Pipeline.countOnce(s"$d/lineitem", Tables.lineitem(s, d)) / 20000L)
       val reads = Tables.lineitem(s, d).select(
-        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        concat(lit("chr"), ($"l_orderkey" % nc).cast("string")).as("contig"),
         (($"l_partkey" * 37) % 100000).cast("int").as("rstart"))
         .withColumn("rend", $"rstart" + 150)
         .withColumn("bin", explode(expr("sequence(rstart div 1000, rend div 1000)")))
       val vars = Tables.orders(s, d).select(
-        concat(lit("chr"), ($"o_orderkey" % 3).cast("string")).as("vcontig"),
+        concat(lit("chr"), ($"o_orderkey" % nc).cast("string")).as("vcontig"),
         (($"o_custkey" * 53) % 100000).cast("int").as("vstart"))
         .withColumn("vend", $"vstart" + 30)
         .withColumn("vbin", explode(expr("sequence(vstart div 1000, vend div 1000)")))
@@ -405,16 +413,17 @@ object Relational {
     // handles it); the Spark side is graded on reaching the same result
     // through the binned equi-join shape
     "q_interval_join_binned" ->
-      """WITH reads AS (
-        |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+      """WITH nc AS (SELECT GREATEST(3, COUNT(*) // 20000) AS nc FROM lineitem),
+        |reads AS (
+        |  SELECT 'chr' || CAST(l_orderkey % nc AS VARCHAR) AS contig,
         |    (l_partkey * 37) % 100000 AS rstart,
         |    (l_partkey * 37) % 100000 + 150 AS rend
-        |  FROM lineitem),
+        |  FROM lineitem, nc),
         |vars AS (
-        |  SELECT 'chr' || CAST(o_orderkey % 3 AS VARCHAR) AS vcontig,
+        |  SELECT 'chr' || CAST(o_orderkey % nc AS VARCHAR) AS vcontig,
         |    (o_custkey * 53) % 100000 AS vstart,
         |    (o_custkey * 53) % 100000 + 30 AS vend
-        |  FROM orders)
+        |  FROM orders, nc)
         |SELECT contig, COUNT(*) AS n_pairs,
         |  CAST(SUM(rstart) AS BIGINT) AS sum_rstart,
         |  CAST(SUM(vstart) AS BIGINT) AS sum_vstart
