@@ -90,6 +90,40 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"q_interval_join_binned degraded to a non-equi join\n$p")
   }
 
+  test("q_dedup_incremental pairs inside buckets — no join anywhere") {
+    // batch-vs-corpus pairing happens INSIDE each band bucket (two filtered
+    // arrays of one collect_list); a refactor that joins the batch against
+    // the corpus band table would re-shuffle the corpus per increment
+    val p = finalPlan(Pipeline.queries("q_dedup_incremental")(spark, sf))
+    assert(!p.contains("Join"), s"q_dedup_incremental plans a join\n$p")
+  }
+
+  test("q_mix_sample joins the corpus only against broadcast totals") {
+    // the per-lang totals are aggregate-tiny at any corpus size; the
+    // corpus-sided pass must stay a narrow filter (no exchange to meet a
+    // sort-merge/shuffled-hash join on lang — a near-constant key space
+    // that would also skew catastrophically)
+    val p = finalPlan(Pipeline.queries("q_mix_sample")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q_mix_sample shuffles the corpus to meet a join\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q_mix_sample lost its broadcast joins\n$p")
+  }
+
+  test("q_kmeans_train: corpus is never hash-partitioned by vec_id") {
+    // every Lloyd round must keep the shape the IVF query pins: codebook
+    // collapsed to one broadcast row, assignment a narrow argmax
+    // projection; the only shuffle merges (#centroids × 64) partial sums.
+    // An Exchange on vec_id would mean assignment regressed to the
+    // join + groupBy shape that ships the whole corpus per round.
+    val p = finalPlan(Pipeline.queries("q_kmeans_train")(spark, sf))
+    val vecExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("vec_id")).toSeq
+    assert(vecExchanges.isEmpty,
+      s"q_kmeans_train: corpus shuffled on vec_id: ${vecExchanges.mkString("; ")}\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q_kmeans_train join degraded to sort-merge\n$p")
+  }
+
   test("q_dedup_minhash_sig evaluates the native expression exactly once") {
     val analyzed = Pipeline.queries("q_dedup_minhash_sig")(spark, sf)
       .queryExecution.optimizedPlan.toString
