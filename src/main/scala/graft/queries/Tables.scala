@@ -21,16 +21,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as LongType
-    * nanos, which we truncate to a micros timestamp (DuckDB's native
-    * timestamp precision, so the oracle agrees).
+  /** Normalizes `events.ts` to TIMESTAMP (ltz) whatever the parquet
+    * carries. Seen in the wild across driver data generations:
+    *  - TIMESTAMP(NANOS): with `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    it surfaces as LongType nanos → truncate to a micros timestamp
+    *    (DuckDB's native precision, so the oracle agrees);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ, which `unix_millis`/`unix_micros`/watermarks
+    *    reject → cast to TIMESTAMP. Sessions pin UTC, so the wall-clock
+    *    reinterpretation preserves the stored micros value exactly and
+    *    the DuckDB oracle (naive timestamps) sees identical numbers.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = t(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
