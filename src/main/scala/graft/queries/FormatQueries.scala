@@ -21,7 +21,7 @@ object FormatQueries {
     * clobber a file another JVM is mid-scan on.
     */
   private lazy val runId = java.util.UUID.randomUUID().toString.take(8)
-  private lazy val tmpBase = {
+  private[queries] lazy val tmpBase = {
     val b = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     val dir = s"$b/graft-run-$runId"
     // scratch hygiene: repeated bench/verify runs must not accumulate

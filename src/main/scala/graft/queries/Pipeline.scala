@@ -324,6 +324,27 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // vocabulary induction: corpus-wide token-bigram heavy hitters (the
+    // counting pass of a BPE/wordpiece merge round). Bigrams form in ONE
+    // narrow codegen'd pass (zip_with over two slices of the token array —
+    // no self-join, no positional shuffle); the count is a single groupBy
+    // with map-side partial agg, and top-k is TakeOrdered (per-partition
+    // heaps, k rows to the driver) — at 100 TB the only full-data exchange
+    // is the bigram rollup itself, which is irreducible for exact counts.
+    "q_vocab_bigrams" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("ws", words($"text"))
+        .select(explode(zip_with(
+          slice($"ws", lit(1), greatest(size($"ws") - 1, lit(0))),
+          slice($"ws", lit(2), greatest(size($"ws") - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy($"bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"bigram")
+        .limit(100)
+    },
+
     // language ID: stopword-vote heuristic with deterministic tie-break.
     // The four per-language counts come from ONE native codegen pass
     // (graft_stop_hits) — the composed form is four interpreted filter
@@ -969,6 +990,14 @@ object Pipeline {
          |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
          |  len(text) AS len_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_bigrams" ->
+      s"""WITH t AS (SELECT $wsExpr AS toks FROM documents),
+         |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)])) AS bigram
+         |  FROM t)
+         |SELECT bigram, COUNT(*) AS n FROM b
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
 
     "q_text_langid" ->
       s"""WITH t AS (SELECT doc_id, lang AS tagged_lang,

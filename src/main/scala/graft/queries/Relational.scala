@@ -323,10 +323,53 @@ object Relational {
           (datediff($"wk", $"cwk") / 7).cast("long").as("weeks_since"))
         .agg(countDistinct($"user_id").as("n_users"))
         .orderBy($"cohort_week", $"weeks_since")
+    },
+
+    // -- Bucketed co-located join: the ONE big-big join shape where a
+    // shuffle is avoidable by layout instead of by broadcast. Both fact
+    // tables are written bucketed + sorted on the join key; the join then
+    // reads bucket i against bucket i with NO Exchange on either side —
+    // at 100 TB this turns the nightly fact-fact join from a full
+    // corpus shuffle into a partition-local merge (pay the shuffle once
+    // at ingest, reuse the layout every query). `hint("merge")` keeps the
+    // demonstration honest at oracle SF where the planner would otherwise
+    // broadcast the small side; PlanShapeSpec pins the no-Exchange shape.
+    "q_bucketed_join" -> { (s, d) =>
+      import s.implicits._
+      val nb = 8
+      val base = s"${FormatQueries.tmpBase}/bucketed/${d.hashCode.toHexString}"
+      def prep(df: DataFrame, table: String, key: String): DataFrame = {
+        // repartition on the bucket key first: Spark's bucket-file routing
+        // uses the same Murmur3 hash as the shuffle, so each task holds
+        // exactly one bucket's rows -> one file per bucket (which is also
+        // what lets the scan trust the per-bucket sort order at read time)
+        df.repartition(nb, col(key))
+          .write.mode("overwrite")
+          .option("path", s"$base/$table")
+          .bucketBy(nb, key).sortBy(key)
+          .saveAsTable(table)
+        s.table(table)
+      }
+      val l = prep(Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+        "graft_bkt_lineitem", "l_orderkey")
+      val o = prep(Tables.orders(s, d)
+        .select($"o_orderkey", $"o_orderpriority"),
+        "graft_bkt_orders", "o_orderkey")
+      l.hint("merge").join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"))
+        .orderBy($"o_orderpriority")
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -66,6 +66,36 @@ object Streaming {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * views in the trailing `horizonSec` window — the streaming face of the
+    * batch as-of attribution (q_events_asof's candidate set). Both sides
+    * carry watermarks and the join condition bounds event time on BOTH
+    * ends, so Spark derives a state-eviction horizon for each side — the
+    * only stream-stream join shape whose state doesn't grow forever.
+    * Co-partitioned on user_id: one shuffle per side, no broadcast needed.
+    *
+    * Inputs are raw event frames (`user_id`, `ts`, `event_type`, `value`,
+    * `event_id`); emits one row per (purchase, qualifying view).
+    */
+  def attribution(views: DataFrame, purchases: DataFrame,
+                  horizonSec: Long = 3600L,
+                  watermark: String = "2 hours"): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        cents(col("value")).as("v_value"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("v_ts"), col("p_ts"), col("v_value"))
+  }
+
   /** Streaming NEAR-DUPLICATE candidate detection — the streaming twin of
     * the batch LSH pass (`Pipeline.lshCandidatePairs`): each arriving
     * document's minhash signature (native expression, one codegen'd pass)

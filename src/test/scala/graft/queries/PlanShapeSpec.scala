@@ -90,6 +90,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"q_interval_join_binned degraded to a non-equi join\n$p")
   }
 
+  test("q_bucketed_join reads bucket-to-bucket — no Exchange on either side") {
+    // the layout contract: both fact tables are written bucketed on the
+    // join key, so the sort-merge join must consume the scans directly —
+    // an Exchange on either orderkey means the bucketing metadata was
+    // lost and the nightly fact-fact join pays a full corpus shuffle
+    val p = finalPlan(Relational.queries("q_bucketed_join")(spark, sf))
+    assert(p.contains("SortMergeJoin"), s"q_bucketed_join lost its merge join\n$p")
+    val keyExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(l => l.contains("l_orderkey") || l.contains("o_orderkey")).toSeq
+    assert(keyExchanges.isEmpty,
+      s"q_bucketed_join shuffles a bucketed side: ${keyExchanges.mkString("; ")}\n$p")
+    assert(p.contains("Bucketed: true"), s"scan does not report bucketed read\n$p")
+  }
+
   test("q_dedup_incremental pairs inside buckets — no join anywhere") {
     // batch-vs-corpus pairing happens INSIDE each band bucket (two filtered
     // arrays of one collect_list); a refactor that joins the batch against

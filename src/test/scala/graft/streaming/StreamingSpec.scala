@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkFixture
 
 case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+case class IdEv(event_id: Long, ts: Timestamp, event_type: String, user_id: Long, value: Double)
 
 class StreamingSpec extends AnyFunSuite with SparkFixture {
 
@@ -79,6 +80,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       val got = spark.table("enriched").groupBy($"tier").count()
         .collect().map(r => (r.getString(0), r.getLong(1))).toMap
       assert(got == Map("gold" -> 20L, "silver" -> 20L, "bronze" -> 20L, (null: String) -> 40L))
+    } finally q.stop()
+  }
+
+  test("attribution: stream-stream interval join equals the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // views every minute across 5 users; purchases every 3 minutes offset 1
+    val views = (0 until 120).map(i => IdEv(1000L + i, ts(i), "view", i % 5, i * 1.0))
+    val purch = (0 until 40).map(i => IdEv(2000L + i, ts(i * 3 + 1), "purchase", i % 5, 0.0))
+    val vs = MemoryStream[IdEv]
+    val ps = MemoryStream[IdEv]
+    val q = Streaming.attribution(vs.toDF(), ps.toDF(), horizonSec = 1800L)
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      vs.addData(views)
+      ps.addData(purch)
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select($"purchase_id", $"v_ts").as[(Long, Timestamp)].collect().toSet
+      val expected = purch.toDF().as("p").join(views.toDF().as("v"),
+        $"p.user_id" === $"v.user_id" && $"v.ts" <= $"p.ts" &&
+          $"v.ts" >= $"p.ts" - expr("INTERVAL 1800 SECONDS"))
+        .select($"p.event_id", $"v.ts").as[(Long, Timestamp)].collect().toSet
+      assert(got.nonEmpty && got == expected)
     } finally q.stop()
   }
 
