@@ -325,6 +325,91 @@ object Relational {
         .orderBy($"cohort_week", $"weeks_since")
     },
 
+    // -- Corpus profiling with a hand-rolled HyperLogLog: per event type,
+    // the 256-register distinct-users sketch. Unlike approx_count_distinct
+    // (whose sketch bytes are engine-specific and can never hash-match an
+    // oracle), every step here is portable integer math: md5 → 32-bit
+    // prefix → bucket = h mod 256, rank = leading zeros of the remaining
+    // 24 bits; registers merge with MAX (duplicates are absorbed — no
+    // distinct, no dedup shuffle), and the harmonic-mean sum is exact
+    // because the 2^-rank terms are scaled to integers. The query emits
+    // the MERGEABLE summary (non-empty registers, scaled harmonic sum) —
+    // the state a 100 TB profiling job persists per partition/day — plus
+    // the raw estimate via a rational alpha and integer division. The
+    // small-range linear-counting correction (E < 2.5m → m·ln(m/V))
+    // involves a transcendental, so it stays presentation-side
+    // (PlanShapeSpec applies it and asserts accuracy vs exact counts).
+    // At scale the shuffle carries ≤ (#types × 256) rows, while exact
+    // distinct would shuffle every (type, user) pair.
+    "q_profile_hll" -> { (s, d) =>
+      import s.implicits._
+      val m = 256
+      val ev = Tables.events(s, d).select($"event_type",
+        conv(substring(md5($"user_id".cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      val regs = ev
+        .select($"event_type", pmod($"h", lit(m)).as("bucket"),
+          expr("h div 256").as("w"))
+        .withColumn("rank",
+          when($"w" === 0, lit(25)).otherwise(lit(25) - length(bin($"w"))))
+        .groupBy($"event_type", $"bucket")
+        .agg(max($"rank").as("r"))
+      regs.groupBy($"event_type")
+        .agg(sum(expr("shiftleft(1L, cast(25 - r as int))")).as("s_present"),
+          count(lit(1)).as("nb"))
+        // empty registers contribute 2^-0 = 1, scaled: 2^25 each
+        .withColumn("s_total",
+          $"s_present" + (lit(m) - $"nb") * lit(1L << 25))
+        // raw E = alpha_m * m^2 / sum(2^-rank); alpha as the rational
+        // 7213/10213 (0.7213/(1+1.079/m) at m=256), INTEGER division so
+        // both engines produce the identical bigint
+        .select($"event_type", $"nb", $"s_total",
+          expr(s"(${7213L * m.toLong * m * (1L << 25)}L div (10213 * s_total))")
+            .as("hll_raw_e"))
+        .orderBy($"event_type")
+    },
+
+    // -- Latest-state compaction (the CDC/upsert read shape): each user's
+    // most recent event wins. Expressed as a top-1 window so Spark plans
+    // WindowGroupLimit: per-partition top-1 BEFORE the user_id exchange —
+    // the shuffle carries one row per (partition, user), not the corpus.
+    "q_events_latest" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_id", $"event_type", cents($"value").as("value_c"))
+        .orderBy($"user_id")
+    },
+
+    // -- Salted join: the skew-mitigation shape for a join key whose
+    // cardinality is tiny (event_type: ~5 values), when the dim side is
+    // too large to broadcast. The fact side salts each row into one of 16
+    // sub-keys; the dim side replicates 16×; the join key becomes
+    // (event_type, salt), spreading each hot key over 16 partitions
+    // instead of one. Results are identical to the unsalted join (oracle
+    // is the plain join); PlanShapeSpec pins that the exchange really is
+    // on the salted pair. Broadcast stays the first choice for dims that
+    // fit — salting is the fallback that keeps the worst key from pinning
+    // a single reducer at 100 TB.
+    "q_skew_salted_join" -> { (s, d) =>
+      import s.implicits._
+      val salts = 16
+      val ev = Tables.events(s, d)
+        .select($"event_type", $"value",
+          pmod($"event_id", lit(salts)).as("salt"))
+      val dim = Tables.events(s, d).select($"event_type").distinct()
+        .withColumn("type_weight", length($"event_type").cast("long"))
+        .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+        .hint("shuffle_merge")
+      ev.join(dim, Seq("event_type", "salt"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(cents($"value") * $"type_weight").as("weighted_c"))
+        .orderBy($"event_type")
+    },
+
     // -- Bucketed co-located join: the ONE big-big join shape where a
     // shuffle is avoidable by layout instead of by broadcast. Both fact
     // tables are written bucketed + sorted on the join key; the join then
@@ -365,6 +450,37 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_profile_hll" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h % 256 AS bucket,
+        |    CASE WHEN h // 256 = 0 THEN 25
+        |         ELSE 25 - length(bin(h // 256)) END AS rank
+        |  FROM h),
+        |regs AS (SELECT event_type, bucket, MAX(rank) AS r
+        |  FROM r GROUP BY event_type, bucket),
+        |agg AS (SELECT event_type,
+        |    SUM(CAST(1 AS BIGINT) << (25 - r)) AS s_present,
+        |    COUNT(*) AS nb
+        |  FROM regs GROUP BY event_type)
+        |SELECT event_type, nb,
+        |  CAST(s_present + (256 - nb) * 33554432 AS BIGINT) AS s_total,
+        |  CAST(15861554742296576 // (10213 * (s_present + (256 - nb) * 33554432)) AS BIGINT) AS hll_raw_e
+        |FROM agg ORDER BY event_type""".stripMargin,
+    "q_events_latest" ->
+      """SELECT user_id, event_id, event_type,
+        |  CAST(ROUND(value*100) AS BIGINT) AS value_c
+        |FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_skew_salted_join" ->
+      """SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(e.value*100) AS BIGINT) * length(d.event_type)) AS BIGINT) AS weighted_c
+        |FROM events e JOIN (SELECT DISTINCT event_type FROM events) d
+        |  ON e.event_type = d.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c

@@ -105,6 +105,52 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("Bucketed: true"), s"scan does not report bucketed read\n$p")
   }
 
+  test("q_skew_salted_join exchanges on the SALTED pair, never the raw key") {
+    // the skew contract: the join's shuffle key must be (event_type, salt)
+    // — an exchange on event_type alone means the salt was optimized away
+    // and the hottest type pins a single reducer again at scale
+    // the post-join aggregate merge and the dim-distinct legitimately
+    // exchange on bare event_type (aggregate-tiny rows) — the contract is
+    // on the JOIN's own keys, so assert on the join operator lines
+    val p = finalPlan(Relational.queries("q_skew_salted_join")(spark, sf))
+    val joins = p.linesIterator
+      .filter(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).toSeq
+    assert(joins.nonEmpty, s"no shuffle join found\n$p")
+    assert(joins.forall(_.contains("salt")),
+      s"join keys lost the salt: ${joins.mkString("; ")}\n$p")
+  }
+
+  test("q_events_latest plans a WindowGroupLimit (top-1 before the shuffle)") {
+    // the compaction contract: per-partition top-1 pushdown must survive —
+    // losing WindowGroupLimit means the full corpus crosses the user_id
+    // exchange just to be discarded by the rn = 1 filter
+    val p = finalPlan(Relational.queries("q_events_latest")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"q_events_latest lost WindowGroupLimit\n$p")
+  }
+
+  test("q_profile_hll estimate lands within the HLL error band of exact counts") {
+    // not a plan shape, but the sketch's reason to exist: the corrected
+    // estimate (raw, or linear counting m·ln(m/V) when raw < 2.5m — the
+    // transcendental branch the oracled query leaves presentation-side)
+    // must land within ~2σ of HLL's standard error at m=256 (6.5%)
+    import org.apache.spark.sql.functions._
+    val m = 256
+    val rows = Relational.queries("q_profile_hll")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == exact.keySet)
+    for ((t, e) <- exact) {
+      val (nb, raw) = rows(t)
+      val corrected =
+        if (raw < 5 * m / 2 && nb < m) m * math.log(m.toDouble / (m - nb))
+        else raw.toDouble
+      assert(math.abs(corrected - e) / e <= 0.15,
+        s"$t: hll=$corrected exact=$e (${math.abs(corrected - e) / e * 100}%)")
+    }
+  }
+
   test("q_dedup_incremental pairs inside buckets — no join anywhere") {
     // batch-vs-corpus pairing happens INSIDE each band bucket (two filtered
     // arrays of one collect_list); a refactor that joins the batch against
