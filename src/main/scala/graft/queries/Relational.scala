@@ -369,6 +369,56 @@ object Relational {
         .orderBy($"event_type")
     },
 
+    // -- Histogram quantiles (p50/p95 of event value per type): the
+    // portable alternative to percentile_approx, whose t-digest-ish
+    // sketch could never hash-match an oracle. Values bucket into
+    // per-dollar integer bins; the histogram is the only full-data
+    // aggregation (shuffle carries #types × #bins rows at any corpus
+    // size); quantiles come from an integer cumulative-sum walk —
+    // smallest bucket whose cumulative count covers the target rank,
+    // with cross-multiplied rank tests so no division ever happens.
+    "q_profile_quantiles" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"event_type",
+          expr("cast(round(value * 100) as bigint) div 100").as("bucket"))
+      val hist = ev.groupBy($"event_type", $"bucket").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy($"event_type").orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum($"c").over(w))
+      val tot = hist.groupBy($"event_type").agg(sum($"c").as("n"))
+      val j = cum.join(broadcast(tot), "event_type")
+      val p50 = j.filter($"cum" * 2 >= $"n")
+        .groupBy($"event_type").agg(min($"bucket").as("p50_dollar"))
+      val p95 = j.filter($"cum" * 20 >= $"n" * 19)
+        .groupBy($"event_type").agg(min($"bucket").as("p95_dollar"))
+      p50.join(p95, "event_type").join(tot, "event_type")
+        .select($"event_type", $"n", $"p50_dollar", $"p95_dollar")
+        .orderBy($"event_type")
+    },
+
+    // -- Rolling-window spike detection: hourly event counts per type
+    // flagged when ≥1.5× the trailing-24-hour mean (full windows only).
+    // The rolling frame is a rows-between window over the hourly rollup —
+    // the aggregation that crosses the corpus is the hourly groupBy
+    // (#types × #hours rows); the spike test cross-multiplies
+    // (2·n·cnt ≥ 3·sum) so the 1.5× threshold stays integer-exact.
+    "q_events_spikes" -> { (s, d) =>
+      import s.implicits._
+      val hourly = Tables.events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"event_type").orderBy($"hour")
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("prev_sum", sum($"n").over(w))
+        .withColumn("prev_cnt", count($"n").over(w))
+        .filter($"prev_cnt" === 24 && $"n" * $"prev_cnt" * 2 >= $"prev_sum" * 3)
+        .select($"event_type", date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"n", $"prev_sum")
+        .orderBy($"event_type", $"hour")
+    },
+
     // -- Latest-state compaction (the CDC/upsert read shape): each user's
     // most recent event wins. Expressed as a top-1 window so Spark plans
     // WindowGroupLimit: per-partition top-1 BEFORE the user_id exchange —
@@ -468,6 +518,34 @@ object Relational {
         |  CAST(s_present + (256 - nb) * 33554432 AS BIGINT) AS s_total,
         |  CAST(15861554742296576 // (10213 * (s_present + (256 - nb) * 33554432)) AS BIGINT) AS hll_raw_e
         |FROM agg ORDER BY event_type""".stripMargin,
+    "q_profile_quantiles" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(ROUND(value*100) AS BIGINT) // 100 AS bucket FROM events),
+        |hist AS (SELECT event_type, bucket, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bucket, c, SUM(c) OVER (PARTITION BY event_type
+        |    ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist),
+        |tot AS (SELECT event_type, SUM(c) AS n FROM hist GROUP BY 1),
+        |p50 AS (SELECT cum.event_type, MIN(bucket) AS p50_dollar
+        |  FROM cum JOIN tot USING (event_type) WHERE cum*2 >= n GROUP BY 1),
+        |p95 AS (SELECT cum.event_type, MIN(bucket) AS p95_dollar
+        |  FROM cum JOIN tot USING (event_type) WHERE cum*20 >= n*19 GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, p50_dollar, p95_dollar
+        |FROM p50 JOIN p95 USING (event_type) JOIN tot USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q_events_spikes" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, hour, n,
+        |    SUM(n) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS prev_sum,
+        |    COUNT(n) OVER (PARTITION BY event_type ORDER BY hour
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS prev_cnt
+        |  FROM hourly)
+        |SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(n AS BIGINT) AS n, CAST(prev_sum AS BIGINT) AS prev_sum
+        |FROM r WHERE prev_cnt = 24 AND n * prev_cnt * 2 >= prev_sum * 3
+        |ORDER BY event_type, hour""".stripMargin,
     "q_events_latest" ->
       """SELECT user_id, event_id, event_type,
         |  CAST(ROUND(value*100) AS BIGINT) AS value_c
