@@ -945,6 +945,37 @@ object Pipeline {
         .select($"cid", posexplode($"cq"))
         .toDF("cid", "dim", "val")
         .orderBy($"cid", $"dim")
+    },
+
+    // == cross-modal composition =========================================
+
+    // Cluster language purity: the embedding table's cluster assignment
+    // (same narrow broadcast-codebook argmax as IVF) joined against the
+    // document table's language tags — the "does my embedding space
+    // respect language?" QA a multimodal corpus runs before training.
+    // The only corpus-sized work is one equi-join on the shared id (both
+    // sides co-partition on the natural key — no broadcast requirement);
+    // everything after is #clusters × #langs rows.
+    "q_cluster_purity" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.NativeIvf.register(s)
+      val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
+      val cents = e.filter($"vec_id" < 16).select($"vec_id".as("cid"), $"q".as("cq"))
+      val codebook = cents.agg(sort_array(collect_list(struct($"cid", $"cq"))).as("cents"))
+      val assigned = e.crossJoin(broadcast(codebook))
+        .select($"vec_id", expr("graft_ivf_argmax(q, cents)").as("cid"))
+      val docs = Tables.documents(s, d).select($"doc_id", $"lang")
+      val perLang = assigned.join(docs, $"vec_id" === $"doc_id")
+        .groupBy($"cid", $"lang").agg(count(lit(1)).as("nl"))
+      val w = Window.partitionBy($"cid").orderBy($"nl".desc, $"lang")
+      perLang
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_docs", sum($"nl").over(Window.partitionBy($"cid")))
+        .filter($"rn" === 1)
+        .select($"cid", $"n_docs", $"lang".as("top_lang"), $"nl".as("top_n"))
+        .withColumn("purity_milli", expr("(top_n * 1000) div n_docs"))
+        .orderBy($"cid")
     }
   )
 
@@ -1385,6 +1416,27 @@ object Pipeline {
          |  FROM s)
          |SELECT query_id, rnk, vec_id, dot FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin
+    },
+
+    "q_cluster_purity" -> {
+      val dot = "CAST(list_sum(list_transform(range(1, 65), i -> %s[i] * %s[i])) AS BIGINT)"
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 16),
+         |ad AS (SELECT v.vec_id, c.cid, ${dot.format("v.q", "c.cq")} AS cdot FROM e v CROSS JOIN c),
+         |a AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |pl AS (SELECT a.cid, d.lang, COUNT(*) AS nl
+         |  FROM a JOIN documents d ON a.vec_id = d.doc_id GROUP BY 1, 2),
+         |t AS (SELECT cid, CAST(SUM(nl) AS BIGINT) AS n_docs FROM pl GROUP BY 1),
+         |top AS (SELECT cid, lang AS top_lang, nl AS top_n FROM (
+         |    SELECT pl.*, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY nl DESC, lang) AS rn
+         |    FROM pl) WHERE rn = 1)
+         |SELECT top.cid, n_docs, top_lang, CAST(top_n AS BIGINT) AS top_n,
+         |  CAST(top_n * 1000 // n_docs AS BIGINT) AS purity_milli
+         |FROM top JOIN t USING (cid) ORDER BY top.cid""".stripMargin
     },
 
     "q_kmeans_train" -> {
