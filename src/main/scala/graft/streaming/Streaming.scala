@@ -261,6 +261,53 @@ object Streaming {
     * known-bounded key populations. The TTL path requires an event-time
     * `ts` column; the unbounded path does not.
     */
+  /** Streaming latest-state upsert — the streaming twin of
+    * q_events_latest: per user, the most recent event (ts, then event_id
+    * as the tie-break) wins; each batch emits the user's refreshed row.
+    * State is one tiny tuple per user, evicted by the same event-time TTL
+    * shape as [[userProfiles]] (anchored to the user's newest event), so
+    * a month-long stream doesn't hold every user ever seen. Late arrivals
+    * older than the current winner are absorbed without an emit.
+    */
+  def latestState(events: DataFrame,
+                  idleTtlMs: Option[Long] = Some(86400000L),
+                  watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    // state: (ms, event_id, event_type, value_c)
+    val rows = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type").cast("string"), cents(col("value")).as("value_c"),
+        unix_millis(col("ts")).as("ms"), col("ts"))
+      .as[(Long, Long, String, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    val timeout =
+      if (idleTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    rows.flatMapGroupsWithState[(Long, Long, String, Long), (Long, Long, String, Long)](
+      OutputMode.Append(), timeout) {
+      case (uid, it, state: GroupState[(Long, Long, String, Long)]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          var cur = state.getOption.getOrElse((Long.MinValue, Long.MinValue, "", 0L))
+          var changed = false
+          it.foreach { case (_, eid, t, vc, ms, _) =>
+            if (ms > cur._1 || (ms == cur._1 && eid > cur._2)) {
+              cur = (ms, eid, t, vc); changed = true
+            }
+          }
+          state.update(cur)
+          idleTtlMs.foreach { ttl =>
+            state.setTimeoutTimestamp(
+              math.max(cur._1 + ttl, state.getCurrentWatermarkMs() + 1))
+          }
+          if (changed) Iterator((uid, cur._2, cur._3, cur._4)) else Iterator.empty
+        }
+    }.toDF("user_id", "event_id", "event_type", "value_c")
+  }
+
   def userProfiles(events: DataFrame,
                    idleTtlMs: Option[Long] = Some(86400000L),
                    watermark: String = "2 hours"): DataFrame = {

@@ -107,6 +107,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("latestState: streaming upsert converges to the batch latest-event winners") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batch 1: events at minutes 0..59; batch 2: later events that
+    // overtake every user's winner, plus one stale arrival that must not
+    val b1 = (0 until 60).map(i => IdEv(100L + i, ts(i), s"t${i % 3}", i % 5, i * 1.0))
+    val b2 = (0 until 5).map(u => IdEv(500L + u, ts(120 + u), "late", u, 9.0)) :+
+      IdEv(999L, ts(1), "stale", 0, 1.0)
+    val stream = MemoryStream[IdEv]
+    val q = Streaming.latestState(stream.toDF())
+      .writeStream.format("memory").queryName("latest").outputMode("append").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val emitted = spark.table("latest")
+        .select($"user_id", $"event_id", $"event_type", $"value_c")
+        .as[(Long, Long, String, Long)].collect().toSet
+      // the batch winners over ALL data must each have been emitted
+      val winners = (b1 ++ b2).groupBy(_.user_id).map { case (u, evs) =>
+        val w = evs.maxBy(e => (e.ts.getTime, e.event_id))
+        (u, w.event_id, w.event_type, math.round(w.value * 100))
+      }.toSet
+      assert(winners.subsetOf(emitted), s"missing winners: ${winners -- emitted}")
+      // the stale arrival never became anyone's state
+      assert(!emitted.exists(_._2 == 999L), emitted)
+    } finally q.stop()
+  }
+
   test("userProfiles: custom state accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
