@@ -460,6 +460,23 @@ object Relational {
         .orderBy($"event_type")
     },
 
+    // -- Compaction round-trip: documents written as 20 small files,
+    // compacted by graft.sources.Compact (narrow coalesce, no exchange),
+    // read back and aggregated — proving the maintenance pass preserves
+    // every row through the driver's hash gate, the same way the format
+    // round-trips prove their sinks.
+    "q_compact_roundtrip" -> { (s, d) =>
+      import s.implicits._
+      val base = s"${FormatQueries.tmpBase}/compact/${d.hashCode.toHexString}"
+      Tables.documents(s, d).repartition(20).write.mode("overwrite").parquet(s"$base/in")
+      val (_, nOut, _) = graft.sources.Compact.parquet(s, s"$base/in", s"$base/out")
+      require(nOut == 1, s"expected 1 compacted file, got $nOut")
+      s.read.parquet(s"$base/out")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .orderBy($"lang")
+    },
+
     // -- Bucketed co-located join: the ONE big-big join shape where a
     // shuffle is avoidable by layout instead of by broadcast. Both fact
     // tables are written bucketed + sorted on the join key; the join then
@@ -559,6 +576,10 @@ object Relational {
         |FROM events e JOIN (SELECT DISTINCT event_type FROM events) d
         |  ON e.event_type = d.event_type
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_compact_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
