@@ -19,6 +19,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify: Tables.events' NTZ→LTZ normalization is only
+      // value-preserving under a pinned zone, and bench row hashes must
+      // match the oracle gate's on any host
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

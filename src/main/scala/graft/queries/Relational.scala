@@ -361,10 +361,10 @@ object Relational {
         .withColumn("s_total",
           $"s_present" + (lit(m) - $"nb") * lit(1L << 25))
         // raw E = alpha_m * m^2 / sum(2^-rank); alpha as the rational
-        // 7213/10213 (0.7213/(1+1.079/m) at m=256), INTEGER division so
-        // both engines produce the identical bigint
+        // 7213/10042 ≈ 0.71828 (0.7213/(1+1.079/m) at m=256, to 1e-5),
+        // INTEGER division so both engines produce the identical bigint
         .select($"event_type", $"nb", $"s_total",
-          expr(s"(${7213L * m.toLong * m * (1L << 25)}L div (10213 * s_total))")
+          expr(s"(${7213L * m.toLong * m * (1L << 25)}L div (10042 * s_total))")
             .as("hll_raw_e"))
         .orderBy($"event_type")
     },
@@ -469,8 +469,10 @@ object Relational {
       import s.implicits._
       val base = s"${FormatQueries.tmpBase}/compact/${d.hashCode.toHexString}"
       Tables.documents(s, d).repartition(20).write.mode("overwrite").parquet(s"$base/in")
-      val (_, nOut, _) = graft.sources.Compact.parquet(s, s"$base/in", s"$base/out")
-      require(nOut == 1, s"expected 1 compacted file, got $nOut")
+      val (nIn, nOut, _) = graft.sources.Compact.parquet(s, s"$base/in", s"$base/out")
+      // compaction must reduce the file count; the exact output count is
+      // byte-targeted, so it legitimately grows past 1 at larger SFs
+      require(nOut < nIn, s"compaction did not reduce files: $nIn -> $nOut")
       s.read.parquet(s"$base/out")
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
@@ -533,7 +535,7 @@ object Relational {
         |  FROM regs GROUP BY event_type)
         |SELECT event_type, nb,
         |  CAST(s_present + (256 - nb) * 33554432 AS BIGINT) AS s_total,
-        |  CAST(15861554742296576 // (10213 * (s_present + (256 - nb) * 33554432)) AS BIGINT) AS hll_raw_e
+        |  CAST(15861554742296576 // (10042 * (s_present + (256 - nb) * 33554432)) AS BIGINT) AS hll_raw_e
         |FROM agg ORDER BY event_type""".stripMargin,
     "q_profile_quantiles" ->
       """WITH ev AS (SELECT event_type,

@@ -22,23 +22,35 @@ import org.apache.spark.sql.SparkSession
   */
 object Compact {
 
-  /** Returns (inputFiles, outputFiles, rows). */
+  private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Long] = {
+    // RECURSIVE: hive-partitioned layouts keep their files in key=value
+    // subdirectories — a flat listing would size the rewrite from 0 bytes
+    val it = fs.listFiles(dir, true)
+    val sizes = Seq.newBuilder[Long]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) sizes += st.getLen
+    }
+    sizes.result()
+  }
+
+  /** Returns (inputFiles, outputFiles, rows). Note the rewrite flattens a
+    * hive-partitioned input: partition columns become plain columns in the
+    * compacted files (re-`partitionBy` at the write site if the layout
+    * must survive).
+    */
   def parquet(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long = 512L << 20,
               shuffle: Boolean = false): (Int, Int, Long) = {
     val in = new Path(inDir)
     val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(in).filter { st =>
-      st.isFile && st.getPath.getName.endsWith(".parquet")
-    }
-    val totalBytes = parts.map(_.getLen).sum
+    val parts = parquetFiles(fs, in)
+    val totalBytes = parts.sum
     val nOut = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
     val df = spark.read.parquet(inDir)
     val sized = if (shuffle) df.repartition(nOut) else df.coalesce(nOut)
     sized.write.mode("overwrite").parquet(outDir)
-    val outParts = fs.listStatus(new Path(outDir)).count { st =>
-      st.isFile && st.getPath.getName.endsWith(".parquet")
-    }
+    val outParts = parquetFiles(fs, new Path(outDir)).length
     (parts.length, outParts, spark.read.parquet(outDir).count())
   }
 }

@@ -249,18 +249,6 @@ object Streaming {
       .toDF("user_id", "t_view_ms", "t_click_ms", "t_purchase_ms")
   }
 
-  /** Per-user running profile via flatMapGroupsWithState — custom state the
-    * declarative operators cannot express: cumulative event count and the
-    * set of distinct event types per user, emitted on every update.
-    *
-    * Same state-bound story as [[funnel]]: by default an event-time TTL
-    * evicts users idle past `idleTtlMs` (anchored to the newest event ever
-    * seen; a returning user starts a fresh profile). `idleTtlMs = None`
-    * restores the unbounded accumulate-forever semantics — state then
-    * grows with every user ever seen and never shrinks; only safe for
-    * known-bounded key populations. The TTL path requires an event-time
-    * `ts` column; the unbounded path does not.
-    */
   /** Streaming latest-state upsert — the streaming twin of
     * q_events_latest: per user, the most recent event (ts, then event_id
     * as the tie-break) wins; each batch emits the user's refreshed row.
@@ -308,6 +296,18 @@ object Streaming {
     }.toDF("user_id", "event_id", "event_type", "value_c")
   }
 
+  /** Per-user running profile via flatMapGroupsWithState — custom state the
+    * declarative operators cannot express: cumulative event count and the
+    * set of distinct event types per user, emitted on every update.
+    *
+    * Same state-bound story as [[funnel]]: by default an event-time TTL
+    * evicts users idle past `idleTtlMs` (anchored to the newest event ever
+    * seen; a returning user starts a fresh profile). `idleTtlMs = None`
+    * restores the unbounded accumulate-forever semantics — state then
+    * grows with every user ever seen and never shrinks; only safe for
+    * known-bounded key populations. The TTL path requires an event-time
+    * `ts` column; the unbounded path does not.
+    */
   def userProfiles(events: DataFrame,
                    idleTtlMs: Option[Long] = Some(86400000L),
                    watermark: String = "2 hours"): DataFrame = {

@@ -23,6 +23,19 @@ class CompactSpec extends AnyFunSuite with SparkFixture {
     assert(got == (0 until 10000).map(i => (i.toLong, s"row$i")).toSet)
   }
 
+  test("hive-partitioned input sizes from its subdirectory files") {
+    import spark.implicits._
+    val base = scratch()
+    val in = s"$base/in"
+    val df = (0 until 8000).map(i => (i.toLong, i % 4, "y" * 32)).toDF("id", "k", "s")
+    df.repartition(10).write.partitionBy("k").parquet(in)
+    val (nIn, nOut, rows) = Compact.parquet(spark, in, s"$base/out")
+    assert(nIn > 1, s"expected partitioned small files, got $nIn")
+    assert(nOut == 1 && rows == 8000L, s"nOut=$nOut rows=$rows")
+    // partition column survives as a plain column
+    assert(spark.read.parquet(s"$base/out").columns.toSet == Set("id", "k", "s"))
+  }
+
   test("target size splits output; shuffle mode rebalances") {
     import spark.implicits._
     val base = scratch()
