@@ -185,6 +185,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"), s"q_kmeans_train join degraded to sort-merge\n$p")
   }
 
+  test("q_cluster_purity: corpus is never hash-partitioned by vec_id") {
+    // same contract as IVF/k-means: centroid assignment must stay a
+    // narrow broadcast-codebook argmax; an Exchange on vec_id means the
+    // cross-modal join degraded into shipping the assigned corpus twice
+    val p = finalPlan(Pipeline.queries("q_cluster_purity")(spark, sf))
+    val vecExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("vec_id")).toSeq
+    assert(vecExchanges.isEmpty,
+      s"assignment shuffled on vec_id: ${vecExchanges.mkString("; ")}\n$p")
+  }
+
   test("q_dedup_minhash_sig evaluates the native expression exactly once") {
     val analyzed = Pipeline.queries("q_dedup_minhash_sig")(spark, sf)
       .queryExecution.optimizedPlan.toString
