@@ -146,4 +146,54 @@ object DeriveIndex {
         false
     }
   }
+
+  /** Derive a tabix `.tbi` for an unindexed BGZF VCF: one task per byte
+    * tile reads the lines its tile OWNS (the scan's exact ownership rule,
+    * so together the tiles see every record exactly once) with their
+    * virtual offsets, and accumulates tabix bins per contig. Tiles merge
+    * in file order with zero shifts (derived voffs are already absolute);
+    * an unsorted file refuses derivation — mergeSorted returns None —
+    * exactly like the sinks' co-write path.
+    */
+  def deriveVcfTbi(file: String, size: Long, splitSize: Long,
+                   conf: SerializableConf): Boolean = {
+    val spark = SparkSession.active
+    try {
+      val ts = tiles(0L, size, splitSize)
+      val perTile = spark.sparkContext.parallelize(ts, ts.size)
+        .map { case (s, e) =>
+          val in = HadoopIO.open(new Path(file), conf.conf)
+          try {
+            val b = new graft.index.TbiBuilder
+            SplitTextReader.bgzfLinesWithVoff(in, s, e).foreach { case (line, vb, ve) =>
+              if (line.nonEmpty && line.charAt(0) != '#') {
+                val f = line.split('\t')
+                if (f.length >= 4) {
+                  val pos0 = f(1).toInt - 1
+                  b.add(f(0), pos0, pos0 + math.max(1, f(3).length), vb, ve)
+                }
+              }
+            }
+            b.result()
+          } finally in.close()
+        }
+        .collect().toSeq
+      if (perTile.forall(_.firstName == null)) {
+        log.warn(s"deriveIndex: no records found in $file"); return false
+      }
+      graft.index.TbiPartData.mergeSorted(perTile, Seq.fill(perTile.size)(0L)) match {
+        case None =>
+          log.warn(s"deriveIndex: $file is not coordinate-sorted; not writing .tbi")
+          false
+        case Some(tbi) =>
+          publish(conf, new Path(file + ".tbi")) { out =>
+            graft.index.TbiIndex.write(out, tbi)
+          }
+      }
+    } catch {
+      case e: Exception =>
+        log.warn(s"deriveIndex: tbi derivation failed for $file: ${e.getMessage}")
+        false
+    }
+  }
 }

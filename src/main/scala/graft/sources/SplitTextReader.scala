@@ -117,12 +117,61 @@ object SplitTextReader {
   // ---- BGZF text --------------------------------------------------------
 
   private def bgzfLines(in: SeekableInput, splitStart: Long, splitEnd: Long): Iterator[String] = {
+    val stream = bgzfStreamAt(in, splitStart, splitEnd)
+    if (stream == null) return Iterator.empty
+    new Iterator[String] {
+      private var nextLine: String = advance()
+
+      private def advance(): String = {
+        if (stream.atEof || stream.blockStartOffset >= splitEnd) return null
+        val out = new ByteArrayOutputStream(160)
+        var c = stream.read()
+        if (c < 0) return null
+        while (c >= 0 && c != '\n') { out.write(c); c = stream.read() }
+        stripCr(out.toString("UTF-8"))
+      }
+
+      def hasNext: Boolean = nextLine != null
+      def next(): String = { val l = nextLine; nextLine = advance(); l }
+    }
+  }
+
+  /** BGZF lines with each line's [begin, end) VIRTUAL offsets — the feed
+    * for deriving tabix-style indexes from an existing file. Ownership
+    * rule identical to [[lines]].
+    */
+  def bgzfLinesWithVoff(in: SeekableInput, splitStart: Long,
+                        splitEnd: Long): Iterator[(String, Long, Long)] = {
+    val stream = bgzfStreamAt(in, splitStart, splitEnd)
+    if (stream == null) return Iterator.empty
+    new Iterator[(String, Long, Long)] {
+      private var nextLine: (String, Long, Long) = advance()
+
+      private def advance(): (String, Long, Long) = {
+        if (stream.atEof || stream.blockStartOffset >= splitEnd) return null
+        val beg = stream.virtualOffset
+        val out = new ByteArrayOutputStream(160)
+        var c = stream.read()
+        if (c < 0) return null
+        while (c >= 0 && c != '\n') { out.write(c); c = stream.read() }
+        (stripCr(out.toString("UTF-8")), beg, stream.virtualOffset)
+      }
+
+      def hasNext: Boolean = nextLine != null
+      def next(): (String, Long, Long) = { val l = nextLine; nextLine = advance(); l }
+    }
+  }
+
+  /** Stream positioned at the first line the split [splitStart, splitEnd)
+    * OWNS (partial head line skipped), or null when the split owns none.
+    */
+  private def bgzfStreamAt(in: SeekableInput, splitStart: Long, splitEnd: Long): BgzfInputStream = {
     // first block starting at/after splitStart
     val firstBlock = if (splitStart == 0) 0L else BgzfBlockGuesser.nextBlockOffset(in, splitStart)
-    if (firstBlock < 0 || firstBlock >= splitEnd) return Iterator.empty
+    if (firstBlock < 0 || firstBlock >= splitEnd) return null
     val stream = new BgzfInputStream(in)
     stream.seekBlock(firstBlock)
-    if (stream.atEof) return Iterator.empty
+    if (stream.atEof) return null
 
     // does a line start at the very beginning of firstBlock? yes iff file
     // start, or the last *data* byte before firstBlock is '\n'. The
@@ -157,24 +206,9 @@ object SplitTextReader {
       // discard the partial line that crosses into this block
       var c = stream.read()
       while (c >= 0 && c != '\n') c = stream.read()
-      if (c < 0) return Iterator.empty
+      if (c < 0) return null
     }
-
-    new Iterator[String] {
-      private var nextLine: String = advance()
-
-      private def advance(): String = {
-        if (stream.atEof || stream.blockStartOffset >= splitEnd) return null
-        val out = new ByteArrayOutputStream(160)
-        var c = stream.read()
-        if (c < 0) return null
-        while (c >= 0 && c != '\n') { out.write(c); c = stream.read() }
-        stripCr(out.toString("UTF-8"))
-      }
-
-      def hasNext: Boolean = nextLine != null
-      def next(): String = { val l = nextLine; nextLine = advance(); l }
-    }
+    stream
   }
 
   /** Final uncompressed byte of the block at `blockOff`, or -1 if the block

@@ -110,7 +110,7 @@ class VcfScan(options: Map[String, String], required: StructType,
           // .java:33-73 / VcfSource.java:143-168); record-level residual
           // filters keep exactness
           val tbiPath = new org.apache.hadoop.fs.Path(file.toString + ".tbi")
-          val tbiRanges: Option[Seq[(Long, Long)]] =
+          def tbiRangesNow(): Option[Seq[(Long, Long)]] =
             if (bgzf && intervals.isDefined && fs.exists(tbiPath)) {
               val tin = HadoopIO.open(tbiPath, conf)
               val tbi = try scala.util.Try(graft.index.TbiIndex.read(tin)).toOption
@@ -127,6 +127,7 @@ class VcfScan(options: Map[String, String], required: StructType,
                   }.reverse
               }
             } else None
+          val tbiRanges = tbiRangesNow()
           // tribble `.idx` pruning — the plain-text counterpart of tabix
           // (reference loads either via IndexFactory, VcfSource.java:157).
           // Index positions are plain byte offsets for uncompressed text,
@@ -150,20 +151,35 @@ class VcfScan(options: Map[String, String], required: StructType,
                   }.reverse
               }
             } else None
-          tbiRanges.orElse(idxRanges) match {
-            case Some(ranges) =>
-              ranges.flatMap { case (rs, re) =>
-                val n = ((re - rs) + splitSize - 1) / splitSize
-                (0L until n).map { i =>
-                  VcfInputPartition(file.toString, rs + i * splitSize, math.min(re, rs + (i + 1) * splitSize),
-                    header, bgzf, wholeGzip = false, intervals, stringency)
-                }
-              }
-            case None =>
-              val nSplits = math.max(1L, (size + splitSize - 1) / splitSize)
-              (0L until nSplits).map { i =>
-                VcfInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
+          def tileRanges(ranges: Seq[(Long, Long)]): Seq[VcfInputPartition] =
+            ranges.flatMap { case (rs, re) =>
+              val n = ((re - rs) + splitSize - 1) / splitSize
+              (0L until n).map { i =>
+                VcfInputPartition(file.toString, rs + i * splitSize, math.min(re, rs + (i + 1) * splitSize),
                   header, bgzf, wholeGzip = false, intervals, stringency)
+              }
+            }
+          tbiRanges.orElse(idxRanges) match {
+            case Some(ranges) => tileRanges(ranges)
+            case None =>
+              // first-contact derivation (the VCF face of the BAM/CRAM
+              // deriveIndex option): run the voff-tracking line walk ONCE
+              // as a distributed job, write the .tbi back, re-plan pruned
+              val derived =
+                if (bgzf && intervals.isDefined && !fs.exists(tbiPath) &&
+                    options.get("deriveindex").exists(_.toBoolean) &&
+                    graft.sources.DeriveIndex.deriveVcfTbi(
+                      file.toString, size, splitSize, new graft.sources.SerializableConf(conf)))
+                  tbiRangesNow()
+                else None
+              derived match {
+                case Some(ranges) => tileRanges(ranges)
+                case None =>
+                  val nSplits = math.max(1L, (size + splitSize - 1) / splitSize)
+                  (0L until nSplits).map { i =>
+                    VcfInputPartition(file.toString, i * splitSize, math.min(size, (i + 1) * splitSize),
+                      header, bgzf, wholeGzip = false, intervals, stringency)
+                  }
               }
           }
         }

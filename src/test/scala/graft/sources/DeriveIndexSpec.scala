@@ -56,6 +56,35 @@ class DeriveIndexSpec extends AnyFunSuite with SparkFixture {
     assert(again.toSeq == base.toSeq)
   }
 
+  test("VCF: first deriveIndex interval read writes .tbi; second scan prunes") {
+    val s = spark
+    import s.implicits._
+    val vs = (0 until 6000).map { i =>
+      graft.vcf.Variant("chr1", 1000 + i * 150, 1000 + i * 150, null, "A", Seq("G"),
+        java.lang.Double.valueOf(30.0), Seq("PASS"), Map("DP" -> i.toString), Nil)
+    }
+    val dir = tmpDir()
+    val out = dir.resolve("d.vcf.bgz")
+    spark.createDataset(vs).toDF().coalesce(1).sortWithinPartitions($"start")
+      .write.format("vcf").mode("overwrite").save(out.toString) // no writeTbi
+    assert(!Files.exists(dir.resolve("d.vcf.bgz.tbi")))
+    val want = vs.count(v => v.start <= 220000 && v.end >= 200000)
+    // first contact: derivation runs, rows exact
+    val first = spark.read.format("vcf").option("splitSize", 4096)
+      .option("deriveIndex", "true")
+      .option("intervals", "chr1:200000-220000").load(out.toString)
+    assert(first.count() == want)
+    assert(Files.exists(dir.resolve("d.vcf.bgz.tbi")), "deriveIndex did not write the .tbi")
+    // later scans need no option: the derived .tbi prunes like a co-written one
+    val all = spark.read.format("vcf").option("splitSize", 4096).load(out.toString)
+    val iv = spark.read.format("vcf").option("splitSize", 4096)
+      .option("intervals", "chr1:200000-220000").load(out.toString)
+    val (nAll, nIv) = (all.rdd.getNumPartitions, iv.rdd.getNumPartitions)
+    assert(nAll > 4, s"want many unfiltered partitions, got $nAll")
+    assert(nIv < nAll, s"derived tbi pruning lost: $nIv vs $nAll")
+    assert(iv.count() == want)
+  }
+
   test("CRAM: first deriveIndex read writes .crai; second scan plans the indexed route") {
     val dir = tmpDir()
     val out = dir.resolve("t.cram")
