@@ -62,7 +62,11 @@ object DeriveIndex {
     * nothing in planning consumes them; counting would cost a full decode).
     */
   def deriveBamSbi(file: String, refs: IndexedSeq[BamRef], headerEndVoff: Long,
-                   size: Long, splitSize: Long, conf: SerializableConf): Boolean = {
+                   size: Long, splitSize: Long, conf: SerializableConf): Boolean =
+    once(s"sbi:$file")(deriveBamSbiImpl(file, refs, headerEndVoff, size, splitSize, conf))
+
+  private def deriveBamSbiImpl(file: String, refs: IndexedSeq[BamRef], headerEndVoff: Long,
+                               size: Long, splitSize: Long, conf: SerializableConf): Boolean = {
     val spark = SparkSession.active
     try {
       val ts = tiles(0L, size, splitSize)
@@ -100,7 +104,11 @@ object DeriveIndex {
     * in its tile — together the tiles see every container exactly once.
     */
   def deriveCramCrai(file: String, size: Long, splitSize: Long,
-                     conf: SerializableConf): Boolean = {
+                     conf: SerializableConf): Boolean =
+    once(s"crai:$file")(deriveCramCraiImpl(file, size, splitSize, conf))
+
+  private def deriveCramCraiImpl(file: String, size: Long, splitSize: Long,
+                                 conf: SerializableConf): Boolean = {
     val spark = SparkSession.active
     try {
       val start0 = CramContainers.FileDefinitionLength.toLong
@@ -147,16 +155,39 @@ object DeriveIndex {
     }
   }
 
+  /** Per-process negative cache: a file whose derivation REFUSED (unsorted,
+    * malformed, read-only fs) would otherwise re-pay the full-file
+    * distributed discovery job on every subsequent query before falling
+    * back to the unindexed path — cache the refusal so the fallback is
+    * immediate for the rest of the JVM. A successful derive needs no
+    * cache: the sidecar itself short-circuits planning.
+    */
+  private val refused = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def once(key: String)(derive: => Boolean): Boolean = {
+    if (refused.contains(key)) return false
+    val ok = derive
+    if (!ok) refused.add(key)
+    ok
+  }
+
   /** Derive a tabix `.tbi` for an unindexed BGZF VCF: one task per byte
     * tile reads the lines its tile OWNS (the scan's exact ownership rule,
     * so together the tiles see every record exactly once) with their
-    * virtual offsets, and accumulates tabix bins per contig. Tiles merge
-    * in file order with zero shifts (derived voffs are already absolute);
-    * an unsorted file refuses derivation — mergeSorted returns None —
-    * exactly like the sinks' co-write path.
+    * virtual offsets, and accumulates tabix bins per contig — record end
+    * honors INFO `END` exactly like the sink co-write, so symbolic
+    * SV/gVCF spans prune identically. Tiles merge in file order with
+    * zero shifts (derived voffs are already absolute); an unsorted file
+    * refuses derivation — mergeSorted returns None — exactly like the
+    * sinks' co-write path, and ANY malformed record refuses too (an
+    * index that silently omitted it would lose rows under pruning that
+    * the lenient unindexed scan still returns).
     */
   def deriveVcfTbi(file: String, size: Long, splitSize: Long,
-                   conf: SerializableConf): Boolean = {
+                   conf: SerializableConf): Boolean =
+    once(s"tbi:$file")(deriveVcfTbiImpl(file, size, splitSize, conf))
+
+  private def deriveVcfTbiImpl(file: String, size: Long, splitSize: Long,
+                               conf: SerializableConf): Boolean = {
     val spark = SparkSession.active
     try {
       val ts = tiles(0L, size, splitSize)
@@ -165,23 +196,37 @@ object DeriveIndex {
           val in = HadoopIO.open(new Path(file), conf.conf)
           try {
             val b = new graft.index.TbiBuilder
-            SplitTextReader.bgzfLinesWithVoff(in, s, e).foreach { case (line, vb, ve) =>
-              if (line.nonEmpty && line.charAt(0) != '#') {
-                val f = line.split('\t')
-                if (f.length >= 4) {
-                  val pos0 = f(1).toInt - 1
-                  b.add(f(0), pos0, pos0 + math.max(1, f(3).length), vb, ve)
+            var ok = true
+            try {
+              SplitTextReader.bgzfLinesWithVoff(in, s, e).foreach { case (line, vb, ve) =>
+                if (line.nonEmpty && line.charAt(0) != '#') {
+                  val f = line.split('\t')
+                  if (f.length < 4) throw new NumberFormatException("short line")
+                  val pos1 = f(1).toInt
+                  // 1-based inclusive end: INFO END, else pos + len(REF) - 1
+                  // (VcfCodec semantics); builder takes 0-based inclusive
+                  val end1 =
+                    if (f.length > 7) f(7).split(';').collectFirst {
+                      case kv if kv.startsWith("END=") => kv.substring(4).toInt
+                    }.getOrElse(pos1 + f(3).length - 1)
+                    else pos1 + f(3).length - 1
+                  b.add(f(0), pos1 - 1, math.max(pos1, end1) - 1, vb, ve)
                 }
               }
-            }
-            b.result()
+            } catch { case _: NumberFormatException => ok = false }
+            (b.result(), ok)
           } finally in.close()
         }
         .collect().toSeq
-      if (perTile.forall(_.firstName == null)) {
+      if (perTile.exists(!_._2)) {
+        log.warn(s"deriveIndex: $file has malformed records; not writing a lossy .tbi")
+        return false
+      }
+      val parts = perTile.map(_._1)
+      if (parts.forall(_.firstName == null)) {
         log.warn(s"deriveIndex: no records found in $file"); return false
       }
-      graft.index.TbiPartData.mergeSorted(perTile, Seq.fill(perTile.size)(0L)) match {
+      graft.index.TbiPartData.mergeSorted(parts, Seq.fill(parts.size)(0L)) match {
         case None =>
           log.warn(s"deriveIndex: $file is not coordinate-sorted; not writing .tbi")
           false

@@ -116,25 +116,11 @@ object SplitTextReader {
 
   // ---- BGZF text --------------------------------------------------------
 
-  private def bgzfLines(in: SeekableInput, splitStart: Long, splitEnd: Long): Iterator[String] = {
-    val stream = bgzfStreamAt(in, splitStart, splitEnd)
-    if (stream == null) return Iterator.empty
-    new Iterator[String] {
-      private var nextLine: String = advance()
-
-      private def advance(): String = {
-        if (stream.atEof || stream.blockStartOffset >= splitEnd) return null
-        val out = new ByteArrayOutputStream(160)
-        var c = stream.read()
-        if (c < 0) return null
-        while (c >= 0 && c != '\n') { out.write(c); c = stream.read() }
-        stripCr(out.toString("UTF-8"))
-      }
-
-      def hasNext: Boolean = nextLine != null
-      def next(): String = { val l = nextLine; nextLine = advance(); l }
-    }
-  }
+  // one iterator implementation: the plain-line scan is the voff-tracking
+  // walk minus the offsets, so the ownership/EOF rules can never drift
+  // between the scan and the index derivation
+  private def bgzfLines(in: SeekableInput, splitStart: Long, splitEnd: Long): Iterator[String] =
+    bgzfLinesWithVoff(in, splitStart, splitEnd).map(_._1)
 
   /** BGZF lines with each line's [begin, end) VIRTUAL offsets — the feed
     * for deriving tabix-style indexes from an existing file. Ownership

@@ -85,6 +85,30 @@ class DeriveIndexSpec extends AnyFunSuite with SparkFixture {
     assert(iv.count() == want)
   }
 
+  test("VCF: derived .tbi honors INFO END spans (symbolic SV not pruned away)") {
+    val s = spark
+    import s.implicits._
+    // one long symbolic deletion spanning [1000, 900000] + dense SNPs; a
+    // derived index that binned the SV only at its start would prune the
+    // block for a query deep inside the span and silently lose the row
+    val sv = graft.vcf.Variant("chr1", 1000, 900000, "sv1", "N", Seq("<DEL>"),
+      java.lang.Double.valueOf(60.0), Seq("PASS"), Map("END" -> "900000", "SVTYPE" -> "DEL"), Nil)
+    val snps = (0 until 6000).map { i =>
+      graft.vcf.Variant("chr1", 1000 + i * 150, 1000 + i * 150, null, "A", Seq("G"),
+        java.lang.Double.valueOf(30.0), Seq("PASS"), Map("DP" -> i.toString), Nil)
+    }
+    val dir = tmpDir()
+    val out = dir.resolve("sv.vcf.bgz")
+    spark.createDataset(sv +: snps).toDF().coalesce(1).sortWithinPartitions($"start")
+      .write.format("vcf").mode("overwrite").save(out.toString)
+    val got = spark.read.format("vcf").option("splitSize", 4096)
+      .option("deriveIndex", "true")
+      .option("intervals", "chr1:899000-899500").load(out.toString)
+    val ids = got.select($"id").collect().map(_.getString(0))
+    assert(Files.exists(dir.resolve("sv.vcf.bgz.tbi")))
+    assert(ids.contains("sv1"), s"SV lost under derived-index pruning: ${ids.toSeq}")
+  }
+
   test("CRAM: first deriveIndex read writes .crai; second scan plans the indexed route") {
     val dir = tmpDir()
     val out = dir.resolve("t.cram")
