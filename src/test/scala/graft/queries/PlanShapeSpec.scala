@@ -185,6 +185,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"), s"q_kmeans_train join degraded to sort-merge\n$p")
   }
 
+  test("q_vocab_bigrams top-k runs as TakeOrdered, not a global sort") {
+    // per-partition heaps ship k rows to the driver; a full Sort before
+    // the limit would materialize the entire bigram vocabulary ordered
+    val p = finalPlan(Pipeline.queries("q_vocab_bigrams")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q_vocab_bigrams lost its TakeOrdered top-k\n$p")
+  }
+
   test("q_cluster_purity: corpus is never hash-partitioned by vec_id") {
     // same contract as IVF/k-means: centroid assignment must stay a
     // narrow broadcast-codebook argmax; an Exchange on vec_id means the
