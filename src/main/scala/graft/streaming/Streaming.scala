@@ -249,6 +249,69 @@ object Streaming {
       .toDF("user_id", "t_view_ms", "t_click_ms", "t_purchase_ms")
   }
 
+  /** Streaming rolling-spike detection — the streaming twin of
+    * q_events_spikes: per event type, an hour is flagged when its count
+    * reaches ≥1.5× the mean of the 24 preceding complete hours (full
+    * windows only, cross-multiplied so the threshold is integer-exact
+    * like the batch query). Rolling rows-frames don't exist in streaming,
+    * so the state function keeps the per-type hour→count map itself:
+    * hours FINALIZE when the watermark passes their end (late events
+    * within the watermark still count; later ones are dropped by the
+    * watermark), and state holds at most ~25 live hours per type —
+    * bounded regardless of stream length, since finalized hours beyond
+    * the trailing window are evicted immediately.
+    */
+  def spikes(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    val HourMs = 3600000L
+    events
+      .withWatermark("ts", watermark)
+      .select(col("event_type").cast("string"),
+        unix_millis(date_trunc("hour", col("ts"))).as("hourMs"), col("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      // state: (open hour→count map, finalized (hour, count) ring newest-last)
+      .flatMapGroupsWithState[(Map[Long, Long], Seq[(Long, Long)]), (String, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (etype, rows, state: GroupState[(Map[Long, Long], Seq[(Long, Long)])]) =>
+          val timedOut = state.hasTimedOut
+          var (open, done) = state.getOption
+            .getOrElse((Map.empty[Long, Long], Seq.empty[(Long, Long)]))
+          rows.foreach { case (_, h, _) => open = open.updated(h, open.getOrElse(h, 0L) + 1L) }
+          val wm = state.getCurrentWatermarkMs()
+          // finalize complete hours in order; emit spikes against the 24
+          // finalized hours preceding each (the batch query's exact test)
+          val out = Seq.newBuilder[(String, Long, Long, Long)]
+          open.keys.toSeq.sorted.foreach { h =>
+            if (h + HourMs <= wm) {
+              val n = open(h)
+              val prev = done.takeRight(24)
+              // rows-frame semantics: the 24 immediately preceding HOURS
+              // present in the series (gap hours don't exist in the batch
+              // rollup either), full windows only
+              if (prev.length == 24) {
+                val prevSum = prev.map(_._2).sum
+                if (n * 24L * 2L >= prevSum * 3L) out += ((etype, h, n, prevSum))
+              }
+              done = (done :+ ((h, n))).takeRight(25)
+              open = open - h
+            }
+          }
+          if (timedOut && open.isEmpty) state.remove() // idle type: drop it
+          else {
+            state.update((open, done))
+            // wake when the next open hour can finalize (or idle-expire
+            // after a trailing window with no live hours)
+            state.setTimeoutTimestamp(
+              math.max(open.keys.minOption.map(_ + HourMs).getOrElse(wm + 25 * HourMs), wm + 1))
+          }
+          out.result().iterator
+      }
+      .toDF("event_type", "hour_ms", "n", "prev_sum")
+  }
+
   /** Streaming latest-state upsert — the streaming twin of
     * q_events_latest: per user, the most recent event (ts, then event_id
     * as the tie-break) wins; each batch emits the user's refreshed row.

@@ -107,6 +107,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("spikes: streaming rolling anomaly equals the batch rolling-window test") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // hour h carries (h % 5) + 1 events, except hour 28 spikes at 12
+    def countAt(h: Int): Int = if (h == 28) 12 else (h % 5) + 1
+    val evs = (0 until 32).flatMap { h =>
+      (0 until countAt(h)).map(j => Ev(ts(h * 60 + j % 60), "click", j, 1.0))
+    }
+    val stream = MemoryStream[Ev]
+    val q = Streaming.spikes(stream.toDF())
+      .writeStream.format("memory").queryName("spikes").outputMode("append").start()
+    try {
+      stream.addData(evs)
+      q.processAllAvailable()
+      // watermark push: a far-future event finalizes every loaded hour
+      stream.addData(Ev(ts(40 * 60), "click", 0, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("spikes")
+        .select($"hour_ms", $"n", $"prev_sum").as[(Long, Long, Long)].collect().toSet
+      // the batch query's exact formula over the same hourly series
+      val expected = (24 until 32).flatMap { h =>
+        val n = countAt(h).toLong
+        val prevSum = (h - 24 until h).map(countAt(_).toLong).sum
+        if (n * 24 * 2 >= prevSum * 3) Some((ts(h * 60).getTime, n, prevSum)) else None
+      }.toSet
+      assert(got == expected, s"got=$got expected=$expected")
+      assert(got.exists(_._1 == ts(28 * 60).getTime), "planted spike not flagged")
+    } finally q.stop()
+  }
+
   test("latestState: streaming upsert converges to the batch latest-event winners") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
