@@ -20,6 +20,18 @@ object DebugOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // matching oracle subset, so the local DuckDB compare can run on just
+    // these queries without a full Verify pass
+    val sel = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      sel.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")

@@ -42,6 +42,13 @@ object Pipeline {
   /** 4 bands × 15 bits: pigeonhole guarantees hamming ≤ 3 pairs collide. */
   private val SimhashBands = 4
   private val FpMod = 17 // keep word-5-gram fingerprints where hash % 17 == 0
+  private val SubstrGram = 8 // word 8-grams for substring-level dedup
+  private val SubstrMod = 7  // keep substring fingerprints where hash % 7 == 0
+  private val OrderShards = 32 // training-order shards (worker files) per epoch
+  // product quantization: 64-dim embedding → 8 subspaces × 8 dims, 16 codes each
+  private val PqSub = 8
+  private val PqDim = 8
+  private val PqCodes = 16
 
   // PII patterns shared by the Spark query and its oracle: kept to syntax
   // both Java regex and RE2 (DuckDB) read identically
@@ -662,6 +669,36 @@ object Pipeline {
         .orderBy($"new_doc")
     },
 
+    // substring-level duplicate spans (the dedup modality document-level
+    // minhash can't see: a boilerplate paragraph shared by otherwise-
+    // distinct pages). Every word 8-gram gets a rolling 60-bit fingerprint;
+    // winnowing keeps the deterministic 1/7 sample (hash % 7 == 0 — a pure
+    // content function, so the same span samples identically in every doc
+    // it appears in), and the registry is fingerprints seen in ≥2 docs.
+    // Scale shape: one narrow codegen'd pass per doc, explode only the
+    // SAMPLED grams (~len/7 rows), ONE shuffle on the fingerprint — the
+    // 100 TB version of Lee et al.'s suffix-array substring dedup with
+    // hash-bucket rather than suffix-order machinery.
+    "q_dedup_substr" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("ws", words($"text"))
+        .withColumn("fps",
+          when(size($"ws") >= SubstrGram,
+            filter(
+              transform(sequence(lit(1), size($"ws") - (SubstrGram - 1)),
+                i => hash60(concat_ws(" ",
+                  (0 until SubstrGram).map(o => element_at($"ws", i + o)): _*))),
+              h => h % SubstrMod === 0))
+            .otherwise(array().cast("array<long>")))
+        .select($"doc_id", explode($"fps").as("fp"))
+        .groupBy($"fp")
+        .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
+          min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .filter($"n_docs" >= 2)
+        .orderBy($"fp")
+    },
+
     // stratified train/val/test assignment by portable content-stable hash:
     // the split is a pure function of doc_id, so re-runs, backfills, and
     // different partitionings all agree — one narrow pass + tiny aggregate
@@ -676,6 +713,32 @@ object Pipeline {
           sum($"n_chars".cast("long")).as("sum_chars"),
           min($"doc_id").as("min_doc"))
         .orderBy($"lang", $"split")
+    },
+
+    // deterministic global training order: every (epoch, doc) gets a
+    // content-stable shuffle key (hash of doc_id + epoch salt), sharded to
+    // worker files by key mod. The query emits the epoch MANIFEST — per
+    // (epoch, shard) counts, key range, and checksums — which is the
+    // artifact a trainer validates before reading; the write side is
+    // `repartition(shard).sortWithinPartitions(skey)`, i.e. a shuffle whose
+    // payload is the corpus exactly once per epoch and whose order within a
+    // worker file is reproducible bit-for-bit from (corpus, epoch) alone.
+    // Scale shape: narrow key assignment, ONE tiny aggregate (shards ×
+    // epochs rows); no window, no global sort in the manifest itself.
+    "q_train_order" -> { (s, d) =>
+      import s.implicits._
+      val epochs = Seq(0L, 1L).toDF("epoch")
+      Tables.documents(s, d).select($"doc_id")
+        .crossJoin(broadcast(epochs))
+        .withColumn("skey", hash60(concat(lit("order|"), $"epoch".cast("string"),
+          lit("|"), $"doc_id".cast("string"))))
+        .withColumn("shard", $"skey" % OrderShards)
+        .groupBy($"epoch", $"shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min($"skey").as("min_key"), max($"skey").as("max_key"),
+          sum($"skey" % lit(1000000007L)).as("key_sum"),
+          sum($"doc_id").as("sum_doc_ids"))
+        .orderBy($"epoch", $"shard")
     },
 
     // token-budget MIXTURE sampling: cap every language at a fixed token
@@ -866,6 +929,58 @@ object Pipeline {
       scored.withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 5)
         .select($"query_id", $"rnk", $"vec_id", $"dot")
+        .orderBy($"query_id", $"rnk")
+    },
+
+    // product-quantization ANN: the compression leg of the ANN family
+    // (brute-force = exact baseline, LSH = hash cells, IVF = coarse cells,
+    // PQ = compressed codes). The 64-dim vector is split into 8 subspaces
+    // of 8 dims; each subspace is encoded as the id of its nearest of 16
+    // sub-centroids (deterministic codebook standing in for an offline
+    // k-means, same convention as IVF). ENCODING is one narrow fold over
+    // the broadcast codebook — the corpus never shuffles and stores 8
+    // small ints per vector (64× compression at float32). QUERIES score by
+    // asymmetric distance: exact query sub-vector vs the centroid of each
+    // stored code, i.e. the classic ADC lookup, here folded per candidate
+    // because the codebook is broadcast. Top-k per query by approximate
+    // distance; at 100 TB the scored side reads the 8-byte codes, not the
+    // 256-byte vectors — the point of PQ.
+    "q_ann_pq" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
+      val cents = e.filter($"vec_id" < PqCodes).select($"vec_id".as("cid"), $"q".as("cq"))
+      val codebook = cents.agg(sort_array(collect_list(struct($"cid", $"cq"))).as("cb"))
+      // squared L2 between two sub-slices (integer-quantized, exact)
+      def subsq(a: Column, b: Column, m: Column): Column =
+        aggregate(
+          zip_with(slice(a, m * PqDim + 1, lit(PqDim)), slice(b, m * PqDim + 1, lit(PqDim)),
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v)
+      // encode: per subspace, argmin over the 16 codes (tie → smaller cid;
+      // cb is cid-ascending so a strict < fold keeps the first minimum)
+      val encoded = e.crossJoin(broadcast(codebook))
+        .withColumn("codes", transform(sequence(lit(0), lit(PqSub - 1)), m =>
+          aggregate($"cb",
+            struct(lit(Long.MaxValue).as("d"), lit(-1L).as("c")),
+            (acc, ent) => {
+              val dist = subsq($"q", ent("cq"), m)
+              when(dist < acc("d"), struct(dist.as("d"), ent("cid").as("c"))).otherwise(acc)
+            },
+            acc => acc("c"))))
+        .select($"vec_id", $"codes", $"cb")
+      val qs = e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"q".as("qq"))
+      // ADC: sum over subspaces of ||query_sub - centroid(code_m)||^2
+      val scored = encoded.join(broadcast(qs), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          aggregate(sequence(lit(0), lit(PqSub - 1)), lit(0L), (acc, m) =>
+            acc + subsq($"qq",
+              element_at($"cb", (element_at($"codes", m.cast("int") + 1) + 1).cast("int"))("cq"),
+              m)).as("adist"))
+      val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"vec_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 10)
+        .select($"query_id", $"rnk", $"vec_id", $"adist")
         .orderBy($"query_id", $"rnk")
     },
 
@@ -1415,6 +1530,56 @@ object Pipeline {
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
          |  FROM s)
          |SELECT query_id, rnk, vec_id, dot FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin
+    },
+
+    "q_dedup_substr" -> {
+      val gram = (0 until SubstrGram).map(o => s"ws[i+$o]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(ws) >= $SubstrGram THEN
+         |    list_transform(range(1, len(ws) - ${SubstrGram - 2}), i -> ${h60(gram)})
+         |  ELSE [] END AS grams FROM t),
+         |f AS (SELECT doc_id, unnest(list_filter(grams, h -> h % $SubstrMod = 0)) AS fp FROM g)
+         |SELECT fp, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM f GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY fp""".stripMargin
+    },
+
+    "q_train_order" ->
+      s"""WITH ep AS (SELECT unnest([0, 1]) AS epoch),
+         |k AS (SELECT d.doc_id, ep.epoch,
+         |    ${h60("'order|' || CAST(ep.epoch AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)")} AS skey
+         |  FROM documents d CROSS JOIN ep)
+         |SELECT epoch, skey % $OrderShards AS shard, COUNT(*) AS n_docs,
+         |  MIN(skey) AS min_key, MAX(skey) AS max_key,
+         |  CAST(SUM(skey % 1000000007) AS BIGINT) AS key_sum,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+         |FROM k GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
+
+    "q_ann_pq" -> {
+      // squared L2 over subspace `m` (1-based dims m*8+1 .. m*8+8)
+      def sq(a: String, b: String, m: String) =
+        s"CAST(list_sum(list_transform(range(1, ${PqDim + 1}), " +
+          s"i -> ($a[$m*$PqDim+i] - $b[$m*$PqDim+i]) * ($a[$m*$PqDim+i] - $b[$m*$PqDim+i]))) AS BIGINT)"
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < $PqCodes),
+         |sub AS (SELECT unnest(range(0, $PqSub)) AS m),
+         |ad AS (SELECT v.vec_id, sub.m, c.cid, ${sq("v.q", "c.cq", "sub.m")} AS d
+         |  FROM e v CROSS JOIN sub CROSS JOIN c),
+         |enc AS (SELECT vec_id, m, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < 5),
+         |sc AS (SELECT qs.query_id, enc.vec_id, CAST(SUM(${sq("qs.qq", "c.cq", "enc.m")}) AS BIGINT) AS adist
+         |  FROM enc JOIN c ON enc.cid = c.cid CROSS JOIN qs
+         |  WHERE enc.vec_id <> qs.query_id
+         |  GROUP BY qs.query_id, enc.vec_id),
+         |r AS (SELECT query_id, vec_id, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
+         |  FROM sc)
+         |SELECT query_id, rnk, vec_id, adist FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin
     },
 

@@ -234,4 +234,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       assert(evals == 1, s"$q: $fn appears $evals times\n$analyzed")
     }
   }
+
+  test("q_ann_pq: encoding and ADC stay narrow — corpus never shuffles on vec_id") {
+    // the PQ codebook rides as ONE broadcast row (encode) and the query
+    // side as a broadcast relation (ADC); an Exchange on vec_id would mean
+    // the corpus shuffled to meet a join it should only ever stream past
+    val p = finalPlan(Pipeline.queries("q_ann_pq")(spark, sf))
+    val vecExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("vec_id")).toSeq
+    assert(vecExchanges.isEmpty,
+      s"q_ann_pq: corpus shuffled on vec_id: ${vecExchanges.mkString("; ")}\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q_ann_pq: join degraded to sort-merge\n$p")
+  }
+
+  test("q_dedup_substr: every hash exchange carries the fingerprint, no join") {
+    // sampled-gram explode then ONE logical shuffle on fp (the distinct
+    // doc-count rewrite may stage it as fp,doc_id then fp — both are
+    // fingerprint-partitioned); a join or a non-fp exchange would mean the
+    // registry degenerated into a pairwise comparison
+    val p = finalPlan(Pipeline.queries("q_dedup_substr")(spark, sf))
+    assert(!p.contains("Join"), s"q_dedup_substr plans a join\n$p")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.nonEmpty && ex.forall(_.contains("fp")),
+      s"q_dedup_substr: non-fingerprint exchange: ${ex.mkString("; ")}\n$p")
+  }
+
+  test("q_train_order: broadcast epoch fan-out, aggregate exchanges on (epoch, shard)") {
+    val p = finalPlan(Pipeline.queries("q_train_order")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q_train_order: epoch fan-out is not a broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q_train_order degraded to sort-merge\n$p")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.forall(l => l.contains("epoch") && l.contains("shard")),
+      s"q_train_order: exchange off the manifest key: ${ex.mkString("; ")}\n$p")
+  }
 }
