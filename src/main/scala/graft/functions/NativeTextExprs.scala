@@ -129,24 +129,27 @@ object FingerprintsExpr {
   val Gram = 5
   val Mod = 17
 
-  def compute(text: UTF8String): ArrayData = {
+  /** Shared gram-sample kernel: hash60 of every `gram`-word window, keeping
+    * hashes divisible by `mod` (content-stable winnowing sample).
+    */
+  private[functions] def gramSample(text: UTF8String, gram: Int, mod: Int): ArrayData = {
     val words = NativeText.splitWords(text)
     val w = words.size
     val out = new java.util.ArrayList[java.lang.Long](8)
-    if (w >= Gram) {
+    if (w >= gram) {
       val md = NativeText.md5.get()
       val sb = new java.lang.StringBuilder(128)
       var t = 0
-      while (t + Gram - 1 < w) {
+      while (t + gram - 1 < w) {
         sb.setLength(0)
         var g = 0
-        while (g < Gram) {
+        while (g < gram) {
           if (g > 0) sb.append(' ')
           sb.append(words.get(t + g))
           g += 1
         }
         val h = NativeText.h60(md, sb.toString)
-        if (h % Mod == 0) out.add(h)
+        if (h % mod == 0) out.add(h)
         t += 1
       }
     }
@@ -156,6 +159,8 @@ object FingerprintsExpr {
     new GenericArrayData(arr)
   }
 
+  def compute(text: UTF8String): ArrayData = gramSample(text, Gram, Mod)
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_fingerprints"),
@@ -163,6 +168,43 @@ object FingerprintsExpr {
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "graft_fingerprints(text) takes one argument")
         FingerprintsExpr(exprs.head)
+      })
+}
+
+/** Native word-8-gram fingerprint sampler for substring-level dedup
+  * (q_dedup_substr): hash60 of every 8-word window, keeping h % 7 == 0.
+  * Same kernel as [[FingerprintsExpr]] with the substring-dedup constants —
+  * the composed HOF form (one interpreted md5 per gram) measured 30 s at
+  * sf0.1 where this runs the whole pass inside whole-stage codegen.
+  */
+case class SubstrFpsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_substr_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SubstrFpsExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SubstrFpsExpr.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SubstrFpsExpr =
+    copy(child = newChild)
+}
+
+object SubstrFpsExpr {
+  val Gram = 8
+  val Mod = 7
+
+  def compute(text: UTF8String): ArrayData =
+    FingerprintsExpr.gramSample(text, Gram, Mod)
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_substr_fps"),
+      new ExpressionInfo(classOf[SubstrFpsExpr].getName, "graft_substr_fps"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_substr_fps(text) takes one argument")
+        SubstrFpsExpr(exprs.head)
       })
 }
 

@@ -42,8 +42,11 @@ object Pipeline {
   /** 4 bands × 15 bits: pigeonhole guarantees hamming ≤ 3 pairs collide. */
   private val SimhashBands = 4
   private val FpMod = 17 // keep word-5-gram fingerprints where hash % 17 == 0
-  private val SubstrGram = 8 // word 8-grams for substring-level dedup
-  private val SubstrMod = 7  // keep substring fingerprints where hash % 7 == 0
+  // substring-dedup constants live with the native expression that samples
+  // the grams (graft_substr_fps) — same no-divergence convention as the
+  // stop lists: query, expression, and oracle read one definition
+  private val SubstrGram = graft.functions.SubstrFpsExpr.Gram
+  private val SubstrMod = graft.functions.SubstrFpsExpr.Mod
   private val OrderShards = 32 // training-order shards (worker files) per epoch
   // product quantization: 64-dim embedding → 8 subspaces × 8 dims, 16 codes each
   private val PqSub = 8
@@ -681,17 +684,12 @@ object Pipeline {
     // hash-bucket rather than suffix-order machinery.
     "q_dedup_substr" -> { (s, d) =>
       import s.implicits._
+      // native: the md5-per-8-gram pass runs inside whole-stage codegen
+      // (the composed HOF form measured 30 s at sf0.1 vs ~1 s native; it
+      // survives as the equality-pinned spec in NativeExprSpec)
+      graft.functions.SubstrFpsExpr.register(s)
       Tables.documents(s, d)
-        .withColumn("ws", words($"text"))
-        .withColumn("fps",
-          when(size($"ws") >= SubstrGram,
-            filter(
-              transform(sequence(lit(1), size($"ws") - (SubstrGram - 1)),
-                i => hash60(concat_ws(" ",
-                  (0 until SubstrGram).map(o => element_at($"ws", i + o)): _*))),
-              h => h % SubstrMod === 0))
-            .otherwise(array().cast("array<long>")))
-        .select($"doc_id", explode($"fps").as("fp"))
+        .select($"doc_id", explode(expr("graft_substr_fps(text)")).as("fp"))
         .groupBy($"fp")
         .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
           min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))

@@ -94,6 +94,21 @@ class NativeExprSpec extends AnyFunSuite with SparkFixture {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
   }
 
+  test("native graft_substr_fps equals the composed 8-gram sample form") {
+    import spark.implicits._
+    SubstrFpsExpr.register(spark)
+    val df = randomDocs(23, 200).toDF("doc_id", "text")
+    val ws = filter(split(col("text"), " "), w => length(w) > 0)
+    val g = SubstrFpsExpr.Gram
+    val grams = when(size(ws) >= g,
+      transform(sequence(lit(1), size(ws) - (g - 1)),
+        i => GraftFunctions.hash60(concat_ws(" ", (0 until g).map(k => element_at(ws, i + k)): _*))))
+      .otherwise(array())
+    val composed = filter(grams, h => h % SubstrFpsExpr.Mod === 0)
+    val rows = df.select(expr("graft_substr_fps(text)"), composed).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
+  }
+
   test("native graft_stop_hits equals the composed filter-count forms") {
     import spark.implicits._
     StopHitsExpr.register(spark)
