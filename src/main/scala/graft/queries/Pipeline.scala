@@ -48,10 +48,12 @@ object Pipeline {
   private val SubstrGram = graft.functions.SubstrFpsExpr.Gram
   private val SubstrMod = graft.functions.SubstrFpsExpr.Mod
   private val OrderShards = 32 // training-order shards (worker files) per epoch
-  // product quantization: 64-dim embedding → 8 subspaces × 8 dims, 16 codes each
-  private val PqSub = 8
-  private val PqDim = 8
-  private val PqCodes = 16
+  // product quantization: 64-dim embedding → 8 subspaces × 8 dims, 16 codes
+  // each — constants live on the native kernel object (one definition for
+  // query, kernel, and oracle)
+  private val PqSub = graft.functions.NativePq.Sub
+  private val PqDim = graft.functions.NativePq.Dim
+  private val PqCodes = graft.functions.NativePq.Codes
 
   // PII patterns shared by the Spark query and its oracle: kept to syntax
   // both Java regex and RE2 (DuckDB) read identically
@@ -946,35 +948,22 @@ object Pipeline {
     "q_ann_pq" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      // native kernels: encode (per-subspace argmin over the broadcast
+      // codebook) and ADC scoring both run as codegen'd static calls — the
+      // composed HOF forms allocate interpreted structs per centroid per
+      // row and survive as the equality-pinned specs in NativeExprSpec
+      graft.functions.NativePq.register(s)
       val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
       val cents = e.filter($"vec_id" < PqCodes).select($"vec_id".as("cid"), $"q".as("cq"))
       val codebook = cents.agg(sort_array(collect_list(struct($"cid", $"cq"))).as("cb"))
-      // squared L2 between two sub-slices (integer-quantized, exact)
-      def subsq(a: Column, b: Column, m: Column): Column =
-        aggregate(
-          zip_with(slice(a, m * PqDim + 1, lit(PqDim)), slice(b, m * PqDim + 1, lit(PqDim)),
-            (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, v) => acc + v)
-      // encode: per subspace, argmin over the 16 codes (tie → smaller cid;
-      // cb is cid-ascending so a strict < fold keeps the first minimum)
       val encoded = e.crossJoin(broadcast(codebook))
-        .withColumn("codes", transform(sequence(lit(0), lit(PqSub - 1)), m =>
-          aggregate($"cb",
-            struct(lit(Long.MaxValue).as("d"), lit(-1L).as("c")),
-            (acc, ent) => {
-              val dist = subsq($"q", ent("cq"), m)
-              when(dist < acc("d"), struct(dist.as("d"), ent("cid").as("c"))).otherwise(acc)
-            },
-            acc => acc("c"))))
-        .select($"vec_id", $"codes", $"cb")
+        .select($"vec_id", expr("graft_pq_encode(q, cb)").as("codes"), $"cb")
       val qs = e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"q".as("qq"))
-      // ADC: sum over subspaces of ||query_sub - centroid(code_m)||^2
+      // ADC: sum over subspaces of ||query_sub - centroid(code_m)_sub||^2
+      // (cb is cid-ascending with cid = position, so codes index directly)
       val scored = encoded.join(broadcast(qs), $"vec_id" =!= $"query_id")
         .select($"query_id", $"vec_id",
-          aggregate(sequence(lit(0), lit(PqSub - 1)), lit(0L), (acc, m) =>
-            acc + subsq($"qq",
-              element_at($"cb", (element_at($"codes", m.cast("int") + 1) + 1).cast("int"))("cq"),
-              m)).as("adist"))
+          expr("graft_pq_adc(qq, codes, cb)").as("adist"))
       val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"vec_id")
       scored.withColumn("rnk", row_number().over(w))
         .filter($"rnk" <= 10)

@@ -190,6 +190,45 @@ class NativeExprSpec extends AnyFunSuite with SparkFixture {
     assert(n1.map(_._2).distinct.length > 4)
   }
 
+  test("native graft_pq_encode / graft_pq_adc equal the composed subspace folds") {
+    import spark.implicits._
+    NativePq.register(spark)
+    val Sub = NativePq.Sub; val Dim = NativePq.Dim
+    val df = spark.range(200).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(Sub * Dim)),
+        i => GraftFunctions.hash60(concat(col("id").cast("string"), lit("#"), i.cast("string")))
+          % 2001 - 1000).as("q"))
+    val cb = df.filter(col("vec_id") < NativePq.Codes)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cq")))).as("cb"))
+    val joined = df.crossJoin(broadcast(cb))
+    // composed encode: per-subspace strict-< fold (tie → first = smaller cid)
+    def subsq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+        m: org.apache.spark.sql.Column) =
+      aggregate(zip_with(slice(a, m * Dim + 1, lit(Dim)), slice(b, m * Dim + 1, lit(Dim)),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+    val composedCodes = transform(sequence(lit(0), lit(Sub - 1)), m =>
+      aggregate(col("cb"), struct(lit(Long.MaxValue).as("d"), lit(-1L).as("c")),
+        (acc, ent) => {
+          val dist = subsq(col("q"), ent("cq"), m)
+          when(dist < acc("d"), struct(dist.as("d"), ent("cid").as("c"))).otherwise(acc)
+        },
+        acc => acc("c")))
+    val both = joined.select(col("vec_id"),
+      expr("graft_pq_encode(q, cb)").as("ncodes"), composedCodes.as("ccodes"), col("q"), col("cb"))
+    both.collect().foreach(r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"encode mismatch at ${r.getLong(0)}"))
+    // composed ADC over the native codes (qq = the row's own q, any vector works)
+    val adc = both.select(col("vec_id"),
+      expr("graft_pq_adc(q, ncodes, cb)").as("nadist"),
+      aggregate(sequence(lit(0), lit(Sub - 1)), lit(0L), (acc, m) =>
+        acc + subsq(col("q"),
+          element_at(col("cb"), (element_at(col("ncodes"), m.cast("int") + 1) + 1).cast("int"))("cq"),
+          m)).as("cadist"))
+    adc.collect().foreach(r =>
+      assert(r.getLong(1) == r.getLong(2), s"adc mismatch at ${r.getLong(0)}"))
+  }
+
   test("extension class injects the function at session build time") {
     val ext = new GraftExtensions
     // smoke: applying the injector to fresh extensions must not throw; the
