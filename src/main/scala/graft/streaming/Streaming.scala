@@ -173,6 +173,61 @@ object Streaming {
       .toDF("doc_a", "doc_b", "band")
   }
 
+  /** Streaming SUBSTRING-duplicate detection — the streaming twin of
+    * q_dedup_substr: each arriving document's winnowed word-8-gram
+    * fingerprints (native graft_substr_fps, one codegen'd pass) key
+    * per-fingerprint state holding the docs that carried the span before;
+    * a new doc arriving on an occupied fingerprint emits a hit against the
+    * span's FIRST holder. `docs` must carry `doc_id`, `text`, `ts`.
+    *
+    * State bounds mirror [[nearDupCandidates]] exactly: per fingerprint the
+    * member list stops admitting at `maxDocs` (a span shared by thousands
+    * of docs is boilerplate — the skew guard, not a correctness cliff), and
+    * an event-time TTL evicts a fingerprint once the watermark passes its
+    * newest member by `ttlMs` (re-opened fresh by later arrivals).
+    */
+  def substrDupHits(docs: DataFrame, maxDocs: Int = 64,
+                    watermark: String = "1 hour",
+                    ttlMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.SubstrFpsExpr.register(s)
+    val fps = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"),
+        explode(expr("graft_substr_fps(text)")).as("fp"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    fps
+      .groupByKey { case (_, _, fp) => fp }
+      .flatMapGroupsWithState[(Seq[Long], Long), (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (fp, rows, state: GroupState[(Seq[Long], Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (seen, newestTs) = state.getOption.getOrElse((Vector.empty[Long], Long.MinValue))
+            val out = Seq.newBuilder[(Long, Long, Long)]
+            rows.foreach { case (docId, t, _) =>
+              if (t != null && t.getTime > newestTs) newestTs = t.getTime
+              if (!seen.contains(docId) && seen.size < maxDocs) {
+                // the span's first holder is the stable attribution target
+                // (the batch registry's first_doc)
+                if (seen.nonEmpty) out += ((fp, docId, seen.head))
+                seen = seen :+ docId
+              }
+            }
+            state.update((seen, newestTs))
+            val anchor = if (newestTs == Long.MinValue) state.getCurrentWatermarkMs() else newestTs
+            state.setTimeoutTimestamp(
+              math.max(anchor + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+      .toDF("fp", "doc_id", "first_doc")
+  }
+
   /** Streaming ordered funnel — the streaming twin of q_events_funnel:
     * per-user state machine tracking first view → first later click →
     * first later purchase, emitting the user's funnel row whenever a stage

@@ -425,6 +425,74 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         s"bucket was evicted early: ${pairs()}")
     } finally q.stop()
   }
+
+  private def salad(seed: String, n: Int): String =
+    (0 until n).map(i => s"w${math.abs((seed + i).hashCode) % 5000}").mkString(" ")
+
+  test("substrDupHits: streaming hits equal the batch registry") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // docs 1 and 2 share a 64-word paragraph; doc 3 is unrelated — all
+    // inside the watermark horizon so eviction can't fire mid-check
+    val para = salad("stream-shared", 64)
+    val docs = Seq(
+      (1L, s"${salad("s-one", 20)} $para ${salad("s-one-b", 20)}", ts(0)),
+      (2L, s"${salad("s-two", 25)} $para", ts(5)),
+      (3L, salad("s-three", 120), ts(10)))
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.substrDupHits(stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("substrdup").outputMode("append").start()
+    try {
+      stream.addData(docs.take(1))
+      q.processAllAvailable()
+      stream.addData(docs.drop(1)) // state carries across micro-batches
+      q.processAllAvailable()
+      val got = spark.table("substrdup")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // batch twin: the q_dedup_substr registry over the same documents
+      graft.functions.SubstrFpsExpr.register(spark)
+      val reg = docs.toDF("doc_id", "text", "ts")
+        .select($"doc_id", explode(expr("graft_substr_fps(text)")).as("fp"))
+        .groupBy($"fp").agg(countDistinct($"doc_id").as("n"))
+        .filter($"n" >= 2)
+        .collect().map(_.getLong(0)).toSet
+      assert(got.nonEmpty, "planted shared paragraph produced no streaming hits")
+      assert(got.map(_._1) == reg, s"streaming fps ${got.map(_._1)} != batch registry $reg")
+      assert(got.forall { case (_, d, f) => d == 2L && f == 1L },
+        s"hit attributed outside the planted pair: $got")
+    } finally q.stop()
+  }
+
+  test("substrDupHits: event-time TTL evicts stale fingerprints; arrivals re-open") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val para = salad("ttl-shared", 64)
+    def other(i: Int) = salad(s"ttl-other-$i", 40)
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.substrDupHits(stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("substrdup_ttl").outputMode("append").start()
+    try {
+      def hits(): Set[(Long, Long)] = spark.table("substrdup_ttl")
+        .select($"doc_id", $"first_doc").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      stream.addData(Seq((1L, para, ts(0)), (2L, para, ts(1))))
+      q.processAllAvailable()
+      assert(hits() == Set((2L, 1L)))
+      // unrelated docs 10h later advance the watermark far past
+      // (newest member t=1m) + 1h TTL, then trigger the eviction tick
+      stream.addData(Seq((100L, other(0), ts(600))))
+      q.processAllAvailable()
+      stream.addData(Seq((101L, other(1), ts(601))))
+      q.processAllAvailable()
+      // a fresh copy re-opens the evicted fingerprints — no hit against 1/2
+      stream.addData(Seq((3L, para, ts(602))))
+      q.processAllAvailable()
+      assert(hits() == Set((2L, 1L)), s"evicted fingerprint leaked state: ${hits()}")
+      stream.addData(Seq((4L, para, ts(603))))
+      q.processAllAvailable()
+      assert(hits() == Set((2L, 1L), (4L, 3L)), hits().toString)
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
