@@ -92,7 +92,35 @@ object NativePq {
     total
   }
 
+  /** Elementwise residual `q − cents[cid].cq` (IVF-PQ: the vector minus its
+    * coarse centroid; PQ then encodes the residual, not the raw vector).
+    * `cents` must be cid-ascending with cid == position, the same contract
+    * [[adc]] already imposes.
+    */
+  def residual(q: ArrayData, cents: ArrayData, cid: Long): ArrayData = {
+    val dim = q.numElements()
+    val cent = cents.getStruct(cid.toInt, 2)
+    val cq = cent.getArray(1)
+    if (cq.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"graft_vec_residual: centroid $cid has ${cq.numElements()} components, vector has $dim")
+    val out = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      out(i) = q.getLong(i) - cq.getLong(i)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_vec_residual"),
+      new ExpressionInfo(classOf[VecResidualExpr].getName, "graft_vec_residual"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3, "graft_vec_residual(q, cents, cid) takes three arguments")
+        VecResidualExpr(exprs.head, exprs(1), exprs(2))
+      })
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
@@ -122,6 +150,23 @@ case class PqEncodeExpr(left: Expression, right: Expression) extends BinaryExpre
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqEncodeExpr =
     copy(left = newLeft, right = newRight)
+}
+
+case class VecResidualExpr(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_vec_residual"
+
+  override protected def nullSafeEval(q: Any, cents: Any, cid: Any): Any =
+    NativePq.residual(q.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData],
+      cid.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, c, i) => s"graft.functions.NativePq.residual($q, $c, $i)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression, newSecond: Expression,
+      newThird: Expression): VecResidualExpr =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 case class PqAdcExpr(first: Expression, second: Expression, third: Expression)

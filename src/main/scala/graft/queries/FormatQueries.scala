@@ -205,6 +205,52 @@ object FormatQueries {
         .orderBy($"icontig", $"istart")
     },
 
+    // duplicate marking — the operator the reference's flagship consumer
+    // actually runs on it (GATK MarkDuplicatesSpark reads through Disq,
+    // reference README.md). Picard semantics, single-end slice: reads
+    // sharing (contig, unclipped 5' start, strand) are one duplicate set;
+    // the highest-scoring member (mapq here; ties → read name) is kept,
+    // the rest are marked. Scale shape: ONE shuffle on the position key,
+    // per-key groups are sequencing-depth-sized (tiny), everything after
+    // is a per-contig rollup — exactly how MarkDuplicatesSpark distributes.
+    // The reads round-trip through OUR bam sink+source first, so the codec
+    // and split planning sit inside the verified path.
+    "q_bam_markdup" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/md.bam"
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        when($"l_linenumber" % 2 === 0, 16).otherwise(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_partkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 13) % 5000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 13) % 5000) + 151).cast("int").as("end"),
+        (($"l_orderkey" * 7 + $"l_linenumber") % 61).cast("int").as("mapq"),
+        lit("151M").as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit("*").as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
+          .as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).option("writeSbi", "true").save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+        .select($"readName", $"contig", $"start", $"mapq",
+          ($"flags".bitwiseAND(16) =!= 0).cast("int").as("strand"))
+      val w = Window.partitionBy($"contig", $"start", $"strand")
+        .orderBy($"mapq".desc, $"readName")
+      back.withColumn("rn", row_number().over(w))
+        .withColumn("is_dup", ($"rn" > 1).cast("int"))
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_reads"),
+          sum($"is_dup".cast("long")).as("n_dups"),
+          countDistinct($"start", $"strand").as("n_sites"),
+          sum(when($"is_dup" === 0, $"mapq".cast("long")).otherwise(0L)).as("kept_mapq_sum"))
+        .orderBy($"contig")
+    },
+
     // single-file sink (headerless parts + concat commit + .sbi co-write)
     // → splittable scan planned from the SBI index (binary search, no
     // heuristic boundary scan)
@@ -477,6 +523,22 @@ object FormatQueries {
         |WHERE (ref_seq_id = 0 AND start_pos <= 50000 AND start_pos + span - 1 >= 1)
         |   OR (ref_seq_id = 2 AND start_pos <= 99999 AND start_pos + span - 1 >= 60000)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bam_markdup" ->
+      """WITH r AS (
+        |  SELECT 'r' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS readName,
+        |    CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END AS strand,
+        |    'chr' || CAST(l_partkey % 3 AS VARCHAR) AS contig,
+        |    (l_partkey * 13) % 5000 + 1 AS start,
+        |    (l_orderkey * 7 + l_linenumber) % 61 AS mapq
+        |  FROM lineitem),
+        |k AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY contig, start, strand ORDER BY mapq DESC, readName) AS rn
+        |  FROM r)
+        |SELECT contig, COUNT(*) AS n_reads,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  CAST(COUNT(DISTINCT (start, strand)) AS BIGINT) AS n_sites,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN mapq ELSE 0 END) AS BIGINT) AS kept_mapq_sum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bam_roundtrip_single" -> oracleAggregate(""),
     "q_bam_roundtrip_sharded" -> oracleAggregate(""),
     "q_sam_roundtrip" -> oracleAggregate(""),

@@ -1013,6 +1013,56 @@ object Pipeline {
         .orderBy($"query_id", $"rnk")
     },
 
+    // IVF-PQ: the production ANN architecture at 100 TB scale (coarse
+    // inverted lists bound the search, PQ residual codes shrink what each
+    // list stores from 256 B to 8 B per vector — the FAISS "IVFADC"
+    // composition of the two legs above). The corpus pass is ONE narrow
+    // codegen'd projection — coarse argmax, residual against the assigned
+    // centroid, per-subspace argmin — with both codebooks riding along as
+    // single broadcast rows; the corpus never shuffles and raw vectors are
+    // never read again after encode. Queries probe their 2 nearest cells,
+    // compute the query residual PER PROBED CELL on the broadcast side
+    // (residuals are cell-relative), and ADC-score only vectors assigned
+    // to those cells.
+    "q_ann_ivfpq" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.NativeIvf.register(s)
+      graft.functions.NativePq.register(s)
+      val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
+      val coarse = e.filter($"vec_id" < 16).select($"vec_id".as("cid"), $"q".as("cq"))
+      val coarseBk = coarse.agg(sort_array(collect_list(struct($"cid", $"cq"))).as("cents"))
+      // residual codebook: residuals of vectors 16..31 against their own
+      // coarse cells — the deterministic stand-in for an offline-trained
+      // residual codebook, same convention as the IVF/PQ codebooks
+      val rcb = e.filter($"vec_id" >= 16 && $"vec_id" < 16 + PqCodes)
+        .crossJoin(broadcast(coarseBk))
+        .select(($"vec_id" - 16).as("rcid"),
+          expr("graft_vec_residual(q, cents, graft_ivf_argmax(q, cents))").as("rcq"))
+        .agg(sort_array(collect_list(struct($"rcid", $"rcq"))).as("rcents"))
+      val encoded = e.crossJoin(broadcast(coarseBk)).crossJoin(broadcast(rcb))
+        .select($"vec_id", expr("graft_ivf_argmax(q, cents)").as("cid"),
+          expr("graft_pq_encode(graft_vec_residual(q, cents, graft_ivf_argmax(q, cents)), rcents)")
+            .as("codes"),
+          $"rcents")
+      val qs = e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"q".as("qq"))
+      val pw = Window.partitionBy($"query_id").orderBy($"pdot".desc, $"cid")
+      val probes = qs.join(broadcast(coarse))
+        .select($"query_id", $"qq", $"cid", qdot($"qq", $"cq").as("pdot"))
+        .withColumn("prn", row_number().over(pw))
+        .filter($"prn" <= 2)
+        .crossJoin(broadcast(coarseBk))
+        .select($"query_id", $"cid", expr("graft_vec_residual(qq, cents, cid)").as("qres"))
+      val scored = encoded.join(broadcast(probes),
+          encoded("cid") === probes("cid") && $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id", expr("graft_pq_adc(qres, codes, rcents)").as("adist"))
+      val w = Window.partitionBy($"query_id").orderBy($"adist".asc, $"vec_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 10)
+        .select($"query_id", $"rnk", $"vec_id", $"adist")
+        .orderBy($"query_id", $"rnk")
+    },
+
     // == codebook training ===============================================
 
     // Distributed k-means (Lloyd, 3 unrolled rounds) — the trainer that
@@ -1563,6 +1613,51 @@ object Pipeline {
          |  FROM enc JOIN c ON enc.cid = c.cid CROSS JOIN qs
          |  WHERE enc.vec_id <> qs.query_id
          |  GROUP BY qs.query_id, enc.vec_id),
+         |r AS (SELECT query_id, vec_id, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
+         |  FROM sc)
+         |SELECT query_id, rnk, vec_id, adist FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin
+    },
+
+    "q_ann_ivfpq" -> {
+      val dot = "CAST(list_sum(list_transform(range(1, 65), i -> %s[i] * %s[i])) AS BIGINT)"
+      def sq(a: String, b: String, m: String) =
+        s"CAST(list_sum(list_transform(range(1, ${PqDim + 1}), " +
+          s"i -> ($a[$m*$PqDim+i] - $b[$m*$PqDim+i]) * ($a[$m*$PqDim+i] - $b[$m*$PqDim+i]))) AS BIGINT)"
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 16),
+         |ad AS (SELECT v.vec_id, c.cid, ${dot.format("v.q", "c.cq")} AS cdot FROM e v CROSS JOIN c),
+         |a AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |res AS (SELECT e.vec_id, a.cid, list_transform(range(1, 65), i -> e.q[i] - c.cq[i]) AS r
+         |  FROM e JOIN a USING (vec_id) JOIN c ON a.cid = c.cid),
+         |rc AS (SELECT vec_id - 16 AS rcid, r AS rcq FROM res
+         |  WHERE vec_id >= 16 AND vec_id < ${16 + PqCodes}),
+         |sub AS (SELECT unnest(range(0, $PqSub)) AS m),
+         |encd AS (SELECT vec_id, m, rcid FROM (
+         |    SELECT res.vec_id, sub.m, rc.rcid,
+         |      ROW_NUMBER() OVER (PARTITION BY res.vec_id, sub.m
+         |        ORDER BY ${sq("res.r", "rc.rcq", "sub.m")}, rc.rcid) AS rn
+         |    FROM res CROSS JOIN sub CROSS JOIN rc) WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < 5),
+         |probe AS (SELECT query_id, cid FROM (
+         |    SELECT qs.query_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY ${dot.format("qs.qq", "c.cq")} DESC, c.cid) AS rn
+         |    FROM qs CROSS JOIN c) WHERE rn <= 2),
+         |qres AS (SELECT p.query_id, p.cid,
+         |    list_transform(range(1, 65), i -> qs.qq[i] - c.cq[i]) AS qr
+         |  FROM probe p JOIN c ON p.cid = c.cid JOIN qs ON qs.query_id = p.query_id),
+         |sc AS (SELECT qres.query_id, encd.vec_id,
+         |    CAST(SUM(${sq("qres.qr", "rc.rcq", "encd.m")}) AS BIGINT) AS adist
+         |  FROM encd JOIN a ON encd.vec_id = a.vec_id
+         |  JOIN qres ON a.cid = qres.cid
+         |  JOIN rc ON encd.rcid = rc.rcid
+         |  WHERE encd.vec_id <> qres.query_id
+         |  GROUP BY 1, 2),
          |r AS (SELECT query_id, vec_id, adist,
          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
          |  FROM sc)

@@ -57,6 +57,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"), s"q_ann_ivf: join degraded to sort-merge\n$p")
   }
 
+  test("q_ann_ivfpq: coarse assign + residual + PQ encode stay narrow") {
+    // the IVF-PQ corpus pass composes three kernels in one projection with
+    // both codebooks broadcast — like q_ann_ivf/q_ann_pq, no Exchange may
+    // hash-partition the corpus by vec_id, and no join may degrade to
+    // sort-merge (the probe side is 10 broadcast rows)
+    val p = finalPlan(Pipeline.queries("q_ann_ivfpq")(spark, sf))
+    val vecExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("vec_id")).toSeq
+    assert(vecExchanges.isEmpty,
+      s"q_ann_ivfpq: corpus shuffled on vec_id: ${vecExchanges.mkString("; ")}\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q_ann_ivfpq: join degraded to sort-merge\n$p")
+  }
+
   test("funnel stages join broadcast per-user aggregates, not stream-vs-stream") {
     val p = finalPlan(Relational.queries("q_events_funnel")(spark, sf))
     // the scale contract: every join the RAW event stream participates in
