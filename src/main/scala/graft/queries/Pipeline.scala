@@ -271,6 +271,62 @@ object Pipeline {
     } finally sigs.unpersist()
   }
 
+  /** SimHash near-dup candidate pairs (doc_a, doc_b, hamming), hamming ≤ 3:
+    * band the 60-bit fingerprint into 4 × 15-bit keys (pigeonhole — a pair
+    * within hamming distance 3 shares at least one intact band), bucket by
+    * (band, key) in ONE shuffle, pair within size-capped buckets, re-check
+    * exact hamming. Shared by q_dedup_simhash_pairs and the ensemble query.
+    */
+  private def simhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.SimhashExpr.register(s)
+    val sims = Tables.documents(s, d)
+      .select($"doc_id", expr("graft_simhash(text)").as("sh"))
+    val banded = sims.select($"doc_id", $"sh",
+      posexplode(array((0 until SimhashBands).map(b =>
+        shiftright($"sh", b * 15).bitwiseAND(lit(0x7fffL))): _*)).as(Seq("band", "key")))
+    banded.groupBy($"band", $"key")
+      .agg(sort_array(collect_list(struct($"doc_id", $"sh"))).as("ms"))
+      .filter(size($"ms") > 1 && size($"ms") <= MaxBucket)
+      .select(explode(flatten(transform($"ms", (x, i) =>
+        transform(slice($"ms", i + lit(2), size($"ms")),
+          y => struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
+            bit_count(x.getField("sh").bitwiseXOR(y.getField("sh"))).cast("long")
+              .as("hamming")))))).as("p"))
+      .select($"p.doc_a", $"p.doc_b", $"p.hamming")
+      .filter($"hamming" <= 3)
+      .distinct()
+  }
+
+  /** Embedding-cosine near-dup pairs (vec_a, vec_b, qdot), qdot ≥
+    * [[QdotThreshold]]: same-sign-bucket candidates (planes derived from
+    * corpus size — 8 at oracle scale, see [[lshPlanesFor]]), exact
+    * quantized dot scored on candidates only, buckets capped like
+    * [[lshCandidatePairs]]. Shared by q_dedup_embedding and the ensemble.
+    */
+  private def embeddingNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.NativeLsh.register(s)
+    val base = Tables.embeddings(s, d)
+    val planes = lshPlanesFor(countOnce(s"$d/embeddings", base))
+    val e = base
+      .select($"vec_id", quantized($"embedding").as("q"))
+      .withColumn("bucket", lshBucket(planes))
+      .persist() // quantize+bucket once: feeds pair generation and scoring
+    val pairs = e.groupBy($"bucket")
+      .agg(sort_array(collect_list($"vec_id")).as("ids"))
+      .filter(size($"ids") > 1 && size($"ids") <= MaxBucket)
+      .select(explode(flatten(transform($"ids", (x, i) =>
+        transform(slice($"ids", i + lit(2), size($"ids")),
+          y => struct(x.as("vec_a"), y.as("vec_b")))))).as("p"))
+      .select($"p.vec_a", $"p.vec_b")
+    pairs
+      .join(e.select($"vec_id".as("vec_a"), $"q".as("qa")), "vec_a")
+      .join(e.select($"vec_id".as("vec_b"), $"q".as("qb")), "vec_b")
+      .select($"vec_a", $"vec_b", qdot($"qa", $"qb").as("qdot"))
+      .filter($"qdot" >= QdotThreshold)
+  }
+
   /** Connected components over a symmetric edge list by min-label
     * propagation with pointer jumping: returns (id, lbl) with lbl = the
     * component's minimum id. localCheckpoint truncates lineage each round —
@@ -535,24 +591,7 @@ object Pipeline {
     // bucket-local, the re-check is two bit ops per pair.
     "q_dedup_simhash_pairs" -> { (s, d) =>
       import s.implicits._
-      graft.functions.SimhashExpr.register(s)
-      val sims = Tables.documents(s, d)
-        .select($"doc_id", expr("graft_simhash(text)").as("sh"))
-      val banded = sims.select($"doc_id", $"sh",
-        posexplode(array((0 until SimhashBands).map(b =>
-          shiftright($"sh", b * 15).bitwiseAND(lit(0x7fffL))): _*)).as(Seq("band", "key")))
-      banded.groupBy($"band", $"key")
-        .agg(sort_array(collect_list(struct($"doc_id", $"sh"))).as("ms"))
-        .filter(size($"ms") > 1 && size($"ms") <= MaxBucket)
-        .select(explode(flatten(transform($"ms", (x, i) =>
-          transform(slice($"ms", i + lit(2), size($"ms")),
-            y => struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
-              bit_count(x.getField("sh").bitwiseXOR(y.getField("sh"))).cast("long")
-                .as("hamming")))))).as("p"))
-        .select($"p.doc_a", $"p.doc_b", $"p.hamming")
-        .filter($"hamming" <= 3)
-        .distinct()
-        .orderBy($"doc_a", $"doc_b")
+      simhashNearDupPairs(s, d).orderBy($"doc_a", $"doc_b")
     },
 
     // n-gram Jaccard near-dup: exact Jaccard scored ONLY on LSH candidate
@@ -587,27 +626,7 @@ object Pipeline {
     // past [[MaxBucket]] are dropped, not exploded.
     "q_dedup_embedding" -> { (s, d) =>
       import s.implicits._
-      graft.functions.NativeLsh.register(s)
-      val base = Tables.embeddings(s, d)
-      // planes scale with corpus size (8 at oracle scale; see lshPlanesFor)
-      val planes = lshPlanesFor(countOnce(s"$d/embeddings", base))
-      val e = base
-        .select($"vec_id", quantized($"embedding").as("q"))
-        .withColumn("bucket", lshBucket(planes))
-        .persist() // quantize+bucket once: feeds pair generation and scoring
-      val pairs = e.groupBy($"bucket")
-        .agg(sort_array(collect_list($"vec_id")).as("ids"))
-        .filter(size($"ids") > 1 && size($"ids") <= MaxBucket)
-        .select(explode(flatten(transform($"ids", (x, i) =>
-          transform(slice($"ids", i + lit(2), size($"ids")),
-            y => struct(x.as("vec_a"), y.as("vec_b")))))).as("p"))
-        .select($"p.vec_a", $"p.vec_b")
-      pairs
-        .join(e.select($"vec_id".as("vec_a"), $"q".as("qa")), "vec_a")
-        .join(e.select($"vec_id".as("vec_b"), $"q".as("qb")), "vec_b")
-        .select($"vec_a", $"vec_b", qdot($"qa", $"qb").as("qdot"))
-        .filter($"qdot" >= QdotThreshold)
-        .orderBy($"vec_a", $"vec_b")
+      embeddingNearDupPairs(s, d).orderBy($"vec_a", $"vec_b")
     },
 
     // dedup RESOLUTION: candidate pairs → connected components → canonical
@@ -641,6 +660,47 @@ object Pipeline {
         .join(sizes, "lbl")
         .select($"lbl".as("cluster"), $"k.id".as("keeper"),
           $"k.n_tokens".as("keeper_tokens"), $"n_members")
+        .orderBy($"cluster")
+    },
+
+    // ENSEMBLE dedup: the three near-dup modalities catch different
+    // duplicate classes (minhash = shared shingles, simhash = small edit
+    // distance, embedding = semantic paraphrase), so a production pipeline
+    // unions their candidate edges before resolving components — a doc pair
+    // needs to be caught by only ONE sweep to collapse. Edge generation is
+    // the three bucket-capped passes above (each one shuffle, near-linear
+    // in the corpus); the union graph stays candidate-sized, components
+    // resolve exactly as in q_dedup_clusters, and the census carries
+    // per-modality edge counts as provenance — which sweep caught each
+    // cluster, the QA signal for tuning the thresholds.
+    "q_dedup_ensemble" -> { (s, d) =>
+      import s.implicits._
+      val sigs = signedDocs(Tables.documents(s, d)).select($"doc_id", $"sig").persist()
+      val mh = lshCandidatePairs(sigs)
+        .select($"doc_a", $"doc_b", lit("minhash").as("modality"))
+      val sh = simhashNearDupPairs(s, d)
+        .select($"doc_a", $"doc_b", lit("simhash").as("modality"))
+      val em = embeddingNearDupPairs(s, d)
+        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"), lit("embedding").as("modality"))
+      // localCheckpoint: materializes the union (3 tagged edge lists) so
+      // the propagation loop and the two census aggregates below replay
+      // stored blocks, and lets the signature cache go immediately
+      val all = mh.union(sh).union(em).localCheckpoint()
+      sigs.unpersist()
+      val upairs = all.select($"doc_a", $"doc_b").distinct()
+      val edges = upairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .union(upairs.select($"doc_b".as("src"), $"doc_a".as("dst"))).localCheckpoint()
+      val labels = resolveClusters(edges)
+      val mods = all.join(labels.select($"id", $"lbl"), $"doc_a" === $"id")
+        .groupBy($"lbl")
+        .agg(sum(when($"modality" === "minhash", 1L).otherwise(0L)).as("n_minhash"),
+          sum(when($"modality" === "simhash", 1L).otherwise(0L)).as("n_simhash"),
+          sum(when($"modality" === "embedding", 1L).otherwise(0L)).as("n_embedding"))
+      labels.groupBy($"lbl")
+        .agg(count(lit(1)).as("n_members"), sum($"id").as("sum_ids"))
+        .join(mods, "lbl")
+        .select($"lbl".as("cluster"), $"n_members", $"sum_ids",
+          $"n_minhash", $"n_simhash", $"n_embedding")
         .orderBy($"cluster")
     },
 
@@ -1378,6 +1438,58 @@ object Pipeline {
          |SELECT r.lbl AS cluster, r.id AS keeper, r.n_tokens AS keeper_tokens, s.n_members
          |FROM ranked r JOIN sizes s ON s.lbl = r.lbl
          |WHERE r.rn = 1 ORDER BY cluster""".stripMargin
+    },
+
+    "q_dedup_ensemble" -> {
+      val bucketTerms = (0 until LshPlanes).map { p =>
+        s"CASE WHEN list_sum(list_transform(range(1, 65), i -> q[i] * (${h60(s"'$p|' || CAST(i AS VARCHAR)")} % 2001 - 1000))) > 0 THEN ${1L << p} ELSE 0 END"
+      }.mkString(" +\n  ")
+      s"""${oracleBandsCte().replace("WITH t AS", "WITH RECURSIVE t AS")},
+         |cand_mh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandhash = b.bandhash
+         |    AND a.doc_id < b.doc_id
+         |  JOIN bok o ON o.band = a.band AND o.bandhash = a.bandhash),
+         |wt AS (SELECT doc_id, list_transform($wsExpr, w -> ${h60("w")}) AS wh FROM documents),
+         |shs AS (SELECT doc_id, CAST($simhashBitTerms AS BIGINT) AS sh FROM wt),
+         |bb AS (SELECT doc_id, sh, band, (sh >> (band * 15)) & 32767 AS key
+         |  FROM shs, UNNEST(range(0, $SimhashBands)) AS u(band)),
+         |sok AS (SELECT band, key FROM bb GROUP BY band, key
+         |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
+         |cand_sh AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |  FROM bb a JOIN bb b2 ON a.band = b2.band AND a.key = b2.key
+         |    AND a.doc_id < b2.doc_id
+         |  JOIN sok o ON o.band = a.band AND o.key = a.key
+         |  WHERE bit_count(xor(a.sh, b2.sh)) <= 3),
+         |ee AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |eb AS (SELECT vec_id, q, CAST($bucketTerms AS BIGINT) AS bucket FROM ee),
+         |eok AS (SELECT bucket FROM eb GROUP BY bucket
+         |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
+         |cand_em AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN eok o ON o.bucket = a.bucket
+         |  WHERE list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) >= $QdotThreshold),
+         |allp AS (SELECT doc_a, doc_b, 'minhash' AS modality FROM cand_mh
+         |  UNION ALL SELECT doc_a, doc_b, 'simhash' FROM cand_sh
+         |  UNION ALL SELECT doc_a, doc_b, 'embedding' FROM cand_em),
+         |up AS (SELECT DISTINCT doc_a, doc_b FROM allp),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM up
+         |  UNION ALL SELECT doc_b, doc_a FROM up),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+         |comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS lbl FROM reach GROUP BY src),
+         |mods AS (SELECT c.lbl,
+         |    CAST(SUM(CASE WHEN modality = 'minhash' THEN 1 ELSE 0 END) AS BIGINT) AS n_minhash,
+         |    CAST(SUM(CASE WHEN modality = 'simhash' THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
+         |    CAST(SUM(CASE WHEN modality = 'embedding' THEN 1 ELSE 0 END) AS BIGINT) AS n_embedding
+         |  FROM allp p JOIN comp c ON p.doc_a = c.id GROUP BY 1),
+         |mem AS (SELECT lbl, COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS sum_ids
+         |  FROM comp GROUP BY 1)
+         |SELECT mem.lbl AS cluster, n_members, sum_ids, n_minhash, n_simhash, n_embedding
+         |FROM mem JOIN mods ON mods.lbl = mem.lbl ORDER BY cluster""".stripMargin
     },
 
     "q_decontaminate" ->
