@@ -919,6 +919,40 @@ object Pipeline {
         .orderBy($"train_doc")
     },
 
+    // Bloom-prefiltered decontamination — the same EXACT result as
+    // q_decontaminate, reached through the 100 TB plan: when the holdout
+    // fingerprint registry is too big to broadcast as an exact hash table
+    // but fits as a bitset (~16 bits per key), the train side takes a
+    // narrow broadcast-Bloom membership test BEFORE the confirm join, so
+    // the join shuffle carries |true hits| + ~0.3% noise rows instead of
+    // every train fingerprint. Correctness does not depend on the filter:
+    // false positives die in the exact confirm join, false negatives are
+    // impossible by construction (BloomFilterSpec pins both properties,
+    // PlanShapeSpec pins the prefilter's position under the join).
+    "q_decontam_bloom" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.FingerprintsExpr.register(s)
+      val docs = Tables.documents(s, d)
+        .withColumn("bucket", hash60(concat(lit("split|"), $"doc_id".cast("string"))) % 1000)
+        .withColumn("split", when($"bucket" < 900, "train").otherwise("holdout"))
+        .select($"doc_id", $"split", explode(expr("graft_fingerprints(text)")).as("fp"))
+        .persist()
+      val train = docs.filter($"split" === "train").select($"doc_id".as("train_doc"), $"fp")
+      val holdout = docs.filter($"split" =!= "train").select($"doc_id".as("holdout_doc"), $"fp")
+      // sized from the same catalog-style corpus stat the LSH plane
+      // derivation reads (holdout keys ≈ a twentieth of corpus fps)
+      val mBits = BloomFilter.sizeFor(countOnce(s"$d/documents", Tables.documents(s, d)))
+      val bloom = BloomFilter.build(holdout.select($"fp"), "fp", mBits)
+      train.crossJoin(broadcast(bloom))
+        .filter(BloomFilter.mightContain($"bloom", $"fp", mBits))
+        .select($"train_doc", $"fp")
+        .join(holdout, "fp")
+        .groupBy($"train_doc")
+        .agg(countDistinct($"holdout_doc").as("n_holdout_docs"),
+          count(lit(1)).as("n_shared_fps"))
+        .orderBy($"train_doc")
+    },
+
     // == similarity search ===============================================
 
     // brute-force top-10 nearest (by quantized dot) for 5 query vectors;
@@ -1227,6 +1261,26 @@ object Pipeline {
        |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket)""".stripMargin
   }
 
+  /** Shared by q_decontaminate and q_decontam_bloom — the Bloom variant
+    * produces the bit-identical exact result through a prefiltered plan.
+    */
+  private lazy val decontaminateOracle: String =
+    s"""WITH t AS (SELECT doc_id, $wsExpr AS ws,
+       |    CASE WHEN ${h60("'split|' || CAST(doc_id AS VARCHAR)")} % 1000 < 900
+       |      THEN 'train' ELSE 'holdout' END AS split
+       |  FROM documents),
+       |g AS (SELECT doc_id, split,
+       |  CASE WHEN len(ws) >= 5 THEN list_transform(range(1, len(ws) - 3),
+       |    i -> ${h60("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]")})
+       |  ELSE [] END AS grams FROM t),
+       |f AS (SELECT doc_id, split, list_filter(grams, h -> h % $FpMod = 0) AS fps FROM g),
+       |e AS (SELECT doc_id, split, unnest(fps) AS fp FROM f),
+       |tr AS (SELECT doc_id AS train_doc, fp FROM e WHERE split = 'train'),
+       |te AS (SELECT doc_id AS holdout_doc, fp FROM e WHERE split <> 'train')
+       |SELECT train_doc, COUNT(DISTINCT holdout_doc) AS n_holdout_docs,
+       |  COUNT(*) AS n_shared_fps
+       |FROM tr JOIN te USING (fp) GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_text_tokens" ->
       s"""SELECT doc_id, len($wsExpr) AS n_ws_tokens,
@@ -1492,22 +1546,12 @@ object Pipeline {
          |FROM mem JOIN mods ON mods.lbl = mem.lbl ORDER BY cluster""".stripMargin
     },
 
-    "q_decontaminate" ->
-      s"""WITH t AS (SELECT doc_id, $wsExpr AS ws,
-         |    CASE WHEN ${h60("'split|' || CAST(doc_id AS VARCHAR)")} % 1000 < 900
-         |      THEN 'train' ELSE 'holdout' END AS split
-         |  FROM documents),
-         |g AS (SELECT doc_id, split,
-         |  CASE WHEN len(ws) >= 5 THEN list_transform(range(1, len(ws) - 3),
-         |    i -> ${h60("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]")})
-         |  ELSE [] END AS grams FROM t),
-         |f AS (SELECT doc_id, split, list_filter(grams, h -> h % $FpMod = 0) AS fps FROM g),
-         |e AS (SELECT doc_id, split, unnest(fps) AS fp FROM f),
-         |tr AS (SELECT doc_id AS train_doc, fp FROM e WHERE split = 'train'),
-         |te AS (SELECT doc_id AS holdout_doc, fp FROM e WHERE split <> 'train')
-         |SELECT train_doc, COUNT(DISTINCT holdout_doc) AS n_holdout_docs,
-         |  COUNT(*) AS n_shared_fps
-         |FROM tr JOIN te USING (fp) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_decontaminate" -> decontaminateOracle,
+
+    // identical exact result — the Bloom is a plan-level prefilter the
+    // oracle never needs to model (false positives die in the confirm
+    // join, false negatives are impossible)
+    "q_decontam_bloom" -> decontaminateOracle,
 
     "q_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, lang, source, len($wsExpr) AS n_tok FROM documents),

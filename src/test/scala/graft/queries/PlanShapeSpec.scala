@@ -71,6 +71,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"), s"q_ann_ivfpq: join degraded to sort-merge\n$p")
   }
 
+  test("q_decontam_bloom: membership prefilter sits under the confirm join") {
+    // the point of the Bloom variant is the train side shrinking BEFORE the
+    // fp-join shuffle: the physical plan must carry a Filter with the
+    // word-probe shape (shiftleft bit test) — if the filter is optimized
+    // away or hoisted above the join, the plan degrades to q_decontaminate
+    // (Catalyst folds the filter into the 1-row crossJoin's condition, so
+    // the probe appears as a BroadcastNestedLoopJoin condition — either
+    // rendering is the wanted plan, as long as it sits BELOW the fp join)
+    val p = finalPlan(Pipeline.queries("q_decontam_bloom")(spark, sf))
+    val lines = p.linesIterator.toVector
+    val probeLine = lines.indexWhere(_.contains("shiftleft"))
+    val confirmLine = lines.indexWhere(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("ShuffledHashJoin")) && l.contains("fp"))
+    assert(probeLine >= 0, s"q_decontam_bloom: no Bloom word-probe in the plan\n$p")
+    assert(confirmLine >= 0 && probeLine > confirmLine,
+      s"q_decontam_bloom: prefilter not below the confirm join (probe@$probeLine, join@$confirmLine)\n$p")
+  }
+
   test("funnel stages join broadcast per-user aggregates, not stream-vs-stream") {
     val p = finalPlan(Relational.queries("q_events_funnel")(spark, sf))
     // the scale contract: every join the RAW event stream participates in
