@@ -25,6 +25,21 @@ object GraftFunctions {
     */
   def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Morton/Z-order interleave of two 16-bit dimensions into a 32-bit key:
+    * bit i of `x` lands at position 2i, bit i of `y` at 2i+1. Fixing a
+    * z-key prefix fixes a prefix of BOTH dimensions, so any contiguous
+    * z-range is a bounded hyperrectangle — the property multi-dimensional
+    * data skipping rests on (file/row-group min-max stats stay tight in
+    * every interleaved dimension after a z-ordered layout, where a linear
+    * sort bounds only its leading column). 32 static shift-mask terms,
+    * fully inside whole-stage codegen; the identical arithmetic is
+    * expressible in vanilla SQL for the oracle.
+    */
+  def zkey16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(x.bitwiseAND(lit(1L << i)), i) + shiftleft(y.bitwiseAND(lit(1L << i)), i + 1)
+    }.reduce(_ + _)
+
   /** Dot product of two double array columns (sequential fold, codegen'd). */
   def dotProduct(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)

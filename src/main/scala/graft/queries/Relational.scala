@@ -397,6 +397,68 @@ object Relational {
         .orderBy($"event_type")
     },
 
+    // -- Z-order layout: the multi-dimensional data-skipping operator. Two
+    // hash-spread 16-bit dimensions interleave into a 32-bit Morton key
+    // (one narrow codegen'd projection — graft.functions zkey16); the
+    // query reports per-z-bucket row counts and min/max bounds of BOTH
+    // dimensions, which is exactly the statistic a z-ordered file layout
+    // hands to scan pruning: every bucket is a bounded hyperrectangle
+    // (x-span AND y-span ≤ 2^11 for a 10-bit bucket prefix), where a
+    // linear sort bounds only its leading column. The write-side layout
+    // (repartitionByRange on the z-key + sortWithinPartitions) is pinned
+    // by ZOrderSpec, which measures per-partition spans against a
+    // single-column sort. Scale shape: narrow pass + one aggregate whose
+    // shuffle carries ≤ 1024 bucket rows per partition.
+    "q_layout_zorder" -> { (s, d) =>
+      import s.implicits._
+      val src = Tables.lineitem(s, d).select(
+        (($"l_partkey" * 40503L) % 65536L).as("x"),
+        (($"l_suppkey" * 30011L) % 65536L).as("y"))
+      src.withColumn("zbucket", shiftright(zkey16($"x", $"y"), 22))
+        .groupBy($"zbucket")
+        .agg(count(lit(1)).as("n"),
+          min($"x").as("min_x"), max($"x").as("max_x"),
+          min($"y").as("min_y"), max($"y").as("max_y"))
+        .withColumn("x_span", $"max_x" - $"min_x")
+        .withColumn("y_span", $"max_y" - $"min_y")
+        .orderBy($"zbucket")
+    },
+
+    // -- Count-min sketch frequency profiling: the third portable sketch
+    // next to the HLL (cardinality) and the histogram (quantiles) — a
+    // 4×1024-cell counter grid estimating per-user event counts in
+    // bounded memory. Build is one narrow explode (4 cells per event)
+    // into a map-side-combined aggregate whose shuffle carries at most
+    // 4096 rows per partition at ANY corpus size; estimates are the min
+    // over the 4 probed cells. The exact per-user pass exists here as the
+    // verification harness (the point of the sketch at 100 TB is to SKIP
+    // it); the report checks the CMS guarantee estimate ≥ exact on the
+    // top-20 heavy hitters. All hashing is the portable md5-based hash60,
+    // so the oracle reproduces every cell exactly.
+    "q_profile_cms" -> { (s, d) =>
+      import s.implicits._
+      val depth = 4
+      val width = 1024L
+      def cell(j: Int, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        pmod(hash60(concat(lit(s"cms$j|"), key.cast("string"))), lit(width))
+      val ev = Tables.events(s, d).select($"user_id")
+      val sketch = ev
+        .select(posexplode(array((0 until depth).map(j => cell(j, $"user_id")): _*))
+          .as(Seq("row", "cell")))
+        .groupBy($"row", $"cell").agg(count(lit(1)).as("cnt"))
+      val top = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy($"exact_n".desc, $"user_id").limit(20)
+      top
+        .select($"user_id", $"exact_n",
+          posexplode(array((0 until depth).map(j => cell(j, $"user_id")): _*))
+            .as(Seq("row", "cell")))
+        .join(broadcast(sketch), Seq("row", "cell"), "left")
+        .groupBy($"user_id", $"exact_n")
+        .agg(min(coalesce($"cnt", lit(0L))).as("cms_n"))
+        .select($"user_id", $"exact_n", $"cms_n", ($"cms_n" - $"exact_n").as("overcount"))
+        .orderBy($"user_id")
+    },
+
     // -- Rolling-window spike detection: hourly event counts per type
     // flagged when ≥1.5× the trailing-24-hour mean (full windows only).
     // The rolling frame is a rows-between window over the hourly rollup —
@@ -552,6 +614,34 @@ object Relational {
         |SELECT event_type, CAST(n AS BIGINT) AS n, p50_dollar, p95_dollar
         |FROM p50 JOIN p95 USING (event_type) JOIN tot USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    "q_layout_zorder" -> {
+      val zTerms = (0 until 16).map(i =>
+        s"((x & ${1L << i}) << $i) + ((y & ${1L << i}) << ${i + 1})").mkString(" + ")
+      s"""WITH src AS (SELECT (l_partkey * 40503) % 65536 AS x,
+         |    (l_suppkey * 30011) % 65536 AS y FROM lineitem),
+         |z AS (SELECT x, y, ($zTerms) >> 22 AS zbucket FROM src)
+         |SELECT zbucket, COUNT(*) AS n,
+         |  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y,
+         |  MAX(x) - MIN(x) AS x_span, MAX(y) - MIN(y) AS y_span
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q_profile_cms" ->
+      """WITH ev AS (SELECT user_id FROM events),
+        |cells AS (SELECT user_id, j,
+        |    CAST('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS cell
+        |  FROM ev, UNNEST(range(0, 4)) AS u(j)),
+        |sketch AS (SELECT j AS row, cell, COUNT(*) AS cnt FROM cells GROUP BY 1, 2),
+        |top AS (SELECT user_id, COUNT(*) AS exact_n FROM ev GROUP BY 1
+        |  ORDER BY exact_n DESC, user_id LIMIT 20),
+        |probes AS (SELECT t.user_id, t.exact_n, j AS row,
+        |    CAST('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || '|' || CAST(t.user_id AS VARCHAR)), 1, 15) AS BIGINT) % 1024 AS cell
+        |  FROM top t, UNNEST(range(0, 4)) AS u(j)),
+        |est AS (SELECT p.user_id, p.exact_n, MIN(COALESCE(s.cnt, 0)) AS cms_n
+        |  FROM probes p LEFT JOIN sketch s ON p.row = s.row AND p.cell = s.cell
+        |  GROUP BY 1, 2)
+        |SELECT user_id, exact_n, CAST(cms_n AS BIGINT) AS cms_n,
+        |  CAST(cms_n - exact_n AS BIGINT) AS overcount
+        |FROM est ORDER BY user_id""".stripMargin,
     "q_events_spikes" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
         |    COUNT(*) AS n FROM events GROUP BY 1, 2),
