@@ -59,6 +59,29 @@ object Streaming {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("value_c"))
 
+  /** Windowed count-min sketch — the streaming twin of q_profile_cms: per
+    * hourly window, the 4×`width` counter grid estimating per-key event
+    * frequencies in bounded state. Each event explodes to 4 (row, cell)
+    * probes (the portable md5-based hash60, same cells as the batch
+    * query); the windowed aggregate is partial-aggregated map-side, so the
+    * shuffle AND the state store carry at most window × 4 × width rows —
+    * per-key counting of an unbounded key space in O(grid) memory, which
+    * is the reason CMS exists. Consumers estimate a key's frequency as
+    * min over its 4 probed cells of that window's sketch.
+    */
+  def cmsSketch(events: DataFrame, keyCol: String, width: Long = 1024L,
+                watermark: String = "2 hours"): DataFrame = {
+    import graft.functions.GraftFunctions.hash60
+    val cells = (0 until 4).map(j =>
+      pmod(hash60(concat(lit(s"cms$j|"), col(keyCol).cast("string"))), lit(width)))
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), posexplode(array(cells: _*)).as(Seq("row", "cell")))
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("row"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("hour"), col("row"), col("cell"), col("cnt"))
+  }
+
   /** Stream-static enrichment: events joined against a small static
     * dimension. The static side is broadcast — the stream never shuffles,
     * which is the only join shape that scales on an unbounded source.

@@ -38,6 +38,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("cmsSketch: streaming grid equals the batch cells, estimate ≥ exact") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = (0 until 500).map(i => Ev(ts(i % 60), "click", i % 11, 1.0))
+
+    val stream = MemoryStream[Ev]
+    val q = Streaming.cmsSketch(stream.toDF(), "user_id")
+      .writeStream.format("memory").queryName("cms").outputMode("complete").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      val got = spark.table("cms")
+        .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      // batch twin: identical cells over the same rows
+      val cells = (0 until 4).map(j => pmod(
+        graft.functions.GraftFunctions.hash60(
+          concat(lit(s"cms$j|"), $"user_id".cast("string"))), lit(1024L)))
+      val want = spark.createDataset(events).toDF()
+        .select(date_trunc("hour", $"ts").as("hour"),
+          posexplode(array(cells: _*)).as(Seq("row", "cell")))
+        .groupBy($"hour", $"row", $"cell").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want)
+      // the CMS guarantee on the assembled sketch: estimate ≥ exact count
+      val sketch = got.groupBy(t => (t._2, t._3)).map { case (k, v) => k -> v.map(_._4).sum }
+      val exact = events.groupBy(_.user_id).map { case (u, es) => u -> es.size.toLong }
+      exact.foreach { case (u, n) =>
+        val est = (0 until 4).map { j =>
+          val cell = java.lang.Long.parseLong(
+            new java.math.BigInteger(
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(s"cms$j|$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+                .substring(0, 15), 16).toString) % 1024L
+          sketch.getOrElse((j, cell), 0L)
+        }.min
+        assert(est >= n, s"user $u: estimate $est < exact $n")
+      }
+    } finally q.stop()
+  }
+
   test("sessionize: streaming session_window equals the batch twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
