@@ -897,6 +897,51 @@ object Pipeline {
         .orderBy($"lang", $"split")
     },
 
+    // filter CASCADE report: every curation run publishes WHY documents
+    // were dropped — per (lang, first-failing-filter) counts and token
+    // mass, the report that tunes thresholds before committing a corpus.
+    // Same thresholds as q_curation_pipeline; the cascade ORDER is the
+    // semantic (a doc failing length never reaches the stop test, exactly
+    // how production filter chains attribute drops). One narrow pass +
+    // a #langs × 4 aggregate — nothing corpus-shaped crosses the shuffle.
+    "q_filter_cascade" -> { (s, d) =>
+      import s.implicits._
+      val allStops = StopEn ++ StopDe ++ StopFr ++ StopEs
+      Tables.documents(s, d)
+        .withColumn("ws", words($"text"))
+        .withColumn("n_tokens", size($"ws"))
+        .withColumn("reason",
+          when($"n_tokens" < 20, "1_too_short")
+            .when((size(filter($"ws", w => w.isInCollection(allStops))) * 1000 / size($"ws"))
+              .cast("long") > 400, "2_stop_heavy")
+            .when((length($"text") * 1000 / size($"ws")).cast("long") > 9000, "3_long_words")
+            .otherwise("0_pass"))
+        .groupBy($"lang", $"reason")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens".cast("long")).as("sum_tokens"))
+        .orderBy($"lang", $"reason")
+    },
+
+    // deterministic per-group inspection sample: the top-5 docs per
+    // language by content-stable hash rank — the "show me 5 random docs
+    // per stratum" every curation review needs, reproducible across
+    // re-runs, backfills, and partitionings because the rank is a pure
+    // function of doc_id. Plans as WindowGroupLimit: each map task keeps
+    // only its local top-5 per lang before the shuffle (pinned in
+    // PlanShapeSpec), so the exchange carries ≤ 5 × #langs × #partitions
+    // rows at any corpus size.
+    "q_sample_pergroup" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"lang").orderBy($"rk", $"doc_id")
+      Tables.documents(s, d)
+        .select($"doc_id", $"lang", $"n_chars",
+          hash60(concat(lit("sample|"), $"doc_id".cast("string"))).as("rk"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"lang", $"rn", $"doc_id", $"n_chars")
+        .orderBy($"lang", $"rn")
+    },
+
     // benchmark DECONTAMINATION: train-split documents sharing at least one
     // sampled 5-gram fingerprint with a holdout document, with overlap
     // counts. The fingerprint sample (1/17 of grams) is the standard
@@ -1582,6 +1627,26 @@ object Pipeline {
          |SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
          |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    "q_filter_cascade" -> {
+      val allStops = stopList(StopEn ++ StopDe ++ StopFr ++ StopEs)
+      s"""WITH t AS (SELECT doc_id, lang, text, $wsExpr AS ws FROM documents),
+         |r AS (SELECT lang, len(ws) AS n_tokens,
+         |  CASE WHEN len(ws) < 20 THEN '1_too_short'
+         |       WHEN len(list_filter(ws, w -> list_contains($allStops, w))) * 1000 // len(ws) > 400 THEN '2_stop_heavy'
+         |       WHEN len(text) * 1000 // len(ws) > 9000 THEN '3_long_words'
+         |       ELSE '0_pass' END AS reason
+         |  FROM t)
+         |SELECT lang, reason, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "q_sample_pergroup" ->
+      s"""WITH r AS (SELECT doc_id, lang, n_chars,
+         |    ${h60("'sample|' || CAST(doc_id AS VARCHAR)")} AS rk FROM documents),
+         |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rn FROM r)
+         |SELECT lang, rn, doc_id, n_chars FROM k WHERE rn <= 5
+         |ORDER BY lang, rn""".stripMargin,
 
     "q_split_assign" ->
       s"""WITH t AS (SELECT lang, n_chars, doc_id,

@@ -397,6 +397,23 @@ object Relational {
         .orderBy($"event_type")
     },
 
+    // -- Event pathing: the (from → to) transition matrix of consecutive
+    // events per user — the navigation-flow rollup product analytics runs
+    // daily. ONE shuffle on user_id feeds the lead() window (ties broken
+    // by event_id, so the sequence is deterministic in both engines); the
+    // transition rollup is #types² rows at any corpus size.
+    "q_events_pathing" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"from_type", $"to_type")
+    },
+
     // -- Z-order layout: the multi-dimensional data-skipping operator. Two
     // hash-spread 16-bit dimensions interleave into a 32-bit Morton key
     // (one narrow codegen'd projection — graft.functions zkey16); the
@@ -614,6 +631,13 @@ object Relational {
         |SELECT event_type, CAST(n AS BIGINT) AS n, p50_dollar, p95_dollar
         |FROM p50 JOIN p95 USING (event_type) JOIN tot USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    "q_events_pathing" ->
+      """WITH n AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, COUNT(*) AS n FROM n
+        |WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_layout_zorder" -> {
       val zTerms = (0 until 16).map(i =>
         s"((x & ${1L << i}) << $i) + ((y & ${1L << i}) << ${i + 1})").mkString(" + ")

@@ -161,6 +161,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("WindowGroupLimit"), s"q_events_latest lost WindowGroupLimit\n$p")
   }
 
+  test("q_sample_pergroup plans a WindowGroupLimit (top-5 before the shuffle)") {
+    // same contract as q_events_latest for the per-stratum sample: each map
+    // task keeps its local top-5 per lang, so the lang exchange carries
+    // ≤ 5 × #langs × #partitions rows instead of the corpus
+    val p = finalPlan(Pipeline.queries("q_sample_pergroup")(spark, sf))
+    assert(p.contains("WindowGroupLimit"), s"q_sample_pergroup lost WindowGroupLimit\n$p")
+  }
+
   test("q_profile_hll estimate lands within the HLL error band of exact counts") {
     // not a plan shape, but the sketch's reason to exist: the corrected
     // estimate (raw, or linear counting m·ln(m/V) when raw < 2.5m — the
