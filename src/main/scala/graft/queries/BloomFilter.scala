@@ -46,14 +46,19 @@ object BloomFilter {
   def build(keys: DataFrame, keyCol: String, mBits: Long): DataFrame = {
     require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64: $mBits")
     val nWords = mBits / 64
-    keys
+    val sparse = keys
       .select(explode(array((0 until K).map(j => bitPos(col(keyCol), j, mBits)): _*)).as("pos"))
       .select((col("pos") / 64).cast("long").as("word"),
         call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("mask"))
       .groupBy(col("word")).agg(call_function("bit_or", col("mask")).as("mask"))
-      .agg(map_from_arrays(collect_list(col("word")), collect_list(col("mask"))).as("m"))
-      .select(transform(sequence(lit(0L), lit(nWords - 1)),
-        w => coalesce(element_at(col("m"), w), lit(0L))).as("bloom"))
+    // densify by joining the full word range (a map_from_arrays +
+    // element_at-per-index assembly is O(words²) — Spark map lookup is a
+    // linear scan, which turned quadratic at a few hundred thousand words)
+    keys.sparkSession.range(nWords).toDF("word")
+      .join(sparse, Seq("word"), "left")
+      .agg(sort_array(collect_list(struct(col("word"),
+        coalesce(col("mask"), lit(0L)).as("mask")))).as("wm"))
+      .select(transform(col("wm"), s => s.getField("mask")).as("bloom"))
   }
 
   /** Membership test of `key` against a `bloom` column (the array produced

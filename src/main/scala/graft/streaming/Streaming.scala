@@ -437,6 +437,49 @@ object Streaming {
     }.toDF("user_id", "event_id", "event_type", "value_c")
   }
 
+  /** Streaming event pathing — the streaming twin of q_events_pathing:
+    * per-user state holds only the LAST event's type; each arrival emits
+    * the (from, to) transition and replaces the state, so downstream
+    * windowed counts assemble the same transition matrix the batch lead()
+    * window produces. In-batch rows are processed in event-time order
+    * (ties by event_id) to match the batch ordering exactly. State is ONE
+    * tuple per user, evicted by an event-time TTL anchored to the user's
+    * newest event — a chain broken by an idle gap past the TTL simply
+    * restarts, the documented streaming-vs-batch divergence.
+    */
+  def pathing(events: DataFrame, watermark: String = "2 hours",
+              ttlMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_millis(col("ts")).as("ms"), col("event_type").cast("string"), col("ts"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long), (Long, String, String)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, rows, state: GroupState[(String, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ordered = rows.toSeq.sortBy(r => (r._3, r._2))
+            var last = state.getOption
+            val out = Seq.newBuilder[(Long, String, String)]
+            ordered.foreach { case (_, _, ms, typ, _) =>
+              last.foreach { case (ptyp, _) => out += ((uid, ptyp, typ)) }
+              last = Some((typ, ms))
+            }
+            last.foreach { l =>
+              state.update(l)
+              state.setTimeoutTimestamp(
+                math.max(l._2 + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }.toDF("user_id", "from_type", "to_type")
+  }
+
   /** Per-user running profile via flatMapGroupsWithState — custom state the
     * declarative operators cannot express: cumulative event count and the
     * set of distinct event types per user, emitted on every update.

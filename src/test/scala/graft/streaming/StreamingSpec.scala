@@ -38,6 +38,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("pathing: streaming transitions equal the batch lead() window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = (0 until 400).map(i =>
+      IdEv(i, ts(i % 120), Seq("view", "click", "purchase")(i % 3), i % 9, 1.0))
+
+    val stream = MemoryStream[IdEv]
+    val q = Streaming.pathing(stream.toDF())
+      .writeStream.format("memory").queryName("pathing").outputMode("append").start()
+    try {
+      // two batches: transitions must also link ACROSS the batch boundary
+      stream.addData(events.take(200)); q.processAllAvailable()
+      stream.addData(events.drop(200)); q.processAllAvailable()
+      val got = spark.table("pathing")
+        .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val want = spark.createDataset(events).toDF()
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("cmsSketch: streaming grid equals the batch cells, estimate ≥ exact") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
