@@ -21,6 +21,12 @@ object Verify {
     // local-iteration filter (comma-separated names); driver passes nothing
     val only = sys.props.get("graft.verify.only")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
+    // fail loudly on a typo'd name — a filter matching nothing would
+    // otherwise exit green having verified nothing
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"graft.verify.only names unknown queries: ${unknown.mkString(", ")}")
+    }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -25,6 +25,18 @@ object GraftFunctions {
     */
   def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Count-min sketch probe cells of `key`: one per hash row j,
+    * `pmod(hash60("cms<j>|" + key), width)`. ONE definition shared by the
+    * batch query (q_profile_cms), the streaming twin
+    * (Streaming.cmsSketch), and any consumer estimating against a stored
+    * sketch — changing the salt/depth/width in one place keeps the
+    * grid-equality property the specs pin.
+    */
+  val CmsDepth = 4
+  def cmsCells(key: Column, width: Long): Seq[Column] =
+    (0 until CmsDepth).map(j =>
+      pmod(hash60(concat(lit(s"cms$j|"), key.cast("string"))), lit(width)))
+
   /** Morton/Z-order interleave of two 16-bit dimensions into a 32-bit key:
     * bit i of `x` lands at position 2i, bit i of `y` at 2i+1. Fixing a
     * z-key prefix fixes a prefix of BOTH dimensions, so any contiguous

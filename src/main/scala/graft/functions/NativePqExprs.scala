@@ -99,6 +99,9 @@ object NativePq {
     */
   def residual(q: ArrayData, cents: ArrayData, cid: Long): ArrayData = {
     val dim = q.numElements()
+    if (cid < 0 || cid >= cents.numElements())
+      throw new IllegalArgumentException(
+        s"graft_vec_residual: cid $cid outside codebook of ${cents.numElements()} centroids")
     val cent = cents.getStruct(cid.toInt, 2)
     val cq = cent.getArray(1)
     if (cq.numElements() != dim)

@@ -27,7 +27,12 @@ object BloomFilter {
 
   /** Smallest power-of-two bit count ≥ 16 × expected keys (≈ 0.3% false
     * positives at k=4), floored at 2^16 bits (8 KiB) so tiny inputs don't
-    * produce degenerate filters.
+    * produce degenerate filters, capped at 2^34 bits (a 2 GiB broadcast —
+    * the practical single-array ceiling, good for ~10^9 keys at design
+    * rate). Past the cap the false-positive rate degrades gracefully
+    * rather than the build failing; a registry that large should shard
+    * the filter by key prefix (one bloom per shard, the corpus probing
+    * its shard's filter) — out of scope for this single-array helper.
     */
   def sizeFor(expectedKeys: Long): Long = {
     var m = 1L << 16

@@ -313,18 +313,44 @@ object Pipeline {
       .select($"vec_id", quantized($"embedding").as("q"))
       .withColumn("bucket", lshBucket(planes))
       .persist() // quantize+bucket once: feeds pair generation and scoring
-    val pairs = e.groupBy($"bucket")
-      .agg(sort_array(collect_list($"vec_id")).as("ids"))
-      .filter(size($"ids") > 1 && size($"ids") <= MaxBucket)
-      .select(explode(flatten(transform($"ids", (x, i) =>
-        transform(slice($"ids", i + lit(2), size($"ids")),
-          y => struct(x.as("vec_a"), y.as("vec_b")))))).as("p"))
-      .select($"p.vec_a", $"p.vec_b")
-    pairs
-      .join(e.select($"vec_id".as("vec_a"), $"q".as("qa")), "vec_a")
-      .join(e.select($"vec_id".as("vec_b"), $"q".as("qb")), "vec_b")
-      .select($"vec_a", $"vec_b", qdot($"qa", $"qb").as("qdot"))
-      .filter($"qdot" >= QdotThreshold)
+    try {
+      val pairs = e.groupBy($"bucket")
+        .agg(sort_array(collect_list($"vec_id")).as("ids"))
+        .filter(size($"ids") > 1 && size($"ids") <= MaxBucket)
+        .select(explode(flatten(transform($"ids", (x, i) =>
+          transform(slice($"ids", i + lit(2), size($"ids")),
+            y => struct(x.as("vec_a"), y.as("vec_b")))))).as("p"))
+        .select($"p.vec_a", $"p.vec_b")
+      pairs
+        .join(e.select($"vec_id".as("vec_a"), $"q".as("qa")), "vec_a")
+        .join(e.select($"vec_id".as("vec_b"), $"q".as("qb")), "vec_b")
+        .select($"vec_a", $"vec_b", qdot($"qa", $"qb").as("qdot"))
+        .filter($"qdot" >= QdotThreshold)
+        // eager: materializes the (tiny) scored pairs so the quantized
+        // corpus cache can be released now rather than leaking for the
+        // session's lifetime (checkpoint blocks are freed by the
+        // ContextCleaner once the result is unreferenced)
+        .localCheckpoint()
+    } finally e.unpersist()
+  }
+
+  /** Train/holdout fingerprint tables for the decontamination pair — ONE
+    * definition of the split rule and the fingerprint explode, so
+    * q_decontaminate and q_decontam_bloom (documented to produce the
+    * identical exact result) can never desynchronize. Returns
+    * (train(train_doc, fp), holdout(holdout_doc, fp)) over a persisted
+    * common fingerprint table (fingerprint once, not per branch).
+    */
+  private def splitFingerprints(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    graft.functions.FingerprintsExpr.register(s)
+    val docs = Tables.documents(s, d)
+      .withColumn("bucket", hash60(concat(lit("split|"), $"doc_id".cast("string"))) % 1000)
+      .withColumn("split", when($"bucket" < 900, "train").otherwise("holdout"))
+      .select($"doc_id", $"split", explode(expr("graft_fingerprints(text)")).as("fp"))
+      .persist()
+    (docs.filter($"split" === "train").select($"doc_id".as("train_doc"), $"fp"),
+      docs.filter($"split" =!= "train").select($"doc_id".as("holdout_doc"), $"fp"))
   }
 
   /** Connected components over a symmetric edge list by min-label
@@ -676,17 +702,19 @@ object Pipeline {
     "q_dedup_ensemble" -> { (s, d) =>
       import s.implicits._
       val sigs = signedDocs(Tables.documents(s, d)).select($"doc_id", $"sig").persist()
-      val mh = lshCandidatePairs(sigs)
-        .select($"doc_a", $"doc_b", lit("minhash").as("modality"))
-      val sh = simhashNearDupPairs(s, d)
-        .select($"doc_a", $"doc_b", lit("simhash").as("modality"))
-      val em = embeddingNearDupPairs(s, d)
-        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"), lit("embedding").as("modality"))
       // localCheckpoint: materializes the union (3 tagged edge lists) so
       // the propagation loop and the two census aggregates below replay
       // stored blocks, and lets the signature cache go immediately
-      val all = mh.union(sh).union(em).localCheckpoint()
-      sigs.unpersist()
+      // (try/finally: released even if the eager materialization throws)
+      val all = try {
+        val mh = lshCandidatePairs(sigs)
+          .select($"doc_a", $"doc_b", lit("minhash").as("modality"))
+        val sh = simhashNearDupPairs(s, d)
+          .select($"doc_a", $"doc_b", lit("simhash").as("modality"))
+        val em = embeddingNearDupPairs(s, d)
+          .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"), lit("embedding").as("modality"))
+        mh.union(sh).union(em).localCheckpoint()
+      } finally sigs.unpersist()
       val upairs = all.select($"doc_a", $"doc_b").distinct()
       val edges = upairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
         .union(upairs.select($"doc_b".as("src"), $"doc_a".as("dst"))).localCheckpoint()
@@ -949,14 +977,7 @@ object Pipeline {
     // the join shuffles on the fp hash — never a doc×doc comparison.
     "q_decontaminate" -> { (s, d) =>
       import s.implicits._
-      graft.functions.FingerprintsExpr.register(s)
-      val docs = Tables.documents(s, d)
-        .withColumn("bucket", hash60(concat(lit("split|"), $"doc_id".cast("string"))) % 1000)
-        .withColumn("split", when($"bucket" < 900, "train").otherwise("holdout"))
-        .select($"doc_id", $"split", explode(expr("graft_fingerprints(text)")).as("fp"))
-        .persist() // feeds BOTH join sides: fingerprint once, not per branch
-      val train = docs.filter($"split" === "train").select($"doc_id".as("train_doc"), $"fp")
-      val holdout = docs.filter($"split" =!= "train").select($"doc_id".as("holdout_doc"), $"fp")
+      val (train, holdout) = splitFingerprints(s, d)
       train.join(holdout, "fp")
         .groupBy($"train_doc")
         .agg(countDistinct($"holdout_doc").as("n_holdout_docs"),
@@ -976,17 +997,14 @@ object Pipeline {
     // PlanShapeSpec pins the prefilter's position under the join).
     "q_decontam_bloom" -> { (s, d) =>
       import s.implicits._
-      graft.functions.FingerprintsExpr.register(s)
-      val docs = Tables.documents(s, d)
-        .withColumn("bucket", hash60(concat(lit("split|"), $"doc_id".cast("string"))) % 1000)
-        .withColumn("split", when($"bucket" < 900, "train").otherwise("holdout"))
-        .select($"doc_id", $"split", explode(expr("graft_fingerprints(text)")).as("fp"))
-        .persist()
-      val train = docs.filter($"split" === "train").select($"doc_id".as("train_doc"), $"fp")
-      val holdout = docs.filter($"split" =!= "train").select($"doc_id".as("holdout_doc"), $"fp")
-      // sized from the same catalog-style corpus stat the LSH plane
-      // derivation reads (holdout keys ≈ a twentieth of corpus fps)
-      val mBits = BloomFilter.sizeFor(countOnce(s"$d/documents", Tables.documents(s, d)))
+      val (train, holdout) = splitFingerprints(s, d)
+      // sized from the ACTUAL inserted-key count (the exploded holdout
+      // fingerprints — sizing from the document count would drift with
+      // document length: long docs carry many fps each, silently pushing
+      // bits-per-key and the false-positive rate off the design point).
+      // Memoized like the LSH corpus counts: a real deployment reads the
+      // registry cardinality from catalog stats.
+      val mBits = BloomFilter.sizeFor(countOnce(s"$d/documents#holdout_fps", holdout))
       val bloom = BloomFilter.build(holdout.select($"fp"), "fp", mBits)
       train.crossJoin(broadcast(bloom))
         .filter(BloomFilter.mightContain($"bloom", $"fp", mBits))

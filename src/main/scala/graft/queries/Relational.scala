@@ -454,21 +454,16 @@ object Relational {
     // so the oracle reproduces every cell exactly.
     "q_profile_cms" -> { (s, d) =>
       import s.implicits._
-      val depth = 4
       val width = 1024L
-      def cell(j: Int, key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        pmod(hash60(concat(lit(s"cms$j|"), key.cast("string"))), lit(width))
       val ev = Tables.events(s, d).select($"user_id")
       val sketch = ev
-        .select(posexplode(array((0 until depth).map(j => cell(j, $"user_id")): _*))
-          .as(Seq("row", "cell")))
+        .select(posexplode(array(cmsCells($"user_id", width): _*)).as(Seq("row", "cell")))
         .groupBy($"row", $"cell").agg(count(lit(1)).as("cnt"))
       val top = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_n"))
         .orderBy($"exact_n".desc, $"user_id").limit(20)
       top
         .select($"user_id", $"exact_n",
-          posexplode(array((0 until depth).map(j => cell(j, $"user_id")): _*))
-            .as(Seq("row", "cell")))
+          posexplode(array(cmsCells($"user_id", width): _*)).as(Seq("row", "cell")))
         .join(broadcast(sketch), Seq("row", "cell"), "left")
         .groupBy($"user_id", $"exact_n")
         .agg(min(coalesce($"cnt", lit(0L))).as("cms_n"))

@@ -71,9 +71,10 @@ object Streaming {
     */
   def cmsSketch(events: DataFrame, keyCol: String, width: Long = 1024L,
                 watermark: String = "2 hours"): DataFrame = {
-    import graft.functions.GraftFunctions.hash60
-    val cells = (0 until 4).map(j =>
-      pmod(hash60(concat(lit(s"cms$j|"), col(keyCol).cast("string"))), lit(width)))
+    // the probe-cell expression is ONE definition shared with the batch
+    // query (GraftFunctions.cmsCells) — the grid-equality property the
+    // spec pins depends on it
+    val cells = graft.functions.GraftFunctions.cmsCells(col(keyCol), width)
     events
       .withWatermark("ts", watermark)
       .select(col("ts"), posexplode(array(cells: _*)).as(Seq("row", "cell")))
@@ -442,10 +443,18 @@ object Streaming {
     * the (from, to) transition and replaces the state, so downstream
     * windowed counts assemble the same transition matrix the batch lead()
     * window produces. In-batch rows are processed in event-time order
-    * (ties by event_id) to match the batch ordering exactly. State is ONE
-    * tuple per user, evicted by an event-time TTL anchored to the user's
-    * newest event — a chain broken by an idle gap past the TTL simply
-    * restarts, the documented streaming-vs-batch divergence.
+    * (ties by event_id) to match the batch ordering. State is ONE tuple
+    * per user, evicted by an event-time TTL anchored to the user's newest
+    * event.
+    *
+    * Two documented streaming-vs-batch divergences: (1) a chain broken by
+    * an idle gap past the TTL restarts instead of linking; (2) an event
+    * that arrives in a LATER micro-batch with an EARLIER timestamp than
+    * the stored last event (out-of-order across batches, inside the
+    * watermark) links in arrival order, where the batch window links in
+    * event-time order — inherent to emitting transitions online with
+    * O(1) state; holding a reorder buffer per user would be [[funnel]]'s
+    * job, not a pathing rollup's.
     */
   def pathing(events: DataFrame, watermark: String = "2 hours",
               ttlMs: Long = 3600000L): DataFrame = {

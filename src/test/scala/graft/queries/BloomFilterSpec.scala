@@ -25,7 +25,9 @@ class BloomFilterSpec extends AnyFunSuite with SparkFixture {
       .count()
     assert(inserted == 0, s"$inserted inserted keys rejected — false negatives are a contract violation")
 
-    // disjoint fresh keys (odd offsets: the insert set is even multiples)
+    // fresh keys disjoint from the insert set: id1*C+17 = id2*C+18 needs
+    // C*(id1-id2) ≡ 1 (mod 2^64), i.e. id1-id2 = C⁻¹ mod 2^64 — far
+    // outside the [0, n) id range, so no collision is possible
     val fresh = spark.range(n).select((col("id") * 2654435761L + 18).as("fp"))
     val falsePos = fresh.crossJoin(broadcast(bloom))
       .filter(BloomFilter.mightContain($"bloom", $"fp", mBits))

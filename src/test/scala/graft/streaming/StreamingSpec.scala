@@ -41,8 +41,15 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
   test("pathing: streaming transitions equal the batch lead() window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // user count (7) coprime with the type cycle (3): every user sees a
+    // VARYING type sequence, so the transition counts are order-SENSITIVE
+    // (with 3 | users each user would emit only (T,T) pairs and any
+    // processing order would pass). ts = i/4 gives in-order arrival with
+    // timestamp ties, which the event_id tie-break must resolve like the
+    // batch window; cross-batch out-of-order arrivals are the documented
+    // arrival-order divergence and are deliberately not fed here.
     val events = (0 until 400).map(i =>
-      IdEv(i, ts(i % 120), Seq("view", "click", "purchase")(i % 3), i % 9, 1.0))
+      IdEv(i, ts(i / 4), Seq("view", "click", "purchase")(i % 3), i % 7, 1.0))
 
     val stream = MemoryStream[IdEv]
     val q = Streaming.pathing(stream.toDF())
@@ -79,10 +86,8 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       q.processAllAvailable()
       val got = spark.table("cms")
         .collect().map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
-      // batch twin: identical cells over the same rows
-      val cells = (0 until 4).map(j => pmod(
-        graft.functions.GraftFunctions.hash60(
-          concat(lit(s"cms$j|"), $"user_id".cast("string"))), lit(1024L)))
+      // batch twin: the shared probe-cell definition over the same rows
+      val cells = graft.functions.GraftFunctions.cmsCells($"user_id", 1024L)
       val want = spark.createDataset(events).toDF()
         .select(date_trunc("hour", $"ts").as("hour"),
           posexplode(array(cells: _*)).as(Seq("row", "cell")))
