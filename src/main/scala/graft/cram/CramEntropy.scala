@@ -81,6 +81,13 @@ final class ExtStreams(blocks: Map[Int, Array[Byte]]) {
     val p = pos(cid)
     var q = p
     while (q < b.length && (b(q) & 0xff) != stop) q += 1
+    // a BYTE_ARRAY_STOP value always terminates with the stop byte; hitting
+    // end-of-block first is a structural error (truncated/corrupt block) —
+    // returning the tail would silently hand one field the rest of the
+    // block and surface only as an opaque failure on the NEXT record
+    if (q >= b.length)
+      throw new IOException(
+        f"CRAM external block $cid missing stop byte 0x$stop%02x (read from $p, block length ${b.length})")
     pos(cid) = q + 1 // consume the stop byte
     java.util.Arrays.copyOfRange(b, p, q)
   }

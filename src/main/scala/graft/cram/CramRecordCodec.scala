@@ -206,10 +206,13 @@ object CramRecordCodec {
 
   // ---- slice decode --------------------------------------------------------
 
-  private val SubBases: Array[Byte] = "ACGTN".getBytes("ASCII")
+  private[cram] val SubBases: Array[Byte] = "ACGTN".getBytes("ASCII")
 
-  /** `matrix(refBaseIdx)(code)` = substituted base. */
-  private def buildSubMatrix(sm: Array[Byte]): Array[Array[Byte]] = {
+  /** `matrix(refBaseIdx)(code)` = substituted base. Shared with
+    * [[CramRecordWriter]] (which builds the inverse lookup from the same
+    * matrix) so the decode and encode sides can never diverge.
+    */
+  private[cram] def buildSubMatrix(sm: Array[Byte]): Array[Array[Byte]] = {
     val m = Array.ofDim[Byte](5, 4)
     var ri = 0
     while (ri < 5) {
@@ -229,7 +232,7 @@ object CramRecordCodec {
     m
   }
 
-  private def baseIndex(b: Byte): Int = b match {
+  private[cram] def baseIndex(b: Byte): Int = b match {
     case 'A' => 0; case 'C' => 1; case 'G' => 2; case 'T' => 3; case _ => 4
   }
 

@@ -295,34 +295,26 @@ object CramRecordWriter {
     val out = new Array[Byte](hdr.length + payloadBytes.length)
     System.arraycopy(hdr, 0, out, 0, hdr.length)
     System.arraycopy(payloadBytes, 0, out, hdr.length, payloadBytes.length)
+    // CRAI columns per spec: sliceOffset = landmark (bytes from the start
+    // of the data section to the slice header), sliceSize = the SLICE's
+    // byte length — not the whole payload, which would make an external
+    // index-driven reader run `landmark` bytes past the container
     Encoded(out, sliceRef, sliceStart, sliceSpan, n,
-      CraiEntry(sliceRef, sliceStart, sliceSpan, 0, landmark, payloadBytes.length))
+      CraiEntry(sliceRef, sliceStart, sliceSpan, 0, landmark,
+        payloadBytes.length - landmark))
   }
 
   // ---- features from CIGAR × SEQ ------------------------------------------
 
-  /** The default substitution matrix (`SM` bytes `0x1b`×5) as
-    * `m(refBaseIdx)(code) = substituted base` — the writer always emits this
-    * matrix, so the inverse lookup below is its single source of truth.
+  /** The default substitution matrix (`SM` bytes `0x1b`×5), built by the
+    * DECODER's own [[CramRecordCodec.buildSubMatrix]] — one definition for
+    * both directions, so a fix to the code-assignment ordering on the
+    * decode side can never silently desynchronize the writer's inverse
+    * lookup below. The writer always emits this default matrix.
     */
-  private val SubBases: Array[Byte] = "ACGTN".getBytes("ASCII")
-  private val SubMatrix: Array[Array[Byte]] = {
-    val m = Array.ofDim[Byte](5, 4)
-    var ri = 0
-    while (ri < 5) {
-      var k = 0
-      var ai = 0
-      while (ai < 5) {
-        if (ai != ri) { m(ri)((0x1b >> (6 - 2 * k)) & 3) = SubBases(ai); k += 1 }
-        ai += 1
-      }
-      ri += 1
-    }
-    m
-  }
-  private def baseIndex(b: Byte): Int = b match {
-    case 'A' => 0; case 'C' => 1; case 'G' => 2; case 'T' => 3; case _ => 4
-  }
+  private val SubMatrix: Array[Array[Byte]] =
+    CramRecordCodec.buildSubMatrix(Array.fill(5)(0x1b.toByte))
+  private def baseIndex(b: Byte): Int = CramRecordCodec.baseIndex(b)
 
   /** Substitution code for read base `qb` over reference base `rb`, or −1
     * when the pair isn't expressible (both map to the same matrix row —

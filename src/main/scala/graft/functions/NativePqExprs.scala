@@ -78,10 +78,17 @@ object NativePq {
     require(codes.numElements() == Sub,
       s"graft_pq_adc: ${codes.numElements()} codes, want $Sub")
     var total = 0L
+    val n = cents.numElements()
     var m = 0
     while (m < Sub) {
       val code = codes.getLong(m).toInt
+      if (code < 0 || code >= n)
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: code $code outside codebook of $n centroids")
       val cent = cents.getStruct(code, 2)
+      if (cent.getLong(0) != code)
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: codebook not cid-ascending (position $code holds cid ${cent.getLong(0)})")
       val cq = cent.getArray(1)
       if (cq.numElements() != dim)
         throw new IllegalArgumentException(

@@ -123,7 +123,10 @@ object DeriveIndex {
             var c = if (off < e) CramContainers.readValidatedHeader(in, off, size) else None
             while (c.isDefined && c.get.offset < e) {
               val cc = c.get
-              if (!cc.isEof)
+              // skip record-less containers (the records-mode SAM-header
+              // container): they are not slices, and an external consumer
+              // iterating CRAI entries would try to seek a slice there
+              if (!cc.isEof && cc.nRecords > 0)
                 out += CraiEntry(cc.refSeqId, cc.startPos, cc.alignmentSpan,
                   cc.offset, 0, cc.dataLength)
               off = cc.offset + cc.totalLength

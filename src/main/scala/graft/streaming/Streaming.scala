@@ -336,9 +336,13 @@ object Streaming {
     * so the state function keeps the per-type hour→count map itself:
     * hours FINALIZE when the watermark passes their end (late events
     * within the watermark still count; later ones are dropped by the
-    * watermark), and state holds at most ~25 live hours per type —
-    * bounded regardless of stream length, since finalized hours beyond
-    * the trailing window are evicted immediately.
+    * watermark), and state holds at most ~25 hours per type — bounded
+    * regardless of stream length, since finalized hours beyond the
+    * trailing window are evicted immediately. The finalized ring is
+    * RETAINED across idle gaps (matching the batch rows-frame, which
+    * rolls over hours present in the series, gap or no gap); state is
+    * bounded by type cardinality, so retention costs ~25 entries per
+    * type ever seen.
     */
   def spikes(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -378,7 +382,13 @@ object Streaming {
               open = open - h
             }
           }
-          if (timedOut && open.isEmpty) state.remove() // idle type: drop it
+          // keep the finalized ring across idle gaps: the batch rows-frame
+          // rolls over hours PRESENT in the series, so a type resuming
+          // after a quiet day must still spike against its pre-gap
+          // baseline. State is ≤ ~25 entries per type EVER seen — bounded
+          // by type cardinality (a rollup key, not a user key), so
+          // retention is safe where per-user state would not be.
+          if (timedOut && open.isEmpty && done.isEmpty) state.remove()
           else {
             state.update((open, done))
             // wake when the next open hour can finalize (or idle-expire

@@ -210,6 +210,37 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("spikes: the finalized baseline survives an idle gap (batch rows-frame)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 25 quiet baseline hours (1 event each), then a >25h GAP with no
+    // events for this type, then a spiking hour. The batch rows-frame
+    // rolls over hours PRESENT in the series, so the post-gap hour must
+    // still flag against the pre-gap baseline — state that dropped its
+    // ring on idle timeout would emit nothing for another 24 hours.
+    val base = (0 until 25).map(h => Ev(ts(h * 60), "click", 0, 1.0))
+    val spike = (0 until 9).map(j => Ev(ts(60 * 60 + j), "click", j, 1.0))
+    val stream = MemoryStream[Ev]
+    val q = Streaming.spikes(stream.toDF())
+      .writeStream.format("memory").queryName("spikes_gap").outputMode("append").start()
+    try {
+      stream.addData(base)
+      q.processAllAvailable()
+      // idle wake-ups during the gap (watermark advances, timeout fires)
+      stream.addData(Ev(ts(59 * 60), "other", 0, 1.0))
+      q.processAllAvailable()
+      stream.addData(spike)
+      q.processAllAvailable()
+      stream.addData(Ev(ts(70 * 60), "click", 0, 1.0)) // finalize the spike hour
+      q.processAllAvailable()
+      val got = spark.table("spikes_gap").filter($"event_type" === "click")
+        .select($"hour_ms", $"n", $"prev_sum").as[(Long, Long, Long)].collect().toSet
+      // prev = the 24 series-hours before hour 60 = baseline hours 1..24
+      assert(got.contains((ts(60 * 60).getTime, 9L, 24L)),
+        s"post-gap spike lost its pre-gap baseline: $got")
+    } finally q.stop()
+  }
+
   test("latestState: streaming upsert converges to the batch latest-event winners") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
