@@ -206,6 +206,8 @@ object Pipeline {
     countOnce(s"$d/embeddings", Tables.embeddings(s, d))
     // the binned interval join sizes its contig count from this
     countOnce(s"$d/lineitem", Tables.lineitem(s, d))
+    // the Bloom filter sizes from the holdout fingerprint count
+    countOnce(s"$d/documents#holdout_fps", splitFingerprints(s, d)._2)
   }
 
   /** Per-plane signed dot products of `q` with the deterministic
@@ -1016,6 +1018,27 @@ object Pipeline {
         .orderBy($"train_doc")
     },
 
+    // embedding FEATURE STATS: per-dimension n/sum/sumsq over the
+    // quantized corpus — the QA profile an embedding pipeline publishes
+    // before training (dead dimensions, scale drift, variance collapse).
+    // Integer end-to-end: mean_milli = sum*1000 div n, and the variance
+    // ships as its EXACT integer numerator n*sumsq − sum² (no division,
+    // no float drift — the consumer divides by n² at display time).
+    // Scale shape: one narrow posexplode (64 rows per vector) into a
+    // map-side-combined aggregate whose shuffle carries 64 rows per
+    // partition at any corpus size.
+    "q_embed_stats" -> { (s, d) =>
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .select(posexplode(quantized($"embedding")).as(Seq("dim", "v")))
+        .groupBy($"dim")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"), sum($"v" * $"v").as("sq"))
+        .select($"dim", $"n", $"s", $"sq",
+          expr("s * 1000 div n").as("mean_milli"),
+          ($"n" * $"sq" - $"s" * $"s").as("var_num"))
+        .orderBy($"dim")
+    },
+
     // == similarity search ===============================================
 
     // brute-force top-10 nearest (by quantized dot) for 5 query vectors;
@@ -1717,6 +1740,18 @@ object Pipeline {
          |WHERE list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) >= $QdotThreshold
          |ORDER BY vec_a, vec_b""".stripMargin
     },
+
+    "q_embed_stats" ->
+      s"""WITH e AS (SELECT
+         |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |x AS (SELECT UNNEST(range(0, 64)) AS dim, UNNEST(q) AS v FROM e),
+         |a AS (SELECT dim, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         |    CAST(SUM(v * v) AS BIGINT) AS sq
+         |  FROM x GROUP BY 1)
+         |SELECT dim, n, s, sq, s * 1000 // n AS mean_milli,
+         |  n * sq - s * s AS var_num
+         |FROM a ORDER BY dim""".stripMargin,
 
     "q_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id,
