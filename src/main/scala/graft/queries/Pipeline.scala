@@ -1018,6 +1018,33 @@ object Pipeline {
         .orderBy($"train_doc")
     },
 
+    // snapshot DIFF: the dataset-versioning audit between two corpus
+    // snapshots — per (lang, status ∈ added/removed/changed/unchanged)
+    // counts from a full-outer join ON THE KEY carrying 8-byte content
+    // hashes, never the documents themselves (at 100 TB the diff shuffle
+    // moves digests; both snapshots co-partition on the natural key).
+    // The "previous snapshot" is derived deterministically so the oracle
+    // can state it: every 13th doc is new since old, every 7th doc's text
+    // was edited, every 17th doc has an old-only tombstone row.
+    "q_snapshot_diff" -> { (s, d) =>
+      import s.implicits._
+      val cur = Tables.documents(s, d).select($"doc_id", $"lang", $"text")
+      val old = cur.filter($"doc_id" % 13 =!= 0)
+        .withColumn("text", when($"doc_id" % 7 === 0, reverse($"text")).otherwise($"text"))
+        .unionByName(cur.filter($"doc_id" % 17 === 0)
+          .select(($"doc_id" + 1000000000L).as("doc_id"), $"lang", $"text"))
+      cur.select($"doc_id", $"lang".as("lang_new"), hash60($"text").as("h_new"))
+        .join(old.select($"doc_id", $"lang".as("lang_old"), hash60($"text").as("h_old")),
+          Seq("doc_id"), "full_outer")
+        .select(coalesce($"lang_new", $"lang_old").as("lang"),
+          when($"h_old".isNull, "added")
+            .when($"h_new".isNull, "removed")
+            .when($"h_new" =!= $"h_old", "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy($"lang", $"status").agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang", $"status")
+    },
+
     // embedding FEATURE STATS: per-dimension n/sum/sumsq over the
     // quantized corpus — the QA profile an embedding pipeline publishes
     // before training (dead dimensions, scale drift, variance collapse).
@@ -1740,6 +1767,23 @@ object Pipeline {
          |WHERE list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) >= $QdotThreshold
          |ORDER BY vec_a, vec_b""".stripMargin
     },
+
+    "q_snapshot_diff" ->
+      s"""WITH cur AS (SELECT doc_id, lang, text FROM documents),
+         |old AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 7 = 0 THEN reverse(text) ELSE text END AS text
+         |  FROM cur WHERE doc_id % 13 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000000, lang, text FROM cur WHERE doc_id % 17 = 0),
+         |j AS (SELECT COALESCE(c.lang, o.lang) AS lang,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |         WHEN c.doc_id IS NULL THEN 'removed'
+         |         WHEN ${h60("c.text")} <> ${h60("o.text")} THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM cur c FULL OUTER JOIN old o ON c.doc_id = o.doc_id)
+         |SELECT lang, status, COUNT(*) AS n_docs FROM j GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
 
     "q_embed_stats" ->
       s"""WITH e AS (SELECT
