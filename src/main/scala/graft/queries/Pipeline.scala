@@ -346,11 +346,15 @@ object Pipeline {
   private def splitFingerprints(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     graft.functions.FingerprintsExpr.register(s)
+    // localCheckpoint, not persist: both join sides replay the stored
+    // blocks (fingerprint once), and the ContextCleaner frees them once
+    // the query's result is unreferenced — a plain persist here was a
+    // session-lifetime cache of the whole fingerprint table
     val docs = Tables.documents(s, d)
       .withColumn("bucket", hash60(concat(lit("split|"), $"doc_id".cast("string"))) % 1000)
       .withColumn("split", when($"bucket" < 900, "train").otherwise("holdout"))
       .select($"doc_id", $"split", explode(expr("graft_fingerprints(text)")).as("fp"))
-      .persist()
+      .localCheckpoint()
     (docs.filter($"split" === "train").select($"doc_id".as("train_doc"), $"fp"),
       docs.filter($"split" =!= "train").select($"doc_id".as("holdout_doc"), $"fp"))
   }

@@ -161,6 +161,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("WindowGroupLimit"), s"q_events_latest lost WindowGroupLimit\n$p")
   }
 
+  test("q_profile_cms probes join the sketch via broadcast") {
+    // the sketch is ≤ depth × width rows by construction — the 80 probe
+    // rows must meet it in a broadcast join, never a shuffle of either side
+    val p = finalPlan(Relational.queries("q_profile_cms")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"q_profile_cms: sketch probe join not broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q_profile_cms: join degraded to sort-merge\n$p")
+  }
+
   test("q_sample_pergroup plans a WindowGroupLimit (top-5 before the shuffle)") {
     // same contract as q_events_latest for the per-stratum sample: each map
     // task keeps its local top-5 per lang, so the lang exchange carries
