@@ -397,6 +397,28 @@ object Relational {
         .orderBy($"event_type")
     },
 
+    // -- View→purchase attribution: every purchase joined to the same
+    // user's views in the trailing hour (inclusive lower bound matching
+    // the streaming twin's time-range condition) — the oracled BATCH face
+    // of Streaming.attribution. One equi-join on user_id (both sides
+    // co-partition on the natural key; the time range is a residual), so
+    // the pair space is bounded by per-user activity, never corpus².
+    "q_events_attribution" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_id", $"event_type", unix_millis($"ts").as("ms"))
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ms".as("vms"))
+      val buys = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"ms".as("pms"))
+      buys.join(views, Seq("user_id"))
+        .filter($"vms" <= $"pms" && $"vms" >= $"pms" - 3600000L)
+        .groupBy($"user_id", $"purchase_id")
+        .agg(count(lit(1)).as("n_views"),
+          min($"vms").as("first_view_ms"), max($"vms").as("last_view_ms"))
+        .orderBy($"user_id", $"purchase_id")
+    },
+
     // -- Event pathing: the (from → to) transition matrix of consecutive
     // events per user — the navigation-flow rollup product analytics runs
     // daily. ONE shuffle on user_id feeds the lead() window (ties broken
@@ -626,6 +648,16 @@ object Relational {
         |SELECT event_type, CAST(n AS BIGINT) AS n, p50_dollar, p95_dollar
         |FROM p50 JOIN p95 USING (event_type) JOIN tot USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    "q_events_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |v AS (SELECT user_id, ms AS vms FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ms AS pms
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id, COUNT(*) AS n_views,
+        |  MIN(v.vms) AS first_view_ms, MAX(v.vms) AS last_view_ms
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.vms <= p.pms AND v.vms >= p.pms - 3600000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_pathing" ->
       """WITH n AS (SELECT event_type AS from_type,
         |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
