@@ -251,6 +251,62 @@ object FormatQueries {
         .orderBy($"contig")
     },
 
+    // samtools-flagstat equivalent: reads carry the full primary/secondary/
+    // supplementary/dup/proper/read1/read2/reverse/qcfail flag vocabulary
+    // (deterministically derived from lineitem), round-trip through the
+    // single-file sink + SBI-planned splittable scan, and the flag-category
+    // census is computed from what came BACK — so any flag byte the codec
+    // mangles, any record a split boundary drops or duplicates, shifts a
+    // count and the oracle (same arithmetic straight off lineitem) catches
+    // it. Scale shape: one narrow scan + a single partial-aggregated
+    // global sum — no shuffle payload beyond one row of counters per task.
+    "q_bam_flagstat" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/fs.bam"
+      val flags =
+        (lit(1)
+          + when($"l_linenumber" % 2 === 0, 2).otherwise(0)
+          + when($"l_partkey" % 2 === 0, 16).otherwise(0)
+          + when($"l_linenumber" % 2 === 1, 64).otherwise(128)
+          + when($"l_orderkey" % 13 === 0, 256).otherwise(0)
+          + when($"l_orderkey" % 17 === 0, 512).otherwise(0)
+          + when($"l_orderkey" % 11 === 0, 1024).otherwise(0)
+          + when($"l_partkey" % 23 === 0, 2048).otherwise(0)).cast("int")
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        flags.as("flags"),
+        concat(lit("chr"), ($"l_partkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 13) % 5000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 13) % 5000) + 151).cast("int").as("end"),
+        (($"l_orderkey" * 7 + $"l_linenumber") % 61).cast("int").as("mapq"),
+        lit("151M").as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit("*").as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
+          .as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).option("writeSbi", "true").save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      def bit(b: Int): org.apache.spark.sql.Column =
+        back("flags").bitwiseAND(b) =!= 0
+      def n(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        sum(when(c, 1L).otherwise(0L))
+      back.agg(
+        count(lit(1)).as("total"),
+        n(!bit(256) && !bit(2048)).as("n_primary"),
+        n(bit(256)).as("n_secondary"),
+        n(bit(2048)).as("n_supplementary"),
+        n(bit(1024)).as("n_dup"),
+        n(bit(2)).as("n_proper"),
+        n(bit(64)).as("n_read1"),
+        n(bit(128)).as("n_read2"),
+        n(bit(16)).as("n_reverse"),
+        n(bit(512)).as("n_qcfail"))
+    },
+
     // single-file sink (headerless parts + concat commit + .sbi co-write)
     // → splittable scan planned from the SBI index (binary search, no
     // heuristic boundary scan)
@@ -539,6 +595,18 @@ object FormatQueries {
         |  CAST(COUNT(DISTINCT (start, strand)) AS BIGINT) AS n_sites,
         |  CAST(SUM(CASE WHEN rn = 1 THEN mapq ELSE 0 END) AS BIGINT) AS kept_mapq_sum
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bam_flagstat" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |  CAST(SUM(CASE WHEN NOT (l_orderkey % 13 = 0) AND NOT (l_partkey % 23 = 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_primary,
+        |  CAST(SUM(CASE WHEN l_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_secondary,
+        |  CAST(SUM(CASE WHEN l_partkey % 23 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_supplementary,
+        |  CAST(SUM(CASE WHEN l_orderkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_proper,
+        |  CAST(SUM(CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_read1,
+        |  CAST(SUM(CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_read2,
+        |  CAST(SUM(CASE WHEN l_partkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reverse,
+        |  CAST(SUM(CASE WHEN l_orderkey % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_qcfail
+        |FROM lineitem""".stripMargin,
     "q_bam_roundtrip_single" -> oracleAggregate(""),
     "q_bam_roundtrip_sharded" -> oracleAggregate(""),
     "q_sam_roundtrip" -> oracleAggregate(""),

@@ -67,6 +67,19 @@ object Pipeline {
     * a bucket this large signals degenerate content, not near-duplicates.
     */
   private val MaxBucket = 64
+  // chunking: 32-word windows at stride 24 (8-word overlap) — the RAG /
+  // context-length splitting shape; constants shared with the oracle
+  private val ChunkWords = 32
+  private val ChunkStride = 24
+  // boilerplate: non-overlapping 8-word segments, boiler = segment hash
+  // seen in >= BoilerDf distinct docs (the CCNet paragraph-frequency rule)
+  private val SegWords = 8
+  private val BoilerDf = 2
+  /** SemDeDup near-dup threshold: quantized cosine ≥ 0.35 — tighter than
+    * the LSH-bucketed [[QdotThreshold]] because cells are wider than
+    * hyperplane buckets (the cell scan sees every in-cell pair).
+    */
+  private val SemThreshold = 350000L
 
   // ---- shared Spark-side builders ---------------------------------------
 
@@ -1339,6 +1352,109 @@ object Pipeline {
         .select($"cid", $"n_docs", $"lang".as("top_lang"), $"nl".as("top_n"))
         .withColumn("purity_milli", expr("(top_n * 1000) div n_docs"))
         .orderBy($"cid")
+    },
+
+    // == chunking / boilerplate ==========================================
+
+    // Overlapping-window chunking (RAG indexing / context-length
+    // splitting): each doc becomes windows of [[ChunkWords]] words at
+    // stride [[ChunkStride]], last window ragged. ONE narrow pass — the
+    // explode factor is ~n/stride per doc, there is no shuffle except the
+    // oracle-facing final sort, and the chunk id is the portable content
+    // hash of the window text, so exact-dedup of chunks (or a chunk-level
+    // ANN index) composes with the dedup/ANN families unchanged.
+    "q_text_chunk" -> { (s, d) =>
+      import s.implicits._
+      val (cw, st) = (ChunkWords, ChunkStride)
+      Tables.documents(s, d)
+        .withColumn("ws", filter(split($"text", " "), w => length(w) > 0))
+        .withColumn("n", size($"ws"))
+        .filter($"n" > 0)
+        // last window start: 0 for short docs, else stride-aligned so the
+        // final window still reaches the end of the doc
+        .withColumn("last_start",
+          when($"n" <= cw, lit(0))
+            .otherwise(expr(s"$st * ((n - $cw + ${st - 1}) div $st)")))
+        .select($"doc_id", $"ws",
+          posexplode(sequence(lit(0), $"last_start", lit(st))))
+        .toDF("doc_id", "ws", "chunk_idx", "start")
+        .select($"doc_id",
+          $"chunk_idx".cast("long").as("chunk_idx"),
+          $"start".cast("long").as("chunk_start"),
+          size(slice($"ws", $"start" + 1, lit(cw))).cast("long").as("chunk_len"),
+          hash60(concat_ws(" ", slice($"ws", $"start" + 1, lit(cw)))).as("chunk_hash"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+
+    // Corpus-frequency boilerplate strip (CCNet/RefinedWeb paragraph
+    // dedup, re-expressed over word blocks since the synthetic docs carry
+    // no newline structure): docs split into non-overlapping
+    // [[SegWords]]-word segments; a segment whose portable hash appears in
+    // >= [[BoilerDf]] distinct docs is boilerplate; the doc keeps the
+    // rest. Scale shape: explode → one groupBy on the segment hash
+    // (payload = hashes, linear in corpus), join back on the SAME key
+    // (co-partitioned by the aggregation's own partitioning), one groupBy
+    // doc_id — never a pair space, never a driver-side collect, and the
+    // boiler side is aggregation-shrunk before the join.
+    "q_boilerplate" -> { (s, d) =>
+      import s.implicits._
+      val sw = SegWords
+      val base = Tables.documents(s, d)
+        .withColumn("ws", filter(split($"text", " "), w => length(w) > 0))
+        .withColumn("n_words", size($"ws").cast("long"))
+        .withColumn("segs",
+          when($"n_words" >= sw,
+            transform(sequence(lit(0), expr(s"int(n_words div $sw) - 1")),
+              i => hash60(concat_ws(" ", slice($"ws", i * sw + 1, lit(sw))))))
+            .otherwise(array().cast("array<long>")))
+      val segs = base.select($"doc_id", explode($"segs").as("h"))
+      val boiler = segs.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("df_cnt"))
+        .filter($"df_cnt" >= BoilerDf)
+        .select($"h")
+      val perDoc = segs.join(boiler, "h")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_boiler"))
+      base.select($"doc_id", $"n_words", size($"segs").cast("long").as("n_segs"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_boiler"))
+        .withColumn("kept_words", $"n_words" - $"n_boiler" * sw)
+        .orderBy($"doc_id")
+    },
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    // scoped to k-means cells — every embedding is assigned to its nearest
+    // centroid with the same narrow broadcast-codebook argmax the
+    // IVF/kmeans family uses (the corpus never shuffles for assignment),
+    // near-duplicate pairs are found ONLY within a cell, and each
+    // duplicate keeps the lowest-id member of its group. In a real
+    // deployment the cell count tracks corpus size (k ∝ n keeps expected
+    // cell size constant — the paper uses 50k cells for LAION-440M), so
+    // the per-cell pair expansion is bounded by design; here the
+    // deterministic 16-centroid codebook matches the IVF family and the
+    // oracle. The pair walk mirrors lshCandidatePairs: one shuffle
+    // (groupBy cid), pairs generated inside the bucket, never a global
+    // pair space.
+    "q_dedup_semantic" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.NativeIvf.register(s)
+      val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
+      val cents = e.filter($"vec_id" < 16).select($"vec_id".as("cid"), $"q".as("cq"))
+      val codebook = cents.agg(sort_array(collect_list(struct($"cid", $"cq"))).as("cents"))
+      val assigned = e.crossJoin(broadcast(codebook))
+        .select($"vec_id", expr("graft_ivf_argmax(q, cents)").as("cid"), $"q")
+      val pairs = assigned.groupBy($"cid")
+        .agg(sort_array(collect_list(struct($"vec_id", $"q"))).as("ms"))
+        .select($"cid", explode(flatten(transform($"ms", (x, i) =>
+          transform(slice($"ms", i + lit(2), size($"ms")),
+            y => struct(x.getField("vec_id").as("keep"),
+              y.getField("vec_id").as("dup"),
+              qdot(x.getField("q"), y.getField("q")).as("dot")))))).as("p"))
+        .select($"cid", $"p.keep", $"p.dup", $"p.dot")
+        .filter($"dot" >= SemThreshold)
+      pairs.groupBy($"dup", $"cid")
+        .agg(min($"keep").as("keeper"), count(lit(1)).as("n_near"))
+        .select($"dup".as("vec_id"), $"cid", $"keeper", $"n_near")
+        .orderBy($"vec_id")
     }
   )
 
@@ -2029,6 +2145,60 @@ object Pipeline {
          |${round(2, "c1")},
          |${round(3, "c2")}
          |SELECT cid, dim, val FROM s3 ORDER BY cid, dim""".stripMargin
+    },
+
+    "q_text_chunk" -> {
+      val (cw, st) = (ChunkWords, ChunkStride)
+      s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |n AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+         |c AS (SELECT doc_id, ws, n, CASE WHEN n <= $cw THEN 1
+         |        ELSE (n - $cw + ${st - 1}) // $st + 1 END AS nchunks FROM n),
+         |x AS (SELECT doc_id, ws, unnest(range(0, nchunks)) AS i FROM c),
+         |y AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |        CAST(i * $st AS BIGINT) AS chunk_start,
+         |        list_slice(ws, i * $st + 1, i * $st + $cw) AS cw FROM x)
+         |SELECT doc_id, chunk_idx, chunk_start,
+         |  CAST(len(cw) AS BIGINT) AS chunk_len,
+         |  ${h60("array_to_string(cw, ' ')")} AS chunk_hash
+         |FROM y ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
+    "q_boilerplate" -> {
+      val sw = SegWords
+      val seg = (1 to sw).map(o => s"ws[i*$sw+$o]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |    CASE WHEN len(ws) >= $sw THEN
+         |      list_transform(range(0, len(ws) // $sw), i -> ${h60(seg)})
+         |    ELSE [] END AS segs FROM t),
+         |x AS (SELECT doc_id, unnest(segs) AS h FROM s),
+         |f AS (SELECT h FROM x GROUP BY h HAVING COUNT(DISTINCT doc_id) >= $BoilerDf),
+         |b AS (SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_boiler
+         |  FROM x JOIN f ON x.h = f.h GROUP BY x.doc_id)
+         |SELECT s.doc_id, s.n_words, CAST(len(s.segs) AS BIGINT) AS n_segs,
+         |  COALESCE(b.n_boiler, 0) AS n_boiler,
+         |  s.n_words - COALESCE(b.n_boiler, 0) * $sw AS kept_words
+         |FROM s LEFT JOIN b USING (doc_id) ORDER BY s.doc_id""".stripMargin
+    },
+
+    "q_dedup_semantic" -> {
+      val dot = "CAST(list_sum(list_transform(range(1, 65), i -> %s[i] * %s[i])) AS BIGINT)"
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 16),
+         |ad AS (SELECT v.vec_id, c.cid, ${dot.format("v.q", "c.cq")} AS cdot FROM e v CROSS JOIN c),
+         |a AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |m AS (SELECT a.vec_id, a.cid, e.q FROM a JOIN e USING (vec_id)),
+         |j AS (SELECT x.cid, x.vec_id AS keep, y.vec_id AS dup,
+         |    ${dot.format("x.q", "y.q")} AS dot
+         |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+         |SELECT dup AS vec_id, cid, MIN(keep) AS keeper,
+         |  CAST(COUNT(*) AS BIGINT) AS n_near
+         |FROM j WHERE dot >= $SemThreshold GROUP BY dup, cid
+         |ORDER BY vec_id""".stripMargin
     }
   )
 }

@@ -71,6 +71,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"), s"q_ann_ivfpq: join degraded to sort-merge\n$p")
   }
 
+  test("q_dedup_semantic: assignment narrow, pairs bucket-generated — no join") {
+    // SemDeDup's cell assignment must be the same broadcast-codebook argmax
+    // projection the IVF family uses (no Exchange on vec_id), and the
+    // in-cell pair walk must be the collect_list bucket shape — a plan with
+    // a SortMergeJoin means someone rewrote it as a corpus self-join on
+    // cid, which shuffles the corpus TWICE and skews on hot cells
+    val p = finalPlan(Pipeline.queries("q_dedup_semantic")(spark, sf))
+    val vecExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("vec_id")).toSeq
+    assert(vecExchanges.isEmpty,
+      s"q_dedup_semantic: corpus shuffled on vec_id: ${vecExchanges.mkString("; ")}\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q_dedup_semantic: pair walk degraded to a join\n$p")
+  }
+
   test("q_decontam_bloom: membership prefilter sits under the confirm join") {
     // the point of the Bloom variant is the train side shrinking BEFORE the
     // fp-join shuffle: the physical plan must carry a Filter with the

@@ -65,4 +65,80 @@ class TrainingOpsSpec extends AnyFunSuite with SparkFixture {
       _.map(r => r.getAs[Long]("shard") -> r.getAs[Long]("sum_doc_ids")).toMap).toMap
     assert(sums(0L) != sums(1L), "epoch 0 and 1 produced identical shard assignments")
   }
+
+  test("q_text_chunk: windows tile every doc — no gap, no overrun") {
+    // lengths straddle every boundary of the 32/24 window formula:
+    // 1 (one short chunk), 32 (exactly one full), 33 (first ragged split),
+    // 56 (last window exactly flush), 57 (stride rolls over), 100
+    val lens = Seq(1, 20, 32, 33, 56, 57, 100)
+    val dir = writeDocs(lens.zipWithIndex.map { case (n, i) => (i + 1).toLong -> salad(s"c$i", n) })
+    val rows = Pipeline.queries("q_text_chunk")(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == lens.indices.map(i => (i + 1).toLong).toSet)
+    for ((doc, rs) <- byDoc) {
+      val n = lens(doc.toInt - 1)
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_idx"))
+      assert(sorted.head.getAs[Long]("chunk_start") == 0L)
+      // consecutive starts step by exactly the stride
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("chunk_start") - a.getAs[Long]("chunk_start") == 24L)
+        case _ =>
+      }
+      // last window reaches the end of the doc exactly; none overruns
+      assert(sorted.map(r => r.getAs[Long]("chunk_start") + r.getAs[Long]("chunk_len")).max == n.toLong)
+      sorted.foreach(r => assert(r.getAs[Long]("chunk_len") <= 32L && r.getAs[Long]("chunk_len") >= 1L))
+      // stride < window means consecutive windows overlap — no word skipped
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("chunk_start") < a.getAs[Long]("chunk_start") + a.getAs[Long]("chunk_len"))
+        case _ =>
+      }
+    }
+  }
+
+  test("q_boilerplate: a block-aligned shared segment is stripped, unique text kept") {
+    val shared = salad("boiler-seg", 8) // one full 8-word block
+    val dir = writeDocs(Seq(
+      1L -> s"$shared ${salad("tail-one", 24)}",
+      2L -> s"$shared ${salad("tail-two", 16)}",
+      3L -> s"$shared ${salad("tail-three", 32)}",
+      4L -> salad("unique", 40),
+      5L -> salad("tiny", 5))) // < 8 words: zero segments, still reported
+    val rows = Pipeline.queries("q_boilerplate")(spark, dir).collect()
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byDoc.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    for (d <- Seq(1L, 2L, 3L)) {
+      assert(byDoc(d).getAs[Long]("n_boiler") == 1L,
+        s"doc $d: planted shared block not flagged exactly once: ${byDoc(d)}")
+      assert(byDoc(d).getAs[Long]("kept_words") ==
+        byDoc(d).getAs[Long]("n_words") - 8L)
+    }
+    assert(byDoc(4L).getAs[Long]("n_boiler") == 0L)
+    assert(byDoc(5L).getAs[Long]("n_segs") == 0L &&
+      byDoc(5L).getAs[Long]("kept_words") == 5L)
+  }
+
+  test("q_dedup_semantic: in-cell duplicates collapse to the lowest id") {
+    import spark.implicits._
+    // 16 mutually-orthogonal centroids (dims 4j..4j+3 = 0.5), plus an
+    // exact-duplicate pair (20, 21) pointing along centroid 0 — both land
+    // in cell 0 and must collapse onto the cell's lowest id
+    val rows = (0 until 16).map { j =>
+      (j.toLong, Array.tabulate(64)(i => if (i / 4 == j) 0.5f else 0.0f), j)
+    } ++ Seq(
+      (20L, Array.tabulate(64)(i => if (i < 4) 0.45f else 0.0f), 0),
+      (21L, Array.tabulate(64)(i => if (i < 4) 0.45f else 0.0f), 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Pipeline.queries("q_dedup_semantic")(spark, dir).collect()
+    // centroid 0 (id 0) is the cell's lowest id and similar to both dups
+    // (dot 0.5*0.45*4 = 900k >= 350k), so 20 and 21 are removed, keeper 0;
+    // nothing else pairs (distinct centroids are orthogonal)
+    assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(20L, 21L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("keeper") == 0L && r.getAs[Long]("cid") == 0L, r.toString)
+    }
+  }
 }
