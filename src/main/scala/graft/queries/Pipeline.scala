@@ -112,6 +112,55 @@ object Pipeline {
   private def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** Overlapping-window chunk rows: (doc_id, chunk_idx, chunk_start,
+    * chunk_len, chunk_hash) — [[ChunkWords]]-word windows at
+    * [[ChunkStride]] stride, last window ragged but always reaching the
+    * end of the doc. Stateless and narrow, so the SAME definition runs on
+    * a batch corpus AND a document stream ([[graft.streaming.Streaming
+    * .chunkDocs]]); the batch query can never silently diverge from the
+    * streaming twin.
+    */
+  private[graft] def chunked(docs: DataFrame): DataFrame = {
+    val (cw, st) = (ChunkWords, ChunkStride)
+    docs
+      .withColumn("ws", filter(split(col("text"), " "), w => length(w) > 0))
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") > 0)
+      // last window start: 0 for short docs, else stride-aligned so the
+      // final window still reaches the end of the doc
+      .withColumn("last_start",
+        when(col("n") <= cw, lit(0))
+          .otherwise(expr(s"$st * ((n - $cw + ${st - 1}) div $st)")))
+      .select(col("doc_id"), col("ws"),
+        posexplode(sequence(lit(0), col("last_start"), lit(st))))
+      .toDF("doc_id", "ws", "chunk_idx", "start")
+      .select(col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("chunk_start"),
+        size(slice(col("ws"), col("start") + 1, lit(cw))).cast("long").as("chunk_len"),
+        hash60(concat_ws(" ", slice(col("ws"), col("start") + 1, lit(cw)))).as("chunk_hash"))
+  }
+
+  /** doc rows + `segs` = portable hashes of the doc's non-overlapping
+    * [[SegWords]]-word blocks (plus `ws`/`n_words`). One definition for
+    * the batch boilerplate query and the streaming twin
+    * ([[graft.streaming.Streaming.boilerplateSegments]]).
+    */
+  private[graft] def segmented(docs: DataFrame): DataFrame = {
+    val sw = SegWords
+    docs
+      .withColumn("ws", filter(split(col("text"), " "), w => length(w) > 0))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("segs",
+        when(col("n_words") >= sw,
+          transform(sequence(lit(0), expr(s"int(n_words div $sw) - 1")),
+            i => hash60(concat_ws(" ", slice(col("ws"), i * sw + 1, lit(sw))))))
+          .otherwise(array().cast("array<long>")))
+  }
+
+  /** The batch boilerplate threshold, shared with the streaming twin. */
+  private[graft] def boilerDfThreshold: Int = BoilerDf
+
   /** doc_id + shingle hashes + minhash signature, EMPTY SIGNATURES DROPPED:
     * a doc with <3 words has no shingles, and without this filter every such
     * doc produces the identical all-NULL signature — one corpus-sized
@@ -1365,25 +1414,7 @@ object Pipeline {
     // ANN index) composes with the dedup/ANN families unchanged.
     "q_text_chunk" -> { (s, d) =>
       import s.implicits._
-      val (cw, st) = (ChunkWords, ChunkStride)
-      Tables.documents(s, d)
-        .withColumn("ws", filter(split($"text", " "), w => length(w) > 0))
-        .withColumn("n", size($"ws"))
-        .filter($"n" > 0)
-        // last window start: 0 for short docs, else stride-aligned so the
-        // final window still reaches the end of the doc
-        .withColumn("last_start",
-          when($"n" <= cw, lit(0))
-            .otherwise(expr(s"$st * ((n - $cw + ${st - 1}) div $st)")))
-        .select($"doc_id", $"ws",
-          posexplode(sequence(lit(0), $"last_start", lit(st))))
-        .toDF("doc_id", "ws", "chunk_idx", "start")
-        .select($"doc_id",
-          $"chunk_idx".cast("long").as("chunk_idx"),
-          $"start".cast("long").as("chunk_start"),
-          size(slice($"ws", $"start" + 1, lit(cw))).cast("long").as("chunk_len"),
-          hash60(concat_ws(" ", slice($"ws", $"start" + 1, lit(cw)))).as("chunk_hash"))
-        .orderBy($"doc_id", $"chunk_idx")
+      chunked(Tables.documents(s, d)).orderBy($"doc_id", $"chunk_idx")
     },
 
     // Corpus-frequency boilerplate strip (CCNet/RefinedWeb paragraph
@@ -1399,14 +1430,7 @@ object Pipeline {
     "q_boilerplate" -> { (s, d) =>
       import s.implicits._
       val sw = SegWords
-      val base = Tables.documents(s, d)
-        .withColumn("ws", filter(split($"text", " "), w => length(w) > 0))
-        .withColumn("n_words", size($"ws").cast("long"))
-        .withColumn("segs",
-          when($"n_words" >= sw,
-            transform(sequence(lit(0), expr(s"int(n_words div $sw) - 1")),
-              i => hash60(concat_ws(" ", slice($"ws", i * sw + 1, lit(sw))))))
-            .otherwise(array().cast("array<long>")))
+      val base = segmented(Tables.documents(s, d))
       val segs = base.select($"doc_id", explode($"segs").as("h"))
       val boiler = segs.groupBy($"h")
         .agg(countDistinct($"doc_id").as("df_cnt"))

@@ -252,6 +252,86 @@ object Streaming {
       .toDF("fp", "doc_id", "first_doc")
   }
 
+  /** Streaming chunking — the stateless streaming twin of q_text_chunk:
+    * each arriving document fans out into its overlapping word windows.
+    * The projection IS the batch definition ([[graft.queries.Pipeline
+    * .chunked]]) applied to a stream — no state, no watermark, no shuffle,
+    * so chunk ids (portable content hashes) agree with the batch corpus
+    * bit-for-bit and a chunk-level dedup/ANN index can be maintained
+    * incrementally from this stream.
+    */
+  def chunkDocs(docs: DataFrame): DataFrame =
+    graft.queries.Pipeline.chunked(docs)
+
+  /** Streaming boilerplate detection — the streaming twin of
+    * q_boilerplate's corpus-frequency rule: per-segment-hash state counts
+    * the DISTINCT docs that carried the segment; the arrival that lifts a
+    * segment to the threshold emits a (seg, doc) hit for every holder, and
+    * every later distinct doc on a flagged segment emits immediately. The
+    * segment expression is the batch definition ([[graft.queries.Pipeline
+    * .segmented]]) verbatim. Output rows are distinct (seg_hash, doc_id)
+    * pairs — "this doc contains a segment known to be boilerplate".
+    *
+    * State is bounded on both axes: below the threshold a segment holds at
+    * most `boilerDf - 1` doc ids; once FLAGGED the member list is dropped
+    * and only the flag rides (so hot boilerplate segments — the ones with
+    * unbounded membership — carry O(1) state), and an event-time TTL
+    * evicts idle segments once the watermark passes their newest member
+    * by `ttlMs` (a later arrival re-opens the segment fresh — the trade
+    * for bounded state, same as [[nearDupCandidates]]).
+    */
+  def boilerplateSegments(docs: DataFrame,
+                          boilerDf: Int = graft.queries.Pipeline.boilerDfThreshold,
+                          watermark: String = "1 hour",
+                          ttlMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = docs.sparkSession
+    import s.implicits._
+    val segs = graft.queries.Pipeline.segmented(docs.withWatermark("ts", watermark))
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts"),
+        explode(array_distinct(col("segs"))).as("h"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    // state: (docs seen below threshold, flagged, newest event-time)
+    segs
+      .groupByKey { case (_, _, h) => h }
+      .flatMapGroupsWithState[(Seq[Long], Boolean, Long), (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (h, rows, state: GroupState[(Seq[Long], Boolean, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (seen, flagged, newestTs) =
+              state.getOption.getOrElse((Vector.empty[Long], false, Long.MinValue))
+            val out = Seq.newBuilder[(Long, Long)]
+            rows.foreach { case (docId, t, _) =>
+              if (t != null && t.getTime > newestTs) newestTs = t.getTime
+              if (flagged) {
+                // already boilerplate: every distinct doc emits once; the
+                // member list is gone, so emission is at-least-once per
+                // doc across micro-batches — dedupe downstream if needed
+                out += ((h, docId))
+              } else if (!seen.contains(docId)) {
+                seen = seen :+ docId
+                if (seen.size >= boilerDf) {
+                  // threshold crossed: every holder becomes a hit, and the
+                  // member list is dropped for O(1) state from here on
+                  seen.foreach(d => out += ((h, d)))
+                  seen = Vector.empty
+                  flagged = true
+                }
+              }
+            }
+            state.update((seen, flagged, newestTs))
+            val anchor = if (newestTs == Long.MinValue) state.getCurrentWatermarkMs() else newestTs
+            state.setTimeoutTimestamp(
+              math.max(anchor + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+      .toDF("seg_hash", "doc_id")
+  }
+
   /** Streaming ordered funnel — the streaming twin of q_events_funnel:
     * per-user state machine tracking first view → first later click →
     * first later purchase, emitting the user's funnel row whenever a stage

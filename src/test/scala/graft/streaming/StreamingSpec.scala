@@ -597,6 +597,59 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(hits() == Set((2L, 1L), (4L, 3L)), hits().toString)
     } finally q.stop()
   }
+
+  test("chunkDocs: streaming chunks equal the batch q_text_chunk projection") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, salad("chunk-a", 100), ts(0)),
+      (2L, salad("chunk-b", 33), ts(1)),
+      (3L, salad("chunk-c", 7), ts(2)))
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.chunkDocs(stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("chunks").outputMode("append").start()
+    try {
+      stream.addData(docs)
+      q.processAllAvailable()
+      val got = spark.table("chunks")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val want = graft.queries.Pipeline.chunked(docs.toDF("doc_id", "text", "ts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("boilerplateSegments: threshold crossing emits every holder, then new docs directly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val shared = salad("stream-boiler", 8) // one full 8-word block
+    val docs = Seq(
+      (1L, s"$shared ${salad("sb-one", 24)}", ts(0)),
+      (2L, s"$shared ${salad("sb-two", 16)}", ts(5)),
+      (3L, s"$shared ${salad("sb-three", 16)}", ts(10)),
+      (4L, salad("sb-unique", 40), ts(12)))
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming.boilerplateSegments(stream.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("boiler").outputMode("append").start()
+    try {
+      // doc 1 alone: below threshold, nothing emitted yet
+      stream.addData(docs.take(1)); q.processAllAvailable()
+      assert(spark.table("boiler").isEmpty)
+      // doc 2 crosses the df>=2 threshold: BOTH holders emit (state
+      // carried across the batch boundary); doc 3 then emits directly
+      stream.addData(docs.drop(1)); q.processAllAvailable()
+      val got = spark.table("boiler")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch expectation: distinct (seg, doc) pairs of segments carried
+      // by >= 2 distinct docs — exactly the planted block in docs 1..3
+      val segs = graft.queries.Pipeline.segmented(docs.toDF("doc_id", "text", "ts"))
+        .select($"doc_id", explode(array_distinct($"segs")).as("h"))
+      val boiler = segs.groupBy($"h").agg(countDistinct($"doc_id").as("n")).filter($"n" >= 2)
+      val want = segs.join(boiler.select($"h"), "h")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want && got.map(_._2) == Set(1L, 2L, 3L), s"got $got want $want")
+    } finally q.stop()
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
