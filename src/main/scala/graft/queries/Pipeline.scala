@@ -430,42 +430,58 @@ object Pipeline {
     * The checkpointed state is the label table (candidate-graph-sized, tiny
     * relative to the corpus), so executor-local storage is cheap.
     */
-  private def resolveClusters(edges: DataFrame): DataFrame = {
+  private[graft] def resolveClusters(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    var labels = edges.select($"src".as("id")).distinct()
-      .select($"id", $"id".as("lbl")).localCheckpoint()
-    var changed = 1L
+    // Alternating large-star / small-star connected components (Kiveris
+    // et al., "Connected Components in MapReduce and Beyond"): each round
+    // REWRITES the edge set — large-star hooks every larger neighbor of u
+    // onto min(Γ(u) ∪ {u}), small-star hooks u and its smaller neighbors
+    // onto their min — until the graph is a fixpoint union of stars
+    // centered at component minima. Star-rewriting (not label propagation
+    // over a fixed edge list) is what bounds the round count: a chain of
+    // near-duplicates halves every round via the grandparent hooks
+    // (provably O(log² n), ~5-7 rounds on real candidate graphs), where
+    // fixed-edge min-propagation — even with pointer jumping — walks a
+    // new minimum along the chain one hop per round (measured as a
+    // ~10-round tail each fixing <10 labels on the ensemble union graph).
+    // Per round every shuffle carries only the current (src, dst) edge
+    // set; the edge count never grows (each directed pair emits at most
+    // one hook), so the 100 TB payload is edge-linear with a shrinking
+    // constant. At the star fixpoint the labels are read directly:
+    // lbl(v) = min(v, min Γ(v)).
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select($"dst".as("src"), $"src".as("dst")))
+        .filter($"src" =!= $"dst").distinct()
+    var e = sym(edges).localCheckpoint()
     var iters = 0
-    while (changed > 0 && iters < 64) {
-      val nbr = edges
-        .join(labels.select($"id".as("nid"), $"lbl".as("nlbl")), $"dst" === $"nid")
-        .groupBy($"src").agg(min($"nlbl").as("nbl"))
-      // persisted: prop feeds BOTH sides of the jump self-join below —
-      // uncached it would execute the neighbor join twice per iteration.
-      // The PREVIOUS label rides along as olbl so convergence detection is
-      // a filter-count over the checkpointed result, not another join.
-      val prop = labels.as("o")
-        .join(nbr, $"o.id" === nbr("src"), "left")
-        .select($"o.id".as("id"), least($"o.lbl", coalesce($"nbl", $"o.lbl")).as("lbl"),
-          $"o.lbl".as("olbl"))
-        .persist()
-      // pointer jumping: also adopt the label OF my label (lbl is always a
-      // node id, so the self-join hits) — convergence in O(log diameter)
-      // rounds instead of O(diameter), which is what bounds wall-clock on
-      // a long chain of near-duplicates
-      val next = prop.as("x")
-        .join(prop.select($"id".as("pid"), $"lbl".as("plbl")), $"x.lbl" === $"pid", "left")
-        .select($"x.id".as("id"), least($"x.lbl", coalesce($"plbl", $"x.lbl")).as("lbl"),
-          $"x.olbl".as("olbl"))
-        .localCheckpoint() // eager: materializes + truncates the plan
-      changed = next.filter($"lbl" =!= $"olbl").count()
-      prop.unpersist()
-      labels = next.select($"id", $"lbl")
+    var done = e.isEmpty
+    while (!done && iters < 48) {
+      // large-star: (v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u})
+      val mL = e.groupBy($"src").agg(min($"dst").as("mn"))
+        .select($"src".as("u"), least($"mn", $"u").as("m"))
+      val large = e.join(mL, $"src" === $"u")
+        .filter($"dst" > $"src")
+        .select($"dst".as("src"), $"m".as("dst"))
+      val eL = sym(large).localCheckpoint()
+      // small-star: u and all smaller neighbors hook onto their min
+      val smaller = eL.filter($"dst" < $"src")
+      val mS = smaller.groupBy($"src").agg(min($"dst").as("m"))
+      val small = smaller.join(mS.select($"src".as("u"), $"m"), $"src" === $"u")
+        .select($"dst".as("src"), $"m".as("dst"))
+        .union(mS.select($"src", $"m".as("dst")))
+      val eS = sym(small).localCheckpoint()
+      // fixpoint: the symmetric edge set is unchanged (eS ⊆ e ∧ |eS| = |e|)
+      done = eS.count() == e.count() &&
+        eS.join(e, Seq("src", "dst"), "left_anti").isEmpty
+      e = eS
       iters += 1
+      if (sys.env.contains("SPARK_GRAFT_PROF"))
+        println(s"[eprof] resolve iter $iters edges=${e.count()}")
     }
-    require(changed == 0, s"label propagation did not converge in $iters iterations")
-    labels
+    require(done, s"star contraction did not converge in $iters rounds")
+    e.groupBy($"src").agg(min($"dst").as("mn"))
+      .select($"src".as("id"), least($"src", $"mn").as("lbl"))
   }
 
   // ---- queries ----------------------------------------------------------

@@ -141,4 +141,50 @@ class TrainingOpsSpec extends AnyFunSuite with SparkFixture {
       assert(r.getAs[Long]("keeper") == 0L && r.getAs[Long]("cid") == 0L, r.toString)
     }
   }
+
+  /** Local union-find: the oracle for the distributed contraction. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  private def resolve(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val df = Pipeline.resolveClusters(sym.toDF("src", "dst"))
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("resolveClusters: a long chain collapses to its minimum in O(log) rounds") {
+    // ids ASCENDING along the path — the adversarial order where fixed-edge
+    // min-propagation needs O(diameter) rounds; contraction must stay
+    // within its 32-round bound (requires ~log2(500) ≈ 9) and still label
+    // every node with the chain minimum
+    val n = 500
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+    val got = resolve(chain)
+    assert(got.size == n && got.values.toSet == Set(0L), s"chain mislabeled: ${got.filter(_._2 != 0L).take(5)}")
+  }
+
+  test("resolveClusters: random graphs match a local union-find exactly") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 300
+      val edges = (0 until 400).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val want = unionFind(n, edges)
+      val got = resolve(edges)
+      // resolveClusters only labels nodes that appear in an edge
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got.keySet == touched, s"trial $trial: node set mismatch")
+      got.foreach { case (id, lbl) =>
+        assert(lbl == want(id), s"trial $trial: node $id got $lbl want ${want(id)}")
+      }
+    }
+  }
 }
