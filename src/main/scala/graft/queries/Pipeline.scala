@@ -80,6 +80,9 @@ object Pipeline {
     * hyperplane buckets (the cell scan sees every in-cell pair).
     */
   private val SemThreshold = 350000L
+  /** SemDeDup expected cell occupancy; cells per corpus derive from it. */
+  private val SemCellTarget = 128L
+  private val SemMaxCell = 4096
 
   // ---- shared Spark-side builders ---------------------------------------
 
@@ -228,6 +231,24 @@ object Pipeline {
     var planes = LshPlanes
     while (planes < 60 && (n >> planes) > MaxBucket / 8) planes += 1
     planes
+  }
+
+  /** SemDeDup cell count for a corpus of `n` vectors: the smallest power
+    * of two ≥ 16 whose expected occupancy n/k is at or under
+    * [[SemCellTarget]] — the k ∝ n rule the SemDeDup paper applies (50k
+    * cells for LAION-440M). A fixed k is a quadratic wall: cell size
+    * grows linearly with the corpus and the in-cell pair walk grows with
+    * its square (the sf1 scale smoke measured 26× wall for 10× data at
+    * fixed k=16). Capped at 65536 — a 64-dim quantized codebook that size
+    * is ~32 MB, still comfortably broadcastable; past ~8M vectors a real
+    * deployment trains a hierarchical quantizer instead of extending a
+    * flat one. At any n ≤ 2048 (every oracle scale factor) this resolves
+    * to exactly 16, keeping the fixed-16 DuckDB oracle valid.
+    */
+  private[graft] def semCellsFor(n: Long): Int = {
+    var k = 16
+    while (k < 65536 && n / k > SemCellTarget) k *= 2
+    k
   }
 
   /** Corpus row count per dataset, computed once per process — the LSH
@@ -1446,7 +1467,13 @@ object Pipeline {
     "q_boilerplate" -> { (s, d) =>
       import s.implicits._
       val sw = SegWords
+      // localCheckpoint: three consumers (frequency census, probe join,
+      // per-doc stats) would otherwise each re-scan the text and re-run
+      // the split+md5 segment pass. Materializing (doc_id, n_words, segs)
+      // once is the right trade at scale too — the hash columns are an
+      // order of magnitude smaller than the text they summarize
       val base = segmented(Tables.documents(s, d))
+        .select($"doc_id", $"n_words", $"segs").localCheckpoint()
       val segs = base.select($"doc_id", explode($"segs").as("h"))
       val boiler = segs.groupBy($"h")
         .agg(countDistinct($"doc_id").as("df_cnt"))
@@ -1477,13 +1504,28 @@ object Pipeline {
     "q_dedup_semantic" -> { (s, d) =>
       import s.implicits._
       graft.functions.NativeIvf.register(s)
-      val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
-      val cents = e.filter($"vec_id" < 16).select($"vec_id".as("cid"), $"q".as("cq"))
+      val base = Tables.embeddings(s, d)
+      // cell count derived from corpus size (semCellsFor): a FIXED cell
+      // count is the quadratic cliff the sf1 smoke measured directly —
+      // 10× the corpus at 16 cells made the in-cell pair walk 26× slower
+      // (cell size grows linearly, pairs quadratically). Deriving k keeps
+      // expected occupancy at or under SemCellTarget, so per-cell pair
+      // work is bounded and total work stays corpus-linear. At the oracle
+      // scale factors the derivation resolves to exactly 16 (pinned in
+      // TrainingOpsSpec), so the fixed-16 DuckDB oracle remains valid.
+      val k = semCellsFor(countOnce(s"$d/embeddings", base))
+      val e = base.select($"vec_id", quantized($"embedding").as("q"))
+      val cents = e.filter($"vec_id" < k).select($"vec_id".as("cid"), $"q".as("cq"))
       val codebook = cents.agg(sort_array(collect_list(struct($"cid", $"cq"))).as("cents"))
       val assigned = e.crossJoin(broadcast(codebook))
         .select($"vec_id", expr("graft_ivf_argmax(q, cents)").as("cid"), $"q")
+      // SemMaxCell: a cell at 32× the expected occupancy signals
+      // degenerate content (the same skew-bomb guard as MaxBucket — a
+      // quadratic walk inside one hot cell is the failure mode); at the
+      // oracle scale factors no cell comes near it
       val pairs = assigned.groupBy($"cid")
         .agg(sort_array(collect_list(struct($"vec_id", $"q"))).as("ms"))
+        .filter(size($"ms") <= SemMaxCell)
         .select($"cid", explode(flatten(transform($"ms", (x, i) =>
           transform(slice($"ms", i + lit(2), size($"ms")),
             y => struct(x.getField("vec_id").as("keep"),

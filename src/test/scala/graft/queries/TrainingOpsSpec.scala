@@ -142,6 +142,14 @@ class TrainingOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("semCellsFor: pinned to 16 at oracle scale, grows with the corpus") {
+    assert(Pipeline.semCellsFor(500) == 16)   // sf0.01 — the correctness gate
+    assert(Pipeline.semCellsFor(2000) == 16)  // sf0.1
+    assert(Pipeline.semCellsFor(2048) == 16)  // the edge of the pinned regime
+    assert(Pipeline.semCellsFor(20000) == 256)  // the sf1 smoke corpus
+    assert(Pipeline.semCellsFor(1L << 40) == 65536) // bounded: broadcastable codebook
+  }
+
   /** Local union-find: the oracle for the distributed contraction. */
   private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = Array.tabulate(n)(identity)
