@@ -307,6 +307,87 @@ object FormatQueries {
         n(bit(512)).as("n_qcfail"))
     },
 
+    // Windowed pileup — the classic per-base depth aggregation, composed
+    // from the interval-pushed scan: only reads overlapping the window are
+    // read (index-pruned splits + record residual), each explodes into its
+    // in-window positions (explode factor bounded by the WINDOW, not the
+    // read length), and depth is a map-side-combined count per position.
+    // Whole-genome pileup is the same shape with per-region windows fanned
+    // out — work stays reads × min(read_len, window) linear.
+    "q_bam_pileup" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/pu.bam"
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_partkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 13) % 5000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 13) % 5000) + 151).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        lit("151M").as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit("*").as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
+          .as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).option("writeSbi", "true").save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024)
+        .option("intervals", "chr0:1000-1299")
+        .load(path)
+      back
+        .select(explode(sequence(greatest($"start", lit(1000)),
+          least($"end", lit(1299)))).as("p"))
+        .select($"p".cast("long").as("pos"))
+        .groupBy($"pos").agg(count(lit(1)).as("depth"))
+        .orderBy($"pos")
+    },
+
+    // Variant-type census (the bcftools-stats shape): variants carrying
+    // the full SNP/insertion/deletion allele vocabulary round-trip through
+    // the VCF sink + scan, and the per-contig type/transition counts are
+    // computed from what came back — any allele string the codec mangles
+    // shifts a count against the oracle. One narrow scan + a tiny
+    // per-contig aggregate.
+    "q_vcf_stats" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/vs.vcf.bgz"
+      val ref = when($"l_suppkey" % 7 === 0, "AT").otherwise("A")
+      val alt = when($"l_suppkey" % 7 === 0, "A")
+        .when($"l_suppkey" % 5 === 0, "AG")
+        .otherwise(substring(lit("CGT"), ($"l_linenumber" % 3).cast("int") + 1, lit(1)))
+      val vars = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + length(ref)).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        ref.as("ref"),
+        array(alt).as("alt"),
+        ($"l_orderkey" % 100).cast("double").as("qual"),
+        array(lit("PASS")).as("filters"),
+        map(lit("DP"), $"l_suppkey".cast("string")).as("info"),
+        array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false)).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val a0 = element_at($"alt", 1)
+      val isSnp = length($"ref") === 1 && length(a0) === 1
+      def n(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        sum(when(c, 1L).otherwise(0L))
+      back.groupBy($"contig")
+        .agg(
+          count(lit(1)).as("n_variants"),
+          n(isSnp).as("n_snp"),
+          n(length(a0) > length($"ref")).as("n_ins"),
+          n(length($"ref") > length(a0)).as("n_del"),
+          n(isSnp && a0 === "G").as("n_ts"),
+          n(isSnp && (a0 === "C" || a0 === "T")).as("n_tv"),
+          sum($"qual".cast("long")).as("sum_qual"))
+        .orderBy($"contig")
+    },
+
     // single-file sink (headerless parts + concat commit + .sbi co-write)
     // → splittable scan planned from the SBI index (binary search, no
     // heuristic boundary scan)
@@ -607,6 +688,31 @@ object FormatQueries {
         |  CAST(SUM(CASE WHEN l_partkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_reverse,
         |  CAST(SUM(CASE WHEN l_orderkey % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_qcfail
         |FROM lineitem""".stripMargin,
+    "q_bam_pileup" ->
+      """WITH r AS (
+        |  SELECT (l_partkey * 13) % 5000 + 1 AS s, (l_partkey * 13) % 5000 + 151 AS e
+        |  FROM lineitem WHERE l_partkey % 3 = 0),
+        |w AS (SELECT unnest(range(1000, 1300)) AS pos)
+        |SELECT pos, CAST(COUNT(*) AS BIGINT) AS depth
+        |FROM w JOIN r ON r.s <= pos AND r.e >= pos
+        |GROUP BY pos ORDER BY pos""".stripMargin,
+    "q_vcf_stats" ->
+      """WITH v AS (
+        |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    CASE WHEN l_suppkey % 7 = 0 THEN 'AT' ELSE 'A' END AS ref,
+        |    CASE WHEN l_suppkey % 7 = 0 THEN 'A'
+        |         WHEN l_suppkey % 5 = 0 THEN 'AG'
+        |         ELSE substring('CGT', CAST(l_linenumber % 3 AS INTEGER) + 1, 1) END AS alt,
+        |    l_orderkey % 100 AS qual
+        |  FROM lineitem)
+        |SELECT contig, COUNT(*) AS n_variants,
+        |  CAST(SUM(CASE WHEN len(ref) = 1 AND len(alt) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_snp,
+        |  CAST(SUM(CASE WHEN len(alt) > len(ref) THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+        |  CAST(SUM(CASE WHEN len(ref) > len(alt) THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+        |  CAST(SUM(CASE WHEN len(ref) = 1 AND alt = 'G' THEN 1 ELSE 0 END) AS BIGINT) AS n_ts,
+        |  CAST(SUM(CASE WHEN len(ref) = 1 AND (alt = 'C' OR alt = 'T') THEN 1 ELSE 0 END) AS BIGINT) AS n_tv,
+        |  CAST(SUM(qual) AS BIGINT) AS sum_qual
+        |FROM v GROUP BY contig ORDER BY contig""".stripMargin,
     "q_bam_roundtrip_single" -> oracleAggregate(""),
     "q_bam_roundtrip_sharded" -> oracleAggregate(""),
     "q_sam_roundtrip" -> oracleAggregate(""),
