@@ -82,7 +82,6 @@ object Pipeline {
   private val SemThreshold = 350000L
   /** SemDeDup expected cell occupancy; cells per corpus derive from it. */
   private val SemCellTarget = 128L
-  private val SemMaxCell = 4096
 
   // ---- shared Spark-side builders ---------------------------------------
 
@@ -349,9 +348,11 @@ object Pipeline {
     import s.implicits._
     val sigs = signedDocs(Tables.documents(s, d)).select($"doc_id", $"sig").persist()
     try {
-      val pairs = lshCandidatePairs(sigs)
-      pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-        .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      // raw pair list — resolveClusters symmetrizes internally, so
+      // doubling (and checkpointing 2×) the edges here would only add a
+      // wasted distinct shuffle
+      lshCandidatePairs(sigs)
+        .select($"doc_a".as("src"), $"doc_b".as("dst"))
         .localCheckpoint()
     } finally sigs.unpersist()
   }
@@ -484,14 +485,18 @@ object Pipeline {
       val large = e.join(mL, $"src" === $"u")
         .filter($"dst" > $"src")
         .select($"dst".as("src"), $"m".as("dst"))
-      val eL = sym(large).localCheckpoint()
+      // persist, not localCheckpoint: eL is dead once eS materializes, and
+      // persist is eagerly releasable below — only eS (the cross-round
+      // plan-truncation point) needs a checkpoint snapshot per round
+      val eL = sym(large).persist()
       // small-star: u and all smaller neighbors hook onto their min
       val smaller = eL.filter($"dst" < $"src")
       val mS = smaller.groupBy($"src").agg(min($"dst").as("m"))
       val small = smaller.join(mS.select($"src".as("u"), $"m"), $"src" === $"u")
         .select($"dst".as("src"), $"m".as("dst"))
         .union(mS.select($"src", $"m".as("dst")))
-      val eS = sym(small).localCheckpoint()
+      val eS = sym(small).localCheckpoint() // eager — consumes eL now
+      eL.unpersist()
       // fixpoint: the symmetric edge set is unchanged (eS ⊆ e ∧ |eS| = |e|)
       done = eS.count() == e.count() &&
         eS.join(e, Seq("src", "dst"), "left_anti").isEmpty
@@ -820,9 +825,9 @@ object Pipeline {
           .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b"), lit("embedding").as("modality"))
         mh.union(sh).union(em).localCheckpoint()
       } finally sigs.unpersist()
-      val upairs = all.select($"doc_a", $"doc_b").distinct()
-      val edges = upairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-        .union(upairs.select($"doc_b".as("src"), $"doc_a".as("dst"))).localCheckpoint()
+      // raw distinct pairs — resolveClusters symmetrizes internally
+      val edges = all.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .distinct().localCheckpoint()
       val labels = resolveClusters(edges)
       val mods = all.join(labels.select($"id", $"lbl"), $"doc_a" === $"id")
         .groupBy($"lbl")
@@ -1513,19 +1518,26 @@ object Pipeline {
       // work is bounded and total work stays corpus-linear. At the oracle
       // scale factors the derivation resolves to exactly 16 (pinned in
       // TrainingOpsSpec), so the fixed-16 DuckDB oracle remains valid.
-      val k = semCellsFor(countOnce(s"$d/embeddings", base))
+      val n = countOnce(s"$d/embeddings", base)
+      val k = semCellsFor(n)
       val e = base.select($"vec_id", quantized($"embedding").as("q"))
       val cents = e.filter($"vec_id" < k).select($"vec_id".as("cid"), $"q".as("cq"))
       val codebook = cents.agg(sort_array(collect_list(struct($"cid", $"cq"))).as("cents"))
       val assigned = e.crossJoin(broadcast(codebook))
         .select($"vec_id", expr("graft_ivf_argmax(q, cents)").as("cid"), $"q")
-      // SemMaxCell: a cell at 32× the expected occupancy signals
-      // degenerate content (the same skew-bomb guard as MaxBucket — a
-      // quadratic walk inside one hot cell is the failure mode); at the
-      // oracle scale factors no cell comes near it
+      // skew guard: a cell at 32× the EXPECTED occupancy signals
+      // degenerate content (the same skew-bomb rationale as MaxBucket — a
+      // quadratic walk inside one hot cell is the failure mode). The cap
+      // is derived from n/k, not a constant: past semCellsFor's 65536-cell
+      // ceiling the expected occupancy itself grows with the corpus, and a
+      // fixed cap would silently drop TYPICAL cells — the cliff would read
+      // as "no duplicates found" instead of failing loudly. At the oracle
+      // scale factors this resolves to 32 × 128 = 4096 and no cell comes
+      // near it.
+      val cellCap = 32L * math.max(SemCellTarget, n / k)
       val pairs = assigned.groupBy($"cid")
         .agg(sort_array(collect_list(struct($"vec_id", $"q"))).as("ms"))
-        .filter(size($"ms") <= SemMaxCell)
+        .filter(size($"ms") <= cellCap)
         .select($"cid", explode(flatten(transform($"ms", (x, i) =>
           transform(slice($"ms", i + lit(2), size($"ms")),
             y => struct(x.getField("vec_id").as("keep"),

@@ -170,9 +170,9 @@ class TrainingOpsSpec extends AnyFunSuite with SparkFixture {
 
   test("resolveClusters: a long chain collapses to its minimum in O(log) rounds") {
     // ids ASCENDING along the path — the adversarial order where fixed-edge
-    // min-propagation needs O(diameter) rounds; contraction must stay
-    // within its 32-round bound (requires ~log2(500) ≈ 9) and still label
-    // every node with the chain minimum
+    // min-propagation needs O(diameter) rounds; star contraction must stay
+    // within resolveClusters' 48-round bound (needs ~log2(500) ≈ 9) and
+    // still label every node with the chain minimum
     val n = 500
     val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
     val got = resolve(chain)
