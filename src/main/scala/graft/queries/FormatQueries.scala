@@ -345,6 +345,48 @@ object FormatQueries {
         .orderBy($"pos")
     },
 
+    // Insert-size histogram (the samtools-stats "IS" section): paired
+    // reads carry a signed template length derived from lineitem,
+    // round-trip through the sink + SBI-planned scan, and the histogram
+    // is computed from what came back — 100-bp bins over |tlen| of the
+    // leftward mate plus orientation counts, so a sign or magnitude the
+    // codec mangles shifts a bin. One narrow scan + a bounded aggregate
+    // (bins, not reads, cross the shuffle).
+    "q_bam_isize" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/is.bam"
+      // tlen: deterministic in [-1000, 1000], mate-symmetric sign from
+      // the line number, zero for the unpaired minority (l_suppkey % 9)
+      val mag = (($"l_partkey" * 7) % 1001).cast("int")
+      val tlen = when($"l_suppkey" % 9 === 0, 0)
+        .otherwise(when($"l_linenumber" % 2 === 0, mag).otherwise(-mag))
+        .cast("int")
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        when($"l_suppkey" % 9 === 0, 0).otherwise(1).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_partkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 13) % 5000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 13) % 5000) + 151).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        lit("151M").as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        tlen.as("tlen"),
+        lit("*").as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
+          .as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).option("writeSbi", "true").save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      back
+        .filter($"tlen" > 0) // the leftward mate counts each template once
+        .select((expr("tlen div 100") * 100).cast("long").as("bin"))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n_templates"))
+        .orderBy($"bin")
+    },
+
     // Variant-type census (the bcftools-stats shape): variants carrying
     // the full SNP/insertion/deletion allele vocabulary round-trip through
     // the VCF sink + scan, and the per-contig type/transition counts are
@@ -696,6 +738,14 @@ object FormatQueries {
         |SELECT pos, CAST(COUNT(*) AS BIGINT) AS depth
         |FROM w JOIN r ON r.s <= pos AND r.e >= pos
         |GROUP BY pos ORDER BY pos""".stripMargin,
+    "q_bam_isize" ->
+      """WITH r AS (
+        |  SELECT (l_partkey * 7) % 1001 AS mag, l_suppkey, l_linenumber FROM lineitem)
+        |SELECT CAST((mag // 100) * 100 AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n_templates
+        |FROM r
+        |WHERE l_suppkey % 9 <> 0 AND l_linenumber % 2 = 0 AND mag > 0
+        |GROUP BY bin ORDER BY bin""".stripMargin,
     "q_vcf_stats" ->
       """WITH v AS (
         |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
