@@ -313,6 +313,28 @@ object Relational {
     // The cohort assignment and the join back share the user_id shuffle key
     // (co-partitioned, no extra exchange shape), and the final rollup is
     // cohort × week cardinality — tiny at any corpus size.
+    // -- DAU / WAU / stickiness: the engagement rollup every event
+    // pipeline reports. The trailing-7-day distinct is NOT a range join:
+    // each distinct (user, day) EXPLODES into the 7 window days it
+    // contributes to (a fixed ×7 fan-out, co-partitioned by window day) —
+    // at a year of 100 TB events a day×user range join would be a nested
+    // loop over days × user-days, where this stays user-day linear.
+    "q_events_dau" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"user_id", to_date($"ts").as("day"))
+      val ud = ev.distinct()
+      val wau = ud
+        .select($"user_id", explode(sequence($"day", date_add($"day", 6))).as("w_day"))
+        .groupBy($"w_day").agg(countDistinct($"user_id").as("wau"))
+      val daily = ev.groupBy($"day")
+        .agg(countDistinct($"user_id").as("dau"), count(lit(1)).as("n_events"))
+      daily.join(wau, $"day" === $"w_day")
+        .select(date_format($"day", "yyyy-MM-dd").as("day"),
+          $"n_events", $"dau", $"wau",
+          expr("(dau * 1000) div wau").as("stickiness_milli"))
+        .orderBy($"day")
+    },
+
     "q_events_retention" -> { (s, d) =>
       import s.implicits._
       val ev = Tables.events(s, d)
@@ -882,6 +904,18 @@ object Relational {
         |  p.t_purchase_ms - v.t_view_ms AS conv_ms
         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
+
+    "q_events_dau" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |ud AS (SELECT DISTINCT user_id, day FROM ev),
+        |w AS (SELECT user_id, CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |        CAST(day AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS w_day FROM ud),
+        |wau AS (SELECT w_day, COUNT(DISTINCT user_id) AS wau FROM w GROUP BY 1),
+        |daily AS (SELECT day, COUNT(DISTINCT user_id) AS dau, COUNT(*) AS n_events FROM ev GROUP BY 1)
+        |SELECT strftime(daily.day, '%Y-%m-%d') AS day, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+        |  CAST(dau * 1000 // wau AS BIGINT) AS stickiness_milli
+        |FROM daily JOIN wau ON daily.day = wau.w_day ORDER BY day""".stripMargin,
 
     "q_events_retention" ->
       """WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
