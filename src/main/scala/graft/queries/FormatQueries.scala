@@ -338,6 +338,13 @@ object FormatQueries {
         .option("intervals", "chr0:1000-1299")
         .load(path)
       back
+        // Explicit overlap guard: the interval reader already returns only
+        // overlapping reads, but if one ever leaked past the residual
+        // filter, sequence(greatest(start,1000), least(end,1299)) would
+        // have start > stop and Spark silently generates a DESCENDING
+        // sequence, corrupting depth counts — fail-safe, free when the
+        // reader filters correctly.
+        .filter($"start" <= 1299 && $"end" >= 1000)
         .select(explode(sequence(greatest($"start", lit(1000)),
           least($"end", lit(1299)))).as("p"))
         .select($"p".cast("long").as("pos"))

@@ -241,8 +241,8 @@ object Pipeline {
     * fixed k=16). Capped at 65536 — a 64-dim quantized codebook that size
     * is ~32 MB, still comfortably broadcastable; past ~8M vectors a real
     * deployment trains a hierarchical quantizer instead of extending a
-    * flat one. At any n ≤ 2048 (every oracle scale factor) this resolves
-    * to exactly 16, keeping the fixed-16 DuckDB oracle valid.
+    * flat one. The q_dedup_semantic DuckDB oracle replicates this loop in
+    * a recursive CTE, so both sides derive the same k at any corpus size.
     */
   private[graft] def semCellsFor(n: Long): Int = {
     var k = 16
@@ -443,13 +443,17 @@ object Pipeline {
       docs.filter($"split" =!= "train").select($"doc_id".as("holdout_doc"), $"fp"))
   }
 
-  /** Connected components over a symmetric edge list by min-label
-    * propagation with pointer jumping: returns (id, lbl) with lbl = the
-    * component's minimum id. localCheckpoint truncates lineage each round —
-    * the jump self-join references the previous label table on THREE paths,
-    * so without truncation the logical plan (and analyzer time) grows
+  /** Connected components over a symmetric edge list by alternating
+    * large-star / small-star contraction (Kiveris et al.): returns
+    * (id, lbl) with lbl = the component's minimum id. Each round REWRITES
+    * the edge set toward a fixpoint union of stars centered at component
+    * minima — see the inline walkthrough below for why star-rewriting (not
+    * label propagation over a fixed edge list) bounds the round count at
+    * O(log² n). localCheckpoint truncates lineage each round — the rewrite
+    * self-joins reference the previous edge table on multiple paths, so
+    * without truncation the logical plan (and analyzer time) grows
     * exponentially with iterations, the classic iterative-DataFrame trap.
-    * The checkpointed state is the label table (candidate-graph-sized, tiny
+    * The checkpointed state is the edge table (candidate-graph-sized, tiny
     * relative to the corpus), so executor-local storage is cheap.
     */
   private[graft] def resolveClusters(edges: DataFrame): DataFrame = {
@@ -1519,9 +1523,9 @@ object Pipeline {
       // 10× the corpus at 16 cells made the in-cell pair walk 26× slower
       // (cell size grows linearly, pairs quadratically). Deriving k keeps
       // expected occupancy at or under SemCellTarget, so per-cell pair
-      // work is bounded and total work stays corpus-linear. At the oracle
-      // scale factors the derivation resolves to exactly 16 (pinned in
-      // TrainingOpsSpec), so the fixed-16 DuckDB oracle remains valid.
+      // work is bounded and total work stays corpus-linear. The DuckDB
+      // oracle replicates the same doubling loop in a recursive CTE on its
+      // own COUNT(*), so query and oracle agree on k at any corpus size.
       val n = countOnce(s"$d/embeddings", base)
       val k = semCellsFor(n)
       val e = base.select($"vec_id", quantized($"embedding").as("q"))
@@ -1785,7 +1789,7 @@ object Pipeline {
 
     "q_dedup_clusters" -> {
       // transitive closure over the capped candidate pairs (recursive CTE =
-      // the fixpoint Spark reaches by min-label propagation)
+      // the fixpoint Spark reaches by star contraction)
       s"""${oracleBandsCte().replace("WITH t AS", "WITH RECURSIVE t AS")},
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandhash = b.bandhash
@@ -2281,10 +2285,17 @@ object Pipeline {
 
     "q_dedup_semantic" -> {
       val dot = "CAST(list_sum(list_transform(range(1, 65), i -> %s[i] * %s[i])) AS BIGINT)"
-      s"""WITH e AS (SELECT vec_id,
+      // kk replicates semCellsFor's doubling loop (same integer division,
+      // same 65536 cap) on the oracle's own COUNT(*), so the oracle stays
+      // valid at ANY corpus size instead of only while k resolves to 16.
+      s"""WITH RECURSIVE kk(k) AS (
+         |  SELECT 16 UNION ALL
+         |  SELECT k * 2 FROM kk
+         |  WHERE k < 65536 AND (SELECT COUNT(*) FROM embeddings) // k > $SemCellTarget),
+         |e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
          |  FROM embeddings),
-         |c AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 16),
+         |c AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < (SELECT MAX(k) FROM kk)),
          |ad AS (SELECT v.vec_id, c.cid, ${dot.format("v.q", "c.cq")} AS cdot FROM e v CROSS JOIN c),
          |a AS (SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn

@@ -684,7 +684,7 @@ class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
                     conf: SerializableConf, partitionId: Int)
     extends DataWriter[InternalRow] {
 
-  private val name = if (singleFile) f"part-$partitionId%05d" else f"part-$partitionId%05d.bam"
+  private val name = if (singleFile) f"part-$partitionId%09d" else f"part-$partitionId%09d.bam"
   private val partPath = new Path(dir, name)
   private val fs = partPath.getFileSystem(conf.conf)
   private val raw = fs.create(partPath, true)

@@ -803,7 +803,7 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
 class CramDataWriter(dir: String, schema: StructType, conf: SerializableConf, partitionId: Int,
                      complete: Boolean = false, shardCrai: Boolean = false)
     extends DataWriter[InternalRow] {
-  private val partPath = new Path(dir, f"part-$partitionId%05d" + (if (complete) ".cram" else ""))
+  private val partPath = new Path(dir, f"part-$partitionId%09d" + (if (complete) ".cram" else ""))
   private val fs = partPath.getFileSystem(conf.conf)
   private val out = new java.io.BufferedOutputStream(fs.create(partPath, true), 1 << 16)
   private var written = 0L
@@ -883,7 +883,7 @@ class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
       s"cram records sink column ${f.name} must be ${f.dataType.simpleString}, " +
         s"got ${schema.fields(i).dataType.simpleString}")
   }
-  private val partPath = new Path(dir, f"part-$partitionId%05d" + (if (complete) ".cram" else ""))
+  private val partPath = new Path(dir, f"part-$partitionId%09d" + (if (complete) ".cram" else ""))
   private val fs = partPath.getFileSystem(conf.conf)
   private val out = new java.io.BufferedOutputStream(fs.create(partPath, true), 1 << 16)
   private var written = 0L

@@ -288,7 +288,7 @@ class SamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
 class SamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
                     schema: StructType, conf: SerializableConf, partitionId: Int)
     extends DataWriter[InternalRow] {
-  private val name = if (singleFile) f"part-$partitionId%05d" else f"part-$partitionId%05d.sam"
+  private val name = if (singleFile) f"part-$partitionId%09d" else f"part-$partitionId%09d.sam"
   private val partPath = new Path(dir, name)
   private val fs = partPath.getFileSystem(conf.conf)
   private val out = new java.io.BufferedOutputStream(fs.create(partPath, true), 1 << 16)

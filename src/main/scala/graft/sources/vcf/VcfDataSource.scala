@@ -445,7 +445,7 @@ class VcfDataWriter(dir: String, headerOpt: Option[String], singleFile: Boolean,
                     writeTbi: Boolean, writeIdx: Boolean, shardSuffix: String, schema: StructType,
                     conf: SerializableConf, partitionId: Int)
     extends DataWriter[InternalRow] {
-  private val name = if (singleFile) f"part-$partitionId%05d" else f"part-$partitionId%05d$shardSuffix"
+  private val name = if (singleFile) f"part-$partitionId%09d" else f"part-$partitionId%09d$shardSuffix"
   private val partPath = new Path(dir, name)
   private val fs = partPath.getFileSystem(conf.conf)
   private val raw = fs.create(partPath, true)

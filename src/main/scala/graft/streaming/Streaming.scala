@@ -15,6 +15,27 @@ import graft.functions.GraftFunctions.cents
   */
 object Streaming {
 
+  /** Default idle-state horizon for the per-user stateful operators
+    * ([[funnel]], [[userProfiles]], [[latestState]]): 30 days of event
+    * time. Default-ON with a generous horizon is the safer contract at
+    * pipeline scale — user populations grow monotonically, so unbounded
+    * per-user state is a slow OOM with a fuse measured in weeks. Callers
+    * with known-bounded key populations opt OUT with `idleTtlMs = None`
+    * (logged once, loudly, below).
+    */
+  val DefaultIdleTtlMs: Long = 30L * 24 * 3600 * 1000
+
+  private val warnedUnbounded = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** One-time warning when a caller opts into unbounded keyed state. */
+  private def warnUnbounded(op: String): Unit =
+    if (warnedUnbounded.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft.streaming.$op called with idleTtlMs=None: keyed state grows " +
+          "with every key ever seen and NEVER shrinks. Only safe for " +
+          "known-bounded key populations; otherwise keep the default " +
+          s"event-time TTL (${DefaultIdleTtlMs} ms).")
+
   /** Hourly tumbling-window counts/value per event type with a 2h watermark:
     * the streaming twin of q_events_hourly. State is bounded by the
     * watermark; the aggregation is partial-aggregated map-side before the
@@ -269,8 +290,13 @@ object Streaming {
     * segment to the threshold emits a (seg, doc) hit for every holder, and
     * every later distinct doc on a flagged segment emits immediately. The
     * segment expression is the batch definition ([[graft.queries.Pipeline
-    * .segmented]]) verbatim. Output rows are distinct (seg_hash, doc_id)
-    * pairs — "this doc contains a segment known to be boilerplate".
+    * .segmented]]) verbatim. Output rows are (seg_hash, doc_id) pairs —
+    * "this doc contains a segment known to be boilerplate" — delivered
+    * AT-LEAST-ONCE per pair: once a segment is flagged its member list is
+    * dropped (that is what bounds hot-segment state to O(1)), so a doc
+    * that re-arrives on a flagged segment in a later micro-batch re-emits
+    * the same pair. Dedupe downstream (e.g. a watermark-scoped
+    * dropDuplicates) if exactly-once pairs are required.
     *
     * State is bounded on both axes: below the threshold a segment holds at
     * most `boilerDf - 1` doc ids; once FLAGGED the member list is dropped
@@ -354,13 +380,13 @@ object Streaming {
     * key population is known-bounded.
     */
   def funnel(events: DataFrame, watermark: String = "2 hours",
-             idleTtlMs: Option[Long] = Some(86400000L)): DataFrame = {
+             idleTtlMs: Option[Long] = Some(DefaultIdleTtlMs)): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val s = events.sparkSession
     import s.implicits._
     val timeoutConf =
       if (idleTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
+      else { warnUnbounded("funnel"); GroupStateTimeout.NoTimeout() }
     events
       .withWatermark("ts", watermark)
       // the watermark column must SURVIVE the projection for event-time
@@ -490,7 +516,7 @@ object Streaming {
     * older than the current winner are absorbed without an emit.
     */
   def latestState(events: DataFrame,
-                  idleTtlMs: Option[Long] = Some(86400000L),
+                  idleTtlMs: Option[Long] = Some(DefaultIdleTtlMs),
                   watermark: String = "2 hours"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val s = events.sparkSession
@@ -505,7 +531,7 @@ object Streaming {
       .groupByKey(_._1)
     val timeout =
       if (idleTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
+      else { warnUnbounded("latestState"); GroupStateTimeout.NoTimeout() }
     rows.flatMapGroupsWithState[(Long, Long, String, Long), (Long, Long, String, Long)](
       OutputMode.Append(), timeout) {
       case (uid, it, state: GroupState[(Long, Long, String, Long)]) =>
@@ -592,7 +618,7 @@ object Streaming {
     * `ts` column; the unbounded path does not.
     */
   def userProfiles(events: DataFrame,
-                   idleTtlMs: Option[Long] = Some(86400000L),
+                   idleTtlMs: Option[Long] = Some(DefaultIdleTtlMs),
                    watermark: String = "2 hours"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val s = events.sparkSession
@@ -628,6 +654,7 @@ object Streaming {
           }
           .toDF("user_id", "n_events", "n_distinct_types")
       case None =>
+        warnUnbounded("userProfiles")
         events.select(col("user_id").cast("long"), col("event_type").cast("string"))
           .as[(Long, String)]
           .groupByKey(_._1)

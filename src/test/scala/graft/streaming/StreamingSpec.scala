@@ -392,6 +392,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("funnel: DEFAULT TTL is on — a user idle past 30d of event time is evicted") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // no idleTtlMs argument: the default contract must bound state
+    assert(Streaming.DefaultIdleTtlMs == 30L * 24 * 3600 * 1000)
+    val stream = MemoryStream[Ev]
+    val q = Streaming.funnel(stream.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("funnel_default_ttl")
+      .outputMode("append").start()
+    try {
+      val base = ts(10).getTime
+      def dayTs(d: Int): Timestamp = new Timestamp(base + d * 86400000L)
+      def rowsFor(uid: Long): Set[(Option[Any], Option[Any], Option[Any])] =
+        spark.table("funnel_default_ttl").filter($"user_id" === uid)
+          .collect().map(r => (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toSet
+      stream.addData(Seq(Ev(dayTs(0), "view", 1, 1.0), Ev(new Timestamp(base + 60000L), "click", 1, 1.0)))
+      q.processAllAvailable()
+      assert(rowsFor(1L) == Set((Some(base), Some(base + 60000L), None)))
+      // 40 days later an unrelated user advances the watermark far past
+      // user 1's newest event + the 30d default; the next batch evicts
+      stream.addData(Seq(Ev(dayTs(40), "view", 99, 1.0)))
+      q.processAllAvailable()
+      stream.addData(Seq(Ev(dayTs(41), "view", 98, 1.0)))
+      q.processAllAvailable()
+      // the purchase after default-horizon eviction cannot complete the
+      // old funnel (fresh state: purchase without a click is ignored)
+      stream.addData(Seq(Ev(dayTs(42), "purchase", 1, 1.0)))
+      q.processAllAvailable()
+      assert(rowsFor(1L) == Set((Some(base), Some(base + 60000L), None)),
+        s"default TTL did not evict: ${rowsFor(1L)}")
+    } finally q.stop()
+  }
+
   test("userProfiles: event-time TTL evicts idle users; a return starts fresh") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
