@@ -61,10 +61,12 @@ object Pipeline {
   private val PiiPhoneRe = "\\d{3}-\\d{4}-\\d{4}"
   private val QdotThreshold = 300000L // quantized cosine ≥ 0.3
   private val LshPlanes = 8
-  /** LSH bucket-size guard: a (band, bandhash) bucket larger than this is
-    * dropped instead of pair-expanded — collect_list+quadratic pair
-    * generation inside one hot bucket is the classic 100 TB skew bomb, and
-    * a bucket this large signals degenerate content, not near-duplicates.
+  /** LSH bucket-size guard: a (band, bandhash) bucket larger than this
+    * emits STAR pairs against its minimum member ([[bucketPairs]]) instead
+    * of the full pair expansion — collect_list+quadratic pair generation
+    * inside one hot bucket is the classic 100 TB skew bomb, but dropping
+    * the bucket outright (the previous rule) silently lost the densest
+    * duplicate families, which are the highest-value dedup targets.
     */
   private val MaxBucket = 64
   // chunking: 32-word windows at stride 24 (8-word overlap) — the RAG /
@@ -169,7 +171,7 @@ object Pipeline {
     * (band, bandhash) bucket of semantically meaningless pairs (zero shared
     * shingles). Filtering is both the correct semantics and the skew fix.
     */
-  private def signedDocs(df: DataFrame): DataFrame = {
+  private[graft] def signedDocs(df: DataFrame): DataFrame = {
     // native expression: the whole split→shingle→md5→K-min pipeline is one
     // static call inside whole-stage codegen (the composed HOF form is
     // interpreted; q_dedup_minhash_sig keeps it as the executable spec of
@@ -190,21 +192,43 @@ object Pipeline {
         transform(slice(col("sig"), b * lit(MinhashK / Bands) + 1, lit(MinhashK / Bands)),
           v => v.cast("string")))))
 
+  /** Candidate pairs within a SORTED bucket-member id array: all (i, j)
+    * pairs when the bucket is inside [[MaxBucket]]; STAR pairs — the bucket
+    * minimum paired with every other member, O(bucket) rows — once it
+    * exceeds the cap. Dropping over-cap buckets (the old rule) silently
+    * lost exactly the densest duplicate families: a content-degenerate
+    * family (10k near-identical boilerplate docs sharing one band hash)
+    * lands in ONE bucket regardless of how many planes/bands the derivation
+    * adds, and at 100 TB those viral families are the highest-value dedup
+    * targets. Star edges keep every member connected to the bucket minimum
+    * in the candidate graph at linear cost — no quadratic pair explosion —
+    * and the CC layer already consumes arbitrary edges, so the family still
+    * collapses to one cluster. The trade: over-cap buckets contribute
+    * star-shaped (not complete) candidate sets, so pair-level consumers see
+    * each over-cap member paired with the minimum only.
+    */
+  private def bucketPairs(ids: Column, aName: String, bName: String): Column =
+    when(size(ids) <= MaxBucket,
+      flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          y => struct(x.as(aName), y.as(bName))))))
+      .otherwise(transform(slice(ids, lit(2), size(ids) - 1),
+        y => struct(element_at(ids, 1).as(aName), y.as(bName))))
+
   /** Distinct LSH candidate pairs: ONE shuffle groups docs by
     * (band, bandhash); pairs are generated inside each bucket (no self-join,
-    * no global pair space) and oversized buckets are dropped ([[MaxBucket]]),
-    * so the pair count stays near-linear in corpus size.
+    * no global pair space) — all pairs within [[MaxBucket]], star pairs
+    * against the bucket minimum past it ([[bucketPairs]]) — so the pair
+    * count stays near-linear in corpus size with no bucket dropped.
     */
-  private def lshCandidatePairs(sigs: DataFrame): DataFrame = {
+  private[graft] def lshCandidatePairs(sigs: DataFrame): DataFrame = {
     val s = sigs.sparkSession
     import s.implicits._
     sigs.select($"doc_id", posexplode(bandsCol).as(Seq("band", "bandhash")))
       .groupBy($"band", $"bandhash")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .filter(size($"ids") > 1 && size($"ids") <= MaxBucket)
-      .select(explode(flatten(transform($"ids", (x, i) =>
-        transform(slice($"ids", i + lit(2), size($"ids")),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .filter(size($"ids") > 1)
+      .select(explode(bucketPairs($"ids", "doc_a", "doc_b")).as("p"))
       .select($"p.doc_a", $"p.doc_b")
       .distinct()
   }
@@ -214,8 +238,9 @@ object Pipeline {
     * n/2^planes sits at or under MaxBucket/8. A fixed plane count is a
     * silent recall cliff at scale — with 8 planes there are only 256
     * buckets, so past ~16k vectors most buckets exceed [[MaxBucket]] and
-    * get dropped, discarding nearly every candidate pair. Deriving planes
-    * from n keeps the bucket count growing with the corpus instead.
+    * degrade to star pairs, thinning nearly every candidate set. Deriving
+    * planes from n keeps the bucket count growing with the corpus instead,
+    * reserving the star fallback for genuinely degenerate content.
     *
     * The /8 margin is deliberate: sign-bit orthant masses are NOT uniform
     * (fixed hyperplanes are not orthogonal, so some sign patterns carry
@@ -360,8 +385,10 @@ object Pipeline {
   /** SimHash near-dup candidate pairs (doc_a, doc_b, hamming), hamming ≤ 3:
     * band the 60-bit fingerprint into 4 × 15-bit keys (pigeonhole — a pair
     * within hamming distance 3 shares at least one intact band), bucket by
-    * (band, key) in ONE shuffle, pair within size-capped buckets, re-check
-    * exact hamming. Shared by q_dedup_simhash_pairs and the ensemble query.
+    * (band, key) in ONE shuffle, pair within buckets (all pairs inside
+    * [[MaxBucket]], star pairs against the bucket minimum past it — same
+    * recall rule as [[bucketPairs]]), re-check exact hamming. Shared by
+    * q_dedup_simhash_pairs and the ensemble query.
     */
   private def simhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -371,14 +398,19 @@ object Pipeline {
     val banded = sims.select($"doc_id", $"sh",
       posexplode(array((0 until SimhashBands).map(b =>
         shiftright($"sh", b * 15).bitwiseAND(lit(0x7fffL))): _*)).as(Seq("band", "key")))
+    def pairOf(x: Column, y: Column) =
+      struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
+        bit_count(x.getField("sh").bitwiseXOR(y.getField("sh"))).cast("long")
+          .as("hamming"))
     banded.groupBy($"band", $"key")
       .agg(sort_array(collect_list(struct($"doc_id", $"sh"))).as("ms"))
-      .filter(size($"ms") > 1 && size($"ms") <= MaxBucket)
-      .select(explode(flatten(transform($"ms", (x, i) =>
-        transform(slice($"ms", i + lit(2), size($"ms")),
-          y => struct(x.getField("doc_id").as("doc_a"), y.getField("doc_id").as("doc_b"),
-            bit_count(x.getField("sh").bitwiseXOR(y.getField("sh"))).cast("long")
-              .as("hamming")))))).as("p"))
+      .filter(size($"ms") > 1)
+      .select(explode(
+        when(size($"ms") <= MaxBucket,
+          flatten(transform($"ms", (x, i) =>
+            transform(slice($"ms", i + lit(2), size($"ms")), y => pairOf(x, y)))))
+          .otherwise(transform(slice($"ms", lit(2), size($"ms") - 1),
+            y => pairOf(element_at($"ms", 1), y)))).as("p"))
       .select($"p.doc_a", $"p.doc_b", $"p.hamming")
       .filter($"hamming" <= 3)
       .distinct()
@@ -402,10 +434,8 @@ object Pipeline {
     try {
       val pairs = e.groupBy($"bucket")
         .agg(sort_array(collect_list($"vec_id")).as("ids"))
-        .filter(size($"ids") > 1 && size($"ids") <= MaxBucket)
-        .select(explode(flatten(transform($"ids", (x, i) =>
-          transform(slice($"ids", i + lit(2), size($"ids")),
-            y => struct(x.as("vec_a"), y.as("vec_b")))))).as("p"))
+        .filter(size($"ids") > 1)
+        .select(explode(bucketPairs($"ids", "vec_a", "vec_b")).as("p"))
         .select($"p.vec_a", $"p.vec_b")
       pairs
         .join(e.select($"vec_id".as("vec_a"), $"q".as("qa")), "vec_a")
@@ -703,7 +733,8 @@ object Pipeline {
     // LSH candidate pairs: docs sharing at least one minhash band.
     // Scale shape: one narrow pass computes signatures, ONE shuffle groups
     // by (band, bandhash), pairs are generated inside each (tiny) bucket —
-    // no self-join, no global pair space, bucket size capped (MaxBucket).
+    // no self-join, no global pair space, over-cap buckets star-paired
+    // against their minimum (MaxBucket / bucketPairs).
     "q_dedup_minhash_pairs" -> { (s, d) =>
       import s.implicits._
       // persist = materialization barrier: without it CollapseProject
@@ -767,7 +798,8 @@ object Pipeline {
     // come from the same capped collect_list shape as [[lshCandidatePairs]]:
     // a degenerate embedding cluster (near-duplicate spam, zero vectors)
     // would make one bucket's pair space quadratic in corpus size — buckets
-    // past [[MaxBucket]] are dropped, not exploded.
+    // past [[MaxBucket]] fall back to star pairs against the bucket
+    // minimum (linear), not the full pair expansion and not a silent drop.
     "q_dedup_embedding" -> { (s, d) =>
       import s.implicits._
       embeddingNearDupPairs(s, d).orderBy($"vec_a", $"vec_b")
@@ -866,11 +898,17 @@ object Pipeline {
           posexplode(bandsCol).as(Seq("band", "bandhash")))
         .groupBy($"band", $"bandhash")
         .agg(sort_array(collect_list(struct($"doc_id", $"is_new"))).as("ms"))
-        .filter(size($"ms") > 1 && size($"ms") <= MaxBucket)
-        .select(
+        .filter(size($"ms") > 1)
+        .select(size($"ms").as("bsize"),
           filter($"ms", m => m.getField("is_new")).as("news"),
           filter($"ms", m => !m.getField("is_new")).as("olds"))
         .filter(size($"news") > 0 && size($"olds") > 0)
+        // over-cap buckets: each new doc pairs with the MINIMUM corpus doc
+        // only (the star-edge rule, [[bucketPairs]]) — a dense boilerplate
+        // family still flags every new member as a known duplicate, at
+        // O(batch) instead of O(batch × family) edges
+        .select($"news", when($"bsize" <= MaxBucket, $"olds")
+          .otherwise(slice($"olds", 1, 1)).as("olds"))
         .select(explode(flatten(transform($"news", nw =>
           transform($"olds", od => struct(nw.getField("doc_id").as("new_doc"),
             od.getField("doc_id").as("dup_of")))))).as("p"))
@@ -1571,7 +1609,10 @@ object Pipeline {
   /** Shared oracle CTE chain mirroring [[signedDocs]]+[[lshCandidatePairs]]:
     * words → shingles (docs with <3 words dropped) → shingle hashes →
     * minhash sig → per-band hashes, plus `bok` = buckets within the
-    * [2, MaxBucket] size window. Ends WITHOUT a trailing comma.
+    * [2, MaxBucket] size window, `bover` = over-cap buckets with their
+    * minimum member, and `cand` = the candidate pairs (all pairs for
+    * in-window buckets, star pairs against the minimum for over-cap —
+    * mirroring [[bucketPairs]]). Ends WITHOUT a trailing comma.
     */
   /** The simhash bit-vote expression over a `wh` word-hash list — shared by
     * the signature oracle and the pairs oracle so the two can never diverge.
@@ -1593,7 +1634,16 @@ object Pipeline {
        |    ${h60(s"array_to_string(list_transform(list_slice(sig, b * ${MinhashK / Bands} + 1, (b + 1) * ${MinhashK / Bands}), v -> CAST(v AS VARCHAR)), ',')")} AS bandhash
        |  FROM sig, UNNEST(range(0, $Bands)) AS u(b)),
        |bok AS (SELECT band, bandhash FROM bands GROUP BY band, bandhash
-       |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket)""".stripMargin
+       |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
+       |bover AS (SELECT band, bandhash, MIN(doc_id) AS mdoc FROM bands
+       |  GROUP BY band, bandhash HAVING COUNT(*) > $MaxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandhash = b.bandhash
+       |    AND a.doc_id < b.doc_id
+       |  JOIN bok o ON o.band = a.band AND o.bandhash = a.bandhash
+       |  UNION
+       |  SELECT v.mdoc, b.doc_id FROM bover v JOIN bands b
+       |    ON b.band = v.band AND b.bandhash = v.bandhash AND b.doc_id > v.mdoc)""".stripMargin
   }
 
   /** Shared by q_decontaminate and q_decontam_bloom — the Bloom variant
@@ -1729,20 +1779,28 @@ object Pipeline {
 
     "q_dedup_minhash_pairs" -> {
       s"""${oracleBandsCte()}
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.bandhash = b.bandhash
-         |  AND a.doc_id < b.doc_id
-         |JOIN bok o ON o.band = a.band AND o.bandhash = a.bandhash
+         |SELECT doc_a, doc_b FROM cand
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "q_dedup_incremental" -> {
+      // over-cap buckets (bover): each new doc pairs with the MINIMUM
+      // corpus doc only — the star-edge rule, mirroring the Spark side
       s"""${oracleBandsCte()},
          |m AS (SELECT b.doc_id, b.band, b.bandhash, (b.doc_id % 10 = 0) AS is_new
          |  FROM bands b JOIN bok o ON o.band = b.band AND o.bandhash = b.bandhash),
-         |p AS (SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS dup_of
+         |mo AS (SELECT b.doc_id, b.band, b.bandhash, (b.doc_id % 10 = 0) AS is_new
+         |  FROM bands b JOIN bover v ON v.band = b.band AND v.bandhash = b.bandhash),
+         |oldmin AS (SELECT band, bandhash, MIN(doc_id) AS dup_of
+         |  FROM mo WHERE NOT is_new GROUP BY band, bandhash),
+         |p AS (SELECT DISTINCT new_doc, dup_of FROM (
+         |  SELECT n.doc_id AS new_doc, c.doc_id AS dup_of
          |  FROM m n JOIN m c ON n.band = c.band AND n.bandhash = c.bandhash
-         |  WHERE n.is_new AND NOT c.is_new)
+         |  WHERE n.is_new AND NOT c.is_new
+         |  UNION
+         |  SELECT n.doc_id, om.dup_of
+         |  FROM mo n JOIN oldmin om ON om.band = n.band AND om.bandhash = n.bandhash
+         |  WHERE n.is_new))
          |SELECT new_doc, MIN(dup_of) AS dup_of, COUNT(*) AS n_corpus_hits
          |FROM p GROUP BY new_doc ORDER BY new_doc""".stripMargin
     },
@@ -1761,22 +1819,26 @@ object Pipeline {
          |bb AS (SELECT doc_id, sh, band, (sh >> (band * 15)) & 32767 AS key
          |  FROM shs, UNNEST(range(0, $SimhashBands)) AS u(band)),
          |bok AS (SELECT band, key FROM bb GROUP BY band, key
-         |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket)
-         |SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-         |  CAST(bit_count(xor(a.sh, b2.sh)) AS BIGINT) AS hamming
-         |FROM bb a JOIN bb b2 ON a.band = b2.band AND a.key = b2.key
-         |  AND a.doc_id < b2.doc_id
-         |JOIN bok o ON o.band = a.band AND o.key = a.key
-         |WHERE bit_count(xor(a.sh, b2.sh)) <= 3
+         |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
+         |bover AS (SELECT band, key, MIN(doc_id) AS mdoc, arg_min(sh, doc_id) AS msh
+         |  FROM bb GROUP BY band, key HAVING COUNT(*) > $MaxBucket)
+         |SELECT DISTINCT doc_a, doc_b, hamming FROM (
+         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.sh, b2.sh)) AS BIGINT) AS hamming
+         |  FROM bb a JOIN bb b2 ON a.band = b2.band AND a.key = b2.key
+         |    AND a.doc_id < b2.doc_id
+         |  JOIN bok o ON o.band = a.band AND o.key = a.key
+         |  UNION
+         |  SELECT v.mdoc, b2.doc_id,
+         |    CAST(bit_count(xor(v.msh, b2.sh)) AS BIGINT)
+         |  FROM bover v JOIN bb b2
+         |    ON b2.band = v.band AND b2.key = v.key AND b2.doc_id > v.mdoc)
+         |WHERE hamming <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "q_dedup_ngram_jaccard" -> {
       s"""${oracleBandsCte()},
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandhash = b.bandhash
-         |    AND a.doc_id < b.doc_id
-         |  JOIN bok o ON o.band = a.band AND o.bandhash = a.bandhash),
          |ss AS (SELECT doc_id, list_distinct(shash) AS sh FROM sh2),
          |p AS (SELECT c.doc_a, c.doc_b,
          |    len(list_intersect(a.sh, b.sh)) AS inter,
@@ -1791,10 +1853,6 @@ object Pipeline {
       // transitive closure over the capped candidate pairs (recursive CTE =
       // the fixpoint Spark reaches by star contraction)
       s"""${oracleBandsCte().replace("WITH t AS", "WITH RECURSIVE t AS")},
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandhash = b.bandhash
-         |    AND a.doc_id < b.doc_id
-         |  JOIN bok o ON o.band = a.band AND o.bandhash = a.bandhash),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
          |  UNION ALL SELECT doc_b, doc_a FROM cand),
          |reach(src, dst) AS (
@@ -1808,10 +1866,6 @@ object Pipeline {
 
     "q_dedup_keep_best" -> {
       s"""${oracleBandsCte().replace("WITH t AS", "WITH RECURSIVE t AS")},
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandhash = b.bandhash
-         |    AND a.doc_id < b.doc_id
-         |  JOIN bok o ON o.band = a.band AND o.bandhash = a.bandhash),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
          |  UNION ALL SELECT doc_b, doc_a FROM cand),
          |reach(src, dst) AS (
@@ -1834,32 +1888,42 @@ object Pipeline {
         s"CASE WHEN list_sum(list_transform(range(1, 65), i -> q[i] * (${h60(s"'$p|' || CAST(i AS VARCHAR)")} % 2001 - 1000))) > 0 THEN ${1L << p} ELSE 0 END"
       }.mkString(" +\n  ")
       s"""${oracleBandsCte().replace("WITH t AS", "WITH RECURSIVE t AS")},
-         |cand_mh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandhash = b.bandhash
-         |    AND a.doc_id < b.doc_id
-         |  JOIN bok o ON o.band = a.band AND o.bandhash = a.bandhash),
          |wt AS (SELECT doc_id, list_transform($wsExpr, w -> ${h60("w")}) AS wh FROM documents),
          |shs AS (SELECT doc_id, CAST($simhashBitTerms AS BIGINT) AS sh FROM wt),
          |bb AS (SELECT doc_id, sh, band, (sh >> (band * 15)) & 32767 AS key
          |  FROM shs, UNNEST(range(0, $SimhashBands)) AS u(band)),
          |sok AS (SELECT band, key FROM bb GROUP BY band, key
          |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
-         |cand_sh AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+         |sover AS (SELECT band, key, MIN(doc_id) AS mdoc, arg_min(sh, doc_id) AS msh
+         |  FROM bb GROUP BY band, key HAVING COUNT(*) > $MaxBucket),
+         |cand_sh AS (SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
          |  FROM bb a JOIN bb b2 ON a.band = b2.band AND a.key = b2.key
          |    AND a.doc_id < b2.doc_id
          |  JOIN sok o ON o.band = a.band AND o.key = a.key
-         |  WHERE bit_count(xor(a.sh, b2.sh)) <= 3),
+         |  WHERE bit_count(xor(a.sh, b2.sh)) <= 3
+         |  UNION
+         |  SELECT v.mdoc, b2.doc_id FROM sover v JOIN bb b2
+         |    ON b2.band = v.band AND b2.key = v.key AND b2.doc_id > v.mdoc
+         |  WHERE bit_count(xor(v.msh, b2.sh)) <= 3)),
          |ee AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
          |  FROM embeddings),
          |eb AS (SELECT vec_id, q, CAST($bucketTerms AS BIGINT) AS bucket FROM ee),
          |eok AS (SELECT bucket FROM eb GROUP BY bucket
          |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
-         |cand_em AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |eover AS (SELECT bucket, MIN(vec_id) AS mvec, arg_min(q, vec_id) AS mq
+         |  FROM eb GROUP BY bucket HAVING COUNT(*) > $MaxBucket),
+         |cand_em AS (SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
          |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |  JOIN eok o ON o.bucket = a.bucket
-         |  WHERE list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) >= $QdotThreshold),
-         |allp AS (SELECT doc_a, doc_b, 'minhash' AS modality FROM cand_mh
+         |  WHERE list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) >= $QdotThreshold
+         |  UNION
+         |  SELECT v.mvec, b.vec_id FROM eover v JOIN eb b
+         |    ON b.bucket = v.bucket AND b.vec_id > v.mvec
+         |  WHERE list_sum(list_transform(range(1, 65), i -> v.mq[i] * b.q[i])) >= $QdotThreshold)),
+         |allp AS (SELECT doc_a, doc_b, 'minhash' AS modality FROM cand
          |  UNION ALL SELECT doc_a, doc_b, 'simhash' FROM cand_sh
          |  UNION ALL SELECT doc_a, doc_b, 'embedding' FROM cand_em),
          |up AS (SELECT DISTINCT doc_a, doc_b FROM allp),
@@ -1981,12 +2045,19 @@ object Pipeline {
          |  FROM embeddings),
          |eb AS (SELECT vec_id, q, CAST($bucketTerms AS BIGINT) AS bucket FROM e),
          |bok AS (SELECT bucket FROM eb GROUP BY bucket
-         |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT) AS qdot
-         |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |JOIN bok o ON o.bucket = a.bucket
-         |WHERE list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) >= $QdotThreshold
+         |  HAVING COUNT(*) BETWEEN 2 AND $MaxBucket),
+         |bover AS (SELECT bucket, MIN(vec_id) AS mvec, arg_min(q, vec_id) AS mq
+         |  FROM eb GROUP BY bucket HAVING COUNT(*) > $MaxBucket)
+         |SELECT DISTINCT vec_a, vec_b, qdot FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> a.q[i] * b.q[i])) AS BIGINT) AS qdot
+         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN bok o ON o.bucket = a.bucket
+         |  UNION
+         |  SELECT v.mvec, b.vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> v.mq[i] * b.q[i])) AS BIGINT)
+         |  FROM bover v JOIN eb b ON b.bucket = v.bucket AND b.vec_id > v.mvec)
+         |WHERE qdot >= $QdotThreshold
          |ORDER BY vec_a, vec_b""".stripMargin
     },
 
