@@ -113,7 +113,7 @@ object Pipeline {
   private def quantized(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000).cast("long"))
 
-  private def qdot(a: Column, b: Column): Column =
+  private[graft] def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Overlapping-window chunk rows: (doc_id, chunk_idx, chunk_start,
@@ -304,10 +304,10 @@ object Pipeline {
   }
 
   /** Pre-populates the corpus-count memo for the datasets whose DataFrame
-    * CONSTRUCTION triggers a count job (the LSH plane sizing). The bench
-    * calls this once before the timed region so sample 0 of the LSH
-    * queries measures the query, not the one-time catalog-statistics
-    * stand-in.
+    * CONSTRUCTION triggers a count job (the LSH plane sizing), and the
+    * trained-codebook memo the IVF family consumes. The bench calls this
+    * once before the timed region so sample 0 measures the query, not the
+    * one-time catalog-statistics / offline-training stand-ins.
     */
   private[graft] def warmCorpusCounts(s: SparkSession, d: String): Unit = {
     countOnce(s"$d/embeddings", Tables.embeddings(s, d))
@@ -315,6 +315,103 @@ object Pipeline {
     countOnce(s"$d/lineitem", Tables.lineitem(s, d))
     // the Bloom filter sizes from the holdout fingerprint count
     countOnce(s"$d/documents#holdout_fps", splitFingerprints(s, d)._2)
+    // the IVF/IVF-PQ coarse codebook (3 Lloyd rounds, offline artifact)
+    trainedCentroids(s, d)
+  }
+
+  /** One Lloyd round over quantized vectors `e(vec_id, q)` given the
+    * current codebook `cb(cid, cq)`: centroids collapse to ONE broadcast
+    * row, assignment is the same narrow codegen'd graft_ivf_argmax pass
+    * the IVF query uses (the corpus never shuffles, never widens to k rows
+    * per vector), and the update aggregates 64 per-dimension partial sums
+    * map-side — the only shuffle payload is (#centroids × 64 longs). Means
+    * floor-quantize back to integers, so the trajectory is engine-portable
+    * bit-for-bit; empty clusters drop identically on both sides.
+    */
+  private def lloydStep(e: DataFrame, cb: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val dims = 64
+    val codebook = cb.agg(sort_array(collect_list(struct($"cid", $"cq"))).as("cents"))
+    val assigned = e.crossJoin(broadcast(codebook))
+      .select(expr("graft_ivf_argmax(q, cents)").as("cid"), $"q")
+    val aggs = count(lit(1)).as("n") +:
+      (0 until dims).map(i => sum(element_at($"q", i + 1)).as(s"s$i"))
+    assigned.groupBy($"cid")
+      .agg(aggs.head, aggs.tail: _*)
+      .select($"cid", array((0 until dims).map(i =>
+        floor(col(s"s$i").cast("double") / $"n").cast("long")): _*).as("cq"))
+  }
+
+  /** 3 unrolled Lloyd rounds from the deterministic 16-vector seed — the
+    * training chain q_kmeans_train exposes and [[trainedCentroids]] caches.
+    */
+  private[graft] def lloydChain(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val init = e.filter($"vec_id" < 16).select($"vec_id".as("cid"), $"q".as("cq"))
+    lloydStep(e, lloydStep(e, lloydStep(e, init)))
+  }
+
+  /** The trained coarse codebook per dataset, computed once per process —
+    * a real IVF deployment trains the codebook OFFLINE and ships it as an
+    * artifact; queries broadcast it, they don't re-run Lloyd. Same memo
+    * discipline as [[countOnce]]: keyed by the dataset's resolved file
+    * list so appends/rewrites retrain instead of serving a stale codebook,
+    * training runs outside any map lock, concurrent losers retrain to the
+    * identical (deterministic) result. The collected artifact is ≤16 ×
+    * 64 longs — O(codebook) driver memory, the same class as a catalog
+    * read — and is re-expressed as a LocalRelation so consumers broadcast
+    * it without re-running the training jobs.
+    */
+  private val trainedCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Seq[Long])]]()
+  private[graft] def trainedCentroids(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.NativeIvf.register(s)
+    val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
+    val key = s"$d/embeddings#codebook"
+    val versioned = s"$key#${java.util.Arrays.hashCode(e.inputFiles.sorted.asInstanceOf[Array[AnyRef]])}"
+    val cached = trainedCodebooks.get(versioned)
+    val rows =
+      if (cached != null) cached
+      else {
+        val trained = lloydChain(e).orderBy($"cid").collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1)))
+        trainedCodebooks.keySet.removeIf(k => k.startsWith(s"$key#") && k != versioned)
+        val prev = trainedCodebooks.putIfAbsent(versioned, trained)
+        if (prev != null) prev else trained
+      }
+    rows.toSeq.toDF("cid", "cq")
+  }
+
+  /** IVF top-k search given a codebook: assignment is one narrow broadcast
+    * argmax over the corpus, each query probes its [[probes]] nearest
+    * cells, and only vectors in probed cells are scored. Shared by
+    * q_ann_ivf and the recall spec so the measured pipeline IS the query.
+    */
+  private[graft] def ivfSearch(e: DataFrame, cents: DataFrame, qs: DataFrame,
+                               probes: Int = 2, k: Int = 10): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.NativeIvf.register(s)
+    val codebook = cents.agg(sort_array(collect_list(struct($"cid", $"cq"))).as("cents"))
+    val assigned = e.crossJoin(broadcast(codebook))
+      .select($"vec_id", expr("graft_ivf_argmax(q, cents)").as("cid"), $"q")
+    val pw = Window.partitionBy($"query_id").orderBy($"pdot".desc, $"cid")
+    val probed = qs.join(broadcast(cents))
+      .select($"query_id", $"qq", $"cid", qdot($"qq", $"cq").as("pdot"))
+      .withColumn("prn", row_number().over(pw))
+      .filter($"prn" <= probes)
+      .select($"query_id", $"qq", $"cid")
+    val scored = assigned.join(broadcast(probed),
+        assigned("cid") === probed("cid") && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", qdot($"q", $"qq").as("dot"))
+    val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
+    scored.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= k)
+      .select($"query_id", $"rnk", $"vec_id", $"dot")
   }
 
   /** Per-plane signed dot products of `q` with the deterministic
@@ -1342,36 +1439,17 @@ object Pipeline {
     // baseline) and LSH buckets (hash cells).
     "q_ann_ivf" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       graft.functions.NativeIvf.register(s)
       val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
-      val cents = e.filter($"vec_id" < 16).select($"vec_id".as("cid"), $"q".as("cq"))
-      // the codebook as ONE row (16 structs): a real IVF codebook is an
-      // offline-trained artifact of fixed tiny size, so collapsing it to a
-      // broadcast value — not a join relation — is the honest scale shape
-      val codebook = cents.agg(sort_array(collect_list(struct($"cid", $"cq"))).as("cents"))
-      // nearest centroid per vector: native argmax(dot, tie → smaller cid)
-      // — narrow (no Exchange on vec_id) AND codegen'd (the composed HOF
-      // form allocates a zipped array per centroid per row, interpreted;
-      // it survives as the equality-pinned spec in NativeExprSpec)
-      val assigned = e.crossJoin(broadcast(codebook))
-        .select($"vec_id", expr("graft_ivf_argmax(q, cents)").as("cid"), $"q")
-      // probe set: each query's 2 nearest centroids (tiny, broadcast)
+      // TRAINED coarse codebook ([[trainedCentroids]]): the production
+      // offline-train → broadcast → assign loop — the k-means trainer
+      // q_kmeans_train demonstrates feeds the IVF query, cached per
+      // dataset like catalog statistics. It collapses to ONE broadcast
+      // row inside ivfSearch; assignment stays the narrow codegen'd
+      // graft_ivf_argmax pass (no Exchange on vec_id).
+      val cents = trainedCentroids(s, d)
       val qs = e.filter($"vec_id" < 5).select($"vec_id".as("query_id"), $"q".as("qq"))
-      val pw = Window.partitionBy($"query_id").orderBy($"pdot".desc, $"cid")
-      val probes = qs.join(broadcast(cents))
-        .select($"query_id", $"qq", $"cid", qdot($"qq", $"cq").as("pdot"))
-        .withColumn("prn", row_number().over(pw))
-        .filter($"prn" <= 2)
-        .select($"query_id", $"qq", $"cid")
-      val scored = assigned.join(broadcast(probes),
-          assigned("cid") === probes("cid") && $"vec_id" =!= $"query_id")
-        .select($"query_id", $"vec_id", qdot($"q", $"qq").as("dot"))
-      val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
-      scored.withColumn("rnk", row_number().over(w))
-        .filter($"rnk" <= 10)
-        .select($"query_id", $"rnk", $"vec_id", $"dot")
-        .orderBy($"query_id", $"rnk")
+      ivfSearch(e, cents, qs).orderBy($"query_id", $"rnk")
     },
 
     // IVF-PQ: the production ANN architecture at 100 TB scale (coarse
@@ -1391,7 +1469,8 @@ object Pipeline {
       graft.functions.NativeIvf.register(s)
       graft.functions.NativePq.register(s)
       val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
-      val coarse = e.filter($"vec_id" < 16).select($"vec_id".as("cid"), $"q".as("cq"))
+      // trained coarse codebook, same offline artifact q_ann_ivf consumes
+      val coarse = trainedCentroids(s, d)
       val coarseBk = coarse.agg(sort_array(collect_list(struct($"cid", $"cq"))).as("cents"))
       // residual codebook: residuals of vectors 16..31 against their own
       // coarse cells — the deterministic stand-in for an offline-trained
@@ -1440,21 +1519,10 @@ object Pipeline {
     "q_kmeans_train" -> { (s, d) =>
       import s.implicits._
       graft.functions.NativeIvf.register(s)
-      val dims = 64
       val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
-      def step(cb: DataFrame): DataFrame = {
-        val codebook = cb.agg(sort_array(collect_list(struct($"cid", $"cq"))).as("cents"))
-        val assigned = e.crossJoin(broadcast(codebook))
-          .select(expr("graft_ivf_argmax(q, cents)").as("cid"), $"q")
-        val aggs = count(lit(1)).as("n") +:
-          (0 until dims).map(i => sum(element_at($"q", i + 1)).as(s"s$i"))
-        assigned.groupBy($"cid")
-          .agg(aggs.head, aggs.tail: _*)
-          .select($"cid", array((0 until dims).map(i =>
-            floor(col(s"s$i").cast("double") / $"n").cast("long")): _*).as("cq"))
-      }
-      val init = e.filter($"vec_id" < 16).select($"vec_id".as("cid"), $"q".as("cq"))
-      step(step(step(init)))
+      // the full 3-round chain, timed — [[trainedCentroids]] caches this
+      // exact computation as the offline artifact the IVF family consumes
+      lloydChain(e)
         .select($"cid", posexplode($"cq"))
         .toDF("cid", "dim", "val")
         .orderBy($"cid", $"dim")
@@ -1644,6 +1712,32 @@ object Pipeline {
        |  UNION
        |  SELECT v.mdoc, b.doc_id FROM bover v JOIN bands b
        |    ON b.band = v.band AND b.bandhash = v.bandhash AND b.doc_id > v.mdoc)""".stripMargin
+  }
+
+  /** The 3-round Lloyd training chain as DuckDB CTEs, assuming a CTE `e`
+    * (vec_id, q) is already defined: c0 = the 16-vector seed, each round =
+    * argmax assignment (tie → smaller cid, matching graft_ivf_argmax) +
+    * per-(cid, dim) floor-quantized means. Final centroids are `c3`
+    * (cid, cq), exploded form `s3` (cid, dim, val). ONE definition shared
+    * by the q_kmeans_train oracle and the IVF-family oracles so the
+    * trained codebook can never diverge between them. Ends WITHOUT a
+    * trailing comma.
+    */
+  private def oracleLloydCtes(): String = {
+    val dot = "CAST(list_sum(list_transform(range(1, 65), i -> %s[i] * %s[i])) AS BIGINT)"
+    def round(n: Int, prev: String) =
+      s"""a$n AS (SELECT vec_id, cid, q FROM (
+         |    SELECT v.vec_id, c.cid, v.q,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ${dot.format("v.q", "c.cq")} DESC, c.cid) AS rn
+         |    FROM e v CROSS JOIN $prev c) WHERE rn = 1),
+         |s$n AS (SELECT cid, dim, CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+         |  FROM (SELECT cid, UNNEST(q) AS val, UNNEST(range(0, 64)) AS dim FROM a$n)
+         |  GROUP BY cid, dim),
+         |c$n AS (SELECT cid, list(val ORDER BY dim) AS cq FROM s$n GROUP BY cid)"""
+    s"""c0 AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 16),
+       |${round(1, "c0")},
+       |${round(2, "c1")},
+       |${round(3, "c2")}""".stripMargin
   }
 
   /** Shared by q_decontaminate and q_decontam_bloom — the Bloom variant
@@ -2156,10 +2250,13 @@ object Pipeline {
 
     "q_ann_ivf" -> {
       val dot = "CAST(list_sum(list_transform(range(1, 65), i -> %s[i] * %s[i])) AS BIGINT)"
+      // c = the TRAINED codebook (3 Lloyd rounds, oracleLloydCtes) — the
+      // same artifact the Spark side consumes via trainedCentroids
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
          |  FROM embeddings),
-         |c AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 16),
+         |${oracleLloydCtes()},
+         |c AS (SELECT cid, cq FROM c3),
          |ad AS (SELECT v.vec_id, c.cid, ${dot.format("v.q", "c.cq")} AS cdot FROM e v CROSS JOIN c),
          |a AS (SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn
@@ -2239,7 +2336,8 @@ object Pipeline {
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
          |  FROM embeddings),
-         |c AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 16),
+         |${oracleLloydCtes()},
+         |c AS (SELECT cid, cq FROM c3),
          |ad AS (SELECT v.vec_id, c.cid, ${dot.format("v.q", "c.cq")} AS cdot FROM e v CROSS JOIN c),
          |a AS (SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn
@@ -2298,25 +2396,10 @@ object Pipeline {
     },
 
     "q_kmeans_train" -> {
-      val dot = "CAST(list_sum(list_transform(range(1, 65), i -> %s[i] * %s[i])) AS BIGINT)"
-      // one Lloyd round: argmax assignment (tie -> smaller cid, matching
-      // graft_ivf_argmax), per-(cid, dim) floor-quantized means
-      def round(n: Int, prev: String) =
-        s"""a$n AS (SELECT vec_id, cid, q FROM (
-           |    SELECT v.vec_id, c.cid, v.q,
-           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY ${dot.format("v.q", "c.cq")} DESC, c.cid) AS rn
-           |    FROM e v CROSS JOIN $prev c) WHERE rn = 1),
-           |s$n AS (SELECT cid, dim, CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
-           |  FROM (SELECT cid, UNNEST(q) AS val, UNNEST(range(0, 64)) AS dim FROM a$n)
-           |  GROUP BY cid, dim),
-           |c$n AS (SELECT cid, list(val ORDER BY dim) AS cq FROM s$n GROUP BY cid)"""
       s"""WITH e AS (SELECT vec_id,
          |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
          |  FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 16),
-         |${round(1, "c0")},
-         |${round(2, "c1")},
-         |${round(3, "c2")}
+         |${oracleLloydCtes()}
          |SELECT cid, dim, val FROM s3 ORDER BY cid, dim""".stripMargin
     },
 
