@@ -43,6 +43,13 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
+    // per-phase attribution: CONSTRUCTION time (for the round-trip queries
+    // this is the eager sink write — BAM/CRAM/VCF encode + commit; for pure
+    // reads it is plan building, milliseconds) vs EXECUTION time (the
+    // scan+query). Splitting them in the JSON makes a codec regression
+    // attributable without a bisect: write_s moves, read_s doesn't.
+    val writeSamples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
     val errors = scala.collection.mutable.Map[String, String]()
     // per-query content hash (XOR-fold of row-byte hashes + count): proves
     // each query's consumption in isolation; identical across runs for
@@ -55,6 +62,8 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
         // Consume the FULL ordered result EXECUTOR-side. A bare .count()
         // lets EliminateSorts drop top-level orderBys; a driver collect()
         // materializes per-document results on the driver (OOM at real
@@ -64,7 +73,7 @@ object Bench {
         // optimize through) while every row's bytes are hashed where they
         // were produced — content-level proof of consumption, O(1) driver
         // memory.
-        val (h, n) = fn(spark, sfDir).queryExecution.executedPlan.execute()
+        val (h, n) = df.queryExecution.executedPlan.execute()
           .mapPartitions { it =>
             var acc = 0L; var cnt = 0L
             while (it.hasNext) { acc ^= it.next().hashCode().toLong; cnt += 1 }
@@ -74,6 +83,7 @@ object Bench {
         if (hashes.contains(name) && hashes(name) != qh) unstable += name
         hashes(name) = qh
         samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+        writeSamples(name) = ((t1 - t0) / 1e9) :: writeSamples(name)
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
@@ -108,9 +118,17 @@ object Bench {
     }.foldLeft(1.0)(math.max)
     val hashJson = names.flatMap(n => hashes.get(n).map(h =>
       s"${jstr(n)}:${jstr(java.lang.Long.toHexString(h))}")).mkString("{", ",", "}")
+    // write/read split (medians): write_s = query construction — the sink
+    // write for round-trip queries; read_s = executing the returned plan
+    val phaseJson = names.filter(samples(_).nonEmpty).map { n =>
+      val w = median(writeSamples(n))
+      val r = math.max(0.0, median(samples(n)) - w)
+      s"${jstr(n)}:{\"write_s\":${r3(w)},\"read_s\":${r3(r)}}"
+    }.mkString("{", ",", "}")
     val unstableJson = unstable.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""spread":$spreadJson,"spread_max":${r3(spreadMax)},""" +
+      s""""phases":$phaseJson,""" +
       s""""hashes":$hashJson,"hash_unstable":$unstableJson,""" +
       s""""runs":$runs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
