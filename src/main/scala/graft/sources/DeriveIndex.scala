@@ -53,31 +53,84 @@ object DeriveIndex {
     }
   }
 
-  /** Derive a `.sbi` for an unindexed BAM: one task per `splitSize` tile
-    * runs the record-boundary guesser a heuristic reader would run anyway;
-    * the collected first-record voffs (plus the past-last-record sentinel)
-    * ARE a valid SBI offset ladder at tile granularity — planning with ANY
-    * later splitSize snaps to these offsets and still tiles the record
-    * space exactly. totalRecords/granularity are recorded as 0 (unknown —
-    * nothing in planning consumes them; counting would cost a full decode).
+  /** Derive a `.sbi` (and, for coordinate-sorted files, the `.gci`
+    * coordinate sidecar) for an unindexed BAM: one task per `splitSize`
+    * tile runs the record-boundary guesser a heuristic reader would run
+    * anyway; the collected first-record voffs (plus the past-last-record
+    * sentinel) ARE a valid SBI offset ladder at tile granularity —
+    * planning with ANY later splitSize snaps to these offsets and still
+    * tiles the record space exactly. totalRecords/granularity are recorded
+    * as 0 (unknown — nothing in planning consumes them).
+    *
+    * Each tile then decodes its OWNED records (same territory rule as the
+    * heuristic reader: records in blocks starting within the tile) with a
+    * cigar-only field mask, sampling per window exactly what the sink
+    * co-write records: first (refId, pos), max alignment span, and a
+    * sortedness check. That is a full one-time decode of the file — the
+    * same work the FIRST unindexed interval query would do anyway — and it
+    * buys every later interval query `.gci` split pruning, which split
+    * snapping alone cannot provide (pre-fix, a derived foreign sorted BAM
+    * planned every partition with mayOverlap=true). Span is sampled over
+    * ALL records in the window, not just the first: the recorded max span
+    * is the pruning slack, and an under-estimate would mis-prune a long
+    * read spanning into an interval from a chunk whose start positions lie
+    * before it.
     */
-  def deriveBamSbi(file: String, refs: IndexedSeq[BamRef], headerEndVoff: Long,
+  def deriveBamSbi(file: String, header: graft.bam.SamHeader, headerEndVoff: Long,
                    size: Long, splitSize: Long, conf: SerializableConf): Boolean =
-    once(s"sbi:$file")(deriveBamSbiImpl(file, refs, headerEndVoff, size, splitSize, conf))
+    once(s"sbi:$file")(deriveBamSbiImpl(file, header, headerEndVoff, size, splitSize, conf))
 
-  private def deriveBamSbiImpl(file: String, refs: IndexedSeq[BamRef], headerEndVoff: Long,
+  private def deriveBamSbiImpl(file: String, header: graft.bam.SamHeader, headerEndVoff: Long,
                                size: Long, splitSize: Long, conf: SerializableConf): Boolean = {
     val spark = SparkSession.active
     try {
       val ts = tiles(0L, size, splitSize)
-      val voffs = spark.sparkContext.parallelize(ts, ts.size)
+      // per tile: (firstVoff, firstRef, firstPos0, maxSpan, tileSorted,
+      // lastRef(order-space), lastPos0) — firstVoff = -1 when the tile owns
+      // no records (then no other field is meaningful)
+      val perTile = spark.sparkContext.parallelize(ts, ts.size)
         .map { case (s, e) =>
           val in = HadoopIO.open(new Path(file), conf.conf)
-          try new BamRecordGuesser(in, refs, headerEndVoff).firstRecordAtOrAfter(s, e)
-          finally in.close()
+          try {
+            val first = new BamRecordGuesser(in, header.refs, headerEndVoff)
+              .firstRecordAtOrAfter(s, e)
+            if (first < 0) (first, -1, -1, 0, true, Int.MinValue, Int.MinValue, -1)
+            else {
+              val stream = new graft.bgzf.BgzfInputStream(in)
+              stream.seekVirtual(first)
+              val mask = graft.bam.BamFieldMask(cigarAndEnd = true,
+                seq = false, qual = false, attrs = false)
+              var firstRef = -2; var firstPos = -2
+              var prevRef = Int.MinValue; var prevPos = Int.MinValue
+              var lastRaw = -1
+              var maxSpan = 0
+              var sorted = true
+              val szb = new Array[Byte](4)
+              while (!stream.atEof && stream.blockStartOffset < e) {
+                stream.readFully(szb, 0, 4)
+                val blockSize = (szb(0) & 0xff) | ((szb(1) & 0xff) << 8) |
+                  ((szb(2) & 0xff) << 16) | ((szb(3) & 0xff) << 24)
+                if (blockSize < 32 || blockSize > (64 << 20))
+                  throw new java.io.IOException(s"bad BAM record block_size $blockSize")
+                val rec = new Array[Byte](blockSize)
+                stream.readFully(rec, 0, blockSize)
+                val r = graft.bam.BamCodec.decodeRecord(rec, blockSize, header, mask)
+                val refId = header.refId(r.contig)
+                val pos0 = r.start - 1
+                if (firstRef == -2) { firstRef = refId; firstPos = pos0 }
+                val oRef = graft.index.GciIndex.orderRef(refId)
+                if (oRef < prevRef || (oRef == prevRef && pos0 < prevPos)) sorted = false
+                prevRef = oRef; prevPos = pos0; lastRaw = refId
+                val span = math.max(0, r.end - r.start)
+                if (span > maxSpan) maxSpan = span
+              }
+              (first, firstRef, firstPos, maxSpan, sorted, prevRef, prevPos, lastRaw)
+            }
+          } finally in.close()
         }
-        .collect().filter(_ >= 0).distinct.sorted
-      if (voffs.isEmpty) { log.warn(s"deriveIndex: no records found in $file"); return false }
+        .collect().filter(_._1 >= 0).distinctBy(_._1).sortBy(_._1)
+      if (perTile.isEmpty) { log.warn(s"deriveIndex: no records found in $file"); return false }
+      val voffs = perTile.map(_._1)
       // sentinel: just past the last record — the EOF terminator's block
       // start when present, else end-of-file
       val tail = new Array[Byte](Bgzf.EofBlock.length)
@@ -88,9 +141,28 @@ object DeriveIndex {
           tail.sameElements(Bgzf.EofBlock)
       finally in.close()
       val sentinel = (if (hasEof) size - Bgzf.EofBlock.length else size) << 16
-      publish(conf, new Path(file + ".sbi")) { out =>
+      val sbiOk = publish(conf, new Path(file + ".sbi")) { out =>
         SbiIndex.write(out, SbiIndex(size, 0L, 0L, voffs :+ sentinel))
       }
+      // coordinate sidecar: sorted iff every tile is internally sorted and
+      // tile boundaries are non-decreasing (the sink co-write's rule). The
+      // sentinel window mirrors the sink: last record's coordinates, span 0.
+      var sorted = perTile.forall(_._5)
+      var pr = Int.MinValue; var pp = Int.MinValue
+      perTile.foreach { t =>
+        val fr = graft.index.GciIndex.orderRef(t._2)
+        if (fr < pr || (fr == pr && t._3 < pp)) sorted = false
+        pr = t._6; pp = t._7
+      }
+      val last = perTile.last
+      publish(conf, new Path(file + ".gci")) { out =>
+        graft.index.GciIndex.write(out, graft.index.GciIndex(sorted, 0L,
+          voffs :+ sentinel,
+          perTile.map(_._2) :+ last._8,
+          perTile.map(_._3) :+ last._7,
+          perTile.map(_._4) :+ 0))
+      }
+      sbiOk
     } catch {
       case e: Exception =>
         log.warn(s"deriveIndex: sbi derivation failed for $file: ${e.getMessage}")

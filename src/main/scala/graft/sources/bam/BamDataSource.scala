@@ -282,7 +282,7 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
               // distributed job, write the .sbi back, re-plan O(index)
               if (options.get("deriveindex").exists(_.toBoolean) &&
                   graft.sources.DeriveIndex.deriveBamSbi(
-                    file.toString, header.refs, headerEnd, size, splitSize, new SerializableConf(conf)))
+                    file.toString, header, headerEnd, size, splitSize, new SerializableConf(conf)))
                 return planFile(file) // .sbi now exists → SBI route
               // heuristic path: byte splits tile the file; each split owns
               // records whose start voff lies in a block starting within it

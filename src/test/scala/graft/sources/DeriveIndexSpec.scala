@@ -56,6 +56,48 @@ class DeriveIndexSpec extends AnyFunSuite with SparkFixture {
     assert(again.toSeq == base.toSeq)
   }
 
+  test("BAM: derivation on a sorted file also writes .gci; interval plans prune partitions") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir()
+    val out = dir.resolve("sorted.bam")
+    // coordinate-sorted (pairs ascend, unmapped tail last) — a foreign
+    // sorted BAM with no sidecars at all. 1200 pairs = the largest sorted
+    // set chr21's declared length admits (TestReads doc), ~2400 records
+    val recs = TestReads.pairs(1200) ++ TestReads.unplacedUnmapped(2)
+    spark.createDataset(recs).toDF()
+      .write.format("bam").mode("overwrite").option("refs", refsOpt).save(out.toString)
+    assert(!Files.exists(dir.resolve("sorted.bam.sbi")))
+    assert(!Files.exists(dir.resolve("sorted.bam.gci")))
+    // unindexed baseline rows for the interval
+    val iv = "chr21:100000-110000"
+    val base = spark.read.format("bam").option("splitSize", 4096)
+      .option("intervals", iv).load(out.toString).collect().map(_.toSeq)
+    assert(base.nonEmpty)
+    // first contact with deriveIndex: same rows, BOTH sidecars appear
+    val derived = spark.read.format("bam").option("splitSize", 4096)
+      .option("deriveIndex", "true").option("intervals", iv)
+      .load(out.toString).collect().map(_.toSeq)
+    assert(derived.toSeq == base.toSeq)
+    assert(Files.exists(dir.resolve("sorted.bam.sbi")), "deriveIndex did not write the .sbi")
+    assert(Files.exists(dir.resolve("sorted.bam.gci")), "deriveIndex did not write the .gci")
+    // second contact: the derived .gci prunes interval plans to fewer
+    // partitions than the full scan (pre-fix: split snapping only,
+    // mayOverlap=true everywhere)
+    def nParts(opts: Map[String, String]): Int =
+      new graft.sources.bam.BamScan(
+        opts ++ Map("path" -> out.toString, "splitsize" -> "4096"),
+        graft.bam.AlignmentRecord.schema, Array.empty).planInputPartitions().length
+    val nAll = nParts(Map.empty)
+    val nIv = nParts(Map("intervals" -> iv))
+    assert(nAll > 4, s"want many unpruned partitions, got $nAll")
+    assert(nIv < nAll, s"derived .gci pruning lost: $nIv vs $nAll")
+    // and the pruned read still returns the exact rows
+    val again = spark.read.format("bam").option("splitSize", 4096)
+      .option("intervals", iv).load(out.toString).collect().map(_.toSeq)
+    assert(again.toSeq == base.toSeq)
+  }
+
   test("VCF: first deriveIndex interval read writes .tbi; second scan prunes") {
     val s = spark
     import s.implicits._
