@@ -586,6 +586,21 @@ object FormatQueries {
       readsAggregate(back)
     },
 
+    // CRAM 3.1 round-trip: same records, same aggregate, same oracle as
+    // q_cram_roundtrip — but the file definition is (3,1) and the QS/BB
+    // series blocks compress with rANS Nx16 (CRAM method 5, the codec
+    // modern htslib emits by default). A codec or framing bug anywhere in
+    // the Nx16 encode/decode pair hash-mismatches the DuckDB oracle.
+    "q_cram_v31" -> { (s, d) =>
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/rec31.cram"
+      spread(syntheticReads(s, d)).write.format("cram").mode("overwrite")
+        .option("records", "true").option("refs", Refs).option("version", "3.1")
+        .option("writeCrai", "true").save(path)
+      val back = s.read.format("cram").option("records", "true")
+        .option("splitSize", 256 * 1024).load(path)
+      readsAggregate(back)
+    },
+
     // CRAM record-level interval scan: coordinate-sorted records, `.crai`
     // container pruning + record-level residual filter (the CRAM twin of
     // q_bam_intervals — identical oracle WHERE)
@@ -774,6 +789,7 @@ object FormatQueries {
     "q_bam_roundtrip_sharded" -> oracleAggregate(""),
     "q_sam_roundtrip" -> oracleAggregate(""),
     "q_cram_roundtrip" -> oracleAggregate(""),
+    "q_cram_v31" -> oracleAggregate(""),
     "q_cram_intervals" -> oracleAggregate(
       """WHERE (contig = 'chr0' AND rstart <= 5000 AND rend >= 1)
         |   OR (contig = 'chr1' AND rstart <= 7000 AND rend >= 2000)""".stripMargin),

@@ -709,9 +709,17 @@ class CramWrite(options: Map[String, String], schema: StructType) extends Write 
     // reference-based encode: a fasta option on a records write switches
     // match positions to implicit/X-substitution form (CramRecordWriter)
     val fasta = if (recordsHeader.isDefined) options.get("fasta") else None
+    // CRAM version: 3.0 (default) or 3.1 (record blocks upgrade to rANS
+    // Nx16, file definition minor = 1)
+    val v31 = options.get("version") match {
+      case None | Some("3.0") => false
+      case Some("3.1") => true
+      case Some(v) => throw new IllegalArgumentException(
+        s"cram sink version must be 3.0 or 3.1, got $v")
+    }
     new CramBatchWrite(path, singleFile, writeCrai, schema,
       new SerializableConf(SparkSession.active.sessionState.newHadoopConf()),
-      recordsHeader, perContainer, fasta)
+      recordsHeader, perContainer, fasta, v31)
   }
 }
 
@@ -730,7 +738,8 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
                      schema: StructType, conf: SerializableConf,
                      recordsHeader: Option[SamHeader] = None,
                      perContainer: Int = 10000,
-                     fastaPath: Option[String] = None) extends BatchWrite {
+                     fastaPath: Option[String] = None,
+                     v31: Boolean = false) extends BatchWrite {
   private val tempDir = path + ".parts"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -751,8 +760,9 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
     val hdr = recordsHeader
     val perC = perContainer
     val fasta = fastaPath
+    val v31c = v31
     (partitionId: Int, _: Long) => hdr match {
-      case Some(h) => new CramRecordsDataWriter(dir, h, sch, c, partitionId, complete, shardCrai, perC, fasta)
+      case Some(h) => new CramRecordsDataWriter(dir, h, sch, c, partitionId, complete, shardCrai, perC, fasta, v31c)
       case None => new CramDataWriter(dir, sch, c, partitionId, complete, shardCrai)
     }
   }
@@ -761,10 +771,11 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
     val fs = new Path(path).getFileSystem(conf.conf)
     // records mode prepends the SAM-header container to the file definition
     // (container mode carries no header container — specs only)
+    val minor = if (v31) 1 else 0
     val headBytes = recordsHeader match {
       case Some(h) =>
-        CramContainers.encodeFileDefinition() ++ CramRecordWriter.encodeHeaderContainer(h)
-      case None => CramContainers.encodeFileDefinition()
+        CramContainers.encodeFileDefinition(minor = minor) ++ CramRecordWriter.encodeHeaderContainer(h)
+      case None => CramContainers.encodeFileDefinition(minor = minor)
     }
     val ho = fs.create(new Path(tempDir, "header"), true)
     ho.write(headBytes)
@@ -869,7 +880,8 @@ class CramDataWriter(dir: String, schema: StructType, conf: SerializableConf, pa
 class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
                             conf: SerializableConf, partitionId: Int,
                             complete: Boolean, shardCrai: Boolean, perContainer: Int,
-                            fastaPath: Option[String] = None)
+                            fastaPath: Option[String] = None,
+                            v31: Boolean = false)
     extends DataWriter[InternalRow] {
   require(perContainer > 0, s"recordsPerContainer must be positive, got $perContainer")
   // ACCEPT_ANY_SCHEMA skips Spark's write-side validation; fail fast on a
@@ -889,7 +901,7 @@ class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
   private var written = 0L
   locally {
     if (complete) {
-      val fd = CramContainers.encodeFileDefinition()
+      val fd = CramContainers.encodeFileDefinition(minor = if (v31) 1 else 0)
       val hc = CramRecordWriter.encodeHeaderContainer(header)
       out.write(fd); out.write(hc)
       written += fd.length + hc.length
@@ -904,7 +916,7 @@ class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
   private val refSource: CramRefSource = fastaOpened.map(_._2).getOrElse(NoRefSource)
 
   private def flushContainer(): Unit = if (buf.nonEmpty) {
-    val enc = CramRecordWriter.encodeContainer(buf.toIndexedSeq, header, recordCounter, refSource)
+    val enc = CramRecordWriter.encodeContainer(buf.toIndexedSeq, header, recordCounter, refSource, v31)
     out.write(enc.bytes)
     entries += enc.craiEntry.copy(containerOffset = written)
     recordCounter += buf.length

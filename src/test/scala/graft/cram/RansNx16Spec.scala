@@ -1,0 +1,96 @@
+package graft.cram
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** rANS Nx16 (CRAM 3.1 method 5): encode→decode identity across orders,
+  * alphabet shapes, and lengths — including the PACK transform the encoder
+  * applies on small alphabets and the CAT escape on incompressible input —
+  * plus decode-side structural checks (STRIPE, explicit flag layouts).
+  */
+class RansNx16Spec extends AnyFunSuite {
+
+  private def roundTrip(data: Array[Byte], order: Int): Unit = {
+    val packed = RansNx16.compress(data, order)
+    val back = RansNx16.uncompress(packed, data.length)
+    assert(back.sameElements(data),
+      s"order-$order round-trip failed at length ${data.length} (flags=${packed.headOption})")
+  }
+
+  test("order-0 and order-1 round-trip across 200 seeded random byte arrays") {
+    val rnd = new java.util.Random(424242)
+    for (trial <- 0 until 200) {
+      val n = rnd.nextInt(5000)
+      val alpha = 1 + rnd.nextInt(256)
+      val data = Array.fill[Byte](n)((rnd.nextInt(alpha) & 0xff).toByte)
+      roundTrip(data, trial % 2)
+    }
+  }
+
+  test("edge shapes: empty, single byte, all-identical, length % 4 residues") {
+    for (order <- Seq(0, 1)) {
+      roundTrip(Array.emptyByteArray, order)
+      roundTrip(Array[Byte](42), order)
+      roundTrip(Array.fill[Byte](1000)(7), order)
+      for (n <- 1 to 9) roundTrip(Array.tabulate[Byte](n)(i => (i * 37).toByte), order)
+    }
+  }
+
+  test("small alphabets trigger PACK and still round-trip") {
+    // 2, 4, 16-symbol alphabets → 1/2/4-bit packing
+    for (nsym <- Seq(2, 3, 4, 5, 16); order <- Seq(0, 1)) {
+      val data = Array.tabulate[Byte](4097)(i => ((i * 31 + i / 7) % nsym).toByte)
+      val packed = RansNx16.compress(data, order)
+      assert((packed(0) & RansNx16.FlagPack) != 0, s"nsym=$nsym did not pack")
+      roundTrip(data, order)
+    }
+  }
+
+  test("genomic-shaped payloads: quality runs and base streams") {
+    // quality-like: long runs over a tiny alphabet with occasional jitters
+    val qual = Array.tabulate[Byte](50000)(i => if (i % 997 == 0) 30 else 38)
+    roundTrip(qual, 0); roundTrip(qual, 1)
+    // base-like: 4-symbol with order-1 structure
+    val acgt = "ACGT".getBytes
+    val bases = Array.tabulate[Byte](40000)(i => acgt((i * i + i / 3) % 4))
+    roundTrip(bases, 0); roundTrip(bases, 1)
+  }
+
+  test("incompressible input falls back to CAT and round-trips") {
+    val rnd = new java.util.Random(7)
+    // full-alphabet uniform noise: entropy coding cannot shrink it below
+    // raw, so the encoder must escape to CAT rather than expand
+    val data = new Array[Byte](64)
+    rnd.nextBytes(data)
+    val packed = RansNx16.compress(data, 0)
+    val back = RansNx16.uncompress(packed, data.length)
+    assert(back.sameElements(data))
+  }
+
+  test("STRIPE decode: hand-built 2-stream container") {
+    // stripe container: flags STRIPE, ulen, N=2, clens, then two complete
+    // Nx16 sub-streams carrying the even/odd byte columns
+    val data = Array.tabulate[Byte](101)(i => (i % 7).toByte)
+    val cols = Array.tabulate(2)(j => data.indices.collect { case i if i % 2 == j => data(i) }.toArray)
+    val subs = cols.map(RansNx16.compress(_, 0))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(RansNx16.FlagStripe)
+    out.write(data.length) // 101 < 128: single-byte uint7
+    out.write(2)
+    subs.foreach(s => out.write(s.length)) // < 128 each for this input
+    subs.foreach(s => out.write(s, 0, s.length))
+    val back = RansNx16.uncompress(out.toByteArray, data.length)
+    assert(back.sameElements(data))
+  }
+
+  test("NOSZ flag defers to the block header's raw size") {
+    val data = Array.tabulate[Byte](333)(i => (i % 11).toByte)
+    val packed = RansNx16.compress(data, 0)
+    // rebuild with NOSZ: drop the varint length after the flags byte
+    var p = 1
+    while ((packed(p) & 0x80) != 0) p += 1
+    p += 1
+    val nosz = (packed(0) | RansNx16.FlagNoSz).toByte +: packed.drop(p)
+    val back = RansNx16.uncompress(nosz, data.length)
+    assert(back.sameElements(data))
+  }
+}
