@@ -119,11 +119,13 @@ object Bench {
     val hashJson = names.flatMap(n => hashes.get(n).map(h =>
       s"${jstr(n)}:${jstr(java.lang.Long.toHexString(h))}")).mkString("{", ",", "}")
     // write/read split (medians): write_s = query construction — the sink
-    // write for round-trip queries; read_s = executing the returned plan
+    // write for round-trip queries; read_s = executing the returned plan.
+    // read_s is the median of the PER-RUN differences, not a difference of
+    // medians — skewed samples would otherwise misattribute phase time
+    // (the exact confusion this field exists to prevent)
     val phaseJson = names.filter(samples(_).nonEmpty).map { n =>
-      val w = median(writeSamples(n))
-      val r = math.max(0.0, median(samples(n)) - w)
-      s"${jstr(n)}:{\"write_s\":${r3(w)},\"read_s\":${r3(r)}}"
+      val reads = samples(n).zip(writeSamples(n)).map { case (t, w) => math.max(0.0, t - w) }
+      s"${jstr(n)}:{\"write_s\":${r3(median(writeSamples(n)))},\"read_s\":${r3(median(reads))}}"
     }.mkString("{", ",", "}")
     val unstableJson = unstable.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -40,8 +40,14 @@ object RansNx16 {
     def u8(): Int = { val v = in(p) & 0xff; p += 1; v }
     def varint(): Int = { // uint7: MSB-first 7-bit groups, high bit = continue
       var v = 0
+      var n = 0
       var b = u8()
-      while ((b & 0x80) != 0) { v = (v << 7) | (b & 0x7f); b = u8() }
+      while ((b & 0x80) != 0) {
+        v = (v << 7) | (b & 0x7f); b = u8(); n += 1
+        // a uint32 needs at most 5 groups; more means a corrupt stream,
+        // not a longer number — fail before v<<7 silently overflows
+        if (n > 4) throw new IOException("rANS Nx16 varint overruns uint32")
+      }
       (v << 7) | b
     }
     def bytes(n: Int): Array[Byte] = {
@@ -70,11 +76,18 @@ object RansNx16 {
 
   /** Decompress a complete method-5 stream. `blockRawSize` (from the CRAM
     * block header) supplies the output length when the NOSZ flag omits it.
+    * Corrupt streams fail with IOException (the block-layer error
+    * contract), never with raw index/allocation errors.
     */
   def uncompress(in: Array[Byte], blockRawSize: Int): Array[Byte] = {
     val cur = new Cursor(in, 0)
-    val out = decodeStream(cur, blockRawSize)
-    out
+    try decodeStream(cur, blockRawSize)
+    catch {
+      case e: IOException => throw e
+      case e @ (_: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+                _: IllegalArgumentException) =>
+        throw new IOException(s"corrupt rANS Nx16 stream: $e")
+    }
   }
 
   /** Compress with the given order (0 or 1); applies PACK when the alphabet
@@ -117,6 +130,11 @@ object RansNx16 {
     val flags = cur.u8()
     val ulen = if ((flags & FlagNoSz) != 0) fallbackLen else cur.varint()
     if (ulen < 0) throw new IOException(s"bad rANS Nx16 length $ulen")
+    // every caller knows the expected output length (the CRAM block's raw
+    // size, a stripe column's share, an RLE meta length) — a stored length
+    // that disagrees is corruption, caught BEFORE the ulen allocation
+    if ((flags & FlagNoSz) == 0 && fallbackLen >= 0 && ulen != fallbackLen)
+      throw new IOException(s"rANS Nx16 stored length $ulen != expected $fallbackLen")
     if (ulen == 0) return Array.emptyByteArray
     if ((flags & FlagStripe) != 0) return decodeStripe(cur, ulen)
     val n = if ((flags & FlagX32) != 0) 32 else 4

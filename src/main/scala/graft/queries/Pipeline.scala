@@ -208,12 +208,19 @@ object Pipeline {
     * each over-cap member paired with the minimum only.
     */
   private def bucketPairs(ids: Column, aName: String, bName: String): Column =
-    when(size(ids) <= MaxBucket,
-      flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + lit(2), size(ids)),
-          y => struct(x.as(aName), y.as(bName))))))
-      .otherwise(transform(slice(ids, lit(2), size(ids) - 1),
-        y => struct(element_at(ids, 1).as(aName), y.as(bName))))
+    bucketPairsWith(ids, (x, y) => struct(x.as(aName), y.as(bName)))
+
+  /** The cap-vs-star branching itself, generalized over the pair payload —
+    * ONE definition of the rule so the minhash/embedding id form and the
+    * simhash struct form (which also carries the hamming distance) can
+    * never diverge from each other or from the DuckDB oracles' arms.
+    */
+  private def bucketPairsWith(ms: Column, pairOf: (Column, Column) => Column): Column =
+    when(size(ms) <= MaxBucket,
+      flatten(transform(ms, (x, i) =>
+        transform(slice(ms, i + lit(2), size(ms)), y => pairOf(x, y)))))
+      .otherwise(transform(slice(ms, lit(2), size(ms) - 1),
+        y => pairOf(element_at(ms, 1), y)))
 
   /** Distinct LSH candidate pairs: ONE shuffle groups docs by
     * (band, bandhash); pairs are generated inside each bucket (no self-join,
@@ -502,12 +509,7 @@ object Pipeline {
     banded.groupBy($"band", $"key")
       .agg(sort_array(collect_list(struct($"doc_id", $"sh"))).as("ms"))
       .filter(size($"ms") > 1)
-      .select(explode(
-        when(size($"ms") <= MaxBucket,
-          flatten(transform($"ms", (x, i) =>
-            transform(slice($"ms", i + lit(2), size($"ms")), y => pairOf(x, y)))))
-          .otherwise(transform(slice($"ms", lit(2), size($"ms") - 1),
-            y => pairOf(element_at($"ms", 1), y)))).as("p"))
+      .select(explode(bucketPairsWith($"ms", pairOf)).as("p"))
       .select($"p.doc_a", $"p.doc_b", $"p.hamming")
       .filter($"hamming" <= 3)
       .distinct()
@@ -607,8 +609,9 @@ object Pipeline {
       e.union(e.select($"dst".as("src"), $"src".as("dst")))
         .filter($"src" =!= $"dst").distinct()
     var e = sym(edges).localCheckpoint()
+    var eCount = e.count() // carried across rounds: e's count IS last round's eS.count()
     var iters = 0
-    var done = e.isEmpty
+    var done = eCount == 0
     while (!done && iters < 48) {
       // large-star: (v, m) for every neighbor v > u, m = min(Γ(u) ∪ {u})
       val mL = e.groupBy($"src").agg(min($"dst").as("mn"))
@@ -632,13 +635,16 @@ object Pipeline {
         .select($"dst".as("src"), $"m".as("dst"))
         .union(mS.select($"src", $"m".as("dst")))
       val eS = sym(small).localCheckpoint() // eager — consumes eL now
-      // fixpoint: the symmetric edge set is unchanged (eS ⊆ e ∧ |eS| = |e|)
-      done = eS.count() == e.count() &&
+      // fixpoint: the symmetric edge set is unchanged (eS ⊆ e ∧ |eS| = |e|);
+      // e's count is carried from last round — one fewer job per round
+      val eSCount = eS.count()
+      done = eSCount == eCount &&
         eS.join(e, Seq("src", "dst"), "left_anti").isEmpty
       e = eS
+      eCount = eSCount
       iters += 1
       if (sys.env.contains("SPARK_GRAFT_PROF"))
-        println(s"[eprof] resolve iter $iters edges=${e.count()}")
+        println(s"[eprof] resolve iter $iters edges=$eCount")
     }
     require(done, s"star contraction did not converge in $iters rounds")
     e.groupBy($"src").agg(min($"dst").as("mn"))

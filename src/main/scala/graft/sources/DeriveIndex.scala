@@ -94,37 +94,45 @@ object DeriveIndex {
           try {
             val first = new BamRecordGuesser(in, header.refs, headerEndVoff)
               .firstRecordAtOrAfter(s, e)
-            if (first < 0) (first, -1, -1, 0, true, Int.MinValue, Int.MinValue, -1)
+            if (first < 0) (first, -1, -1, 0, true, Int.MinValue, Int.MinValue, -1, true)
             else {
-              val stream = new graft.bgzf.BgzfInputStream(in)
-              stream.seekVirtual(first)
-              val mask = graft.bam.BamFieldMask(cigarAndEnd = true,
-                seq = false, qual = false, attrs = false)
+              // coordinate sampling is best-effort: a record that only
+              // decodes under lenient/permissive stringency must not fail
+              // .sbi derivation (the reader path tolerates it) — it only
+              // disqualifies the .gci, whose pruning slack may not claim
+              // coordinates we could not verify
               var firstRef = -2; var firstPos = -2
               var prevRef = Int.MinValue; var prevPos = Int.MinValue
               var lastRaw = -1
               var maxSpan = 0
               var sorted = true
-              val szb = new Array[Byte](4)
-              while (!stream.atEof && stream.blockStartOffset < e) {
-                stream.readFully(szb, 0, 4)
-                val blockSize = (szb(0) & 0xff) | ((szb(1) & 0xff) << 8) |
-                  ((szb(2) & 0xff) << 16) | ((szb(3) & 0xff) << 24)
-                if (blockSize < 32 || blockSize > (64 << 20))
-                  throw new java.io.IOException(s"bad BAM record block_size $blockSize")
-                val rec = new Array[Byte](blockSize)
-                stream.readFully(rec, 0, blockSize)
-                val r = graft.bam.BamCodec.decodeRecord(rec, blockSize, header, mask)
-                val refId = header.refId(r.contig)
-                val pos0 = r.start - 1
-                if (firstRef == -2) { firstRef = refId; firstPos = pos0 }
-                val oRef = graft.index.GciIndex.orderRef(refId)
-                if (oRef < prevRef || (oRef == prevRef && pos0 < prevPos)) sorted = false
-                prevRef = oRef; prevPos = pos0; lastRaw = refId
-                val span = math.max(0, r.end - r.start)
-                if (span > maxSpan) maxSpan = span
-              }
-              (first, firstRef, firstPos, maxSpan, sorted, prevRef, prevPos, lastRaw)
+              var decodeOk = true
+              try {
+                val stream = new graft.bgzf.BgzfInputStream(in)
+                stream.seekVirtual(first)
+                val mask = graft.bam.BamFieldMask(cigarAndEnd = true,
+                  seq = false, qual = false, attrs = false)
+                val szb = new Array[Byte](4)
+                while (!stream.atEof && stream.blockStartOffset < e) {
+                  stream.readFully(szb, 0, 4)
+                  val blockSize = (szb(0) & 0xff) | ((szb(1) & 0xff) << 8) |
+                    ((szb(2) & 0xff) << 16) | ((szb(3) & 0xff) << 24)
+                  if (blockSize < 32 || blockSize > (64 << 20))
+                    throw new java.io.IOException(s"bad BAM record block_size $blockSize")
+                  val rec = new Array[Byte](blockSize)
+                  stream.readFully(rec, 0, blockSize)
+                  val r = graft.bam.BamCodec.decodeRecord(rec, blockSize, header, mask)
+                  val refId = header.refId(r.contig)
+                  val pos0 = r.start - 1
+                  if (firstRef == -2) { firstRef = refId; firstPos = pos0 }
+                  val oRef = graft.index.GciIndex.orderRef(refId)
+                  if (oRef < prevRef || (oRef == prevRef && pos0 < prevPos)) sorted = false
+                  prevRef = oRef; prevPos = pos0; lastRaw = refId
+                  val span = math.max(0, r.end - r.start)
+                  if (span > maxSpan) maxSpan = span
+                }
+              } catch { case _: Exception => decodeOk = false }
+              (first, firstRef, firstPos, maxSpan, sorted, prevRef, prevPos, lastRaw, decodeOk)
             }
           } finally in.close()
         }
@@ -144,24 +152,30 @@ object DeriveIndex {
       val sbiOk = publish(conf, new Path(file + ".sbi")) { out =>
         SbiIndex.write(out, SbiIndex(size, 0L, 0L, voffs :+ sentinel))
       }
-      // coordinate sidecar: sorted iff every tile is internally sorted and
-      // tile boundaries are non-decreasing (the sink co-write's rule). The
-      // sentinel window mirrors the sink: last record's coordinates, span 0.
-      var sorted = perTile.forall(_._5)
-      var pr = Int.MinValue; var pp = Int.MinValue
-      perTile.foreach { t =>
-        val fr = graft.index.GciIndex.orderRef(t._2)
-        if (fr < pr || (fr == pr && t._3 < pp)) sorted = false
-        pr = t._6; pp = t._7
-      }
-      val last = perTile.last
-      publish(conf, new Path(file + ".gci")) { out =>
-        graft.index.GciIndex.write(out, graft.index.GciIndex(sorted, 0L,
-          voffs :+ sentinel,
-          perTile.map(_._2) :+ last._8,
-          perTile.map(_._3) :+ last._7,
-          perTile.map(_._4) :+ 0))
-      }
+      // coordinate sidecar: only when EVERY tile decoded cleanly (a record
+      // needing lenient salvage means spans could be under-sampled, and an
+      // under-estimated span mis-prunes); sorted iff every tile is
+      // internally sorted and tile boundaries are non-decreasing (the sink
+      // co-write's rule). The sentinel window mirrors the sink: last
+      // record's coordinates, span 0.
+      if (perTile.forall(_._9)) {
+        var sorted = perTile.forall(_._5)
+        var pr = Int.MinValue; var pp = Int.MinValue
+        perTile.foreach { t =>
+          val fr = graft.index.GciIndex.orderRef(t._2)
+          if (fr < pr || (fr == pr && t._3 < pp)) sorted = false
+          pr = t._6; pp = t._7
+        }
+        val last = perTile.last
+        publish(conf, new Path(file + ".gci")) { out =>
+          graft.index.GciIndex.write(out, graft.index.GciIndex(sorted, 0L,
+            voffs :+ sentinel,
+            perTile.map(_._2) :+ last._8,
+            perTile.map(_._3) :+ last._7,
+            perTile.map(_._4) :+ 0))
+        }
+      } else log.warn(s"deriveIndex: $file has records the strict decode rejects; " +
+        ".sbi written, .gci skipped (coordinate pruning needs fully-verified spans)")
       sbiOk
     } catch {
       case e: Exception =>

@@ -25,11 +25,15 @@ object Streaming {
     */
   val DefaultIdleTtlMs: Long = 30L * 24 * 3600 * 1000
 
-  private val warnedUnbounded = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val warnedUnbounded =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** One-time warning when a caller opts into unbounded keyed state. */
+  /** One-time warning PER OPERATOR when a caller opts into unbounded keyed
+    * state — each operator's warning must appear so a later OOM on any of
+    * them traces back to its own named opt-out.
+    */
   private def warnUnbounded(op: String): Unit =
-    if (warnedUnbounded.compareAndSet(false, true))
+    if (warnedUnbounded.add(op))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"graft.streaming.$op called with idleTtlMs=None: keyed state grows " +
           "with every key ever seen and NEVER shrinks. Only safe for " +

@@ -82,6 +82,44 @@ class RansNx16Spec extends AnyFunSuite {
     assert(back.sameElements(data))
   }
 
+  test("known-answer: hand-built order-0 stream from spec math alone") {
+    // Single-symbol alphabet {65 ('A'): freq 4096 = 2^12}. The state
+    // transform x → freq·(x>>12) + (x & 0xFFF) − cum = x is the IDENTITY,
+    // so no renormalization words exist and the four initial states are
+    // the encoder's start value L = 0x8000. Stream assembled by hand:
+    //   flags 0x00; ulen 4 (uint7);
+    //   alphabet [65, terminator 0]; freq 4096 as uint7 [0xA0, 0x00];
+    //   states 4 × uint32-LE 0x00008000.
+    val kat = Array[Int](
+      0x00, 0x04,
+      65, 0x00,
+      0xA0, 0x00,
+      0x00, 0x80, 0x00, 0x00,
+      0x00, 0x80, 0x00, 0x00,
+      0x00, 0x80, 0x00, 0x00,
+      0x00, 0x80, 0x00, 0x00).map(_.toByte)
+    assert(RansNx16.uncompress(kat, 4).sameElements("AAAA".getBytes))
+  }
+
+  test("known-answer: two-symbol order-0 decode table split") {
+    // Alphabet {66: 2048, 67: 2048}: cumulative [0, 2048), [2048, 4096).
+    // A state whose low 12 bits sit below 2048 decodes 'B', above 'C'.
+    // States chosen directly: slot m in [0,2048) → 'B' with next state
+    // 2048·(x>>12) + m; pick x = 0x9000 (m=0, 'B', next = 2048·9 = 0x4800 ≥ L,
+    // no renorm) for states 0/2 and x = 0x9800 (m=0x800, 'C',
+    // next = 2048·9 + 0x800 − 0x800 = 0x4800) for states 1/3 → decodes "BCBC".
+    val kat = Array[Int](
+      0x00, 0x04,
+      66, 67, 0x00, 0x00, // 66; 67 = prev+1 → run byte 0; terminator 0
+      0x90, 0x00,         // 2048 as uint7
+      0x90, 0x00,
+      0x00, 0x90, 0x00, 0x00,
+      0x00, 0x98, 0x00, 0x00,
+      0x00, 0x90, 0x00, 0x00,
+      0x00, 0x98, 0x00, 0x00).map(_.toByte)
+    assert(RansNx16.uncompress(kat, 4).sameElements("BCBC".getBytes))
+  }
+
   test("NOSZ flag defers to the block header's raw size") {
     val data = Array.tabulate[Byte](333)(i => (i % 11).toByte)
     val packed = RansNx16.compress(data, 0)
