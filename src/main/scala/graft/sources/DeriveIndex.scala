@@ -110,8 +110,6 @@ object DeriveIndex {
               try {
                 val stream = new graft.bgzf.BgzfInputStream(in)
                 stream.seekVirtual(first)
-                val mask = graft.bam.BamFieldMask(cigarAndEnd = true,
-                  seq = false, qual = false, attrs = false)
                 val szb = new Array[Byte](4)
                 while (!stream.atEof && stream.blockStartOffset < e) {
                   stream.readFully(szb, 0, 4)
@@ -121,14 +119,20 @@ object DeriveIndex {
                     throw new java.io.IOException(s"bad BAM record block_size $blockSize")
                   val rec = new Array[Byte](blockSize)
                   stream.readFully(rec, 0, blockSize)
-                  val r = graft.bam.BamCodec.decodeRecord(rec, blockSize, header, mask)
-                  val refId = header.refId(r.contig)
-                  val pos0 = r.start - 1
+                  // lean fixed-offset parse — this walk touches every record
+                  // of the file once, so no contig string, read name, or
+                  // cigar text is ever materialized; refId/pos/ref-span come
+                  // straight from the spec layout (refID @0, pos @4,
+                  // l_read_name @8, n_cigar_op @12, cigar after the name)
+                  val refId = leInt(rec, 0)
+                  if (refId < -1 || refId >= header.refs.length)
+                    throw new java.io.IOException(s"bad refID $refId")
+                  val pos0 = leInt(rec, 4)
                   if (firstRef == -2) { firstRef = refId; firstPos = pos0 }
                   val oRef = graft.index.GciIndex.orderRef(refId)
                   if (oRef < prevRef || (oRef == prevRef && pos0 < prevPos)) sorted = false
                   prevRef = oRef; prevPos = pos0; lastRaw = refId
-                  val span = math.max(0, r.end - r.start)
+                  val span = cigarRefSpan(rec, blockSize)
                   if (span > maxSpan) maxSpan = span
                 }
               } catch { case _: Exception => decodeOk = false }
@@ -242,6 +246,32 @@ object DeriveIndex {
         log.warn(s"deriveIndex: crai derivation failed for $file: ${e.getMessage}")
         false
     }
+  }
+
+  private def leInt(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+
+  /** max(0, end − start) for one raw BAM record, the sink co-write's span
+    * convention (BamDataWriter): end = start + refLen − 1 when mapped with
+    * a reference-consuming cigar, else 0 → span = refLen − 1 or 0. Walks
+    * the binary cigar ops directly (M/D/N/=/X consume reference).
+    */
+  private def cigarRefSpan(rec: Array[Byte], blockSize: Int): Int = {
+    val pos0 = leInt(rec, 4)
+    if (pos0 < 0) return 0
+    val lReadName = rec(8) & 0xff
+    val nCigar = (rec(12) & 0xff) | ((rec(13) & 0xff) << 8)
+    var p = 32 + lReadName
+    var refLen = 0
+    var i = 0
+    while (i < nCigar) {
+      if (p + 4 > blockSize) throw new java.io.IOException("cigar overruns BAM record")
+      val v = leInt(rec, p)
+      val op = v & 0xf
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) refLen += (v >>> 4)
+      p += 4; i += 1
+    }
+    if (refLen > 0) refLen - 1 else 0
   }
 
   /** Per-process negative cache: a file whose derivation REFUSED (unsorted,
