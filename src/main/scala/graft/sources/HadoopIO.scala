@@ -28,12 +28,20 @@ object HadoopIO {
     val fs = path.getFileSystem(conf)
     val len = fs.getFileStatus(path).getLen
     val in = fs.open(path)
-    new SeekableInput {
+    val raw = new SeekableInput {
       def pread(pos: Long, buf: Array[Byte], off: Int, len0: Int): Int =
         if (pos >= len) -1 else in.read(pos, buf, off, len0)
       def size: Long = len
       def close(): Unit = in.close()
     }
+    // opt-in background readahead for high-latency stores (the reference's
+    // SeekableByteChannelPrefetcher role): set
+    // spark.hadoop.graft.io.prefetch.blocksize=<bytes> and every reader
+    // gains block-cached prefetch with no per-source plumbing. Off by
+    // default — Hadoop's tuned cloud connectors (S3A/GCS) already have
+    // readahead, so this targets stores that don't.
+    val pfBlock = conf.getInt("graft.io.prefetch.blocksize", 0)
+    if (pfBlock > 0 && len > pfBlock) new PrefetchingInput(raw, pfBlock) else raw
   }
 
   /** Index/sidecar extensions that live NEXT TO data files and must never be

@@ -1,0 +1,121 @@
+package graft.sources
+
+import graft.bgzf.SeekableInput
+
+/** Background-readahead wrapper over a [[SeekableInput]] — the role of the
+  * reference's `SeekableByteChannelPrefetcher` (impl/file/
+  * SeekableByteChannelPrefetcher.java:34-494: fixed-size blocks fetched by
+  * a background thread one block ahead of the consumer), re-expressed for
+  * the pread interface every graft reader speaks. High-latency stores
+  * (object stores without a tuned Hadoop connector) stall a sequential
+  * decode on every block fault; with readahead the next blocks are already
+  * in flight while the current one is consumed.
+  *
+  * Design: the file is tiled into `blockSize` blocks; a small LRU holds
+  * the most recent `cacheBlocks`; a single daemon thread fetches ahead.
+  * After a block is served, the `ahead` following blocks are scheduled if
+  * absent — so a sequential scan (the BGZF/container decode pattern) stays
+  * ahead of the consumer, while random preads (index probes) fall through
+  * to demand fetches that populate the same cache. Memory is bounded by
+  * (cacheBlocks + ahead) × blockSize per open file.
+  *
+  * Off by default. [[HadoopIO.open]] consults the Hadoop conf key
+  * `graft.io.prefetch.blocksize` (bytes; 0 = disabled), so a cluster opts
+  * in with `spark.hadoop.graft.io.prefetch.blocksize=4194304` and every
+  * source gains readahead with no per-source plumbing — the same "wrap at
+  * the channel layer" shape as the reference, without a second code path.
+  */
+final class PrefetchingInput(underlying: SeekableInput, blockSize: Int,
+                             cacheBlocks: Int = 8, ahead: Int = 2)
+    extends SeekableInput {
+  require(blockSize > 0 && cacheBlocks > 0 && ahead >= 0)
+
+  override val size: Long = underlying.size
+
+  // block index -> bytes (completed) — LRU by access order
+  private val cache = new java.util.LinkedHashMap[Long, Array[Byte]](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[Long, Array[Byte]]): Boolean =
+      size() > cacheBlocks
+  }
+  // block index -> in-flight fetch
+  private val inflight = new java.util.HashMap[Long, java.util.concurrent.Future[Array[Byte]]]()
+  private val pool = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "graft-prefetch")
+    t.setDaemon(true)
+    t
+  })
+  @volatile private var closed = false
+
+  private def nBlocks: Long = (size + blockSize - 1) / blockSize
+
+  /** Fetch a whole block from the underlying input (runs on either thread). */
+  private def fetchBlock(idx: Long): Array[Byte] = {
+    val start = idx * blockSize
+    val len = math.min(blockSize.toLong, size - start).toInt
+    val buf = new Array[Byte](len)
+    val got = underlying.preadFully(start, buf, 0, len)
+    if (got == len) buf else java.util.Arrays.copyOf(buf, got)
+  }
+
+  /** The block's bytes: cached, joined from an in-flight fetch, or fetched
+    * on demand; schedules readahead for the following blocks either way.
+    */
+  private def block(idx: Long): Array[Byte] = {
+    val ready = synchronized {
+      val c = cache.get(idx)
+      if (c != null) Right(c)
+      else {
+        val f = inflight.get(idx)
+        if (f != null) Left(f) else null
+      }
+    }
+    val bytes = ready match {
+      case Right(c) => c
+      case Left(f) =>
+        val b = f.get()
+        synchronized { inflight.remove(idx); cache.put(idx, b) }
+        b
+      case null =>
+        val b = fetchBlock(idx)
+        synchronized { cache.put(idx, b) }
+        b
+    }
+    scheduleAhead(idx)
+    bytes
+  }
+
+  private def scheduleAhead(idx: Long): Unit = synchronized {
+    if (closed) return
+    var j = idx + 1
+    val last = math.min(idx + ahead, nBlocks - 1)
+    while (j <= last) {
+      if (!cache.containsKey(j) && !inflight.containsKey(j)) {
+        val target = j
+        inflight.put(target, pool.submit(() => fetchBlock(target)))
+      }
+      j += 1
+    }
+  }
+
+  override def pread(pos: Long, buf: Array[Byte], off: Int, len: Int): Int = {
+    if (pos >= size) return -1
+    val idx = pos / blockSize
+    val b = block(idx)
+    val inBlock = (pos - idx * blockSize).toInt
+    if (inBlock >= b.length) return -1 // short block at a truncated tail
+    val n = math.min(len, b.length - inBlock)
+    System.arraycopy(b, inBlock, buf, off, n)
+    n
+  }
+
+  override def close(): Unit = {
+    synchronized {
+      closed = true
+      inflight.values.forEach(f => f.cancel(true))
+      inflight.clear()
+      cache.clear()
+    }
+    pool.shutdownNow()
+    underlying.close()
+  }
+}
