@@ -153,9 +153,13 @@ object Streaming {
     * `docs` must carry `doc_id`, `text`, and an event-time `ts`.
     *
     * State is bounded on BOTH axes on an unbounded stream:
-    *  - per bucket, the cap mirrors the batch `MaxBucket` skew guard adapted
-    *    to streaming semantics — a bucket at the cap stops ADMITTING members
-    *    (already-emitted pairs cannot be retracted);
+    *  - per bucket, the cap mirrors the batch `MaxBucket` skew guard with
+    *    the same STAR fallback as the batch `bucketPairs`: a bucket at the
+    *    cap stops ADMITTING members, and an over-cap arrival emits ONE
+    *    pair against the bucket minimum — a dense near-identical family
+    *    stays connected through its anchor at O(1) per arrival instead of
+    *    silently vanishing from the candidate graph (over-cap arrivals
+    *    are not remembered, so their star pair is at-least-once);
     *  - across buckets, an EVENT-TIME TTL evicts any bucket once the
     *    watermark passes its newest member by `bucketTtlMs` — without it the
     *    number of (band, bandhash) groups, and so total state-store size,
@@ -199,12 +203,26 @@ object Streaming {
               // out-of-order (but in-watermark) batch must not pull the
               // TTL earlier than a previous member already pushed it
               if (t != null && t.getTime > newestTs) newestTs = t.getTime
-              if (!seen.contains(docId) && seen.size < maxBucket) {
-                seen.foreach { prev =>
-                  val (a, b) = if (prev < docId) (prev, docId) else (docId, prev)
+              if (!seen.contains(docId)) {
+                if (seen.size < maxBucket) {
+                  seen.foreach { prev =>
+                    val (a, b) = if (prev < docId) (prev, docId) else (docId, prev)
+                    out += ((a, b, band))
+                  }
+                  seen = seen :+ docId
+                } else {
+                  // bucket at the cap: the STAR rule (the batch
+                  // bucketPairs fallback) — the arrival pairs with the
+                  // bucket minimum only, and is NOT admitted, so state
+                  // stays O(maxBucket) while a dense boilerplate family
+                  // keeps every member reachable from one anchor instead
+                  // of silently dropping off the candidate graph. The
+                  // arrival is not remembered, so a re-arrival re-emits
+                  // the same pair: at-least-once, dedupe downstream.
+                  val anchor = seen.min
+                  val (a, b) = if (anchor < docId) (anchor, docId) else (docId, anchor)
                   out += ((a, b, band))
                 }
-                seen = seen :+ docId
               }
             }
             state.update((seen, newestTs))

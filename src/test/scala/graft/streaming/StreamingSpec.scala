@@ -492,6 +492,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("nearDupCandidates: an over-cap arrival star-pairs with the bucket minimum") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tpl = "alpha beta gamma delta shared epsilon zeta eta theta words"
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    // cap of 3: docs 1..3 fill the bucket with all pairs; doc 4 is over-cap
+    val q = Streaming.nearDupCandidates(stream.toDF().toDF("doc_id", "text", "ts"),
+        maxBucket = 3)
+      .writeStream.format("memory").queryName("neardup_star").outputMode("append").start()
+    try {
+      def pairs(): Set[(Long, Long)] = spark.table("neardup_star")
+        .select($"doc_a", $"doc_b").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      stream.addData(Seq((1L, tpl, ts(0)), (2L, tpl, ts(1)), (3L, tpl, ts(2))))
+      q.processAllAvailable()
+      assert(pairs() == Set(1L -> 2L, 1L -> 3L, 2L -> 3L))
+      // doc 4 arrives at the full bucket: pre-fix it vanished from the
+      // candidate graph entirely; the star rule links it to the minimum
+      stream.addData(Seq((4L, tpl, ts(3))))
+      q.processAllAvailable()
+      assert(pairs() == Set(1L -> 2L, 1L -> 3L, 2L -> 3L, 1L -> 4L),
+        s"over-cap arrival not star-paired: ${pairs()}")
+      // and a fifth links to the same anchor — star shape, O(1) per arrival
+      stream.addData(Seq((5L, tpl, ts(4))))
+      q.processAllAvailable()
+      assert(pairs().contains(1L -> 5L))
+      assert(!pairs().contains(4L -> 5L), "over-cap arrivals must not pair with each other")
+    } finally q.stop()
+  }
+
   test("nearDupCandidates: event-time TTL evicts stale buckets; arrivals re-open them") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
