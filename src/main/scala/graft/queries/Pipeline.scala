@@ -210,13 +210,16 @@ object Pipeline {
   private def bucketPairs(ids: Column, aName: String, bName: String): Column =
     bucketPairsWith(ids, (x, y) => struct(x.as(aName), y.as(bName)))
 
-  /** The cap-vs-star branching itself, generalized over the pair payload —
-    * ONE definition of the rule so the minhash/embedding id form and the
-    * simhash struct form (which also carries the hamming distance) can
-    * never diverge from each other or from the DuckDB oracles' arms.
+  /** The cap-vs-star branching itself, generalized over the pair payload
+    * and the cap — ONE definition of the rule so the minhash/embedding id
+    * form, the simhash struct form (which also carries the hamming
+    * distance), and the SemDeDup cell form (dot-scored, corpus-derived
+    * cap) can never diverge from each other or from the DuckDB oracles'
+    * arms.
     */
-  private def bucketPairsWith(ms: Column, pairOf: (Column, Column) => Column): Column =
-    when(size(ms) <= MaxBucket,
+  private def bucketPairsWith(ms: Column, pairOf: (Column, Column) => Column,
+                              cap: Long = MaxBucket.toLong): Column =
+    when(size(ms) <= cap,
       flatten(transform(ms, (x, i) =>
         transform(slice(ms, i + lit(2), size(ms)), y => pairOf(x, y)))))
       .otherwise(transform(slice(ms, lit(2), size(ms) - 1),
@@ -280,6 +283,25 @@ object Pipeline {
     var k = 16
     while (k < 65536 && n / k > SemCellTarget) k *= 2
     k
+  }
+
+  /** SemDeDup in-cell scored pairs over `assigned(vec_id, cid, q)`: one
+    * shuffle on cid, all pairs inside cells within `cellCap`, star pairs
+    * against the cell minimum past it, each scored with the exact
+    * quantized dot. Factored out of q_dedup_semantic so the cap-vs-star
+    * behavior is spec-testable with a tiny injected cap.
+    */
+  private[graft] def semCellPairs(assigned: DataFrame, cellCap: Long): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    def pairOf(x: Column, y: Column) =
+      struct(x.getField("vec_id").as("keep"), y.getField("vec_id").as("dup"),
+        qdot(x.getField("q"), y.getField("q")).as("dot"))
+    assigned.groupBy($"cid")
+      .agg(sort_array(collect_list(struct($"vec_id", $"q"))).as("ms"))
+      .filter(size($"ms") > 1)
+      .select($"cid", explode(bucketPairsWith($"ms", pairOf, cellCap)).as("p"))
+      .select($"cid", $"p.keep", $"p.dup", $"p.dot")
   }
 
   /** Corpus row count per dataset, computed once per process — the LSH
@@ -1650,20 +1672,15 @@ object Pipeline {
       // quadratic walk inside one hot cell is the failure mode). The cap
       // is derived from n/k, not a constant: past semCellsFor's 65536-cell
       // ceiling the expected occupancy itself grows with the corpus, and a
-      // fixed cap would silently drop TYPICAL cells — the cliff would read
-      // as "no duplicates found" instead of failing loudly. At the oracle
-      // scale factors this resolves to 32 × 128 = 4096 and no cell comes
-      // near it.
+      // fixed cap would drop TYPICAL cells. Over-cap cells fall back to
+      // STAR pairs against the cell minimum (bucketPairsWith — the same
+      // recall rule as the LSH buckets): a degenerate semantic family
+      // still dedups through its anchor at O(cell) cost instead of
+      // escaping SemDeDup entirely. At the oracle scale factors the cap
+      // resolves to 32 × 128 = 4096 and no cell comes near it; the oracle
+      // mirrors both arms anyway.
       val cellCap = 32L * math.max(SemCellTarget, n / k)
-      val pairs = assigned.groupBy($"cid")
-        .agg(sort_array(collect_list(struct($"vec_id", $"q"))).as("ms"))
-        .filter(size($"ms") <= cellCap)
-        .select($"cid", explode(flatten(transform($"ms", (x, i) =>
-          transform(slice($"ms", i + lit(2), size($"ms")),
-            y => struct(x.getField("vec_id").as("keep"),
-              y.getField("vec_id").as("dup"),
-              qdot(x.getField("q"), y.getField("q")).as("dot")))))).as("p"))
-        .select($"cid", $"p.keep", $"p.dup", $"p.dot")
+      val pairs = semCellPairs(assigned, cellCap)
         .filter($"dot" >= SemThreshold)
       pairs.groupBy($"dup", $"cid")
         .agg(min($"keep").as("keeper"), count(lit(1)).as("n_near"))
@@ -2461,9 +2478,22 @@ object Pipeline {
          |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn
          |    FROM ad) WHERE rn = 1),
          |m AS (SELECT a.vec_id, a.cid, e.q FROM a JOIN e USING (vec_id)),
-         |j AS (SELECT x.cid, x.vec_id AS keep, y.vec_id AS dup,
+         |cc AS (SELECT 32 * GREATEST($SemCellTarget,
+         |    (SELECT COUNT(*) FROM embeddings) // (SELECT MAX(k) FROM kk)) AS cap),
+         |csz AS (SELECT cid, COUNT(*) AS n FROM m GROUP BY cid),
+         |j AS (
+         |  SELECT x.cid, x.vec_id AS keep, y.vec_id AS dup,
          |    ${dot.format("x.q", "y.q")} AS dot
-         |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id)
+         |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  JOIN csz ON csz.cid = x.cid WHERE csz.n <= (SELECT cap FROM cc)
+         |  UNION ALL
+         |  SELECT v.cid, v.mv AS keep, y.vec_id AS dup,
+         |    ${dot.format("x2.q", "y.q")} AS dot
+         |  FROM (SELECT m2.cid, MIN(m2.vec_id) AS mv FROM m m2
+         |      JOIN csz ON csz.cid = m2.cid WHERE csz.n > (SELECT cap FROM cc)
+         |      GROUP BY m2.cid) v
+         |  JOIN m x2 ON x2.cid = v.cid AND x2.vec_id = v.mv
+         |  JOIN m y ON y.cid = v.cid AND y.vec_id > v.mv)
          |SELECT dup AS vec_id, cid, MIN(keep) AS keeper,
          |  CAST(COUNT(*) AS BIGINT) AS n_near
          |FROM j WHERE dot >= $SemThreshold GROUP BY dup, cid

@@ -249,9 +249,12 @@ object Streaming {
     *
     * State bounds mirror [[nearDupCandidates]] exactly: per fingerprint the
     * member list stops admitting at `maxDocs` (a span shared by thousands
-    * of docs is boilerplate — the skew guard, not a correctness cliff), and
-    * an event-time TTL evicts a fingerprint once the watermark passes its
-    * newest member by `ttlMs` (re-opened fresh by later arrivals).
+    * of docs is boilerplate — the skew guard), but non-admitted arrivals
+    * STILL emit their hit against the first holder (at-least-once — they
+    * are not remembered), so the cap bounds state without hiding exactly
+    * the spans shared widely enough to matter; an event-time TTL evicts a
+    * fingerprint once the watermark passes its newest member by `ttlMs`
+    * (re-opened fresh by later arrivals).
     */
   def substrDupHits(docs: DataFrame, maxDocs: Int = 64,
                     watermark: String = "1 hour",
@@ -278,11 +281,17 @@ object Streaming {
             val out = Seq.newBuilder[(Long, Long, Long)]
             rows.foreach { case (docId, t, _) =>
               if (t != null && t.getTime > newestTs) newestTs = t.getTime
-              if (!seen.contains(docId) && seen.size < maxDocs) {
+              if (!seen.contains(docId)) {
                 // the span's first holder is the stable attribution target
-                // (the batch registry's first_doc)
+                // (the batch registry's first_doc). The hit does not
+                // require ADMISSION: past maxDocs the member list stops
+                // growing (the skew guard) but arrivals still emit their
+                // hit against the first holder — a boilerplate span
+                // carried by thousands of docs keeps flagging every one
+                // of them at O(1) state (at-least-once for the
+                // non-admitted: a re-arrival re-emits)
                 if (seen.nonEmpty) out += ((fp, docId, seen.head))
-                seen = seen :+ docId
+                if (seen.size < maxDocs) seen = seen :+ docId
               }
             }
             state.update((seen, newestTs))

@@ -69,6 +69,23 @@ class StarEdgeSpec extends AnyFunSuite with SparkFixture {
     } finally pairs.unpersist()
   }
 
+  test("SemDeDup over-cap cells star-pair against the cell minimum") {
+    import spark.implicits._
+    // two cells: cell 0 holds 6 members (over a cap of 3 → star), cell 1
+    // holds 3 (within cap → all pairs). Identical q vectors per cell so
+    // every pair scores the same positive dot.
+    val q0 = Seq.fill(64)(10L)
+    val q1 = Seq.fill(64)(7L)
+    val assigned = ((0 until 6).map(i => (i.toLong, 0, q0)) ++
+      (10 until 13).map(i => (i.toLong, 1, q1)))
+      .toDF("vec_id", "cid", "q")
+    val pairs = Pipeline.semCellPairs(assigned, cellCap = 3L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val star = (1 until 6).map(i => (0, 0L, i.toLong)).toSet // cell 0: min=0 vs each
+    val full = Set((1, 10L, 11L), (1, 10L, 12L), (1, 11L, 12L)) // cell 1: all pairs
+    assert(pairs == star ++ full, s"got $pairs")
+  }
+
   test("the all-identical core alone yields exactly n-1 star pairs") {
     import spark.implicits._
     val core = (0 until 100).map(i => (i.toLong, base))

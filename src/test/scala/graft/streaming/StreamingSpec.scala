@@ -630,6 +630,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("substrDupHits: non-admitted arrivals past maxDocs still emit their hit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val para = salad("cap-shared", 64)
+    val stream = MemoryStream[(Long, String, Timestamp)]
+    // cap of 2: docs 1-2 admit; doc 3 is over-cap but must still be flagged
+    val q = Streaming.substrDupHits(stream.toDF().toDF("doc_id", "text", "ts"),
+        maxDocs = 2)
+      .writeStream.format("memory").queryName("substrdup_cap").outputMode("append").start()
+    try {
+      def hits(): Set[(Long, Long)] = spark.table("substrdup_cap")
+        .select($"doc_id", $"first_doc").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      stream.addData(Seq((1L, para, ts(0)), (2L, para, ts(1))))
+      q.processAllAvailable()
+      assert(hits() == Set((2L, 1L)))
+      // pre-fix, doc 3 vanished (cap reached); it must hit the first holder
+      stream.addData(Seq((3L, para, ts(2))))
+      q.processAllAvailable()
+      assert(hits() == Set((2L, 1L), (3L, 1L)), s"over-cap arrival not flagged: ${hits()}")
+    } finally q.stop()
+  }
+
   test("substrDupHits: event-time TTL evicts stale fingerprints; arrivals re-open") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
