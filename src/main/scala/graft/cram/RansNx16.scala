@@ -157,8 +157,7 @@ object RansNx16 {
         if ((metaLen & 1) != 0) cur.bytes(metaLen >> 1)
         else {
           val compLen = cur.varint()
-          val sub = new Cursor(cur.bytes(compLen), 0)
-          decodeStream(sub, metaLen >> 1)
+          decodeEmbedded(cur.bytes(compLen), metaLen >> 1)
         }
     }
     var data =
@@ -171,6 +170,24 @@ object RansNx16 {
       throw new IOException(s"rANS Nx16 length mismatch: got ${data.length}, want $ulen")
     data
   }
+
+  /** Embedded compressed payload (an order-1 frequency table or RLE
+    * metadata, both carrying an explicit uncompressed-length varint in the
+    * OUTER stream): decoded tolerantly as a BARE order-0 entropy payload
+    * first — the outer length being explicit strongly implies the payload
+    * has no header of its own — falling back to a complete Nx16 container
+    * if the bare read fails. Our encoder emits neither form (tables ride
+    * uncompressed), so this path only serves foreign files; accepting both
+    * layouts maximizes the chance of reading them given no htslib exists
+    * here to pin the byte-exact convention (documented residual risk).
+    */
+  private def decodeEmbedded(bytes: Array[Byte], uncLen: Int): Array[Byte] =
+    try {
+      val out = decode0(new Cursor(bytes, 0), uncLen, 4)
+      if (out.length == uncLen) out else throw new IOException("bare order-0 length mismatch")
+    } catch {
+      case _: Exception => decodeStream(new Cursor(bytes, 0), uncLen)
+    }
 
   /** STRIPE: byte j of every output position group came from sub-stream
     * j mod N; each sub-stream is itself a complete Nx16 stream.
@@ -428,8 +445,7 @@ object RansNx16 {
       if ((th & 1) != 0) {
         val uncLen = cur.varint()
         val compLen = cur.varint()
-        val sub = new Cursor(cur.bytes(compLen), 0)
-        new Cursor(decodeStream(sub, uncLen), 0)
+        new Cursor(decodeEmbedded(cur.bytes(compLen), uncLen), 0)
       } else cur
     val syms = readAlphabet(tableCur)
     val freq = new Array[Array[Int]](256)

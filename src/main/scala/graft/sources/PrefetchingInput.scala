@@ -17,7 +17,9 @@ import graft.bgzf.SeekableInput
   * absent — so a sequential scan (the BGZF/container decode pattern) stays
   * ahead of the consumer, while random preads (index probes) fall through
   * to demand fetches that populate the same cache. Memory is bounded by
-  * (cacheBlocks + ahead) × blockSize per open file.
+  * (cacheBlocks + 2×ahead) × blockSize per open file: completed readahead
+  * futures are drained into the LRU on every schedule pass, and at most
+  * 2×ahead futures are ever outstanding.
   *
   * Off by default. [[HadoopIO.open]] consults the Hadoop conf key
   * `graft.io.prefetch.blocksize` (bytes; 0 = disabled), so a cluster opts
@@ -84,11 +86,32 @@ final class PrefetchingInput(underlying: SeekableInput, blockSize: Int,
     bytes
   }
 
+  /** Move completed readahead results into the LRU. Without this drain a
+    * seek-heavy access pattern strands completed futures in `inflight`
+    * forever (they are only consumed when their exact block is later
+    * requested), growing memory unboundedly — the LRU bound must apply to
+    * every fetched block, prefetched or not. Caller holds the lock.
+    */
+  private def drainCompleted(): Unit = {
+    val it = inflight.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.isDone) {
+        try cache.put(e.getKey, e.getValue.get())
+        catch { case _: Exception => } // failed prefetch: retried on demand
+        it.remove()
+      }
+    }
+  }
+
   private def scheduleAhead(idx: Long): Unit = synchronized {
     if (closed) return
+    drainCompleted()
     var j = idx + 1
     val last = math.min(idx + ahead, nBlocks - 1)
-    while (j <= last) {
+    // hard bound: never more than 2×ahead outstanding futures, so random
+    // seeks can't queue an unbounded backlog on the single fetch thread
+    while (j <= last && inflight.size < 2 * ahead) {
       if (!cache.containsKey(j) && !inflight.containsKey(j)) {
         val target = j
         inflight.put(target, pool.submit(() => fetchBlock(target)))
@@ -96,6 +119,9 @@ final class PrefetchingInput(underlying: SeekableInput, blockSize: Int,
       j += 1
     }
   }
+
+  /** Test hook: outstanding (undrained) readahead futures. */
+  private[sources] def inflightCount: Int = synchronized { inflight.size }
 
   override def pread(pos: Long, buf: Array[Byte], off: Int, len: Int): Int = {
     if (pos >= size) return -1

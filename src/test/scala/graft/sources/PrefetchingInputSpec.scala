@@ -94,6 +94,25 @@ class PrefetchingInputSpec extends AnyFunSuite with SparkFixture {
     } finally pf.close()
   }
 
+  test("seek-heavy access never strands readahead futures (bounded inflight)") {
+    val bytes = data(512 * 1024)
+    val under = new Counting(bytes)
+    val pf = new PrefetchingInput(under, blockSize = 1024, cacheBlocks = 4, ahead = 3)
+    try {
+      // the indexed-interval pattern: hundreds of seeks to scattered
+      // chunks, each stranding that run's scheduled readahead pre-fix
+      val rnd = new java.util.Random(5)
+      val buf = new Array[Byte](64)
+      for (_ <- 0 until 300) {
+        val pos = rnd.nextInt(bytes.length - 64)
+        pf.preadFully(pos.toLong, buf, 0, 64)
+        assert(buf.sameElements(bytes.slice(pos, pos + 64)))
+      }
+      assert(pf.inflightCount <= 6, // 2 × ahead
+        s"inflight futures leaked: ${pf.inflightCount}")
+    } finally pf.close()
+  }
+
   test("conf-keyed wiring: a BAM reads identically with prefetch enabled") {
     val s = spark
     import s.implicits._
