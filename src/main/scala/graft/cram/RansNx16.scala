@@ -181,7 +181,7 @@ object RansNx16 {
     * layouts maximizes the chance of reading them given no htslib exists
     * here to pin the byte-exact convention (documented residual risk).
     */
-  private def decodeEmbedded(bytes: Array[Byte], uncLen: Int): Array[Byte] =
+  private[cram] def decodeEmbedded(bytes: Array[Byte], uncLen: Int): Array[Byte] =
     try {
       val out = decode0(new Cursor(bytes, 0), uncLen, 4)
       if (out.length == uncLen) out else throw new IOException("bare order-0 length mismatch")

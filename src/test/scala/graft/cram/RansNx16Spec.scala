@@ -120,6 +120,24 @@ class RansNx16Spec extends AnyFunSuite {
     assert(RansNx16.uncompress(kat, 4).sameElements("BCBC".getBytes))
   }
 
+  test("embedded payloads decode in BOTH layouts: bare order-0 and full container") {
+    // the foreign-file path: order-1 tables / RLE metadata arrive either as
+    // a headerless order-0 entropy payload (the layout the outer explicit
+    // length implies) or as a complete Nx16 container — decodeEmbedded
+    // accepts both. Blob chosen so compress picks plain order-0 (no
+    // PACK: >16 distinct symbols; compressible: skewed distribution).
+    val blob = Array.tabulate[Byte](600)(i => if (i % 5 == 0) (i % 23).toByte else 3)
+    val container = RansNx16.compress(blob, 0)
+    assert((container(0) & 0xff) == 0, s"expected plain order-0 container, flags=${container(0)}")
+    // bare form = container minus its header (flags byte + ulen varint)
+    var p = 1
+    while ((container(p) & 0x80) != 0) p += 1
+    p += 1
+    val bare = container.drop(p)
+    assert(RansNx16.decodeEmbedded(bare, blob.length).sameElements(blob), "bare layout")
+    assert(RansNx16.decodeEmbedded(container, blob.length).sameElements(blob), "container layout")
+  }
+
   test("NOSZ flag defers to the block header's raw size") {
     val data = Array.tabulate[Byte](333)(i => (i % 11).toByte)
     val packed = RansNx16.compress(data, 0)
