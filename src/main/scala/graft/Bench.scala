@@ -3,9 +3,11 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main: every SparkEntry query timed over N runs (median
-  * reported), one JSON line. The line is BOTH printed and written to a file
-  * (`BENCH_OUT` env path, default ./BENCH_OUT.json) because sbt prefixes
-  * stdout with `[info]`, which broke the driver's parse in round 1.
+  * reported), one JSON line. The FULL record (per-query medians, spread,
+  * write/read phases, content hashes) is written to a file (`BENCH_OUT` env
+  * path, default ./BENCH_OUT.json); stdout gets a compact summary line sized
+  * to the driver's ~2000-char output-tail capture — the full line outgrew
+  * that buffer at 94 queries and stopped parsing (BENCH_r07/r08).
   *
   * Query failures are NOT swallowed: the error message is recorded per
   * query under "errors" and the process exits non-zero — a regression must
@@ -136,7 +138,27 @@ object Bench {
       s""""phases":$phaseJson,""" +
       s""""hashes":$hashJson,"hash_unstable":$unstableJson,""" +
       s""""runs":$runs,"errors":$errJson,"sf":"$sfDir"}"""
-    println(line)
+    // stdout gets a COMPACT line: the driver captures only the last ~2000
+    // chars of output, so the full 16 KB line (94 queries × spread/phases/
+    // hashes) gets its head cut off there and fails to parse (observed:
+    // BENCH_r07/r08 "parsed": null). Slowest queries first, greedily packed
+    // under the tail budget; everything else lives in BENCH_OUT.json.
+    val compactBudget = 1500
+    val errCompact = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(60))}" }.mkString("{", ",", "}")
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${medians.count(_._2 >= 0)},""" +
+      s""""spread_max":${r3(spreadMax)},"runs":$runs,"errors":$errCompact,""" +
+      s""""detail":"BENCH_OUT.json","sf":"$sfDir","queries":{"""
+    val bySlowest = medians.filter(_._2 >= 0).sortBy(-_._2)
+      .map { case (k, v) => s"${jstr(k)}:${r3(v)}" }
+    val kept = scala.collection.mutable.ListBuffer[String]()
+    var used = head.length + 30 // room for the closing },"queries_omitted":N}
+    for (e <- bySlowest if used + e.length + 1 <= compactBudget) {
+      kept += e; used += e.length + 1
+    }
+    val compact = head + kept.mkString(",") +
+      s"""},"queries_omitted":${bySlowest.length - kept.length}}"""
+    println(compact)
     // total checksum = XOR over per-query hashes ONCE EACH (accumulating
     // per run would self-cancel at any even run count)
     val rowChecksum = hashes.values.foldLeft(0L)(_ ^ _)
