@@ -183,10 +183,18 @@ object RansNx16 {
     */
   private[cram] def decodeEmbedded(bytes: Array[Byte], uncLen: Int): Array[Byte] =
     try {
-      val out = decode0(new Cursor(bytes, 0), uncLen, 4)
+      // strictFreq: conforming encoders write exact-sum tables, and the
+      // exact sum is the only checksum a headerless payload offers — a
+      // container misparsed as bare fails it and falls through
+      val out = decode0(new Cursor(bytes, 0), uncLen, 4, strictFreq = true)
       if (out.length == uncLen) out else throw new IOException("bare order-0 length mismatch")
     } catch {
-      case _: Exception => decodeStream(new Cursor(bytes, 0), uncLen)
+      case _: Exception =>
+        try decodeStream(new Cursor(bytes, 0), uncLen)
+        catch {
+          // last resort: bare layout with a (spec-legal) under-summed table
+          case _: Exception => decode0(new Cursor(bytes, 0), uncLen, 4)
+        }
     }
 
   /** STRIPE: byte j of every output position group came from sub-stream
@@ -371,6 +379,23 @@ object RansNx16 {
     cum
   }
 
+  /** Renormalize a frequency table READ from a stream so it sums exactly
+    * 1<<shift. The hts-specs decode procedure (and both reference decoders:
+    * htscodecs normalise_freq_shift, htsjdk normalizeFrequenciesArray)
+    * rescales stored tables to the target total — encoders may legally store
+    * under-summed tables, so rejecting them in [[cumulate]] would refuse
+    * spec-valid foreign blocks. No-op when already exact; an all-zero table
+    * is still corrupt.
+    */
+  private def renormalizeRead(freq: Array[Int], shift: Int): Array[Int] = {
+    var total = 0L
+    var i = 0
+    while (i < 256) { total += freq(i); i += 1 }
+    if (total == (1 << shift)) freq
+    else if (total == 0) throw new IOException("rANS Nx16 frequency table sums to 0")
+    else normalize(freq, shift)
+  }
+
   private def lookupTable(freq: Array[Int], cum: Array[Int], shift: Int): Array[Byte] = {
     val lk = new Array[Byte](1 << shift)
     var i = 0
@@ -384,11 +409,16 @@ object RansNx16 {
 
   // ---- order-0 -------------------------------------------------------------
 
-  private def decode0(cur: Cursor, len: Int, n: Int): Array[Byte] = {
-    // table: alphabet, then per-symbol normalized frequency as uint7
+  private def decode0(cur: Cursor, len: Int, n: Int,
+                      strictFreq: Boolean = false): Array[Byte] = {
+    // table: alphabet, then per-symbol normalized frequency as uint7.
+    // strictFreq requires the stored table to sum exactly 1<<Tf0 — used by
+    // decodeEmbedded's bare-layout probe, where the exact sum doubles as
+    // the discriminator against misparsing a container as a bare payload
     val syms = readAlphabet(cur)
-    val freq = new Array[Int](256)
-    syms.foreach(s => freq(s) = cur.varint())
+    val freq0 = new Array[Int](256)
+    syms.foreach(s => freq0(s) = cur.varint())
+    val freq = if (strictFreq) freq0 else renormalizeRead(freq0, Tf0)
     val cum = cumulate(freq, Tf0)
     val lookup = lookupTable(freq, cum, Tf0)
     val states = new Array[Long](n)
@@ -403,7 +433,12 @@ object RansNx16 {
       val s = lookup(m) & 0xff
       out(i) = s.toByte
       states(k) = freq(s) * (states(k) >>> Tf0) + m - cum(s)
-      if (states(k) < L && cur.p + 1 < cur.in.length) {
+      if (states(k) < L) {
+        // a valid stream always has the 2 renorm bytes (the final decoder
+        // states land back at the encoder's initial L, never below) — a
+        // short read here is truncation, not end-of-stream
+        if (cur.p + 1 >= cur.in.length)
+          throw new IOException("truncated rANS Nx16 stream")
         states(k) = (states(k) << 16) | ((cur.in(cur.p) & 0xff) | ((cur.in(cur.p + 1) & 0xff) << 8))
         cur.p += 2
       }
@@ -468,9 +503,9 @@ object RansNx16 {
         }
         si += 1
       }
-      freq(ctx) = f
-      cum(ctx) = cumulate(f, shift)
-      lookup(ctx) = lookupTable(f, cum(ctx), shift)
+      freq(ctx) = renormalizeRead(f, shift)
+      cum(ctx) = cumulate(freq(ctx), shift)
+      lookup(ctx) = lookupTable(freq(ctx), cum(ctx), shift)
       ci += 1
     }
     val states = new Array[Long](n)
@@ -487,7 +522,9 @@ object RansNx16 {
       val s = lk(m) & 0xff
       out(pos) = s.toByte
       states(j) = freq(ctxs(j))(s) * (states(j) >>> shift) + m - cum(ctxs(j))(s)
-      if (states(j) < L && cur.p + 1 < cur.in.length) {
+      if (states(j) < L) {
+        if (cur.p + 1 >= cur.in.length)
+          throw new IOException("truncated rANS Nx16 stream")
         states(j) = (states(j) << 16) | ((cur.in(cur.p) & 0xff) | ((cur.in(cur.p + 1) & 0xff) << 8))
         cur.p += 2
       }

@@ -12,7 +12,9 @@ import graft.bgzf.SeekableInput
   * in flight while the current one is consumed.
   *
   * Design: the file is tiled into `blockSize` blocks; a small LRU holds
-  * the most recent `cacheBlocks`; a single daemon thread fetches ahead.
+  * the most recent `cacheBlocks`; a process-shared daemon pool fetches
+  * ahead (per-open executors would pay a thread create/destroy on every
+  * short-lived index-probe open).
   * After a block is served, the `ahead` following blocks are scheduled if
   * absent — so a sequential scan (the BGZF/container decode pattern) stays
   * ahead of the consumer, while random preads (index probes) fall through
@@ -41,11 +43,6 @@ final class PrefetchingInput(underlying: SeekableInput, blockSize: Int,
   }
   // block index -> in-flight fetch
   private val inflight = new java.util.HashMap[Long, java.util.concurrent.Future[Array[Byte]]]()
-  private val pool = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
-    val t = new Thread(r, "graft-prefetch")
-    t.setDaemon(true)
-    t
-  })
   @volatile private var closed = false
 
   private def nBlocks: Long = (size + blockSize - 1) / blockSize
@@ -114,7 +111,7 @@ final class PrefetchingInput(underlying: SeekableInput, blockSize: Int,
     while (j <= last && inflight.size < 2 * ahead) {
       if (!cache.containsKey(j) && !inflight.containsKey(j)) {
         val target = j
-        inflight.put(target, pool.submit(() => fetchBlock(target)))
+        inflight.put(target, PrefetchingInput.sharedPool.submit(() => fetchBlock(target)))
       }
       j += 1
     }
@@ -141,7 +138,21 @@ final class PrefetchingInput(underlying: SeekableInput, blockSize: Int,
       inflight.clear()
       cache.clear()
     }
-    pool.shutdownNow()
     underlying.close()
   }
+}
+
+object PrefetchingInput {
+  /** One small daemon pool shared by every instance in the process:
+    * index-probe-heavy access patterns open (and close) many files briefly,
+    * and a dedicated executor per open would pay a thread create/destroy
+    * each time. Never shut down — threads are daemons and idle at ~0 cost.
+    */
+  private lazy val sharedPool = java.util.concurrent.Executors.newFixedThreadPool(
+    math.max(2, math.min(4, Runtime.getRuntime.availableProcessors())),
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-prefetch")
+      t.setDaemon(true)
+      t
+    })
 }

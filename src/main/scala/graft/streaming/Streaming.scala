@@ -187,16 +187,17 @@ object Streaming {
       .as[(Long, java.sql.Timestamp, Int, Long)]
     banded
       .groupByKey { case (_, _, band, bandhash) => (band, bandhash) }
-      .flatMapGroupsWithState[(Seq[Long], Long), (Long, Long, Int)](
+      .flatMapGroupsWithState[(Seq[Long], Long, Long), (Long, Long, Int)](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case ((band, _), rows, state: GroupState[(Seq[Long], Long)]) =>
+        case ((band, _), rows, state: GroupState[(Seq[Long], Long, Long)]) =>
           if (state.hasTimedOut) {
             // watermark passed this bucket's newest member by the TTL —
             // drop the whole bucket
             state.remove()
             Iterator.empty
           } else {
-            var (seen, newestTs) = state.getOption.getOrElse((Vector.empty[Long], Long.MinValue))
+            var (seen, newestTs, minSeen) =
+              state.getOption.getOrElse((Vector.empty[Long], Long.MinValue, Long.MaxValue))
             val out = Seq.newBuilder[(Long, Long, Int)]
             rows.foreach { case (docId, t, _, _) =>
               // the NEWEST member ever seen rides along in state: an
@@ -213,19 +214,25 @@ object Streaming {
                 } else {
                   // bucket at the cap: the STAR rule (the batch
                   // bucketPairs fallback) — the arrival pairs with the
-                  // bucket minimum only, and is NOT admitted, so state
-                  // stays O(maxBucket) while a dense boilerplate family
-                  // keeps every member reachable from one anchor instead
-                  // of silently dropping off the candidate graph. The
-                  // arrival is not remembered, so a re-arrival re-emits
-                  // the same pair: at-least-once, dedupe downstream.
-                  val anchor = seen.min
+                  // bucket-minimum anchor only, and is NOT admitted, so
+                  // state stays O(maxBucket) while a dense boilerplate
+                  // family keeps every member reachable from one anchor
+                  // instead of silently dropping off the candidate graph.
+                  // The anchor is the running minimum over EVERY arrival
+                  // (admitted or not, O(1) extra state), so it converges
+                  // to the batch rule's global bucket minimum once that
+                  // doc has arrived — in any order. The arrival is not
+                  // remembered, so a re-arrival re-emits its pair:
+                  // at-least-once, dedupe downstream.
+                  val anchor =
+                    if (minSeen != Long.MaxValue && minSeen != docId) minSeen else seen.min
                   val (a, b) = if (anchor < docId) (anchor, docId) else (docId, anchor)
                   out += ((a, b, band))
                 }
               }
+              if (docId < minSeen) minSeen = docId
             }
-            state.update((seen, newestTs))
+            state.update((seen, newestTs, minSeen))
             // evict once the watermark passes the newest member by the TTL;
             // the timestamp must sit strictly above the current watermark
             // (late rows can carry ts already below it). A bucket that has

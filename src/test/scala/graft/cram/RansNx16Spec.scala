@@ -104,20 +104,54 @@ class RansNx16Spec extends AnyFunSuite {
   test("known-answer: two-symbol order-0 decode table split") {
     // Alphabet {66: 2048, 67: 2048}: cumulative [0, 2048), [2048, 4096).
     // A state whose low 12 bits sit below 2048 decodes 'B', above 'C'.
-    // States chosen directly: slot m in [0,2048) → 'B' with next state
-    // 2048·(x>>12) + m; pick x = 0x9000 (m=0, 'B', next = 2048·9 = 0x4800 ≥ L,
-    // no renorm) for states 0/2 and x = 0x9800 (m=0x800, 'C',
-    // next = 2048·9 + 0x800 − 0x800 = 0x4800) for states 1/3 → decodes "BCBC".
+    // States chosen so the post-decode state lands EXACTLY at L = 0x8000
+    // (a real encoder's initial state — anything below L would demand
+    // renormalization bytes, and their absence is truncation): x = 0x10000
+    // (m=0, 'B', next = 2048·16 = 0x8000) for states 0/2 and x = 0x10800
+    // (m=0x800, 'C', next = 2048·16 + 0x800 − 0x800 = 0x8000) for 1/3
+    // → decodes "BCBC".
     val kat = Array[Int](
       0x00, 0x04,
       66, 67, 0x00, 0x00, // 66; 67 = prev+1 → run byte 0; terminator 0
       0x90, 0x00,         // 2048 as uint7
       0x90, 0x00,
-      0x00, 0x90, 0x00, 0x00,
-      0x00, 0x98, 0x00, 0x00,
-      0x00, 0x90, 0x00, 0x00,
-      0x00, 0x98, 0x00, 0x00).map(_.toByte)
+      0x00, 0x00, 0x01, 0x00,
+      0x00, 0x08, 0x01, 0x00,
+      0x00, 0x00, 0x01, 0x00,
+      0x00, 0x08, 0x01, 0x00).map(_.toByte)
     assert(RansNx16.uncompress(kat, 4).sameElements("BCBC".getBytes))
+  }
+
+  test("under-summed stored frequency table is renormalized, not rejected") {
+    // Same stream as the "BCBC" KAT but the STORED freqs are 1024/1024
+    // (sum 2048 < 4096). hts-specs decoders renormalize read tables to
+    // 1<<shift (htscodecs normalise_freq_shift); 1024·4096/2048 = 2048
+    // each recovers the KAT's working table, so the decode is identical.
+    val kat = Array[Int](
+      0x00, 0x04,
+      66, 67, 0x00, 0x00,
+      0x88, 0x00,         // 1024 as uint7 — under-summed on purpose
+      0x88, 0x00,
+      0x00, 0x00, 0x01, 0x00,
+      0x00, 0x08, 0x01, 0x00,
+      0x00, 0x00, 0x01, 0x00,
+      0x00, 0x08, 0x01, 0x00).map(_.toByte)
+    assert(RansNx16.uncompress(kat, 4).sameElements("BCBC".getBytes))
+  }
+
+  test("truncated entropy payload throws IOException, never wrong bytes") {
+    // Every renormalization word the encoder emitted is consumed on decode;
+    // cutting the tail must surface as an error (the documented corrupt-
+    // stream contract), not as a correct-length array of wrong bytes.
+    val blob = Array.tabulate[Byte](900)(i => ((i * 31) % 23).toByte)
+    for (order <- Seq(0, 1); cut <- 1 to 6) {
+      val full = RansNx16.compress(blob, order)
+      assert(RansNx16.uncompress(full, blob.length).sameElements(blob))
+      val trunc = full.dropRight(cut)
+      intercept[java.io.IOException] {
+        RansNx16.uncompress(trunc, blob.length)
+      }
+    }
   }
 
   test("embedded payloads decode in BOTH layouts: bare order-0 and full container") {

@@ -519,6 +519,16 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       q.processAllAvailable()
       assert(pairs().contains(1L -> 5L))
       assert(!pairs().contains(4L -> 5L), "over-cap arrivals must not pair with each other")
+      // a late arrival SMALLER than every admitted member: it pairs with
+      // the previous anchor, then becomes the anchor itself (running min
+      // over all arrivals — converges to the batch rule's global minimum)
+      stream.addData(Seq((0L, tpl, ts(5))))
+      q.processAllAvailable()
+      assert(pairs().contains(0L -> 1L), s"new-minimum arrival not linked: ${pairs()}")
+      stream.addData(Seq((6L, tpl, ts(6))))
+      q.processAllAvailable()
+      assert(pairs().contains(0L -> 6L),
+        s"anchor did not converge to the global bucket minimum: ${pairs()}")
     } finally q.stop()
   }
 
