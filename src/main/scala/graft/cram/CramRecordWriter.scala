@@ -74,7 +74,7 @@ object CramRecordWriter {
     */
   def encodeContainer(records: IndexedSeq[AlignmentRecord], header: SamHeader,
                       recordCounter: Long, refSource: CramRefSource,
-                      v31: Boolean = false): Encoded = {
+                      wire: Int = 0): Encoded = {
     require(records.nonEmpty, "empty CRAM container")
     val n = records.length
     val ext = scala.collection.mutable.Map.empty[Int, java.io.ByteArrayOutputStream]
@@ -260,7 +260,7 @@ object CramRecordWriter {
     // ---- slice ---------------------------------------------------------------
     val extBlocks = ext.toSeq.filter(_._2.size > 0).sortBy(_._1).map { case (cid, s) =>
       val raw = s.toByteArray
-      val method = compressionFor(cid, raw, v31)
+      val method = compressionFor(cid, raw, wire)
       cid -> encodeBlockCompressed(4, cid, method, raw)
     }
     val coreBlock = encodeBlock(5, 0, 0, Array.emptyByteArray)
@@ -412,21 +412,23 @@ object CramRecordWriter {
 
   // ---- block encoding ------------------------------------------------------
 
-  /** Per-stream compression: rANS order-1 for quality scores, order-0 for
-    * base runs, gzip for the rest; tiny streams stay raw. In 3.1 mode the
-    * rANS streams upgrade to rANS Nx16 (CRAM method 5) — the codec modern
-    * htslib emits by default for these series.
+  /** Per-stream compression: order-1 entropy for quality scores, order-0
+    * for base runs, gzip for the rest; tiny streams stay raw. `wire` picks
+    * the entropy family: 0 = CRAM 3.0 rANS 4x8 (method 4), 1 = CRAM 3.1
+    * rANS Nx16 (method 5, what modern htslib emits by default), 2 =
+    * CRAM 3.1 adaptive arithmetic (method 6, the sink's codec=arith).
     */
-  private def compressionFor(cid: Int, raw: Array[Byte], v31: Boolean): Int = {
+  private def compressionFor(cid: Int, raw: Array[Byte], wire: Int): Int = {
     if (raw.length < 128) 0
-    else if (cid == Cid("QS")) (if (v31) 51 else 41) // rans order 1
-    else if (cid == Cid("BB") || cid == Cid("BA")) (if (v31) 50 else 40) // rans order 0
+    else if (cid == Cid("QS")) 41 + wire * 10 // order 1
+    else if (cid == Cid("BB") || cid == Cid("BA")) 40 + wire * 10 // order 0
     else 1 // gzip
   }
 
   /** method here: 0 raw, 1 gzip, 40 rans-o0, 41 rans-o1 (CRAM method 4
     * with the order byte inside the rANS stream), 50/51 the rANS Nx16
-    * equivalents (CRAM method 5, the 3.1 codec).
+    * equivalents (CRAM method 5), 60/61 adaptive arithmetic (CRAM
+    * method 6) — the latter two are the 3.1 codecs.
     */
   private def encodeBlockCompressed(ctype: Int, cid: Int, method: Int, raw: Array[Byte]): Array[Byte] = {
     method match {
@@ -442,6 +444,10 @@ object CramRecordWriter {
       case 50 | 51 =>
         val packed = RansNx16.compress(raw, method - 50)
         if (packed.length < raw.length) encodeBlockPacked(ctype, cid, 5, packed, raw.length)
+        else encodeBlock(ctype, cid, 0, raw)
+      case 60 | 61 =>
+        val packed = ArithDynamic.compress(raw, method - 60)
+        if (packed.length < raw.length) encodeBlockPacked(ctype, cid, 6, packed, raw.length)
         else encodeBlock(ctype, cid, 0, raw)
       case m => throw new IOException(s"writer method $m")
     }

@@ -56,7 +56,7 @@ object RansNx16 {
     }
   }
 
-  private def writeVarint(out: java.io.ByteArrayOutputStream, v0: Int): Unit = {
+  private[cram] def writeVarint(out: java.io.ByteArrayOutputStream, v0: Int): Unit = {
     require(v0 >= 0)
     if (v0 < (1 << 7)) out.write(v0)
     else if (v0 < (1 << 14)) { out.write(0x80 | (v0 >> 7)); out.write(v0 & 0x7f) }
@@ -221,7 +221,7 @@ object RansNx16 {
 
   // ---- PACK / RLE transforms ----------------------------------------------
 
-  private def distinctSyms(raw: Array[Byte]): Array[Byte] = {
+  private[cram] def distinctSyms(raw: Array[Byte]): Array[Byte] = {
     val seen = new Array[Boolean](256)
     var i = 0
     while (i < raw.length) { seen(raw(i) & 0xff) = true; i += 1 }
@@ -232,7 +232,7 @@ object RansNx16 {
     if (nsym <= 1) 0 else if (nsym <= 2) 1 else if (nsym <= 4) 2 else if (nsym <= 16) 4
     else throw new IOException(s"PACK alphabet $nsym > 16")
 
-  private def packBytes(raw: Array[Byte], syms: Array[Byte]): Array[Byte] = {
+  private[cram] def packBytes(raw: Array[Byte], syms: Array[Byte]): Array[Byte] = {
     val bits = bitsFor(syms.length)
     if (bits == 0) return Array.emptyByteArray
     val idx = new Array[Byte](256)
@@ -249,7 +249,7 @@ object RansNx16 {
     out
   }
 
-  private def unpackBytes(packed: Array[Byte], syms: Array[Byte], ulen: Int): Array[Byte] = {
+  private[cram] def unpackBytes(packed: Array[Byte], syms: Array[Byte], ulen: Int): Array[Byte] = {
     val bits = bitsFor(syms.length)
     val out = new Array[Byte](ulen)
     if (bits == 0) { java.util.Arrays.fill(out, syms(0)); return out }

@@ -710,16 +710,27 @@ class CramWrite(options: Map[String, String], schema: StructType) extends Write 
     // match positions to implicit/X-substitution form (CramRecordWriter)
     val fasta = if (recordsHeader.isDefined) options.get("fasta") else None
     // CRAM version: 3.0 (default) or 3.1 (record blocks upgrade to rANS
-    // Nx16, file definition minor = 1)
+    // Nx16, file definition minor = 1). codec=arith (3.1 only) swaps the
+    // record-block entropy stage for the adaptive arithmetic coder
+    // (CRAM method 6).
     val v31 = options.get("version") match {
       case None | Some("3.0") => false
       case Some("3.1") => true
       case Some(v) => throw new IllegalArgumentException(
         s"cram sink version must be 3.0 or 3.1, got $v")
     }
+    val wire = options.get("codec") match {
+      case None | Some("rans") => if (v31) 1 else 0
+      case Some("arith") =>
+        if (!v31) throw new IllegalArgumentException(
+          "cram sink codec=arith requires version=3.1")
+        2
+      case Some(c) => throw new IllegalArgumentException(
+        s"cram sink codec must be rans or arith, got $c")
+    }
     new CramBatchWrite(path, singleFile, writeCrai, schema,
       new SerializableConf(SparkSession.active.sessionState.newHadoopConf()),
-      recordsHeader, perContainer, fasta, v31)
+      recordsHeader, perContainer, fasta, wire)
   }
 }
 
@@ -739,7 +750,7 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
                      recordsHeader: Option[SamHeader] = None,
                      perContainer: Int = 10000,
                      fastaPath: Option[String] = None,
-                     v31: Boolean = false) extends BatchWrite {
+                     wire: Int = 0) extends BatchWrite {
   private val tempDir = path + ".parts"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -760,9 +771,9 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
     val hdr = recordsHeader
     val perC = perContainer
     val fasta = fastaPath
-    val v31c = v31
+    val wireC = wire
     (partitionId: Int, _: Long) => hdr match {
-      case Some(h) => new CramRecordsDataWriter(dir, h, sch, c, partitionId, complete, shardCrai, perC, fasta, v31c)
+      case Some(h) => new CramRecordsDataWriter(dir, h, sch, c, partitionId, complete, shardCrai, perC, fasta, wireC)
       case None => new CramDataWriter(dir, sch, c, partitionId, complete, shardCrai)
     }
   }
@@ -771,7 +782,7 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
     val fs = new Path(path).getFileSystem(conf.conf)
     // records mode prepends the SAM-header container to the file definition
     // (container mode carries no header container — specs only)
-    val minor = if (v31) 1 else 0
+    val minor = if (wire > 0) 1 else 0
     val headBytes = recordsHeader match {
       case Some(h) =>
         CramContainers.encodeFileDefinition(minor = minor) ++ CramRecordWriter.encodeHeaderContainer(h)
@@ -881,7 +892,7 @@ class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
                             conf: SerializableConf, partitionId: Int,
                             complete: Boolean, shardCrai: Boolean, perContainer: Int,
                             fastaPath: Option[String] = None,
-                            v31: Boolean = false)
+                            wire: Int = 0)
     extends DataWriter[InternalRow] {
   require(perContainer > 0, s"recordsPerContainer must be positive, got $perContainer")
   // ACCEPT_ANY_SCHEMA skips Spark's write-side validation; fail fast on a
@@ -901,7 +912,7 @@ class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
   private var written = 0L
   locally {
     if (complete) {
-      val fd = CramContainers.encodeFileDefinition(minor = if (v31) 1 else 0)
+      val fd = CramContainers.encodeFileDefinition(minor = if (wire > 0) 1 else 0)
       val hc = CramRecordWriter.encodeHeaderContainer(header)
       out.write(fd); out.write(hc)
       written += fd.length + hc.length
@@ -916,7 +927,7 @@ class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
   private val refSource: CramRefSource = fastaOpened.map(_._2).getOrElse(NoRefSource)
 
   private def flushContainer(): Unit = if (buf.nonEmpty) {
-    val enc = CramRecordWriter.encodeContainer(buf.toIndexedSeq, header, recordCounter, refSource, v31)
+    val enc = CramRecordWriter.encodeContainer(buf.toIndexedSeq, header, recordCounter, refSource, wire)
     out.write(enc.bytes)
     entries += enc.craiEntry.copy(containerOffset = written)
     recordCounter += buf.length
