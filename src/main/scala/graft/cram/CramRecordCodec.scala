@@ -24,8 +24,8 @@ object CramRecordCodec {
 
   /** Read one block at `off`; returns the block and the offset past it.
     * Methods: 0 raw, 1 gzip, 2 bzip2, 3 lzma/xz, 4 rANS-4x8 (v3.0),
-    * 5 rANS-Nx16 (v3.1), 6 adaptive arithmetic (v3.1). The remaining 3.1
-    * methods — 7 fqzcomp, 8 name tokenizer — fail with a descriptive
+    * 5 rANS-Nx16, 6 adaptive arithmetic, 8 name tokenizer (v3.1). The
+    * one remaining 3.1 method — 7 fqzcomp — fails with a descriptive
     * error (documented gap: no htslib exists in this environment to
     * produce or cross-validate such blocks).
     */
@@ -49,8 +49,9 @@ object CramRecordCodec {
       case 4 => Rans.uncompress(packed)
       case 5 => RansNx16.uncompress(packed, rsize)
       case 6 => ArithDynamic.uncompress(packed, rsize)
+      case 8 => NameTok3.uncompress(packed, rsize)
       case m => throw new IOException(s"unsupported CRAM block compression method $m" +
-        (if (m == 7 || m == 8) " (CRAM 3.1 fqzcomp/tok3 — not yet implemented)" else ""))
+        (if (m == 7) " (CRAM 3.1 fqzcomp — not yet implemented)" else ""))
     }
     if (raw.length != rsize)
       throw new IOException(s"CRAM block raw size mismatch: declared $rsize, got ${raw.length}")

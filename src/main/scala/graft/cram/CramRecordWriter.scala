@@ -74,7 +74,7 @@ object CramRecordWriter {
     */
   def encodeContainer(records: IndexedSeq[AlignmentRecord], header: SamHeader,
                       recordCounter: Long, refSource: CramRefSource,
-                      wire: Int = 0): Encoded = {
+                      wire: Int = 0, tok3Names: Boolean = false): Encoded = {
     require(records.nonEmpty, "empty CRAM container")
     val n = records.length
     val ext = scala.collection.mutable.Map.empty[Int, java.io.ByteArrayOutputStream]
@@ -260,7 +260,7 @@ object CramRecordWriter {
     // ---- slice ---------------------------------------------------------------
     val extBlocks = ext.toSeq.filter(_._2.size > 0).sortBy(_._1).map { case (cid, s) =>
       val raw = s.toByteArray
-      val method = compressionFor(cid, raw, wire)
+      val method = compressionFor(cid, raw, wire, tok3Names)
       cid -> encodeBlockCompressed(4, cid, method, raw)
     }
     val coreBlock = encodeBlock(5, 0, 0, Array.emptyByteArray)
@@ -418,17 +418,23 @@ object CramRecordWriter {
     * rANS Nx16 (method 5, what modern htslib emits by default), 2 =
     * CRAM 3.1 adaptive arithmetic (method 6, the sink's codec=arith).
     */
-  private def compressionFor(cid: Int, raw: Array[Byte], wire: Int): Int = {
+  private def compressionFor(cid: Int, raw: Array[Byte], wire: Int,
+                             tok3Names: Boolean): Int = {
     if (raw.length < 128) 0
     else if (cid == Cid("QS")) 41 + wire * 10 // order 1
     else if (cid == Cid("BB") || cid == Cid("BA")) 40 + wire * 10 // order 0
+    // names=tok3 (3.1 opt-in): the RN series' name\0 blob through the
+    // name tokenizer, inner streams in the wire's entropy family
+    else if (cid == Cid("RN") && tok3Names && wire > 0 &&
+             raw(raw.length - 1) == 0) (if (wire == 2) 71 else 70)
     else 1 // gzip
   }
 
   /** method here: 0 raw, 1 gzip, 40 rans-o0, 41 rans-o1 (CRAM method 4
     * with the order byte inside the rANS stream), 50/51 the rANS Nx16
     * equivalents (CRAM method 5), 60/61 adaptive arithmetic (CRAM
-    * method 6) — the latter two are the 3.1 codecs.
+    * method 6), 70/71 the name tokenizer (CRAM method 8, inner streams
+    * rANS Nx16 / arith respectively) — methods 5/6/8 are the 3.1 codecs.
     */
   private def encodeBlockCompressed(ctype: Int, cid: Int, method: Int, raw: Array[Byte]): Array[Byte] = {
     method match {
@@ -448,6 +454,10 @@ object CramRecordWriter {
       case 60 | 61 =>
         val packed = ArithDynamic.compress(raw, method - 60)
         if (packed.length < raw.length) encodeBlockPacked(ctype, cid, 6, packed, raw.length)
+        else encodeBlock(ctype, cid, 0, raw)
+      case 70 | 71 =>
+        val packed = NameTok3.compress(raw, useArith = method == 71)
+        if (packed.length < raw.length) encodeBlockPacked(ctype, cid, 8, packed, raw.length)
         else encodeBlock(ctype, cid, 0, raw)
       case m => throw new IOException(s"writer method $m")
     }

@@ -728,9 +728,20 @@ class CramWrite(options: Map[String, String], schema: StructType) extends Write 
       case Some(c) => throw new IllegalArgumentException(
         s"cram sink codec must be rans or arith, got $c")
     }
+    // names=tok3 (3.1 only): RN blocks through the CRAM method-8 name
+    // tokenizer; default keeps gzip'd RN, which every reader decodes
+    val tok3 = options.get("names") match {
+      case None | Some("default") => false
+      case Some("tok3") =>
+        if (!v31) throw new IllegalArgumentException(
+          "cram sink names=tok3 requires version=3.1")
+        true
+      case Some(m) => throw new IllegalArgumentException(
+        s"cram sink names must be default or tok3, got $m")
+    }
     new CramBatchWrite(path, singleFile, writeCrai, schema,
       new SerializableConf(SparkSession.active.sessionState.newHadoopConf()),
-      recordsHeader, perContainer, fasta, wire)
+      recordsHeader, perContainer, fasta, wire, tok3)
   }
 }
 
@@ -750,7 +761,7 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
                      recordsHeader: Option[SamHeader] = None,
                      perContainer: Int = 10000,
                      fastaPath: Option[String] = None,
-                     wire: Int = 0) extends BatchWrite {
+                     wire: Int = 0, tok3Names: Boolean = false) extends BatchWrite {
   private val tempDir = path + ".parts"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -772,8 +783,9 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
     val perC = perContainer
     val fasta = fastaPath
     val wireC = wire
+    val tok3C = tok3Names
     (partitionId: Int, _: Long) => hdr match {
-      case Some(h) => new CramRecordsDataWriter(dir, h, sch, c, partitionId, complete, shardCrai, perC, fasta, wireC)
+      case Some(h) => new CramRecordsDataWriter(dir, h, sch, c, partitionId, complete, shardCrai, perC, fasta, wireC, tok3C)
       case None => new CramDataWriter(dir, sch, c, partitionId, complete, shardCrai)
     }
   }
@@ -892,7 +904,7 @@ class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
                             conf: SerializableConf, partitionId: Int,
                             complete: Boolean, shardCrai: Boolean, perContainer: Int,
                             fastaPath: Option[String] = None,
-                            wire: Int = 0)
+                            wire: Int = 0, tok3Names: Boolean = false)
     extends DataWriter[InternalRow] {
   require(perContainer > 0, s"recordsPerContainer must be positive, got $perContainer")
   // ACCEPT_ANY_SCHEMA skips Spark's write-side validation; fail fast on a
@@ -927,7 +939,7 @@ class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
   private val refSource: CramRefSource = fastaOpened.map(_._2).getOrElse(NoRefSource)
 
   private def flushContainer(): Unit = if (buf.nonEmpty) {
-    val enc = CramRecordWriter.encodeContainer(buf.toIndexedSeq, header, recordCounter, refSource, wire)
+    val enc = CramRecordWriter.encodeContainer(buf.toIndexedSeq, header, recordCounter, refSource, wire, tok3Names)
     out.write(enc.bytes)
     entries += enc.craiEntry.copy(containerOffset = written)
     recordCounter += buf.length
