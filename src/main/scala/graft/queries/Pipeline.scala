@@ -60,6 +60,7 @@ object Pipeline {
   private val PiiEmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PiiPhoneRe = "\\d{3}-\\d{4}-\\d{4}"
   private val QdotThreshold = 300000L // quantized cosine ≥ 0.3
+  private val ContainMilli = 200L // containment re-score floor (|A∩B|/min ≥ 0.2)
   private val LshPlanes = 8
   /** LSH bucket-size guard: a (band, bandhash) bucket larger than this
     * emits STAR pairs against its minimum member ([[bucketPairs]]) instead
@@ -719,6 +720,36 @@ object Pipeline {
         .limit(100)
     },
 
+    // bigram language-model scoring (the CCNet-shaped quality signal): a
+    // bigram LM is trained corpus-wide (bigram + unigram prefix counts),
+    // then every document is scored by its mean conditional probability
+    // P(w2|w1) = count(w1 w2)/count(w1) in ppm. Integer math end to end so
+    // the DuckDB oracle reproduces it bit-for-bit — a geometric mean needs
+    // ln(), and mean conditional probability ranks gibberish vs fluent the
+    // same way without floats. Scale shape: the two count tables are
+    // vocabulary-sized (≪ corpus) and the doc-bigram table joins them on
+    // bigram/prefix keys with map-side partial counts — no all-pairs work,
+    // no per-doc collect, and the doc rollup is one groupBy(doc_id).
+    "q_text_lm_score" -> { (s, d) =>
+      import s.implicits._
+      val t = Tables.documents(s, d).select($"doc_id", words($"text").as("ws"))
+      val bi = t.filter(size($"ws") >= 2).select($"doc_id",
+        explode(zip_with(
+          slice($"ws", lit(1), size($"ws") - 1),
+          slice($"ws", lit(2), size($"ws") - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .withColumn("w1", split($"bigram", " ").getItem(0))
+      val bc = bi.groupBy($"bigram").agg(count(lit(1)).as("bn"))
+      val uc = t.select(explode($"ws").as("w")).groupBy($"w").agg(count(lit(1)).as("un"))
+      bi.join(bc, "bigram")
+        .join(uc, bi("w1") === uc("w"))
+        .withColumn("ppm", expr("bn * 1000000 div un"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(ppm) div count(1)").as("mean_cond_ppm"))
+        .orderBy($"doc_id")
+    },
+
     // language ID: stopword-vote heuristic with deterministic tie-break.
     // The four per-language counts come from ONE native codegen pass
     // (graft_stop_hits) — the composed form is four interpreted filter
@@ -920,6 +951,30 @@ object Pipeline {
         .withColumn("jacc_milli", ($"inter" * 1000 / $"uni").cast("long"))
         .filter($"jacc_milli" >= 30)
         .select($"doc_a", $"doc_b", $"inter", $"uni", $"jacc_milli")
+        .orderBy($"doc_a", $"doc_b")
+    },
+
+    // containment near-dup: |A∩B| / min(|A|,|B|) on the SAME LSH candidate
+    // pairs — the asymmetric complement of Jaccard. A short doc wholly
+    // embedded in a longer one scores ~1000 here while its Jaccard stays
+    // low (the union is dominated by the longer doc), so quote-and-extend
+    // duplicate families are caught with zero extra candidate generation.
+    "q_dedup_containment" -> { (s, d) =>
+      import s.implicits._
+      val base = withShingles(signedDocs(Tables.documents(s, d)))
+        .withColumn("shash", shingleHashes)
+        .select($"doc_id", $"sig", array_distinct($"shash").as("sh"))
+        .persist() // shingle-hash once: feeds both band join and re-score
+      val cand = lshCandidatePairs(base)
+      cand
+        .join(base.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), "doc_a")
+        .join(base.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), "doc_b")
+        .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+        .withColumn("min_side", least(size($"sh_a"), size($"sh_b")))
+        .filter($"inter" > 0)
+        .withColumn("cont_milli", ($"inter" * 1000 / $"min_side").cast("long"))
+        .filter($"cont_milli" >= ContainMilli)
+        .select($"doc_a", $"doc_b", $"inter", $"min_side", $"cont_milli")
         .orderBy($"doc_a", $"doc_b")
     },
 
@@ -1805,6 +1860,21 @@ object Pipeline {
          |SELECT bigram, COUNT(*) AS n FROM b
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
 
+    "q_text_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
+         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |    i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i + 1 AS INTEGER)])) AS bigram
+         |  FROM t WHERE len(ws) >= 2),
+         |bc AS (SELECT bigram, COUNT(*) AS bn FROM b GROUP BY bigram),
+         |u AS (SELECT unnest(ws) AS w FROM t),
+         |uc AS (SELECT w, COUNT(*) AS un FROM u GROUP BY w),
+         |j AS (SELECT b.doc_id, bc.bn * 1000000 // uc.un AS ppm
+         |  FROM b JOIN bc USING (bigram)
+         |  JOIN uc ON uc.w = split_part(b.bigram, ' ', 1))
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_cond_ppm
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_text_langid" ->
       s"""WITH t AS (SELECT doc_id, lang AS tagged_lang,
          |  len(list_filter($wsExpr, w -> list_contains(${stopList(StopEn)}, w))) AS en_hits,
@@ -1970,6 +2040,19 @@ object Pipeline {
          |  FROM cand c JOIN ss a ON a.doc_id = c.doc_a JOIN ss b ON b.doc_id = c.doc_b)
          |SELECT doc_a, doc_b, inter, uni, CAST(inter * 1000 // uni AS BIGINT) AS jacc_milli
          |FROM p WHERE inter > 0 AND inter * 1000 // uni >= 30
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q_dedup_containment" -> {
+      s"""${oracleBandsCte()},
+         |ss AS (SELECT doc_id, list_distinct(shash) AS sh FROM sh2),
+         |p AS (SELECT c.doc_a, c.doc_b,
+         |    len(list_intersect(a.sh, b.sh)) AS inter,
+         |    least(len(a.sh), len(b.sh)) AS min_side
+         |  FROM cand c JOIN ss a ON a.doc_id = c.doc_a JOIN ss b ON b.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, inter, min_side,
+         |  CAST(inter * 1000 // min_side AS BIGINT) AS cont_milli
+         |FROM p WHERE inter > 0 AND inter * 1000 // min_side >= $ContainMilli
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
