@@ -39,124 +39,8 @@ object ArithDynamic {
   val FlagRle = 0x40
   val FlagPack = 0x80
 
-  private val Top = 1L << 24
-  private val Mask32 = 0xffffffffL
-  private val Step = 8
-  private val MaxFreq = (1 << 16) - 32
-
-  // ---- range coder ---------------------------------------------------------
-
-  /** Carry-cached range encoder. `low` is kept unmasked so a carry shows up
-    * in bit 32 and propagates through the cached byte plus the pending 0xFF
-    * run — the standard LZMA shift-low.
-    */
-  private final class RangeEncoder(out: java.io.ByteArrayOutputStream) {
-    private var low = 0L
-    private var range = Mask32
-    private var cache = 0
-    private var cacheSize = 1L // the leading cache byte (0) is emitted first
-
-    private def shiftLow(): Unit = {
-      if ((low & Mask32) < 0xff000000L || (low >>> 32) != 0) {
-        var t = cache
-        val carry = (low >>> 32).toInt
-        do { out.write((t + carry) & 0xff); t = 0xff; cacheSize -= 1 } while (cacheSize != 0)
-        cache = ((low >>> 24) & 0xff).toInt
-      }
-      cacheSize += 1
-      low = (low & 0x00ffffffL) << 8
-    }
-
-    def encode(cumFreq: Int, freq: Int, totFreq: Int): Unit = {
-      range /= totFreq
-      low += cumFreq * range
-      range *= freq
-      while (range < Top) { shiftLow(); range <<= 8 }
-    }
-
-    def finish(): Unit = { var i = 0; while (i < 5) { shiftLow(); i += 1 } }
-  }
-
-  /** Matching decoder: 32-bit `code` window; the encoder's leading zero
-    * cache byte falls off the top on the 5th initial shift.
-    */
-  private final class RangeDecoder(in: Array[Byte], var p: Int) {
-    private var code = 0L
-    private var range = Mask32
-
-    locally {
-      var i = 0
-      while (i < 5) { code = ((code << 8) | nextByte()) & Mask32; i += 1 }
-    }
-
-    private def nextByte(): Int = {
-      if (p >= in.length) throw new IOException("truncated arith stream")
-      val b = in(p) & 0xff; p += 1; b
-    }
-
-    def getFreq(totFreq: Int): Int = {
-      range /= totFreq
-      val f = code / range
-      if (f >= totFreq) throw new IOException("corrupt arith stream: freq out of range")
-      f.toInt
-    }
-
-    def decode(cumFreq: Int, freq: Int): Unit = {
-      code = (code - cumFreq * range) & Mask32
-      range *= freq
-      while (range < Top) {
-        code = ((code << 8) | nextByte()) & Mask32
-        range <<= 8
-      }
-    }
-  }
-
-  // ---- adaptive byte model -------------------------------------------------
-
-  /** Adaptive model over `nsym` symbols: counts start at 1, bump by Step on
-    * use, halve (keeping ≥1) when the total tops MaxFreq. Symbols bubble
-    * one slot toward the front when they overtake their neighbor — a search
-    * optimization that changes cumulative order, so encoder and decoder
-    * perform the identical swap to stay in sync.
-    */
-  private final class Model(nsym: Int) {
-    private val syms = Array.tabulate(nsym)(identity)
-    private val freqs = Array.fill(nsym)(1)
-    private var total = nsym
-
-    private def bump(k: Int): Unit = {
-      freqs(k) += Step
-      total += Step
-      if (total > MaxFreq) {
-        total = 0
-        var i = 0
-        while (i < nsym) { freqs(i) -= freqs(i) >> 1; total += freqs(i); i += 1 }
-      }
-      if (k > 0 && freqs(k) > freqs(k - 1)) {
-        val ts = syms(k); syms(k) = syms(k - 1); syms(k - 1) = ts
-        val tf = freqs(k); freqs(k) = freqs(k - 1); freqs(k - 1) = tf
-      }
-    }
-
-    def encode(rc: RangeEncoder, sym: Int): Unit = {
-      var k = 0
-      var acc = 0
-      while (syms(k) != sym) { acc += freqs(k); k += 1 }
-      rc.encode(acc, freqs(k), total)
-      bump(k)
-    }
-
-    def decode(rc: RangeDecoder): Int = {
-      val f = rc.getFreq(total)
-      var k = 0
-      var acc = 0
-      while (acc + freqs(k) <= f) { acc += freqs(k); k += 1 }
-      rc.decode(acc, freqs(k))
-      val s = syms(k)
-      bump(k)
-      s
-    }
-  }
+  // range coder + adaptive model live in [[ArithInternals]] (shared with
+  // [[FqzComp]], which reuses the identical coder under fqz contexts)
 
   // ---- public API ----------------------------------------------------------
 
@@ -248,7 +132,7 @@ object ArithDynamic {
       if ((flags & FlagCat) != 0) cur.bytes(lenAfterEntropy)
       else if ((flags & FlagExt) != 0) bunzip2(cur.rest(), lenAfterEntropy)
       else {
-        val rc = new RangeDecoder(cur.in, cur.p)
+        val rc = new ArithInternals.RangeDecoder(cur.in, cur.p)
         val d =
           if ((flags & FlagRle) != 0) decodeRle(rc, lenAfterEntropy, (flags & FlagOrder) != 0)
           else if ((flags & FlagOrder) != 0) decodeO1(rc, lenAfterEntropy)
@@ -280,16 +164,16 @@ object ArithDynamic {
     out
   }
 
-  private def decodeO0(rc: RangeDecoder, len: Int): Array[Byte] = {
-    val m = new Model(256)
+  private def decodeO0(rc: ArithInternals.RangeDecoder, len: Int): Array[Byte] = {
+    val m = new ArithInternals.Model(256)
     val out = new Array[Byte](len)
     var i = 0
     while (i < len) { out(i) = m.decode(rc).toByte; i += 1 }
     out
   }
 
-  private def decodeO1(rc: RangeDecoder, len: Int): Array[Byte] = {
-    val ms = Array.fill(256)(new Model(256))
+  private def decodeO1(rc: ArithInternals.RangeDecoder, len: Int): Array[Byte] = {
+    val ms = Array.fill(256)(new ArithInternals.Model(256))
     val out = new Array[Byte](len)
     var last = 0
     var i = 0
@@ -306,10 +190,10 @@ object ArithDynamic {
     * length as cap-and-continue 0..255 chunks — the first chunk under a
     * model selected by the literal, continuations under a shared model.
     */
-  private def decodeRle(rc: RangeDecoder, len: Int, order1: Boolean): Array[Byte] = {
-    val lit0 = if (order1) null else new Model(256)
-    val lit1 = if (order1) Array.fill(256)(new Model(256)) else null
-    val runs = Array.fill(257)(new Model(256))
+  private def decodeRle(rc: ArithInternals.RangeDecoder, len: Int, order1: Boolean): Array[Byte] = {
+    val lit0 = if (order1) null else new ArithInternals.Model(256)
+    val lit1 = if (order1) Array.fill(256)(new ArithInternals.Model(256)) else null
+    val runs = Array.fill(257)(new ArithInternals.Model(256))
     val out = new Array[Byte](len)
     var last = 0
     var i = 0
@@ -343,10 +227,10 @@ object ArithDynamic {
     RansNx16.writeVarint(out, raw.length)
     if (raw.isEmpty) return out.toByteArray
     val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
-    val rc = new RangeEncoder(bos)
-    val lit0 = if (order == 1) null else new Model(256)
-    val lit1 = if (order == 1) Array.fill(256)(new Model(256)) else null
-    val runs = Array.fill(257)(new Model(256))
+    val rc = new ArithInternals.RangeEncoder(bos)
+    val lit0 = if (order == 1) null else new ArithInternals.Model(256)
+    val lit1 = if (order == 1) Array.fill(256)(new ArithInternals.Model(256)) else null
+    val runs = Array.fill(257)(new ArithInternals.Model(256))
     var last = 0
     var i = 0
     while (i < raw.length) {
@@ -374,9 +258,9 @@ object ArithDynamic {
 
   private def entropyEncode(body: Array[Byte], order: Int): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(body.length / 2 + 32)
-    val rc = new RangeEncoder(bos)
+    val rc = new ArithInternals.RangeEncoder(bos)
     if (order == 1) {
-      val ms = Array.fill(256)(new Model(256))
+      val ms = Array.fill(256)(new ArithInternals.Model(256))
       var last = 0
       var i = 0
       while (i < body.length) {
@@ -386,7 +270,7 @@ object ArithDynamic {
         i += 1
       }
     } else {
-      val m = new Model(256)
+      val m = new ArithInternals.Model(256)
       var i = 0
       while (i < body.length) { m.encode(rc, body(i) & 0xff); i += 1 }
     }
@@ -402,4 +286,132 @@ object ArithDynamic {
       throw new IOException(s"arith EXT length ${out.length} != expected $expect")
     out
   }
+}
+
+/** The adaptive-coding machinery CRAM 3.1's byte-oriented codecs share:
+  * the carry-cached 32-bit range coder and the step-bumped adaptive
+  * frequency model. [[ArithDynamic]] (method 6) drives them with plain
+  * order-0/1 byte contexts; [[FqzComp]] (method 7) with its mixed
+  * quality/position/delta contexts.
+  */
+private[cram] object ArithInternals {
+  private val Top = 1L << 24
+  private val Mask32 = 0xffffffffL
+  private val Step = 8
+  private val MaxFreq = (1 << 16) - 32
+
+  // ---- range coder ---------------------------------------------------------
+
+  /** Carry-cached range encoder. `low` is kept unmasked so a carry shows up
+    * in bit 32 and propagates through the cached byte plus the pending 0xFF
+    * run — the standard LZMA shift-low.
+    */
+  final class RangeEncoder(out: java.io.ByteArrayOutputStream) {
+    private var low = 0L
+    private var range = Mask32
+    private var cache = 0
+    private var cacheSize = 1L // the leading cache byte (0) is emitted first
+
+    private def shiftLow(): Unit = {
+      if ((low & Mask32) < 0xff000000L || (low >>> 32) != 0) {
+        var t = cache
+        val carry = (low >>> 32).toInt
+        do { out.write((t + carry) & 0xff); t = 0xff; cacheSize -= 1 } while (cacheSize != 0)
+        cache = ((low >>> 24) & 0xff).toInt
+      }
+      cacheSize += 1
+      low = (low & 0x00ffffffL) << 8
+    }
+
+    def encode(cumFreq: Int, freq: Int, totFreq: Int): Unit = {
+      range /= totFreq
+      low += cumFreq * range
+      range *= freq
+      while (range < Top) { shiftLow(); range <<= 8 }
+    }
+
+    def finish(): Unit = { var i = 0; while (i < 5) { shiftLow(); i += 1 } }
+  }
+
+  /** Matching decoder: 32-bit `code` window; the encoder's leading zero
+    * cache byte falls off the top on the 5th initial shift.
+    */
+  final class RangeDecoder(in: Array[Byte], var p: Int) {
+    private var code = 0L
+    private var range = Mask32
+
+    locally {
+      var i = 0
+      while (i < 5) { code = ((code << 8) | nextByte()) & Mask32; i += 1 }
+    }
+
+    private def nextByte(): Int = {
+      if (p >= in.length) throw new IOException("truncated arith stream")
+      val b = in(p) & 0xff; p += 1; b
+    }
+
+    def getFreq(totFreq: Int): Int = {
+      range /= totFreq
+      val f = code / range
+      if (f >= totFreq) throw new IOException("corrupt arith stream: freq out of range")
+      f.toInt
+    }
+
+    def decode(cumFreq: Int, freq: Int): Unit = {
+      code = (code - cumFreq * range) & Mask32
+      range *= freq
+      while (range < Top) {
+        code = ((code << 8) | nextByte()) & Mask32
+        range <<= 8
+      }
+    }
+  }
+
+  // ---- adaptive byte model -------------------------------------------------
+
+  /** Adaptive model over `nsym` symbols: counts start at 1, bump by Step on
+    * use, halve (keeping ≥1) when the total tops MaxFreq. Symbols bubble
+    * one slot toward the front when they overtake their neighbor — a search
+    * optimization that changes cumulative order, so encoder and decoder
+    * perform the identical swap to stay in sync.
+    */
+  final class Model(nsym: Int) {
+    private val syms = Array.tabulate(nsym)(identity)
+    private val freqs = Array.fill(nsym)(1)
+    private var total = nsym
+
+    private def bump(k: Int): Unit = {
+      freqs(k) += Step
+      total += Step
+      if (total > MaxFreq) {
+        total = 0
+        var i = 0
+        while (i < nsym) { freqs(i) -= freqs(i) >> 1; total += freqs(i); i += 1 }
+      }
+      if (k > 0 && freqs(k) > freqs(k - 1)) {
+        val ts = syms(k); syms(k) = syms(k - 1); syms(k - 1) = ts
+        val tf = freqs(k); freqs(k) = freqs(k - 1); freqs(k - 1) = tf
+      }
+    }
+
+    def encode(rc: RangeEncoder, sym: Int): Unit = {
+      var k = 0
+      var acc = 0
+      while (syms(k) != sym) { acc += freqs(k); k += 1 }
+      rc.encode(acc, freqs(k), total)
+      bump(k)
+    }
+
+    def decode(rc: RangeDecoder): Int = {
+      val f = rc.getFreq(total)
+      var k = 0
+      var acc = 0
+      while (acc + freqs(k) <= f) { acc += freqs(k); k += 1 }
+      rc.decode(acc, freqs(k))
+      val s = syms(k)
+      bump(k)
+      s
+    }
+  }
+
 }

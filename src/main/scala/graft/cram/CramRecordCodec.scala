@@ -24,10 +24,10 @@ object CramRecordCodec {
 
   /** Read one block at `off`; returns the block and the offset past it.
     * Methods: 0 raw, 1 gzip, 2 bzip2, 3 lzma/xz, 4 rANS-4x8 (v3.0),
-    * 5 rANS-Nx16, 6 adaptive arithmetic, 8 name tokenizer (v3.1). The
-    * one remaining 3.1 method — 7 fqzcomp — fails with a descriptive
-    * error (documented gap: no htslib exists in this environment to
-    * produce or cross-validate such blocks).
+    * 5 rANS-Nx16, 6 adaptive arithmetic, 7 fqzcomp, 8 name tokenizer
+    * (the full 3.1 method set; byte-format interop is validated by
+    * round-trip and structural specs — no htslib exists in this
+    * environment to cross-write foreign fixtures).
     */
   def readBlock(buf: Array[Byte], off: Int, major: Int): (Block, Int) = {
     val method = buf(off) & 0xff
@@ -49,9 +49,9 @@ object CramRecordCodec {
       case 4 => Rans.uncompress(packed)
       case 5 => RansNx16.uncompress(packed, rsize)
       case 6 => ArithDynamic.uncompress(packed, rsize)
+      case 7 => FqzComp.uncompress(packed, rsize)
       case 8 => NameTok3.uncompress(packed, rsize)
-      case m => throw new IOException(s"unsupported CRAM block compression method $m" +
-        (if (m == 7) " (CRAM 3.1 fqzcomp — not yet implemented)" else ""))
+      case m => throw new IOException(s"unsupported CRAM block compression method $m")
     }
     if (raw.length != rsize)
       throw new IOException(s"CRAM block raw size mismatch: declared $rsize, got ${raw.length}")

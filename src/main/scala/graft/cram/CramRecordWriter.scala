@@ -74,7 +74,8 @@ object CramRecordWriter {
     */
   def encodeContainer(records: IndexedSeq[AlignmentRecord], header: SamHeader,
                       recordCounter: Long, refSource: CramRefSource,
-                      wire: Int = 0, tok3Names: Boolean = false): Encoded = {
+                      wire: Int = 0, tok3Names: Boolean = false,
+                      fqzQuals: Boolean = false): Encoded = {
     require(records.nonEmpty, "empty CRAM container")
     val n = records.length
     val ext = scala.collection.mutable.Map.empty[Int, java.io.ByteArrayOutputStream]
@@ -260,7 +261,7 @@ object CramRecordWriter {
     // ---- slice ---------------------------------------------------------------
     val extBlocks = ext.toSeq.filter(_._2.size > 0).sortBy(_._1).map { case (cid, s) =>
       val raw = s.toByteArray
-      val method = compressionFor(cid, raw, wire, tok3Names)
+      val method = compressionFor(cid, raw, wire, tok3Names, fqzQuals)
       cid -> encodeBlockCompressed(4, cid, method, raw)
     }
     val coreBlock = encodeBlock(5, 0, 0, Array.emptyByteArray)
@@ -419,8 +420,11 @@ object CramRecordWriter {
     * CRAM 3.1 adaptive arithmetic (method 6, the sink's codec=arith).
     */
   private def compressionFor(cid: Int, raw: Array[Byte], wire: Int,
-                             tok3Names: Boolean): Int = {
+                             tok3Names: Boolean, fqzQuals: Boolean): Int = {
     if (raw.length < 128) 0
+    // quals=fqz (3.1 opt-in): the QS series through the fqzcomp quality
+    // codec, falling back to the wire's rANS form when it can't gain
+    else if (cid == Cid("QS") && fqzQuals && wire > 0) 72
     else if (cid == Cid("QS")) 41 + wire * 10 // order 1
     else if (cid == Cid("BB") || cid == Cid("BA")) 40 + wire * 10 // order 0
     // names=tok3 (3.1 opt-in): the RN series' name\0 blob through the
@@ -434,7 +438,8 @@ object CramRecordWriter {
     * with the order byte inside the rANS stream), 50/51 the rANS Nx16
     * equivalents (CRAM method 5), 60/61 adaptive arithmetic (CRAM
     * method 6), 70/71 the name tokenizer (CRAM method 8, inner streams
-    * rANS Nx16 / arith respectively) — methods 5/6/8 are the 3.1 codecs.
+    * rANS Nx16 / arith respectively), 72 fqzcomp qualities (CRAM
+    * method 7) — methods 5/6/7/8 are the 3.1 codecs.
     */
   private def encodeBlockCompressed(ctype: Int, cid: Int, method: Int, raw: Array[Byte]): Array[Byte] = {
     method match {
@@ -459,6 +464,11 @@ object CramRecordWriter {
         val packed = NameTok3.compress(raw, useArith = method == 71)
         if (packed.length < raw.length) encodeBlockPacked(ctype, cid, 8, packed, raw.length)
         else encodeBlock(ctype, cid, 0, raw)
+      case 72 =>
+        val packed = FqzComp.compress(raw)
+        if (packed != null && packed.length < raw.length)
+          encodeBlockPacked(ctype, cid, 7, packed, raw.length)
+        else encodeBlockCompressed(ctype, cid, 51, raw)
       case m => throw new IOException(s"writer method $m")
     }
   }

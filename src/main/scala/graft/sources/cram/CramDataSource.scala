@@ -739,9 +739,20 @@ class CramWrite(options: Map[String, String], schema: StructType) extends Write 
       case Some(m) => throw new IllegalArgumentException(
         s"cram sink names must be default or tok3, got $m")
     }
+    // quals=fqz (3.1 only): QS blocks through the CRAM method-7 quality
+    // codec; default keeps the wire's rANS form
+    val fqz = options.get("quals") match {
+      case None | Some("default") => false
+      case Some("fqz") =>
+        if (!v31) throw new IllegalArgumentException(
+          "cram sink quals=fqz requires version=3.1")
+        true
+      case Some(m) => throw new IllegalArgumentException(
+        s"cram sink quals must be default or fqz, got $m")
+    }
     new CramBatchWrite(path, singleFile, writeCrai, schema,
       new SerializableConf(SparkSession.active.sessionState.newHadoopConf()),
-      recordsHeader, perContainer, fasta, wire, tok3)
+      recordsHeader, perContainer, fasta, wire, tok3, fqz)
   }
 }
 
@@ -761,7 +772,8 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
                      recordsHeader: Option[SamHeader] = None,
                      perContainer: Int = 10000,
                      fastaPath: Option[String] = None,
-                     wire: Int = 0, tok3Names: Boolean = false) extends BatchWrite {
+                     wire: Int = 0, tok3Names: Boolean = false,
+                     fqzQuals: Boolean = false) extends BatchWrite {
   private val tempDir = path + ".parts"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -784,8 +796,9 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
     val fasta = fastaPath
     val wireC = wire
     val tok3C = tok3Names
+    val fqzC = fqzQuals
     (partitionId: Int, _: Long) => hdr match {
-      case Some(h) => new CramRecordsDataWriter(dir, h, sch, c, partitionId, complete, shardCrai, perC, fasta, wireC, tok3C)
+      case Some(h) => new CramRecordsDataWriter(dir, h, sch, c, partitionId, complete, shardCrai, perC, fasta, wireC, tok3C, fqzC)
       case None => new CramDataWriter(dir, sch, c, partitionId, complete, shardCrai)
     }
   }
@@ -904,7 +917,8 @@ class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
                             conf: SerializableConf, partitionId: Int,
                             complete: Boolean, shardCrai: Boolean, perContainer: Int,
                             fastaPath: Option[String] = None,
-                            wire: Int = 0, tok3Names: Boolean = false)
+                            wire: Int = 0, tok3Names: Boolean = false,
+                            fqzQuals: Boolean = false)
     extends DataWriter[InternalRow] {
   require(perContainer > 0, s"recordsPerContainer must be positive, got $perContainer")
   // ACCEPT_ANY_SCHEMA skips Spark's write-side validation; fail fast on a
@@ -939,7 +953,7 @@ class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
   private val refSource: CramRefSource = fastaOpened.map(_._2).getOrElse(NoRefSource)
 
   private def flushContainer(): Unit = if (buf.nonEmpty) {
-    val enc = CramRecordWriter.encodeContainer(buf.toIndexedSeq, header, recordCounter, refSource, wire, tok3Names)
+    val enc = CramRecordWriter.encodeContainer(buf.toIndexedSeq, header, recordCounter, refSource, wire, tok3Names, fqzQuals)
     out.write(enc.bytes)
     entries += enc.craiEntry.copy(containerOffset = written)
     recordCounter += buf.length
