@@ -954,6 +954,34 @@ object Pipeline {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // fuzzy record linkage: gram-blocked candidate pairs verified by exact
+    // edit distance — the entity-resolution shape (same machinery dedups
+    // author/site/entity names in a crawl pipeline). Blocking: each name's
+    // distinct character 3-grams key a block; blocks bigger than MaxBucket
+    // are STOP-GRAMS (shared boilerplate like a common prefix) and are
+    // dropped — for linkage that's the correct semantic, not a recall
+    // hack: a gram carried by everyone separates nothing. Pair space is
+    // per-block and cap-bounded, then exact levenshtein (identical integer
+    // in Spark and DuckDB) keeps pairs within distance 2. At 100 TB the
+    // only corpus-wide exchange is the gram-key shuffle; no all-pairs join
+    // exists anywhere.
+    "q_fuzzy_linkage" -> { (s, d) =>
+      import s.implicits._
+      val n = Tables.customer(s, d).select($"c_name".as("name"))
+        .filter(length($"name") >= 3)
+      val g = n.select($"name", explode(array_distinct(expr(
+        "transform(sequence(1, length(name) - 2), i -> substring(name, i, 3))"))).as("gram"))
+      val ok = g.groupBy($"gram").agg(count(lit(1)).as("nn"))
+        .filter($"nn" > 1 && $"nn" <= MaxBucket).select($"gram")
+      g.as("a").join(ok, "gram")
+        .join(g.as("b"), "gram")
+        .filter($"a.name" < $"b.name")
+        .select($"a.name".as("name_a"), $"b.name".as("name_b")).distinct()
+        .withColumn("dist", levenshtein($"name_a", $"name_b"))
+        .filter($"dist" <= 2)
+        .orderBy($"name_a", $"name_b")
+    },
+
     // containment near-dup: |A∩B| / min(|A|,|B|) on the SAME LSH candidate
     // pairs — the asymmetric complement of Jaccard. A short doc wholly
     // embedded in a longer one scores ~1000 here while its Jaccard stays
@@ -2042,6 +2070,19 @@ object Pipeline {
          |FROM p WHERE inter > 0 AND inter * 1000 // uni >= 30
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    "q_fuzzy_linkage" ->
+      s"""WITH n AS (SELECT c_name AS name FROM customer WHERE len(c_name) >= 3),
+         |g AS (SELECT name, unnest(list_distinct(list_transform(range(1, len(name) - 1),
+         |    i -> substr(name, CAST(i AS INTEGER), 3)))) AS gram FROM n),
+         |ok AS (SELECT gram FROM g GROUP BY gram
+         |  HAVING COUNT(*) > 1 AND COUNT(*) <= $MaxBucket),
+         |p AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+         |  FROM g a JOIN ok USING (gram) JOIN g b USING (gram)
+         |  WHERE a.name < b.name)
+         |SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+         |FROM p WHERE levenshtein(name_a, name_b) <= 2
+         |ORDER BY name_a, name_b""".stripMargin,
 
     "q_dedup_containment" -> {
       s"""${oracleBandsCte()},
