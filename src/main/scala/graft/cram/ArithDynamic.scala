@@ -118,6 +118,10 @@ object ArithDynamic {
     if (ulen < 0) throw new IOException(s"bad arith length $ulen")
     if ((flags & FlagNoSz) == 0 && fallbackLen >= 0 && ulen != fallbackLen)
       throw new IOException(s"arith stored length $ulen != expected $fallbackLen")
+    // embedded contexts pass no expected length — cap the stored one so a
+    // corrupt varint fails as an IOException, not a multi-GB allocation
+    if (fallbackLen < 0 && ulen > (1 << 26))
+      throw new IOException(s"arith embedded stream claims $ulen bytes")
     if (ulen == 0) return Array.emptyByteArray
     if ((flags & FlagStripe) != 0) return decodeStripe(cur, ulen)
     var packSyms: Array[Byte] = null

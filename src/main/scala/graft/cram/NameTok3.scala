@@ -62,7 +62,7 @@ object NameTok3 {
     */
   def uncompress(in: Array[Byte], blockRawSize: Int): Array[Byte] = {
     try {
-      val out = decode(in)
+      val out = decode(in, blockRawSize)
       if (blockRawSize >= 0 && out.length != blockRawSize)
         throw new IOException(s"tok3 length mismatch: got ${out.length}, want $blockRawSize")
       out
@@ -99,12 +99,19 @@ object NameTok3 {
     }
   }
 
-  private def decode(in: Array[Byte]): Array[Byte] = {
+  private def decode(in: Array[Byte], expectLen: Int): Array[Byte] = {
     if (in.length < 9) throw new IOException("tok3 stream too short")
     val ulen = le32(in, 0)
     val nnames = le32(in, 4).toInt
     if (nnames < 0 || ulen < 0 || ulen > Int.MaxValue)
       throw new IOException(s"bad tok3 header (ulen=$ulen, nnames=$nnames)")
+    // validate header sizes BEFORE any size-driven allocation: the block's
+    // raw size bounds ulen, and every name costs at least its separator
+    // byte — a corrupt header must fail here, not as a 2 GB allocation
+    if (expectLen >= 0 && ulen != expectLen)
+      throw new IOException(s"tok3 stored length $ulen != expected $expectLen")
+    if (nnames > ulen)
+      throw new IOException(s"tok3 $nnames names cannot fit in $ulen bytes")
     val useArith = in(8) & 0xff
     // parse (position, type) -> stream bytes
     val streams = scala.collection.mutable.Map.empty[(Int, Int), Array[Byte]]
@@ -258,7 +265,6 @@ object NameTok3 {
     }
     var prev: IndexedSeq[Tok] = null
     var prevName: String = null
-    var maxTok = 0
     names.foreach { name =>
       if (prevName != null && name == prevName) {
         s(0, TType).write(TDup)
@@ -267,7 +273,6 @@ object NameTok3 {
         s(0, TType).write(TDiff)
         w32(s(0, TDiff), if (prev == null) 0L else 1L)
         val mine = tokenize(name)
-        maxTok = math.max(maxTok, mine.length + 1)
         var t = 1
         mine.foreach { tk =>
           val p = if (prev != null && t - 1 < prev.length) prev(t - 1) else null

@@ -20,17 +20,27 @@ object Rans {
 
   // ---- public API ----------------------------------------------------------
 
-  /** Decompress a complete rANS block (header included). */
+  /** Decompress a complete rANS block (header included). Corrupt streams
+    * fail with IOException (the block-layer error contract), never raw
+    * require/index errors.
+    */
   def uncompress(in: Array[Byte]): Array[Byte] = {
-    require(in.length >= 9, "truncated rANS header")
-    val order = in(0) & 0xff
-    val rawSize = readInt32(in, 5)
-    require(rawSize >= 0, s"negative rANS raw size $rawSize")
-    if (rawSize == 0) return Array.emptyByteArray
-    order match {
-      case 0 => uncompress0(in, 9, rawSize)
-      case 1 => uncompress1(in, 9, rawSize)
-      case o => throw new java.io.IOException(s"unsupported rANS order $o")
+    try {
+      require(in.length >= 9, "truncated rANS header")
+      val order = in(0) & 0xff
+      val rawSize = readInt32(in, 5)
+      require(rawSize >= 0, s"negative rANS raw size $rawSize")
+      if (rawSize == 0) return Array.emptyByteArray
+      order match {
+        case 0 => uncompress0(in, 9, rawSize)
+        case 1 => uncompress1(in, 9, rawSize)
+        case o => throw new java.io.IOException(s"unsupported rANS order $o")
+      }
+    } catch {
+      case e: java.io.IOException => throw e
+      case e @ (_: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+                _: IllegalArgumentException) =>
+        throw new java.io.IOException(s"corrupt rANS stream: $e")
     }
   }
 

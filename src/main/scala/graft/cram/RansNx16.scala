@@ -135,6 +135,11 @@ object RansNx16 {
     // that disagrees is corruption, caught BEFORE the ulen allocation
     if ((flags & FlagNoSz) == 0 && fallbackLen >= 0 && ulen != fallbackLen)
       throw new IOException(s"rANS Nx16 stored length $ulen != expected $fallbackLen")
+    // embedded contexts (tok3 token streams, compressed tables) pass no
+    // expected length — cap the stored one so a corrupt varint fails as an
+    // IOException, not a multi-GB allocation
+    if (fallbackLen < 0 && ulen > (1 << 26))
+      throw new IOException(s"rANS Nx16 embedded stream claims $ulen bytes")
     if (ulen == 0) return Array.emptyByteArray
     if ((flags & FlagStripe) != 0) return decodeStripe(cur, ulen)
     val n = if ((flags & FlagX32) != 0) 32 else 4
