@@ -1627,6 +1627,25 @@ object Pipeline {
     // produces the codebook q_ann_ivf consumes. The scale shape per round:
     // centroids collapse to ONE broadcast row, assignment is the same
     // narrow codegen'd graft_ivf_argmax pass the IVF query uses (the
+    // ANN quality evaluation: recall@10 of the IVF index against the
+    // brute-force ground truth — the offline eval loop every production
+    // vector index ships with. Composes the two PIPELINES above verbatim
+    // (same plans, same trained codebook) and joins their top-k sets, so
+    // the measurement can never drift from what the index actually
+    // serves. Scale shape: both sides end TakeOrdered-small (k rows per
+    // query); the join and rollup touch k×queries rows only.
+    "q_ann_recall" -> { (s, d) =>
+      import s.implicits._
+      val brute = queries("q_ann_bruteforce")(s, d).select($"query_id", $"vec_id")
+      val ivf = queries("q_ann_ivf")(s, d)
+        .select($"query_id".as("iq"), $"vec_id".as("iv"))
+      brute.join(ivf, $"query_id" === $"iq" && $"vec_id" === $"iv", "left")
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("n_brute"), count($"iv").as("n_overlap"))
+        .withColumn("recall_milli", expr("n_overlap * 1000 div n_brute"))
+        .orderBy($"query_id")
+    },
+
     // corpus never shuffles, never widens to k rows per vector), and the
     // update aggregates 64 per-dimension partial sums map-side — the only
     // shuffle payload per round is (#centroids × 64 longs). Means
@@ -2430,6 +2449,45 @@ object Pipeline {
          |  FROM s)
          |SELECT query_id, rnk, vec_id, dot FROM r WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin
+    },
+
+    "q_ann_recall" -> {
+      val dot = "CAST(list_sum(list_transform(range(1, 65), i -> %s[i] * %s[i])) AS BIGINT)"
+      // the IVF chain verbatim (same trained codebook) + the brute chain
+      // sharing e/qs, joined on the top-10 sets
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |${oracleLloydCtes()},
+         |c AS (SELECT cid, cq FROM c3),
+         |ad AS (SELECT v.vec_id, c.cid, ${dot.format("v.q", "c.cq")} AS cdot FROM e v CROSS JOIN c),
+         |a AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < 5),
+         |probe AS (SELECT query_id, cid FROM (
+         |    SELECT qs.query_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY ${dot.format("qs.qq", "c.cq")} DESC, c.cid) AS rn
+         |    FROM qs CROSS JOIN c) WHERE rn <= 2),
+         |si AS (SELECT p.query_id, a.vec_id, ${dot.format("v.q", "qs.qq")} AS dot
+         |  FROM a JOIN probe p ON a.cid = p.cid
+         |  JOIN e v ON v.vec_id = a.vec_id
+         |  JOIN qs ON qs.query_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id),
+         |ivf AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |    FROM si) WHERE rnk <= 10),
+         |sb AS (SELECT qs.query_id, v.vec_id, ${dot.format("v.q", "qs.qq")} AS dot
+         |  FROM e v JOIN qs ON v.vec_id <> qs.query_id),
+         |brute AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |    FROM sb) WHERE rnk <= 10)
+         |SELECT b.query_id, COUNT(*) AS n_brute, COUNT(i.vec_id) AS n_overlap,
+         |  CAST(COUNT(i.vec_id) * 1000 // COUNT(*) AS BIGINT) AS recall_milli
+         |FROM brute b LEFT JOIN ivf i ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
     },
 
     "q_dedup_substr" -> {
