@@ -250,6 +250,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"), s"q_kmeans_train join degraded to sort-merge\n$p")
   }
 
+  test("q_fuzzy_linkage: gram-blocked pairs, never a cartesian/nested-loop join") {
+    val p = finalPlan(Pipeline.queries("q_fuzzy_linkage")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"q_fuzzy_linkage went cartesian\n$p")
+    // a name-vs-name comparison without the gram equi-key would surface as
+    // a nested-loop join over the inequality filter
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q_fuzzy_linkage pair space is not gram-keyed\n$p")
+  }
+
+  test("q_text_lm_score: count tables join the doc-bigram table on keys") {
+    val p = finalPlan(Pipeline.queries("q_text_lm_score")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q_text_lm_score joins degraded\n$p")
+    // the scoring rollup must aggregate on doc_id (partial + final), not
+    // collect per-doc rows anywhere
+    assert(p.contains("HashAggregate"), s"q_text_lm_score rollup missing\n$p")
+  }
+
+  test("q_ann_recall composes the two top-k pipelines without widening") {
+    val p = finalPlan(Pipeline.queries("q_ann_recall")(spark, sf))
+    // both inputs end TakeOrdered-small upstream; the overlap join of two
+    // k-row sides must not re-shuffle a corpus-sized relation
+    assert(!p.contains("CartesianProduct"), s"q_ann_recall went cartesian\n$p")
+    assert(p.contains("BroadcastHashJoin") || !p.contains("SortMergeJoin"),
+      s"q_ann_recall overlap join degraded\n$p")
+  }
+
   test("q_vocab_bigrams top-k runs as TakeOrdered, not a global sort") {
     // per-partition heaps ship k rows to the driver; a full Sort before
     // the limit would materialize the entire bigram vocabulary ordered
