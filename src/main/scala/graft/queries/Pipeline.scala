@@ -982,6 +982,26 @@ object Pipeline {
         .orderBy($"name_a", $"name_b")
     },
 
+    // entity resolution end-to-end: the fuzzy-linkage pairs (gram blocking
+    // + edit-distance verify) resolved through the SAME star-contraction
+    // component layer the dedup suite uses — blocking, verification and
+    // clustering composed into one operator. Labels are the lexicographic
+    // minimum name per entity; the rollup is component-sized. On TPC-H's
+    // sequential names every pair chains into ONE entity at small SF — the
+    // over-merge transitive closure is famous for, demonstrated rather
+    // than hidden (production pipelines cut it with a keeper/score layer,
+    // q_dedup_keep_best's shape); at larger SF the gram cap thins edges
+    // and the components separate.
+    "q_linkage_entities" -> { (s, d) =>
+      import s.implicits._
+      val pairs = queries("q_fuzzy_linkage")(s, d)
+        .select($"name_a".as("src"), $"name_b".as("dst"))
+      resolveClusters(pairs)
+        .groupBy($"lbl".as("entity"))
+        .agg(count(lit(1)).as("n_members"), max($"id").as("max_member"))
+        .orderBy($"entity")
+    },
+
     // containment near-dup: |A∩B| / min(|A|,|B|) on the SAME LSH candidate
     // pairs — the asymmetric complement of Jaccard. A short doc wholly
     // embedded in a longer one scores ~1000 here while its Jaccard stays
@@ -2102,6 +2122,26 @@ object Pipeline {
          |SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
          |FROM p WHERE levenshtein(name_a, name_b) <= 2
          |ORDER BY name_a, name_b""".stripMargin,
+
+    "q_linkage_entities" ->
+      s"""WITH RECURSIVE n AS (SELECT c_name AS name FROM customer WHERE len(c_name) >= 3),
+         |g AS (SELECT name, unnest(list_distinct(list_transform(range(1, len(name) - 1),
+         |    i -> substr(name, CAST(i AS INTEGER), 3)))) AS gram FROM n),
+         |ok AS (SELECT gram FROM g GROUP BY gram
+         |  HAVING COUNT(*) > 1 AND COUNT(*) <= $MaxBucket),
+         |p AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+         |  FROM g a JOIN ok USING (gram) JOIN g b USING (gram)
+         |  WHERE a.name < b.name),
+         |lk AS (SELECT name_a, name_b FROM p WHERE levenshtein(name_a, name_b) <= 2),
+         |edges AS (SELECT name_a AS src, name_b AS dst FROM lk
+         |  UNION ALL SELECT name_b, name_a FROM lk),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS lbl FROM reach GROUP BY src)
+         |SELECT lbl AS entity, COUNT(*) AS n_members, MAX(id) AS max_member
+         |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_dedup_containment" -> {
       s"""${oracleBandsCte()},
