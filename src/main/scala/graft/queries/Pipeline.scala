@@ -720,6 +720,34 @@ object Pipeline {
         .limit(100)
     },
 
+    // dataset card: the per-language "datasheet" rollup a corpus release
+    // ships with — volume, token-length extremes, exact-duplicate
+    // exposure (docs whose first-8-word key repeats corpus-wide, the
+    // q_dedup_exact rule), and mean stopword density. Scale shape: one
+    // vocabulary-sized key-count join plus one language rollup; nothing
+    // corpus-quadratic anywhere.
+    "q_data_card" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.StopHitsExpr.register(s)
+      val t = Tables.documents(s, d)
+        .withColumn("ws", words($"text"))
+        .withColumn("n_tokens", size($"ws"))
+        .withColumn("key_hash", hash60(concat_ws(" ", slice($"ws", 1, 8))))
+        .withColumn("stop_milli",
+          (expr("graft_stop_hits(text)").getItem(4) * 1000 / size($"ws")).cast("long"))
+      val kc = t.groupBy($"key_hash").agg(count(lit(1)).as("kc"))
+      t.join(kc, "key_hash")
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_tokens").cast("long").as("sum_tokens"),
+          min($"n_tokens").as("min_tokens"),
+          max($"n_tokens").as("max_tokens"),
+          sum(when($"kc" > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          expr("sum(stop_milli) div count(1)").as("mean_stop_milli"))
+        .orderBy($"lang")
+    },
+
     // bigram language-model scoring (the CCNet-shaped quality signal): a
     // bigram LM is trained corpus-wide (bigram + unigram prefix counts),
     // then every document is scored by its mean conditional probability
@@ -1926,6 +1954,22 @@ object Pipeline {
          |  FROM t)
          |SELECT bigram, COUNT(*) AS n FROM b
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+
+    "q_data_card" -> {
+      val allStops = stopList(StopEn ++ StopDe ++ StopFr ++ StopEs)
+      s"""WITH t AS (SELECT doc_id, lang, $wsExpr AS ws FROM documents),
+         |u AS (SELECT doc_id, lang, len(ws) AS n_tokens,
+         |    ${h60("array_to_string(list_slice(ws, 1, 8), ' ')")} AS key_hash,
+         |    len(list_filter(ws, w -> list_contains($allStops, w))) * 1000 // len(ws) AS stop_milli
+         |  FROM t),
+         |kc AS (SELECT key_hash, COUNT(*) AS kc FROM u GROUP BY key_hash)
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+         |  CAST(SUM(CASE WHEN kc.kc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  CAST(SUM(stop_milli) // COUNT(*) AS BIGINT) AS mean_stop_milli
+         |FROM u JOIN kc USING (key_hash)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "q_text_lm_score" ->
       s"""WITH t AS (SELECT doc_id, $wsExpr AS ws FROM documents),
