@@ -615,7 +615,8 @@ object Pipeline {
     * The checkpointed state is the edge table (candidate-graph-sized, tiny
     * relative to the corpus), so executor-local storage is cheap.
     */
-  private[graft] def resolveClusters(edges: DataFrame): DataFrame = {
+  private[graft] def resolveClusters(edges: DataFrame,
+                                     forceContraction: Boolean = false): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     // Alternating large-star / small-star connected components (Kiveris
@@ -640,6 +641,17 @@ object Pipeline {
         .filter($"src" =!= $"dst").distinct()
     var e = sym(edges).localCheckpoint()
     var eCount = e.count() // carried across rounds: e's count IS last round's eS.count()
+    // ADAPTIVE fast path: when the symmetric candidate graph fits easily
+    // in one task, a single-partition union-find over the already-
+    // materialized snapshot replaces the O(log² n) contraction rounds —
+    // each round costs two shuffles plus a checkpoint, so a toy-sized
+    // graph with a long chain (the fuzzy-linkage shape) pays ~10 s of
+    // pure round overhead the one task finishes in milliseconds. Labels
+    // are identical (component minimum per node); the distributed path
+    // is untouched and still carries any graph above the threshold, so
+    // the 100 TB story is unchanged — this is the same small-side
+    // adaptivity a broadcast join applies to shuffles.
+    if (!forceContraction && eCount <= SmallGraphSymEdges) return unionFindLocal(e)
     var iters = 0
     var done = eCount == 0
     while (!done && iters < 48) {
@@ -679,6 +691,71 @@ object Pipeline {
     require(done, s"star contraction did not converge in $iters rounds")
     e.groupBy($"src").agg(min($"dst").as("mn"))
       .select($"src".as("id"), least($"src", $"mn").as("lbl"))
+  }
+
+  /** Edge count (symmetric) below which [[resolveClusters]] runs as one
+    * union-find task instead of contraction rounds. The task's memory is
+    * NODE-bounded (the parent map), not edge-bounded — edges stream
+    * through in one pass — so 8M symmetric edges (~4M pairs) is a
+    * seconds-long single task with a few-hundred-MB worst case, while the
+    * contraction path's per-round fixed cost (two shuffles + checkpoint ×
+    * O(log² n) rounds) dwarfs that well past this size. Graphs above the
+    * threshold — the genuine 100 TB candidate graphs — take the
+    * distributed rounds unchanged.
+    */
+  private val SmallGraphSymEdges = 8000000L
+
+  /** Single-task union-find over a (src, dst) edge DataFrame — the
+    * [[resolveClusters]] fast path. Key type is whatever the caller's id
+    * column holds (long doc ids, string names); labels are the component
+    * minimum under the column type's natural order, matching the
+    * contraction path bit-for-bit.
+    */
+  private def unionFindLocal(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    val idType = edges.schema("src").dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("lbl", idType)))
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) => x < y
+      case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+      case (x: String, y: String) => x < y
+      case _ => throw new IllegalStateException(
+        s"unorderable cluster id type: ${a.getClass}")
+    }
+    val rows = edges.rdd.coalesce(1).mapPartitions { it =>
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x0: Any): Any = {
+        var r = x0
+        while (parent.get(r) != r) r = parent.get(r)
+        var x = x0 // path compression
+        while (parent.get(x) != r) { val nx = parent.get(x); parent.put(x, r); x = nx }
+        r
+      }
+      it.foreach { row =>
+        val a = row.get(0); val b = row.get(1)
+        if (a != b) {
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent.put(ra, rb)
+        }
+      }
+      // component minimum per root, then one labeled row per node
+      val minOf = new java.util.HashMap[Any, Any]()
+      parent.keySet().forEach { n =>
+        val r = find(n)
+        val m = minOf.get(r)
+        if (m == null || lt(n, m)) minOf.put(r, n)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      parent.keySet().forEach { n =>
+        out += org.apache.spark.sql.Row(n, minOf.get(find(n)))
+      }
+      out.iterator
+    }
+    s.createDataFrame(rows, outSchema)
   }
 
   // ---- queries ----------------------------------------------------------
@@ -999,12 +1076,15 @@ object Pipeline {
         .filter(length($"name") >= 3)
       val g = n.select($"name", explode(array_distinct(expr(
         "transform(sequence(1, length(name) - 2), i -> substring(name, i, 3))"))).as("gram"))
-      val ok = g.groupBy($"gram").agg(count(lit(1)).as("nn"))
-        .filter($"nn" > 1 && $"nn" <= MaxBucket).select($"gram")
-      g.as("a").join(ok, "gram")
-        .join(g.as("b"), "gram")
-        .filter($"a.name" < $"b.name")
-        .select($"a.name".as("name_a"), $"b.name".as("name_b")).distinct()
+      // pairs form INSIDE each gram block (the lshCandidatePairs shape —
+      // one shuffle on the gram key, no self-join): a gram-keyed self-join
+      // would multiply every pair by its shared-gram count before the
+      // distinct could collapse it
+      g.groupBy($"gram")
+        .agg(sort_array(collect_list($"name")).as("names"))
+        .filter(size($"names") > 1 && size($"names") <= MaxBucket)
+        .select(explode(bucketPairs($"names", "name_a", "name_b")).as("p"))
+        .select($"p.name_a", $"p.name_b").distinct()
         .withColumn("dist", levenshtein($"name_a", $"name_b"))
         .filter($"dist" <= 2)
         .orderBy($"name_a", $"name_b")

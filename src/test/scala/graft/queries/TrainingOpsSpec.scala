@@ -161,10 +161,10 @@ class TrainingOpsSpec extends AnyFunSuite with SparkFixture {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
-  private def resolve(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def resolve(edges: Seq[(Long, Long)], forceContraction: Boolean): Map[Long, Long] = {
     import spark.implicits._
     val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
-    val df = Pipeline.resolveClusters(sym.toDF("src", "dst"))
+    val df = Pipeline.resolveClusters(sym.toDF("src", "dst"), forceContraction)
     df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -172,27 +172,45 @@ class TrainingOpsSpec extends AnyFunSuite with SparkFixture {
     // ids ASCENDING along the path — the adversarial order where fixed-edge
     // min-propagation needs O(diameter) rounds; star contraction must stay
     // within resolveClusters' 48-round bound (needs ~log2(500) ≈ 9) and
-    // still label every node with the chain minimum
+    // still label every node with the chain minimum. Both code paths must
+    // agree: the adaptive entry (union-find fast path at this size) and
+    // the forced distributed contraction.
     val n = 500
     val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
-    val got = resolve(chain)
-    assert(got.size == n && got.values.toSet == Set(0L), s"chain mislabeled: ${got.filter(_._2 != 0L).take(5)}")
+    for (forced <- Seq(false, true)) {
+      val got = resolve(chain, forced)
+      assert(got.size == n && got.values.toSet == Set(0L),
+        s"chain mislabeled (forceContraction=$forced): ${got.filter(_._2 != 0L).take(5)}")
+    }
   }
 
-  test("resolveClusters: random graphs match a local union-find exactly") {
+  test("resolveClusters: random graphs match a local union-find exactly on BOTH paths") {
     val rnd = new scala.util.Random(7)
-    for (trial <- 1 to 3) {
+    for (trial <- 1 to 3; forced <- Seq(false, true)) {
       val n = 300
       val edges = (0 until 400).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
       val want = unionFind(n, edges)
-      val got = resolve(edges)
+      val got = resolve(edges, forced)
       // resolveClusters only labels nodes that appear in an edge
       val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
-      assert(got.keySet == touched, s"trial $trial: node set mismatch")
+      assert(got.keySet == touched, s"trial $trial forced=$forced: node set mismatch")
       got.foreach { case (id, lbl) =>
-        assert(lbl == want(id), s"trial $trial: node $id got $lbl want ${want(id)}")
+        assert(lbl == want(id), s"trial $trial forced=$forced: node $id got $lbl want ${want(id)}")
       }
+    }
+  }
+
+  test("resolveClusters: string-keyed graphs label with the lexicographic minimum") {
+    import spark.implicits._
+    // the fuzzy-linkage shape: ids are names, labels their component min
+    val edges = Seq(("b", "c"), ("c", "d"), ("x", "y"), ("a", "b"))
+    for (forced <- Seq(false, true)) {
+      val df = Pipeline.resolveClusters(
+        edges.flatMap { case (p, q) => Seq((p, q), (q, p)) }.toDF("src", "dst"), forced)
+      val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+        "x" -> "x", "y" -> "x"), s"forced=$forced: $got")
     }
   }
 }
