@@ -144,8 +144,12 @@ object Bench {
     // BENCH_r07/r08 "parsed": null). Slowest queries first, greedily packed
     // under the tail budget; everything else lives in BENCH_OUT.json.
     val compactBudget = 1500
-    val errCompact = errors.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(60))}" }.mkString("{", ",", "}")
+    // errors are capped too — a mass failure is exactly when the driver
+    // parse matters most, and 20 × 300-char messages would blow the tail
+    val errCompact = (errors.toSeq.sortBy(_._1).take(5)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v.take(60))}" } ++
+      (if (errors.size > 5) Seq(s""""errors_omitted":${errors.size - 5}""") else Nil))
+      .mkString("{", ",", "}")
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${medians.count(_._2 >= 0)},""" +
       s""""spread_max":${r3(spreadMax)},"runs":$runs,"errors":$errCompact,""" +
       s""""detail":"BENCH_OUT.json","sf":"$sfDir","queries":{"""
