@@ -263,6 +263,71 @@ object Streaming {
     * fingerprint once the watermark passes its newest member by `ttlMs`
     * (re-opened fresh by later arrivals).
     */
+  /** Streaming FUZZY-LINKAGE hits — the streaming twin of q_fuzzy_linkage:
+    * each arriving name's distinct character 3-grams key per-gram state
+    * holding the names that carried the gram before; an arrival pairs with
+    * every held name, and pairs within edit distance 2 (levenshtein runs
+    * NARROW, after the stateful op) are the link hits. `names` must carry
+    * `name`, `ts`.
+    *
+    * State bounds mirror [[nearDupCandidates]]: per gram the member list
+    * stops admitting at `maxBucket`. The batch query drops over-cap gram
+    * blocks entirely (stop-gram removal) — a stream cannot retract pairs
+    * it already emitted, so the twin's cap is admission-prefix semantics:
+    * arrivals at a full bucket emit nothing and are not remembered. On
+    * data where no gram reaches the cap the two are pair-for-pair equal
+    * (the spec-equality contract); near the cap the stream keeps the
+    * earliest members' links where batch would drop the gram. Pairs may
+    * repeat across grams and batches: at-least-once, dedupe downstream.
+    * An event-time TTL evicts a gram once the watermark passes its newest
+    * member by `bucketTtlMs`.
+    */
+  def fuzzyLinkHits(names: DataFrame, maxBucket: Int = 64,
+                    watermark: String = "1 hour",
+                    bucketTtlMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = names.sparkSession
+    import s.implicits._
+    val grams = names
+      .withWatermark("ts", watermark)
+      .filter(length(col("name")) >= 3)
+      .select(col("name"), col("ts"), explode(array_distinct(expr(
+        "transform(sequence(1, length(name) - 2), i -> substring(name, i, 3))"))).as("gram"))
+      .as[(String, java.sql.Timestamp, String)]
+    grams
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[(Seq[String], Long), (String, String)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[(Seq[String], Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (seen, newestTs) =
+              state.getOption.getOrElse((Vector.empty[String], Long.MinValue))
+            val out = Seq.newBuilder[(String, String)]
+            rows.foreach { case (name, t, _) =>
+              if (t != null && t.getTime > newestTs) newestTs = t.getTime
+              if (!seen.contains(name) && seen.size < maxBucket) {
+                seen.foreach { prev =>
+                  val (a, b) = if (prev < name) (prev, name) else (name, prev)
+                  out += ((a, b))
+                }
+                seen = seen :+ name
+              }
+            }
+            state.update((seen, newestTs))
+            val anchor = if (newestTs == Long.MinValue) state.getCurrentWatermarkMs() else newestTs
+            state.setTimeoutTimestamp(
+              math.max(anchor + bucketTtlMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+      .toDF("name_a", "name_b")
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+  }
+
   def substrDupHits(docs: DataFrame, maxDocs: Int = 64,
                     watermark: String = "1 hour",
                     ttlMs: Long = 3600000L): DataFrame = {

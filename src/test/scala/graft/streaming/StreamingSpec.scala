@@ -532,6 +532,41 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("fuzzyLinkHits: streaming link pairs equal the batch gram-block join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // name families with small typo distances; every gram block stays far
+    // below the cap so the prefix-cap and batch stop-gram semantics agree
+    val names = (0 until 30).map(i => (s"host-${100 + i}.example", ts(i))) ++
+      Seq(("host-100.exumple", ts(40)), ("gateway-7.net", ts(41)), ("gateway-9.net", ts(42)))
+    val stream = MemoryStream[(String, Timestamp)]
+    val q = Streaming.fuzzyLinkHits(stream.toDF().toDF("name", "ts"))
+      .writeStream.format("memory").queryName("fuzzy").outputMode("append").start()
+    try {
+      stream.addData(names.take(20))
+      q.processAllAvailable()
+      stream.addData(names.drop(20)) // state carries across micro-batches
+      q.processAllAvailable()
+      val got = spark.table("fuzzy")
+        .select($"name_a", $"name_b").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      // batch twin: the q_fuzzy_linkage rule over the same names
+      val n = names.toDF("name", "ts").filter(length($"name") >= 3)
+      val g = n.select($"name", explode(array_distinct(expr(
+        "transform(sequence(1, length(name) - 2), i -> substring(name, i, 3))"))).as("gram"))
+      val want = g.as("a").join(g.as("b"), "gram")
+        .filter($"a.name" < $"b.name")
+        .select($"a.name".as("name_a"), $"b.name".as("name_b")).distinct()
+        .withColumn("dist", levenshtein($"name_a", $"name_b"))
+        .filter($"dist" <= 2)
+        .select($"name_a", $"name_b")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      assert(got.exists { case (a, b) => a.contains("gateway") && b.contains("gateway") },
+        "the gateway family should link")
+    } finally q.stop()
+  }
+
   test("nearDupCandidates: event-time TTL evicts stale buckets; arrivals re-open them") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
