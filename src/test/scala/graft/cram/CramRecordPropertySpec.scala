@@ -107,6 +107,29 @@ class CramRecordPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: every 3.1 wire profile round-trips container encode → file decode") {
+    // wire 0 = 3.0 rANS 4x8, 1 = 3.1 rANS Nx16, 2 = 3.1 arith; tok3 names
+    // and fqz quals compose on the 3.1 wires — random records through
+    // every codec combination the sink can emit
+    val genRecords = Gen.chooseNum(10, 40).flatMap(n => Gen.listOfN(n, genRecord))
+    val profiles = Seq((0, false, false), (1, false, false), (2, false, false),
+      (1, true, false), (1, false, true), (2, true, true))
+    profiles.foreach { case (wire, tok3, fqz) =>
+      checkProp(Prop.forAll(genRecords) { recList =>
+        val recs = recList.toIndexedSeq
+        val enc = CramRecordWriter.encodeContainer(recs, header, 0L, NoRefSource,
+          wire, tok3, fqz)
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(CramContainers.encodeFileDefinition(minor = if (wire > 0) 1 else 0))
+        bos.write(CramRecordWriter.encodeHeaderContainer(header))
+        bos.write(enc.bytes)
+        bos.write(CramContainers.encodeEofContainer())
+        val (_, back) = CramRecordCodec.decodeFile(SeekableInput.ofBytes(bos.toByteArray), NoRefSource)
+        back == recs
+      })
+    }
+  }
+
   test("property: records with unknown sequence keep CIGAR and lengths") {
     val genMapped = genRecord.suchThat(r => (r.flags & 0x4) == 0)
     checkProp(Prop.forAll(genMapped) { r0 =>
