@@ -1059,6 +1059,34 @@ object Pipeline {
         .orderBy($"doc_a", $"doc_b")
     },
 
+    // URL-normalization dedup (the first dedup pass of every crawl
+    // pipeline): the synthetic corpus carries no URLs, so deterministic
+    // ones are injected first (scheme/host case variants, trailing
+    // slashes, utm_* query strings, fragments — keyed off doc_id like
+    // q_text_pii's identifiers), then canonicalized with two anchored
+    // regex passes + lowercasing, and duplicate families grouped on the
+    // canonical form. Narrow projection into one groupBy — at 100 TB the
+    // only exchange is the canonical-url rollup itself.
+    "q_dedup_url" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("raw_url", concat(
+          when($"doc_id" % 3 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          when($"doc_id" % 7 === 0, upper($"lang")).otherwise($"lang"),
+          lit(".example.com/"), $"source", lit("/doc/"),
+          ($"doc_id" % 200).cast("string"),
+          when($"doc_id" % 5 === 0, lit("/")).otherwise(lit("")),
+          when($"doc_id" % 2 === 0, lit("?utm_source=feed&utm_campaign=x")).otherwise(lit("")),
+          when($"doc_id" % 11 === 0, lit("#section-2")).otherwise(lit(""))))
+        .withColumn("url_norm",
+          regexp_replace(regexp_replace(lower($"raw_url"), "[?#].*$", ""), "/$", ""))
+        .groupBy($"url_norm")
+        .agg(count(lit(1)).as("n_urls"), min($"doc_id").as("keeper"),
+          countDistinct($"raw_url").as("n_variants"))
+        .filter($"n_urls" > 1)
+        .orderBy($"url_norm")
+    },
+
     // fuzzy record linkage: gram-blocked candidate pairs verified by exact
     // edit distance — the entity-resolution shape (same machinery dedups
     // author/site/entity names in a crawl pipeline). Blocking: each name's
@@ -2233,6 +2261,22 @@ object Pipeline {
          |FROM p WHERE inter > 0 AND inter * 1000 // uni >= 30
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+
+    "q_dedup_url" ->
+      s"""WITH u AS (SELECT doc_id,
+         |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+         |    (CASE WHEN doc_id % 7 = 0 THEN upper(lang) ELSE lang END) || '.example.com/' ||
+         |    source || '/doc/' || CAST(doc_id % 200 AS VARCHAR) ||
+         |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 11 = 0 THEN '#section-2' ELSE '' END) AS raw_url
+         |  FROM documents),
+         |n AS (SELECT doc_id, raw_url,
+         |    regexp_replace(regexp_replace(lower(raw_url), '[?#].*$$', ''), '/$$', '') AS url_norm
+         |  FROM u)
+         |SELECT url_norm, COUNT(*) AS n_urls, MIN(doc_id) AS keeper,
+         |  COUNT(DISTINCT raw_url) AS n_variants
+         |FROM n GROUP BY url_norm HAVING COUNT(*) > 1 ORDER BY url_norm""".stripMargin,
 
     "q_fuzzy_linkage" ->
       s"""WITH n AS (SELECT c_name AS name FROM customer WHERE len(c_name) >= 3),
