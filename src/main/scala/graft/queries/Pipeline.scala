@@ -1112,9 +1112,19 @@ object Pipeline {
         .agg(sort_array(collect_list($"name")).as("names"))
         .filter(size($"names") > 1 && size($"names") <= MaxBucket)
         .select(explode(bucketPairs($"names", "name_a", "name_b")).as("p"))
-        .select($"p.name_a", $"p.name_b").distinct()
-        .withColumn("dist", levenshtein($"name_a", $"name_b"))
-        .filter($"dist" <= 2)
+        .select($"p.name_a", $"p.name_b")
+        // threshold-bounded levenshtein: the banded DP visits O(len·k)
+        // cells instead of O(len²) and bails early; pairs beyond the bound
+        // return -1. Exact distances for kept pairs are unchanged, so the
+        // oracle's unbounded levenshtein agrees on every surviving row.
+        // Verification runs BEFORE the distinct: a near pair shares many
+        // grams, so the raw candidate stream carries each pair ~10× — the
+        // bounded DP re-runs on duplicates (cheap, codegen'd, no exchange)
+        // while the distinct's shuffle shrinks from the full candidate
+        // space to verified pairs only. Filter∘distinct ≡ distinct∘filter.
+        .withColumn("dist", levenshtein($"name_a", $"name_b", 2))
+        .filter($"dist" >= 0)
+        .distinct()
         .orderBy($"name_a", $"name_b")
     },
 

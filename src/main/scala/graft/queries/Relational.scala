@@ -187,6 +187,13 @@ object Relational {
     // with SF, turning the join quadratic at scale. More samples means
     // more genomes, not denser ones; per-contig density is a constant of
     // the data, so the pair space stays corpus-LINEAR.
+    // BIN WIDTH is a pure throughput knob (the result is bin-independent:
+    // each pair still counts exactly once, in the bin of max(rstart,
+    // vstart)). 250 ≈ interval length: candidate pairs per bin scale with
+    // per-bin density², so quartering the width quarters the false-
+    // candidate work while the explode factor only grows to ≤(len/250)+1
+    // ≈ 1.6 for reads, ≈1.1 for variants. Width ≪ length would invert the
+    // trade (explode dominates); width ≫ length wastes overlap checks.
     "q_interval_join_binned" -> { (s, d) =>
       import s.implicits._
       val nc = math.max(3L, Pipeline.countOnce(s"$d/lineitem", Tables.lineitem(s, d)) / 20000L)
@@ -194,16 +201,16 @@ object Relational {
         concat(lit("chr"), ($"l_orderkey" % nc).cast("string")).as("contig"),
         (($"l_partkey" * 37) % 100000).cast("int").as("rstart"))
         .withColumn("rend", $"rstart" + 150)
-        .withColumn("bin", explode(expr("sequence(rstart div 1000, rend div 1000)")))
+        .withColumn("bin", explode(expr("sequence(rstart div 250, rend div 250)")))
       val vars = Tables.orders(s, d).select(
         concat(lit("chr"), ($"o_orderkey" % nc).cast("string")).as("vcontig"),
         (($"o_custkey" * 53) % 100000).cast("int").as("vstart"))
         .withColumn("vend", $"vstart" + 30)
-        .withColumn("vbin", explode(expr("sequence(vstart div 1000, vend div 1000)")))
+        .withColumn("vbin", explode(expr("sequence(vstart div 250, vend div 250)")))
       reads.join(vars,
         $"contig" === $"vcontig" && $"bin" === $"vbin" &&
           $"rstart" <= $"vend" && $"rend" >= $"vstart" &&
-          $"bin" === expr("greatest(rstart, vstart) div 1000"))
+          $"bin" === expr("greatest(rstart, vstart) div 250"))
         .groupBy($"contig")
         .agg(count(lit(1)).as("n_pairs"),
           sum($"rstart".cast("long")).as("sum_rstart"),
