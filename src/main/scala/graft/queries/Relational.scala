@@ -640,10 +640,141 @@ object Relational {
         .agg(count(lit(1)).as("n_items"),
           sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"))
         .orderBy($"o_orderpriority")
+    },
+
+    // -- ROLLUP (grouping sets): region × priority revenue with subtotal
+    //    and grand-total rows in ONE pass — Catalyst's Expand replicates
+    //    each row once per grouping set BEFORE the partial aggregate, so
+    //    the shuffle carries only (3 × |groups|) pre-aggregated rows, not
+    //    3× the fact table. Rolled-up labels coalesce to 'ALL' (no real
+    //    region/priority uses that name) so null-ordering differences
+    //    between engines can't bite; gid pins WHICH set each row is from.
+    "q_rollup_region_priority" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).select($"c_custkey", $"c_nationkey")
+      val n = Tables.nation(s, d).select($"n_nationkey", $"n_regionkey")
+      val r = Tables.region(s, d).select($"r_regionkey", $"r_name")
+      o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"o_orderpriority")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_orders"), sum(cents($"o_totalprice")).as("total_c"))
+        .select(coalesce($"r_name", lit("ALL")).as("region"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"gid", $"n_orders", $"total_c")
+        .orderBy($"gid", $"region", $"priority")
+    },
+
+    // -- EXISTS semi-join (TPC-H Q4 shape): orders with at least one
+    //    returned item, counted per priority. LeftSemi never materializes
+    //    the probe side's payload — the join output is orders-sized
+    //    regardless of how many matching lineitems exist, and the
+    //    lineitem side is pruned to the join key + pushed filter.
+    "q_returned_orders_semijoin" -> { (s, d) =>
+      import s.implicits._
+      val ret = Tables.lineitem(s, d)
+        .filter($"l_returnflag" === "R").select($"l_orderkey")
+      Tables.orders(s, d)
+        .join(ret, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum(cents($"o_totalprice")).as("total_c"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // -- Correlated aggregate subquery, decorrelated (TPC-H Q17 shape):
+    //    items whose quantity is under 20% of their part's average. The
+    //    correlated per-part avg becomes ONE part-keyed aggregate joined
+    //    back on l_partkey — the canonical decorrelation; both sides
+    //    shuffle on the same key once (AQE broadcasts the agg side at
+    //    small SF). The 20%-of-avg test stays in integers:
+    //    5·qty·cnt < sum_qty — exact in both engines, no avg() floats.
+    "q_small_qty_items" -> { (s, d) =>
+      import s.implicits._
+      val l = Tables.lineitem(s, d)
+      val perPart = l.groupBy($"l_partkey".as("pk"))
+        .agg(sum(cents($"l_quantity")).as("sum_qty_c"), count(lit(1)).as("cnt"))
+      val p = Tables.part(s, d).select($"p_partkey", $"p_brand")
+      l.join(perPart, $"l_partkey" === $"pk")
+        .filter(cents($"l_quantity") * 5 * $"cnt" < $"sum_qty_c")
+        .join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_items"), sum(cents($"l_extendedprice")).as("price_c"))
+        .orderBy($"p_brand")
+    },
+
+    // -- RANGE-frame moving window: 7-day trailing order revenue. Days
+    //    collapse to one row each BEFORE the window (the window input is
+    //    calendar-sized, not fact-sized), then ONE ordered pass computes
+    //    the trailing sums over an integer day index — rangeBetween
+    //    handles calendar gaps correctly where a ROWS frame would not.
+    //    A single unpartitioned window over ~dates rows is fine at any
+    //    corpus size; the fact table itself never sorts.
+    "q_daily_moving_revenue" -> { (s, d) =>
+      import s.implicits._
+      val daily = Tables.orders(s, d)
+        .groupBy(datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("dayno"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents($"o_totalprice")).as("day_c"))
+      val w = Window.orderBy($"dayno").rangeBetween(-6, 0)
+      daily
+        .withColumn("ma7_c", sum($"day_c").over(w))
+        .withColumn("ma7_orders", sum($"n_orders").over(w))
+        .select(date_format(date_add(lit("1970-01-01").cast("date"), $"dayno"), "yyyy-MM-dd").as("day"),
+          $"n_orders", $"day_c", $"ma7_c", $"ma7_orders",
+          expr("ma7_c div ma7_orders").as("avg_order_ma7_c"))
+        .orderBy($"day")
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "q_rollup_region_priority" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(r_name, o_orderpriority) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, o_orderpriority)
+        |ORDER BY gid, region, priority""".stripMargin,
+    "q_returned_orders_semijoin" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_small_qty_items" ->
+      """WITH pp AS (SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |    COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_c
+        |FROM lineitem
+        |JOIN pp ON l_partkey = pk
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(ROUND(l_quantity*100) AS BIGINT) * 5 * cnt < sum_qty_c
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_daily_moving_revenue" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS dayno,
+        |    COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS day_c
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT dayno, n_orders, day_c,
+        |    CAST(SUM(day_c) OVER (ORDER BY dayno
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma7_c,
+        |    CAST(SUM(n_orders) OVER (ORDER BY dayno
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma7_orders
+        |  FROM daily)
+        |SELECT strftime(DATE '1970-01-01' + dayno * INTERVAL 1 DAY, '%Y-%m-%d') AS day,
+        |  n_orders, day_c, ma7_c, ma7_orders, ma7_c // ma7_orders AS avg_order_ma7_c
+        |FROM w ORDER BY day""".stripMargin,
     "q_profile_hll" ->
       """WITH h AS (SELECT event_type,
         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
