@@ -1390,6 +1390,93 @@ object Pipeline {
         .orderBy($"lang")
     },
 
+    // temperature-weighted (α = 0.5) language rebalancing — the standard
+    // multilingual-training mix: sampling weight ∝ (lang token mass)^α
+    // pulls low-resource languages toward parity without flattening the
+    // distribution entirely. Budget = half the corpus tokens, allocated
+    // C·√tok_l per language (integer sqrt is IEEE-exact in both engines,
+    // so the oracle agrees bit-for-bit); the keep decision is the same
+    // doc-hash Bernoulli gate as q_mix_sample — stateless, narrow,
+    // deterministic at any parallelism. Only lang-rollup-sized exchanges.
+    "q_mix_alpha" -> { (s, d) =>
+      import s.implicits._
+      val t = Tables.documents(s, d)
+        .select($"doc_id", $"lang", size(words($"text")).cast("long").as("n_tok"))
+      val totals = t.groupBy($"lang")
+        .agg(count(lit(1)).as("n_total"), sum($"n_tok").as("tok_total"))
+        .withColumn("weight", floor(sqrt($"tok_total".cast("double"))).cast("long"))
+      val alloc = totals.agg(sum($"weight").as("sum_w"), sum($"tok_total").as("tok_all"))
+      val target = totals.crossJoin(broadcast(alloc))
+        .withColumn("budget_tok", expr("(tok_all div 2) * weight div sum_w"))
+        .withColumn("keep_ppm",
+          least(lit(1000000L), expr("budget_tok * 1000000 div tok_total")))
+        .select($"lang", $"n_total", $"tok_total", $"weight", $"keep_ppm")
+      t.join(broadcast(target), "lang")
+        .filter(hash60(concat(lit("alpha|"), $"doc_id".cast("string"))) % 1000000 < $"keep_ppm")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), sum($"n_tok").as("tok_kept"))
+        .join(broadcast(target), "lang")
+        .select($"lang", $"n_total", $"tok_total", $"weight", $"keep_ppm",
+          $"n_kept", $"tok_kept")
+        .orderBy($"lang")
+    },
+
+    // vocabulary coverage / OOV rate: the fixed top-256 corpus vocabulary
+    // (by term frequency, term-tiebroken) scored against every document's
+    // token stream, rolled up per language. The vocab derivation is a
+    // TakeOrdered over the term-frequency aggregate — never a full sort —
+    // and at 256 entries it BROADCASTS to the membership join, so the
+    // exploded token stream joins narrowly: no corpus-sized shuffle
+    // exists beyond the term-frequency rollup itself. The OOV ppm is the
+    // go/no-go statistic for "does a fixed tokenizer vocab cover this
+    // corpus slice".
+    "q_vocab_oov" -> { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", $"lang", explode(words($"text")).as("term"))
+      val vocab = toks.groupBy($"term").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"term").limit(256)
+        .select($"term", lit(1L).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"),
+          countDistinct(when($"in_vocab".isNull, $"term")).as("n_oov_terms"))
+        .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tok"))
+        .orderBy($"lang")
+    },
+
+    // random-projection (Johnson–Lindenstrauss) dimensionality reduction,
+    // evaluated by recall: embeddings are projected 64 → 16 dims through
+    // the SAME hash-derived integer hyperplanes the LSH family uses
+    // (graft_lsh_dots — one codegen'd pass, weights computed once per
+    // JVM), then the top-10-by-dot search runs entirely in the reduced
+    // space and is scored against the full-space brute-force top-10. The
+    // scale story: the projected corpus is 4× narrower — the scan, the
+    // broadcast of the query side, and every dot product shrink with it,
+    // and the projection itself never shuffles anything.
+    "q_embed_rp_recall" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.NativeLsh.register(s)
+      val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
+        .withColumn("p", lshPlaneDots(16))
+      val qs = e.filter($"vec_id" < 5)
+        .select($"vec_id".as("query_id"), $"p".as("qp"))
+      val w = Window.partitionBy($"query_id").orderBy($"pdot".desc, $"vec_id")
+      val rpTop = e.join(broadcast(qs), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id", qdot($"p", $"qp").as("pdot"))
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 10)
+        .select($"query_id".as("rq"), $"vec_id".as("rv"))
+      val brute = queries("q_ann_bruteforce")(s, d).select($"query_id", $"vec_id")
+      brute.join(rpTop, $"query_id" === $"rq" && $"vec_id" === $"rv", "left")
+        .groupBy($"query_id")
+        .agg(count(lit(1)).as("n_brute"), count($"rv").as("n_overlap"))
+        .withColumn("recall_milli", expr("n_overlap * 1000 div n_brute"))
+        .orderBy($"query_id")
+    },
+
     // integer-quantized TF-IDF top terms per document: tf from one explode +
     // count, document frequency over the full corpus, idf_milli = N*1000 div
     // df (pure integer — no float drift between engines), top-5 terms per
@@ -2507,6 +2594,67 @@ object Pipeline {
          |  FROM k GROUP BY lang)
          |SELECT tot.lang, tot.n_total, tot.tok_total, tot.frac_ppm, kk.n_kept, kk.tok_kept
          |FROM tot JOIN kk ON tot.lang = kk.lang ORDER BY tot.lang""".stripMargin,
+
+    "q_mix_alpha" ->
+      s"""WITH t AS (SELECT doc_id, lang, len($wsExpr) AS n_tok FROM documents),
+         |tot AS (SELECT lang, COUNT(*) AS n_total, CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+         |    CAST(FLOOR(SQRT(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS weight
+         |  FROM t GROUP BY lang),
+         |al AS (SELECT CAST(SUM(weight) AS BIGINT) AS sum_w,
+         |    CAST(SUM(tok_total) AS BIGINT) AS tok_all FROM tot),
+         |tg AS (SELECT lang, n_total, tok_total, weight,
+         |    CAST(LEAST(1000000, ((tok_all // 2) * weight // sum_w) * 1000000 // tok_total)
+         |      AS BIGINT) AS keep_ppm
+         |  FROM tot CROSS JOIN al),
+         |k AS (SELECT t.lang, t.n_tok FROM t JOIN tg USING (lang)
+         |  WHERE ${h60("'alpha|' || CAST(doc_id AS VARCHAR)")} % 1000000 < keep_ppm),
+         |kk AS (SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tok_kept
+         |  FROM k GROUP BY lang)
+         |SELECT tg.lang, tg.n_total, tg.tok_total, tg.weight, tg.keep_ppm,
+         |  kk.n_kept, kk.tok_kept
+         |FROM tg JOIN kk ON tg.lang = kk.lang ORDER BY tg.lang""".stripMargin,
+
+    "q_vocab_oov" ->
+      s"""WITH toks AS (SELECT doc_id, lang, unnest($wsExpr) AS term FROM documents),
+         |v AS (SELECT term FROM (SELECT term, COUNT(*) AS cnt FROM toks
+         |    GROUP BY term ORDER BY cnt DESC, term LIMIT 256)),
+         |j AS (SELECT lang, toks.term,
+         |    CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM toks LEFT JOIN v ON toks.term = v.term)
+         |SELECT lang, COUNT(*) AS n_tok, CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |  COUNT(DISTINCT CASE WHEN oov = 1 THEN term END) AS n_oov_terms,
+         |  CAST(SUM(oov) AS BIGINT) * 1000000 // COUNT(*) AS oov_ppm
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_embed_rp_recall" -> {
+      val planeTerm = h60("CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)")
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |pr AS (SELECT vec_id, q,
+         |    list_transform(range(0, 16), p -> CAST(list_sum(list_transform(range(1, 65),
+         |      i -> q[i] * ($planeTerm % 2001 - 1000))) AS BIGINT)) AS pv
+         |  FROM e),
+         |qs AS (SELECT vec_id AS query_id, q AS qq, pv AS qp FROM pr WHERE vec_id < 5),
+         |sp AS (SELECT qs.query_id, v.vec_id,
+         |    CAST(list_sum(list_transform(range(1, 17), j -> v.pv[j] * qs.qp[j])) AS BIGINT) AS pdot
+         |  FROM pr v JOIN qs ON v.vec_id <> qs.query_id),
+         |rp AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY pdot DESC, vec_id) AS rnk
+         |    FROM sp) WHERE rnk <= 10),
+         |sb AS (SELECT qs.query_id, v.vec_id,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> v.q[i] * qs.qq[i])) AS BIGINT) AS dot
+         |  FROM e v JOIN qs ON v.vec_id <> qs.query_id),
+         |brute AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+         |    FROM sb) WHERE rnk <= 10)
+         |SELECT b.query_id, COUNT(*) AS n_brute, COUNT(r.vec_id) AS n_overlap,
+         |  CAST(COUNT(r.vec_id) * 1000 // COUNT(*) AS BIGINT) AS recall_milli
+         |FROM brute b LEFT JOIN rp r ON r.query_id = b.query_id AND r.vec_id = b.vec_id
+         |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+    },
 
     "q_text_tfidf" ->
       s"""WITH w AS (SELECT doc_id, unnest($wsExpr) AS term FROM documents),
