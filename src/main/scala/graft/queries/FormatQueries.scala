@@ -448,6 +448,104 @@ object FormatQueries {
       readsAggregate(back)
     },
 
+    // BAM × VCF annotation compose: reads and variants each round-trip
+    // through their own connector, then meet in the binned overlap
+    // equi-join (the q_interval_join_binned shape — both sides corpus-
+    // sized at 100 TB, so the join shuffles once on (contig, bin), never
+    // nested-loops). Variants are points, so each lives in exactly ONE
+    // bin and every overlapping pair appears exactly once — no dedup
+    // rule, no distinct. This is the everyday genomics workload a
+    // disq-style library exists for: annotate alignments with the
+    // variants they cover, through real container formats end-to-end.
+    "q_bam_vcf_annotate" -> { (s, d) =>
+      import s.implicits._
+      val base = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
+      val bamPath = s"$base/anno.bam"
+      val vcfPath = s"$base/anno.vcf.bgz"
+      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
+        .option("refs", Refs).option("writeSbi", "true").save(bamPath)
+      import org.apache.spark.sql.types._
+      val vars = Tables.orders(s, d).filter($"o_orderkey" % 7 === 0).select(
+        concat(lit("chr"), ($"o_orderkey" % 3).cast("string")).as("contig"),
+        ((($"o_custkey" * 53) % 999000) + 1).cast("int").as("start"),
+        ((($"o_custkey" * 53) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"),
+        array(lit("T")).as("alt"),
+        lit(50.0).as("qual"),
+        array(lit("PASS")).as("filters"),
+        map(lit("DP"), ($"o_orderkey" % 100).cast("string")).as("info"),
+        array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false))
+          .as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(vcfPath)
+      val reads = s.read.format("bam").option("splitSize", 256 * 1024).load(bamPath)
+        .select($"readName", $"contig", $"start".cast("long").as("rstart"),
+          $"end".cast("long").as("rend"))
+        .withColumn("bin", explode(expr("sequence(rstart div 250, rend div 250)")))
+      val vcf = s.read.format("vcf").option("splitSize", 256 * 1024).load(vcfPath)
+        .select($"contig".as("vcontig"), $"start".cast("long").as("vstart"))
+        .withColumn("vbin", expr("vstart div 250"))
+      reads.join(vcf,
+        $"contig" === $"vcontig" && $"bin" === $"vbin" &&
+          $"vstart".between($"rstart", $"rend"))
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"vstart").as("sum_vstart"),
+          countDistinct($"readName").as("n_reads_hit"))
+        .orderBy($"contig")
+    },
+
+    // coordinate sort (the classic `samtools sort` operator — the
+    // reference explicitly does NOT sort, README.md:139-141; every
+    // downstream indexed/interval consumer requires it, so the engine
+    // supplies it): range-repartition on (contig, start) gives globally
+    // ordered partitions, each sorted locally — the standard distributed
+    // total sort, no single-node bottleneck — and the name-ordered
+    // single-file concat commit preserves that order on disk. The
+    // read-back VERIFIES sortedness distributedly: within-split
+    // inversions via a per-split window (parallel, split-bounded
+    // memory), cross-split boundary inversions via a splits-sized rollup
+    // — never one global window over the corpus.
+    "q_bam_sort" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/sorted.bam"
+      syntheticReads(s, d)
+        .repartitionByRange(16, $"contig", $"start")
+        .sortWithinPartitions($"contig", $"start")
+        .write.format("bam").mode("overwrite")
+        .option("refs", Refs).option("writeSbi", "true").save(path)
+      val b = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+        .select($"contig", $"start".cast("long").as("start"))
+        .withColumn("mid", monotonically_increasing_id())
+        .withColumn("pid", shiftright($"mid", 33))
+      val w = Window.partitionBy($"pid").orderBy($"mid")
+      val within = b
+        .withColumn("pc", lag($"contig", 1).over(w))
+        .withColumn("ps", lag($"start", 1).over(w))
+        .withColumn("inv",
+          when($"pc".isNull, 0L)
+            .when($"pc" > $"contig" || ($"pc" === $"contig" && $"ps" > $"start"), 1L)
+            .otherwise(0L))
+        .agg(count(lit(1)).as("n_records"), sum($"start").as("sum_start"),
+          sum($"inv").as("inv_within"))
+      val wp = Window.orderBy($"pid")
+      val bound = b.groupBy($"pid")
+        .agg(min_by(struct($"contig", $"start"), $"mid").as("first"),
+          max_by(struct($"contig", $"start"), $"mid").as("last"))
+        .withColumn("prev_last", lag($"last", 1).over(wp))
+        .withColumn("binv",
+          when($"prev_last".isNull, 0L)
+            .when($"prev_last.contig" > $"first.contig" ||
+              ($"prev_last.contig" === $"first.contig" &&
+                $"prev_last.start" > $"first.start"), 1L)
+            .otherwise(0L))
+        .agg(sum($"binv").as("inv_bound"))
+      within.crossJoin(bound)
+        .select($"n_records", $"sum_start",
+          ($"inv_within" + $"inv_bound").as("n_inversions"))
+    },
+
     // sharded sink (complete per-partition files) → multi-file scan
     "q_bam_roundtrip_sharded" -> { (s, d) =>
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/sharded"
@@ -787,6 +885,32 @@ object FormatQueries {
         |FROM v GROUP BY contig ORDER BY contig""".stripMargin,
     "q_bam_roundtrip_single" -> oracleAggregate(""),
     "q_bam_roundtrip_sharded" -> oracleAggregate(""),
+    // the oracle states the SEMANTICS (plain overlap join over the
+    // lineitem/orders-derived reads and variants); the Spark side is
+    // graded on reaching it through two connector round-trips + the
+    // binned equi-join
+    "q_bam_vcf_annotate" ->
+      """WITH reads AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS rstart,
+        |    CAST((l_partkey * 37) % 999000 + 151 AS BIGINT) AS rend,
+        |    'r' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS rname
+        |  FROM lineitem),
+        |vars AS (SELECT 'chr' || CAST(o_orderkey % 3 AS VARCHAR) AS vcontig,
+        |    CAST((o_custkey * 53) % 999000 + 1 AS BIGINT) AS vstart
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT contig, COUNT(*) AS n_pairs, CAST(SUM(vstart) AS BIGINT) AS sum_vstart,
+        |  COUNT(DISTINCT rname) AS n_reads_hit
+        |FROM reads JOIN vars ON contig = vcontig AND vstart BETWEEN rstart AND rend
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // n_inversions = 0 is the sort CONTRACT; the Spark side measures it
+    // from the bytes the sink actually wrote, so a broken range
+    // partitioner, local sort, or out-of-order concat commit all
+    // hash-mismatch here
+    "q_bam_sort" ->
+      """SELECT COUNT(*) AS n_records,
+        |  CAST(SUM((l_partkey * 37) % 999000 + 1) AS BIGINT) AS sum_start,
+        |  CAST(0 AS BIGINT) AS n_inversions
+        |FROM lineitem""".stripMargin,
     "q_sam_roundtrip" -> oracleAggregate(""),
     "q_cram_roundtrip" -> oracleAggregate(""),
     "q_cram_v31" -> oracleAggregate(""),
