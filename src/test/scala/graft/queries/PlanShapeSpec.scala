@@ -361,4 +361,56 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(ex.forall(l => l.contains("epoch") && l.contains("shard")),
       s"q_train_order: exchange off the manifest key: ${ex.mkString("; ")}\n$p")
   }
+
+  test("q_rollup_region_priority: Expand before the partial aggregate, broadcast dims") {
+    // grouping sets must run as ONE Expand + aggregate pass — the shuffle
+    // carries (3 × |groups|) pre-aggregated rows, never 3× the fact table
+    // re-scanned per set — and every dimension join stays broadcast
+    val p = finalPlan(Relational.queries("q_rollup_region_priority")(spark, sf))
+    assert(p.contains("Expand"), s"rollup lost its Expand (grouping sets re-scan?)\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"rollup dimension join shuffles the fact table\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"rollup lost its broadcast dims\n$p")
+  }
+
+  test("q_returned_orders_semijoin plans a LeftSemi — probe payload never widens") {
+    val p = finalPlan(Relational.queries("q_returned_orders_semijoin")(spark, sf))
+    assert(p.contains("LeftSemi"), s"EXISTS did not plan as a semi join\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semi join degraded\n$p")
+  }
+
+  test("q_vocab_oov: vocab via TakeOrdered, membership join broadcast") {
+    // the 256-term vocabulary must come from per-partition heaps (never a
+    // full sort of the term-frequency table) and must BROADCAST to the
+    // exploded token stream — a shuffled join on term would re-exchange
+    // the whole token stream against a 256-row side
+    val p = finalPlan(Pipeline.queries("q_vocab_oov")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"vocab derived via full sort\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"membership join not broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), s"token stream shuffled to meet the vocab\n$p")
+  }
+
+  test("q_mix_alpha joins the corpus only against broadcast targets") {
+    // same contract as q_mix_sample: per-lang targets are rollup-tiny, the
+    // corpus pass is a narrow Bernoulli filter — no exchange on lang
+    val p = finalPlan(Pipeline.queries("q_mix_alpha")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q_mix_alpha shuffles the corpus to meet a join\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q_mix_alpha lost its broadcast joins\n$p")
+  }
+
+  test("q_embed_rp_recall: projection is narrow, corpus never shuffles on vec_id") {
+    // the 64→16 projection must be a codegen projection (no exchange), the
+    // reduced-space scan must join a BROADCAST query side, and — like the
+    // whole ANN family — no Exchange may hash-partition the corpus by
+    // vec_id (the post-join window legitimately exchanges on query_id)
+    val p = finalPlan(Pipeline.queries("q_embed_rp_recall")(spark, sf))
+    val vecExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("query_id")).toSeq
+    assert(vecExchanges.isEmpty,
+      s"q_embed_rp_recall: corpus-side shuffle: ${vecExchanges.mkString("; ")}\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q_embed_rp_recall join degraded\n$p")
+  }
 }
