@@ -115,6 +115,34 @@ object Streaming {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming tokenizer-coverage monitor — the streaming twin of
+    * q_vocab_oov: an incoming document stream (doc_id, ts, lang, text) is
+    * scored against a FIXED vocabulary (one `term` column, derived batch-
+    * side and frozen, exactly how production pins a tokenizer vocab), and
+    * per-(window, lang) OOV rates are emitted on hourly event-time
+    * windows. Stateless per row before the windowed aggregate: tokens
+    * explode narrowly, the vocab side is broadcast (the stream never
+    * shuffles to meet it), and the only keyed state is the windowed
+    * rollup itself, evicted by the watermark. A rising oov_ppm on a live
+    * crawl is the drift alarm that says the frozen vocab no longer covers
+    * what's arriving.
+    */
+  def vocabCoverage(docs: DataFrame, vocab: DataFrame,
+                    watermark: String = "2 hours"): DataFrame = {
+    val terms = docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("lang"),
+        explode(filter(split(col("text"), " "), w => length(w) > 0)).as("term"))
+    terms
+      .join(broadcast(vocab.select(col("term"), lit(1L).as("in_vocab"))),
+        Seq("term"), "left")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("lang"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("win.start").as("hour"), col("lang"), col("n_tok"), col("n_oov"),
+        expr("n_oov * 1000000 div n_tok").as("oov_ppm"))
+  }
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * views in the trailing `horizonSec` window — the streaming face of the
     * batch as-of attribution (q_events_asof's candidate set). Both sides

@@ -156,6 +156,45 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("vocabCoverage: streaming OOV rollup equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two langs, drifting token mix: later docs introduce terms outside
+    // the frozen vocab so the per-window oov_ppm actually moves
+    val docs = (0 until 240).map { i =>
+      val lang = if (i % 2 == 0) "en" else "de"
+      val text = if (i < 120) s"alpha beta gamma t$lang" else s"alpha zz$i qq${i % 7} beta"
+      (i.toLong, ts(i), lang, text)
+    }
+    val vocab = Seq("alpha", "beta", "gamma", "ten", "tde").toDF("term")
+    val stream = MemoryStream[(Long, Timestamp, String, String)]
+    val q = Streaming.vocabCoverage(
+        stream.toDF().toDF("doc_id", "ts", "lang", "text"), vocab)
+      .writeStream.format("memory").queryName("vocabcov").outputMode("complete").start()
+    try {
+      stream.addData(docs.take(100)); q.processAllAvailable()
+      stream.addData(docs.drop(100)); q.processAllAvailable()
+      val got = spark.table("vocabcov")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val want = docs.toDF("doc_id", "ts", "lang", "text")
+        .select(date_trunc("hour", $"ts").as("hour"), $"lang",
+          explode(filter(split($"text", " "), w => length(w) > 0)).as("term"))
+        .join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("term"), "left")
+        .groupBy($"hour", $"lang")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select($"hour", $"lang", $"n_tok", $"n_oov",
+          expr("n_oov * 1000000 div n_tok").as("oov_ppm"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == want)
+      // the drift actually registers: some window has a nonzero OOV rate
+      assert(got.exists(_._5 > 0))
+      assert(got.size >= 4) // ≥2 hours × 2 langs
+    } finally q.stop()
+  }
+
   test("attribution: stream-stream interval join equals the batch join") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
