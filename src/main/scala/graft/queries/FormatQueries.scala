@@ -580,6 +580,45 @@ object FormatQueries {
         .orderBy($"contig")
     },
 
+    // genotype-carrying VCF round-trip: three samples per site with
+    // GT + per-sample DP fields, pushed through the FORMAT/genotype
+    // serializer and the split-aware scan, then per-(contig, sample)
+    // het/hom-alt counts — the population-genetics rollup that breaks if
+    // FORMAT key ordering, sample labeling across shards, or the
+    // genotype-column lazy decode mangles anything.
+    "q_vcf_genotypes" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/gt.vcf.bgz"
+      def geno(j: Int) = {
+        val code = ($"l_orderkey" + lit(j) * $"l_linenumber") % 3
+        struct(
+          lit(s"s$j").as("sample"),
+          when(code === 0, "0/0").when(code === 1, "0/1").otherwise("1/1").as("gt"),
+          map(lit("DP"), (($"l_suppkey" + lit(j)) % 50).cast("string")).as("fields"))
+      }
+      val vars = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"),
+        array(lit("G")).as("alt"),
+        lit(30.0).as("qual"),
+        array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array(geno(1), geno(2), geno(3)).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      back.select($"contig", explode($"genotypes").as("g"))
+        .groupBy($"contig", $"g.sample".as("sample"))
+        .agg(count(lit(1)).as("n"),
+          sum(when($"g.gt" === "0/1", 1L).otherwise(0L)).as("n_het"),
+          sum(when($"g.gt" === "1/1", 1L).otherwise(0L)).as("n_homalt"),
+          sum(element_at($"g.fields", "DP").cast("long")).as("sum_dp"))
+        .orderBy($"contig", $"sample")
+    },
+
     // genomic interval predicate applied inside the scan (traversal params)
     "q_bam_intervals" -> { (s, d) =>
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/iv.bam"
@@ -952,6 +991,16 @@ object FormatQueries {
     "q_bam_bai_intervals" -> oracleAggregate(
       """WHERE (contig = 'chr0' AND rstart <= 5000 AND rend >= 1)
         |   OR (contig = 'chr1' AND rstart <= 7000 AND rend >= 2000)""".stripMargin),
+    "q_vcf_genotypes" ->
+      """WITH v AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    l_orderkey AS ok, l_linenumber AS ln, l_suppkey AS sk FROM lineitem),
+        |g AS (SELECT contig, j, (ok + j * ln) % 3 AS code, (sk + j) % 50 AS dp
+        |  FROM v, (SELECT unnest([1, 2, 3]) AS j))
+        |SELECT contig, 's' || CAST(j AS VARCHAR) AS sample, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN code = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+        |  CAST(SUM(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_homalt,
+        |  CAST(SUM(dp) AS BIGINT) AS sum_dp
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_vcf_intervals" ->
       """WITH v AS (
         |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
