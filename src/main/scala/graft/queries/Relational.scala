@@ -354,6 +354,28 @@ object Relational {
         .orderBy($"cohort_week", $"weeks_since")
     },
 
+    // -- Pivot: the daily event mix in WIDE form — one row per day, one
+    //    column per event type. `pivot` with an explicit value list
+    //    compiles to ONE aggregate pass (PivotFirst) — explicit values
+    //    matter at scale: the two-argument form needs no extra job to
+    //    discover the pivot domain, and the column count is fixed at plan
+    //    time. Absent cells coalesce to 0 to match the oracle's
+    //    conditional-count form.
+    "q_events_type_pivot" -> { (s, d) =>
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val piv = Tables.events(s, d)
+        .select(date_format(date_trunc("day", $"ts"), "yyyy-MM-dd").as("day"),
+          $"event_type", cents($"value").as("v"))
+        .groupBy($"day")
+        .pivot("event_type", types)
+        .agg(count(lit(1)).as("n"), sum($"v").as("v_c"))
+      piv.select($"day" +: types.flatMap(t => Seq(
+          coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+          coalesce(col(s"${t}_v_c"), lit(0L)).as(s"${t}_v_c"))): _*)
+        .orderBy($"day")
+    },
+
     // -- Corpus profiling with a hand-rolled HyperLogLog: per event type,
     // the 256-register distinct-users sketch. Unlike approx_count_distinct
     // (whose sketch bytes are engine-specific and can never hash-match an
@@ -1062,6 +1084,16 @@ object Relational {
         |  CAST(date_diff('day', coh.cwk, ev.wk) / 7 AS BIGINT) AS weeks_since,
         |  COUNT(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN coh USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_type_pivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map { t =>
+        s"""|  CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS ${t}_n,
+            |  CAST(SUM(CASE WHEN event_type = '$t' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS ${t}_v_c""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |$cols
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }
