@@ -619,6 +619,24 @@ object FormatQueries {
         .orderBy($"contig", $"sample")
     },
 
+    // deterministic pair-preserving subsample (samtools `view -s`
+    // semantics): the keep decision hashes the READ NAME, so both mates
+    // of a template always land together — the invariant naive
+    // row-sampling breaks. Narrow filter over the scan (no shuffle, no
+    // state); the fraction is exact-in-expectation and reproducible
+    // across reruns and cluster sizes because the hash is content-keyed,
+    // not partition-keyed.
+    "q_bam_subsample" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/sub.bam"
+      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
+        .option("refs", Refs).option("writeSbi", "true").save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+        .filter(graft.functions.GraftFunctions.hash60(
+          concat(lit("sub|"), $"readName")) % 100 < 25)
+      readsAggregate(back)
+    },
+
     // genomic interval predicate applied inside the scan (traversal params)
     "q_bam_intervals" -> { (s, d) =>
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/iv.bam"
@@ -991,6 +1009,20 @@ object FormatQueries {
     "q_bam_bai_intervals" -> oracleAggregate(
       """WHERE (contig = 'chr0' AND rstart <= 5000 AND rend >= 1)
         |   OR (contig = 'chr1' AND rstart <= 7000 AND rend >= 2000)""".stripMargin),
+    "q_bam_subsample" ->
+      """WITH reads AS (
+        |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS rstart,
+        |    CAST((l_partkey * 37) % 999000 + 151 AS BIGINT) AS rend,
+        |    l_orderkey % 100 AS tag,
+        |    'r' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS rname
+        |  FROM lineitem)
+        |SELECT contig, COUNT(*) AS n_reads, CAST(SUM(rstart) AS BIGINT) AS sum_start,
+        |  CAST(SUM(rend) AS BIGINT) AS sum_end, CAST(MIN(rstart) AS INTEGER) AS min_start,
+        |  CAST(MAX(rend) AS INTEGER) AS max_end, CAST(SUM(tag) AS BIGINT) AS sum_tag
+        |FROM reads
+        |WHERE CAST('0x' || substr(md5('sub|' || rname), 1, 15) AS BIGINT) % 100 < 25
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_vcf_genotypes" ->
       """WITH v AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
         |    l_orderkey AS ok, l_linenumber AS ln, l_suppkey AS sk FROM lineitem),

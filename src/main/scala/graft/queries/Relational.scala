@@ -726,6 +726,25 @@ object Relational {
         .orderBy($"p_brand")
     },
 
+    // -- NTILE bucketing: per-priority spend deciles. The window
+    //    partitions on o_orderpriority (5 keys), so each decile pass
+    //    sorts only its partition's slice; the tie-break on o_orderkey
+    //    makes bucket boundaries deterministic at any parallelism (NTILE
+    //    remainder-to-leading-buckets semantics are identical in Spark
+    //    and DuckDB). The rollup output is 5×10 rows.
+    "q_order_deciles" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy(cents($"o_totalprice"), $"o_orderkey")
+      Tables.orders(s, d)
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy($"o_orderpriority", $"decile")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents($"o_totalprice")).as("total_c"),
+          max(cents($"o_totalprice")).as("max_c"))
+        .orderBy($"o_orderpriority", $"decile")
+    },
+
     // -- RANGE-frame moving window: 7-day trailing order revenue. Days
     //    collapse to one row each BEFORE the window (the window input is
     //    calendar-sized, not fact-sized), then ONE ordered pass computes
@@ -781,6 +800,17 @@ object Relational {
         |JOIN part ON l_partkey = p_partkey
         |WHERE CAST(ROUND(l_quantity*100) AS BIGINT) * 5 * cnt < sum_qty_c
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_order_deciles" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS c, o_orderkey
+        |  FROM orders),
+        |t AS (SELECT o_orderpriority, c,
+        |    CAST(NTILE(10) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY c, o_orderkey) AS BIGINT) AS decile
+        |  FROM o)
+        |SELECT o_orderpriority, decile, COUNT(*) AS n_orders,
+        |  CAST(SUM(c) AS BIGINT) AS total_c, CAST(MAX(c) AS BIGINT) AS max_c
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_daily_moving_revenue" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS dayno,
