@@ -1390,6 +1390,40 @@ object Pipeline {
         .orderBy($"lang")
     },
 
+    // cluster LABELING — the step after clustering that makes the cells
+    // human-auditable: every document joins its embedding's nearest
+    // centroid (the SAME broadcast-codebook argmax projection the IVF
+    // family pins — no corpus exchange on vec_id), then each cluster is
+    // named by its top-3 idf-weighted terms. tf is a (cid, term) rollup,
+    // idf the corpus-wide df rollup joined on term, and the top-3 cut is
+    // a WindowGroupLimit over cluster-sized slices — at 100 TB the only
+    // corpus-sized exchanges are the two term rollups.
+    "q_cluster_topics" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.NativeIvf.register(s)
+      val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
+      val cents = e.filter($"vec_id" < 16).select($"vec_id".as("cid"), $"q".as("cq"))
+      val codebook = cents.agg(sort_array(collect_list(struct($"cid", $"cq"))).as("cents"))
+      val assigned = e.crossJoin(broadcast(codebook))
+        .select($"vec_id", expr("graft_ivf_argmax(q, cents)").as("cid"))
+      val docs = Tables.documents(s, d)
+      val tf = assigned.join(docs.select($"doc_id", $"text"), $"vec_id" === $"doc_id")
+        .select($"cid", explode(words($"text")).as("term"))
+        .groupBy($"cid", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = docs.select(explode(array_distinct(words($"text"))).as("term"))
+        .groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy($"cid").orderBy($"score".desc, $"term")
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", expr("tf * ((n * 1000) div df)"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"cid", $"rn", $"term", $"tf", $"df", $"score")
+        .orderBy($"cid", $"rn")
+    },
+
     // temperature-weighted (α = 0.5) language rebalancing — the standard
     // multilingual-training mix: sampling weight ∝ (lang token mass)^α
     // pulls low-resource languages toward parity without flattening the
@@ -2594,6 +2628,32 @@ object Pipeline {
          |  FROM k GROUP BY lang)
          |SELECT tot.lang, tot.n_total, tot.tok_total, tot.frac_ppm, kk.n_kept, kk.tok_kept
          |FROM tot JOIN kk ON tot.lang = kk.lang ORDER BY tot.lang""".stripMargin,
+
+    "q_cluster_topics" -> {
+      val dot = "CAST(list_sum(list_transform(range(1, 65), i -> %s[i] * %s[i])) AS BIGINT)"
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cid, q AS cq FROM e WHERE vec_id < 16),
+         |ad AS (SELECT v.vec_id, c.cid, ${dot.format("v.q", "c.cq")} AS cdot FROM e v CROSS JOIN c),
+         |a AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS rn
+         |    FROM ad) WHERE rn = 1),
+         |tf AS (SELECT a.cid, t.term, COUNT(*) AS tf
+         |  FROM a JOIN (SELECT doc_id, unnest($wsExpr) AS term FROM documents) t
+         |    ON a.vec_id = t.doc_id GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM
+         |  (SELECT doc_id, unnest(list_distinct($wsExpr)) AS term FROM documents)
+         |  GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |sc AS (SELECT cid, term, tf, df, tf * ((n * 1000) // df) AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         |SELECT cid, rn, term, tf, df, CAST(score AS BIGINT) AS score FROM (
+         |  SELECT cid, term, tf, df, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY cid ORDER BY score DESC, term) AS BIGINT) AS rn
+         |  FROM sc) WHERE rn <= 3
+         |ORDER BY cid, rn""".stripMargin
+    },
 
     "q_mix_alpha" ->
       s"""WITH t AS (SELECT doc_id, lang, len($wsExpr) AS n_tok FROM documents),
