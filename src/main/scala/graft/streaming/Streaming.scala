@@ -108,6 +108,25 @@ object Streaming {
       .select(col("win.start").as("hour"), col("row"), col("cell"), col("cnt"))
   }
 
+  /** Sliding-window trailing revenue — the streaming twin of
+    * q_daily_moving_revenue: each event lands in the 7 one-day-step
+    * 7-day windows covering it (`window(ts, "7 days", "1 day")` — Spark
+    * expands the slide narrowly before the aggregate, so an event costs 7
+    * pre-aggregated rows, never a re-scan), and every window's final row
+    * IS the trailing-7-day total as of that window's end. State is the
+    * open windows only, evicted by the watermark; no RANGE frame and no
+    * ordered pass exist anywhere — the batch query's window-function
+    * shape rewrites to pure windowed aggregation when the frame step is
+    * fixed, which is the only form an unbounded stream can run.
+    */
+  def slidingRevenue(events: DataFrame, watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "7 days", "1 day").as("win"))
+      .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("rev_c"))
+      .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
+        col("n_events"), col("rev_c"))
+
   /** Stream-static enrichment: events joined against a small static
     * dimension. The static side is broadcast — the stream never shuffles,
     * which is the only join shape that scales on an unbounded source.

@@ -156,6 +156,42 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("slidingRevenue: streaming 7-day windows equal the batch trailing sums") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // events across ~20 days with day gaps (day 7 empty) so the sliding
+    // windows genuinely differ from a per-day rollup
+    val events = (0 until 500).map { i =>
+      val day = (i % 21) match { case 7 => 8; case dd => dd }
+      Ev(Timestamp.valueOf(f"2026-01-${day + 1}%02d 12:00:00"), "sale", i % 9, i * 0.25)
+    }
+    val stream = MemoryStream[Ev]
+    val q = Streaming.slidingRevenue(stream.toDF())
+      .writeStream.format("memory").queryName("sliding").outputMode("complete").start()
+    try {
+      stream.addData(events.take(250)); q.processAllAvailable()
+      stream.addData(events.drop(250)); q.processAllAvailable()
+      val got = spark.table("sliding")
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+      // batch twin: expand each event into the 7 windows covering it
+      val want = spark.createDataset(events).toDF()
+        .select($"ts", $"value",
+          explode(sequence(lit(0), lit(6))).as("k"))
+        .select(
+          (date_trunc("day", $"ts").cast("long") - $"k" * 86400L).cast("timestamp").as("win_start"),
+          $"value")
+        .groupBy($"win_start")
+        .agg(count(lit(1)).as("n_events"),
+          sum(graft.functions.GraftFunctions.cents($"value")).as("rev_c"))
+        .select($"win_start",
+          ($"win_start".cast("long") + 7 * 86400L).cast("timestamp").as("win_end"),
+          $"n_events", $"rev_c")
+        .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want)
+      assert(got.size > 20) // every covering window surfaced, not just per-day rows
+    } finally q.stop()
+  }
+
   test("vocabCoverage: streaming OOV rollup equals the batch twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
