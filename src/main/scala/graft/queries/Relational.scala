@@ -726,6 +726,43 @@ object Relational {
         .orderBy($"p_brand")
     },
 
+    // -- PageRank (3 power iterations) over the customer↔supplier
+    //    purchase graph — the iterative-graph shape beyond connected
+    //    components. Nodes are customers and offset suppliers; each
+    //    distinct purchase relation contributes BOTH directions, so no
+    //    bipartite side is dangling. All arithmetic is integer
+    //    milli-rank (r = 150 + 0.85·Σ r_u/deg_u, scaled ×1000 with div)
+    //    — deterministic at any parallelism and bit-equal to the
+    //    oracle's chained CTEs. Scale shape: the edge list materializes
+    //    ONCE (persist) and every iteration is one edge-keyed shuffle
+    //    join + one dst rollup — edge-linear per round, the same
+    //    contract as the CC layer; the final cut is TakeOrdered, not a
+    //    sort.
+    "q_pagerank" -> { (s, d) =>
+      import s.implicits._
+      val rel = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("c"), ($"l_suppkey" + 1000000L).as("p"))
+        .distinct()
+      val edges = rel.select($"c".as("src"), $"p".as("dst"))
+        .union(rel.select($"p".as("src"), $"c".as("dst")))
+        .persist()
+      val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val nodes = edges.select($"src".as("id")).distinct()
+      var ranks = nodes.withColumn("r", lit(1000L))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(outdeg, "src")
+          .join(ranks.select($"id".as("src"), $"r"), "src")
+          .groupBy($"dst").agg(sum(expr("r div deg")).as("inc"))
+        ranks = nodes.join(contrib.select($"dst".as("id"), $"inc"), Seq("id"), "left")
+          .select($"id", (lit(150L) + expr("(850 * coalesce(inc, 0L)) div 1000")).as("r"))
+      }
+      val out = ranks.orderBy($"r".desc, $"id").limit(20)
+        .select($"id", $"r".as("rank_milli"))
+      out
+    },
+
     // -- NTILE bucketing: per-priority spend deciles. The window
     //    partitions on o_orderpriority (5 keys), so each decile pass
     //    sorts only its partition's slice; the tie-break on o_orderkey
@@ -800,6 +837,26 @@ object Relational {
         |JOIN part ON l_partkey = p_partkey
         |WHERE CAST(ROUND(l_quantity*100) AS BIGINT) * 5 * cnt < sum_qty_c
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pagerank" -> {
+      def iter(prev: String, k: Int): String =
+        s"""inc$k AS (SELECT e.dst, SUM(r.r // o.deg) AS inc
+           |  FROM edges e JOIN outdeg o ON e.src = o.src
+           |  JOIN $prev r ON e.src = r.id GROUP BY e.dst),
+           |it$k AS (SELECT n.id, 150 + (850 * COALESCE(i.inc, 0)) // 1000 AS r
+           |  FROM nodes n LEFT JOIN inc$k i ON n.id = i.dst)""".stripMargin
+      s"""WITH rel AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, p AS dst FROM rel
+         |  UNION ALL SELECT p AS src, c AS dst FROM rel),
+         |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |it0 AS (SELECT id, 1000 AS r FROM nodes),
+         |${iter("it0", 1)},
+         |${iter("it1", 2)},
+         |${iter("it2", 3)}
+         |SELECT CAST(id AS BIGINT) AS id, CAST(r AS BIGINT) AS rank_milli
+         |FROM it3 ORDER BY r DESC, id LIMIT 20""".stripMargin
+    },
     "q_order_deciles" ->
       """WITH o AS (SELECT o_orderpriority,
         |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS c, o_orderkey
