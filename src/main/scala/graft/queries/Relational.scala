@@ -746,21 +746,28 @@ object Relational {
         .distinct()
       val edges = rel.select($"c".as("src"), $"p".as("dst"))
         .union(rel.select($"p".as("src"), $"c".as("dst")))
-        .persist()
       val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-      val nodes = edges.select($"src".as("id")).distinct()
+      // deg pre-joined ONCE (the naive form re-joined outdeg every
+      // round); localCheckpoint materializes the degree-carrying edge
+      // table and truncates lineage — the CC layer's pattern — so each
+      // iteration plans against exact sizes and AQE broadcasts the
+      // node-sized rank table into the edge join at test SF (at a scale
+      // where ranks outgrow a broadcast, the same plan degrades to an
+      // edge-keyed shuffle join, still edge-linear per round).
+      val eout = edges.join(outdeg, "src")
+        .select($"src", $"dst", $"deg").localCheckpoint()
+      val nodes = eout.select($"src".as("id")).distinct().localCheckpoint()
       var ranks = nodes.withColumn("r", lit(1000L))
       for (_ <- 1 to 3) {
-        val contrib = edges
-          .join(outdeg, "src")
+        val contrib = eout
           .join(ranks.select($"id".as("src"), $"r"), "src")
           .groupBy($"dst").agg(sum(expr("r div deg")).as("inc"))
         ranks = nodes.join(contrib.select($"dst".as("id"), $"inc"), Seq("id"), "left")
           .select($"id", (lit(150L) + expr("(850 * coalesce(inc, 0L)) div 1000")).as("r"))
+          .localCheckpoint()
       }
-      val out = ranks.orderBy($"r".desc, $"id").limit(20)
+      ranks.orderBy($"r".desc, $"id").limit(20)
         .select($"id", $"r".as("rank_milli"))
-      out
     },
 
     // -- NTILE bucketing: per-priority spend deciles. The window
