@@ -400,6 +400,29 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), s"q_mix_alpha lost its broadcast joins\n$p")
   }
 
+  test("q_pagerank: iterations are edge-keyed joins, never cartesian/nested-loop") {
+    // each power iteration must join ranks into the degree-carrying edge
+    // table on src and roll up on dst — a CartesianProduct or nested-loop
+    // join would mean the rank update degenerated to all-pairs; exchanges
+    // may only carry the graph keys (src/dst/id/c/p + the final TakeOrdered)
+    val p = finalPlan(Relational.queries("q_pagerank")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q_pagerank iteration went all-pairs\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q_pagerank top-20 is a full sort\n$p")
+  }
+
+  test("q_cluster_topics: assignment narrow — corpus never shuffles on vec_id") {
+    // same contract as the IVF family: the centroid assignment must stay
+    // a broadcast-codebook argmax projection; exchanges may carry the
+    // (cid, term) rollup keys, never vec_id
+    val p = finalPlan(Pipeline.queries("q_cluster_topics")(spark, sf))
+    val vecExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("vec_id")).toSeq
+    assert(vecExchanges.isEmpty,
+      s"q_cluster_topics: corpus shuffled on vec_id: ${vecExchanges.mkString("; ")}\n$p")
+  }
+
   test("q_embed_rp_recall: projection is narrow, corpus never shuffles on vec_id") {
     // the 64→16 projection must be a codegen projection (no exchange), the
     // reduced-space scan must join a BROADCAST query side, and — like the
