@@ -619,6 +619,56 @@ object FormatQueries {
         .orderBy($"contig", $"sample")
     },
 
+    // mate-pair recomputation (samtools `fixmate`): each source row emits
+    // BOTH mates of one template (mate 2 at a row-derived gap); after the
+    // connector round-trip the mates are re-united by ONE groupBy on
+    // readName — the canonical fixmate shuffle, corpus-linear with
+    // template-bounded groups — and each template's span/insert is
+    // recomputed from both mates' coordinates. Template names derive from
+    // the row's fields, so a fully-duplicated source row collides into a
+    // 4-member group and is dropped by the exact-2 rule on BOTH sides
+    // (the oracle groups the same synthesized mate set the same way).
+    "q_bam_fixmate" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/fixmate.bam"
+      val src = Tables.lineitem(s, d).select(
+        concat_ws("-", lit("t"), $"l_orderkey", $"l_linenumber",
+          $"l_partkey", $"l_suppkey").as("readName"),
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("rstart"),
+        (($"l_suppkey" % 300) + 200).cast("int").as("gap"),
+        ($"l_orderkey" % 100).cast("string").as("tag"))
+      val paired = src
+        .select($"readName", $"contig", $"tag",
+          posexplode(array($"rstart", $"rstart" + $"gap")).as(Seq("mate", "start")))
+        .select(
+          $"readName",
+          when($"mate" === 0, 67).otherwise(131).cast("int").as("flags"),
+          $"contig",
+          $"start",
+          ($"start" + 150).as("end"),
+          lit(60).cast("int").as("mapq"),
+          lit("151M").as("cigar"),
+          lit(null).cast("string").as("mateContig"),
+          lit(0).cast("int").as("mateStart"),
+          lit(0).cast("int").as("tlen"),
+          lit("*").as("seq"),
+          lit("*").as("qual"),
+          map(lit("XO"), concat(lit("i:"), $"tag")).as("attributes"))
+      spread(paired).write.format("bam").mode("overwrite")
+        .option("refs", Refs).option("writeSbi", "true").save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      back.select($"readName", $"contig", $"start".cast("long").as("start"))
+        .groupBy($"readName", $"contig")
+        .agg(count(lit(1)).as("n"), min($"start").as("s1"), max($"start").as("s2"))
+        .filter($"n" === 2)
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_templates"),
+          sum($"s1").as("sum_s1"), sum($"s2").as("sum_s2"),
+          sum($"s2" + 151 - $"s1").as("sum_tlen"))
+        .orderBy($"contig")
+    },
+
     // deterministic pair-preserving subsample (samtools `view -s`
     // semantics): the keep decision hashes the READ NAME, so both mates
     // of a template always land together — the invariant naive
@@ -1009,6 +1059,22 @@ object FormatQueries {
     "q_bam_bai_intervals" -> oracleAggregate(
       """WHERE (contig = 'chr0' AND rstart <= 5000 AND rend >= 1)
         |   OR (contig = 'chr1' AND rstart <= 7000 AND rend >= 2000)""".stripMargin),
+    "q_bam_fixmate" ->
+      """WITH r AS (SELECT
+        |    't-' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+        |      || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR) AS name,
+        |    'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS rstart,
+        |    CAST((l_suppkey % 300) + 200 AS BIGINT) AS gap
+        |  FROM lineitem),
+        |m AS (SELECT name, contig, rstart AS s FROM r
+        |  UNION ALL SELECT name, contig, rstart + gap FROM r),
+        |g AS (SELECT name, contig, COUNT(*) AS n, MIN(s) AS s1, MAX(s) AS s2
+        |  FROM m GROUP BY 1, 2)
+        |SELECT contig, COUNT(*) AS n_templates,
+        |  CAST(SUM(s1) AS BIGINT) AS sum_s1, CAST(SUM(s2) AS BIGINT) AS sum_s2,
+        |  CAST(SUM(s2 + 151 - s1) AS BIGINT) AS sum_tlen
+        |FROM g WHERE n = 2 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bam_subsample" ->
       """WITH reads AS (
         |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
