@@ -1390,6 +1390,36 @@ object Pipeline {
         .orderBy($"lang")
     },
 
+    // MinHash ESTIMATOR ACCURACY — the eval-suite twin of q_ann_recall
+    // for the dedup family: on the LSH candidate pairs, the Jaccard
+    // estimate from signature agreement (matching positions / K) is
+    // scored against the exact shingle Jaccard, bucketed by exact value.
+    // The report is the calibration table that justifies the K=16
+    // signature at scale: if a refactor degraded the hash family, the
+    // per-bucket mean absolute error moves and the hash diverges. Same
+    // candidate machinery as the jaccard re-score — no new pair space.
+    "q_dedup_minhash_accuracy" -> { (s, d) =>
+      import s.implicits._
+      val base = withShingles(signedDocs(Tables.documents(s, d)))
+        .withColumn("shash", shingleHashes)
+        .select($"doc_id", $"sig", array_distinct($"shash").as("sh"))
+        .persist()
+      val cand = lshCandidatePairs(base)
+      cand
+        .join(base.select($"doc_id".as("doc_a"), $"sig".as("sig_a"), $"sh".as("sh_a")), "doc_a")
+        .join(base.select($"doc_id".as("doc_b"), $"sig".as("sig_b"), $"sh".as("sh_b")), "doc_b")
+        .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")))
+        .withColumn("uni", size($"sh_a") + size($"sh_b") - $"inter")
+        .withColumn("jacc_milli", expr("inter * 1000 div uni"))
+        .withColumn("est_milli", expr(
+          s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v) * 1000 div $MinhashK"))
+        .groupBy(expr("jacc_milli div 100").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs($"est_milli" - $"jacc_milli").cast("long")).as("sum_abs_err"))
+        .withColumn("mean_abs_err_milli", expr("sum_abs_err div n_pairs"))
+        .orderBy($"bucket")
+    },
+
     // cluster LABELING — the step after clustering that makes the cells
     // human-auditable: every document joins its embedding's nearest
     // centroid (the SAME broadcast-codebook argmax projection the IVF
@@ -2628,6 +2658,24 @@ object Pipeline {
          |  FROM k GROUP BY lang)
          |SELECT tot.lang, tot.n_total, tot.tok_total, tot.frac_ppm, kk.n_kept, kk.tok_kept
          |FROM tot JOIN kk ON tot.lang = kk.lang ORDER BY tot.lang""".stripMargin,
+
+    "q_dedup_minhash_accuracy" ->
+      s"""${oracleBandsCte()},
+         |ss AS (SELECT doc_id, list_distinct(shash) AS sh FROM sh2),
+         |p AS (SELECT c.doc_a, c.doc_b,
+         |    len(list_intersect(sa.sh, sb.sh)) AS inter,
+         |    len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni,
+         |    list_sum(list_transform(range(1, ${MinhashK + 1}),
+         |      i -> CASE WHEN ga.sig[i] = gb.sig[i] THEN 1 ELSE 0 END)) AS agree
+         |  FROM cand c
+         |  JOIN ss sa ON sa.doc_id = c.doc_a JOIN ss sb ON sb.doc_id = c.doc_b
+         |  JOIN sig ga ON ga.doc_id = c.doc_a JOIN sig gb ON gb.doc_id = c.doc_b),
+         |q AS (SELECT inter * 1000 // uni AS jacc_milli,
+         |    agree * 1000 // $MinhashK AS est_milli FROM p)
+         |SELECT jacc_milli // 100 AS bucket, COUNT(*) AS n_pairs,
+         |  CAST(SUM(ABS(est_milli - jacc_milli)) AS BIGINT) AS sum_abs_err,
+         |  CAST(SUM(ABS(est_milli - jacc_milli)) // COUNT(*) AS BIGINT) AS mean_abs_err_milli
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cluster_topics" -> {
       val dot = "CAST(list_sum(list_transform(range(1, 65), i -> %s[i] * %s[i])) AS BIGINT)"

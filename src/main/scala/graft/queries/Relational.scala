@@ -726,6 +726,27 @@ object Relational {
         .orderBy($"p_brand")
     },
 
+    // -- Ratio-to-report window: each supplier's share of its nation's
+    //    revenue, without a self-join — ONE aggregate to supplier grain,
+    //    then a windowed total over the nation slice (25 keys, each pass
+    //    partition-local). The ppm ratio stays in integers.
+    "q_supplier_share" -> { (s, d) =>
+      import s.implicits._
+      val sup = Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey")
+      val rev = Tables.lineitem(s, d)
+        .groupBy($"l_suppkey")
+        .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("rev_c"))
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      val w = Window.partitionBy($"s_nationkey")
+      rev
+        .withColumn("nation_c", sum($"rev_c").over(w))
+        .withColumn("share_ppm", expr("rev_c * 1000000 div nation_c"))
+        .filter($"share_ppm" >= 60000)
+        .select($"s_nationkey", $"l_suppkey".as("suppkey"), $"rev_c",
+          $"nation_c", $"share_ppm")
+        .orderBy($"s_nationkey", $"suppkey")
+    },
+
     // -- PageRank (3 power iterations) over the customer↔supplier
     //    purchase graph — the iterative-graph shape beyond connected
     //    components. Nodes are customers and offset suppliers; each
@@ -844,6 +865,18 @@ object Relational {
         |JOIN part ON l_partkey = p_partkey
         |WHERE CAST(ROUND(l_quantity*100) AS BIGINT) * 5 * cnt < sum_qty_c
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_supplier_share" ->
+      """WITH rev AS (SELECT l_suppkey AS suppkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+        |      AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT s_nationkey, suppkey, rev_c,
+        |    CAST(SUM(rev_c) OVER (PARTITION BY s_nationkey) AS BIGINT) AS nation_c
+        |  FROM rev JOIN supplier ON suppkey = s_suppkey)
+        |SELECT s_nationkey, suppkey, rev_c, nation_c,
+        |  rev_c * 1000000 // nation_c AS share_ppm
+        |FROM j WHERE rev_c * 1000000 // nation_c >= 60000
+        |ORDER BY s_nationkey, suppkey""".stripMargin,
     "q_pagerank" -> {
       def iter(prev: String, k: Int): String =
         s"""inc$k AS (SELECT e.dst, SUM(r.r // o.deg) AS inc
