@@ -29,6 +29,44 @@ object Extras {
         .orderBy($"kind")
     },
 
+    // multimodal NEAR-DUP: a 60-bit perceptual hash over the stub-decoded
+    // 8×8 payload (bit k set when byte k exceeds the payload mean — the
+    // aHash family) bucketed per (kind, phash) — narrow per-item hash,
+    // ONE bucket shuffle, no pair space: the exact-dedup contract applied
+    // to media, with the real-codec swap point at the same decode seam
+    // the other multimodal ops document. The synthetic corpus has no
+    // same-kind byte-identical media, so the oracled report is the
+    // HASH PROFILE (count, distinct hashes, dup mass, xor-fold of every
+    // hash) — the fold pins each row's 60-bit value, so any phash drift
+    // hash-mismatches even at zero duplicate families.
+    "q_multimodal_dedup" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val m = graft.multimodal.Multimodal.syntheticMedia(s, d)
+      graft.multimodal.Multimodal.resize(m, 8, 8).toDF()
+        .select($"media_id", $"kind", $"payload")
+        .as[(Long, String, Array[Byte])]
+        .map { case (id, kind, p) =>
+          val n = p.length
+          val sum = p.map(b => (b & 0xff).toLong).sum
+          var bits = 0L
+          var k = 0
+          while (k < math.min(60, n)) {
+            if ((p(k) & 0xff).toLong * n > sum) bits |= 1L << k
+            k += 1
+          }
+          (id, kind, bits)
+        }.toDF("media_id", "kind", "phash")
+        .groupBy($"kind", $"phash")
+        .agg(count(lit(1)).as("nb"))
+        .groupBy($"kind")
+        .agg(sum($"nb").as("n_media"),
+          count(lit(1)).as("n_phash"),
+          sum($"nb" - 1).as("n_dup_media"),
+          sum($"phash" % 1000003L).as("hash_fold"))
+        .orderBy($"kind")
+    },
+
     // stub frame sampling: every 4th 64-byte frame as its own row —
     // row-level oracle (one row per sampled frame, len + byte sum each)
     "q_multimodal_frames" -> { (s, d) =>
@@ -58,6 +96,31 @@ object Extras {
         |SELECT kind, COUNT(*) AS n_media, CAST(SUM(out_len) AS BIGINT) AS total_len,
         |  CAST(SUM(byte_sum) AS BIGINT) AS total_byte_sum
         |FROM r GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "q_multimodal_dedup" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |    encode(text) AS payload FROM documents),
+        |b AS (SELECT media_id, kind, octet_length(payload) AS n,
+        |    list_transform(range(0, octet_length(payload)),
+        |      i -> CAST('0x' || substr(hex(payload), CAST(2 * i + 1 AS INTEGER), 2) AS INTEGER)) AS bytes
+        |  FROM m),
+        |r AS (SELECT media_id, kind,
+        |    CASE WHEN n = 0 THEN [] ELSE list_transform(range(0, 64),
+        |      j -> bytes[CAST(j * n // 64 + 1 AS INTEGER)]) END AS rb
+        |  FROM b),
+        |h AS (SELECT media_id, kind,
+        |    CASE WHEN len(rb) = 0 THEN 0 ELSE
+        |      CAST(list_sum(list_transform(range(0, 60),
+        |        k -> CASE WHEN rb[CAST(k + 1 AS INTEGER)] * 64 > list_sum(rb)
+        |             THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT)
+        |    END AS phash
+        |  FROM r),
+        |g AS (SELECT kind, phash, COUNT(*) AS nb FROM h GROUP BY 1, 2)
+        |SELECT kind, CAST(SUM(nb) AS BIGINT) AS n_media, COUNT(*) AS n_phash,
+        |  CAST(SUM(nb - 1) AS BIGINT) AS n_dup_media,
+        |  CAST(SUM(phash % 1000003) AS BIGINT) AS hash_fold
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload FROM documents),
