@@ -607,6 +607,25 @@ object Relational {
         .orderBy($"event_type")
     },
 
+    // -- Hive-partitioned layout + partition-pruned scan: the corpus is
+    //    written `partitionBy(lang)` and the language filter then prunes
+    //    at the DIRECTORY level — the scan never opens a non-matching
+    //    file, which at 100 TB is the difference between reading one
+    //    language and reading the lake (PlanShapeSpec pins the
+    //    PartitionFilters entry and that `lang` is out of the data
+    //    schema). Partition values round-trip through directory names,
+    //    so the aggregate also proves the layout didn't mangle the key.
+    "q_partition_prune" -> { (s, d) =>
+      import s.implicits._
+      val base = s"${FormatQueries.tmpBase}/partby/${d.hashCode.toHexString}"
+      Tables.documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(base)
+      s.read.parquet(base)
+        .filter($"lang" === "en")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+        .orderBy($"source")
+    },
+
     // -- Compaction round-trip: documents written as 20 small files,
     // compacted by graft.sources.Compact (narrow coalesce, no exchange),
     // read back and aggregated — proving the maintenance pass preserves
@@ -1028,6 +1047,10 @@ object Relational {
         |FROM events e JOIN (SELECT DISTINCT event_type FROM events) d
         |  ON e.event_type = d.event_type
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_partition_prune" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source""".stripMargin,
     "q_compact_roundtrip" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars

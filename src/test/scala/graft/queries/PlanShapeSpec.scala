@@ -400,6 +400,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), s"q_mix_alpha lost its broadcast joins\n$p")
   }
 
+  test("q_partition_prune: lang filter prunes at the directory level") {
+    // the language predicate must land in PartitionFilters (directory
+    // pruning), NOT as a row-level PushedFilters residual — and lang must
+    // be a partition column, absent from the parquet data schema read
+    val p = finalPlan(Relational.queries("q_partition_prune")(spark, sf))
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("lang")),
+      s"lang predicate did not become a partition filter\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .map(_.split("ReadSchema:")(1)).getOrElse("")
+    assert(!readSchema.contains("lang"),
+      s"lang still read from the data files: $readSchema")
+  }
+
   test("q_pagerank: iterations are edge-keyed joins, never cartesian/nested-loop") {
     // each power iteration must join ranks into the degree-carrying edge
     // table on src and roll up on dst — a CartesianProduct or nested-loop
