@@ -626,6 +626,32 @@ object Relational {
         .orderBy($"source")
     },
 
+    // -- DYNAMIC partition pruning: the runtime counterpart of
+    //    q_partition_prune. The fact table is partitioned by ship month;
+    //    the months worth reading are only known after FILTERING the
+    //    dimension side, so Catalyst injects the dim's build output as a
+    //    runtime partition filter (dynamicpruning expression) — the fact
+    //    scan plans all 12 directories but READS only the dim-selected
+    //    ones. At 100 TB this is the star-join pattern: the dim filter,
+    //    not a static literal, decides which fact partitions exist for
+    //    this query. PlanShapeSpec pins the dynamicpruning entry.
+    "q_dpp_join" -> { (s, d) =>
+      import s.implicits._
+      val base = s"${FormatQueries.tmpBase}/dpp/${d.hashCode.toHexString}"
+      Tables.lineitem(s, d)
+        .withColumn("ship_month", month($"l_shipdate"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(base)
+      val fact = s.read.parquet(base)
+      val dim = Tables.nation(s, d)
+        .filter($"n_regionkey" === 1)
+        .select(($"n_nationkey" % 12 + 1).as("m"), $"n_name")
+      fact.join(dim, $"ship_month" === $"m")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents($"l_extendedprice")).as("price_c"))
+        .orderBy($"n_name")
+    },
+
     // -- Compaction round-trip: documents written as 20 small files,
     // compacted by graft.sources.Compact (narrow coalesce, no exchange),
     // read back and aggregated — proving the maintenance pass preserves
@@ -1046,6 +1072,13 @@ object Relational {
         |  CAST(SUM(CAST(ROUND(e.value*100) AS BIGINT) * length(d.event_type)) AS BIGINT) AS weighted_c
         |FROM events e JOIN (SELECT DISTINCT event_type FROM events) d
         |  ON e.event_type = d.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dpp_join" ->
+      """WITH f AS (SELECT month(l_shipdate) AS ship_month, l_extendedprice FROM lineitem),
+        |dim AS (SELECT n_nationkey % 12 + 1 AS m, n_name FROM nation WHERE n_regionkey = 1)
+        |SELECT n_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_c
+        |FROM f JOIN dim ON ship_month = m
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_partition_prune" ->
       """SELECT source, COUNT(*) AS n_docs,

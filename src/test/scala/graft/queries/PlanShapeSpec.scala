@@ -414,6 +414,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"lang still read from the data files: $readSchema")
   }
 
+  test("q_dpp_join: the dim filter becomes a runtime partition filter") {
+    // the fact scan's PartitionFilters must carry a dynamicpruning
+    // expression fed by the filtered dimension — without it the scan
+    // reads all 12 month directories regardless of the dim selection
+    val p = finalPlan(Relational.queries("q_dpp_join")(spark, sf))
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan is not dynamically pruned by the dim side\n$p")
+  }
+
   test("q_pagerank: iterations are edge-keyed joins, never cartesian/nested-loop") {
     // each power iteration must join ranks into the degree-carrying edge
     // table on src and roll up on dst — a CartesianProduct or nested-loop
