@@ -134,6 +134,33 @@ object Streaming {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming DECONTAMINATION gate — the streaming twin of
+    * q_decontam_bloom's prefilter: an incoming document stream
+    * (doc_id, ts, text) is fingerprinted (the same winnowed
+    * `graft_fingerprints` pass the batch registry uses — register
+    * [[graft.functions.FingerprintsExpr]] on the session first) and each
+    * fingerprint is probed against a STATIC broadcast Bloom of the
+    * holdout/eval set, exactly how an ingest pipeline blocks test-set
+    * leakage at the door. The Bloom rides along as one broadcast row; the
+    * probe is k codegen'd word lookups per fingerprint — the stream never
+    * shuffles to meet the filter, and the only keyed state is the
+    * watermarked per-(window, doc) hit rollup. Hits are a superset of
+    * true leaks (Bloom false positives ≈ the batch query's documented
+    * ~0.3%); the emitted count is the triage signal, the exact re-check
+    * stays batch-side.
+    */
+  def decontamGate(docs: DataFrame, bloom: DataFrame, mBits: Long,
+                   watermark: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("doc_id"),
+        explode(expr("graft_fingerprints(text)")).as("fp"))
+      .crossJoin(broadcast(bloom))
+      .filter(graft.queries.BloomFilter.mightContain(col("bloom"), col("fp"), mBits))
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("win.start").as("hour"), col("doc_id"), col("n_hits"))
+
   /** Streaming tokenizer-coverage monitor — the streaming twin of
     * q_vocab_oov: an incoming document stream (doc_id, ts, lang, text) is
     * scored against a FIXED vocabulary (one `term` column, derived batch-

@@ -192,6 +192,47 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("decontamGate: streaming Bloom hits equal the batch prefilter") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.FingerprintsExpr.register(spark)
+    val holdoutTexts = (0 until 5).map(i =>
+      s"the quick brown fox $i jumps over the lazy dog wearing hat $i again today somehow")
+    // every 4th stream doc replays a holdout text verbatim — those must
+    // flag; the fresh docs share no 8-gram window with the holdout
+    val docs = (0 until 40).map { i =>
+      val text = if (i % 4 == 0) holdoutTexts(i % 5)
+        else s"completely fresh content $i with plenty of distinct words to fingerprint nicely ${i * 7} and ${i * 13}"
+      (i.toLong, ts(i), text)
+    }
+    val holdoutFps = holdoutTexts.toDF("text")
+      .select(explode(expr("graft_fingerprints(text)")).as("fp"))
+    val mBits = graft.queries.BloomFilter.sizeFor(math.max(64L, holdoutFps.count()))
+    val bloom = graft.queries.BloomFilter.build(holdoutFps, "fp", mBits)
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val q = Streaming.decontamGate(
+        stream.toDF().toDF("doc_id", "ts", "text"), bloom, mBits)
+      .writeStream.format("memory").queryName("decontam").outputMode("complete").start()
+    try {
+      stream.addData(docs.take(20)); q.processAllAvailable()
+      stream.addData(docs.drop(20)); q.processAllAvailable()
+      val got = spark.table("decontam")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+      val want = docs.toDF("doc_id", "ts", "text")
+        .select(date_trunc("hour", $"ts").as("hour"), $"doc_id",
+          explode(expr("graft_fingerprints(text)")).as("fp"))
+        .crossJoin(broadcast(bloom))
+        .filter(graft.queries.BloomFilter.mightContain($"bloom", $"fp", mBits))
+        .groupBy($"hour", $"doc_id").agg(count(lit(1)).as("n_hits"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+      val flagged = got.map(_._2)
+      assert((0 until 40 by 4).forall(i => flagged.contains(i.toLong)),
+        s"a replayed holdout doc escaped the gate: $flagged")
+      assert(flagged.size < 40, "every doc flagged — the Bloom gate is not selective")
+    } finally q.stop()
+  }
+
   test("vocabCoverage: streaming OOV rollup equals the batch twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
