@@ -771,6 +771,37 @@ object Relational {
         .orderBy($"p_brand")
     },
 
+    // -- Set operations: INTERSECT/EXCEPT compile to distinct + semi/anti
+    //    joins — each count is one key-shuffle over the distinct supplier
+    //    sets, never a materialized intersection table. The three counts
+    //    cross-join as single rows.
+    "q_set_ops" -> { (s, d) =>
+      import s.implicits._
+      val l = Tables.lineitem(s, d)
+      val h1 = l.filter($"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+        .select($"l_suppkey").distinct()
+      val h2 = l.filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp"))
+        .select($"l_suppkey").distinct()
+      h1.intersect(h2).agg(count(lit(1)).as("n_both"))
+        .crossJoin(h1.except(h2).agg(count(lit(1)).as("n_h1_only")))
+        .crossJoin(h2.except(h1).agg(count(lit(1)).as("n_h2_only")))
+    },
+
+    // -- SQL-text interface: the same engine through `spark.sql` over
+    //    registered views — the reference's compose-with-Spark-SQL claim
+    //    (README.md:139-141) exercised literally. The plan is identical
+    //    to the DataFrame form; this pins that the library's tables are
+    //    first-class SQL citizens.
+    "q_sql_interface" -> { (s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql("""SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_orders,
+              |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+              |FROM g_lineitem JOIN g_orders ON l_orderkey = o_orderkey
+              |WHERE l_returnflag = 'A'
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
     // -- Ratio-to-report window: each supplier's share of its nation's
     //    revenue, without a self-join — ONE aggregate to supplier grain,
     //    then a windowed total over the nation slice (25 keys, each pass
@@ -910,6 +941,21 @@ object Relational {
         |JOIN part ON l_partkey = p_partkey
         |WHERE CAST(ROUND(l_quantity*100) AS BIGINT) * 5 * cnt < sum_qty_c
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_set_ops" ->
+      """WITH h1 AS (SELECT DISTINCT l_suppkey FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1998-01-01'),
+        |h2 AS (SELECT DISTINCT l_suppkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01')
+        |SELECT
+        |  (SELECT COUNT(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)) AS n_both,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)) AS n_h1_only,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)) AS n_h2_only""".stripMargin,
+    "q_sql_interface" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'A'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_supplier_share" ->
       """WITH rev AS (SELECT l_suppkey AS suppkey,
         |    CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
