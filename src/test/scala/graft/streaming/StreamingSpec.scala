@@ -38,6 +38,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("hourlyEventCounts: restart from checkpoint neither drops nor double-counts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val events = (0 until 600).map(i =>
+      Ev(ts(i), if (i % 3 == 0) "click" else "view", i % 7, i * 0.5))
+    val stream = MemoryStream[Ev]
+    def start() = Streaming.hourlyEventCounts(stream.toDF())
+      .writeStream.format("memory").queryName("hourly_ckpt")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    val q1 = start()
+    stream.addData(events.take(300)); q1.processAllAvailable()
+    q1.stop() // simulated driver loss mid-stream
+    val q2 = start() // recovery: offsets + state come from the checkpoint
+    try {
+      stream.addData(events.drop(300)); q2.processAllAvailable()
+      val got = spark.table("hourly_ckpt")
+        .select($"hour", $"event_type", $"n", $"value_c")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val want = spark.createDataset(events).toDF()
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(graft.functions.GraftFunctions.cents($"value")).as("value_c"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want,
+        "post-restart totals diverge from the batch truth — state or offsets were lost/replayed")
+    } finally q2.stop()
+  }
+
   test("pathing: streaming transitions equal the batch lead() window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
