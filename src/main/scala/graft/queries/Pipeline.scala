@@ -1462,6 +1462,10 @@ object Pipeline {
     // so the oracle agrees bit-for-bit); the keep decision is the same
     // doc-hash Bernoulli gate as q_mix_sample — stateless, narrow,
     // deterministic at any parallelism. Only lang-rollup-sized exchanges.
+    // The keep fraction is PER-65536 (not ppm): the ppm product
+    // budget_tok × 1e6 overflows Long past ~9e12 tokens (≈37 TB of
+    // text); ×65536 keeps the same integer-exact oracle parity with
+    // headroom past 500 TB.
     "q_mix_alpha" -> { (s, d) =>
       import s.implicits._
       val t = Tables.documents(s, d)
@@ -1472,15 +1476,15 @@ object Pipeline {
       val alloc = totals.agg(sum($"weight").as("sum_w"), sum($"tok_total").as("tok_all"))
       val target = totals.crossJoin(broadcast(alloc))
         .withColumn("budget_tok", expr("(tok_all div 2) * weight div sum_w"))
-        .withColumn("keep_ppm",
-          least(lit(1000000L), expr("budget_tok * 1000000 div tok_total")))
-        .select($"lang", $"n_total", $"tok_total", $"weight", $"keep_ppm")
+        .withColumn("keep_p16",
+          least(lit(65536L), expr("budget_tok * 65536 div tok_total")))
+        .select($"lang", $"n_total", $"tok_total", $"weight", $"keep_p16")
       t.join(broadcast(target), "lang")
-        .filter(hash60(concat(lit("alpha|"), $"doc_id".cast("string"))) % 1000000 < $"keep_ppm")
+        .filter(hash60(concat(lit("alpha|"), $"doc_id".cast("string"))) % 65536 < $"keep_p16")
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_kept"), sum($"n_tok").as("tok_kept"))
         .join(broadcast(target), "lang")
-        .select($"lang", $"n_total", $"tok_total", $"weight", $"keep_ppm",
+        .select($"lang", $"n_total", $"tok_total", $"weight", $"keep_p16",
           $"n_kept", $"tok_kept")
         .orderBy($"lang")
     },
@@ -1506,7 +1510,9 @@ object Pipeline {
         .agg(count(lit(1)).as("n_tok"),
           sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"),
           countDistinct(when($"in_vocab".isNull, $"term")).as("n_oov_terms"))
-        .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tok"))
+        // per-65536, not ppm: n_oov × 1e6 overflows Long past ~9e12
+        // corpus tokens — ×65536 is exact with headroom past 500 TB
+        .withColumn("oov_p16", expr("n_oov * 65536 div n_tok"))
         .orderBy($"lang")
     },
 
@@ -2711,14 +2717,14 @@ object Pipeline {
          |al AS (SELECT CAST(SUM(weight) AS BIGINT) AS sum_w,
          |    CAST(SUM(tok_total) AS BIGINT) AS tok_all FROM tot),
          |tg AS (SELECT lang, n_total, tok_total, weight,
-         |    CAST(LEAST(1000000, ((tok_all // 2) * weight // sum_w) * 1000000 // tok_total)
-         |      AS BIGINT) AS keep_ppm
+         |    CAST(LEAST(65536, ((tok_all // 2) * weight // sum_w) * 65536 // tok_total)
+         |      AS BIGINT) AS keep_p16
          |  FROM tot CROSS JOIN al),
          |k AS (SELECT t.lang, t.n_tok FROM t JOIN tg USING (lang)
-         |  WHERE ${h60("'alpha|' || CAST(doc_id AS VARCHAR)")} % 1000000 < keep_ppm),
+         |  WHERE ${h60("'alpha|' || CAST(doc_id AS VARCHAR)")} % 65536 < keep_p16),
          |kk AS (SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tok_kept
          |  FROM k GROUP BY lang)
-         |SELECT tg.lang, tg.n_total, tg.tok_total, tg.weight, tg.keep_ppm,
+         |SELECT tg.lang, tg.n_total, tg.tok_total, tg.weight, tg.keep_p16,
          |  kk.n_kept, kk.tok_kept
          |FROM tg JOIN kk ON tg.lang = kk.lang ORDER BY tg.lang""".stripMargin,
 
@@ -2731,7 +2737,7 @@ object Pipeline {
          |  FROM toks LEFT JOIN v ON toks.term = v.term)
          |SELECT lang, COUNT(*) AS n_tok, CAST(SUM(oov) AS BIGINT) AS n_oov,
          |  COUNT(DISTINCT CASE WHEN oov = 1 THEN term END) AS n_oov_terms,
-         |  CAST(SUM(oov) AS BIGINT) * 1000000 // COUNT(*) AS oov_ppm
+         |  CAST(SUM(oov) AS BIGINT) * 65536 // COUNT(*) AS oov_p16
          |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_embed_rp_recall" -> {
