@@ -580,6 +580,53 @@ object FormatQueries {
         .orderBy($"contig")
     },
 
+    // multi-sample VCF MERGE (`bcftools merge` shape): two single-sample
+    // cohort VCFs round-trip through the connector, then meet in a
+    // FULL OUTER join on the site key — present-in-one sites keep their
+    // genotype, present-in-both sites concatenate genotype arrays. The
+    // join shuffles both sides once on (contig, start) — site-keyed, the
+    // natural merge key at any cohort count — and the rollup pins which
+    // sites matched and whose DP survived, so a join-type or
+    // genotype-concat bug hash-mismatches.
+    "q_vcf_merge" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val base = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
+      def cohort(parity: Int, sample: String): DataFrame = {
+        val sites = Tables.orders(s, d).filter($"o_orderkey" % 2 === parity)
+          .select(concat(lit("chr"), ($"o_orderkey" % 3).cast("string")).as("contig"),
+            ((($"o_custkey" * 53) % 999000) + 1).cast("int").as("start"))
+          .groupBy($"contig", $"start").agg(count(lit(1)).cast("int").as("dp"))
+        sites.select($"contig", $"start", $"start".as("end"),
+          lit(null).cast("string").as("id"), lit("A").as("ref"),
+          array(lit("T")).as("alt"), lit(40.0).as("qual"),
+          array(lit("PASS")).as("filters"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+          array(struct(lit(sample).as("sample"), lit("0/1").as("gt"),
+            map(lit("DP"), $"dp".cast("string")).as("fields"))).as("genotypes"))
+      }
+      val pa = s"$base/merge_a.vcf.bgz"; val pb = s"$base/merge_b.vcf.bgz"
+      spread(cohort(0, "sa")).write.format("vcf").mode("overwrite").save(pa)
+      spread(cohort(1, "sb")).write.format("vcf").mode("overwrite").save(pb)
+      val a = s.read.format("vcf").option("splitSize", 256 * 1024).load(pa)
+        .select($"contig", $"start", $"genotypes".as("ga"))
+      val b = s.read.format("vcf").option("splitSize", 256 * 1024).load(pb)
+        .select($"contig".as("bcontig"), $"start".as("bstart"), $"genotypes".as("gb"))
+      a.join(b, $"contig" === $"bcontig" && $"start" === $"bstart", "full_outer")
+        .select(coalesce($"contig", $"bcontig").as("mcontig"),
+          $"ga", $"gb",
+          concat(coalesce($"ga", array()), coalesce($"gb", array())).as("merged"))
+        .groupBy($"mcontig".as("contig"))
+        .agg(
+          sum(when($"ga".isNotNull && $"gb".isNotNull, 1L).otherwise(0L)).as("n_both"),
+          sum(when($"ga".isNotNull && $"gb".isNull, 1L).otherwise(0L)).as("n_a_only"),
+          sum(when($"ga".isNull && $"gb".isNotNull, 1L).otherwise(0L)).as("n_b_only"),
+          sum(aggregate($"merged", lit(0L),
+            (acc, g) => acc + element_at(g.getField("fields"), "DP").cast("long")))
+            .as("sum_dp"))
+        .orderBy($"contig")
+    },
+
     // genotype-carrying VCF round-trip: three samples per site with
     // GT + per-sample DP fields, pushed through the FORMAT/genotype
     // serializer and the split-aware scan, then per-(contig, sample)
@@ -1089,6 +1136,23 @@ object FormatQueries {
         |FROM reads
         |WHERE CAST('0x' || substr(md5('sub|' || rname), 1, 15) AS BIGINT) % 100 < 25
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vcf_merge" ->
+      """WITH sa AS (SELECT 'chr' || CAST(o_orderkey % 3 AS VARCHAR) AS contig,
+        |    (o_custkey * 53) % 999000 + 1 AS start, COUNT(*) AS dp
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1, 2),
+        |sb AS (SELECT 'chr' || CAST(o_orderkey % 3 AS VARCHAR) AS contig,
+        |    (o_custkey * 53) % 999000 + 1 AS start, COUNT(*) AS dp
+        |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1, 2),
+        |m AS (SELECT COALESCE(sa.contig, sb.contig) AS contig,
+        |    sa.dp AS dpa, sb.dp AS dpb
+        |  FROM sa FULL OUTER JOIN sb
+        |    ON sa.contig = sb.contig AND sa.start = sb.start)
+        |SELECT contig,
+        |  CAST(SUM(CASE WHEN dpa IS NOT NULL AND dpb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(SUM(CASE WHEN dpa IS NOT NULL AND dpb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_a_only,
+        |  CAST(SUM(CASE WHEN dpa IS NULL AND dpb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_b_only,
+        |  CAST(SUM(COALESCE(dpa, 0) + COALESCE(dpb, 0)) AS BIGINT) AS sum_dp
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_vcf_genotypes" ->
       """WITH v AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
         |    l_orderkey AS ok, l_linenumber AS ln, l_suppkey AS sk FROM lineitem),
