@@ -580,6 +580,41 @@ object FormatQueries {
         .orderBy($"contig")
     },
 
+    // coordinate LIFTOVER: every read remapped to a target assembly
+    // through a chain of fixed-width segments (the liftOver operator).
+    // The chain is assembly-sized — KB, not corpus — so it BROADCASTS and
+    // the remap is a narrow projection + broadcast join keyed on the
+    // segment index ((start-1) div width): no range probe, no shuffle of
+    // the reads. Reads whose segment has no chain entry are "unlifted"
+    // and counted rather than dropped silently — the failure mode
+    // liftOver pipelines must surface.
+    "q_bam_liftover" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/lift.bam"
+      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
+        .option("refs", Refs).option("writeSbi", "true").save(path)
+      // chain: 20 of the 25 segments per contig lift (nation 23,24 and
+      // region keys drop segments deterministically)
+      val chain = Tables.nation(s, d)
+        .crossJoin(Tables.region(s, d).select($"r_regionkey").filter($"r_regionkey" < 3))
+        .filter($"n_nationkey" < 20)
+        .select(concat(lit("chr"), $"r_regionkey".cast("string")).as("ccontig"),
+          $"n_nationkey".cast("long").as("cseg"),
+          (($"n_nationkey" * 37 + $"r_regionkey" * 101) % 500000 + 1000000L).as("dst"))
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+        .select($"contig", $"start".cast("long").as("start"))
+        .withColumn("seg", expr("(start - 1) div 40000"))
+      back.join(broadcast(chain),
+          $"contig" === $"ccontig" && $"seg" === $"cseg", "left")
+        .select($"contig", $"start",
+          when($"dst".isNotNull, $"dst" + ($"start" - 1) % 40000).as("new_start"))
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_reads"),
+          sum(when($"new_start".isNotNull, 1L).otherwise(0L)).as("n_lifted"),
+          sum(coalesce($"new_start", lit(0L))).as("sum_new_start"))
+        .orderBy($"contig")
+    },
+
     // multi-sample VCF MERGE (`bcftools merge` shape): two single-sample
     // cohort VCFs round-trip through the connector, then meet in a
     // FULL OUTER join on the site key — present-in-one sites keep their
@@ -1136,6 +1171,22 @@ object FormatQueries {
         |FROM reads
         |WHERE CAST('0x' || substr(md5('sub|' || rname), 1, 15) AS BIGINT) % 100 < 25
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bam_liftover" ->
+      """WITH reads AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS rstart
+        |  FROM lineitem),
+        |chain AS (SELECT 'chr' || CAST(r_regionkey AS VARCHAR) AS ccontig,
+        |    CAST(n_nationkey AS BIGINT) AS cseg,
+        |    CAST((n_nationkey * 37 + r_regionkey * 101) % 500000 + 1000000 AS BIGINT) AS dst
+        |  FROM nation, region WHERE r_regionkey < 3 AND n_nationkey < 20),
+        |j AS (SELECT r.contig, r.rstart,
+        |    CASE WHEN c.dst IS NOT NULL THEN c.dst + (r.rstart - 1) % 40000 END AS new_start
+        |  FROM reads r LEFT JOIN chain c
+        |    ON r.contig = c.ccontig AND (r.rstart - 1) // 40000 = c.cseg)
+        |SELECT contig, COUNT(*) AS n_reads,
+        |  CAST(SUM(CASE WHEN new_start IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lifted,
+        |  CAST(SUM(COALESCE(new_start, 0)) AS BIGINT) AS sum_new_start
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_vcf_merge" ->
       """WITH sa AS (SELECT 'chr' || CAST(o_orderkey % 3 AS VARCHAR) AS contig,
         |    (o_custkey * 53) % 999000 + 1 AS start, COUNT(*) AS dp
