@@ -906,6 +906,119 @@ object Relational {
           $"n_orders", $"day_c", $"ma7_c", $"ma7_orders",
           expr("ma7_c div ma7_orders").as("avg_order_ma7_c"))
         .orderBy($"day")
+    },
+
+    // -- Correlated EXISTS with a non-equi predicate (TPC-H Q4 shape):
+    //    orders in a window that had at least one line shipped >60 days
+    //    after the order date. The EXISTS compiles to ONE left-semi join
+    //    whose condition mixes the equi key (orderkey) with the non-equi
+    //    lateness test — the semi join stops probing an order at its
+    //    first late line, and the lineitem side is pruned to two columns
+    //    at the scan. One orderkey shuffle; no count-then-filter
+    //    materialization of the late set.
+    "q_late_priority_orders" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+      o.join(l, $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // -- Outer-join distribution (TPC-H Q13 shape): how many customers
+    //    placed k non-urgent orders, including k=0 — the LEFT join keeps
+    //    orderless customers, then a SECOND aggregation folds the
+    //    per-customer counts into a histogram. Both aggregations are
+    //    key-shuffles (custkey, then the tiny k domain); the histogram
+    //    side is bounded by max-orders-per-customer, not corpus size.
+    "q_cust_order_distribution" -> { (s, d) =>
+      import s.implicits._
+      val perCust = Tables.orders(s, d)
+        .filter($"o_orderpriority" =!= "1-URGENT")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+      Tables.customer(s, d)
+        .join(perCust, $"c_custkey" === $"o_custkey", "left")
+        .select(coalesce($"cnt", lit(0L)).as("c_count"))
+        .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+
+    // -- HAVING over a fact aggregate joined back to dimensions (TPC-H
+    //    Q18 shape): orders whose total quantity exceeds 150. The
+    //    quantity rollup happens FIRST (one orderkey shuffle, map-side
+    //    partial), the >150 survivors — a tiny fraction — then join
+    //    orders and customer; AQE sees the post-HAVING size and
+    //    broadcasts the survivor side into both joins. Quantities stay
+    //    in cents so the threshold is exact.
+    "q_large_orders" -> { (s, d) =>
+      import s.implicits._
+      val big = Tables.lineitem(s, d)
+        .groupBy($"l_orderkey")
+        .agg(sum(cents($"l_quantity")).as("sum_qty_c"))
+        .filter($"sum_qty_c" > 15000L)
+      big.join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"o_orderkey", cents($"o_totalprice").as("totalprice_c"),
+          $"sum_qty_c")
+        .orderBy($"totalprice_c".desc, $"o_orderkey")
+        .limit(20)
+    },
+
+    // -- Semi + anti on the same fact (TPC-H Q21 shape): suppliers that
+    //    were the SOLE late shipper in a multi-supplier order. Instead of
+    //    the textbook double correlated EXISTS/NOT EXISTS self-join, the
+    //    per-order facts decorrelate into two orderkey-grain aggregates
+    //    (distinct suppliers; distinct late suppliers) joined back to the
+    //    late lines — every join and aggregate keys on l_orderkey, so the
+    //    whole query lives in ONE shuffle domain and AQE reuses the
+    //    exchange. At 100 TB this is 3 passes over co-partitioned data,
+    //    not a quadratic self-probe.
+    "q_late_sole_supplier" -> { (s, d) =>
+      import s.implicits._
+      val l = Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+      val late = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk")).distinct()
+      val allS = l.groupBy($"l_orderkey")
+        .agg(countDistinct($"l_suppkey").as("all_s"))
+      val lateS = late.groupBy($"ok".as("lok")).agg(count(lit(1)).as("late_s"))
+      late
+        .join(allS, $"ok" === $"l_orderkey")
+        .join(lateS, $"ok" === $"lok")
+        .filter($"all_s" > 1 && $"late_s" === 1)
+        .join(broadcast(Tables.supplier(s, d)), $"sk" === $"s_suppkey")
+        .groupBy($"s_suppkey", $"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_suppkey")
+        .limit(20)
+    },
+
+    // -- Scalar subquery + anti join (TPC-H Q22 shape): above-average-
+    //    balance customers with no order since 2000. The global average
+    //    is ONE row (broadcast cross join), and the comparison stays in
+    //    integers (acct_c · cnt > sum_c) so Spark and the oracle agree
+    //    bit-for-bit — no float avg. The anti join keys on custkey; the
+    //    orders side is pruned to 2000+ rows before it.
+    "q_lapsed_rich_customers" -> { (s, d) =>
+      import s.implicits._
+      val cc = Tables.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment", cents($"c_acctbal").as("acct_c"))
+      val pos = cc.filter($"acct_c" > 0)
+      val tot = pos.agg(sum($"acct_c").as("sum_c"), count(lit(1)).as("cnt"))
+      val recent = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+        .select($"o_custkey")
+      pos.crossJoin(broadcast(tot))
+        .filter($"acct_c" * $"cnt" > $"sum_c")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), sum($"acct_c").as("bal_c"))
+        .orderBy($"c_mktsegment")
     }
   )
 
@@ -1323,6 +1436,56 @@ object Relational {
       s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
          |$cols
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+
+    "q_late_priority_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o.o_orderkey
+        |                AND l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cust_order_distribution" ->
+      """WITH pc AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+        |            WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT COALESCE(pc.cnt, 0) AS c_count, COUNT(*) AS custdist
+        |FROM customer c LEFT JOIN pc ON c.c_custkey = pc.o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        |             FROM lineitem GROUP BY 1 HAVING SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) > 15000)
+        |SELECT c_name, o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c, sum_qty_c
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |         JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice_c DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_late_sole_supplier" ->
+      """WITH late AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |              WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |alls AS (SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS all_s FROM lineitem GROUP BY 1),
+        |lates AS (SELECT ok AS lok, COUNT(*) AS late_s FROM late GROUP BY 1)
+        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM late JOIN alls ON ok = l_orderkey
+        |          JOIN lates ON ok = lok
+        |          JOIN supplier ON sk = s_suppkey
+        |WHERE all_s > 1 AND late_s = 1
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+
+    "q_lapsed_rich_customers" ->
+      """WITH cc AS (SELECT c_custkey, c_mktsegment,
+        |              CAST(ROUND(c_acctbal*100) AS BIGINT) AS acct_c FROM customer),
+        |pos AS (SELECT * FROM cc WHERE acct_c > 0),
+        |t AS (SELECT SUM(acct_c) AS sum_c, COUNT(*) AS cnt FROM pos)
+        |SELECT c_mktsegment, COUNT(*) AS n_cust, CAST(SUM(acct_c) AS BIGINT) AS bal_c
+        |FROM pos, t
+        |WHERE acct_c * cnt > sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = pos.c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
