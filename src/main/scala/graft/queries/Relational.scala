@@ -1019,6 +1019,80 @@ object Relational {
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n_cust"), sum($"acct_c").as("bal_c"))
         .orderBy($"c_mktsegment")
+    },
+
+    // -- Triangle counting over the bulk co-purchase part graph, by
+    //    DEGREE-ORDERED ORIENTATION (the MR-triangle-counting classic):
+    //    every undirected edge points from its (degree, id)-smaller
+    //    endpoint, so each triangle materializes exactly once and the
+    //    oriented out-degree is O(√m) even on power-law graphs — the
+    //    wedge join e1⋈e2 never explodes on a hub the way the naive
+    //    undirected 3-way join does. Pair generation stays ORDER-LOCAL
+    //    (a self-join inside the orderkey group, bounded by lines-per-
+    //    order); everything downstream keys on node ids. Output is the
+    //    integer triangle census incl. a ppm clustering coefficient.
+    "q_triangle_count" -> { (s, d) =>
+      import s.implicits._
+      val items = Tables.lineitem(s, d)
+        .filter($"l_quantity" >= 25)
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+      val pairs = items.as("a").join(items.as("b"),
+          $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
+        .select($"a.p".as("u"), $"b.p".as("v")).distinct()
+      val deg = pairs.select($"u".as("n")).union(pairs.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("dg"))
+      val fwd = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
+      val e = pairs
+        .join(deg.select($"n".as("nu"), $"dg".as("du")), $"u" === $"nu")
+        .join(deg.select($"n".as("nv"), $"dg".as("dv")), $"v" === $"nv")
+        .select(when(fwd, $"u").otherwise($"v").as("src"),
+          when(fwd, $"v").otherwise($"u").as("dst"))
+        .localCheckpoint()
+      val tri = e.as("e1")
+        .join(e.as("e2"), $"e1.dst" === $"e2.src")
+        .join(e.as("e3"), $"e3.src" === $"e1.src" && $"e3.dst" === $"e2.dst")
+        .agg(count(lit(1)).as("n_triangles"))
+      val w = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+      w.crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri)
+        .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+          expr("n_triangles * 3000000 div n_wedges").as("gcc_ppm"))
+    },
+
+    // -- BFS shortest-path levels from a seed set (suppliers of nation
+    //    0) over the purchase graph — the frontier-expansion iterative
+    //    primitive underneath k-hop neighborhoods and reachability.
+    //    Each round is ONE src-keyed join + distinct + an anti join
+    //    against the visited set; localCheckpoint truncates lineage so
+    //    round k plans against materialized sizes, and an empty
+    //    frontier short-circuits the remaining rounds. Edge-linear per
+    //    round at any scale — no transitive-closure blowup, unlike a
+    //    path-enumerating recursive join.
+    "q_bfs_levels" -> { (s, d) =>
+      import s.implicits._
+      val rel = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("c"), ($"l_suppkey" + 1000000L).as("p"))
+        .distinct()
+      val edges = rel.select($"c".as("src"), $"p".as("dst"))
+        .union(rel.select($"p".as("src"), $"c".as("dst")))
+        .localCheckpoint()
+      val seeds = Tables.supplier(s, d).filter($"s_nationkey" === 0)
+        .select(($"s_suppkey" + 1000000L).as("id"))
+      var visited = seeds.withColumn("lvl", lit(0L)).localCheckpoint()
+      var frontier = visited.select($"id")
+      var lvl = 0L
+      while (lvl < 4 && !frontier.isEmpty) {
+        lvl += 1
+        val next = frontier.join(edges, $"id" === $"src")
+          .select($"dst".as("id")).distinct()
+          .join(visited.select($"id".as("vid")), $"id" === $"vid", "left_anti")
+          .withColumn("lvl", lit(lvl)).localCheckpoint()
+        visited = visited.union(next).localCheckpoint()
+        frontier = next.select($"id")
+      }
+      visited.groupBy($"lvl").agg(count(lit(1)).as("n_nodes")).orderBy($"lvl")
     }
   )
 
@@ -1486,6 +1560,37 @@ object Relational {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = pos.c_custkey
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_triangle_count" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |               FROM lineitem WHERE l_quantity >= 25),
+        |pairs AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |          FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p),
+        |deg AS (SELECT n, COUNT(*) AS dg
+        |        FROM (SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs) GROUP BY 1),
+        |e AS (SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v) THEN u ELSE v END AS src,
+        |             CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v) THEN v ELSE u END AS dst
+        |      FROM pairs JOIN deg du ON u = du.n JOIN deg dv ON v = dv.n),
+        |tri AS (SELECT COUNT(*) AS n_triangles
+        |        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        |                  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |w AS (SELECT COUNT(*) AS n_nodes, CAST(SUM(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |ec AS (SELECT COUNT(*) AS n_edges FROM pairs)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CAST(n_triangles * 3000000 // n_wedges AS BIGINT) AS gcc_ppm
+        |FROM w, ec, tri""".stripMargin,
+
+    "q_bfs_levels" ->
+      """WITH RECURSIVE rel AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+        |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (SELECT c AS src, p AS dst FROM rel UNION ALL SELECT p, c FROM rel),
+        |reach(id, lvl) AS (
+        |  SELECT s_suppkey + 1000000, 0 FROM supplier WHERE s_nationkey = 0
+        |  UNION
+        |  SELECT e.dst, r.lvl + 1 FROM reach r JOIN edges e ON r.id = e.src WHERE r.lvl < 4),
+        |best AS (SELECT id, MIN(lvl) AS lvl FROM reach GROUP BY 1)
+        |SELECT CAST(lvl AS BIGINT) AS lvl, COUNT(*) AS n_nodes
+        |FROM best GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
