@@ -1039,25 +1039,7 @@ object Relational {
       val pairs = items.as("a").join(items.as("b"),
           $"a.ok" === $"b.ok" && $"a.p" < $"b.p")
         .select($"a.p".as("u"), $"b.p".as("v")).distinct()
-      val deg = pairs.select($"u".as("n")).union(pairs.select($"v".as("n")))
-        .groupBy($"n").agg(count(lit(1)).as("dg"))
-      val fwd = $"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v")
-      val e = pairs
-        .join(deg.select($"n".as("nu"), $"dg".as("du")), $"u" === $"nu")
-        .join(deg.select($"n".as("nv"), $"dg".as("dv")), $"v" === $"nv")
-        .select(when(fwd, $"u").otherwise($"v").as("src"),
-          when(fwd, $"v").otherwise($"u").as("dst"))
-        .localCheckpoint()
-      val tri = e.as("e1")
-        .join(e.as("e2"), $"e1.dst" === $"e2.src")
-        .join(e.as("e3"), $"e3.src" === $"e1.src" && $"e3.dst" === $"e2.dst")
-        .agg(count(lit(1)).as("n_triangles"))
-      val w = deg.agg(count(lit(1)).as("n_nodes"),
-        sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
-      w.crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
-        .crossJoin(tri)
-        .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
-          expr("n_triangles * 3000000 div n_wedges").as("gcc_ppm"))
+      GraphOps.triangleCensus(pairs)
     },
 
     // -- BFS shortest-path levels from a seed set (suppliers of nation
@@ -1080,19 +1062,42 @@ object Relational {
         .localCheckpoint()
       val seeds = Tables.supplier(s, d).filter($"s_nationkey" === 0)
         .select(($"s_suppkey" + 1000000L).as("id"))
-      var visited = seeds.withColumn("lvl", lit(0L)).localCheckpoint()
-      var frontier = visited.select($"id")
-      var lvl = 0L
-      while (lvl < 4 && !frontier.isEmpty) {
-        lvl += 1
-        val next = frontier.join(edges, $"id" === $"src")
-          .select($"dst".as("id")).distinct()
-          .join(visited.select($"id".as("vid")), $"id" === $"vid", "left_anti")
-          .withColumn("lvl", lit(lvl)).localCheckpoint()
-        visited = visited.union(next).localCheckpoint()
-        frontier = next.select($"id")
-      }
-      visited.groupBy($"lvl").agg(count(lit(1)).as("n_nodes")).orderBy($"lvl")
+      GraphOps.bfsLevels(edges, seeds, 4)
+    },
+
+    // -- Interval MERGE (`bedtools merge` shape): collapse overlapping/
+    //    touching intervals per contig into maximal covered runs. A new
+    //    run starts where rstart exceeds the CUMULATIVE MAX of all prior
+    //    ends (the running max handles contained intervals that a
+    //    lag(end) would miss); the run id is the prefix sum of those
+    //    starts. Both windows partition on contig, so each sort slice is
+    //    one contig's intervals — and contig count grows with the corpus
+    //    (more genomes, not denser ones), keeping slices bounded at
+    //    100 TB. Ties at equal rstart are order-robust: any tied row
+    //    after the first sees a prev_end ≥ its own rstart, so run
+    //    boundaries are deterministic at any parallelism.
+    "q_interval_merge" -> { (s, d) =>
+      import s.implicits._
+      val iv = Tables.lineitem(s, d).select(
+          concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+          (($"l_partkey" * 37) % 100000).cast("long").as("rstart"))
+        .withColumn("rend", $"rstart" + 150)
+        .distinct()
+      val wPrev = Window.partitionBy($"contig").orderBy($"rstart")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy($"contig").orderBy($"rstart")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      iv.withColumn("prev_end", max($"rend").over(wPrev))
+        .withColumn("newc",
+          when($"prev_end".isNull || $"rstart" > $"prev_end", 1L).otherwise(0L))
+        .withColumn("cluster", sum($"newc").over(wCum))
+        .groupBy($"contig", $"cluster")
+        .agg(min($"rstart").as("mstart"), max($"rend").as("mend"))
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_merged"),
+          sum($"mend" - $"mstart" + 1).as("covered_bp"),
+          max($"mend" - $"mstart" + 1).as("max_len"))
+        .orderBy($"contig")
     }
   )
 
@@ -1591,6 +1596,23 @@ object Relational {
         |  SELECT e.dst, r.lvl + 1 FROM reach r JOIN edges e ON r.id = e.src WHERE r.lvl < 4),
         |best AS (SELECT id, MIN(lvl) AS lvl FROM reach GROUP BY 1)
         |SELECT CAST(lvl AS BIGINT) AS lvl, COUNT(*) AS n_nodes
-        |FROM best GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT DISTINCT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    CAST((l_partkey * 37) % 100000 AS BIGINT) AS rstart,
+        |    CAST((l_partkey * 37) % 100000 + 150 AS BIGINT) AS rend FROM lineitem),
+        |f AS (SELECT contig, rstart, rend,
+        |    MAX(rend) OVER (PARTITION BY contig ORDER BY rstart
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM iv),
+        |g AS (SELECT contig, rstart, rend,
+        |    CASE WHEN prev_end IS NULL OR rstart > prev_end THEN 1 ELSE 0 END AS newc FROM f),
+        |h AS (SELECT contig, rstart, rend,
+        |    SUM(newc) OVER (PARTITION BY contig ORDER BY rstart
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cluster FROM g),
+        |m AS (SELECT contig, cluster, MIN(rstart) AS mstart, MAX(rend) AS mend FROM h GROUP BY 1, 2)
+        |SELECT contig, COUNT(*) AS n_merged, CAST(SUM(mend - mstart + 1) AS BIGINT) AS covered_bp,
+        |  CAST(MAX(mend - mstart + 1) AS BIGINT) AS max_len
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
