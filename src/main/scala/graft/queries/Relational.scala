@@ -1098,6 +1098,27 @@ object Relational {
           sum($"mend" - $"mstart" + 1).as("covered_bp"),
           max($"mend" - $"mstart" + 1).as("max_len"))
         .orderBy($"contig")
+    },
+
+    // -- EXACT weighted quantiles via the native histogram aggregate
+    //    (graft_hist_quantile, a TypedImperativeAggregate): the buffer is
+    //    a value→weight map, so map-side combine reduces each partition
+    //    to ≤|domain| entries and the shuffle carries bounded histograms,
+    //    not rows — exact medians/p90s with ONE small shuffle where a
+    //    sort-based percentile shuffles the corpus. Bounded-domain only
+    //    (quantized cents here); the aggregate throws past 2²⁰ bins
+    //    rather than OOM. Same rows also probed price-WEIGHTED.
+    "q_hist_quantiles" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.HistQuantileAgg.register(s)
+      Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          cents($"l_quantity").as("qty_c"), cents($"l_extendedprice").as("price_c"))
+        .groupBy($"l_returnflag")
+        .agg(expr("graft_hist_quantile(qty_c, 1, 500)").as("median_qty_c"),
+          expr("graft_hist_quantile(qty_c, 1, 900)").as("p90_qty_c"),
+          expr("graft_hist_quantile(qty_c, price_c, 500)").as("wmedian_qty_c"))
+        .orderBy($"l_returnflag")
     }
   )
 
@@ -1613,6 +1634,22 @@ object Relational {
         |m AS (SELECT contig, cluster, MIN(rstart) AS mstart, MAX(rend) AS mend FROM h GROUP BY 1, 2)
         |SELECT contig, COUNT(*) AS n_merged, CAST(SUM(mend - mstart + 1) AS BIGINT) AS covered_bp,
         |  CAST(MAX(mend - mstart + 1) AS BIGINT) AS max_len
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_hist_quantiles" ->
+      """WITH h AS (SELECT l_returnflag AS rf, CAST(ROUND(l_quantity*100) AS BIGINT) AS v,
+        |    COUNT(*) AS w, CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS pw
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT rf, v,
+        |    SUM(w)  OVER (PARTITION BY rf ORDER BY v) AS cw,
+        |    SUM(w)  OVER (PARTITION BY rf) AS tw,
+        |    SUM(pw) OVER (PARTITION BY rf ORDER BY v) AS cpw,
+        |    SUM(pw) OVER (PARTITION BY rf) AS tpw
+        |  FROM h)
+        |SELECT rf AS l_returnflag,
+        |  CAST(MIN(CASE WHEN cw * 1000 >= 500 * tw THEN v END) AS BIGINT) AS median_qty_c,
+        |  CAST(MIN(CASE WHEN cw * 1000 >= 900 * tw THEN v END) AS BIGINT) AS p90_qty_c,
+        |  CAST(MIN(CASE WHEN cpw * 1000 >= 500 * tpw THEN v END) AS BIGINT) AS wmedian_qty_c
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
