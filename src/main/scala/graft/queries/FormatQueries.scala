@@ -615,6 +615,44 @@ object FormatQueries {
         .orderBy($"contig")
     },
 
+    // varied-CIGAR round-trip: five op shapes (pure match, soft clips,
+    // deletion, spliced N-skip, hard clip) encode to binary BAM cigars and
+    // decode back; the scan's `end` column is COMPUTED from the decoded
+    // cigar's reference length (BamCodec.scala:161), so sum_end hash-
+    // matching the oracle's closed-form CASE pins the cigar binary codec
+    // (op nibbles + lengths) end-to-end through write→read, not just the
+    // string field. Narrow pipeline either side of the connector.
+    "q_bam_cigar_ops" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/cigar.bam"
+      val cig = expr("""CASE CAST(l_linenumber % 5 AS INT)
+        WHEN 0 THEN '151M' WHEN 1 THEN '10S131M10S' WHEN 2 THEN '75M2D74M'
+        WHEN 3 THEN '50M1000N101M' ELSE '5H146M' END""")
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 990000) + 1).cast("int").as("start"),
+        lit(0).cast("int").as("end"), // writer recomputes from cigar
+        lit(60).cast("int").as("mapq"),
+        cig.as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit("*").as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
+          .as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      s.read.format("bam").load(path)
+        .groupBy($"cigar")
+        .agg(count(lit(1)).as("n_reads"),
+          sum($"start".cast("long")).as("sum_start"),
+          sum($"end".cast("long")).as("sum_end"))
+        .orderBy($"cigar")
+    },
+
     // multi-sample VCF MERGE (`bcftools merge` shape): two single-sample
     // cohort VCFs round-trip through the connector, then meet in a
     // FULL OUTER join on the site key — present-in-one sites keep their
@@ -1171,6 +1209,17 @@ object FormatQueries {
         |FROM reads
         |WHERE CAST('0x' || substr(md5('sub|' || rname), 1, 15) AS BIGINT) % 100 < 25
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bam_cigar_ops" ->
+      """WITH r AS (SELECT
+        |    CASE CAST(l_linenumber % 5 AS INT) WHEN 0 THEN '151M' WHEN 1 THEN '10S131M10S'
+        |      WHEN 2 THEN '75M2D74M' WHEN 3 THEN '50M1000N101M' ELSE '5H146M' END AS cigar,
+        |    CAST((l_partkey * 37) % 990000 + 1 AS BIGINT) AS rstart,
+        |    CASE CAST(l_linenumber % 5 AS INT) WHEN 0 THEN 151 WHEN 1 THEN 131 WHEN 2 THEN 151
+        |      WHEN 3 THEN 1151 ELSE 146 END AS reflen
+        |  FROM lineitem)
+        |SELECT cigar, COUNT(*) AS n_reads, CAST(SUM(rstart) AS BIGINT) AS sum_start,
+        |  CAST(SUM(rstart + reflen - 1) AS BIGINT) AS sum_end
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bam_liftover" ->
       """WITH reads AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
         |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS rstart
