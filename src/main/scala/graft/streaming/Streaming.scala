@@ -127,6 +127,28 @@ object Streaming {
       .select(col("win.start").as("win_start"), col("win.end").as("win_end"),
         col("n_events"), col("rev_c"))
 
+  /** Windowed EXACT value-quantiles on a stream, via the native histogram
+    * aggregate (graft_hist_quantile): the streaming state per (window,
+    * event_type) group is a bounded value→weight histogram buffer — the
+    * TypedImperativeAggregate serializes into the state store exactly as
+    * it does into a batch shuffle — so the stream computes exact medians/
+    * p90s with per-group state proportional to the value DOMAIN, not the
+    * event count. Watermark bounds state lifetime; the batch twin is the
+    * same aggregate over the same windows.
+    */
+  def windowedQuantiles(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    graft.functions.HistQuantileAgg.register(events.sparkSession)
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("value_c", cents(col("value")))
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(expr("graft_hist_quantile(value_c, 1, 500)").as("median_c"),
+        expr("graft_hist_quantile(value_c, 1, 900)").as("p90_c"),
+        count(lit(1)).as("n"))
+      .select(col("win.start").as("hour"), col("event_type"),
+        col("median_c"), col("p90_c"), col("n"))
+  }
+
   /** Stream-static enrichment: events joined against a small static
     * dimension. The static side is broadcast — the stream never shuffles,
     * which is the only join shape that scales on an unbounded source.

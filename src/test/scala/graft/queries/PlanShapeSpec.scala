@@ -459,4 +459,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"q_embed_rp_recall: corpus-side shuffle: ${vecExchanges.mkString("; ")}\n$p")
     assert(!p.contains("SortMergeJoin"), s"q_embed_rp_recall join degraded\n$p")
   }
+
+  test("q_late_priority_orders: correlated EXISTS compiles to ONE semi join") {
+    // a rewrite through count-then-filter would materialize the late set
+    // and add an aggregate + inner join; the pin is the semi join itself
+    val p = finalPlan(Relational.queries("q_late_priority_orders")(spark, sf))
+    assert(p.contains("LeftSemi"), s"EXISTS lost its semi join\n$p")
+  }
+
+  test("q_lapsed_rich_customers: broadcast scalar + anti join, no corpus shuffle for either") {
+    val p = finalPlan(Relational.queries("q_lapsed_rich_customers")(spark, sf))
+    assert(p.contains("LeftAnti"), s"NOT EXISTS lost its anti join\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"scalar total not broadcast\n$p")
+  }
+
+  test("q_hist_quantiles: shuffle carries HISTOGRAM BUFFERS, not rows") {
+    // the TypedImperativeAggregate must split partial/final around ONE
+    // group-key exchange — losing the partial mode would ship the corpus
+    val p = finalPlan(Relational.queries("q_hist_quantiles")(spark, sf))
+    val oha = p.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(oha >= 2, s"partial/final aggregate split lost\n$p")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.size == 1 && ex.head.contains("l_returnflag"),
+      s"expected exactly one group-key exchange, got: ${ex.mkString("; ")}\n$p")
+  }
+
+  test("q_bam_liftover: chain side broadcasts — reads never shuffle to remap") {
+    val p = finalPlan(FormatQueries.queries("q_bam_liftover")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"chain not broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), s"liftover join degraded\n$p")
+  }
 }

@@ -222,6 +222,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("windowedQuantiles: streaming exact medians equal the batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // skewed values across 3 hours × 2 types so medians differ per group;
+    // delivered across two triggers so state-store buffer serialize/merge
+    // is actually exercised
+    val events = (0 until 600).map { i =>
+      Ev(Timestamp.valueOf(f"2026-01-05 ${10 + i % 3}%02d:15:00"),
+        if (i % 2 == 0) "view" else "sale", i % 9, (i * i % 97) * 0.5)
+    }
+    val stream = MemoryStream[Ev]
+    val q = Streaming.windowedQuantiles(stream.toDF())
+      .writeStream.format("memory").queryName("wq").outputMode("complete").start()
+    try {
+      stream.addData(events.take(300)); q.processAllAvailable()
+      stream.addData(events.drop(300)); q.processAllAvailable()
+      val got = spark.table("wq").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      graft.functions.HistQuantileAgg.register(spark)
+      val want = spark.createDataset(events).toDF()
+        .select(date_trunc("hour", $"ts").as("hour"), $"event_type",
+          graft.functions.GraftFunctions.cents($"value").as("value_c"))
+        .groupBy($"hour", $"event_type")
+        .agg(expr("graft_hist_quantile(value_c, 1, 500)").as("median_c"),
+          expr("graft_hist_quantile(value_c, 1, 900)").as("p90_c"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got == want)
+      assert(got.size == 6)
+    } finally q.stop()
+  }
+
   test("decontamGate: streaming Bloom hits equal the batch prefilter") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
