@@ -1119,6 +1119,54 @@ object Relational {
           expr("graft_hist_quantile(qty_c, 1, 900)").as("p90_qty_c"),
           expr("graft_hist_quantile(qty_c, price_c, 500)").as("wmedian_qty_c"))
         .orderBy($"l_returnflag")
+    },
+
+    // -- CDC apply (MERGE INTO … WHEN MATCHED / NOT MATCHED semantics):
+    //    a change set (deletes, balance updates, inserts under fresh
+    //    keys) applied to the customer base as ONE full-outer join on
+    //    the key — the scalable merge shape: both sides co-shuffle on
+    //    custkey once, the apply is a projection, and nothing ever
+    //    collects to the driver. Deletes drop, matched updates take the
+    //    change's balance, unmatched changes insert under a NEW segment,
+    //    untouched base rows pass through.
+    "q_cdc_upsert" -> { (s, d) =>
+      import s.implicits._
+      val base = Tables.customer(s, d)
+        .select($"c_custkey", $"c_mktsegment", cents($"c_acctbal").as("bal_c"))
+      val chg = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+        .groupBy($"o_custkey")
+        .agg(sum(cents($"o_totalprice")).as("chg_bal_c"))
+        .select(
+          when($"o_custkey" % 5 === 4, $"o_custkey" + 10000000L)
+            .otherwise($"o_custkey").as("k"),
+          when($"o_custkey" % 4 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          $"chg_bal_c")
+      base.join(chg, $"c_custkey" === $"k", "full_outer")
+        // deletes drop whether matched or absent (no-op); base-only rows
+        // carry a NULL op and MUST survive — hence the null-safe test
+        .filter($"op".isNull || $"op" =!= "D")
+        .select(
+          coalesce($"c_mktsegment", lit("NEW")).as("segment"),
+          when($"op" === "U", $"chg_bal_c").otherwise($"bal_c").as("new_bal_c"))
+        .groupBy($"segment")
+        .agg(count(lit(1)).as("n_rows"), sum($"new_bal_c").as("total_bal_c"))
+        .orderBy($"segment")
+    },
+
+    // -- CUBE: all four grouping sets over (returnflag, linestatus) in
+    //    ONE pass — Catalyst's Expand emits each row once per grouping
+    //    set before a single shuffle on the tiny key space, so the cube
+    //    costs one corpus scan, not four.
+    "q_cube_sales" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_items"), sum(cents($"l_extendedprice")).as("price_c"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n_items", $"price_c")
+        .orderBy($"returnflag", $"linestatus")
     }
   )
 
@@ -1650,6 +1698,29 @@ object Relational {
         |  CAST(MIN(CASE WHEN cw * 1000 >= 500 * tw THEN v END) AS BIGINT) AS median_qty_c,
         |  CAST(MIN(CASE WHEN cw * 1000 >= 900 * tw THEN v END) AS BIGINT) AS p90_qty_c,
         |  CAST(MIN(CASE WHEN cpw * 1000 >= 500 * tpw THEN v END) AS BIGINT) AS wmedian_qty_c
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cdc_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c FROM customer),
+        |chg0 AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS chg_bal_c
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01' GROUP BY 1),
+        |chg AS (SELECT CASE WHEN o_custkey % 5 = 4 THEN o_custkey + 10000000 ELSE o_custkey END AS k,
+        |    CASE WHEN o_custkey % 4 = 0 THEN 'D' ELSE 'U' END AS op, chg_bal_c FROM chg0),
+        |j AS (SELECT b.c_custkey, b.c_mktsegment, b.bal_c, c.op, c.chg_bal_c
+        |      FROM base b FULL OUTER JOIN chg c ON b.c_custkey = c.k)
+        |SELECT COALESCE(c_mktsegment, 'NEW') AS segment, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN op = 'U' THEN chg_bal_c ELSE bal_c END) AS BIGINT) AS total_bal_c
+        |FROM j WHERE op IS NULL OR op <> 'D'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cube_sales" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_c
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin
   )
 }
