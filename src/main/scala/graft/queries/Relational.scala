@@ -1154,6 +1154,33 @@ object Relational {
         .orderBy($"segment")
     },
 
+    // -- Market-basket affinity (association-rules lift): brand pairs
+    //    that co-occur in orders more than independence predicts. Pair
+    //    generation is ORDER-LOCAL (self-join inside the orderkey group,
+    //    bounded by distinct brands per order); supports and totals are
+    //    broadcast-sized rollups (brand domain ≤ 25). The ppm lift stays
+    //    in Long-safe order: (n_ab·10⁶ div n_a) ≤ 10⁶ BEFORE multiplying
+    //    by the order count — n_ab·N·10⁶ would overflow at corpus scale.
+    "q_brand_affinity" -> { (s, d) =>
+      import s.implicits._
+      val ob = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey".as("ok"), $"p_brand".as("b")).distinct()
+      val n = ob.select($"ok").distinct().count()
+      val support = ob.groupBy($"b").agg(count(lit(1)).as("n_b"))
+      val pairs = ob.as("x").join(ob.as("y"), $"x.ok" === $"y.ok" && $"x.b" < $"y.b")
+        .groupBy($"x.b".as("ba"), $"y.b".as("bb"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(support.select($"b".as("sa"), $"n_b".as("n_a"))), $"ba" === $"sa")
+        .join(broadcast(support.select($"b".as("sb"), $"n_b".as("n_bb"))), $"bb" === $"sb")
+        .filter($"n_ab" >= 50)
+        .select($"ba", $"bb", $"n_ab",
+          expr(s"((n_ab * 1000000 div n_a) * ${n}L) div n_bb").as("lift_ppm"))
+        .orderBy($"lift_ppm".desc, $"ba", $"bb")
+        .limit(15)
+    },
+
     // -- CUBE: all four grouping sets over (returnflag, linestatus) in
     //    ONE pass — Catalyst's Expand emits each row once per grouping
     //    set before a single shuffle on the tiny key space, so the cube
@@ -1714,6 +1741,19 @@ object Relational {
         |  CAST(SUM(CASE WHEN op = 'U' THEN chg_bal_c ELSE bal_c END) AS BIGINT) AS total_bal_c
         |FROM j WHERE op IS NULL OR op <> 'D'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_brand_affinity" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT COUNT(DISTINCT ok) AS nn FROM ob),
+        |sup AS (SELECT b, COUNT(*) AS n_b FROM ob GROUP BY 1),
+        |pr AS (SELECT x.b AS ba, y.b AS bb, COUNT(*) AS n_ab
+        |       FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b GROUP BY 1, 2)
+        |SELECT ba, bb, n_ab,
+        |  CAST(((n_ab * 1000000 // sa.n_b) * nn) // sb.n_b AS BIGINT) AS lift_ppm
+        |FROM pr JOIN sup sa ON ba = sa.b JOIN sup sb ON bb = sb.b, n
+        |WHERE n_ab >= 50
+        |ORDER BY lift_ppm DESC, ba, bb LIMIT 15""".stripMargin,
 
     "q_cube_sales" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
