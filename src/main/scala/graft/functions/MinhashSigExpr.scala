@@ -155,5 +155,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_ivf_argmax"),
       new ExpressionInfo(classOf[IvfArgmaxExpr].getName, "graft_ivf_argmax"),
       NativeIvf.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hist_quantile"),
+      new ExpressionInfo(classOf[HistQuantileAgg].getName, "graft_hist_quantile"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3,
+          "graft_hist_quantile(value, weight, permille) takes three arguments")
+        HistQuantileAgg(exprs(0), exprs(1), exprs(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hist_quantiles"),
+      new ExpressionInfo(classOf[HistQuantilesAgg].getName, "graft_hist_quantiles"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 3,
+          "graft_hist_quantiles(value, weight, permilles) takes three arguments")
+        HistQuantilesAgg(exprs(0), exprs(1), exprs(2))
+      }))
+    // fuse same-(value,weight) quantiles into one shared histogram buffer
+    ext.injectOptimizerRule(_ => FuseHistQuantiles)
   }
 }

@@ -66,6 +66,57 @@ class HistQuantileAggSpec extends AnyFunSuite with SparkFixture {
     assert(got == want)
   }
 
+  test("FuseHistQuantiles: same-(value,weight) quantiles share ONE buffer, same results") {
+    val s = registered
+    import s.implicits._
+    val df = (1 to 100).map(_.toLong).toDF("v").repartition(4)
+    val agg = df.agg(
+      expr("graft_hist_quantile(v, 1, 500)").as("p50"),
+      expr("graft_hist_quantile(v, 1, 900)").as("p90"),
+      expr("graft_hist_quantile(v, 1, 10)").as("p10"))
+    assert(agg.collect().head.toSeq == Seq(50L, 90L, 1L))
+    val plan = agg.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_hist_quantiles"), s"fusion did not fire\n$plan")
+    // the singular form must be gone: one shared buffer computes all three
+    assert(!plan.contains("graft_hist_quantile("), s"unfused buffer survived\n$plan")
+  }
+
+  test("FuseHistQuantiles: different weights do NOT fuse, results stay correct") {
+    val s = registered
+    import s.implicits._
+    val df = Seq((1L, 1L), (2L, 1L), (10L, 8L)).toDF("v", "w")
+    val agg = df.agg(
+      expr("graft_hist_quantile(v, 1, 500)").as("plain"),
+      expr("graft_hist_quantile(v, w, 500)").as("weighted"))
+    assert(agg.collect().head.toSeq == Seq(2L, 10L))
+    val plan = agg.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("graft_hist_quantiles"), s"cross-weight fusion fired\n$plan")
+  }
+
+  test("FuseHistQuantiles: grouped fusion preserves per-group values") {
+    val s = registered
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 3000).map(_ => (rnd.nextInt(3).toLong, rnd.nextInt(50).toLong))
+    val df = rows.toDF("g", "v").repartition(8)
+    val fused = df.groupBy($"g").agg(
+      expr("graft_hist_quantile(v, 1, 500)").as("p50"),
+      expr("graft_hist_quantile(v, 1, 900)").as("p90"))
+    assert(fused.queryExecution.optimizedPlan.toString.contains("graft_hist_quantiles"))
+    val got = fused.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      def q(p: Int) = {
+        val n = sorted.size.toLong
+        sorted.zipWithIndex.collectFirst {
+          case (v, i) if (i + 1).toLong * 1000 >= p * n => v
+        }.get
+      }
+      (g, q(500), q(900))
+    }.toSet
+    assert(got == want)
+  }
+
   test("domain ceiling throws loudly instead of growing unbounded") {
     val s = registered
     import s.implicits._

@@ -474,15 +474,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       s"scalar total not broadcast\n$p")
   }
 
-  test("q_hist_quantiles: shuffle carries HISTOGRAM BUFFERS, not rows") {
+  test("q_hist_quantiles: shuffle carries HISTOGRAM BUFFERS, not rows — and FUSED ones") {
     // the TypedImperativeAggregate must split partial/final around ONE
-    // group-key exchange — losing the partial mode would ship the corpus
-    val p = finalPlan(Relational.queries("q_hist_quantiles")(spark, sf))
+    // group-key exchange — losing the partial mode would ship the corpus;
+    // and FuseHistQuantiles must collapse the two same-(qty,1) quantiles
+    // into one shared buffer (2 buffers total, not 3)
+    val df = Relational.queries("q_hist_quantiles")(spark, sf)
+    val p = finalPlan(df)
     val oha = p.linesIterator.count(_.contains("ObjectHashAggregate"))
     assert(oha >= 2, s"partial/final aggregate split lost\n$p")
     val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(ex.size == 1 && ex.head.contains("l_returnflag"),
       s"expected exactly one group-key exchange, got: ${ex.mkString("; ")}\n$p")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_hist_quantiles"), s"median/p90 fusion did not fire\n$opt")
   }
 
   test("q_bam_liftover: chain side broadcasts — reads never shuffle to remap") {
