@@ -984,6 +984,60 @@ object FormatQueries {
         .orderBy($"contig")
     },
 
+    // varied-CIGAR round-trip through the CRAM FEATURE codec — the CRAM
+    // twin of q_bam_cigar_ops, exercising a different code path entirely:
+    // cigars become read features (SC soft-clip bytes, DL deletions, RS
+    // ref-skips, HC hard-clips) plus reference-based base reconstruction
+    // across the feature boundaries. Sequences are PHASE-ALIGNED to the
+    // 4-periodic FASTA (D/N lengths ≡ 0 mod 4, the S shape shifts its
+    // phase by its clip length) so M-block bases match the reference and
+    // the clip/insert bytes ride as literal features; the decoded seq,
+    // cigar, and cigar-derived end must all reproduce the closed forms.
+    "q_cram_cigar_ops" -> { (s, d) =>
+      import s.implicits._
+      val dir = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
+      val fasta = writeRefFasta(dir)
+      val path = s"$dir/cigar.cram"
+      val shape = ($"l_linenumber" % 5).cast("int")
+      val cig = when(shape === 0, "151M").when(shape === 1, "10S131M10S")
+        .when(shape === 2, "75M4D72M").when(shape === 3, "50M1000N101M")
+        .otherwise("5H146M")
+      val rlen = when(shape === 0, 151).when(shape === 1, 151)
+        .when(shape === 2, 147).when(shape === 3, 151).otherwise(146)
+      val startCol = ((($"l_partkey" * 37) % 990000) + 1).cast("int")
+      val phase2 = pmod(startCol - 1 - when(shape === 1, 10).otherwise(0), lit(4))
+        .cast("int") + 1
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        startCol.as("start"),
+        lit(0).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        cig.as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit("ATGC" * 40).substr(phase2, rlen).as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
+          .as("attributes"))
+      reads
+        .repartitionByRange(8, $"contig", $"start")
+        .sortWithinPartitions($"contig", $"start")
+        .write.format("cram").mode("overwrite")
+        .option("records", "true").option("refs", Refs)
+        .option("fasta", fasta).save(path)
+      s.read.format("cram").option("records", "true")
+        .option("fasta", fasta).option("splitSize", 256 * 1024).load(path)
+        .groupBy($"cigar")
+        .agg(count(lit(1)).as("n_reads"),
+          sum($"start".cast("long")).as("sum_start"),
+          sum($"end".cast("long")).as("sum_end"),
+          sum((length($"seq") - length(replace($"seq", lit("A")))).cast("long")).as("sum_a"))
+        .orderBy($"cigar")
+    },
+
     // interval scan driven by the standard external `.bai` index: the file
     // is coordinate-sorted (range partition + sort, parts concat in range
     // order), indexed at write, and carries NO .sbi/.gci — the scan must
@@ -1144,6 +1198,23 @@ object FormatQueries {
     "q_cram_intervals" -> oracleAggregate(
       """WHERE (contig = 'chr0' AND rstart <= 5000 AND rend >= 1)
         |   OR (contig = 'chr1' AND rstart <= 7000 AND rend >= 2000)""".stripMargin),
+    "q_cram_cigar_ops" ->
+      """WITH r AS (SELECT CAST(l_linenumber % 5 AS INT) AS shape,
+        |    CAST((l_partkey * 37) % 990000 + 1 AS BIGINT) AS rstart FROM lineitem),
+        |w AS (SELECT shape, rstart,
+        |    CASE shape WHEN 0 THEN '151M' WHEN 1 THEN '10S131M10S' WHEN 2 THEN '75M4D72M'
+        |      WHEN 3 THEN '50M1000N101M' ELSE '5H146M' END AS cigar,
+        |    CASE shape WHEN 0 THEN 151 WHEN 1 THEN 151 WHEN 2 THEN 147 WHEN 3 THEN 151 ELSE 146 END AS rlen,
+        |    CASE shape WHEN 0 THEN 151 WHEN 1 THEN 131 WHEN 2 THEN 151 WHEN 3 THEN 1151 ELSE 146 END AS reflen,
+        |    ((rstart - 1 - CASE WHEN shape = 1 THEN 10 ELSE 0 END) % 4 + 4) % 4 + 1 AS phase
+        |  FROM r),
+        |q AS (SELECT cigar, rstart, reflen,
+        |    substring(repeat('ATGC', 40), CAST(phase AS INTEGER), CAST(rlen AS INTEGER)) AS seq
+        |  FROM w)
+        |SELECT cigar, COUNT(*) AS n_reads, CAST(SUM(rstart) AS BIGINT) AS sum_start,
+        |  CAST(SUM(rstart + reflen - 1) AS BIGINT) AS sum_end,
+        |  CAST(SUM(length(seq) - length(replace(seq, 'A', ''))) AS BIGINT) AS sum_a
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cram_refbased" ->
       """WITH reads AS (
         |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
