@@ -625,9 +625,9 @@ object FormatQueries {
     "q_bam_cigar_ops" -> { (s, d) =>
       import s.implicits._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/cigar.bam"
-      val cig = expr("""CASE CAST(l_linenumber % 5 AS INT)
+      val cig = expr("""CASE CAST(l_linenumber % 6 AS INT)
         WHEN 0 THEN '151M' WHEN 1 THEN '10S131M10S' WHEN 2 THEN '75M2D74M'
-        WHEN 3 THEN '50M1000N101M' ELSE '5H146M' END""")
+        WHEN 3 THEN '50M1000N101M' WHEN 4 THEN '5H146M' ELSE '70M8I73M' END""")
       val reads = Tables.lineitem(s, d).select(
         concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
         lit(0).cast("int").as("flags"),
@@ -998,12 +998,13 @@ object FormatQueries {
       val dir = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
       val fasta = writeRefFasta(dir)
       val path = s"$dir/cigar.cram"
-      val shape = ($"l_linenumber" % 5).cast("int")
+      val shape = ($"l_linenumber" % 6).cast("int")
       val cig = when(shape === 0, "151M").when(shape === 1, "10S131M10S")
         .when(shape === 2, "75M4D72M").when(shape === 3, "50M1000N101M")
-        .otherwise("5H146M")
+        .when(shape === 4, "5H146M").otherwise("70M8I73M")
       val rlen = when(shape === 0, 151).when(shape === 1, 151)
-        .when(shape === 2, 147).when(shape === 3, 151).otherwise(146)
+        .when(shape === 2, 147).when(shape === 3, 151)
+        .when(shape === 4, 146).otherwise(151)
       val startCol = ((($"l_partkey" * 37) % 990000) + 1).cast("int")
       val phase2 = pmod(startCol - 1 - when(shape === 1, 10).otherwise(0), lit(4))
         .cast("int") + 1
@@ -1199,13 +1200,15 @@ object FormatQueries {
       """WHERE (contig = 'chr0' AND rstart <= 5000 AND rend >= 1)
         |   OR (contig = 'chr1' AND rstart <= 7000 AND rend >= 2000)""".stripMargin),
     "q_cram_cigar_ops" ->
-      """WITH r AS (SELECT CAST(l_linenumber % 5 AS INT) AS shape,
+      """WITH r AS (SELECT CAST(l_linenumber % 6 AS INT) AS shape,
         |    CAST((l_partkey * 37) % 990000 + 1 AS BIGINT) AS rstart FROM lineitem),
         |w AS (SELECT shape, rstart,
         |    CASE shape WHEN 0 THEN '151M' WHEN 1 THEN '10S131M10S' WHEN 2 THEN '75M4D72M'
-        |      WHEN 3 THEN '50M1000N101M' ELSE '5H146M' END AS cigar,
-        |    CASE shape WHEN 0 THEN 151 WHEN 1 THEN 151 WHEN 2 THEN 147 WHEN 3 THEN 151 ELSE 146 END AS rlen,
-        |    CASE shape WHEN 0 THEN 151 WHEN 1 THEN 131 WHEN 2 THEN 151 WHEN 3 THEN 1151 ELSE 146 END AS reflen,
+        |      WHEN 3 THEN '50M1000N101M' WHEN 4 THEN '5H146M' ELSE '70M8I73M' END AS cigar,
+        |    CASE shape WHEN 0 THEN 151 WHEN 1 THEN 151 WHEN 2 THEN 147 WHEN 3 THEN 151
+        |      WHEN 4 THEN 146 ELSE 151 END AS rlen,
+        |    CASE shape WHEN 0 THEN 151 WHEN 1 THEN 131 WHEN 2 THEN 151 WHEN 3 THEN 1151
+        |      WHEN 4 THEN 146 ELSE 143 END AS reflen,
         |    ((rstart - 1 - CASE WHEN shape = 1 THEN 10 ELSE 0 END) % 4 + 4) % 4 + 1 AS phase
         |  FROM r),
         |q AS (SELECT cigar, rstart, reflen,
@@ -1282,11 +1285,12 @@ object FormatQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bam_cigar_ops" ->
       """WITH r AS (SELECT
-        |    CASE CAST(l_linenumber % 5 AS INT) WHEN 0 THEN '151M' WHEN 1 THEN '10S131M10S'
-        |      WHEN 2 THEN '75M2D74M' WHEN 3 THEN '50M1000N101M' ELSE '5H146M' END AS cigar,
+        |    CASE CAST(l_linenumber % 6 AS INT) WHEN 0 THEN '151M' WHEN 1 THEN '10S131M10S'
+        |      WHEN 2 THEN '75M2D74M' WHEN 3 THEN '50M1000N101M' WHEN 4 THEN '5H146M'
+        |      ELSE '70M8I73M' END AS cigar,
         |    CAST((l_partkey * 37) % 990000 + 1 AS BIGINT) AS rstart,
-        |    CASE CAST(l_linenumber % 5 AS INT) WHEN 0 THEN 151 WHEN 1 THEN 131 WHEN 2 THEN 151
-        |      WHEN 3 THEN 1151 ELSE 146 END AS reflen
+        |    CASE CAST(l_linenumber % 6 AS INT) WHEN 0 THEN 151 WHEN 1 THEN 131 WHEN 2 THEN 151
+        |      WHEN 3 THEN 1151 WHEN 4 THEN 146 ELSE 143 END AS reflen
         |  FROM lineitem)
         |SELECT cigar, COUNT(*) AS n_reads, CAST(SUM(rstart) AS BIGINT) AS sum_start,
         |  CAST(SUM(rstart + reflen - 1) AS BIGINT) AS sum_end
