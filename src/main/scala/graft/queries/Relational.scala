@@ -1154,6 +1154,36 @@ object Relational {
         .orderBy($"segment")
     },
 
+    // -- Session-stats quantiles: 30-minute-gap sessionization (the
+    //    q_events_sessions machinery) rolled into EXACT p50/p90 of
+    //    events-per-session and session length, via the native histogram
+    //    aggregate — whose optimizer rule fuses the two per-column
+    //    quantiles into one shared buffer each. Sessions aggregate on
+    //    (user_id, sid) — the same shuffle domain the sessionization
+    //    window already established — and the final rollup ships two
+    //    bounded histograms, not the session table.
+    "q_session_quantiles" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.HistQuantileAgg.register(s)
+      val ev = Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_millis($"ts").as("ms"))
+      val w = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+      ev
+        .withColumn("prev_ms", lag($"ms", 1).over(w))
+        .withColumn("ns",
+          when($"prev_ms".isNull || $"ms" - $"prev_ms" > 1800000L, 1L).otherwise(0L))
+        .withColumn("sid", sum($"ns").over(wCum))
+        .groupBy($"user_id", $"sid")
+        .agg(count(lit(1)).as("n_ev"),
+          expr("(max(ms) - min(ms)) div 1000").as("len_s"))
+        .agg(count(lit(1)).as("n_sessions"),
+          expr("graft_hist_quantile(n_ev, 1, 500)").as("p50_events"),
+          expr("graft_hist_quantile(n_ev, 1, 900)").as("p90_events"),
+          expr("graft_hist_quantile(len_s, 1, 500)").as("p50_len_s"),
+          expr("graft_hist_quantile(len_s, 1, 900)").as("p90_len_s"))
+    },
+
     // -- Market-basket affinity (association-rules lift): brand pairs
     //    that co-occur in orders more than independence predicts. Pair
     //    generation is ORDER-LOCAL (self-join inside the orderkey group,
@@ -1741,6 +1771,27 @@ object Relational {
         |  CAST(SUM(CASE WHEN op = 'U' THEN chg_bal_c ELSE bal_c END) AS BIGINT) AS total_bal_c
         |FROM j WHERE op IS NULL OR op <> 'D'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_session_quantiles" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |x AS (SELECT user_id, event_id, ms,
+        |    LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM ev),
+        |y AS (SELECT user_id, event_id, ms,
+        |    CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS ns FROM x),
+        |z AS (SELECT user_id, ms,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM y),
+        |sess AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |    CAST((MAX(ms) - MIN(ms)) // 1000 AS BIGINT) AS len_s FROM z GROUP BY 1, 2),
+        |he AS (SELECT n_ev AS v, COUNT(*) AS w FROM sess GROUP BY 1),
+        |ce AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cw, (SELECT COUNT(*) FROM sess) AS tw FROM he),
+        |hl AS (SELECT len_s AS v, COUNT(*) AS w FROM sess GROUP BY 1),
+        |cl AS (SELECT v, SUM(w) OVER (ORDER BY v) AS cw, (SELECT COUNT(*) FROM sess) AS tw FROM hl)
+        |SELECT (SELECT COUNT(*) FROM sess) AS n_sessions,
+        |  (SELECT CAST(MIN(CASE WHEN cw * 1000 >= 500 * tw THEN v END) AS BIGINT) FROM ce) AS p50_events,
+        |  (SELECT CAST(MIN(CASE WHEN cw * 1000 >= 900 * tw THEN v END) AS BIGINT) FROM ce) AS p90_events,
+        |  (SELECT CAST(MIN(CASE WHEN cw * 1000 >= 500 * tw THEN v END) AS BIGINT) FROM cl) AS p50_len_s,
+        |  (SELECT CAST(MIN(CASE WHEN cw * 1000 >= 900 * tw THEN v END) AS BIGINT) FROM cl) AS p90_len_s""".stripMargin,
 
     "q_brand_affinity" ->
       """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
