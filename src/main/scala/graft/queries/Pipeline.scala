@@ -1572,6 +1572,34 @@ object Pipeline {
         .orderBy($"doc_id", $"rnk")
     },
 
+    // BM25-shaped term SEARCH: rank the corpus against a 3-term query
+    // picked deterministically from the corpus itself (document-frequency
+    // ranks 10–12 — mid-frequency, so the query exists and discriminates
+    // at every SF). The query + its df's are a TakeOrdered broadcast;
+    // scoring joins them BROADCAST against per-doc tf, so the corpus
+    // shuffles once on its natural (doc_id, term) key and the ranking is
+    // a TakeOrdered top-20. Integer idf (N·10⁶ div df) keeps both
+    // engines bit-equal; because the query terms are corpus-derived
+    // mid-frequency, df grows with N and the idf factor stays bounded —
+    // no Long overflow at corpus scale.
+    "q_term_search" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val tf = docs.select($"doc_id", explode(words($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val qterms = dfreq.orderBy($"df".desc, $"term").limit(12)
+        .orderBy($"df".asc, $"term").limit(3)
+      val n = docs.agg(count(lit(1)).as("n"))
+      tf.join(broadcast(qterms.select($"term".as("qt"), $"df")), $"term" === $"qt")
+        .crossJoin(broadcast(n))
+        .withColumn("contrib", $"tf" * expr("n * 1000000 div df"))
+        .groupBy($"doc_id")
+        .agg(sum($"contrib").as("score"), count(lit(1)).as("n_terms_hit"))
+        .orderBy($"score".desc, $"doc_id")
+        .limit(20)
+    },
+
     // sequence PACKING for pretraining batches: contiguous greedy fill of
     // 512-token bins via a running token prefix-sum. The window partitions
     // by (lang, source) — the shard a packer would own — so no global
@@ -2782,6 +2810,19 @@ object Pipeline {
          |    PARTITION BY doc_id ORDER BY tfidf_milli DESC, term) AS rnk FROM s)
          |SELECT doc_id, rnk, term, tf, df, tfidf_milli FROM r WHERE rnk <= 5
          |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_term_search" ->
+      s"""WITH w AS (SELECT doc_id, unnest($wsExpr) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |top12 AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 12),
+         |q AS (SELECT term, df FROM top12 ORDER BY df ASC, term LIMIT 3),
+         |n AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT t.doc_id,
+         |  CAST(SUM(t.tf * ((SELECT n FROM n) * 1000000 // q.df)) AS BIGINT) AS score,
+         |  COUNT(*) AS n_terms_hit
+         |FROM tf t JOIN q ON t.term = q.term
+         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_dedup_embedding" -> {
       val bucketTerms = (0 until LshPlanes).map { p =>
