@@ -625,9 +625,10 @@ object FormatQueries {
     "q_bam_cigar_ops" -> { (s, d) =>
       import s.implicits._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/cigar.bam"
-      val cig = expr("""CASE CAST(l_linenumber % 6 AS INT)
+      val cig = expr("""CASE CAST(l_linenumber % 8 AS INT)
         WHEN 0 THEN '151M' WHEN 1 THEN '10S131M10S' WHEN 2 THEN '75M2D74M'
-        WHEN 3 THEN '50M1000N101M' WHEN 4 THEN '5H146M' ELSE '70M8I73M' END""")
+        WHEN 3 THEN '50M1000N101M' WHEN 4 THEN '5H146M' WHEN 5 THEN '70M8I73M'
+        WHEN 6 THEN '100=2X49=' ELSE '75M1P76M' END""")
       val reads = Tables.lineitem(s, d).select(
         concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
         lit(0).cast("int").as("flags"),
@@ -1285,12 +1286,12 @@ object FormatQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bam_cigar_ops" ->
       """WITH r AS (SELECT
-        |    CASE CAST(l_linenumber % 6 AS INT) WHEN 0 THEN '151M' WHEN 1 THEN '10S131M10S'
+        |    CASE CAST(l_linenumber % 8 AS INT) WHEN 0 THEN '151M' WHEN 1 THEN '10S131M10S'
         |      WHEN 2 THEN '75M2D74M' WHEN 3 THEN '50M1000N101M' WHEN 4 THEN '5H146M'
-        |      ELSE '70M8I73M' END AS cigar,
+        |      WHEN 5 THEN '70M8I73M' WHEN 6 THEN '100=2X49=' ELSE '75M1P76M' END AS cigar,
         |    CAST((l_partkey * 37) % 990000 + 1 AS BIGINT) AS rstart,
-        |    CASE CAST(l_linenumber % 6 AS INT) WHEN 0 THEN 151 WHEN 1 THEN 131 WHEN 2 THEN 151
-        |      WHEN 3 THEN 1151 WHEN 4 THEN 146 ELSE 143 END AS reflen
+        |    CASE CAST(l_linenumber % 8 AS INT) WHEN 0 THEN 151 WHEN 1 THEN 131 WHEN 2 THEN 151
+        |      WHEN 3 THEN 1151 WHEN 4 THEN 146 WHEN 5 THEN 143 ELSE 151 END AS reflen
         |  FROM lineitem)
         |SELECT cigar, COUNT(*) AS n_reads, CAST(SUM(rstart) AS BIGINT) AS sum_start,
         |  CAST(SUM(rstart + reflen - 1) AS BIGINT) AS sum_end
