@@ -68,6 +68,47 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q2.stop()
   }
 
+  test("windowedQuantiles: restart from checkpoint rebuilds the HISTOGRAM state") {
+    // the native TypedImperativeAggregate's buffer lives in the state
+    // store across micro-batches — this pins that serialize → checkpoint
+    // → restore → merge round-trips the histogram (a buffer-layout or
+    // serialization change that breaks recovery passes the stateless
+    // equality test but fails here)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-hq").toString
+    val events = (0 until 600).map { i =>
+      Ev(Timestamp.valueOf(f"2026-01-05 ${10 + i % 3}%02d:15:00"),
+        if (i % 2 == 0) "view" else "sale", i % 9, (i * i % 97) * 0.5)
+    }
+    val stream = MemoryStream[Ev]
+    def start() = Streaming.windowedQuantiles(stream.toDF())
+      .writeStream.format("memory").queryName("wq_ckpt")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    val q1 = start()
+    stream.addData(events.take(300)); q1.processAllAvailable()
+    q1.stop() // simulated driver loss with live histogram buffers
+    val q2 = start()
+    try {
+      stream.addData(events.drop(300)); q2.processAllAvailable()
+      val got = spark.table("wq_ckpt").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      graft.functions.HistQuantileAgg.register(spark)
+      val want = spark.createDataset(events).toDF()
+        .select(date_trunc("hour", $"ts").as("hour"), $"event_type",
+          graft.functions.GraftFunctions.cents($"value").as("value_c"))
+        .groupBy($"hour", $"event_type")
+        .agg(expr("graft_hist_quantile(value_c, 1, 500)").as("median_c"),
+          expr("graft_hist_quantile(value_c, 1, 900)").as("p90_c"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got == want,
+        "post-restart quantiles diverge from batch truth — histogram state lost in recovery")
+    } finally q2.stop()
+  }
+
   test("pathing: streaming transitions equal the batch lead() window") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
