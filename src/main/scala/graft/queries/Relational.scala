@@ -1154,6 +1154,35 @@ object Relational {
         .orderBy($"segment")
     },
 
+    // -- National market share (TPC-H Q8 shape): one brand's ppm share of
+    //    ASIA-customer revenue per year, through a SIX-table join — the
+    //    deepest join tree in the roster. region/nation broadcast; the
+    //    target brand is itself a broadcast scalar (MIN(p_brand), so the
+    //    probe exists at every SF); lineitem⋈orders⋈customer and
+    //    lineitem⋈part co-shuffle on their natural keys. The share is a
+    //    conditional aggregate over ONE pass — no brand-filtered second
+    //    scan — and stays in integer ppm.
+    "q_brand_market_share" -> { (s, d) =>
+      import s.implicits._
+      val r = Tables.region(s, d).filter($"r_name" === "ASIA")
+      val qb = Tables.part(s, d).agg(min($"p_brand").as("qb"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .join(Tables.part(s, d), $"l_partkey" === $"p_partkey")
+        .crossJoin(broadcast(qb))
+        .groupBy(year($"o_orderdate").cast("long").as("yr"))
+        .agg(
+          sum(when($"p_brand" === $"qb",
+            cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).otherwise(0L)).as("brand_c"),
+          sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_c"))
+        .select($"yr", $"brand_c", $"total_c",
+          expr("brand_c * 1000000 div total_c").as("share_ppm"))
+        .orderBy($"yr")
+    },
+
     // -- Session-stats quantiles: 30-minute-gap sessionization (the
     //    q_events_sessions machinery) rolled into EXACT p50/p90 of
     //    events-per-session and session length, via the native histogram
@@ -1771,6 +1800,24 @@ object Relational {
         |  CAST(SUM(CASE WHEN op = 'U' THEN chg_bal_c ELSE bal_c END) AS BIGINT) AS total_bal_c
         |FROM j WHERE op IS NULL OR op <> 'D'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_brand_market_share" ->
+      """WITH rev AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr, p_brand,
+        |    CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS rev_c
+        |  FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation ON c_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    JOIN part ON l_partkey = p_partkey
+        |  WHERE r_name = 'ASIA'),
+        |qb AS (SELECT MIN(p_brand) AS qb FROM part)
+        |SELECT yr,
+        |  CAST(SUM(CASE WHEN p_brand = (SELECT qb FROM qb) THEN rev_c ELSE 0 END) AS BIGINT) AS brand_c,
+        |  CAST(SUM(rev_c) AS BIGINT) AS total_c,
+        |  CAST(SUM(CASE WHEN p_brand = (SELECT qb FROM qb) THEN rev_c ELSE 0 END) * 1000000
+        |    // SUM(rev_c) AS BIGINT) AS share_ppm
+        |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_session_quantiles" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
