@@ -45,7 +45,10 @@ object GraphOps {
     w.crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
       .crossJoin(tri)
       .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
-        expr("n_triangles * 3000000 div n_wedges").as("gcc_ppm"))
+        // wedge-free graphs (every component a single edge) have gcc 0,
+        // not a division error
+        when($"n_wedges" > 0, expr("n_triangles * 3000000 div n_wedges"))
+          .otherwise(0L).as("gcc_ppm"))
   }
 
   /** BFS level census from `seeds` (column `id`) over DIRECTED edges

@@ -91,6 +91,22 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(0L -> 1L, 1L -> 2L /* nodes 1 and 3 */, 2L -> 1L))
   }
 
+  test("bfs edge cases: empty seeds, zero cap, seed dedup") {
+    val chain = (0L until 5L).map(i => (i, i + 1))
+    // no seeds → no levels
+    assert(levels(chain, Seq(), 3).isEmpty)
+    // cap 0 → only the seed level
+    assert(levels(chain, Seq(0L), 0) == Map(0L -> 1L))
+    // duplicate seeds count once
+    assert(levels(chain, Seq(0L, 0L, 0L), 1) == Map(0L -> 1L, 1L -> 1L))
+  }
+
+  test("triangle census on a single edge: no wedges, gcc 0") {
+    val c = census(Seq((1L, 2L)))
+    assert(c("n_nodes") == 2 && c("n_edges") == 1 && c("n_wedges") == 0)
+    assert(c("n_triangles") == 0)
+  }
+
   test("bfs on the seeded random graph matches a reference BFS") {
     val rnd = new scala.util.Random(7)
     val n = 40L
