@@ -1065,6 +1065,45 @@ object Relational {
       GraphOps.bfsLevels(edges, seeds, 4)
     },
 
+    // -- GVCF block COMBINE (joint-genotyping shape, à la GLnexus): two
+    //    samples' disjoint reference blocks — (start, end, min-GQ) runs —
+    //    intersect into the segments where BOTH samples have coverage,
+    //    each segment carrying the pairwise min GQ. The overlap join runs
+    //    as the binned equi-join (bin width = the larger block width, so
+    //    blocks explode to ≤2 bins and each pair counts once in the bin
+    //    of its intersection start); per-sample block construction is one
+    //    groupBy each. At N samples this becomes a fold of the same
+    //    pairwise combine — every step stays an equi-shuffle.
+    "q_gvcf_combine" -> { (s, d) =>
+      import s.implicits._
+      val a = Tables.orders(s, d).select(
+          concat(lit("chr"), ($"o_orderkey" % 3).cast("string")).as("contig"),
+          (($"o_custkey" * 53) % 4000).as("blk"),
+          ($"o_orderkey" % 60).as("g"))
+        .groupBy($"contig", $"blk").agg(min($"g").as("gq_a"))
+        .select($"contig", ($"blk" * 250 + 1).as("sa"),
+          ($"blk" * 250 + 250).as("ea"), $"gq_a")
+      val b = Tables.lineitem(s, d).select(
+          concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("bcontig"),
+          (($"l_partkey" * 37) % 5000).as("blk"),
+          ($"l_suppkey" % 60).as("g"))
+        .groupBy($"bcontig", $"blk").agg(min($"g").as("gq_b"))
+        .select($"bcontig", ($"blk" * 200 + 1).as("sb"),
+          ($"blk" * 200 + 200).as("eb"), $"gq_b")
+      val ab = a.withColumn("bin", explode(expr("sequence((sa - 1) div 250, (ea - 1) div 250)")))
+      val bb = b.withColumn("vbin", explode(expr("sequence((sb - 1) div 250, (eb - 1) div 250)")))
+      ab.join(bb, $"contig" === $"bcontig" && $"bin" === $"vbin" &&
+          $"sa" <= $"eb" && $"sb" <= $"ea" &&
+          $"bin" === expr("(greatest(sa, sb) - 1) div 250"))
+        .select($"contig", greatest($"sa", $"sb").as("ss"),
+          least($"ea", $"eb").as("ee"), least($"gq_a", $"gq_b").as("gq"))
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_segments"),
+          sum($"ee" - $"ss" + 1).as("covered_bp"),
+          sum(($"ee" - $"ss" + 1) * $"gq").as("gq_bp"))
+        .orderBy($"contig")
+    },
+
     // -- Interval MERGE (`bedtools merge` shape): collapse overlapping/
     //    touching intervals per contig into maximal covered runs. A new
     //    run starts where rstart exceeds the CUMULATIVE MAX of all prior
@@ -1752,6 +1791,23 @@ object Relational {
         |best AS (SELECT id, MIN(lvl) AS lvl FROM reach GROUP BY 1)
         |SELECT CAST(lvl AS BIGINT) AS lvl, COUNT(*) AS n_nodes
         |FROM best GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_gvcf_combine" ->
+      """WITH a0 AS (SELECT 'chr' || CAST(o_orderkey % 3 AS VARCHAR) AS contig,
+        |    (o_custkey * 53) % 4000 AS blk, o_orderkey % 60 AS g FROM orders),
+        |a1 AS (SELECT contig, blk, MIN(g) AS gq_a FROM a0 GROUP BY contig, blk),
+        |a AS (SELECT contig, blk * 250 + 1 AS sa, blk * 250 + 250 AS ea, gq_a FROM a1),
+        |b0 AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    (l_partkey * 37) % 5000 AS blk, l_suppkey % 60 AS g FROM lineitem),
+        |b1 AS (SELECT contig, blk, MIN(g) AS gq_b FROM b0 GROUP BY contig, blk),
+        |b AS (SELECT contig, blk * 200 + 1 AS sb, blk * 200 + 200 AS eb, gq_b FROM b1),
+        |j AS (SELECT a.contig, GREATEST(sa, sb) AS ss, LEAST(ea, eb) AS ee,
+        |        LEAST(gq_a, gq_b) AS gq
+        |      FROM a JOIN b ON a.contig = b.contig AND sa <= eb AND sb <= ea)
+        |SELECT contig, COUNT(*) AS n_segments,
+        |  CAST(SUM(ee - ss + 1) AS BIGINT) AS covered_bp,
+        |  CAST(SUM((ee - ss + 1) * gq) AS BIGINT) AS gq_bp
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_interval_merge" ->
       """WITH iv AS (SELECT DISTINCT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
