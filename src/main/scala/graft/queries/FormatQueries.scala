@@ -654,6 +654,31 @@ object FormatQueries {
         .orderBy($"cigar")
     },
 
+    // BAM → LAKEHOUSE export: the connector's output lands as a
+    // contig-PARTITIONED parquet lake (the standard "reads warehouse"
+    // step), and the downstream contig query must prune to one
+    // directory — PartitionFilters, zero row-level contig work. This is
+    // the layout under which 100 TB of reads answers per-contig
+    // questions without touching the other contigs' files; the map-typed
+    // attributes column survives the parquet round-trip.
+    "q_reads_lake" -> { (s, d) =>
+      import s.implicits._
+      val base = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
+      val path = s"$base/lake_src.bam"
+      val lake = s"$base/reads_lake"
+      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      s.read.format("bam").load(path)
+        .write.partitionBy("contig").mode("overwrite").parquet(lake)
+      s.read.parquet(lake)
+        .filter($"contig" === "chr1")
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_reads"),
+          sum($"start".cast("long")).as("sum_start"),
+          sum(substring(element_at($"attributes", "XO"), 3, 10).cast("long")).as("sum_tag"))
+        .orderBy($"contig")
+    },
+
     // multi-sample VCF MERGE (`bcftools merge` shape): two single-sample
     // cohort VCFs round-trip through the connector, then meet in a
     // FULL OUTER join on the site key — present-in-one sites keep their
@@ -1283,6 +1308,13 @@ object FormatQueries {
         |  CAST(MAX(rend) AS INTEGER) AS max_end, CAST(SUM(tag) AS BIGINT) AS sum_tag
         |FROM reads
         |WHERE CAST('0x' || substr(md5('sub|' || rname), 1, 15) AS BIGINT) % 100 < 25
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_reads_lake" ->
+      """SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |  COUNT(*) AS n_reads,
+        |  CAST(SUM((l_partkey * 37) % 999000 + 1) AS BIGINT) AS sum_start,
+        |  CAST(SUM(l_orderkey % 100) AS BIGINT) AS sum_tag
+        |FROM lineitem WHERE l_orderkey % 3 = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bam_cigar_ops" ->
       """WITH r AS (SELECT

@@ -490,6 +490,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(opt.contains("graft_hist_quantiles"), s"median/p90 fusion did not fire\n$opt")
   }
 
+  test("q_reads_lake: contig filter prunes to ONE lake partition directory") {
+    val df = FormatQueries.queries("q_reads_lake")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val scan = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("chr1"),
+      s"contig filter did not reach PartitionFilters — the lake scan reads all contigs\n$p")
+  }
+
   test("q_bam_liftover: chain side broadcasts — reads never shuffle to remap") {
     val p = finalPlan(FormatQueries.queries("q_bam_liftover")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"chain not broadcast\n$p")
