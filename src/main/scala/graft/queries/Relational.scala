@@ -1292,10 +1292,229 @@ object Relational {
           coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
           $"n_items", $"price_c")
         .orderBy($"returnflag", $"linestatus")
+    },
+
+    // -- TPC-H Q6 shape: pure scan-aggregate. Zero joins, zero wide
+    //    dependencies — every filter reaches the parquet scan as a
+    //    PushedFilter and only three columns are read. At 100 TB this is
+    //    the query whose cost is entirely I/O: row groups outside the
+    //    shipdate range never leave disk (min/max stats).
+    "q_filtered_revenue" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          cents($"l_discount").between(5L, 7L) && $"l_quantity" < 24)
+        .agg(sum(cents($"l_extendedprice" * $"l_discount")).as("revenue_c"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // -- TPC-H Q7 shape: volume shipping between a nation PAIR. The two
+    //    nation lookups are filtered to the pair BEFORE the broadcast
+    //    joins, so they act as early row filters on supplier/customer —
+    //    the fact table only shuffles for the two key joins it genuinely
+    //    needs (orderkey, then custkey via orders).
+    "q_nation_volume" -> { (s, d) =>
+      import s.implicits._
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.nation(s, d).filter($"n_name".isin(pair: _*))
+        .select($"n_nationkey".as("nk1"), $"n_name".as("supp_nation"))
+      val n2 = Tables.nation(s, d).filter($"n_name".isin(pair: _*))
+        .select($"n_nationkey".as("nk2"), $"n_name".as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(n1), $"s_nationkey" === $"nk1")
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n2), $"c_nationkey" === $"nk2")
+        .filter($"supp_nation" =!= $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").cast("long").as("yr"))
+        .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("volume_c"))
+        .orderBy($"supp_nation", $"cust_nation", $"yr")
+    },
+
+    // -- TPC-H Q9 shape (adapted: no partsupp table, so p_retailprice is
+    //    the unit-cost proxy): profit by supplier nation × order year for
+    //    parts matching a name substring. The part filter prunes BEFORE
+    //    the partkey shuffle join; profit stays in exact integer cents.
+    "q_product_profit" -> { (s, d) =>
+      import s.implicits._
+      val p = Tables.part(s, d).filter($"p_name".contains("gear"))
+        .select($"p_partkey", $"p_retailprice")
+      Tables.lineitem(s, d)
+        .join(p, $"l_partkey" === $"p_partkey")
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("yr"))
+        .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount")) -
+          cents($"p_retailprice" * $"l_quantity")).as("profit_c"))
+        .orderBy($"nation", $"yr".desc)
+    },
+
+    // -- TPC-H Q10 shape: returned-item revenue per customer for one
+    //    quarter, top 20. The quarter filter cuts orders before the join;
+    //    returnflag cuts lineitem at the scan; the top-k is TakeOrdered
+    //    (no global sort materialization).
+    "q_returned_top_customers" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      Tables.lineitem(s, d).filter($"l_returnflag" === "R")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"n_name".as("nation"))
+        .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"))
+        .orderBy($"revenue_c".desc, $"c_custkey")
+        .limit(20)
+    },
+
+    // -- TPC-H Q14 shape: promo revenue share for one month — conditional
+    //    aggregation over a partkey join, share computed in exact ppm
+    //    (integer division; numerator bounded promo_c ≤ total_c so the
+    //    ×10⁶ stays Long-safe far past corpus scale).
+    "q_promo_share" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1997-09-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-10-01").cast("timestamp"))
+        .join(Tables.part(s, d).select($"p_partkey", $"p_type"),
+          $"l_partkey" === $"p_partkey")
+        .agg(
+          sum(when($"p_type" === "PROMO",
+            cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).otherwise(0L)).as("promo_c"),
+          sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_c"))
+        .select($"promo_c", $"total_c",
+          expr("promo_c * 1000000 div total_c").as("promo_ppm"))
+    },
+
+    // -- TPC-H Q15 shape: top supplier(s) by quarterly revenue. The
+    //    per-supplier aggregate is computed ONCE, its scalar max is
+    //    broadcast back as a one-row probe (no re-scan, no self-join
+    //    shuffle), and only the surviving row(s) join supplier for names.
+    "q_top_supplier" -> { (s, d) =>
+      import s.implicits._
+      val rev = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_rev_c"))
+      val mx = rev.agg(max($"total_rev_c").as("mx"))
+      val top = rev.crossJoin(broadcast(mx)).filter($"total_rev_c" === $"mx")
+      Tables.supplier(s, d)
+        .join(broadcast(top), $"s_suppkey" === $"l_suppkey")
+        .select($"s_suppkey", $"s_name", $"total_rev_c")
+        .orderBy($"s_suppkey")
+    },
+
+    // -- TPC-H Q19 shape: disjunctive predicate join. Catalyst extracts
+    //    the common equi-key (partkey) for the join and keeps the OR of
+    //    (brand, size, quantity) bands as a join residual — one shuffle
+    //    join, never a nested-loop — while the per-side conjuncts that
+    //    can be hoisted (quantity ≤ 30, brand IN set via constraint
+    //    propagation) prune at the scans.
+    "q_disjunctive_join" -> { (s, d) =>
+      import s.implicits._
+      val p = Tables.part(s, d).select($"p_partkey", $"p_brand", $"p_size")
+      val cond = $"l_partkey" === $"p_partkey" && (
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 20) &&
+          $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#14" && $"p_size".between(1, 25) &&
+          $"l_quantity".between(20, 30)))
+      Tables.lineitem(s, d)
+        .join(p, cond)
+        .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"),
+          count(lit(1)).as("n_lines"))
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "q_filtered_revenue" ->
+      """SELECT CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_c,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+    "q_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |    AS volume_c
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+        |         - CAST(ROUND(p_retailprice*l_quantity*100) AS BIGINT)) AS BIGINT)
+        |    AS profit_c
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q_returned_top_customers" ->
+      """SELECT c_custkey, c_name, n_name AS nation,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_c DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_promo_share" ->
+      """WITH m AS (SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS promo_c,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |      AS total_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT promo_c, total_c,
+        |  CAST(promo_c * 1000000 // total_c AS BIGINT) AS promo_ppm
+        |FROM m""".stripMargin,
+    "q_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |      AS total_rev_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_c
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_disjunctive_join" ->
+      """SELECT
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_c,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "q_rollup_region_priority" ->
       """SELECT COALESCE(r_name, 'ALL') AS region,
         |  COALESCE(o_orderpriority, 'ALL') AS priority,
