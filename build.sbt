@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // run/Test fork, so -D flags given on the sbt command line would die in
+  // the sbt JVM — forward the graft.* ones (e.g. graft.verify.only) to
+  // the forked process where sys.props reads them.
+  sys.props.collect { case (k, v) if k.startsWith("graft.") => s"-D$k=$v" }.toSeq

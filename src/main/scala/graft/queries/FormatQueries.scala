@@ -1081,8 +1081,55 @@ object FormatQueries {
         .option("intervals", "chr0:1-5000,chr1:2000-7000")
         .load(path)
       readsAggregate(back)
+    },
+
+    // K-MER SPECTRUM (k=8) over connector-read alignments — the classic
+    // genomics distributed profile (jellyfish/KMC shape). Each read's
+    // 32-base sequence is window-exploded into its 25 overlapping 8-mers
+    // (a narrow Generate — no shuffle), counted per k-mer (ONE hash
+    // aggregate whose key space is bounded by 4^k, not the corpus), then
+    // rolled into the multiplicity histogram (tiny second shuffle over
+    // distinct counts). At 100 TB the only wide exchange carries ≤65536
+    // partial k-mer counts per partition — map-side combine does the rest.
+    // Sequences round-trip through the BAM 4-bit base codec first, so a
+    // corrupted base anywhere shifts the spectrum.
+    "q_kmer_spectrum" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/kmer.bam"
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        lit(0).cast("int").as("end"), // writer recomputes from cigar
+        lit(60).cast("int").as("mapq"),
+        lit("32M").as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit(KmerAlpha).substr((($"l_partkey" * 13) % 33).cast("int") + 1, lit(32))
+          .as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
+          .as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      s.read.format("bam").load(path)
+        .select($"seq", explode(sequence(lit(1), lit(25))).as("p"))
+        .select(expr("substring(seq, p, 8)").as("kmer"))
+        .groupBy($"kmer").agg(count(lit(1)).as("n"))
+        .groupBy($"n").agg(count(lit(1)).as("n_kmers"))
+        .select($"n".as("multiplicity"), $"n_kmers")
+        .orderBy($"multiplicity")
     }
   )
+
+  /** 64-char ACGT alphabet for the k-mer reads — irregular content so
+    * overlapping windows from the 33 possible offsets produce a varied
+    * multiplicity histogram; shared verbatim with the DuckDB oracle.
+    */
+  private val KmerAlpha =
+    "ACGTACGTTGCATGCA" + "GGATCCAATTGGCCTA" + "GCTAGGCCAATTAAGG" + "CCTTACGTGCATTGCA"
 
   def oracles: Map[String, String] = Map(
     "q_bam_unmapped_traversal" ->
@@ -1395,6 +1442,14 @@ object FormatQueries {
         |FROM v
         |WHERE (contig = 'chr0' AND vstart <= 5000 AND vstart >= 1)
         |   OR (contig = 'chr2' AND vstart <= 40000 AND vstart >= 30000)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kmer_spectrum" ->
+      s"""WITH r AS (SELECT substring('$KmerAlpha',
+        |    CAST((l_partkey * 13) % 33 AS INTEGER) + 1, 32) AS seq FROM lineitem),
+        |k AS (SELECT substring(seq, CAST(p AS INTEGER), 8) AS kmer
+        |  FROM r, generate_series(1, 25) t(p)),
+        |c AS (SELECT kmer, COUNT(*) AS n FROM k GROUP BY 1)
+        |SELECT n AS multiplicity, COUNT(*) AS n_kmers
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -1431,10 +1431,80 @@ object Relational {
         .join(p, cond)
         .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue_c"),
           count(lit(1)).as("n_lines"))
+    },
+
+    // -- TPC-H Q16 shape (s_acctbal < 0 stands in for the complaint
+    //    exclusion; no partsupp, so supply pairs come from lineitem):
+    //    distinct-supplier variety per part attribute triple. The bad-
+    //    supplier set is tiny → broadcast ANTI join (never a shuffle);
+    //    the (part,supp) pairs are deduped BEFORE the count-distinct so
+    //    the wide shuffle carries each pair once, not once per line.
+    "q_part_supplier_variety" -> { (s, d) =>
+      import s.implicits._
+      val p = Tables.part(s, d)
+        .filter($"p_brand" =!= "Brand#45" && !$"p_type".startsWith("MEDIUM") &&
+          $"p_size".isin(1, 4, 9, 14, 19, 23, 36, 45))
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+      val bad = Tables.supplier(s, d).filter($"s_acctbal" < 0).select($"s_suppkey")
+      val pairs = Tables.lineitem(s, d)
+        .select($"l_partkey", $"l_suppkey").distinct()
+        .join(broadcast(bad), $"l_suppkey" === bad("s_suppkey"), "left_anti")
+      pairs.join(p, $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    },
+
+    // -- TPC-H Q20 shape (lineitem stands in for partsupp availability):
+    //    suppliers who shipped an excess quantity of name-matched parts
+    //    in one year. The correlated "half of yearly demand" subquery is
+    //    decorrelated into one (partkey, suppkey) aggregate; the name-
+    //    filtered part set prunes before that shuffle; the surviving
+    //    supplier keys are a LEFT SEMI probe into supplier (no row
+    //    duplication), with nation broadcast for the name.
+    "q_excess_stock_suppliers" -> { (s, d) =>
+      import s.implicits._
+      val p = Tables.part(s, d).filter($"p_name".contains("gear"))
+        .select($"p_partkey")
+      val shipped = Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        .join(p, $"l_partkey" === $"p_partkey")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum($"l_quantity").as("qty"))
+        .filter($"qty" > 60)
+        .select($"l_suppkey").distinct()
+      Tables.supplier(s, d)
+        .join(shipped, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"n_name".as("nation"))
+        .orderBy($"s_suppkey")
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "q_part_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_excess_stock_suppliers" ->
+      """SELECT s_suppkey, s_name, n_name AS nation
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%gear%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_partkey, l_suppkey
+        |  HAVING SUM(l_quantity) > 60)
+        |ORDER BY s_suppkey""".stripMargin,
     "q_filtered_revenue" ->
       """SELECT CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT)
         |    AS revenue_c,
