@@ -1121,6 +1121,109 @@ object FormatQueries {
         .groupBy($"n").agg(count(lit(1)).as("n_kmers"))
         .select($"n".as("multiplicity"), $"n_kmers")
         .orderBy($"multiplicity")
+    },
+
+    // HARDY-WEINBERG equilibrium spectrum (vcftools --hardy shape) over a
+    // 12-sample cohort round-tripped through the VCF connector. The whole
+    // per-site test is NARROW: genotype counts (a=hom-ref, b=het,
+    // c=hom-alt) come from higher-order array functions on the genotypes
+    // column — no explode, no per-sample row blow-up — and the chi-square
+    // is exact fixed-point integer math (×1000, integer div, identical
+    // order in the oracle), so 100 TB of sites costs one codegen pass plus
+    // a rollup shuffle whose key space is the handful of distinct
+    // (a,b,c) patterns.
+    "q_vcf_hwe" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/hwe.vcf.bgz"
+      def geno(j: Int) = {
+        val code = ($"l_orderkey" + lit(j) * $"l_linenumber" +
+          lit(j * j) * $"l_suppkey") % 3
+        struct(
+          lit(f"s$j%02d").as("sample"),
+          when(code === 0, "0/0").when(code === 1, "0/1").otherwise("1/1").as("gt"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false))
+            .as("fields"))
+      }
+      val vars = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"),
+        array(lit("G")).as("alt"),
+        lit(30.0).as("qual"),
+        array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array((1 to 12).map(geno): _*).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      def nGt(g: String) =
+        size(filter($"genotypes", x => x.getField("gt") === g)).cast("long")
+      back
+        .select(nGt("0/0").as("a"), nGt("0/1").as("b"), nGt("1/1").as("c"))
+        .withColumn("n", $"a" + $"b" + $"c")
+        .withColumn("pr", lit(2L) * $"a" + $"b") // ref allele count
+        .withColumn("pq", lit(2L) * $"c" + $"b") // alt allele count
+        .withColumn("chi2_milli",
+          when($"pr" === 0 || $"pq" === 0, 0L).otherwise(expr(
+            "((4*n*a - pr*pr)*(4*n*a - pr*pr)*1000) div (4*n*pr*pr)" +
+              " + ((2*n*b - pr*pq)*(2*n*b - pr*pq)*1000) div (2*n*pr*pq)" +
+              " + ((4*n*c - pq*pq)*(4*n*c - pq*pq)*1000) div (4*n*pq*pq)")))
+        .groupBy($"a", $"b", $"c", $"chi2_milli")
+        .agg(count(lit(1)).as("n_sites"))
+        .orderBy($"a", $"b", $"c")
+    },
+
+    // MENDELIAN-VIOLATION census (bcftools +mendelian shape) over trio
+    // VCFs: father/mother/child genotypes per site, child dosage checked
+    // against the transmissible range [f_min+m_min, f_max+m_max]. Like
+    // the HWE pass this is one narrow projection over the round-tripped
+    // genotypes array (element_at, no explode) and a per-contig rollup.
+    "q_vcf_mendel" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/trio.vcf.bgz"
+      def geno(name: String, code: org.apache.spark.sql.Column) = struct(
+        lit(name).as("sample"),
+        when(code === 0, "0/0").when(code === 1, "0/1").otherwise("1/1").as("gt"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false))
+          .as("fields"))
+      val vars = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"),
+        array(lit("G")).as("alt"),
+        lit(30.0).as("qual"),
+        array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array(
+          geno("father", ($"l_orderkey" * 7 + $"l_linenumber") % 3),
+          geno("mother", ($"l_orderkey" * 5 + $"l_linenumber" * 2) % 3),
+          geno("child", ($"l_orderkey" * 11 + $"l_linenumber" * 3 + $"l_suppkey") % 3))
+          .as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      def dose(i: Int) = {
+        val gt = element_at($"genotypes", i).getField("gt")
+        when(gt === "0/0", 0L).when(gt === "0/1", 1L).otherwise(2L)
+      }
+      back
+        .select($"contig", dose(1).as("df"), dose(2).as("dm"), dose(3).as("dc"))
+        .withColumn("lo",
+          when($"df" === 2, 1L).otherwise(0L) + when($"dm" === 2, 1L).otherwise(0L))
+        .withColumn("hi",
+          when($"df" === 0, 0L).otherwise(1L) + when($"dm" === 0, 0L).otherwise(1L))
+        .withColumn("viol", $"dc" < $"lo" || $"dc" > $"hi")
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_sites"),
+          sum(when($"viol", 1L).otherwise(0L)).as("n_viol"),
+          sum(when($"viol" && $"dc" === 0, 1L).otherwise(0L)).as("n_viol_homref"),
+          sum(when($"viol" && $"dc" === 1, 1L).otherwise(0L)).as("n_viol_het"),
+          sum(when($"viol" && $"dc" === 2, 1L).otherwise(0L)).as("n_viol_homalt"))
+        .orderBy($"contig")
     }
   )
 
@@ -1450,6 +1553,42 @@ object FormatQueries {
         |  FROM r, generate_series(1, 25) t(p)),
         |c AS (SELECT kmer, COUNT(*) AS n FROM k GROUP BY 1)
         |SELECT n AS multiplicity, COUNT(*) AS n_kmers
-        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sites are keyed by ROW_NUMBER, not (l_orderkey, l_linenumber): the
+    // generator emits duplicate lineitem rows, and each row IS one site
+    "q_vcf_hwe" ->
+      """WITH r AS (SELECT ROW_NUMBER() OVER () AS rid,
+        |    l_orderkey AS ok, l_linenumber AS ln, l_suppkey AS sk FROM lineitem),
+        |g AS (SELECT rid, (ok + j * ln + j * j * sk) % 3 AS code
+        |  FROM r, (SELECT unnest(range(1, 13)) AS j) t),
+        |s AS (SELECT rid,
+        |    CAST(SUM(CASE WHEN code = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN code = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM g GROUP BY rid),
+        |x AS (SELECT a, b, c, a + b + c AS n, 2*a + b AS pr, 2*c + b AS pq FROM s)
+        |SELECT a, b, c,
+        |  CASE WHEN pr = 0 OR pq = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    ((4*n*a - pr*pr)*(4*n*a - pr*pr)*1000) // (4*n*pr*pr)
+        |  + ((2*n*b - pr*pq)*(2*n*b - pr*pq)*1000) // (2*n*pr*pq)
+        |  + ((4*n*c - pq*pq)*(4*n*c - pq*pq)*1000) // (4*n*pq*pq) END AS chi2_milli,
+        |  COUNT(*) AS n_sites
+        |FROM x GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3""".stripMargin,
+    "q_vcf_mendel" ->
+      """WITH t AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    (l_orderkey * 7 + l_linenumber) % 3 AS df,
+        |    (l_orderkey * 5 + l_linenumber * 2) % 3 AS dm,
+        |    (l_orderkey * 11 + l_linenumber * 3 + l_suppkey) % 3 AS dc
+        |  FROM lineitem),
+        |v AS (SELECT contig, dc,
+        |    (CASE WHEN df = 2 THEN 1 ELSE 0 END + CASE WHEN dm = 2 THEN 1 ELSE 0 END) AS lo,
+        |    (CASE WHEN df = 0 THEN 0 ELSE 1 END + CASE WHEN dm = 0 THEN 0 ELSE 1 END) AS hi
+        |  FROM t)
+        |SELECT contig, COUNT(*) AS n_sites,
+        |  CAST(SUM(CASE WHEN dc < lo OR dc > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+        |  CAST(SUM(CASE WHEN (dc < lo OR dc > hi) AND dc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_homref,
+        |  CAST(SUM(CASE WHEN (dc < lo OR dc > hi) AND dc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_het,
+        |  CAST(SUM(CASE WHEN (dc < lo OR dc > hi) AND dc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_homalt
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

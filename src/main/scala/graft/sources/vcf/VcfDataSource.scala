@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -298,10 +298,27 @@ object VariantRowBuilder {
       case "qual" => v => if (v.qual == null) null else v.qual.doubleValue()
       case "filters" => v => strArray(v.filters)
       case "info" => v => strMap(v.info)
-      case "genotypes" => v => new GenericArrayData(v.genotypes.map { g =>
-        new GenericInternalRow(Array[Any](
-          UTF8String.fromString(g.sample), UTF8String.fromString(g.gt), strMap(g.fields))): Any
-      }.toArray)
+      // Catalyst nested-schema pruning may hand us a genotype struct with a
+      // SUBSET of {sample, gt, fields} in any order (e.g. `genotypes[0].gt`
+      // prunes to {gt}); consumers read the struct POSITIONALLY against the
+      // pruned schema, so the emitted fields must match it, not the full
+      // struct — emitting all three would silently serve `sample` as `gt`.
+      case "genotypes" =>
+        val elem = required("genotypes").dataType.asInstanceOf[ArrayType]
+          .elementType.asInstanceOf[StructType]
+        val subs = elem.fieldNames.map[Genotype => Any] {
+          case "sample" => g => UTF8String.fromString(g.sample)
+          case "gt" => g => UTF8String.fromString(g.gt)
+          case "fields" => g => strMap(g.fields)
+          case other =>
+            throw new IllegalArgumentException(s"unknown genotype field $other")
+        }
+        v => new GenericArrayData(v.genotypes.map { g =>
+          val a = new Array[Any](subs.length)
+          var i = 0
+          while (i < subs.length) { a(i) = subs(i)(g); i += 1 }
+          new GenericInternalRow(a): Any
+        }.toArray)
       case other => throw new IllegalArgumentException(s"unknown column $other")
     }
 

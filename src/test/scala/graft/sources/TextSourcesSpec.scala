@@ -226,6 +226,31 @@ class SamVcfSourceSpec extends AnyFunSuite with SparkFixture {
     assert(bytes.takeRight(28).sameElements(graft.bgzf.Bgzf.EofBlock))
   }
 
+  test("VCF: nested-pruned genotype reads serve the right subfields") {
+    // regression: selecting only genotypes.gt makes Catalyst prune the
+    // genotype struct to {gt}; the scan must emit structs matching the
+    // PRUNED schema, not the full (sample, gt, fields) layout — the old
+    // positional getter served `sample` bytes as `gt` here
+    import spark.implicits._
+    val vs = sampleVariants(50)
+    val out = tmpDir().resolve("pruned.vcf")
+    spark.createDataset(vs).toDF()
+      .write.format("vcf").mode("overwrite").save(out.toString)
+    val back = spark.read.format("vcf").load(out.toString)
+    val gts = back.selectExpr("genotypes[0].gt AS g").distinct().as[String].collect()
+    assert(gts.toSet == Set("0/1"))
+    // reordered two-field subset: (fields, sample) in that pruned order
+    val pair = back
+      .selectExpr("genotypes[1].fields['GQ'] AS q", "genotypes[1].sample AS n")
+      .distinct().as[(String, String)].collect()
+    assert(pair.toSet == Set(("87", "s2")))
+    // full-struct access stays intact
+    val full = back.selectExpr("explode(genotypes) AS g")
+      .selectExpr("g.sample", "g.gt", "g.fields['DP']").distinct()
+      .as[(String, String, String)].collect()
+    assert(full.toSet == Set(("s1", "0/1", "30"), ("s2", "1/1", "28")))
+  }
+
   test("VCF: sharded sink writes complete per-shard files, plain and BGZF") {
     import spark.implicits._
     val vs = sampleVariants(400)
