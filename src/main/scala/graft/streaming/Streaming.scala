@@ -241,6 +241,35 @@ object Streaming {
         col("v_ts"), col("p_ts"), col("v_value"))
   }
 
+  /** LEFT-OUTER attribution — same stream-stream interval join as
+    * [[attribution]], but purchases that found NO view inside the horizon
+    * still emit (null view columns, `unattributed = true`) once the
+    * watermark passes their join-state horizon. This is the Structured
+    * Streaming outer-join semantic: the null-side row is held in state
+    * until event time proves no match can still arrive, so emission lag is
+    * bounded by `watermark + horizonSec`, and state per purchase is O(1).
+    */
+  def attributionOuter(views: DataFrame, purchases: DataFrame,
+                       horizonSec: Long = 3600L,
+                       watermark: String = "2 hours"): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        cents(col("value")).as("v_value"))
+      .withWatermark("v_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $horizonSec SECONDS"),
+      "leftOuter")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("v_ts"), col("p_ts"), col("v_value"),
+        col("v_ts").isNull.as("unattributed"))
+  }
+
   /** Streaming NEAR-DUPLICATE candidate detection — the streaming twin of
     * the batch LSH pass (`Pipeline.lshCandidatePairs`): each arriving
     * document's minhash signature (native expression, one codegen'd pass)

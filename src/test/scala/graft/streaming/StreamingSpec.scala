@@ -400,6 +400,42 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("attributionOuter: unmatched purchases emit null-side rows after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // views only for users 0-2; purchases for users 0-4, so users 3-4 are
+    // structurally unattributable and must surface via the outer side
+    val views = (0 until 60).map(i => IdEv(1000L + i, ts(i), "view", i % 3, i * 1.0))
+    val purch = (0 until 20).map(i => IdEv(2000L + i, ts(i * 3 + 1), "purchase", i % 5, 0.0))
+    val vs = MemoryStream[IdEv]
+    val ps = MemoryStream[IdEv]
+    val q = Streaming.attributionOuter(vs.toDF(), ps.toDF(), horizonSec = 1800L)
+      .writeStream.format("memory").queryName("attrib_outer").outputMode("append").start()
+    try {
+      vs.addData(views)
+      ps.addData(purch)
+      q.processAllAvailable()
+      // outer null-side rows only finalize once event time proves no view
+      // can still match: push both watermarks far past every purchase
+      vs.addData(IdEv(9990L, ts(3000), "view", 99, 0.0))
+      ps.addData(IdEv(9991L, ts(3000), "purchase", 99, 0.0))
+      q.processAllAvailable()
+      vs.addData(IdEv(9992L, ts(6000), "view", 99, 0.0))
+      ps.addData(IdEv(9993L, ts(6000), "purchase", 99, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attrib_outer")
+        .filter($"purchase_id" < 9000)
+        .select($"purchase_id", $"unattributed").as[(Long, Boolean)].collect()
+      val expected = purch.toDF().as("p").join(views.toDF().as("v"),
+        $"p.user_id" === $"v.user_id" && $"v.ts" <= $"p.ts" &&
+          $"v.ts" >= $"p.ts" - expr("INTERVAL 1800 SECONDS"), "left_outer")
+        .select($"p.event_id", $"v.ts".isNull).as[(Long, Boolean)].collect()
+      assert(got.sorted.toSeq == expected.sorted.toSeq)
+      assert(got.exists(_._2), "no unattributed purchase surfaced")
+      assert(got.exists(!_._2), "no attributed purchase surfaced")
+    } finally q.stop()
+  }
+
   test("spikes: streaming rolling anomaly equals the batch rolling-window test") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
