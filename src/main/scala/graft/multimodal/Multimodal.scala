@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * engine as opaque `binary` columns with typed metadata; decode / feature
   * extraction runs batched per partition.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
+  * The IMAGE/VIDEO codec step is STUBBED (this container has no image
   * libraries): [[FakeCodec]] is a deterministic stand-in with the same shape
   * a real decoder would have — bytes in, fixed-width float features out.
-  * Everything around it — schema, partition-batched execution via
-  * `mapPartitions` (the Scala-side analogue of `mapInPandas`), feature
-  * schema, downstream similarity compatibility — is real and tested.
+  * The AUDIO codec is REAL: [[Wav]] parses genuine RIFF/WAVE PCM containers
+  * (chunk walking, 8/16-bit, multi-channel) with no external libraries —
+  * see `q_audio_features`. Everything around the stubs — schema,
+  * partition-batched execution via `mapPartitions` (the Scala-side analogue
+  * of `mapInPandas`), feature schema, downstream similarity compatibility —
+  * is real and tested.
   */
 object Multimodal {
 

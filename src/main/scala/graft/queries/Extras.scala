@@ -75,10 +75,67 @@ object Extras {
       val m = graft.multimodal.Multimodal.syntheticMedia(s, d)
       graft.multimodal.Multimodal.sampleFrames(m).toDF()
         .orderBy($"media_id", $"frame_idx")
+    },
+
+    // REAL audio decode (no stub): per-doc PCM waveforms are packaged as
+    // genuine RIFF/WAV bytes (JUNK chunk included so the parser must walk
+    // chunks) and decoded back by the pure-JVM Wav codec; audio features
+    // (peak, zero crossings, energy) come from the DECODED samples, so a
+    // byte mislaid anywhere in the container or the 16-bit LE decode moves
+    // the rollup. Narrow per-partition encode+decode, one 8-key rollup
+    // shuffle — 100 TB of audio costs exactly the decode pass.
+    "q_audio_features" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$d/documents.parquet").select($"doc_id").as[Long]
+      docs.mapPartitions { ids =>
+        ids.map { id =>
+          val n = (64 + id % 193).toInt
+          val wave = Array.tabulate(n)(t =>
+            (((id * 31 + t.toLong * 7919) % 4096) - 2048).toInt)
+          val pcm = graft.multimodal.Wav.decode(
+            graft.multimodal.Wav.encode(16000, 1, 16, wave, junkBytes = 11))
+          val ss = pcm.samples
+          var peak = 0L; var zc = 0L; var sq = 0L
+          var t = 0
+          while (t < ss.length) {
+            val v = ss(t)
+            if (math.abs(v) > peak) peak = math.abs(v)
+            sq += v.toLong * v
+            if (t >= 1 && ((v < 0) != (ss(t - 1) < 0))) zc += 1
+            t += 1
+          }
+          (id % 8, ss.length.toLong, peak, zc, sq)
+        }
+      }.toDF("bucket", "n_samples", "peak", "zc", "sumsq")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_samples").as("sum_samples"),
+          sum($"peak").as("sum_peak"),
+          sum($"zc").as("sum_zc"),
+          sum($"sumsq").as("sum_sumsq"))
+        .orderBy($"bucket")
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "q_audio_features" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 193 AS n FROM documents),
+        |s AS (SELECT doc_id, n, g,
+        |    ((doc_id * 31 + g * 7919) % 4096) - 2048 AS v,
+        |    CASE WHEN g >= 1
+        |      THEN ((doc_id * 31 + (g - 1) * 7919) % 4096) - 2048 END AS prev
+        |  FROM d, UNNEST(range(0, n)) AS t(g)),
+        |p AS (SELECT doc_id, MAX(n) AS n, MAX(ABS(v)) AS peak,
+        |    SUM(CASE WHEN g >= 1 AND ((v < 0) <> (prev < 0)) THEN 1 ELSE 0 END) AS zc,
+        |    SUM(v * v) AS sumsq
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id % 8 AS bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS sum_samples,
+        |  CAST(SUM(peak) AS BIGINT) AS sum_peak,
+        |  CAST(SUM(zc) AS BIGINT) AS sum_zc,
+        |  CAST(SUM(sumsq) AS BIGINT) AS sum_sumsq
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_multimodal_resize" ->
       """WITH m AS (SELECT doc_id,
         |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
