@@ -8,15 +8,16 @@ import org.apache.spark.sql.types._
   * engine as opaque `binary` columns with typed metadata; decode / feature
   * extraction runs batched per partition.
   *
-  * The IMAGE/VIDEO codec step is STUBBED (this container has no image
-  * libraries): [[FakeCodec]] is a deterministic stand-in with the same shape
-  * a real decoder would have — bytes in, fixed-width float features out.
-  * The AUDIO codec is REAL: [[Wav]] parses genuine RIFF/WAVE PCM containers
-  * (chunk walking, 8/16-bit, multi-channel) with no external libraries —
-  * see `q_audio_features`. Everything around the stubs — schema,
-  * partition-batched execution via `mapPartitions` (the Scala-side analogue
-  * of `mapInPandas`), feature schema, downstream similarity compatibility —
-  * is real and tested.
+  * UNCOMPRESSED formats decode for REAL, no external libraries: [[Wav]]
+  * parses genuine RIFF/WAVE PCM containers (chunk walking, 8/16-bit,
+  * multi-channel; `q_audio_features`) and [[Bmp]] parses 24-bit BMP rasters
+  * (BGR order, bottom-up/top-down rows, row padding; `q_image_features`).
+  * Only COMPRESSED codecs (JPEG/PNG/video) remain stubbed — those genuinely
+  * need libraries this container lacks: [[FakeCodec]] is their
+  * deterministic stand-in with the same shape a real decoder would have.
+  * Everything around the stubs — schema, partition-batched execution via
+  * `mapPartitions` (the Scala-side analogue of `mapInPandas`), feature
+  * schema, downstream similarity compatibility — is real and tested.
   */
 object Multimodal {
 

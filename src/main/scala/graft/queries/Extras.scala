@@ -115,6 +115,55 @@ object Extras {
           sum($"zc").as("sum_zc"),
           sum($"sumsq").as("sum_sumsq"))
         .orderBy($"bucket")
+    },
+
+    // REAL image decode (no stub): per-doc RGB rasters round-trip through
+    // genuine 24-bit BMP bytes — odd widths force row padding, and the row
+    // order ALTERNATES bottom-up/top-down by doc parity so both layouts
+    // decode — then luma and horizontal-gradient (sharpness) features come
+    // from the DECODED pixels. A swapped BGR byte, a mis-padded row, or a
+    // flipped raster moves the rollup. Narrow pass + one 8-key shuffle.
+    "q_image_features" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$d/documents.parquet").select($"doc_id").as[Long]
+      docs.mapPartitions { ids =>
+        ids.map { id =>
+          val w = (16 + id % 17).toInt
+          val h = (8 + id % 11).toInt
+          val px = Array.tabulate(w * h) { g =>
+            val x = g % w; val y = g / w
+            def ch(c: Int) = ((id * 7 + x * 3 + y * 5 + c * 11) % 256).toInt
+            (ch(0) << 16) | (ch(1) << 8) | ch(2)
+          }
+          val img = graft.multimodal.Bmp.decode(
+            graft.multimodal.Bmp.encode(
+              graft.multimodal.Bmp.Image(w, h, px), topDown = id % 2 == 1))
+          var sumLum = 0L; var grad = 0L
+          var y = 0
+          while (y < img.height) {
+            var prev = -1L
+            var x = 0
+            while (x < img.width) {
+              val p = img.pixels(y * img.width + x)
+              val lum = ((p >> 16) & 0xff) * 299L + ((p >> 8) & 0xff) * 587L +
+                (p & 0xff) * 114L
+              sumLum += lum
+              if (prev >= 0) grad += math.abs(lum - prev)
+              prev = lum
+              x += 1
+            }
+            y += 1
+          }
+          (id % 8, (w * h).toLong, sumLum, grad)
+        }
+      }.toDF("bucket", "n_px", "sum_lum", "grad")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_px").as("sum_px"),
+          sum($"sum_lum").as("sum_lum"),
+          sum($"grad").as("sum_grad"))
+        .orderBy($"bucket")
     }
   )
 
@@ -135,6 +184,27 @@ object Extras {
         |  CAST(SUM(peak) AS BIGINT) AS sum_peak,
         |  CAST(SUM(zc) AS BIGINT) AS sum_zc,
         |  CAST(SUM(sumsq) AS BIGINT) AS sum_sumsq
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_image_features" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 8 + doc_id % 11 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, g % w AS x, g // w AS y
+        |  FROM d, UNNEST(range(0, w * h)) AS t(g)),
+        |l AS (SELECT doc_id, w, x,
+        |    ((doc_id*7 + x*3 + y*5) % 256) * 299
+        |  + ((doc_id*7 + x*3 + y*5 + 11) % 256) * 587
+        |  + ((doc_id*7 + x*3 + y*5 + 22) % 256) * 114 AS lum,
+        |    ((doc_id*7 + (x+1)*3 + y*5) % 256) * 299
+        |  + ((doc_id*7 + (x+1)*3 + y*5 + 11) % 256) * 587
+        |  + ((doc_id*7 + (x+1)*3 + y*5 + 22) % 256) * 114 AS lumn
+        |  FROM px),
+        |p AS (SELECT doc_id, COUNT(*) AS n_px, SUM(lum) AS sum_lum,
+        |    SUM(CASE WHEN x < w - 1 THEN ABS(lumn - lum) ELSE 0 END) AS grad
+        |  FROM l GROUP BY doc_id)
+        |SELECT doc_id % 8 AS bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_px) AS BIGINT) AS sum_px,
+        |  CAST(SUM(sum_lum) AS BIGINT) AS sum_lum,
+        |  CAST(SUM(grad) AS BIGINT) AS sum_grad
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_multimodal_resize" ->
       """WITH m AS (SELECT doc_id,
