@@ -71,9 +71,12 @@ object Bmp {
     val bpp = u16(28)
     if (bpp != 24) fail(s"unsupported bit depth $bpp")
     if (i32(30) != 0) fail(s"unsupported compression ${i32(30)}")
-    val rowBytes = (width * 3 + 3) & ~3
-    if (dataOff < 54 || dataOff.toLong + rowBytes.toLong * height > b.length)
+    // Long arithmetic: a hostile ~2^30 width overflows `width * 3` in Int,
+    // flipping rowBytes negative and sailing past the bounds guard
+    val rowBytesL = (width.toLong * 3 + 3) & ~3L
+    if (dataOff < 54 || dataOff.toLong + rowBytesL * height > b.length)
       fail("pixel data overruns file")
+    val rowBytes = rowBytesL.toInt
     val px = new Array[Int](width * height)
     var y = 0
     while (y < height) {
