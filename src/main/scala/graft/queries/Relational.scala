@@ -1392,19 +1392,24 @@ object Relational {
           expr("promo_c * 1000000 div total_c").as("promo_ppm"))
     },
 
-    // -- TPC-H Q15 shape: top supplier(s) by quarterly revenue. The
-    //    per-supplier aggregate is computed ONCE, its scalar max is
-    //    broadcast back as a one-row probe (no re-scan, no self-join
-    //    shuffle), and only the surviving row(s) join supplier for names.
+    // -- TPC-H Q15 shape: top supplier(s) by quarterly revenue, ties kept.
+    //    The fact table is scanned ONCE: the scalar max rides a global
+    //    window OVER THE PER-SUPPLIER AGGREGATE (supplier-cardinality rows,
+    //    never the corpus — a broadcast-probe formulation re-scans lineitem
+    //    because Spark shares no uncached subplan), and only the surviving
+    //    row(s) join supplier for names.
     "q_top_supplier" -> { (s, d) =>
       import s.implicits._
+      import org.apache.spark.sql.expressions.Window
       val rev = Tables.lineitem(s, d)
         .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
           $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
         .groupBy($"l_suppkey")
         .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_rev_c"))
-      val mx = rev.agg(max($"total_rev_c").as("mx"))
-      val top = rev.crossJoin(broadcast(mx)).filter($"total_rev_c" === $"mx")
+      val top = rev
+        .withColumn("mx", max($"total_rev_c").over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter($"total_rev_c" === $"mx")
       Tables.supplier(s, d)
         .join(broadcast(top), $"s_suppkey" === $"l_suppkey")
         .select($"s_suppkey", $"s_name", $"total_rev_c")
@@ -1445,7 +1450,7 @@ object Relational {
         .filter($"p_brand" =!= "Brand#45" && !$"p_type".startsWith("MEDIUM") &&
           $"p_size".isin(1, 4, 9, 14, 19, 23, 36, 45))
         .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
-      val bad = Tables.supplier(s, d).filter($"s_acctbal" < 0).select($"s_suppkey")
+      val bad = Tables.supplier(s, d).filter($"s_acctbal" < 2000).select($"s_suppkey")
       val pairs = Tables.lineitem(s, d)
         .select($"l_partkey", $"l_suppkey").distinct()
         .join(broadcast(bad), $"l_suppkey" === bad("s_suppkey"), "left_anti")
@@ -1490,7 +1495,7 @@ object Relational {
         |JOIN part ON l_partkey = p_partkey
         |WHERE p_brand <> 'Brand#45' AND p_type NOT LIKE 'MEDIUM%'
         |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
-        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q_excess_stock_suppliers" ->

@@ -503,4 +503,62 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), s"chain not broadcast\n$p")
     assert(!p.contains("SortMergeJoin"), s"liftover join degraded\n$p")
   }
+
+  test("q_filtered_revenue: every predicate reaches the scan, 4-column read") {
+    // the Q6 shape is pure I/O at 100 TB — shipdate/discount/quantity must
+    // appear in PushedFilters (row-group min/max pruning), and ReadSchema
+    // must carry only the four touched columns, not the full lineitem row
+    val df = Relational.queries("q_filtered_revenue")(spark, sf)
+    df.collect()
+    val scan = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(scan.contains("l_shipdate") && scan.contains("l_quantity"),
+      s"scan filters not pushed\n$scan")
+    val read = df.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"),
+      s"projection did not prune the scan\n$read")
+  }
+
+  test("q_returned_top_customers: top-20 is TakeOrdered, nation broadcast") {
+    val p = finalPlan(Relational.queries("q_returned_top_customers")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit lost its TakeOrdered — a global sort would materialize every customer\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation not broadcast\n$p")
+  }
+
+  test("q_top_supplier: ONE lineitem scan — scalar max via window over the aggregate") {
+    val p = finalPlan(Relational.queries("q_top_supplier")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"winner probe not broadcast\n$p")
+    // one fact scan only: the max must ride the per-supplier aggregate
+    // (window), not a second full pass over lineitem
+    val scans = p.linesIterator.count(l => l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"lineitem scanned $scans times\n$p")
+    assert(p.contains("Window"), s"scalar max lost its window formulation\n$p")
+  }
+
+  test("q_part_supplier_variety: bad suppliers excluded via broadcast ANTI join") {
+    val p = finalPlan(Relational.queries("q_part_supplier_variety")(spark, sf))
+    assert(p.contains("LeftAnti"), s"NOT IN lost its anti join\n$p")
+    assert(p.linesIterator.exists(l => l.contains("LeftAnti") && l.contains("Broadcast")),
+      s"anti join not broadcast — the tiny bad-supplier set caused a shuffle\n$p")
+  }
+
+  test("q_excess_stock_suppliers: supplier probe is LEFT SEMI — no row duplication") {
+    val p = finalPlan(Relational.queries("q_excess_stock_suppliers")(spark, sf))
+    assert(p.contains("LeftSemi"), s"IN-subquery lost its semi join\n$p")
+  }
+
+  test("q_kmer_spectrum: k-mer counting is Generate + hash agg, no pre-agg exchange") {
+    // the only wide exchanges may carry k-mer partial counts or the tiny
+    // multiplicity rollup — never the exploded per-window rows themselves
+    val df = FormatQueries.queries("q_kmer_spectrum")(spark, sf)
+    val p = finalPlan(df)
+    assert(p.contains("Generate"), s"window explode lost its Generate\n$p")
+    val ex = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(ex.forall(l => l.contains("kmer") || l.contains("n#") || l.contains("n ")),
+      s"an exchange carries something other than k-mer partials/rollup keys: ${ex.mkString("; ")}\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"map-side partial aggregation lost\n$p")
+  }
 }
