@@ -1460,6 +1460,33 @@ object Relational {
         .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
     },
 
+    // -- TPC-H Q2 shape (lineitem supply lines stand in for partsupp):
+    //    cheapest supplier(s) PER PART for a size/type slice — the
+    //    per-group argmin with TIES KEPT, so it's the aggregate+join-back
+    //    formulation (a max_by/WindowGroupLimit would drop tied
+    //    suppliers). Both aggregates and the join-back shuffle on
+    //    partkey-rooted keys; the part filter prunes before any of them;
+    //    supplier/nation ride in as broadcasts.
+    "q_min_cost_supplier" -> { (s, d) =>
+      import s.implicits._
+      val p = Tables.part(s, d)
+        .filter($"p_size" === 15)
+        .select($"p_partkey", $"p_retailprice")
+      val supply = Tables.lineitem(s, d)
+        .join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min(cents($"l_extendedprice" / $"l_quantity")).as("cost_c"))
+      val best = supply.groupBy($"l_partkey".as("bp"))
+        .agg(min($"cost_c").as("best_c"))
+      supply
+        .join(best, $"l_partkey" === $"bp" && $"cost_c" === $"best_c")
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+        .select($"l_partkey".as("partkey"), $"l_suppkey".as("suppkey"),
+          $"s_name", $"n_name".as("nation"), $"cost_c")
+        .orderBy($"partkey", $"suppkey")
+    },
+
     // -- TPC-H Q20 shape (lineitem stands in for partsupp availability):
     //    suppliers who shipped an excess quantity of name-matched parts
     //    in one year. The correlated "half of yearly demand" subquery is
@@ -1488,6 +1515,21 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_min_cost_supplier" ->
+      """WITH supply AS (SELECT l_partkey, l_suppkey,
+        |    CAST(MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |      AS cost_c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size = 15
+        |  GROUP BY 1, 2),
+        |best AS (SELECT l_partkey AS bp, MIN(cost_c) AS best_c FROM supply GROUP BY 1)
+        |SELECT l_partkey AS partkey, l_suppkey AS suppkey, s_name,
+        |  n_name AS nation, cost_c
+        |FROM supply
+        |JOIN best ON l_partkey = bp AND cost_c = best_c
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY partkey, suppkey""".stripMargin,
     "q_part_supplier_variety" ->
       """SELECT p_brand, p_type, p_size,
         |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
