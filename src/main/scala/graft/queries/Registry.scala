@@ -22,5 +22,17 @@ object Registry {
     all.toMap
   }
 
-  val oracles: Map[String, String] = modules.flatMap(_._2.toSeq).toMap
+  val oracles: Map[String, String] = {
+    val all = modules.flatMap(_._2.toSeq)
+    require(all.size == all.map(_._1).distinct.size, "duplicate oracle keys across modules")
+    val m = all.toMap
+    // every query carries its DuckDB oracle and vice versa — a missing
+    // oracle would silently downgrade that query to the weaker rows-only
+    // driver check; an orphaned oracle marks a renamed/deleted query
+    val qk = queries.keySet
+    require(m.keySet == qk,
+      s"query/oracle key drift: oracle-only=${(m.keySet -- qk).toSeq.sorted.mkString(",")} " +
+        s"query-only=${(qk -- m.keySet).toSeq.sorted.mkString(",")}")
+    m
+  }
 }
