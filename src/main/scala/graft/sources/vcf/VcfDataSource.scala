@@ -517,12 +517,25 @@ class VcfDataWriter(dir: String, headerOpt: Option[String], singleFile: Boolean,
 /** InternalRow → Variant (write side). */
 object RowToVariant {
   case class Idx(contig: Int, start: Int, end: Int, id: Int, ref: Int, alt: Int,
-                 qual: Int, filters: Int, info: Int, genotypes: Int) extends Serializable
+                 qual: Int, filters: Int, info: Int, genotypes: Int,
+                 gSample: Int, gGt: Int, gFields: Int, gArity: Int) extends Serializable
 
   def indices(schema: StructType): Idx = {
     def i(n: String) = schema.fieldNames.indexOf(n)
+    // genotype SUBFIELDS resolve by name too: a user df built as
+    // struct(gt, sample, fields) — legal, same names — must not have its
+    // sample written as the GT call (the read side has the mirror rule)
+    val gi = i("genotypes")
+    val (gs, gg, gf, ga) =
+      if (gi < 0) (-1, -1, -1, 0)
+      else schema(gi).dataType match {
+        case ArrayType(st: StructType, _) =>
+          (st.fieldNames.indexOf("sample"), st.fieldNames.indexOf("gt"),
+            st.fieldNames.indexOf("fields"), st.length)
+        case _ => (-1, -1, -1, 0)
+      }
     Idx(i("contig"), i("start"), i("end"), i("id"), i("ref"), i("alt"), i("qual"),
-      i("filters"), i("info"), i("genotypes"))
+      i("filters"), i("info"), gi, gs, gg, gf, ga)
   }
 
   def convert(row: InternalRow, x: Idx): Variant = {
@@ -545,16 +558,20 @@ object RowToVariant {
       else {
         val a = row.getArray(x.genotypes)
         (0 until a.numElements()).map { j =>
-          val g = a.getStruct(j, 3)
+          val g = a.getStruct(j, x.gArity)
           val fields =
-            if (g.isNullAt(2)) Map.empty[String, String]
+            if (x.gFields < 0 || g.isNullAt(x.gFields)) Map.empty[String, String]
             else {
-              val m = g.getMap(2)
+              val m = g.getMap(x.gFields)
               val ks = m.keyArray(); val vs = m.valueArray()
               (0 until m.numElements()).map(t => ks.getUTF8String(t).toString -> vs.getUTF8String(t).toString).toMap
             }
-          Genotype(if (g.isNullAt(0)) null else g.getUTF8String(0).toString,
-            if (g.isNullAt(1)) "./." else g.getUTF8String(1).toString, fields)
+          Genotype(
+            if (x.gSample < 0 || g.isNullAt(x.gSample)) null
+            else g.getUTF8String(x.gSample).toString,
+            if (x.gGt < 0 || g.isNullAt(x.gGt)) "./."
+            else g.getUTF8String(x.gGt).toString,
+            fields)
         }
       }
     Variant(str(x.contig),

@@ -251,6 +251,23 @@ class SamVcfSourceSpec extends AnyFunSuite with SparkFixture {
     assert(full.toSet == Set(("s1", "0/1", "30"), ("s2", "1/1", "28")))
   }
 
+  test("VCF: writer resolves genotype subfields by NAME, not position") {
+    // a user df may build the genotype struct as (gt, sample, fields) —
+    // legal, same names — the writer must not emit the sample as the call
+    import spark.implicits._
+    val out = tmpDir().resolve("reordered.vcf")
+    spark.createDataset(sampleVariants(20)).toDF()
+      .selectExpr("contig", "start", "end", "id", "ref", "alt", "qual",
+        "filters", "info",
+        "transform(genotypes, g -> struct(g.gt AS gt, g.sample AS sample, g.fields AS fields)) AS genotypes")
+      .write.format("vcf").mode("overwrite").save(out.toString)
+    val back = spark.read.format("vcf").load(out.toString)
+      .selectExpr("explode(genotypes) AS g")
+      .selectExpr("g.sample", "g.gt").distinct()
+      .as[(String, String)].collect().toSet
+    assert(back == Set(("s1", "0/1"), ("s2", "1/1")))
+  }
+
   test("VCF: sharded sink writes complete per-shard files, plain and BGZF") {
     import spark.implicits._
     val vs = sampleVariants(400)
