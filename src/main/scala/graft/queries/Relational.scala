@@ -229,6 +229,45 @@ object Relational {
         .orderBy($"hour", $"event_type")
     },
 
+    // -- TIME-SERIES GAP FILL + linear interpolation (the warehouse
+    //    "resample" op): sparse hourly revenue per event type becomes a
+    //    DENSE hourly series — the spine is sequence()-exploded from each
+    //    type's [min,max] hour (one row per type feeds the Generate, never
+    //    a driver loop), missing hours take the exact integer
+    //    interpolation pv + FLOOR((nv-pv)·Δt/span) between their non-null
+    //    neighbors (FLOOR over doubles ≤ 2^29 — exact, and the SAME
+    //    rounding rule DuckDB's FLOOR applies, where `div`'s
+    //    truncate-toward-zero would drift on falling slopes), and edges
+    //    carry the nearest value. Windows partition by event_type — each
+    //    series' state stays on one partition, series count scales out.
+    "q_events_gapfill" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, d).filter($"value" > 80)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+        .agg(sum(cents($"value")).as("rev_c"))
+      val spine = hourly.groupBy($"event_type")
+        .agg(min($"h").as("h0"), max($"h").as("h1"))
+        .select($"event_type", explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val w = Window.partitionBy($"event_type").orderBy($"h")
+      val back = w.rowsBetween(Window.unboundedPreceding, 0)
+      val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+      spine.join(hourly, Seq("event_type", "h"), "left")
+        .withColumn("hh", expr("unix_millis(h) div 3600000"))
+        .withColumn("pv", last($"rev_c", ignoreNulls = true).over(back))
+        .withColumn("ph", last(when($"rev_c".isNotNull, $"hh"), ignoreNulls = true).over(back))
+        .withColumn("nv", first($"rev_c", ignoreNulls = true).over(fwd))
+        .withColumn("nh", first(when($"rev_c".isNotNull, $"hh"), ignoreNulls = true).over(fwd))
+        .select($"event_type", $"hh",
+          when($"rev_c".isNotNull, $"rev_c")
+            .when($"ph".isNull, $"nv")
+            .when($"nh".isNull, $"pv")
+            .otherwise($"pv" + expr("CAST(FLOOR((nv - pv) * (hh - ph) / (nh - ph)) AS BIGINT)"))
+            .as("filled_c"),
+          $"rev_c".isNull.as("is_gap"))
+        .orderBy($"event_type", $"hh")
+    },
+
     // -- Semi-structured: JSON extraction from the props column.
     "q_events_json" -> { (s, d) =>
       import s.implicits._
@@ -1515,6 +1554,36 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_events_gapfill" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM events WHERE value > 80 GROUP BY 1, 2),
+        |span AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span),
+        |j AS (SELECT s.event_type, s.h, rev_c,
+        |    CAST(epoch(s.h) AS BIGINT) // 3600 AS hh
+        |  FROM spine s LEFT JOIN hourly USING (event_type, h)),
+        |w AS (SELECT *,
+        |    LAST_VALUE(rev_c IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING) AS pv,
+        |    LAST_VALUE(CASE WHEN rev_c IS NOT NULL THEN hh END IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING) AS ph,
+        |    FIRST_VALUE(rev_c IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY h
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    FIRST_VALUE(CASE WHEN rev_c IS NOT NULL THEN hh END IGNORE NULLS) OVER
+        |      (PARTITION BY event_type ORDER BY h
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT event_type, hh,
+        |  CAST(CASE WHEN rev_c IS NOT NULL THEN rev_c
+        |       WHEN ph IS NULL THEN nv
+        |       WHEN nh IS NULL THEN pv
+        |       ELSE pv + CAST(FLOOR((nv - pv) * (hh - ph) / (nh - ph)) AS BIGINT)
+        |  END AS BIGINT) AS filled_c,
+        |  rev_c IS NULL AS is_gap
+        |FROM w ORDER BY event_type, hh""".stripMargin,
     "q_min_cost_supplier" ->
       """WITH supply AS (SELECT l_partkey, l_suppkey,
         |    CAST(MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT)) AS BIGINT)
