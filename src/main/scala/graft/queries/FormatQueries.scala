@@ -1123,6 +1123,55 @@ object FormatQueries {
         .orderBy($"multiplicity")
     },
 
+    // COVERAGE EVENNESS (Gini over per-position depth — the sequencing-QC
+    // uniformity metric): depth at every position of a fixed window
+    // (zero-depth positions included via a sequence spine), ranked
+    // ascending per contig, then the exact integer Gini
+    // (2·Σ rank·depth − (n+1)·Σ depth) · 1000 / (n · Σ depth). The rank
+    // window partitions by contig — per-series state scales out over
+    // contigs like the gap-fill op.
+    "q_coverage_gini" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/gini.bam"
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_partkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 13) % 5000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 13) % 5000) + 151).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        lit("151M").as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit("*").as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), lit("i:1")).as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      val back = s.read.format("bam").load(path)
+        .filter($"start" <= 1999 && $"end" >= 1000)
+      val depth = back
+        .select($"contig", explode(sequence(greatest($"start", lit(1000)),
+          least($"end", lit(1999)))).as("p"))
+        .groupBy($"contig", $"p").agg(count(lit(1)).as("dep"))
+      val spine = s.range(3).select(concat(lit("chr"), $"id").as("contig"))
+        .select($"contig", explode(sequence(lit(1000), lit(1999))).as("p"))
+      val full = spine.join(depth, Seq("contig", "p"), "left")
+        .select($"contig", $"p", coalesce($"dep", lit(0L)).as("dep"))
+      val rk = Window.partitionBy($"contig").orderBy($"dep", $"p")
+      full
+        .withColumn("i", row_number().over(rk).cast("long"))
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n"), sum($"dep").as("total_depth"),
+          sum($"i" * $"dep").as("wsum"))
+        .select($"contig", $"n", $"total_depth",
+          expr("(2 * wsum - (n + 1) * total_depth) * 1000 div (n * total_depth)")
+            .as("gini_milli"))
+        .orderBy($"contig")
+    },
+
     // HARDY-WEINBERG equilibrium spectrum (vcftools --hardy shape) over a
     // 12-sample cohort round-tripped through the VCF connector. The whole
     // per-site test is NARROW: genotype counts (a=hom-ref, b=het,
@@ -1554,6 +1603,24 @@ object FormatQueries {
         |c AS (SELECT kmer, COUNT(*) AS n FROM k GROUP BY 1)
         |SELECT n AS multiplicity, COUNT(*) AS n_kmers
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_coverage_gini" ->
+      """WITH r AS (
+        |  SELECT 'chr' || CAST(l_partkey % 3 AS VARCHAR) AS contig,
+        |    (l_partkey * 13) % 5000 + 1 AS s, (l_partkey * 13) % 5000 + 151 AS e
+        |  FROM lineitem),
+        |w AS (SELECT 'chr' || CAST(c AS VARCHAR) AS contig, p
+        |  FROM (SELECT unnest([0, 1, 2]) AS c), (SELECT unnest(range(1000, 2000)) AS p)),
+        |dep AS (SELECT w.contig, w.p, CAST(COUNT(r.s) AS BIGINT) AS dep
+        |  FROM w LEFT JOIN r ON r.contig = w.contig AND r.s <= w.p AND r.e >= w.p
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT contig, dep,
+        |    ROW_NUMBER() OVER (PARTITION BY contig ORDER BY dep, p) AS i
+        |  FROM dep)
+        |SELECT contig, COUNT(*) AS n,
+        |  CAST(SUM(dep) AS BIGINT) AS total_depth,
+        |  CAST((2 * SUM(i * dep) - (COUNT(*) + 1) * SUM(dep)) * 1000
+        |    // (COUNT(*) * SUM(dep)) AS BIGINT) AS gini_milli
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
     // sites are keyed by ROW_NUMBER, not (l_orderkey, l_linenumber): the
     // generator emits duplicate lineitem rows, and each row IS one site
     "q_vcf_hwe" ->
