@@ -1123,6 +1123,41 @@ object FormatQueries {
         .orderBy($"multiplicity")
     },
 
+    // MUTATIONAL-SIGNATURE CONTEXT (the SBS trinucleotide-class rollup):
+    // every variant is annotated with the reference trinucleotide around
+    // its position, read by RANDOM ACCESS from the `.fai`-indexed FASTA —
+    // one file open per partition, one O(3-byte) pread per variant (the
+    // same Fasta.region machinery CRAM reference-based decode uses), never
+    // a genome in executor memory. The oracle states the closed form the
+    // 4-periodic reference guarantees, so a wrong .fai seek, newline-skip
+    // slip, or off-by-one in the flank moves the rollup.
+    "q_mutation_context" -> { (s, d) =>
+      import s.implicits._
+      val dir = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
+      val fasta = writeRefFasta(dir)
+      val path = s"$dir/ctx.vcf.bgz"
+      spread(syntheticVariants(s, d)).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val rows = back
+        .select($"contig", $"start", element_at($"alt", 1).as("alt"))
+        .filter($"start" >= 2) // a 5'-edge variant has no left flank
+        .as[(String, Int, String)]
+      rows.mapPartitions { it =>
+        val in = graft.bgzf.SeekableInput.ofFile(java.nio.file.Paths.get(fasta))
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
+        val fai = graft.cram.Fasta.parseFai(new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(fasta + ".fai")), "UTF-8"))
+        val byName = fai.map(e => e.name -> e).toMap
+        it.map { case (c, p, alt) =>
+          (new String(graft.cram.Fasta.region(in, byName(c), p - 1, 3), "ASCII"), alt)
+        }
+      }.toDF("context", "alt")
+        .groupBy($"context", $"alt").agg(count(lit(1)).as("n"))
+        .orderBy($"context", $"alt")
+    },
+
     // COVERAGE EVENNESS (Gini over per-position depth — the sequencing-QC
     // uniformity metric): depth at every position of a fixed window
     // (zero-depth positions included via a sequence spine), ranked
@@ -1603,6 +1638,14 @@ object FormatQueries {
         |c AS (SELECT kmer, COUNT(*) AS n FROM k GROUP BY 1)
         |SELECT n AS multiplicity, COUNT(*) AS n_kmers
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mutation_context" ->
+      """WITH v AS (SELECT (l_partkey * 37) % 999000 + 1 AS p,
+        |    substring('CGTA', CAST(l_linenumber % 4 AS INTEGER) + 1, 1) AS alt
+        |  FROM lineitem)
+        |SELECT substring('ATGCATG', CAST((p - 2) % 4 AS INTEGER) + 1, 3) AS context,
+        |  alt, COUNT(*) AS n
+        |FROM v WHERE p >= 2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_coverage_gini" ->
       """WITH r AS (
         |  SELECT 'chr' || CAST(l_partkey % 3 AS VARCHAR) AS contig,
