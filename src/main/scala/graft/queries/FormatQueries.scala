@@ -1123,6 +1123,46 @@ object FormatQueries {
         .orderBy($"multiplicity")
     },
 
+    // MINIMIZER SKETCH (the minimap2/sourmash sampling scheme): per read,
+    // each window of 5 consecutive 8-mers contributes its lexicographic
+    // minimum; the sketch is the distinct minimizer set per read. Entirely
+    // higher-order functions on the sequence column (sequence → transform →
+    // array_min → array_distinct — one codegen'd narrow pass, the window
+    // never materializes as rows), then one bounded-key count and the tiny
+    // multiplicity rollup: the k-mer spectrum's shuffle discipline at a
+    // fraction of the keys — which is the whole point of minimizers.
+    "q_kmer_minimizers" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/minz.bam"
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        lit(0).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        lit("32M").as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit(KmerAlpha).substr((($"l_partkey" * 13) % 33).cast("int") + 1, lit(32))
+          .as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), lit("i:1")).as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      s.read.format("bam").load(path)
+        // 25 k-mers (k=8, L=32) -> 21 windows of 5 -> per-read distinct mins
+        .select(explode(array_distinct(expr(
+          "transform(sequence(1, 21), p -> " +
+            "array_min(transform(sequence(0, 4), j -> substring(seq, p + j, 8))))")))
+          .as("minimizer"))
+        .groupBy($"minimizer").agg(count(lit(1)).as("n"))
+        .groupBy($"n").agg(count(lit(1)).as("n_minimizers"))
+        .select($"n".as("multiplicity"), $"n_minimizers")
+        .orderBy($"multiplicity")
+    },
+
     // MUTATIONAL-SIGNATURE CONTEXT (the SBS trinucleotide-class rollup):
     // every variant is annotated with the reference trinucleotide around
     // its position, read by RANDOM ACCESS from the `.fai`-indexed FASTA —
@@ -1637,6 +1677,16 @@ object FormatQueries {
         |  FROM r, generate_series(1, 25) t(p)),
         |c AS (SELECT kmer, COUNT(*) AS n FROM k GROUP BY 1)
         |SELECT n AS multiplicity, COUNT(*) AS n_kmers
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kmer_minimizers" ->
+      s"""WITH r AS (SELECT substring('$KmerAlpha',
+        |    CAST((l_partkey * 13) % 33 AS INTEGER) + 1, 32) AS seq FROM lineitem),
+        |m AS (SELECT unnest(list_distinct(list_transform(range(1, 22), p ->
+        |    list_min(list_transform(range(0, 5), j ->
+        |      substring(seq, CAST(p + j AS INTEGER), 8)))))) AS minimizer
+        |  FROM r),
+        |c AS (SELECT minimizer, COUNT(*) AS n FROM m GROUP BY 1)
+        |SELECT n AS multiplicity, COUNT(*) AS n_minimizers
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mutation_context" ->
       """WITH v AS (SELECT (l_partkey * 37) % 999000 + 1 AS p,
