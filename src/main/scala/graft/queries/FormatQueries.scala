@@ -1123,6 +1123,64 @@ object FormatQueries {
         .orderBy($"multiplicity")
     },
 
+    // STRUCTURAL-VARIANT SIGNAL CENSUS (the samtools/manta discordant-pair
+    // triage): templates are re-united by ONE readName shuffle (the fixmate
+    // discipline), then classified by the evidence class SV callers key on
+    // — inter-chromosomal mates, abnormally long inserts, orientation
+    // anomalies (not exactly one mate reversed, from the FLAG bits), else
+    // proper — with a fixed priority so overlapping anomalies classify
+    // identically in both engines. Template-bounded groups, class-keyed
+    // rollup.
+    "q_sv_signals" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/sv.bam"
+      val src = Tables.lineitem(s, d).select(
+        concat_ws("-", lit("t"), $"l_orderkey", $"l_linenumber",
+          $"l_partkey", $"l_suppkey").as("readName"),
+        ($"l_orderkey" % 3).as("c1"),
+        (($"l_orderkey" + when($"l_suppkey" % 11 === 0, 1).otherwise(0)) % 3).as("c2"),
+        ((($"l_partkey" * 37) % 900000) + 1).cast("int").as("rstart"),
+        when($"l_suppkey" % 7 === 0, lit(20000) + $"l_suppkey" % 1000)
+          .otherwise(($"l_suppkey" % 300) + 200).cast("int").as("gap"),
+        when($"l_suppkey" % 13 === 0, 131).otherwise(147).cast("int").as("f2"))
+      val paired = src
+        .select($"readName", $"c1", $"c2", $"f2", $"rstart", $"gap",
+          posexplode(array($"rstart", $"rstart" + $"gap")).as(Seq("mate", "start")))
+        .select(
+          $"readName",
+          when($"mate" === 0, 67).otherwise($"f2").cast("int").as("flags"),
+          concat(lit("chr"), when($"mate" === 0, $"c1").otherwise($"c2")).as("contig"),
+          $"start",
+          ($"start" + 150).as("end"),
+          lit(60).cast("int").as("mapq"),
+          lit("151M").as("cigar"),
+          lit(null).cast("string").as("mateContig"),
+          lit(0).cast("int").as("mateStart"),
+          lit(0).cast("int").as("tlen"),
+          lit("*").as("seq"),
+          lit("*").as("qual"),
+          map(lit("XO"), lit("i:1")).as("attributes"))
+      spread(paired).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      back
+        .select($"readName", $"contig", $"start".cast("long").as("start"),
+          (($"flags".cast("long") / 16).cast("long") % 2).as("rev"))
+        .groupBy($"readName")
+        .agg(countDistinct($"contig").as("n_contigs"), count(lit(1)).as("n"),
+          (max($"start") - min($"start")).as("span"), sum($"rev").as("n_rev"))
+        .filter($"n" === 2)
+        .select(
+          when($"n_contigs" > 1, "interchrom")
+            .when($"span" > 5000, "long_insert")
+            .when($"n_rev" =!= 1, "inverted")
+            .otherwise("proper").as("sv_class"),
+          when($"n_contigs" > 1, 0L).otherwise($"span").as("span"))
+        .groupBy($"sv_class")
+        .agg(count(lit(1)).as("n_templates"), sum($"span").as("sum_span"))
+        .orderBy($"sv_class")
+    },
+
     // MINIMIZER SKETCH (the minimap2/sourmash sampling scheme): per read,
     // each window of 5 consecutive 8-mers contributes its lexicographic
     // minimum; the sketch is the distinct minimizer set per read. Entirely
@@ -1677,6 +1735,31 @@ object FormatQueries {
         |  FROM r, generate_series(1, 25) t(p)),
         |c AS (SELECT kmer, COUNT(*) AS n FROM k GROUP BY 1)
         |SELECT n AS multiplicity, COUNT(*) AS n_kmers
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sv_signals" ->
+      """WITH r AS (SELECT
+        |    't-' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+        |      || '-' || CAST(l_partkey AS VARCHAR) || '-' || CAST(l_suppkey AS VARCHAR) AS name,
+        |    l_orderkey % 3 AS c1,
+        |    (l_orderkey + CASE WHEN l_suppkey % 11 = 0 THEN 1 ELSE 0 END) % 3 AS c2,
+        |    CAST((l_partkey * 37) % 900000 + 1 AS BIGINT) AS rstart,
+        |    CAST(CASE WHEN l_suppkey % 7 = 0 THEN 20000 + l_suppkey % 1000
+        |         ELSE (l_suppkey % 300) + 200 END AS BIGINT) AS gap,
+        |    CASE WHEN l_suppkey % 13 = 0 THEN 131 ELSE 147 END AS f2
+        |  FROM lineitem),
+        |m AS (SELECT name, c1 AS c, rstart AS s, 67 AS f FROM r
+        |  UNION ALL SELECT name, c2, rstart + gap, f2 FROM r),
+        |g AS (SELECT name, COUNT(DISTINCT c) AS n_contigs, COUNT(*) AS n,
+        |    MAX(s) - MIN(s) AS span, SUM((f // 16) % 2) AS n_rev
+        |  FROM m GROUP BY 1),
+        |c AS (SELECT CASE WHEN n_contigs > 1 THEN 'interchrom'
+        |       WHEN span > 5000 THEN 'long_insert'
+        |       WHEN n_rev <> 1 THEN 'inverted'
+        |       ELSE 'proper' END AS sv_class,
+        |    CASE WHEN n_contigs > 1 THEN 0 ELSE span END AS span
+        |  FROM g WHERE n = 2)
+        |SELECT sv_class, COUNT(*) AS n_templates,
+        |  CAST(SUM(span) AS BIGINT) AS sum_span
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_kmer_minimizers" ->
       s"""WITH r AS (SELECT substring('$KmerAlpha',
