@@ -1114,7 +1114,7 @@ object FormatQueries {
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite")
         .option("refs", Refs).save(path)
-      s.read.format("bam").load(path)
+      s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .select($"seq", explode(sequence(lit(1), lit(25))).as("p"))
         .select(expr("substring(seq, p, 8)").as("kmer"))
         .groupBy($"kmer").agg(count(lit(1)).as("n"))
@@ -1209,12 +1209,23 @@ object FormatQueries {
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite")
         .option("refs", Refs).save(path)
-      s.read.format("bam").load(path)
-        // 25 k-mers (k=8, L=32) -> 21 windows of 5 -> per-read distinct mins
-        .select(explode(array_distinct(expr(
-          "transform(sequence(1, 21), p -> " +
-            "array_min(transform(sequence(0, 4), j -> substring(seq, p + j, 8))))")))
-          .as("minimizer"))
+      s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+        // 25 k-mers (k=8, L=32) -> 21 windows of 5; winnowing emits a
+        // minimizer when it DIFFERS from the previous window's (run-dedup,
+        // minimap2's rule). Everything is least()-of-substrings on exploded
+        // window rows — plain codegen'd expressions. The array-based
+        // formulations (transform + array_min/array_distinct) looked
+        // narrower but run on Catalyst's INTERPRETED lambda path and
+        // measured 5-7x slower per row at sf1; whole-stage codegen beats
+        // saving the Generate.
+        .select($"seq", explode(sequence(lit(1), lit(21))).as("p"))
+        .withColumn("m", expr("least(substring(seq, p, 8), substring(seq, p + 1, 8), " +
+          "substring(seq, p + 2, 8), substring(seq, p + 3, 8), substring(seq, p + 4, 8))"))
+        .withColumn("mp", expr("CASE WHEN p = 1 THEN NULL ELSE " +
+          "least(substring(seq, p - 1, 8), substring(seq, p, 8), substring(seq, p + 1, 8), " +
+          "substring(seq, p + 2, 8), substring(seq, p + 3, 8)) END"))
+        .filter($"mp".isNull || $"m" =!= $"mp")
+        .select($"m".as("minimizer"))
         .groupBy($"minimizer").agg(count(lit(1)).as("n"))
         .groupBy($"n").agg(count(lit(1)).as("n_minimizers"))
         .select($"n".as("multiplicity"), $"n_minimizers")
@@ -1283,14 +1294,14 @@ object FormatQueries {
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite")
         .option("refs", Refs).save(path)
-      val back = s.read.format("bam").load(path)
-        .filter($"start" <= 1999 && $"end" >= 1000)
+      val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+        .filter($"start" <= 1299 && $"end" >= 1000)
       val depth = back
         .select($"contig", explode(sequence(greatest($"start", lit(1000)),
-          least($"end", lit(1999)))).as("p"))
+          least($"end", lit(1299)))).as("p"))
         .groupBy($"contig", $"p").agg(count(lit(1)).as("dep"))
       val spine = s.range(3).select(concat(lit("chr"), $"id").as("contig"))
-        .select($"contig", explode(sequence(lit(1000), lit(1999))).as("p"))
+        .select($"contig", explode(sequence(lit(1000), lit(1299))).as("p"))
       val full = spine.join(depth, Seq("contig", "p"), "left")
         .select($"contig", $"p", coalesce($"dep", lit(0L)).as("dep"))
       val rk = Window.partitionBy($"contig").orderBy($"dep", $"p")
@@ -1764,11 +1775,17 @@ object FormatQueries {
     "q_kmer_minimizers" ->
       s"""WITH r AS (SELECT substring('$KmerAlpha',
         |    CAST((l_partkey * 13) % 33 AS INTEGER) + 1, 32) AS seq FROM lineitem),
-        |m AS (SELECT unnest(list_distinct(list_transform(range(1, 22), p ->
-        |    list_min(list_transform(range(0, 5), j ->
-        |      substring(seq, CAST(p + j AS INTEGER), 8)))))) AS minimizer
-        |  FROM r),
-        |c AS (SELECT minimizer, COUNT(*) AS n FROM m GROUP BY 1)
+        |w AS (SELECT seq, CAST(p AS INTEGER) AS p,
+        |    LEAST(substring(seq, CAST(p AS INTEGER), 8),
+        |      substring(seq, CAST(p + 1 AS INTEGER), 8),
+        |      substring(seq, CAST(p + 2 AS INTEGER), 8),
+        |      substring(seq, CAST(p + 3 AS INTEGER), 8),
+        |      substring(seq, CAST(p + 4 AS INTEGER), 8)) AS m
+        |  FROM r, UNNEST(range(1, 22)) AS t(p)),
+        |k AS (SELECT m FROM w
+        |  WHERE p = 1 OR m <> LEAST(substring(seq, p - 1, 8), substring(seq, p, 8),
+        |    substring(seq, p + 1, 8), substring(seq, p + 2, 8), substring(seq, p + 3, 8))),
+        |c AS (SELECT m AS minimizer, COUNT(*) AS n FROM k GROUP BY 1)
         |SELECT n AS multiplicity, COUNT(*) AS n_minimizers
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mutation_context" ->
@@ -1785,7 +1802,7 @@ object FormatQueries {
         |    (l_partkey * 13) % 5000 + 1 AS s, (l_partkey * 13) % 5000 + 151 AS e
         |  FROM lineitem),
         |w AS (SELECT 'chr' || CAST(c AS VARCHAR) AS contig, p
-        |  FROM (SELECT unnest([0, 1, 2]) AS c), (SELECT unnest(range(1000, 2000)) AS p)),
+        |  FROM (SELECT unnest([0, 1, 2]) AS c), (SELECT unnest(range(1000, 1300)) AS p)),
         |dep AS (SELECT w.contig, w.p, CAST(COUNT(r.s) AS BIGINT) AS dep
         |  FROM w LEFT JOIN r ON r.contig = w.contig AND r.s <= w.p AND r.e >= w.p
         |  GROUP BY 1, 2),
