@@ -193,7 +193,8 @@ object FormatQueries {
       spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       // pruned scan: only contig/start/end decoded
-      val reads = s.read.format("bam").load(path).select($"contig", $"start", $"end")
+      val reads = s.read.format("bam").option("splitSize", 1024 * 1024)
+        .load(path).select($"contig", $"start", $"end")
       val bins = Tables.nation(s, d).select(
         concat(lit("chr"), ($"n_nationkey" % 3).cast("string")).as("icontig"),
         ($"n_nationkey".cast("long") * 4000).as("istart"))
@@ -551,7 +552,7 @@ object FormatQueries {
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/sharded"
       syntheticReads(s, d).repartition(8).write.format("bam").mode("overwrite")
         .option("refs", Refs).save(path)
-      val back = s.read.format("bam").load(path)
+      val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
       readsAggregate(back)
     },
 
@@ -646,7 +647,7 @@ object FormatQueries {
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite")
         .option("refs", Refs).save(path)
-      s.read.format("bam").load(path)
+      s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .groupBy($"cigar")
         .agg(count(lit(1)).as("n_reads"),
           sum($"start".cast("long")).as("sum_start"),
@@ -668,7 +669,7 @@ object FormatQueries {
       val lake = s"$base/reads_lake"
       spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
         .option("refs", Refs).save(path)
-      s.read.format("bam").load(path)
+      s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .write.partitionBy("contig").mode("overwrite").parquet(lake)
       s.read.parquet(lake)
         .filter($"contig" === "chr1")
