@@ -19,7 +19,12 @@ import graft.bgzf.{Bgzf, SeekableInput}
   * chunks.
   */
 final case class BaiRef(binIds: Array[Int], binChunks: Array[Array[Long]],
-                        linear: Array[Long]) {
+                        linear: Array[Long],
+                        // samtools pseudo-bin metadata (idxstats): placed
+                        // mapped/unmapped counts and the ref's voff span;
+                        // mapped = -1 when the index carries no pseudo-bin
+                        mapped: Long = -1L, unmapped: Long = -1L,
+                        offBeg: Long = 0L, offEnd: Long = 0L) {
   /** Chunks (flattened beg,end pairs) of bin `id`, or empty. */
   def chunksOf(id: Int): Array[Long] = {
     val i = binIds.indexOf(id)
@@ -110,6 +115,7 @@ object BaiIndex {
       val nBin = bb.getInt
       val ids = Array.newBuilder[Int]
       val chunks = Array.newBuilder[Array[Long]]
+      var mapped = -1L; var unmapped = -1L; var offBeg = 0L; var offEnd = 0L
       var b = 0
       while (b < nBin) {
         val bin = bb.getInt
@@ -117,14 +123,17 @@ object BaiIndex {
         val cs = new Array[Long](2 * nChunk)
         var c = 0
         while (c < cs.length) { cs(c) = bb.getLong; c += 1 }
-        if (bin != PseudoBin) { ids += bin; chunks += cs }
+        if (bin == PseudoBin) {
+          // metadata, not real chunks: (off_beg, off_end), (n_mapped, n_unmapped)
+          if (cs.length >= 4) { offBeg = cs(0); offEnd = cs(1); mapped = cs(2); unmapped = cs(3) }
+        } else { ids += bin; chunks += cs }
         b += 1
       }
       val nIntv = bb.getInt
       val linear = new Array[Long](nIntv)
       var w = 0
       while (w < nIntv) { linear(w) = bb.getLong; w += 1 }
-      BaiRef(ids.result(), chunks.result(), linear)
+      BaiRef(ids.result(), chunks.result(), linear, mapped, unmapped, offBeg, offEnd)
     }
     val noCoor = if (bb.remaining() >= 8) bb.getLong else 0L
     BaiIndex(refs, noCoor)
@@ -135,19 +144,26 @@ object BaiIndex {
     idx.refs.foreach { r =>
       bytes += 4 + 4
       r.binChunks.foreach(cs => bytes += 4 + 4 + 8 * cs.length)
+      if (r.mapped >= 0) bytes += 4 + 4 + 8 * 4 // samtools pseudo-bin
       bytes += 8 * r.linear.length
     }
     val bb = ByteBuffer.allocate(bytes).order(ByteOrder.LITTLE_ENDIAN)
     bb.put(Magic)
     bb.putInt(idx.refs.length)
     idx.refs.foreach { r =>
-      bb.putInt(r.binIds.length)
+      bb.putInt(r.binIds.length + (if (r.mapped >= 0) 1 else 0))
       var b = 0
       while (b < r.binIds.length) {
         bb.putInt(r.binIds(b))
         bb.putInt(r.binChunks(b).length / 2)
         r.binChunks(b).foreach(bb.putLong)
         b += 1
+      }
+      if (r.mapped >= 0) {
+        // pseudo-bin LAST, the samtools layout: span chunk + count chunk
+        bb.putInt(PseudoBin); bb.putInt(2)
+        bb.putLong(r.offBeg); bb.putLong(r.offEnd)
+        bb.putLong(r.mapped); bb.putLong(r.unmapped)
       }
       bb.putInt(r.linear.length)
       r.linear.foreach(bb.putLong)
@@ -171,10 +187,20 @@ final class BaiBuilder extends Serializable {
   private val bins = mutable.Map[Int, mutable.Map[Int, mutable.ArrayBuffer[Long]]]()
   private val linear = mutable.Map[Int, mutable.Map[Int, Long]]()
   private var noCoor = 0L
+  // per ref: [n_mapped, n_unmapped, off_beg (first voff), off_end (last voff)]
+  private val stats = mutable.Map[Int, Array[Long]]()
 
-  /** Add a record: [start0, end0] 0-based inclusive; voffs span the record. */
-  def add(refId: Int, start0: Int, end0: Int, voffBeg: Long, voffEnd: Long): Unit = {
+  /** Add a record: [start0, end0] 0-based inclusive; voffs span the record.
+    * `mapped` = FLAG 0x4 unset (a PLACED-unmapped mate counts as unmapped
+    * here while still contributing no-coor nothing — samtools semantics).
+    */
+  def add(refId: Int, start0: Int, end0: Int, voffBeg: Long, voffEnd: Long,
+          mapped: Boolean = true): Unit = {
     if (refId < 0) { noCoor += 1; return }
+    val st = stats.getOrElseUpdate(refId, Array(0L, 0L, voffBeg, voffEnd))
+    if (mapped) st(0) += 1 else st(1) += 1
+    if (voffBeg < st(2)) st(2) = voffBeg
+    if (voffEnd > st(3)) st(3) = voffEnd
     val e0 = math.max(start0, end0)
     val bin = BaiIndex.reg2bin(start0, e0 + 1)
     val chunks = bins.getOrElseUpdate(refId, mutable.Map()).getOrElseUpdate(bin, mutable.ArrayBuffer())
@@ -207,6 +233,7 @@ final class BaiBuilder extends Serializable {
         val m = linear(r)
         m.keys.toArray.sorted.map(m)
       }),
+      refIds.map(r => stats.getOrElse(r, Array(-1L, -1L, 0L, 0L))),
       noCoor)
   }
 }
@@ -215,6 +242,7 @@ final class BaiBuilder extends Serializable {
 final case class BaiPartData(refIds: Array[Int], binIds: Array[Array[Int]],
                              chunks: Array[Array[Array[Long]]],
                              linWindows: Array[Array[Int]], linVoffs: Array[Array[Long]],
+                             stats: Array[Array[Long]], // per refIds row: [mapped, unmapped, offBeg, offEnd]
                              noCoor: Long) extends Serializable
 
 object BaiPartData {
@@ -225,6 +253,7 @@ object BaiPartData {
     import scala.collection.mutable
     val bins = Array.fill(nRef)(mutable.Map[Int, mutable.ArrayBuffer[Long]]())
     val linear = Array.fill(nRef)(mutable.Map[Int, Long]())
+    val stats = Array.fill(nRef)(Array(-1L, -1L, Long.MaxValue, Long.MinValue))
     var noCoor = 0L
     parts.zip(shifts).foreach { case (p, base) =>
       val shift = base << 16
@@ -255,6 +284,13 @@ object BaiPartData {
           if (linear(r).getOrElse(w, Long.MaxValue) > v) linear(r)(w) = v
           wi += 1
         }
+        if (ri < p.stats.length && p.stats(ri)(0) >= 0) {
+          val st = stats(r)
+          if (st(0) < 0) { st(0) = 0; st(1) = 0 }
+          st(0) += p.stats(ri)(0); st(1) += p.stats(ri)(1)
+          st(2) = math.min(st(2), p.stats(ri)(2) + shift)
+          st(3) = math.max(st(3), p.stats(ri)(3) + shift)
+        }
         ri += 1
       }
     }
@@ -273,7 +309,11 @@ object BaiPartData {
       }
       // backfill leading zeros with the first real offset floor (harmless:
       // a floor may only be too low, never too high)
-      BaiRef(ids, ids.map(b => bins(r)(b).toArray), lin)
+      val st = stats(r)
+      if (st(0) >= 0)
+        BaiRef(ids, ids.map(b => bins(r)(b).toArray), lin,
+          st(0), st(1), st(2), st(3))
+      else BaiRef(ids, ids.map(b => bins(r)(b).toArray), lin)
     }, noCoor)
   }
 }

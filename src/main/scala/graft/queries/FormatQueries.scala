@@ -1124,6 +1124,58 @@ object FormatQueries {
         .orderBy($"multiplicity")
     },
 
+    // SAMTOOLS IDXSTATS — the O(index) answer: per-contig mapped/unmapped
+    // counts and the unplaced tail come from the `.bai` PSEUDO-BINS plus
+    // the header, with ZERO data-scan — the shape that answers "what's in
+    // this 100 TB lake" in milliseconds. The sink accumulates the counts
+    // per part and the commit merges them across the concat (the same
+    // rebase discipline as the chunk offsets), so the pseudo-bin is
+    // samtools-layout: one span chunk + one count chunk, emitted last.
+    "q_bam_idxstats" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/ixs.bam"
+      val unp = $"l_suppkey" % 9 === 0                          // unplaced
+      val pun = $"l_suppkey" % 9 =!= 0 && $"l_suppkey" % 5 === 0 // placed-unmapped
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        when(unp || pun, 4).otherwise(0).cast("int").as("flags"),
+        when(unp, lit(null).cast("string"))
+          .otherwise(concat(lit("chr"), ($"l_orderkey" % 3).cast("string"))).as("contig"),
+        when(unp, 0).otherwise((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        when(unp || pun, 0)
+          .otherwise((($"l_partkey" * 37) % 999000) + 151).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        when(unp || pun, "*").otherwise("151M").as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit("*").as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), lit("i:1")).as("attributes"))
+      reads
+        .repartitionByRange(8, $"contig".asc_nulls_last, $"start")
+        .sortWithinPartitions($"contig".asc_nulls_last, $"start")
+        .write.format("bam").mode("overwrite")
+        .option("refs", Refs).option("writeBai", "true").save(path)
+      // O(index) driver-side read: header (names/lengths) + .bai pseudo-bins
+      val conf = s.sessionState.newHadoopConf()
+      val header = {
+        val in = graft.sources.HadoopIO.open(new org.apache.hadoop.fs.Path(path), conf)
+        try graft.bam.BamIO.readHeader(in)._1 finally in.close()
+      }
+      val bai = {
+        val in = graft.sources.HadoopIO.open(
+          new org.apache.hadoop.fs.Path(path + ".bai"), conf)
+        try graft.index.BaiIndex.read(in) finally in.close()
+      }
+      val rows = header.refs.zipWithIndex.map { case (r, i) =>
+        val ref = bai.refs(i)
+        (r.name, r.length.toLong,
+          math.max(0L, ref.mapped), math.max(0L, ref.unmapped))
+      } :+ (("*", 0L, 0L, bai.noCoor))
+      rows.toDF("contig", "len", "n_mapped", "n_unmapped").orderBy($"contig")
+    },
+
     // STRUCTURAL-VARIANT SIGNAL CENSUS (the samtools/manta discordant-pair
     // triage): templates are re-united by ONE readName shuffle (the fixmate
     // discipline), then classified by the evidence class SV callers key on
@@ -1748,6 +1800,19 @@ object FormatQueries {
         |c AS (SELECT kmer, COUNT(*) AS n FROM k GROUP BY 1)
         |SELECT n AS multiplicity, COUNT(*) AS n_kmers
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bam_idxstats" ->
+      """WITH r AS (SELECT
+        |    CASE WHEN l_suppkey % 9 = 0 THEN NULL
+        |      ELSE 'chr' || CAST(l_orderkey % 3 AS VARCHAR) END AS contig,
+        |    CASE WHEN l_suppkey % 9 <> 0 AND l_suppkey % 5 = 0 THEN 1 ELSE 0 END AS unm
+        |  FROM lineitem)
+        |SELECT COALESCE(contig, '*') AS contig,
+        |  CAST(CASE WHEN contig IS NULL THEN 0 ELSE 1000000 END AS BIGINT) AS len,
+        |  CAST(SUM(CASE WHEN contig IS NOT NULL AND unm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mapped,
+        |  CAST(SUM(CASE WHEN contig IS NULL OR unm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmapped
+        |FROM r GROUP BY contig ORDER BY 1""".stripMargin,
     "q_sv_signals" ->
       """WITH r AS (SELECT
         |    't-' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)

@@ -725,7 +725,8 @@ class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
     }
     val vBeg = out.virtualOffset
     out.write(BamCodec.encodeRecord(rec, header))
-    if (bai != null) bai.add(refId, pos0, math.max(pos0, rec.end - 1), vBeg, out.virtualOffset)
+    if (bai != null) bai.add(refId, pos0, math.max(pos0, rec.end - 1), vBeg, out.virtualOffset,
+      mapped = (rec.flags & AlignmentRecord.FlagUnmapped) == 0)
     count += 1
   }
   override def commit(): WriterCommitMessage = {

@@ -48,6 +48,30 @@ class BaiIndexSpec extends AnyFunSuite with SparkFixture {
     assert(back.spans(1, 0, 1000000).isEmpty)
   }
 
+  test("pseudo-bin stats survive part merge, rebase, write and read") {
+    val b1 = new BaiBuilder
+    b1.add(0, 100, 150, 0L << 16, (0L << 16) + 40, mapped = true)
+    b1.add(0, 400, 450, 1000L << 16, (1000L << 16) + 40, mapped = false)
+    b1.add(-1, 0, 0, 0L, 0L) // unplaced
+    val b2 = new BaiBuilder
+    b2.add(0, 900, 950, 0L << 16, (0L << 16) + 40, mapped = true)
+    b2.add(1, 10, 60, 500L << 16, (500L << 16) + 40, mapped = true)
+    // part 2 sits 5000 compressed bytes into the concatenated file
+    val idx = BaiPartData.merge(Seq(b1.result(), b2.result()), Seq(0L, 5000L), nRef = 3)
+    val bos = new java.io.ByteArrayOutputStream()
+    BaiIndex.write(bos, idx)
+    val back = BaiIndex.read(graft.bgzf.SeekableInput.ofBytes(bos.toByteArray))
+    assert(back.refs(0).mapped == 2 && back.refs(0).unmapped == 1)
+    assert(back.refs(0).offBeg == (0L << 16))
+    assert(back.refs(0).offEnd == (5000L << 16) + 40) // rebased part-2 voff
+    assert(back.refs(1).mapped == 1 && back.refs(1).unmapped == 0)
+    assert(back.refs(2).mapped == -1, "refs with no records carry no pseudo-bin")
+    assert(back.noCoor == 1)
+    // stats never leak into the real-bin span machinery
+    assert(back.spans(0, 0, 1000000).nonEmpty)
+    assert(back.refs(0).binIds.forall(_ != BaiIndex.PseudoBin))
+  }
+
   test("bai co-write prunes interval-scan partitions on an indexed BAM, results exact") {
     import spark.implicits._
     val recs = (0 until 4000).map { i =>
