@@ -1124,6 +1124,64 @@ object FormatQueries {
         .orderBy($"multiplicity")
     },
 
+    // BEDTOOLS CLOSEST (nearest-feature join): each read finds its nearest
+    // variant on the contig in BOTH directions WITHOUT a join — variants
+    // and reads union into one position-ordered stream per contig, the
+    // nearest-before is a running MAX over variant positions and the
+    // nearest-after a running MIN from the other end (MAX/MIN skip the
+    // read rows' nulls natively). One contig-keyed sort, zero pair space —
+    // the genomic twin of the as-of trick, where a naive range join is
+    // quadratic in feature density. Distances roll up into fixed decimal
+    // bins.
+    "q_genomic_closest" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val dir = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
+      val bamPath = s"$dir/closest.bam"
+      val vcfPath = s"$dir/closest.vcf.bgz"
+      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(bamPath)
+      import org.apache.spark.sql.types._
+      val vars = Tables.orders(s, d).select(
+        concat(lit("chr"), ($"o_custkey" % 3).cast("string")).as("contig"),
+        ((($"o_orderkey" * 53) % 999000) + 1).cast("int").as("start"),
+        ((($"o_orderkey" * 53) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"),
+        array(lit("G")).as("alt"),
+        lit(30.0).as("qual"),
+        array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false))
+          .as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(vcfPath)
+      val reads = s.read.format("bam").option("splitSize", 1024 * 1024).load(bamPath)
+        .select($"contig", $"start".cast("long").as("pos"), lit(1).as("side"))
+      val sites = s.read.format("vcf").option("splitSize", 256 * 1024).load(vcfPath)
+        .select($"contig", $"start".cast("long").as("pos"), lit(0).as("side"))
+      val w = Window.partitionBy($"contig").orderBy($"pos", $"side")
+      val back = w.rowsBetween(Window.unboundedPreceding, 0)
+      val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+      sites.unionByName(reads)
+        .withColumn("pv", max(when($"side" === 0, $"pos")).over(back))
+        .withColumn("nv", min(when($"side" === 0, $"pos")).over(fwd))
+        .filter($"side" === 1)
+        .select($"contig",
+          when($"pv".isNull, $"nv" - $"pos")
+            .when($"nv".isNull, $"pos" - $"pv")
+            .otherwise(least($"pos" - $"pv", $"nv" - $"pos")).as("dist"))
+        .select($"contig",
+          when($"dist" === 0, "d0")
+            .when($"dist" <= 10, "d1_10")
+            .when($"dist" <= 100, "d11_100")
+            .when($"dist" <= 1000, "d101_1k")
+            .otherwise("d_gt1k").as("dist_bin"),
+          $"dist")
+        .groupBy($"contig", $"dist_bin")
+        .agg(count(lit(1)).as("n_reads"), sum($"dist").as("sum_dist"))
+        .orderBy($"contig", $"dist_bin")
+    },
+
     // SAMTOOLS IDXSTATS — the O(index) answer: per-contig mapped/unmapped
     // counts and the unplaced tail come from the `.bai` PSEUDO-BINS plus
     // the header, with ZERO data-scan — the shape that answers "what's in
@@ -1800,6 +1858,34 @@ object FormatQueries {
         |c AS (SELECT kmer, COUNT(*) AS n FROM k GROUP BY 1)
         |SELECT n AS multiplicity, COUNT(*) AS n_kmers
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_genomic_closest" ->
+      """WITH rd AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS c,
+        |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS pos, 1 AS side
+        |  FROM lineitem),
+        |vr AS (SELECT 'chr' || CAST(o_custkey % 3 AS VARCHAR) AS c,
+        |    CAST((o_orderkey * 53) % 999000 + 1 AS BIGINT) AS pos, 0 AS side
+        |  FROM orders),
+        |t AS (SELECT * FROM vr UNION ALL SELECT * FROM rd),
+        |w AS (SELECT *,
+        |    MAX(CASE WHEN side = 0 THEN pos END) OVER
+        |      (PARTITION BY c ORDER BY pos, side ROWS UNBOUNDED PRECEDING) AS pv,
+        |    MIN(CASE WHEN side = 0 THEN pos END) OVER
+        |      (PARTITION BY c ORDER BY pos, side
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM t),
+        |ds AS (SELECT c AS contig,
+        |    CASE WHEN pv IS NULL THEN nv - pos
+        |         WHEN nv IS NULL THEN pos - pv
+        |         ELSE LEAST(pos - pv, nv - pos) END AS dist
+        |  FROM w WHERE side = 1)
+        |SELECT contig,
+        |  CASE WHEN dist = 0 THEN 'd0'
+        |       WHEN dist <= 10 THEN 'd1_10'
+        |       WHEN dist <= 100 THEN 'd11_100'
+        |       WHEN dist <= 1000 THEN 'd101_1k'
+        |       ELSE 'd_gt1k' END AS dist_bin,
+        |  COUNT(*) AS n_reads, CAST(SUM(dist) AS BIGINT) AS sum_dist
+        |FROM ds GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_bam_idxstats" ->
       """WITH r AS (SELECT
         |    CASE WHEN l_suppkey % 9 = 0 THEN NULL
