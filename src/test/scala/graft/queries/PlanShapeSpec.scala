@@ -549,6 +549,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("LeftSemi"), s"IN-subquery lost its semi join\n$p")
   }
 
+  test("q_genomic_closest: nearest-feature search is JOIN-FREE (union + window)") {
+    // a range/theta join here is quadratic in feature density; the pin is
+    // that no join operator appears at all — both directions come from
+    // window carries over one contig-keyed sort
+    val p = finalPlan(FormatQueries.queries("q_genomic_closest")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("ShuffledHashJoin"),
+      s"nearest-feature search degraded to a join\n$p")
+    assert(p.contains("Window"), s"window carry lost\n$p")
+  }
+
+  test("q_events_gapfill: interpolation windows partition by series key") {
+    // Window.partitionBy(event_type) — a global (empty-partition) window
+    // would serialize every series through one task
+    val p = finalPlan(Relational.queries("q_events_gapfill")(spark, sf))
+    assert(p.contains("Generate"), s"spine explode lost its Generate\n$p")
+    val wins = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(wins.exists(_.contains("event_type")),
+      s"interpolation window not keyed by event_type: ${wins.mkString("; ")}\n$p")
+  }
+
   test("q_kmer_spectrum: k-mer counting is Generate + hash agg, no pre-agg exchange") {
     // the only wide exchanges may carry k-mer partial counts or the tiny
     // multiplicity rollup — never the exploded per-window rows themselves
