@@ -1124,6 +1124,49 @@ object FormatQueries {
         .orderBy($"multiplicity")
     },
 
+    // RNA-SEQ INTRON CENSUS: spliced alignments carry their introns as
+    // CIGAR N runs; the census explodes every N run (regexp_extract_all —
+    // codegen'd, matching DuckDB's regex semantics on this pattern) after
+    // the cigar string survives the binary codec round-trip, and rolls up
+    // intron count + length distribution per contig. Narrow extract, tiny
+    // rollup.
+    "q_intron_census" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/intron.bam"
+      // 0, 1 or 2 introns per read; lengths keyed off suppkey
+      val cig = expr("""CASE CAST(l_suppkey % 3 AS INT)
+        WHEN 0 THEN '151M'
+        WHEN 1 THEN CONCAT('50M', CAST(l_suppkey % 5000 + 100 AS STRING), 'N101M')
+        ELSE CONCAT('40M', CAST(l_suppkey % 5000 + 100 AS STRING), 'N60M',
+          CAST(l_suppkey % 900 + 50 AS STRING), 'N51M') END""")
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 900000) + 1).cast("int").as("start"),
+        lit(0).cast("int").as("end"), // writer recomputes from cigar
+        lit(60).cast("int").as("mapq"),
+        cig.as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit("*").as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), lit("i:1")).as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+        .select($"contig",
+          explode(expr("regexp_extract_all(cigar, '(\\\\d+)N', 1)")).as("ilen_s"))
+        .select($"contig", $"ilen_s".cast("long").as("ilen"))
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_introns"),
+          sum($"ilen").as("sum_intron_len"),
+          max($"ilen").as("max_intron_len"),
+          sum(when($"ilen" >= 1000, 1L).otherwise(0L)).as("n_long"))
+        .orderBy($"contig")
+    },
+
     // BEDTOOLS CLOSEST (nearest-feature join): each read finds its nearest
     // variant on the contig in BOTH directions WITHOUT a join — variants
     // and reads union into one position-ordered stream per contig, the
@@ -1858,6 +1901,20 @@ object FormatQueries {
         |c AS (SELECT kmer, COUNT(*) AS n FROM k GROUP BY 1)
         |SELECT n AS multiplicity, COUNT(*) AS n_kmers
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // closed form, not a regex mirror: a codec or regex slip on the Spark
+    // side diverges from first-principles intron lists
+    "q_intron_census" ->
+      """WITH r AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    l_suppkey AS sk FROM lineitem),
+        |i AS (
+        |  SELECT contig, CAST(sk % 5000 + 100 AS BIGINT) AS ilen FROM r WHERE sk % 3 = 1
+        |  UNION ALL SELECT contig, CAST(sk % 5000 + 100 AS BIGINT) FROM r WHERE sk % 3 = 2
+        |  UNION ALL SELECT contig, CAST(sk % 900 + 50 AS BIGINT) FROM r WHERE sk % 3 = 2)
+        |SELECT contig, COUNT(*) AS n_introns,
+        |  CAST(SUM(ilen) AS BIGINT) AS sum_intron_len,
+        |  CAST(MAX(ilen) AS BIGINT) AS max_intron_len,
+        |  CAST(SUM(CASE WHEN ilen >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_genomic_closest" ->
       """WITH rd AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS c,
         |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS pos, 1 AS side
