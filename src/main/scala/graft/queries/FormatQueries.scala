@@ -1124,6 +1124,94 @@ object FormatQueries {
         .orderBy($"multiplicity")
     },
 
+    // PAIRWISE RELATEDNESS (plink/KING IBS shape) over the trio VCF: for
+    // each sample pair, sites are classed IBS0/1/2 by dosage distance —
+    // three fixed pairs means the whole per-site classification is one
+    // codegen'd projection (no pair explode), and the rollup shuffles nine
+    // counters. At cohort scale the pair set grows but the discipline
+    // holds: per-site narrow classify, pair-keyed bounded rollup.
+    "q_vcf_relatedness" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/ibs.vcf.bgz"
+      def geno(name: String, code: org.apache.spark.sql.Column) = struct(
+        lit(name).as("sample"),
+        when(code === 0, "0/0").when(code === 1, "0/1").otherwise("1/1").as("gt"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false))
+          .as("fields"))
+      val vars = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"), array(lit("G")).as("alt"),
+        lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array(
+          geno("father", ($"l_orderkey" * 7 + $"l_linenumber") % 3),
+          geno("mother", ($"l_orderkey" * 5 + $"l_linenumber" * 2) % 3),
+          geno("child", ($"l_orderkey" * 11 + $"l_linenumber" * 3 + $"l_suppkey") % 3))
+          .as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      def dose(i: Int) = {
+        val gt = element_at($"genotypes", i).getField("gt")
+        when(gt === "0/0", 0L).when(gt === "0/1", 1L).otherwise(2L)
+      }
+      val d3 = back.select(dose(1).as("df"), dose(2).as("dm"), dose(3).as("dc"))
+      val pairs = Seq(("father", "mother", $"df", $"dm"),
+        ("father", "child", $"df", $"dc"), ("mother", "child", $"dm", $"dc"))
+      pairs.map { case (a, b, x, y) =>
+        d3.select(lit(a).as("s1"), lit(b).as("s2"), abs(x - y).as("dd"))
+      }.reduce(_ unionByName _)
+        .groupBy($"s1", $"s2")
+        .agg(sum(when($"dd" === 2, 1L).otherwise(0L)).as("ibs0"),
+          sum(when($"dd" === 1, 1L).otherwise(0L)).as("ibs1"),
+          sum(when($"dd" === 0, 1L).otherwise(0L)).as("ibs2"))
+        .orderBy($"s1", $"s2")
+    },
+
+    // ALLELE BALANCE at het sites (GATK QC): per-genotype read depths ride
+    // the FORMAT fields map as "AD=ref,alt"; the balance histogram parses
+    // them back after the text round-trip — split + integer ppm, bucketed.
+    // Exercises the genotype FIELDS map through the codec with real
+    // content, not just presence.
+    "q_vcf_allele_balance" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/ab.vcf.bgz"
+      def geno(j: Int) = {
+        val code = ($"l_orderkey" + lit(j) * $"l_linenumber") % 3
+        val refD = ($"l_suppkey" + lit(j * 7)) % 60 + 10
+        val altD = ($"l_partkey" + lit(j * 13)) % 60 + 10
+        struct(
+          lit(s"s$j").as("sample"),
+          when(code === 0, "0/0").when(code === 1, "0/1").otherwise("1/1").as("gt"),
+          map(lit("AD"), concat(refD.cast("string"), lit(","), altD.cast("string")))
+            .as("fields"))
+      }
+      val vars = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"), array(lit("G")).as("alt"),
+        lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array(geno(1), geno(2), geno(3)).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      back.select(explode($"genotypes").as("g"))
+        .filter($"g.gt" === "0/1")
+        .select(
+          split(element_at($"g.fields", "AD"), ",").getItem(0).cast("long").as("rd"),
+          split(element_at($"g.fields", "AD"), ",").getItem(1).cast("long").as("ad"))
+        .select(expr("ad * 1000000 div (rd + ad)").as("ab_ppm"))
+        .select(expr("ab_ppm * 10 div 1000000").cast("long").as("ab_decile"))
+        .groupBy($"ab_decile").agg(count(lit(1)).as("n_het"))
+        .orderBy($"ab_decile")
+    },
+
     // RNA-SEQ INTRON CENSUS: spliced alignments carry their introns as
     // CIGAR N runs; the census explodes every N run (regexp_extract_all —
     // codegen'd, matching DuckDB's regex semantics on this pattern) after
@@ -1901,6 +1989,28 @@ object FormatQueries {
         |c AS (SELECT kmer, COUNT(*) AS n FROM k GROUP BY 1)
         |SELECT n AS multiplicity, COUNT(*) AS n_kmers
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vcf_relatedness" ->
+      """WITH t AS (SELECT (l_orderkey * 7 + l_linenumber) % 3 AS df,
+        |    (l_orderkey * 5 + l_linenumber * 2) % 3 AS dm,
+        |    (l_orderkey * 11 + l_linenumber * 3 + l_suppkey) % 3 AS dc
+        |  FROM lineitem),
+        |p AS (SELECT 'father' AS s1, 'mother' AS s2, ABS(df - dm) AS dd FROM t
+        |  UNION ALL SELECT 'father', 'child', ABS(df - dc) FROM t
+        |  UNION ALL SELECT 'mother', 'child', ABS(dm - dc) FROM t)
+        |SELECT s1, s2,
+        |  CAST(SUM(CASE WHEN dd = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ibs0,
+        |  CAST(SUM(CASE WHEN dd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ibs1,
+        |  CAST(SUM(CASE WHEN dd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ibs2
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_vcf_allele_balance" ->
+      """WITH g AS (SELECT j, (l_orderkey + j * l_linenumber) % 3 AS code,
+        |    (l_suppkey + j * 7) % 60 + 10 AS rd,
+        |    (l_partkey + j * 13) % 60 + 10 AS ad
+        |  FROM lineitem, (SELECT unnest([1, 2, 3]) AS j) t),
+        |h AS (SELECT (ad * 1000000 // (rd + ad)) AS ab_ppm FROM g WHERE code = 1)
+        |SELECT CAST(ab_ppm * 10 // 1000000 AS BIGINT) AS ab_decile,
+        |  COUNT(*) AS n_het
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
     // closed form, not a regex mirror: a codec or regex slip on the Spark
     // side diverges from first-principles intron lists
     "q_intron_census" ->
