@@ -1290,12 +1290,17 @@ object FormatQueries {
         .select($"contig", $"start".cast("long").as("pos"), lit(1).as("side"))
       val sites = s.read.format("vcf").option("splitSize", 256 * 1024).load(vcfPath)
         .select($"contig", $"start".cast("long").as("pos"), lit(0).as("side"))
-      val w = Window.partitionBy($"contig").orderBy($"pos", $"side")
-      val back = w.rowsBetween(Window.unboundedPreceding, 0)
-      val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+      // BOTH directions as RUNNING (unbounded-preceding) frames: Spark's
+      // UnboundedFollowing frame re-scans to the partition end per row —
+      // O(n²) per contig, measured as a 45-minute task at sf0.1 — so the
+      // nearest-after is a running min over the REVERSED sort instead
+      val back = Window.partitionBy($"contig").orderBy($"pos", $"side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val fwdRev = Window.partitionBy($"contig").orderBy($"pos".desc, $"side".desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
       sites.unionByName(reads)
         .withColumn("pv", max(when($"side" === 0, $"pos")).over(back))
-        .withColumn("nv", min(when($"side" === 0, $"pos")).over(fwd))
+        .withColumn("nv", min(when($"side" === 0, $"pos")).over(fwdRev))
         .filter($"side" === 1)
         .select($"contig",
           when($"pv".isNull, $"nv" - $"pos")

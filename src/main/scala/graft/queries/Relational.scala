@@ -249,15 +249,19 @@ object Relational {
       val spine = hourly.groupBy($"event_type")
         .agg(min($"h").as("h0"), max($"h").as("h1"))
         .select($"event_type", explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
-      val w = Window.partitionBy($"event_type").orderBy($"h")
-      val back = w.rowsBetween(Window.unboundedPreceding, 0)
-      val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+      // both carries as RUNNING frames: an UnboundedFollowing frame is
+      // O(series²) in Spark (per-row rescan to partition end), so the
+      // next-neighbor carry runs over the REVERSED hour order instead
+      val back = Window.partitionBy($"event_type").orderBy($"h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val fwdRev = Window.partitionBy($"event_type").orderBy($"h".desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
       spine.join(hourly, Seq("event_type", "h"), "left")
         .withColumn("hh", expr("unix_millis(h) div 3600000"))
         .withColumn("pv", last($"rev_c", ignoreNulls = true).over(back))
         .withColumn("ph", last(when($"rev_c".isNotNull, $"hh"), ignoreNulls = true).over(back))
-        .withColumn("nv", first($"rev_c", ignoreNulls = true).over(fwd))
-        .withColumn("nh", first(when($"rev_c".isNotNull, $"hh"), ignoreNulls = true).over(fwd))
+        .withColumn("nv", last($"rev_c", ignoreNulls = true).over(fwdRev))
+        .withColumn("nh", last(when($"rev_c".isNotNull, $"hh"), ignoreNulls = true).over(fwdRev))
         .select($"event_type", $"hh",
           when($"rev_c".isNotNull, $"rev_c")
             .when($"ph".isNull, $"nv")

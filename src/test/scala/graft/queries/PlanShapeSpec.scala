@@ -558,6 +558,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
       !p.contains("CartesianProduct") && !p.contains("ShuffledHashJoin"),
       s"nearest-feature search degraded to a join\n$p")
     assert(p.contains("Window"), s"window carry lost\n$p")
+    // Spark's UnboundedFollowing frame is O(partition²) — both carries
+    // must be RUNNING frames (the after-side over the reversed sort)
+    assert(!p.toLowerCase.contains("unboundedfollowing"),
+      s"an O(n²) following frame crept back in\n$p")
   }
 
   test("q_events_gapfill: interpolation windows partition by series key") {
@@ -568,6 +572,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     val wins = p.linesIterator.filter(_.contains("Window")).toSeq
     assert(wins.exists(_.contains("event_type")),
       s"interpolation window not keyed by event_type: ${wins.mkString("; ")}\n$p")
+    assert(!p.toLowerCase.contains("unboundedfollowing"),
+      s"an O(series²) following frame crept back in\n$p")
   }
 
   test("q_kmer_spectrum: k-mer counting is Generate + hash agg, no pre-agg exchange") {
