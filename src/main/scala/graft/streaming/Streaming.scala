@@ -586,6 +586,70 @@ object Streaming {
       .toDF("seg_hash", "doc_id")
   }
 
+  /** Streaming MATE-PAIR reunification + discordance triage — the streaming
+    * twin of q_sv_signals' fixmate shuffle: per-template state holds the
+    * first mate until its partner arrives, then the completed pair emits
+    * with the BATCH classification rules (interchrom > long-insert >
+    * inverted > proper, `span` 0 for interchrom). State is ONE held mate
+    * per open template; the event-time TTL evicts widowed templates,
+    * emitting an `orphan` row (the observability a sequencing stream wants
+    * — a mate that never arrived IS a signal). `reads` must carry
+    * `readName, contig, pos, rev (0/1), ts`.
+    */
+  def pairMates(reads: DataFrame, longInsert: Long = 5000L,
+                watermark: String = "2 hours",
+                idleTtlMs: Option[Long] = Some(DefaultIdleTtlMs)): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = reads.sparkSession
+    import s.implicits._
+    val timeoutConf =
+      if (idleTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else { warnUnbounded("pairMates"); GroupStateTimeout.NoTimeout() }
+    reads
+      .withWatermark("ts", watermark)
+      .select(col("readName").cast("string"), col("contig").cast("string"),
+        col("pos").cast("long"), col("rev").cast("int"),
+        unix_millis(col("ts")).as("ms"), col("ts"))
+      .as[(String, String, Long, Int, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Long, Int, Long), (String, String, Long)](
+        OutputMode.Append(), timeoutConf) {
+        case (name, rows, state: GroupState[(String, Long, Int, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.single((name, "orphan", 0L))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+            var held = state.getOption
+            var newest = held.map(_._4).getOrElse(Long.MinValue)
+            rows.toSeq.sortBy(_._5).foreach { case (_, c, p, rv, ms, _) =>
+              if (ms > newest) newest = ms
+              held match {
+                case None => held = Some((c, p, rv, ms))
+                case Some((c1, p1, rv1, _)) =>
+                  val span = math.abs(p - p1)
+                  val cls =
+                    if (c1 != c) "interchrom"
+                    else if (span > longInsert) "long_insert"
+                    else if (rv + rv1 != 1) "inverted"
+                    else "proper"
+                  out += ((name, cls, if (c1 != c) 0L else span))
+                  held = None
+              }
+            }
+            held match {
+              case Some(h) =>
+                state.update((h._1, h._2, h._3, newest))
+                idleTtlMs.foreach(ttl => state.setTimeoutTimestamp(
+                  math.max(newest + ttl, state.getCurrentWatermarkMs() + 1)))
+              case None => if (state.exists) state.remove()
+            }
+            out.iterator
+          }
+      }
+      .toDF("template", "sv_class", "span")
+  }
+
   /** Streaming ordered funnel — the streaming twin of q_events_funnel:
     * per-user state machine tracking first view → first later click →
     * first later purchase, emitting the user's funnel row whenever a stage

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkFixture
 
 case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+case class Rd(readName: String, contig: String, pos: Long, rev: Int, ts: Timestamp)
 case class IdEv(event_id: Long, ts: Timestamp, event_type: String, user_id: Long, value: Double)
 
 class StreamingSpec extends AnyFunSuite with SparkFixture {
@@ -397,6 +398,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
           $"v.ts" >= $"p.ts" - expr("INTERVAL 1800 SECONDS"))
         .select($"p.event_id", $"v.ts").as[(Long, Timestamp)].collect().toSet
       assert(got.nonEmpty && got == expected)
+    } finally q.stop()
+  }
+
+  test("pairMates: stateful reunification matches the batch SV classification") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 40 templates spanning all four classes, mates split ACROSS batches
+    // in shuffled order; template t39 is a planted widow (no second mate)
+    def mates(i: Int): (Rd, Rd) = {
+      val c1 = s"chr${i % 3}"
+      val c2 = if (i % 11 == 0) s"chr${(i + 1) % 3}" else c1
+      val gap = if (i % 7 == 0) 20000L + i else 200L + i
+      val rev2 = if (i % 13 == 0) 0 else 1
+      (Rd(s"t$i", c1, 1000L + i * 37, 0, ts(i)),
+        Rd(s"t$i", c2, 1000L + i * 37 + gap, rev2, ts(i + 1)))
+    }
+    val pairs = (0 until 40).map(mates)
+    val first = pairs.map(_._1) :+ Rd("t39w", "chr0", 500L, 0, ts(5))
+    val second = pairs.map(_._2)
+    val stream = MemoryStream[Rd]
+    val q = Streaming.pairMates(stream.toDF(), idleTtlMs = Some(60L * 60000))
+      .writeStream.format("memory").queryName("mates").outputMode("append").start()
+    try {
+      stream.addData(scala.util.Random.shuffle(first))
+      q.processAllAvailable()
+      stream.addData(scala.util.Random.shuffle(second))
+      q.processAllAvailable()
+      // push the watermark far past every template + TTL: the widow orphans
+      stream.addData(Rd("wm", "chr0", 1L, 0, ts(100000)))
+      q.processAllAvailable()
+      val got = spark.table("mates")
+        .select($"template", $"sv_class").as[(String, String)].collect().toMap
+      val expected = (0 until 40).map { i =>
+        val cls =
+          if (i % 11 == 0) "interchrom"
+          else if (i % 7 == 0) "long_insert"
+          else if (i % 13 == 0) "inverted"
+          else "proper"
+        s"t$i" -> cls
+      }.toMap
+      assert((0 until 40).forall(i => got.get(s"t$i") == expected.get(s"t$i")),
+        s"got=$got")
+      assert(got.get("t39w").contains("orphan"), s"widow not surfaced: $got")
+      assert(Set("interchrom", "long_insert", "inverted", "proper")
+        .subsetOf(expected.values.toSet), "test data must cover all classes")
     } finally q.stop()
   }
 
