@@ -1557,6 +1557,9 @@ object FormatQueries {
         .groupBy($"contig")
         .agg(count(lit(1)).as("n"), sum($"dep").as("total_depth"),
           sum($"i" * $"dep").as("wsum"))
+        // a zero-coverage contig has no defined Gini (and DuckDB's // would
+        // raise where Spark's div nulls) — excluded identically both sides
+        .filter($"total_depth" > 0)
         .select($"contig", $"n", $"total_depth",
           expr("(2 * wsum - (n + 1) * total_depth) * 1000 div (n * total_depth)")
             .as("gini_milli"))
@@ -2137,7 +2140,7 @@ object FormatQueries {
         |  CAST(SUM(dep) AS BIGINT) AS total_depth,
         |  CAST((2 * SUM(i * dep) - (COUNT(*) + 1) * SUM(dep)) * 1000
         |    // (COUNT(*) * SUM(dep)) AS BIGINT) AS gini_milli
-        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM rk GROUP BY 1 HAVING SUM(dep) > 0 ORDER BY 1""".stripMargin,
     // sites are keyed by ROW_NUMBER, not (l_orderkey, l_linenumber): the
     // generator emits duplicate lineitem rows, and each row IS one site
     "q_vcf_hwe" ->
