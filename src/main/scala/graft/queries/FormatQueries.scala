@@ -1124,6 +1124,42 @@ object FormatQueries {
         .orderBy($"multiplicity")
     },
 
+    // GC CONTENT per contig (the fastqc staple): base composition of the
+    // round-tripped sequences as exact integer ppm — one codegen'd pass
+    // (length/replace counting, no explode), per-contig rollup.
+    "q_gc_content" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/gc.bam"
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        lit(0).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        lit("32M").as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit(KmerAlpha).substr((($"l_partkey" * 13) % 33).cast("int") + 1, lit(32))
+          .as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), lit("i:1")).as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+        .select($"contig",
+          (length($"seq") - length(replace($"seq", lit("G")))
+            + length($"seq") - length(replace($"seq", lit("C")))).cast("long").as("gc"),
+          length($"seq").cast("long").as("len"))
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_reads"), sum($"gc").as("gc_bases"),
+          sum($"len").as("total_bases"))
+        .select($"contig", $"n_reads", $"gc_bases", $"total_bases",
+          expr("gc_bases * 1000000 div total_bases").as("gc_ppm"))
+        .orderBy($"contig")
+    },
+
     // PAIRWISE RELATEDNESS (plink/KING IBS shape) over the trio VCF: for
     // each sample pair, sites are classed IBS0/1/2 by dosage distance —
     // three fixed pairs means the whole per-site classification is one
@@ -1997,6 +2033,19 @@ object FormatQueries {
         |c AS (SELECT kmer, COUNT(*) AS n FROM k GROUP BY 1)
         |SELECT n AS multiplicity, COUNT(*) AS n_kmers
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_gc_content" ->
+      s"""WITH r AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    substring('$KmerAlpha',
+        |      CAST((l_partkey * 13) % 33 AS INTEGER) + 1, 32) AS seq FROM lineitem),
+        |b AS (SELECT contig,
+        |    CAST(32 - length(replace(seq, 'G', ''))
+        |       + 32 - length(replace(seq, 'C', '')) AS BIGINT) AS gc
+        |  FROM r)
+        |SELECT contig, COUNT(*) AS n_reads,
+        |  CAST(SUM(gc) AS BIGINT) AS gc_bases,
+        |  CAST(COUNT(*) * 32 AS BIGINT) AS total_bases,
+        |  CAST(SUM(gc) * 1000000 // (COUNT(*) * 32) AS BIGINT) AS gc_ppm
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_vcf_relatedness" ->
       """WITH t AS (SELECT (l_orderkey * 7 + l_linenumber) % 3 AS df,
         |    (l_orderkey * 5 + l_linenumber * 2) % 3 AS dm,

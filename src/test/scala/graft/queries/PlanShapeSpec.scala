@@ -549,6 +549,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("LeftSemi"), s"IN-subquery lost its semi join\n$p")
   }
 
+  test("q_vcf_hwe: per-site genotype counting is NARROW — no explode, no per-sample rows") {
+    // the whole HWE classification runs as higher-order array functions in
+    // one projection; a Generate here means someone rewrote it as a
+    // per-genotype explode — 12x the rows through the aggregate
+    val p = finalPlan(FormatQueries.queries("q_vcf_hwe")(spark, sf))
+    assert(!p.contains("Generate"),
+      s"q_vcf_hwe explodes genotypes — per-site HOF counting lost\n$p")
+  }
+
   test("q_genomic_closest: nearest-feature search is JOIN-FREE (union + window)") {
     // a range/theta join here is quadratic in feature density; the pin is
     // that no join operator appears at all — both directions come from
