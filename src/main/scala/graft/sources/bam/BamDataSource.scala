@@ -72,11 +72,23 @@ private[bam] object Opts {
 }
 
 class BamScanBuilder(options0: Map[String, String])
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private val options = Opts.normalize(options0)
 
   private var required: StructType = AlignmentRecord.schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** `.limit(n)` directly over the scan: plan ONE whole-file partition per
+    * file (no index/sidecar reads, no derive job) and stop each reader after
+    * n emitted records. Partial pushdown (Spark keeps its own global limit),
+    * so over-emission across files is fine and under-emission impossible —
+    * each file yields min(n, its records). Turns the most common first query
+    * on a 100 TB lake from an every-partition plan into a few blocks.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Record interval-translatable filters (contig =, start/end bounds) for
     * reader-side filtering + explain visibility; everything stays residual
@@ -91,10 +103,11 @@ class BamScanBuilder(options0: Map[String, String])
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new BamScan(options, required, pushed)
+  override def build(): Scan = new BamScan(options, required, pushed, limit)
 }
 
-class BamScan(options0: Map[String, String], required: StructType, pushed: Array[Filter])
+class BamScan(options0: Map[String, String], required: StructType, pushed: Array[Filter],
+    limitHint: Int = -1)
     extends Scan with Batch {
   private val options = Opts.normalize(options0)
 
@@ -102,7 +115,8 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
   override def toBatch: Batch = this
   override def description(): String = {
     val iv = options.get("intervals").map(i => s" intervals=$i").getOrElse("")
-    s"graft-bam ${options.getOrElse("path", "")}$iv pushed=[${pushed.mkString(",")}]"
+    val lim = if (limitHint >= 0) s" limit=$limitHint" else ""
+    s"graft-bam ${options.getOrElse("path", "")}$iv pushed=[${pushed.mkString(",")}]$lim"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -145,7 +159,14 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
         val fs = file.getFileSystem(conf)
         val hostsOf = HadoopIO.blockHostsFor(fs, file, size)
         val sbiPath = new Path(file.toString + ".sbi")
-        val parts: Seq[BamInputPartition] = if (fs.exists(sbiPath)) {
+        val parts: Seq[BamInputPartition] = if (limitHint >= 0 && intervals.isEmpty) {
+          // limit fast path (no interval traversal): ONE whole-file
+          // partition, zero sidecar/index I/O, no derive job — the reader
+          // stops after `limitHint` emitted records, so `.limit(5)` on a
+          // lake costs one partition and a few BGZF blocks per file
+          Seq(BamInputPartition(file.toString, 0L, size, header, headerEnd,
+            None, unplacedUnmapped, -1L, -1L, pairAware, stringency))
+        } else if (fs.exists(sbiPath)) {
           // SBI path: split edges snap to indexed record offsets via binary
           // search — no heuristic boundary scan in the readers (intended
           // reference semantics, BamSource.java:74-92)
@@ -294,7 +315,7 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
         }
         // locality hints: block hosts of each split's byte range (one
         // block-list fetch per file, shared by every split)
-        parts.map(p => p.copy(hosts = hostsOf(p.splitStart, p.splitEnd)))
+        parts.map(p => p.copy(hosts = hostsOf(p.splitStart, p.splitEnd), limit = limitHint))
       } finally in.close()
     }
 
@@ -333,6 +354,7 @@ case class BamInputPartition(
     chunkStartVoff: Long, chunkEndVoff: Long, // -1 when no .sbi (heuristic)
     pairAware: Boolean = false, // name-runs never split across partitions
     stringency: Stringency = Stringency.Strict, // malformed-record policy
+    limit: Int = -1, // pushed-limit emit cap per reader (-1 = unlimited)
     hosts: Array[String] = Array.empty) // block hosts of the split's range
   extends InputPartition {
   override def preferredLocations(): Array[String] = hosts
@@ -434,7 +456,16 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
         (r.contig != null && ivs.exists(_.overlaps(r.contig, r.start, math.max(r.end, r.start))))
   }
 
+  private var emitted = 0
+
   override def next(): Boolean = {
+    if (p.limit >= 0 && emitted >= p.limit) { exhausted = true; return false }
+    val has = advance()
+    if (has) emitted += 1
+    has
+  }
+
+  private def advance(): Boolean = {
     if (exhausted) return false
     while (true) {
       // territory: the next record start owned by this partition —

@@ -108,11 +108,18 @@ class CramTable(properties: Map[String, String]) extends Table with SupportsRead
 
 class CramScanBuilder(options: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private val records = CramDataSource.recordsMode(options)
   private var required: StructType =
     if (records) AlignmentRecord.schema else CramTable.schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Int = -1
+  /** Partial limit pushdown: one whole-file partition per file (no `.crai`
+    * read, no derive job) and readers stop after n emitted rows; Spark
+    * keeps its own global limit on top.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
   /** Interval-translatable filters recorded for container pruning; all stay
     * residual so Catalyst re-applies the exact predicate above the scan.
     * Container mode accepts header-field filters (ref_seq_id/start_pos);
@@ -127,7 +134,7 @@ class CramScanBuilder(options: Map[String, String])
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new CramScan(options, required, pushed)
+  override def build(): Scan = new CramScan(options, required, pushed, limit)
 }
 
 /** Conservative filter→predicate translation for the container schema (the
@@ -217,7 +224,8 @@ private[cram] final case class RecordsContainerPred(ivs: Seq[RefInterval], keepU
 }
 
 class CramScan(options: Map[String, String], required: StructType,
-               pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+               pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+               limitHint: Int = -1)
     extends Scan with Batch {
   private val records = CramDataSource.recordsMode(options)
   override def readSchema(): StructType = required
@@ -226,7 +234,8 @@ class CramScan(options: Map[String, String], required: StructType,
     s"graft-cram ${options.getOrElse("path", "")}" +
       (if (records) " records" else "") +
       options.get("intervals").map(i => s" intervals=$i").getOrElse("") +
-      (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(",")}]" else "")
+      (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(",")}]" else "") +
+      (if (limitHint >= 0) s" limit=$limitHint" else "")
 
   private def parsedIntervals: Option[Seq[GenomicInterval]] =
     options.get("intervals").map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
@@ -288,7 +297,12 @@ class CramScan(options: Map[String, String], required: StructType,
         // block-list fetch per file, shared by every partition)
         val hostsOf = HadoopIO.blockHostsFor(fs, file, size)
         val craiPath = new Path(file.toString + ".crai")
-        if (fs.exists(craiPath)) {
+        if (limitHint >= 0 && pred.isEmpty) {
+          // limit fast path: one whole-file range partition, no `.crai`
+          // read, no derive job — readers stop after `limitHint` rows
+          val start0 = CramContainers.FileDefinitionLength.toLong
+          Seq(CramRangePartition(file.toString, start0, size, pred, hostsOf(start0, size)))
+        } else if (fs.exists(craiPath)) {
           // index route: container offsets come from `.crai` — O(index)
           // driver I/O, no header walk (the shape that matters at 100 TB)
           val cin = HadoopIO.open(craiPath, conf)
@@ -389,20 +403,23 @@ class CramScan(options: Map[String, String], required: StructType,
     val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
     val req = required
     val mode = graft.sources.Stringency.fromOptions(options)
+    val lim = limitHint
+    def capped(r: PartitionReader[InternalRow]): PartitionReader[InternalRow] =
+      if (lim >= 0) new graft.sources.LimitingReader(r, lim) else r
     if (records) {
       val ivs = recordIntervals
       val keepUnm = unplacedUnmapped
       val fasta = options.get("fasta")
       (partition: InputPartition) => partition match {
         case p: CramInputPartition =>
-          new CramRecordsPartitionReader(p.file, Left(p.offsets), p.pred, ivs, keepUnm, fasta, conf, req, mode)
+          capped(new CramRecordsPartitionReader(p.file, Left(p.offsets), p.pred, ivs, keepUnm, fasta, conf, req, mode))
         case p: CramRangePartition =>
-          new CramRecordsPartitionReader(p.file, Right((p.start, p.end)), p.pred, ivs, keepUnm, fasta, conf, req, mode)
+          capped(new CramRecordsPartitionReader(p.file, Right((p.start, p.end)), p.pred, ivs, keepUnm, fasta, conf, req, mode))
         case other => throw new IllegalArgumentException(s"unexpected partition $other")
       }
     } else (partition: InputPartition) => partition match {
-      case p: CramInputPartition => new CramPartitionReader(p, conf, req, mode)
-      case p: CramRangePartition => new CramRangePartitionReader(p, conf, req, mode)
+      case p: CramInputPartition => capped(new CramPartitionReader(p, conf, req, mode))
+      case p: CramRangePartition => capped(new CramRangePartitionReader(p, conf, req, mode))
       case other => throw new IllegalArgumentException(s"unexpected partition $other")
     }
   }

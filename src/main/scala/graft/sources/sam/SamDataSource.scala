@@ -51,9 +51,16 @@ class SamTable(properties: Map[String, String]) extends Table with SupportsRead 
 }
 
 class SamScanBuilder(options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType = AlignmentRecord.schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Int = -1
+  /** Partial limit pushdown: one whole-file partition per file, reader stops
+    * after n emitted records; Spark keeps its own global limit on top.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
   /** Interval-translatable filters → reader-side record filter (SAM text has
     * no index, matching the reference's record-level-only path,
     * SamSource.java:68-77); everything stays residual.
@@ -64,15 +71,18 @@ class SamScanBuilder(options: Map[String, String])
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new SamScan(options, required, pushed)
+  override def build(): Scan = new SamScan(options, required, pushed, limit)
 }
 
 class SamScan(options: Map[String, String], required: StructType,
-              pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
+              pushed: Array[org.apache.spark.sql.sources.Filter],
+              limitHint: Int = -1) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"graft-sam ${options.getOrElse("path", "")} pushed=[${pushed.mkString(",")}]"
+  override def description(): String = {
+    val lim = if (limitHint >= 0) s" limit=$limitHint" else ""
+    s"graft-sam ${options.getOrElse("path", "")} pushed=[${pushed.mkString(",")}]$lim"
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -107,10 +117,15 @@ class SamScan(options: Map[String, String], required: StructType,
         // locality hints: block hosts of each split's byte range (one
         // block-list fetch per file, shared by every split)
         val hostsOf = HadoopIO.blockHostsFor(file.getFileSystem(conf), file, size)
-        (0L until nSplits).map { i =>
+        if (limitHint >= 0 && intervals.isEmpty)
+          // limit fast path: one whole-file partition; the reader stops
+          // after `limitHint` emitted records
+          Seq(SamInputPartition(file.toString, 0L, size, header, None,
+            unplacedUnmapped, stringency, limitHint, hostsOf(0L, size)))
+        else (0L until nSplits).map { i =>
           val (s0, e0) = (i * splitSize, math.min(size, (i + 1) * splitSize))
           SamInputPartition(file.toString, s0, e0,
-            header, intervals, unplacedUnmapped, stringency, hostsOf(s0, e0))
+            header, intervals, unplacedUnmapped, stringency, limitHint, hostsOf(s0, e0))
         }
       } finally in.close()
     }.toArray
@@ -127,6 +142,7 @@ class SamScan(options: Map[String, String], required: StructType,
 case class SamInputPartition(file: String, splitStart: Long, splitEnd: Long,
     header: SamHeader, intervals: Option[Seq[GenomicInterval]], unplacedUnmapped: Boolean,
     stringency: graft.sources.Stringency, // malformed-line policy
+    limit: Int = -1, // pushed-limit emit cap per reader (-1 = unlimited)
     hosts: Array[String] = Array.empty) // block hosts of the split's range
   extends InputPartition {
   override def preferredLocations(): Array[String] = hosts
@@ -148,7 +164,16 @@ class SamPartitionReader(p: SamInputPartition, conf: SerializableConf, required:
         (r.contig != null && ivs.exists(_.overlaps(r.contig, r.start, math.max(r.end, r.start))))
   }
 
+  private var emitted = 0
+
   override def next(): Boolean = {
+    if (p.limit >= 0 && emitted >= p.limit) return false
+    val has = advance()
+    if (has) emitted += 1
+    has
+  }
+
+  private def advance(): Boolean = {
     while (lines.hasNext) {
       val line = lines.next()
       if (line.nonEmpty && !line.startsWith("@")) {

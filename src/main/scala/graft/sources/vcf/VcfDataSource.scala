@@ -55,9 +55,16 @@ class VcfTable(properties: Map[String, String]) extends Table with SupportsRead 
 }
 
 class VcfScanBuilder(options: Map[String, String])
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType = Variant.schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Int = -1
+  /** Partial limit pushdown: one whole-file partition per file, reader stops
+    * after n emitted records; Spark keeps its own global limit on top.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
   /** Interval-translatable filters recorded for split pruning (via .tbi /
     * .idx) + reader-side filtering; everything stays residual.
     */
@@ -67,16 +74,18 @@ class VcfScanBuilder(options: Map[String, String])
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new VcfScan(options, required, pushed)
+  override def build(): Scan = new VcfScan(options, required, pushed, limit)
 }
 
 class VcfScan(options: Map[String, String], required: StructType,
-              pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
+              pushed: Array[org.apache.spark.sql.sources.Filter],
+              limitHint: Int = -1) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val iv = options.get("intervals").map(i => s" intervals=$i").getOrElse("")
-    s"graft-vcf ${options.getOrElse("path", "")}$iv pushed=[${pushed.mkString(",")}]"
+    val lim = if (limitHint >= 0) s" limit=$limitHint" else ""
+    s"graft-vcf ${options.getOrElse("path", "")}$iv pushed=[${pushed.mkString(",")}]$lim"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -103,6 +112,11 @@ class VcfScan(options: Map[String, String], required: StructType,
           // BGZFEnhancedGzipCodec fallback semantics)
           Seq(VcfInputPartition(file.toString, 0L, Long.MaxValue, header, bgzf = false,
             wholeGzip = true, intervals, stringency))
+        } else if (limitHint >= 0 && intervals.isEmpty) {
+          // limit fast path: one whole-file partition, no index I/O or
+          // split tiling — the reader stops after `limitHint` records
+          Seq(VcfInputPartition(file.toString, 0L, size, header, bgzf,
+            wholeGzip = false, None, stringency))
         } else {
           // tabix split pruning: with intervals and a `.tbi` next to a BGZF
           // file, plan only byte ranges whose blocks can hold overlapping
@@ -185,7 +199,7 @@ class VcfScan(options: Map[String, String], required: StructType,
         }
         // locality hints: block hosts of each split's byte range (one
         // block-list fetch per file, shared by every split)
-        parts.map(p => p.copy(hosts = hostsOf(p.splitStart, p.splitEnd)))
+        parts.map(p => p.copy(hosts = hostsOf(p.splitStart, p.splitEnd), limit = limitHint))
       } finally in.close()
     }.toArray match { case planned =>
       // header-compat across directory inputs: genotype columns are decoded
@@ -218,6 +232,7 @@ case class VcfInputPartition(file: String, splitStart: Long, splitEnd: Long,
     header: VcfHeader, bgzf: Boolean, wholeGzip: Boolean,
     intervals: Option[Seq[GenomicInterval]],
     stringency: graft.sources.Stringency,
+    limit: Int = -1, // pushed-limit emit cap per reader (-1 = unlimited)
     hosts: Array[String] = Array.empty) extends InputPartition {
   override def preferredLocations(): Array[String] = hosts
 }
@@ -237,7 +252,16 @@ class VcfPartitionReader(p: VcfInputPartition, conf: SerializableConf, required:
     case Some(ivs) => ivs.exists(_.overlaps(v.contig, v.start, v.end))
   }
 
+  private var emitted = 0
+
   override def next(): Boolean = {
+    if (p.limit >= 0 && emitted >= p.limit) return false
+    val has = advance()
+    if (has) emitted += 1
+    has
+  }
+
+  private def advance(): Boolean = {
     while (lines.hasNext) {
       val line = lines.next()
       if (line.nonEmpty && line.charAt(0) != '#') {
