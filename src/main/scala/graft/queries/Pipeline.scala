@@ -408,7 +408,19 @@ object Pipeline {
     graft.functions.NativeIvf.register(s)
     val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
     val key = s"$d/embeddings#codebook"
-    val versioned = s"$key#${java.util.Arrays.hashCode(e.inputFiles.sorted.asInstanceOf[Array[AnyRef]])}"
+    // version = full sorted (path, length, mtime) fingerprint, NOT a 32-bit
+    // name hash: an in-place rewrite reproducing identical part names (a
+    // custom committer, or a birthday-cheap hash collision across many
+    // datasets) must retrain, never serve a stale codebook
+    val versioned = {
+      val conf = s.sessionState.newHadoopConf()
+      val fp = e.inputFiles.sorted.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f:${st.getLen}:${st.getModificationTime}"
+      }.mkString("|")
+      s"$key#$fp"
+    }
     val cached = trainedCodebooks.get(versioned)
     val rows =
       if (cached != null) cached
