@@ -46,6 +46,35 @@ object Bench {
       if (names.exists(graft.queries.Pipeline.codebookConsumers))
         graft.queries.Pipeline.warmTrainedCodebook(spark, sfDir)
     } catch { case _: Throwable => }
+    // host contention probe BEFORE run 1: sequential write (fsync'd, the
+    // real disk signal) + cached re-read MB/s of the bench tmp volume. A
+    // contended driver window (spread_max spikes on I/O-heavy queries,
+    // BENCH_r07–r09) becomes adjudicable from the JSON alone: a low probe
+    // number means the host, not a code regression.
+    val (probeWriteMbps, probeReadMbps): (Double, Double) =
+      try {
+        val f = Files.createTempFile("graft-bench-probe", ".bin")
+        try {
+          val block = new Array[Byte](8 * 1024 * 1024)
+          new java.util.Random(7).nextBytes(block)
+          val nBlocks = 32 // 256 MB
+          val t0 = System.nanoTime()
+          val out = new java.io.FileOutputStream(f.toFile)
+          try {
+            var i = 0
+            while (i < nBlocks) { out.write(block); i += 1 }
+            out.getFD.sync()
+          } finally out.close()
+          val wSec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val in = new java.io.FileInputStream(f.toFile)
+          try { var r = in.read(block); while (r > 0) r = in.read(block) }
+          finally in.close()
+          val rSec = (System.nanoTime() - t1) / 1e9
+          val mb = nBlocks * 8.0
+          (mb / wSec, mb / rSec)
+        } finally Files.deleteIfExists(f)
+      } catch { case _: Throwable => (-1.0, -1.0) }
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     // per-phase attribution: CONSTRUCTION time (for the round-trip queries
@@ -133,7 +162,10 @@ object Bench {
       s"${jstr(n)}:{\"write_s\":${r3(median(writeSamples(n)))},\"read_s\":${r3(median(reads))}}"
     }.mkString("{", ",", "}")
     val unstableJson = unstable.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    val probeJson =
+      s"""{"seq_write_mbps":${r3(probeWriteMbps)},"cached_read_mbps":${r3(probeReadMbps)}}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""host_probe":$probeJson,""" +
       s""""spread":$spreadJson,"spread_max":${r3(spreadMax)},""" +
       s""""phases":$phaseJson,""" +
       s""""hashes":$hashJson,"hash_unstable":$unstableJson,""" +
@@ -151,7 +183,7 @@ object Bench {
       (if (errors.size > 5) Seq(s""""errors_omitted":${errors.size - 5}""") else Nil))
       .mkString("{", ",", "}")
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${medians.count(_._2 >= 0)},""" +
-      s""""spread_max":${r3(spreadMax)},"runs":$runs,"errors":$errCompact,""" +
+      s""""spread_max":${r3(spreadMax)},"host_probe":$probeJson,"runs":$runs,"errors":$errCompact,""" +
       s""""detail":"BENCH_OUT.json","sf":"$sfDir","queries":{"""
     val bySlowest = medians.filter(_._2 >= 0).sortBy(-_._2)
       .map { case (k, v) => s"${jstr(k)}:${r3(v)}" }
