@@ -1706,6 +1706,146 @@ object FormatQueries {
           sum(when($"viol" && $"dc" === 1, 1L).otherwise(0L)).as("n_viol_het"),
           sum(when($"viol" && $"dc" === 2, 1L).otherwise(0L)).as("n_viol_homalt"))
         .orderBy($"contig")
+    },
+
+    // GENOTYPE CONCORDANCE (bcftools gtcheck shape): two callsets of the
+    // SAME sites, written as two independent VCFs through the connector,
+    // joined back on the genomic site key and rolled into the 4x4 GT
+    // confusion matrix. Site positions are per-contig ROW_NUMBERs
+    // (deterministic order; (l_orderkey,l_linenumber) is NOT unique in
+    // lineitem) so the join is exactly 1:1. At 100 TB this is ONE
+    // site-keyed equi-join between two position-sorted cohorts — the
+    // shape a real caller-vs-caller QC runs per chromosome — plus a
+    // 16-key rollup.
+    "q_vcf_concordance" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types._
+      val base = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
+      val w = Window.partitionBy($"contig")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      val sites = Tables.lineitem(s, d)
+        .withColumn("contig", concat(lit("chr"), ($"l_orderkey" % 3).cast("string")))
+        .withColumn("pos", row_number().over(w))
+        .select($"contig", $"pos",
+          (($"l_orderkey" * 3 + $"l_linenumber") % 4).as("ca"),
+          (($"l_orderkey" * 5 + $"l_linenumber" * 2 + $"l_suppkey") % 4).as("cb"))
+      def gtOf(c: org.apache.spark.sql.Column) =
+        when(c === 0, "0/0").when(c === 1, "0/1").when(c === 2, "1/1").otherwise("./.")
+      def callset(code: org.apache.spark.sql.Column) = sites.select(
+        $"contig", $"pos".cast("int").as("start"), $"pos".cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"), array(lit("G")).as("alt"),
+        lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array(struct(lit("s1").as("sample"), gtOf(code).as("gt"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false))
+            .as("fields"))).as("genotypes"))
+      spread(callset($"ca")).write.format("vcf").mode("overwrite").save(s"$base/concA.vcf.bgz")
+      spread(callset($"cb")).write.format("vcf").mode("overwrite").save(s"$base/concB.vcf.bgz")
+      def back(p: String, col: String) =
+        s.read.format("vcf").option("splitSize", 256 * 1024).load(p)
+          .select($"contig", $"start",
+            element_at($"genotypes", 1).getField("gt").as(col))
+      back(s"$base/concA.vcf.bgz", "gt_a")
+        .join(back(s"$base/concB.vcf.bgz", "gt_b"), Seq("contig", "start"))
+        .groupBy($"gt_a", $"gt_b")
+        .agg(count(lit(1)).as("n"), sum($"start".cast("long")).as("sum_pos"))
+        .orderBy($"gt_a", $"gt_b")
+    },
+
+    // MULTIALLELIC SPLIT (bcftools norm -m- shape): sites carry 1-3 ALT
+    // alleles and a diploid GT indexing into them; the split emits one
+    // biallelic record per ALT, remapping each GT allele by the bcftools
+    // rule (ref stays 0, the kept ALT becomes 1, any OTHER alt becomes
+    // '.'). The alt array survives the text codec round-trip, the split
+    // is one generator (posexplode) over the scan — row growth bounded by
+    // max ALT count — and the rollup is a tiny (n_alts, gt) key space.
+    "q_vcf_split_multiallelic" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/multi.vcf.bgz"
+      val nalt = ($"l_suppkey" % 3 + 1).cast("int")
+      val a1 = ($"l_orderkey" + $"l_linenumber") % ($"l_suppkey" % 3 + 2)
+      val a2 = ($"l_orderkey" * 2 + $"l_suppkey") % ($"l_suppkey" % 3 + 2)
+      val vars = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"),
+        slice(array(lit("C"), lit("G"), lit("T")), lit(1), nalt).as("alt"),
+        lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array(struct(lit("s1").as("sample"),
+          concat(a1.cast("string"), lit("/"), a2.cast("string")).as("gt"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false))
+            .as("fields"))).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val g = element_at($"genotypes", 1).getField("gt")
+      val exploded = back.select(
+        $"start", size($"alt").as("n_alts"),
+        org.apache.spark.sql.functions.split(g, "/").getItem(0).cast("int").as("a1"),
+        org.apache.spark.sql.functions.split(g, "/").getItem(1).cast("int").as("a2"),
+        posexplode($"alt").as(Seq("i0", "alt_allele")))
+        .withColumn("ai", $"i0" + 1)
+      def remap(a: org.apache.spark.sql.Column) =
+        when(a === 0, "0").when(a === $"ai", "1").otherwise(".")
+      exploded
+        .withColumn("gt", concat(remap($"a1"), lit("/"), remap($"a2")))
+        .groupBy($"n_alts".cast("long").as("n_alts"), $"gt")
+        .agg(count(lit(1)).as("n"), sum($"start".cast("long")).as("sum_pos"))
+        .orderBy($"n_alts", $"gt")
+    },
+
+    // RUNS OF HOMOZYGOSITY (bcftools roh shape): per contig, sites in
+    // position order split into maximal runs of consecutive homozygous
+    // genotypes; run id = RUNNING count of heterozygous breakers — one
+    // RUNNING-frame window per contig (never UnboundedFollowing, the
+    // O(n^2) frame the gapfill/closest queries banned), then a run-grain
+    // group-by and a per-contig rollup. The per-chromosome sort is exactly
+    // how bcftools streams it; positions are dense per-contig ROW_NUMBERs
+    // so run length == site count.
+    "q_vcf_roh" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/roh.vcf.bgz"
+      val w = Window.partitionBy($"contig")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      val code = ($"l_orderkey" * 3 + $"l_linenumber" + $"l_suppkey") % 4
+      val vars = Tables.lineitem(s, d)
+        .withColumn("contig", concat(lit("chr"), ($"l_orderkey" % 3).cast("string")))
+        .withColumn("pos", row_number().over(w))
+        .select(
+          $"contig", $"pos".cast("int").as("start"), $"pos".cast("int").as("end"),
+          lit(null).cast("string").as("id"),
+          lit("A").as("ref"), array(lit("G")).as("alt"),
+          lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+          array(struct(lit("s1").as("sample"),
+            when(code === 0, "0/0").when(code === 1, "0/1")
+              .when(code === 2, "1/1").otherwise("0/1").as("gt"),
+            map().cast(MapType(StringType, StringType, valueContainsNull = false))
+              .as("fields"))).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val isHet = (element_at($"genotypes", 1).getField("gt") === "0/1").cast("long")
+      val runW = Window.partitionBy($"contig").orderBy($"start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runs = back
+        .select($"contig", $"start", isHet.as("is_het"))
+        .withColumn("run_id", sum($"is_het").over(runW))
+        .filter($"is_het" === 0)
+        .groupBy($"contig", $"run_id")
+        .agg(count(lit(1)).as("len"))
+      runs.groupBy($"contig")
+        .agg(count(lit(1)).as("n_runs"),
+          max($"len").as("max_run_len"),
+          sum(when($"len" >= 5, 1L).otherwise(0L)).as("n_runs_ge5"),
+          sum($"len").as("hom_total"))
+        .orderBy($"contig")
     }
   )
 
@@ -2228,6 +2368,59 @@ object FormatQueries {
         |  CAST(SUM(CASE WHEN (dc < lo OR dc > hi) AND dc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_homref,
         |  CAST(SUM(CASE WHEN (dc < lo OR dc > hi) AND dc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_het,
         |  CAST(SUM(CASE WHEN (dc < lo OR dc > hi) AND dc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol_homalt
-        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sites keyed by per-contig ROW_NUMBER ((l_orderkey,l_linenumber) is
+    // not unique); ties order among fully-identical key rows are
+    // arbitrary BUT the derived codes depend only on those key columns,
+    // so the site set is deterministic either way
+    "q_vcf_concordance" ->
+      """WITH r AS (SELECT
+        |    'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey % 3
+        |      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS pos,
+        |    (l_orderkey * 3 + l_linenumber) % 4 AS ca,
+        |    (l_orderkey * 5 + l_linenumber * 2 + l_suppkey) % 4 AS cb
+        |  FROM lineitem),
+        |g AS (SELECT pos,
+        |    CASE ca WHEN 0 THEN '0/0' WHEN 1 THEN '0/1' WHEN 2 THEN '1/1' ELSE './.' END AS gt_a,
+        |    CASE cb WHEN 0 THEN '0/0' WHEN 1 THEN '0/1' WHEN 2 THEN '1/1' ELSE './.' END AS gt_b
+        |  FROM r)
+        |SELECT gt_a, gt_b, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS sum_pos
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_vcf_split_multiallelic" ->
+      """WITH r AS (SELECT
+        |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS pos,
+        |    l_suppkey % 3 + 1 AS nalt,
+        |    (l_orderkey + l_linenumber) % (l_suppkey % 3 + 2) AS a1,
+        |    (l_orderkey * 2 + l_suppkey) % (l_suppkey % 3 + 2) AS a2
+        |  FROM lineitem),
+        |e AS (SELECT pos, nalt, ai,
+        |    (CASE WHEN a1 = 0 THEN '0' WHEN a1 = ai THEN '1' ELSE '.' END) || '/' ||
+        |    (CASE WHEN a2 = 0 THEN '0' WHEN a2 = ai THEN '1' ELSE '.' END) AS gt
+        |  FROM r, UNNEST(range(1, nalt + 1)) AS u(ai))
+        |SELECT CAST(nalt AS BIGINT) AS n_alts, gt, COUNT(*) AS n,
+        |  CAST(SUM(pos) AS BIGINT) AS sum_pos
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_vcf_roh" ->
+      """WITH base AS (SELECT
+        |    'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    (l_orderkey * 3 + l_linenumber + l_suppkey) % 4 AS code
+        |  FROM lineitem),
+        |p AS (SELECT contig,
+        |    ROW_NUMBER() OVER (PARTITION BY contig
+        |      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS pos,
+        |    CASE WHEN code = 1 OR code = 3 THEN 1 ELSE 0 END AS is_het
+        |  FROM base),
+        |q AS (SELECT contig, pos, is_het,
+        |    SUM(is_het) OVER (PARTITION BY contig ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM p),
+        |runs AS (SELECT contig, run_id, COUNT(*) AS len
+        |  FROM q WHERE is_het = 0 GROUP BY 1, 2)
+        |SELECT contig, COUNT(*) AS n_runs, CAST(MAX(len) AS BIGINT) AS max_run_len,
+        |  CAST(SUM(CASE WHEN len >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs_ge5,
+        |  CAST(SUM(len) AS BIGINT) AS hom_total
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
