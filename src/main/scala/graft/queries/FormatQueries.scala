@@ -1640,10 +1640,18 @@ object FormatQueries {
       spread(vars).write.format("vcf").mode("overwrite").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       graft.functions.GtCensusExpr.register(s)
+      // aggregate FIRST to the tiny (a,b,c) pattern space, then compute
+      // the chi-square on the grouped handful: per-row work is exactly one
+      // census pass + three array gets (project collapse would otherwise
+      // inline the downstream arithmetic's uses of a/b/c back into per-row
+      // expressions), and chi2 is a pure function of (a,b,c) so grouping
+      // before or after it yields identical rows
       back
         .select(expr("graft_gt_census(genotypes)").as("cen"))
         .select($"cen".getItem(0).as("a"), $"cen".getItem(1).as("b"),
           $"cen".getItem(2).as("c"))
+        .groupBy($"a", $"b", $"c")
+        .agg(count(lit(1)).as("n_sites"))
         .withColumn("n", $"a" + $"b" + $"c")
         .withColumn("pr", lit(2L) * $"a" + $"b") // ref allele count
         .withColumn("pq", lit(2L) * $"c" + $"b") // alt allele count
@@ -1652,8 +1660,7 @@ object FormatQueries {
             "((4*n*a - pr*pr)*(4*n*a - pr*pr)*1000) div (4*n*pr*pr)" +
               " + ((2*n*b - pr*pq)*(2*n*b - pr*pq)*1000) div (2*n*pr*pq)" +
               " + ((4*n*c - pq*pq)*(4*n*c - pq*pq)*1000) div (4*n*pq*pq)")))
-        .groupBy($"a", $"b", $"c", $"chi2_milli")
-        .agg(count(lit(1)).as("n_sites"))
+        .select($"a", $"b", $"c", $"chi2_milli", $"n_sites")
         .orderBy($"a", $"b", $"c")
     },
 
