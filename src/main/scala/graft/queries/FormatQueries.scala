@@ -1822,8 +1822,12 @@ object FormatQueries {
       val w = Window.partitionBy($"contig")
         .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       val code = ($"l_orderkey" * 3 + $"l_linenumber" + $"l_suppkey") % 4
+      // 24 contigs, not the 3 the other synthetic cohorts use: the run
+      // windows are per-contig sequential (the bcftools streaming
+      // semantic), so contig count IS the parallelism — a 3-way window
+      // over 32 cores benchmarks an artifact, 24 approximates a genome
       val vars = Tables.lineitem(s, d)
-        .withColumn("contig", concat(lit("chr"), ($"l_orderkey" % 3).cast("string")))
+        .withColumn("contig", concat(lit("chr"), ($"l_orderkey" % 24).cast("string")))
         .withColumn("pos", row_number().over(w))
         .select(
           $"contig", $"pos".cast("int").as("start"), $"pos".cast("int").as("end"),
@@ -2410,7 +2414,7 @@ object FormatQueries {
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_vcf_roh" ->
       """WITH base AS (SELECT
-        |    'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    'chr' || CAST(l_orderkey % 24 AS VARCHAR) AS contig,
         |    l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |    (l_orderkey * 3 + l_linenumber + l_suppkey) % 4 AS code
         |  FROM lineitem),
