@@ -32,7 +32,22 @@ final case class BaiRef(binIds: Array[Int], binChunks: Array[Array[Long]],
   }
 }
 
-final case class BaiIndex(refs: IndexedSeq[BaiRef], noCoor: Long) {
+final case class BaiIndex(refs: IndexedSeq[BaiRef], noCoor: Long,
+                          // whether the OPTIONAL trailing n_no_coor u64 was
+                          // physically present — an absent field reads as 0,
+                          // and an exact-count consumer must tell them apart
+                          hasNoCoor: Boolean = true) {
+
+  /** Exact total record count per the samtools metadata, if this index can
+    * supply one: n_no_coor physically present AND every ref either carries
+    * a pseudo-bin or has no bins at all (binless ⇒ provably zero records —
+    * samtools omits the pseudo-bin for empty refs). Records = placed
+    * (mapped + unmapped) per counted ref + unplaced tail.
+    */
+  def exactRecordCount: Option[Long] =
+    if (hasNoCoor && refs.forall(r => r.mapped >= 0 || r.binIds.isEmpty))
+      Some(refs.collect { case r if r.mapped >= 0 => r.mapped + r.unmapped }.sum + noCoor)
+    else None
 
   /** Merged virtual-offset spans of file regions that may hold records
     * overlapping [start0, end0] (0-based inclusive) on `refId` — candidate
@@ -135,8 +150,9 @@ object BaiIndex {
       while (w < nIntv) { linear(w) = bb.getLong; w += 1 }
       BaiRef(ids.result(), chunks.result(), linear, mapped, unmapped, offBeg, offEnd)
     }
-    val noCoor = if (bb.remaining() >= 8) bb.getLong else 0L
-    BaiIndex(refs, noCoor)
+    val hasNoCoor = bb.remaining() >= 8
+    val noCoor = if (hasNoCoor) bb.getLong else 0L
+    BaiIndex(refs, noCoor, hasNoCoor)
   }
 
   def write(out: OutputStream, idx: BaiIndex): Unit = {

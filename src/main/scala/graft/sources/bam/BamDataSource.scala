@@ -73,7 +73,7 @@ private[bam] object Opts {
 
 class BamScanBuilder(options0: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private val options = Opts.normalize(options0)
 
   private var required: StructType = AlignmentRecord.schema
@@ -90,6 +90,38 @@ class BamScanBuilder(options0: Map[String, String])
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed(): Boolean = true
 
+  /** Unfiltered COUNT(*) answered O(index), zero data scan: `.sbi` carries
+    * an exact totalRecords; a samtools `.bai` carries per-ref pseudo-bin
+    * counts + the unplaced tail (exact only when every ref has a pseudo-bin
+    * AND the optional n_no_coor field is physically present). COMPLETE
+    * pushdown — one partition emits the one summed row — and only when the
+    * traversal is the unrestricted strict-stringency one (intervals /
+    * unplacedUnmapped / lenient salvage all change what a scan would count)
+    * and EVERY file has an exact-count index; otherwise Spark's normal
+    * count plan runs. Residual Catalyst filters already block the attempt
+    * (Spark only pushes aggregates with no Filter in between).
+    */
+  private var pushedCount: Option[Long] = None
+  private lazy val indexCount: Option[Long] = BamScanBuilder.indexCount(options)
+  private def countable(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      pushed.isEmpty && limit < 0 &&
+      !options.contains("intervals") && !options.contains("unplacedunmapped") &&
+      (Stringency.fromOptions(options) eq Stringency.Strict)
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countable(agg) && indexCount.isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // complete-or-nothing: a partial COUNT pushdown would only re-shape
+    // Spark's own plan without saving the scan
+    val ok = countable(agg) && indexCount.isDefined
+    if (ok) pushedCount = indexCount
+    ok
+  }
+
   /** Record interval-translatable filters (contig =, start/end bounds) for
     * reader-side filtering + explain visibility; everything stays residual
     * (Spark re-applies), mirroring the coarse-index + residual-iterator
@@ -103,7 +135,76 @@ class BamScanBuilder(options0: Map[String, String])
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
-  override def build(): Scan = new BamScan(options, required, pushed, limit)
+  override def build(): Scan = pushedCount match {
+    case Some(total) => new BamCountScan(options.getOrElse("path", "?"), total)
+    case None => new BamScan(options, required, pushed, limit)
+  }
+}
+
+object BamScanBuilder {
+  import graft.index.{BaiIndex, SbiIndex}
+
+  /** Exact record count of every input file from its indexes, or None if
+    * ANY file lacks one — O(files) tiny index reads, zero data I/O.
+    */
+  private[bam] def indexCount(options: Map[String, String]): Option[Long] =
+    try {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val pathStr = options.getOrElse("path", return None)
+      val files = HadoopIO.listInputFiles(pathStr, conf)
+      if (files.isEmpty) return None
+      var total = 0L
+      files.foreach { f =>
+        val fs = f.getFileSystem(conf)
+        val sbiP = new Path(f.toString + ".sbi")
+        val baiP = new Path(f.toString + ".bai")
+        val c: Option[Long] =
+          if (fs.exists(sbiP)) {
+            val in = HadoopIO.open(sbiP, conf)
+            try scala.util.Try(SbiIndex.read(in).totalRecords).toOption.filter(_ >= 0)
+            finally in.close()
+          } else if (fs.exists(baiP)) {
+            val in = HadoopIO.open(baiP, conf)
+            try scala.util.Try(BaiIndex.read(in)).toOption.flatMap(_.exactRecordCount)
+            finally in.close()
+          } else None
+        c match {
+          case Some(n) => total += n
+          case None => return None
+        }
+      }
+      Some(total)
+    } catch { case _: Throwable => None }
+}
+
+/** COUNT(*) answered from the indexes at planning time: one partition, one
+  * row, zero data scan — `df.count()` on a 100 TB indexed lake is O(files)
+  * index-header reads.
+  */
+class BamCountScan(path: String, total: Long) extends Scan with Batch {
+  override def readSchema(): StructType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("count",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-bam $path PushedAggregates=[COUNT(*)] indexCount=$total"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(BamCountPartition(total))
+  override def createReaderFactory(): PartitionReaderFactory = new BamCountReaderFactory
+}
+
+case class BamCountPartition(total: Long) extends InputPartition
+
+class BamCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val total = partition.asInstanceOf[BamCountPartition].total
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](total))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class BamScan(options0: Map[String, String], required: StructType, pushed: Array[Filter],
