@@ -1857,6 +1857,281 @@ object FormatQueries {
           sum(when($"len" >= 5, 1L).otherwise(0L)).as("n_runs_ge5"),
           sum($"len").as("hom_total"))
         .orderBy($"contig")
+    },
+
+    // DUPLICATE MARKING on the UNCLIPPED 5' key — the full Picard/GATK
+    // semantics (q_bam_markdup's plain-start key under-groups soft-clipped
+    // reads: an aligner trims adapter as nS and shifts POS, so true PCR
+    // duplicates land on different starts; MarkDuplicates re-derives the
+    // fragment 5' end — start − leadingS on the forward strand, the
+    // CIGAR-derived end + trailingS on the reverse — and keys on that).
+    // The clipped CIGARs round-trip through the BAM codec, `end` comes
+    // back CIGAR-DERIVED from the scan, and the soft-clip arithmetic is
+    // two codegen regexp_extracts — no UDF, no explode — followed by the
+    // standard ONE position-key shuffle with depth-sized groups.
+    "q_bam_markdup_unclipped" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/mdu.bam"
+      val clip = ($"l_suppkey" % 8).cast("int")
+      val fwd = $"l_linenumber" % 2 === 1
+      val cigar = when(clip === 0, lit("151M"))
+        .when(fwd, concat(clip.cast("string"), lit("S"),
+          (lit(151) - clip).cast("string"), lit("M")))
+        .otherwise(concat((lit(151) - clip).cast("string"), lit("M"),
+          clip.cast("string"), lit("S")))
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        when(fwd, 0).otherwise(16).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_partkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 13) % 5000) + 8).cast("int").as("start"),
+        lit(0).cast("int").as("end"),
+        (($"l_orderkey" * 7 + $"l_linenumber") % 61).cast("int").as("mapq"),
+        cigar.as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit("*").as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), lit("i:1")).as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).option("writeSbi", "true").save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+        .select($"readName", $"contig", $"start", $"end", $"cigar", $"mapq",
+          ($"flags".bitwiseAND(16) =!= 0).cast("int").as("strand"))
+      // regexp_extract yields "" on no-match; ANSI cast would throw
+      val leadS =
+        expr("coalesce(try_cast(regexp_extract(cigar, '^([0-9]+)S', 1) as bigint), 0L)")
+      val trailS =
+        expr("coalesce(try_cast(regexp_extract(cigar, '([0-9]+)S$', 1) as bigint), 0L)")
+      val w = Window.partitionBy($"contig", $"u5", $"strand")
+        .orderBy($"mapq".desc, $"readName")
+      back
+        .withColumn("u5",
+          when($"strand" === 0, $"start" - leadS).otherwise($"end" + trailS))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("is_dup", ($"rn" > 1).cast("int"))
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_reads"),
+          sum($"is_dup".cast("long")).as("n_dups"),
+          countDistinct($"u5", $"strand").as("n_sites"),
+          sum(when($"is_dup" === 0, $"mapq".cast("long")).otherwise(0L)).as("kept_mapq_sum"))
+        .orderBy($"contig")
+    },
+
+    // SOFT-CLIP PROFILE (samtools stats "bases clipped" shape): per
+    // (contig, strand), how many reads carry any soft clip, total and max
+    // clipped bases — leading AND trailing ops parsed back from the
+    // round-tripped CIGAR with codegen regexp_extracts. One narrow scan,
+    // one six-row rollup.
+    "q_bam_softclip_profile" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/clip.bam"
+      val clip = ($"l_suppkey" % 8).cast("int")
+      val fwd = $"l_linenumber" % 2 === 1
+      val cigar = when(clip === 0, lit("151M"))
+        .when(fwd, concat(clip.cast("string"), lit("S"),
+          (lit(151) - clip).cast("string"), lit("M")))
+        .otherwise(concat((lit(151) - clip).cast("string"), lit("M"),
+          clip.cast("string"), lit("S")))
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        when(fwd, 0).otherwise(16).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_partkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 13) % 5000) + 8).cast("int").as("start"),
+        lit(0).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        cigar.as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit("*").as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), lit("i:1")).as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+        .select($"contig", $"cigar",
+          ($"flags".bitwiseAND(16) =!= 0).cast("int").as("strand"))
+      // regexp_extract yields "" on no-match; ANSI cast would throw
+      val leadS =
+        expr("coalesce(try_cast(regexp_extract(cigar, '^([0-9]+)S', 1) as bigint), 0L)")
+      val trailS =
+        expr("coalesce(try_cast(regexp_extract(cigar, '([0-9]+)S$', 1) as bigint), 0L)")
+      back.select($"contig", $"strand", (leadS + trailS).as("clip"))
+        .groupBy($"contig", $"strand")
+        .agg(count(lit(1)).as("n_reads"),
+          sum(when($"clip" > 0, 1L).otherwise(0L)).as("n_clipped"),
+          sum($"clip").as("clip_bases"),
+          max($"clip").as("max_clip"))
+        .orderBy($"contig", $"strand")
+    },
+
+    // BASE QUALITY BY CYCLE (FastQC's per-cycle panel): reads carry a real
+    // 36-cycle quality ladder derived from lineitem, round-trip through the
+    // BAM codec's phred+33 ↔ raw-byte qual encoding, and the per-cycle
+    // census is computed from what came BACK — a single-byte qual slip at
+    // any cycle shifts that cycle's sum/min/max. The explode is a bounded
+    // ×36 row fan-out (read length, not corpus), every expression inside
+    // it codegen (ascii/substring), and the rollup key space is 36 rows.
+    "q_bam_baseq_cycle" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/bq.bam"
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        lit(0).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        lit("36M").as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit(KmerAlpha).substr((($"l_partkey" * 13) % 29).cast("int") + 1, lit(36))
+          .as("seq"),
+        lit(QLadder).substr(($"l_partkey" % 40).cast("int") + 1, lit(36)).as("qual"),
+        map(lit("XO"), lit("i:1")).as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+        .select($"qual")
+      back
+        .select(explode(sequence(lit(1L), lit(36L))).as("cycle"), $"qual")
+        .select($"cycle",
+          (expr("ascii(substring(qual, cast(cycle as int), 1))") - lit(33))
+            .cast("long").as("q"))
+        .groupBy($"cycle")
+        .agg(count(lit(1)).as("n_reads"), sum($"q").as("sum_q"),
+          min($"q").as("min_q"), max($"q").as("max_q"))
+        .withColumn("mean_q_milli", expr("sum_q * 1000 div n_reads"))
+        .orderBy($"cycle")
+    },
+
+    // TRANSITION/TRANSVERSION RATIO (bcftools stats ts/tv — the classic
+    // callset-quality signal): SNVs with all twelve ordered ref→alt pairs
+    // round-trip through the VCF connector, the class test is one codegen
+    // boolean over the returned ref/alt, and the rollup is three rows.
+    "q_vcf_tstv" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/tstv.vcf.bgz"
+      val refIdx = ($"l_partkey" % 4).cast("int")
+      val altIdx = (refIdx + 1 + ($"l_linenumber" % 3).cast("int")) % 4
+      val vars = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("ACGT").substr(refIdx + 1, lit(1)).as("ref"),
+        array(lit("ACGT").substr(altIdx + 1, lit(1))).as("alt"),
+        lit(30.0).as("qual"),
+        array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false))
+          .as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      back.select($"contig", $"ref", element_at($"alt", 1).as("alt"))
+        .withColumn("is_ts",
+          (($"ref" === "A" && $"alt" === "G") || ($"ref" === "G" && $"alt" === "A") ||
+            ($"ref" === "C" && $"alt" === "T") || ($"ref" === "T" && $"alt" === "C"))
+            .cast("long"))
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_sites"), sum($"is_ts").as("n_ts"),
+          (count(lit(1)) - sum($"is_ts")).as("n_tv"))
+        .withColumn("tstv_milli",
+          when($"n_tv" === 0, lit(null).cast("long"))
+            .otherwise(expr("n_ts * 1000 div n_tv")))
+        .orderBy($"contig")
+    },
+
+    // PER-SAMPLE MISSINGNESS / CALL RATE (vcftools --missing-indv): the
+    // cohort carries genuinely missing `./.` genotypes, round-trips, and
+    // the per-sample census explodes the 12-wide genotype array — a
+    // bounded ×cohort fan-out keyed by sample name, the exact shape
+    // plink uses; the rollup key space is the sample list.
+    "q_vcf_missingness" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/miss.vcf.bgz"
+      def geno(j: Int) = {
+        val code = ($"l_orderkey" + lit(j) * $"l_linenumber" +
+          lit(j * j) * $"l_suppkey") % 5
+        struct(
+          lit(f"s$j%02d").as("sample"),
+          when(code === 4, "./.")
+            .when(code % 3 === 0, "0/0")
+            .when(code % 3 === 1, "0/1").otherwise("1/1").as("gt"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false))
+            .as("fields"))
+      }
+      val vars = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"), array(lit("G")).as("alt"),
+        lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array((1 to 12).map(geno): _*).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      back.select(explode($"genotypes").as("g"))
+        .select($"g.sample".as("sample"), $"g.gt".as("gt"))
+        .groupBy($"sample")
+        .agg(count(lit(1)).as("n_sites"),
+          sum(when($"gt" === "./.", 1L).otherwise(0L)).as("n_missing"))
+        .withColumn("call_rate_milli",
+          expr("(n_sites - n_missing) * 1000 div n_sites"))
+        .orderBy($"sample")
+    },
+
+    // PER-SAMPLE INBREEDING COEFFICIENT (vcftools --het / plink F): the
+    // cohort-wide expected heterozygosity comes from the SAME native
+    // graft_gt_census codegen pass as HWE (per-site allele counts, exact
+    // fixed-point milli arithmetic, summed to ONE scalar and broadcast),
+    // the per-sample observed-het counts come from the bounded ×cohort
+    // explode, and F = 1 − O/E is computed per sample against the
+    // broadcast scalar — no pair space, no second corpus shuffle.
+    "q_vcf_inbreeding" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/inb.vcf.bgz"
+      def geno(j: Int) = {
+        val code = ($"l_orderkey" + lit(j) * $"l_linenumber" +
+          lit(j * j) * $"l_suppkey") % 3
+        struct(
+          lit(f"s$j%02d").as("sample"),
+          when(code === 0, "0/0").when(code === 1, "0/1").otherwise("1/1").as("gt"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false))
+            .as("fields"))
+      }
+      val vars = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"), array(lit("G")).as("alt"),
+        lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array((1 to 12).map(geno): _*).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      graft.functions.GtCensusExpr.register(s)
+      val eRow = back
+        .select(expr("graft_gt_census(genotypes)").as("cen"))
+        .select((lit(2L) * $"cen".getItem(0) + $"cen".getItem(1)).as("pr"),
+          (lit(2L) * $"cen".getItem(2) + $"cen".getItem(1)).as("pq"))
+        .agg(sum(expr("2 * pr * pq * 1000 div ((pr + pq) * (pr + pq))")).as("e_milli"))
+      val obs = back.select(explode($"genotypes").as("g"))
+        .select($"g.sample".as("sample"), $"g.gt".as("gt"))
+        .groupBy($"sample")
+        .agg(sum(when($"gt" === "0/1", 1L).otherwise(0L)).as("n_het"))
+      obs.crossJoin(broadcast(eRow))
+        .select($"sample", $"n_het", $"e_milli",
+          (lit(1000L) - expr("n_het * 1000000 div e_milli")).as("f_milli"))
+        .orderBy($"sample")
     }
   )
 
@@ -1866,6 +2141,14 @@ object FormatQueries {
     */
   private val KmerAlpha =
     "ACGTACGTTGCATGCA" + "GGATCCAATTGGCCTA" + "GCTAGGCCAATTAAGG" + "CCTTACGTGCATTGCA"
+
+  /** 76-char phred+33 quality ladder: position j (1-based) carries quality
+    * (j−1) mod 40, i.e. char code 33+((j−1) mod 40) — all printable. A read
+    * with offset o ∈ [0,40) takes `substr(QLadder, o+1, 36)`, so cycle i has
+    * quality (o+i−1) mod 40 — an expression the DuckDB oracle states
+    * directly off lineitem.
+    */
+  private val QLadder: String = (0 until 76).map(j => (33 + (j % 40)).toChar).mkString
 
   def oracles: Map[String, String] = Map(
     "q_bam_unmapped_traversal" ->
@@ -2432,6 +2715,89 @@ object FormatQueries {
         |SELECT contig, COUNT(*) AS n_runs, CAST(MAX(len) AS BIGINT) AS max_run_len,
         |  CAST(SUM(CASE WHEN len >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs_ge5,
         |  CAST(SUM(len) AS BIGINT) AS hom_total
-        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bam_markdup_unclipped" ->
+      """WITH r AS (
+        |  SELECT 'r' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS readName,
+        |    CASE WHEN l_linenumber % 2 = 1 THEN 0 ELSE 1 END AS strand,
+        |    'chr' || CAST(l_partkey % 3 AS VARCHAR) AS contig,
+        |    (l_partkey * 13) % 5000 + 8 AS rstart,
+        |    l_suppkey % 8 AS clip,
+        |    (l_orderkey * 7 + l_linenumber) % 61 AS mapq
+        |  FROM lineitem),
+        |u AS (SELECT *, CASE WHEN strand = 0 THEN rstart - clip
+        |    ELSE rstart + 150 END AS u5 FROM r),
+        |k AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY contig, u5, strand ORDER BY mapq DESC, readName) AS rn
+        |  FROM u)
+        |SELECT contig, COUNT(*) AS n_reads,
+        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  CAST(COUNT(DISTINCT (u5, strand)) AS BIGINT) AS n_sites,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN mapq ELSE 0 END) AS BIGINT) AS kept_mapq_sum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bam_softclip_profile" ->
+      """WITH r AS (
+        |  SELECT 'chr' || CAST(l_partkey % 3 AS VARCHAR) AS contig,
+        |    CASE WHEN l_linenumber % 2 = 1 THEN 0 ELSE 1 END AS strand,
+        |    l_suppkey % 8 AS clip
+        |  FROM lineitem)
+        |SELECT contig, strand, COUNT(*) AS n_reads,
+        |  CAST(SUM(CASE WHEN clip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  CAST(SUM(clip) AS BIGINT) AS clip_bases,
+        |  CAST(MAX(clip) AS BIGINT) AS max_clip
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_bam_baseq_cycle" ->
+      """WITH r AS (SELECT l_partkey % 40 AS o FROM lineitem),
+        |c AS (SELECT unnest(range(1, 37)) AS cycle)
+        |SELECT cycle, COUNT(*) AS n_reads,
+        |  CAST(SUM((o + cycle - 1) % 40) AS BIGINT) AS sum_q,
+        |  CAST(MIN((o + cycle - 1) % 40) AS BIGINT) AS min_q,
+        |  CAST(MAX((o + cycle - 1) % 40) AS BIGINT) AS max_q,
+        |  CAST(SUM((o + cycle - 1) % 40) * 1000 // COUNT(*) AS BIGINT) AS mean_q_milli
+        |FROM c, r GROUP BY cycle ORDER BY cycle""".stripMargin,
+    "q_vcf_tstv" ->
+      """WITH v AS (
+        |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    substr('ACGT', CAST(l_partkey % 4 AS INTEGER) + 1, 1) AS ref,
+        |    substr('ACGT', CAST((l_partkey % 4 + 1 + l_linenumber % 3) % 4 AS INTEGER) + 1, 1) AS alt
+        |  FROM lineitem),
+        |t AS (SELECT contig,
+        |    CASE WHEN (ref = 'A' AND alt = 'G') OR (ref = 'G' AND alt = 'A')
+        |      OR (ref = 'C' AND alt = 'T') OR (ref = 'T' AND alt = 'C')
+        |      THEN 1 ELSE 0 END AS is_ts
+        |  FROM v)
+        |SELECT contig, COUNT(*) AS n_sites, CAST(SUM(is_ts) AS BIGINT) AS n_ts,
+        |  CAST(COUNT(*) - SUM(is_ts) AS BIGINT) AS n_tv,
+        |  CASE WHEN COUNT(*) - SUM(is_ts) = 0 THEN NULL
+        |    ELSE CAST(SUM(is_ts) * 1000 // (COUNT(*) - SUM(is_ts)) AS BIGINT) END AS tstv_milli
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vcf_missingness" ->
+      """WITH g AS (
+        |  SELECT 's' || lpad(CAST(j AS VARCHAR), 2, '0') AS sample,
+        |    (l_orderkey + j * l_linenumber + j * j * l_suppkey) % 5 AS code
+        |  FROM lineitem, (SELECT unnest(range(1, 13)) AS j) t)
+        |SELECT sample, COUNT(*) AS n_sites,
+        |  CAST(SUM(CASE WHEN code = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+        |  CAST((COUNT(*) - SUM(CASE WHEN code = 4 THEN 1 ELSE 0 END)) * 1000 // COUNT(*) AS BIGINT) AS call_rate_milli
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vcf_inbreeding" ->
+      """WITH r AS (SELECT ROW_NUMBER() OVER () AS rid,
+        |    l_orderkey AS ok, l_linenumber AS ln, l_suppkey AS sk FROM lineitem),
+        |g AS (SELECT rid, j, (ok + j * ln + j * j * sk) % 3 AS code
+        |  FROM r, (SELECT unnest(range(1, 13)) AS j) t),
+        |s AS (SELECT rid,
+        |    CAST(2 * SUM(CASE WHEN code = 0 THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN code = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pr,
+        |    CAST(2 * SUM(CASE WHEN code = 2 THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN code = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pq
+        |  FROM g GROUP BY rid),
+        |e AS (SELECT CAST(SUM(2 * pr * pq * 1000 // ((pr + pq) * (pr + pq))) AS BIGINT) AS e_milli
+        |  FROM s),
+        |o AS (SELECT 's' || lpad(CAST(j AS VARCHAR), 2, '0') AS sample,
+        |    CAST(SUM(CASE WHEN code = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het
+        |  FROM g GROUP BY 1)
+        |SELECT sample, n_het, e_milli,
+        |  CAST(1000 - (n_het * 1000000 // e_milli) AS BIGINT) AS f_milli
+        |FROM o, e ORDER BY sample""".stripMargin
   )
 }

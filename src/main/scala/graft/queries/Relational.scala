@@ -1182,6 +1182,71 @@ object Relational {
         .orderBy($"contig")
     },
 
+    // -- INTERVAL SUBTRACT (bedtools subtract A \ B): B is first merged
+    //    to disjoint blocks with the running-frame pass above, candidate
+    //    (A,B) pairs come from a 4 KiB-grid binned equi-join (never A×B),
+    //    and each A emits its uncovered pieces via ONE lag() window over
+    //    its overlapping blocks (disjoint + sorted, so the previous
+    //    block's end is the full covered frontier) plus a per-A tail and
+    //    the untouched-A anti-join branch. Per-A fan-out is bounded by
+    //    local B density; nothing is quadratic and nothing collects.
+    "q_interval_subtract" -> { (s, d) =>
+      import s.implicits._
+      val a = Tables.orders(s, d).select(
+          concat(lit("chr"), ($"o_custkey" % 3).cast("string")).as("contig"),
+          (($"o_orderkey" * 97) % 100000).cast("long").as("astart"),
+          ((($"o_orderkey" * 97) % 100000) + ($"o_orderkey" % 400) + 50)
+            .cast("long").as("aend"))
+        .distinct()
+      val b0 = Tables.part(s, d).select(
+          concat(lit("chr"), ($"p_partkey" % 3).cast("string")).as("contig"),
+          (($"p_partkey" * 53) % 100000).cast("long").as("bstart"),
+          ((($"p_partkey" * 53) % 100000) + ($"p_partkey" % 37) + 10)
+            .cast("long").as("bend"))
+        .distinct()
+      val wPrev = Window.partitionBy($"contig").orderBy($"bstart")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy($"contig").orderBy($"bstart")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val bm = b0.withColumn("prev_end", max($"bend").over(wPrev))
+        .withColumn("newc",
+          when($"prev_end".isNull || $"bstart" > $"prev_end", 1L).otherwise(0L))
+        .withColumn("cl", sum($"newc").over(wCum))
+        .groupBy($"contig", $"cl")
+        .agg(min($"bstart").as("bstart"), max($"bend").as("bend"))
+        .select($"contig", $"bstart", $"bend")
+      val aBins = a.withColumn("bin",
+        explode(expr("sequence(astart div 4096, aend div 4096)")))
+      val bBins = bm.withColumn("bin",
+        explode(expr("sequence(bstart div 4096, bend div 4096)")))
+      val ov = aBins.join(bBins, Seq("contig", "bin"))
+        .filter($"astart" <= $"bend" && $"aend" >= $"bstart")
+        .select($"contig", $"astart", $"aend", $"bstart", $"bend")
+        .distinct()
+      val wg = Window.partitionBy($"contig", $"astart", $"aend").orderBy($"bstart")
+      val gaps = ov
+        .withColumn("gs",
+          greatest($"astart", coalesce(lag($"bend", 1).over(wg) + 1, $"astart")))
+        .withColumn("ge", least($"bstart" - 1, $"aend"))
+        .filter($"gs" <= $"ge")
+        .select($"contig", $"gs", $"ge")
+      val tails = ov.groupBy($"contig", $"astart", $"aend")
+        .agg(max($"bend").as("mbend"))
+        .select($"contig", greatest($"astart", $"mbend" + 1).as("gs"),
+          $"aend".as("ge"))
+        .filter($"gs" <= $"ge")
+      val whole = a.join(ov.select($"contig", $"astart", $"aend").distinct(),
+          Seq("contig", "astart", "aend"), "left_anti")
+        .select($"contig", $"astart".as("gs"), $"aend".as("ge"))
+      gaps.unionByName(tails).unionByName(whole)
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_pieces"),
+          sum($"ge" - $"gs" + 1).as("bp_left"),
+          sum($"gs").as("sum_starts"),
+          max($"ge" - $"gs" + 1).as("max_piece"))
+        .orderBy($"contig")
+    },
+
     // -- EXACT weighted quantiles via the native histogram aggregate
     //    (graft_hist_quantile, a TypedImperativeAggregate): the buffer is
     //    a value→weight map, so map-side combine reduces each partition
@@ -2234,6 +2299,48 @@ object Relational {
         |SELECT contig, COUNT(*) AS n_merged, CAST(SUM(mend - mstart + 1) AS BIGINT) AS covered_bp,
         |  CAST(MAX(mend - mstart + 1) AS BIGINT) AS max_len
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_interval_subtract" ->
+      """WITH a AS (SELECT DISTINCT 'chr' || CAST(o_custkey % 3 AS VARCHAR) AS contig,
+        |    CAST((o_orderkey * 97) % 100000 AS BIGINT) AS astart,
+        |    CAST((o_orderkey * 97) % 100000 + (o_orderkey % 400) + 50 AS BIGINT) AS aend
+        |  FROM orders),
+        |b0 AS (SELECT DISTINCT 'chr' || CAST(p_partkey % 3 AS VARCHAR) AS contig,
+        |    CAST((p_partkey * 53) % 100000 AS BIGINT) AS bstart,
+        |    CAST((p_partkey * 53) % 100000 + (p_partkey % 37) + 10 AS BIGINT) AS bend
+        |  FROM part),
+        |m1 AS (SELECT contig, bstart, bend,
+        |    MAX(bend) OVER (PARTITION BY contig ORDER BY bstart
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM b0),
+        |m2 AS (SELECT contig, bstart, bend,
+        |    SUM(CASE WHEN prev_end IS NULL OR bstart > prev_end THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY contig ORDER BY bstart ROWS UNBOUNDED PRECEDING) AS cl
+        |  FROM m1),
+        |bm AS (SELECT contig, MIN(bstart) AS bstart, MAX(bend) AS bend
+        |  FROM m2 GROUP BY contig, cl),
+        |ov AS (SELECT a.contig, a.astart, a.aend, bm.bstart, bm.bend
+        |  FROM a JOIN bm ON a.contig = bm.contig
+        |    AND a.astart <= bm.bend AND a.aend >= bm.bstart),
+        |gaps AS (SELECT contig,
+        |    GREATEST(astart, COALESCE(LAG(bend) OVER (
+        |      PARTITION BY contig, astart, aend ORDER BY bstart) + 1, astart)) AS gs,
+        |    LEAST(bstart - 1, aend) AS ge
+        |  FROM ov),
+        |tails AS (SELECT contig, GREATEST(astart, MAX(bend) + 1) AS gs, aend AS ge
+        |  FROM ov GROUP BY contig, astart, aend),
+        |whole AS (SELECT a.contig, astart AS gs, aend AS ge FROM a
+        |  WHERE NOT EXISTS (SELECT 1 FROM bm WHERE bm.contig = a.contig
+        |    AND a.astart <= bm.bend AND a.aend >= bm.bstart)),
+        |pieces AS (
+        |  SELECT contig, gs, ge FROM gaps WHERE gs <= ge
+        |  UNION ALL SELECT contig, gs, ge FROM tails WHERE gs <= ge
+        |  UNION ALL SELECT contig, gs, ge FROM whole)
+        |SELECT contig, COUNT(*) AS n_pieces,
+        |  CAST(SUM(ge - gs + 1) AS BIGINT) AS bp_left,
+        |  CAST(SUM(gs) AS BIGINT) AS sum_starts,
+        |  CAST(MAX(ge - gs + 1) AS BIGINT) AS max_piece
+        |FROM pieces GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_hist_quantiles" ->
       """WITH h AS (SELECT l_returnflag AS rf, CAST(ROUND(l_quantity*100) AS BIGINT) AS v,

@@ -963,4 +963,24 @@ object Streaming {
           .toDF("user_id", "n_events", "n_distinct_types")
     }
   }
+
+  /** Streaming genotype-census spectrum — the twin of the `q_vcf_hwe`
+    * family's first stage: a stream of VCF-shaped rows (a `genotypes`
+    * array-of-structs per site) is censused with the SAME native
+    * `graft_gt_census` codegen expression the batch queries use (one array
+    * pass per site, no explode, no interpreted lambdas), then the running
+    * (homRef, het, homAlt)-pattern spectrum aggregates in complete mode.
+    * State is the set of distinct census patterns — bounded by cohort
+    * width (O(n²) patterns for n samples), NOT by stream length — so a
+    * continuous variant feed never grows the store.
+    */
+  def gtCensusSpectrum(variants: DataFrame): DataFrame = {
+    graft.functions.GtCensusExpr.register(variants.sparkSession)
+    variants
+      .select(expr("graft_gt_census(genotypes)").as("cen"))
+      .select(col("cen").getItem(0).as("a"), col("cen").getItem(1).as("b"),
+        col("cen").getItem(2).as("c"))
+      .groupBy("a", "b", "c")
+      .agg(count(lit(1)).as("n_sites"))
+  }
 }

@@ -9,6 +9,8 @@ import graft.SparkFixture
 case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
 case class Rd(readName: String, contig: String, pos: Long, rev: Int, ts: Timestamp)
 case class IdEv(event_id: Long, ts: Timestamp, event_type: String, user_id: Long, value: Double)
+case class VcfGt(sample: String, gt: String, fields: Map[String, String])
+case class VcfSite(contig: String, start: Int, genotypes: Seq[VcfGt])
 
 class StreamingSpec extends AnyFunSuite with SparkFixture {
 
@@ -1110,5 +1112,41 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     val rows = df.collect()
     assert(rows.length == 2) // image + audio kinds
     assert(rows.map(_.getLong(1)).sum > 0)
+  }
+
+  test("gtCensusSpectrum: streaming census equals the batch twin, native expr both sides") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 12-sample cohort over 400 sites, same derivation family as q_vcf_hwe
+    val sites = (0 until 400).map { i =>
+      VcfSite(s"chr${i % 3}", i + 1,
+        (1 to 12).map { j =>
+          val code = (i + j * (i % 7) + j * j * (i % 5)) % 3
+          VcfGt(f"s$j%02d", code match {
+            case 0 => "0/0"
+            case 1 => "0/1"
+            case _ => "1/1"
+          }, Map.empty)
+        })
+    }
+    val stream = MemoryStream[VcfSite]
+    val q = Streaming.gtCensusSpectrum(stream.toDF())
+      .writeStream.format("memory").queryName("gt_census")
+      .outputMode("complete").start()
+    try {
+      stream.addData(sites.take(150)); q.processAllAvailable()
+      stream.addData(sites.drop(150)); q.processAllAvailable()
+      val got = spark.table("gt_census").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = Streaming.gtCensusSpectrum(spark.createDataset(sites).toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+      // every pattern sums to the cohort width — the census saw all 12
+      assert(got.forall { case (a, b, c, _) => a + b + c == 12L })
+      // state is the pattern space, not the site count
+      assert(got.size < 100)
+    } finally q.stop()
   }
 }
