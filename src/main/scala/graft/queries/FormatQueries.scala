@@ -2132,6 +2132,149 @@ object FormatQueries {
         .select($"sample", $"n_het", $"e_milli",
           (lit(1000L) - expr("n_het * 1000000 div e_milli")).as("f_milli"))
         .orderBy($"sample")
+    },
+
+    // FOLDED SITE-FREQUENCY SPECTRUM (the popgen summary everything from
+    // Tajima's D to demographic inference reads off): per site the minor
+    // allele count comes from the SAME native graft_gt_census pass as
+    // HWE — one codegen array walk, no explode — and the spectrum is a
+    // 13-bin rollup. sum_pos rides along so bin assignment (not just bin
+    // size) is pinned.
+    "q_vcf_af_spectrum" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/sfs.vcf.bgz"
+      // NOT the HWE derivation: anything linear in the key residues mod 3
+      // collapses to <=27 site types with zero singleton sites, and uniform
+      // codes make singletons vanishingly rare (12/3^12). Real cohorts are
+      // REF-SKEWED; this hash gives P(het)=2/24, P(homAlt)=1/24 — measured
+      // on sf0.01: 13k singleton sites carried by all 12 samples (min 951)
+      // and a full 13-bin folded spectrum.
+      def geno(j: Int) = {
+        val h = (($"l_orderkey" * 131 + $"l_partkey" * 37 +
+          $"l_suppkey" * 11 + $"l_linenumber" * 5) * lit(17 * j + 1)) % 1000003 % 24
+        struct(
+          lit(f"s$j%02d").as("sample"),
+          when(h < 21, "0/0").when(h < 23, "0/1").otherwise("1/1").as("gt"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false))
+            .as("fields"))
+      }
+      val vars = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"), array(lit("G")).as("alt"),
+        lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array((1 to 12).map(geno): _*).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      graft.functions.GtCensusExpr.register(s)
+      back
+        .select($"start".cast("long").as("pos"),
+          expr("graft_gt_census(genotypes)").as("cen"))
+        .select($"pos",
+          (lit(2L) * $"cen".getItem(2) + $"cen".getItem(1)).as("pq"))
+        .select($"pos", least($"pq", lit(24L) - $"pq").as("mac"))
+        .groupBy($"mac")
+        .agg(count(lit(1)).as("n_sites"), sum($"pos").as("sum_pos"))
+        .orderBy($"mac")
+    },
+
+    // PER-SAMPLE SINGLETON LOAD (vcftools --singletons / plink --indiv
+    // rare-variant burden): singleton sites (exactly one alt allele in
+    // the cohort: one het, zero hom-alt) are found with the native census
+    // FIRST, and only that filtered sliver explodes to find its carrier —
+    // filter-before-explode, so the ×cohort fan-out touches the rare
+    // subset, never the corpus.
+    "q_vcf_singletons" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/sing.vcf.bgz"
+      // NOT the HWE derivation: anything linear in the key residues mod 3
+      // collapses to <=27 site types with zero singleton sites, and uniform
+      // codes make singletons vanishingly rare (12/3^12). Real cohorts are
+      // REF-SKEWED; this hash gives P(het)=2/24, P(homAlt)=1/24 — measured
+      // on sf0.01: 13k singleton sites carried by all 12 samples (min 951)
+      // and a full 13-bin folded spectrum.
+      def geno(j: Int) = {
+        val h = (($"l_orderkey" * 131 + $"l_partkey" * 37 +
+          $"l_suppkey" * 11 + $"l_linenumber" * 5) * lit(17 * j + 1)) % 1000003 % 24
+        struct(
+          lit(f"s$j%02d").as("sample"),
+          when(h < 21, "0/0").when(h < 23, "0/1").otherwise("1/1").as("gt"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false))
+            .as("fields"))
+      }
+      val vars = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"), array(lit("G")).as("alt"),
+        lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array((1 to 12).map(geno): _*).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      graft.functions.GtCensusExpr.register(s)
+      back
+        .select($"genotypes", expr("graft_gt_census(genotypes)").as("cen"))
+        .filter($"cen".getItem(1) === 1L && $"cen".getItem(2) === 0L)
+        .select(explode($"genotypes").as("g"))
+        .filter($"g.gt" === "0/1")
+        .select($"g.sample".as("sample"))
+        .groupBy($"sample")
+        .agg(count(lit(1)).as("n_singletons"))
+        .orderBy($"sample")
+    },
+
+    // PAIR-ORIENTATION CENSUS (samtools stats "inward/outward/other
+    // oriented pairs" — the library-prep QC signal that catches everted
+    // inserts and tandem artifacts): each template's record carries BOTH
+    // strand bits (0x10 self, 0x20 mate) and the mate coordinate; all
+    // three round-trip through the codec (the first query to read
+    // mateStart BACK), and the three-way classification is one codegen
+    // projection + a per-contig rollup.
+    "q_bam_insert_orientation" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/orient.bam"
+      val flags =
+        (lit(1)
+          + when($"l_partkey" % 2 === 0, 16).otherwise(0)
+          + when($"l_orderkey" % 2 === 0, 32).otherwise(0)).cast("int")
+      val start = ((($"l_partkey" * 13) % 5000) + 400).cast("int")
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        flags.as("flags"),
+        concat(lit("chr"), ($"l_partkey" % 3).cast("string")).as("contig"),
+        start.as("start"),
+        lit(0).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        lit("151M").as("cigar"),
+        concat(lit("chr"), ($"l_partkey" % 3).cast("string")).as("mateContig"),
+        (start + ($"l_suppkey" % 1200).cast("int") - 300).as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit("*").as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), lit("i:1")).as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).option("writeSbi", "true").save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+        .select($"contig", $"start", $"mateStart",
+          ($"flags".bitwiseAND(16) =!= 0).as("selfRev"),
+          ($"flags".bitwiseAND(32) =!= 0).as("mateRev"))
+      back
+        .withColumn("orientation",
+          when($"selfRev" === $"mateRev", "tandem")
+            .when((!$"selfRev" && $"start" <= $"mateStart") ||
+              ($"selfRev" && $"mateStart" <= $"start"), "inward")
+            .otherwise("outward"))
+        .groupBy($"contig", $"orientation")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs($"mateStart" - $"start").cast("long")).as("sum_gap"))
+        .orderBy($"contig", $"orientation")
     }
   )
 
@@ -2798,6 +2941,52 @@ object FormatQueries {
         |  FROM g GROUP BY 1)
         |SELECT sample, n_het, e_milli,
         |  CAST(1000 - (n_het * 1000000 // e_milli) AS BIGINT) AS f_milli
-        |FROM o, e ORDER BY sample""".stripMargin
+        |FROM o, e ORDER BY sample""".stripMargin,
+    "q_vcf_af_spectrum" ->
+      """WITH r AS (SELECT ROW_NUMBER() OVER () AS rid,
+        |    l_orderkey AS ok, l_partkey AS pk, l_linenumber AS ln, l_suppkey AS sk,
+        |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS pos FROM lineitem),
+        |g AS (SELECT rid, pos, CASE WHEN ((ok*131 + pk*37 + sk*11 + ln*5) * (17*j + 1)) % 1000003 % 24 < 21 THEN 0
+        |      WHEN ((ok*131 + pk*37 + sk*11 + ln*5) * (17*j + 1)) % 1000003 % 24 < 23 THEN 1
+        |      ELSE 2 END AS code
+        |  FROM r, (SELECT unnest(range(1, 13)) AS j) t),
+        |s AS (SELECT rid, MIN(pos) AS pos,
+        |    CAST(2 * SUM(CASE WHEN code = 2 THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN code = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pq
+        |  FROM g GROUP BY rid),
+        |m AS (SELECT LEAST(pq, 24 - pq) AS mac, pos FROM s)
+        |SELECT mac, COUNT(*) AS n_sites, CAST(SUM(pos) AS BIGINT) AS sum_pos
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vcf_singletons" ->
+      """WITH r AS (SELECT ROW_NUMBER() OVER () AS rid,
+        |    l_orderkey AS ok, l_partkey AS pk, l_linenumber AS ln, l_suppkey AS sk FROM lineitem),
+        |g AS (SELECT rid, j, CASE WHEN ((ok*131 + pk*37 + sk*11 + ln*5) * (17*j + 1)) % 1000003 % 24 < 21 THEN 0
+        |      WHEN ((ok*131 + pk*37 + sk*11 + ln*5) * (17*j + 1)) % 1000003 % 24 < 23 THEN 1
+        |      ELSE 2 END AS code
+        |  FROM r, (SELECT unnest(range(1, 13)) AS j) t),
+        |s AS (SELECT rid FROM g GROUP BY rid
+        |  HAVING SUM(CASE WHEN code = 1 THEN 1 ELSE 0 END) = 1
+        |     AND SUM(CASE WHEN code = 2 THEN 1 ELSE 0 END) = 0)
+        |SELECT 's' || lpad(CAST(j AS VARCHAR), 2, '0') AS sample,
+        |  COUNT(*) AS n_singletons
+        |FROM g JOIN s USING (rid) WHERE code = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bam_insert_orientation" ->
+      """WITH r AS (SELECT 'chr' || CAST(l_partkey % 3 AS VARCHAR) AS contig,
+        |    (l_partkey * 13) % 5000 + 400 AS rstart,
+        |    (l_partkey * 13) % 5000 + 400 + (l_suppkey % 1200) - 300 AS mstart,
+        |    CASE WHEN l_partkey % 2 = 0 THEN 1 ELSE 0 END AS selfrev,
+        |    CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END AS materev
+        |  FROM lineitem),
+        |c AS (SELECT contig,
+        |    CASE WHEN selfrev = materev THEN 'tandem'
+        |      WHEN (selfrev = 0 AND rstart <= mstart)
+        |        OR (selfrev = 1 AND mstart <= rstart) THEN 'inward'
+        |      ELSE 'outward' END AS orientation,
+        |    ABS(mstart - rstart) AS gap
+        |  FROM r)
+        |SELECT contig, orientation, COUNT(*) AS n_pairs,
+        |  CAST(SUM(gap) AS BIGINT) AS sum_gap
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

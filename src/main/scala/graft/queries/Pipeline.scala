@@ -809,6 +809,33 @@ object Pipeline {
         .limit(100)
     },
 
+    // one BPE merge round — the counting pass tokenizer training runs
+    // thousands of times: corpus → vocabulary rollup FIRST (the only
+    // corpus-sized shuffle, identical to q_vocab_bigrams' cost), then the
+    // adjacent-symbol-pair census explodes over the VOCAB (corpus-
+    // independent size) weighted by word frequency, and the winning pair
+    // is the merge. The final rank window runs over the bounded pair
+    // space (≤ alphabet², a few hundred rows), so its single-partition
+    // sort is constant-size at any corpus scale.
+    "q_bpe_merge" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val vocab = Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("word"))
+        .filter(length($"word") >= 2 && $"word".rlike("^[a-z]+$"))
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+      val pairs = vocab
+        .select($"word", $"freq",
+          explode(expr("sequence(1, length(word) - 1)")).as("i"))
+        .select(expr("substring(word, i, 2)").as("pair"), $"freq")
+        .groupBy($"pair").agg(sum($"freq").as("n"))
+      val w = Window.orderBy($"n".desc, $"pair")
+      pairs.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 20)
+        .orderBy($"rank")
+        .select($"rank", $"pair", $"n")
+    },
+
     // dataset card: the per-language "datasheet" rollup a corpus release
     // ships with — volume, token-length extremes, exact-duplicate
     // exposure (docs whose first-8-word key repeats corpus-wide, the
@@ -2269,6 +2296,17 @@ object Pipeline {
          |  FROM t)
          |SELECT bigram, COUNT(*) AS n FROM b
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
+
+    "q_bpe_merge" ->
+      """WITH w AS (SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  WHERE len(word) >= 2 AND regexp_matches(word, '^[a-z]+$')
+        |  GROUP BY word),
+        |p AS (SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq
+        |  FROM w, UNNEST(range(1, len(word))) AS u(i)),
+        |c AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY pair),
+        |r AS (SELECT ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank, pair, n FROM c)
+        |SELECT rank, pair, n FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "q_data_card" -> {
       val allStops = stopList(StopEn ++ StopDe ++ StopFr ++ StopEs)
