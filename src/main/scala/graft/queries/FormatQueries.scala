@@ -2150,16 +2150,21 @@ object FormatQueries {
       // REF-SKEWED; this hash gives P(het)=2/24, P(homAlt)=1/24 — measured
       // on sf0.01: 13k singleton sites carried by all 12 samples (min 951)
       // and a full 13-bin folded spectrum.
+      // the shared site hash is hoisted to ONE column: inlining it into all
+      // 12 genotype structs (x2 when-branches) made the projection's
+      // generated code fall out of JIT range — measured 2.3x slower write
       def geno(j: Int) = {
-        val h = (($"l_orderkey" * 131 + $"l_partkey" * 37 +
-          $"l_suppkey" * 11 + $"l_linenumber" * 5) * lit(17 * j + 1)) % 1000003 % 24
+        val h = ($"gbase" * lit(17 * j + 1)) % 1000003 % 24
         struct(
           lit(f"s$j%02d").as("sample"),
           when(h < 21, "0/0").when(h < 23, "0/1").otherwise("1/1").as("gt"),
           map().cast(MapType(StringType, StringType, valueContainsNull = false))
             .as("fields"))
       }
-      val vars = Tables.lineitem(s, d).select(
+      val vars = Tables.lineitem(s, d)
+        .withColumn("gbase", $"l_orderkey" * 131 + $"l_partkey" * 37 +
+          $"l_suppkey" * 11 + $"l_linenumber" * 5)
+        .select(
         concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
         ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
         ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
@@ -2198,16 +2203,21 @@ object FormatQueries {
       // REF-SKEWED; this hash gives P(het)=2/24, P(homAlt)=1/24 — measured
       // on sf0.01: 13k singleton sites carried by all 12 samples (min 951)
       // and a full 13-bin folded spectrum.
+      // the shared site hash is hoisted to ONE column: inlining it into all
+      // 12 genotype structs (x2 when-branches) made the projection's
+      // generated code fall out of JIT range — measured 2.3x slower write
       def geno(j: Int) = {
-        val h = (($"l_orderkey" * 131 + $"l_partkey" * 37 +
-          $"l_suppkey" * 11 + $"l_linenumber" * 5) * lit(17 * j + 1)) % 1000003 % 24
+        val h = ($"gbase" * lit(17 * j + 1)) % 1000003 % 24
         struct(
           lit(f"s$j%02d").as("sample"),
           when(h < 21, "0/0").when(h < 23, "0/1").otherwise("1/1").as("gt"),
           map().cast(MapType(StringType, StringType, valueContainsNull = false))
             .as("fields"))
       }
-      val vars = Tables.lineitem(s, d).select(
+      val vars = Tables.lineitem(s, d)
+        .withColumn("gbase", $"l_orderkey" * 131 + $"l_partkey" * 37 +
+          $"l_suppkey" * 11 + $"l_linenumber" * 5)
+        .select(
         concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
         ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
         ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
