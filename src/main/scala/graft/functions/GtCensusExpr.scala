@@ -88,12 +88,15 @@ object GtCensusExpr {
     new GenericArrayData(Array(a, b, c))
   }
 
+  // single validation path shared by register() and GraftExtensions
+  val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "graft_gt_census(genotypes) takes one argument")
+    GtCensusExpr(exprs.head)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_gt_census"),
       new ExpressionInfo(classOf[GtCensusExpr].getName, "graft_gt_census"),
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 1, "graft_gt_census(genotypes) takes one argument")
-        GtCensusExpr(exprs.head)
-      })
+      builder)
 }

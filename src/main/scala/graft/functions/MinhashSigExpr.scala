@@ -171,6 +171,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_hist_quantiles(value, weight, permilles) takes three arguments")
         HistQuantilesAgg(exprs(0), exprs(1), exprs(2))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_substr_fps"),
+      new ExpressionInfo(classOf[SubstrFpsExpr].getName, "graft_substr_fps"),
+      SubstrFpsExpr.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gt_census"),
+      new ExpressionInfo(classOf[GtCensusExpr].getName, "graft_gt_census"),
+      GtCensusExpr.builder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_residual"),
+      new ExpressionInfo(classOf[VecResidualExpr].getName, "graft_vec_residual"),
+      NativePq.residualBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
+      NativePq.encodeBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
+      NativePq.adcBuilder))
     // fuse same-(value,weight) quantiles into one shared histogram buffer
     ext.injectOptimizerRule(_ => FuseHistQuantiles)
   }

@@ -123,28 +123,33 @@ object NativePq {
     new GenericArrayData(out)
   }
 
+  // single validation path shared by register() and GraftExtensions
+  val residualBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3, "graft_vec_residual(q, cents, cid) takes three arguments")
+    VecResidualExpr(exprs.head, exprs(1), exprs(2))
+  }
+  val encodeBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "graft_pq_encode(q, cents) takes two arguments")
+    PqEncodeExpr(exprs.head, exprs(1))
+  }
+  val adcBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3, "graft_pq_adc(qq, codes, cents) takes three arguments")
+    PqAdcExpr(exprs.head, exprs(1), exprs(2))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_vec_residual"),
       new ExpressionInfo(classOf[VecResidualExpr].getName, "graft_vec_residual"),
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 3, "graft_vec_residual(q, cents, cid) takes three arguments")
-        VecResidualExpr(exprs.head, exprs(1), exprs(2))
-      })
+      residualBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 2, "graft_pq_encode(q, cents) takes two arguments")
-        PqEncodeExpr(exprs.head, exprs(1))
-      })
+      encodeBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 3, "graft_pq_adc(qq, codes, cents) takes three arguments")
-        PqAdcExpr(exprs.head, exprs(1), exprs(2))
-      })
+      adcBuilder)
   }
 }
 

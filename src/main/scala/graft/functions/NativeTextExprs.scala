@@ -198,14 +198,17 @@ object SubstrFpsExpr {
   def compute(text: UTF8String): ArrayData =
     FingerprintsExpr.gramSample(text, Gram, Mod)
 
+  // single validation path shared by register() and GraftExtensions
+  val builder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "graft_substr_fps(text) takes one argument")
+    SubstrFpsExpr(exprs.head)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_substr_fps"),
       new ExpressionInfo(classOf[SubstrFpsExpr].getName, "graft_substr_fps"),
-      { exprs: Seq[Expression] =>
-        require(exprs.length == 1, "graft_substr_fps(text) takes one argument")
-        SubstrFpsExpr(exprs.head)
-      })
+      builder)
 }
 
 /** Native stopword occurrence counter: one word-split pass producing

@@ -2285,6 +2285,52 @@ object FormatQueries {
         .agg(count(lit(1)).as("n_pairs"),
           sum(abs($"mateStart" - $"start").cast("long")).as("sum_gap"))
         .orderBy($"contig", $"orientation")
+    },
+
+    // PER-READ-GROUP ERROR RATE (GATK CollectAlignmentSummaryMetrics /
+    // samtools stats "error rate" grouped by RG — the lane/flow-cell QC
+    // rollup): every read carries a THREE-TYPE tag payload (RG:Z string,
+    // NM:i edit distance, XC:A class char) that round-trips through the
+    // codec's typed-tag encoder; the rollup parses all three back from
+    // the attributes map (codegen substring/element_at) and aggregates
+    // per read group — the first query to pin Z and A tag bytes, not
+    // just the i-typed XO the other queries carry.
+    "q_bam_rg_error_rate" -> { (s, d) =>
+      import s.implicits._
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_partkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 13) % 5000) + 1).cast("int").as("start"),
+        lit(0).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        lit("151M").as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit("*").as("seq"),
+        lit("*").as("qual"),
+        map(
+          lit("RG"), concat(lit("Z:rg"), ($"l_orderkey" % 4).cast("string")),
+          lit("NM"), concat(lit("i:"), (($"l_partkey" + $"l_linenumber") % 9).cast("string")),
+          lit("XC"), when($"l_suppkey" % 2 === 0, "A:F").otherwise("A:R"))
+          .as("attributes"))
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/rg.bam"
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).option("writeSbi", "true").save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      back
+        .select(
+          substring(element_at($"attributes", "RG"), 3, 10).as("read_group"),
+          expr("try_cast(substring(element_at(attributes, 'NM'), 3, 10) as bigint)")
+            .as("nm"),
+          substring(element_at($"attributes", "XC"), 3, 1).as("xc"))
+        .groupBy($"read_group")
+        .agg(count(lit(1)).as("n_reads"),
+          sum($"nm").as("sum_nm"),
+          sum(when($"xc" === "F", 1L).otherwise(0L)).as("n_fwd_class"))
+        .withColumn("err_per_mb", expr("sum_nm * 1000000 div (n_reads * 151)"))
+        .orderBy($"read_group")
     }
   )
 
@@ -2997,6 +3043,16 @@ object FormatQueries {
         |  FROM r)
         |SELECT contig, orientation, COUNT(*) AS n_pairs,
         |  CAST(SUM(gap) AS BIGINT) AS sum_gap
-        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_bam_rg_error_rate" ->
+      """WITH r AS (SELECT 'rg' || CAST(l_orderkey % 4 AS VARCHAR) AS read_group,
+        |    (l_partkey + l_linenumber) % 9 AS nm,
+        |    CASE WHEN l_suppkey % 2 = 0 THEN 1 ELSE 0 END AS fwd
+        |  FROM lineitem)
+        |SELECT read_group, COUNT(*) AS n_reads,
+        |  CAST(SUM(nm) AS BIGINT) AS sum_nm,
+        |  CAST(SUM(fwd) AS BIGINT) AS n_fwd_class,
+        |  CAST(SUM(nm) * 1000000 // (COUNT(*) * 151) AS BIGINT) AS err_per_mb
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -229,10 +229,30 @@ class NativeExprSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(1) == r.getLong(2), s"adc mismatch at ${r.getLong(0)}"))
   }
 
-  test("extension class injects the function at session build time") {
-    val ext = new GraftExtensions
-    // smoke: applying the injector to fresh extensions must not throw; the
-    // session-level behavior is covered by the register() path above
-    ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
+  test("extension class injects EVERY native function at session build time") {
+    // a native registered only via its object's register() but forgotten in
+    // GraftExtensions silently vanishes for users who wire the library the
+    // standard way (spark.sql.extensions=graft.functions.GraftExtensions) —
+    // exactly what happened to the five functions added in rounds 8–10
+    val injected = scala.collection.mutable.Set.empty[String]
+    val recorder = new org.apache.spark.sql.SparkSessionExtensions {
+      override def injectFunction(
+          fd: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+            org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+            Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+              org.apache.spark.sql.catalyst.expressions.Expression)): Unit = {
+        injected += fd._1.funcName
+        super.injectFunction(fd)
+      }
+    }
+    new GraftExtensions().apply(recorder)
+    val expected = Set(
+      "graft_minhash_sig", "graft_simhash", "graft_fingerprints",
+      "graft_stop_hits", "graft_lsh_bucket", "graft_lsh_dots",
+      "graft_ivf_argmax", "graft_hist_quantile", "graft_hist_quantiles",
+      "graft_substr_fps", "graft_gt_census", "graft_vec_residual",
+      "graft_pq_encode", "graft_pq_adc")
+    assert(expected.subsetOf(injected.toSet),
+      s"missing from GraftExtensions: ${(expected -- injected).toSeq.sorted.mkString(", ")}")
   }
 }
