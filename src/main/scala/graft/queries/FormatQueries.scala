@@ -2331,6 +2331,57 @@ object FormatQueries {
           sum(when($"xc" === "F", 1L).otherwise(0L)).as("n_fwd_class"))
         .withColumn("err_per_mb", expr("sum_nm * 1000000 div (n_reads * 151)"))
         .orderBy($"read_group")
+    },
+
+    // ALLELE-AWARE PILEUP (the bcftools-mpileup core, one step past
+    // q_bam_pileup's depth-only column): per position of a fixed window,
+    // per-base A/C/G/T counts read from the SEQUENCE CONTENT of the
+    // overlapping reads (substring at the read-relative offset — 4-bit
+    // nibble codec round-trip under every base), plus the deterministic
+    // major-allele call. Scale shape: the window filter prunes the scan,
+    // the explode fan-out is read-length-bounded, and the rollup key
+    // space is |window| × 4.
+    "q_bam_basecall_pileup" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/bp.bam"
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_partkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 13) % 5000) + 1).cast("int").as("start"),
+        lit(0).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        lit("32M").as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit(KmerAlpha).substr((($"l_partkey" * 13) % 33).cast("int") + 1, lit(32))
+          .as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), lit("i:1")).as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+        .select($"contig", $"start", $"seq")
+        .filter($"start" <= 1263 && $"start" + 31 >= 1200)
+      back
+        .select($"contig", $"start", $"seq",
+          explode(expr("sequence(greatest(start, 1200), least(start + 31, 1263))"))
+            .as("p"))
+        .select($"contig", $"p",
+          expr("substring(seq, p - start + 1, 1)").as("base"))
+        .groupBy($"contig", $"p")
+        .agg(
+          sum(when($"base" === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when($"base" === "C", 1L).otherwise(0L)).as("n_c"),
+          sum(when($"base" === "G", 1L).otherwise(0L)).as("n_g"),
+          sum(when($"base" === "T", 1L).otherwise(0L)).as("n_t"),
+          count(lit(1)).as("depth"))
+        .withColumn("major", expr(
+          "CASE WHEN n_a >= n_c AND n_a >= n_g AND n_a >= n_t THEN 'A' " +
+            "WHEN n_c >= n_g AND n_c >= n_t THEN 'C' " +
+            "WHEN n_g >= n_t THEN 'G' ELSE 'T' END"))
+        .orderBy($"contig", $"p")
     }
   )
 
@@ -3053,6 +3104,29 @@ object FormatQueries {
         |  CAST(SUM(nm) AS BIGINT) AS sum_nm,
         |  CAST(SUM(fwd) AS BIGINT) AS n_fwd_class,
         |  CAST(SUM(nm) * 1000000 // (COUNT(*) * 151) AS BIGINT) AS err_per_mb
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bam_basecall_pileup" ->
+      s"""WITH r AS (SELECT 'chr' || CAST(l_partkey % 3 AS VARCHAR) AS contig,
+        |    (l_partkey * 13) % 5000 + 1 AS rstart,
+        |    substring('$KmerAlpha',
+        |      CAST((l_partkey * 13) % 33 AS INTEGER) + 1, 32) AS seq
+        |  FROM lineitem
+        |  WHERE (l_partkey * 13) % 5000 + 1 <= 1263
+        |    AND (l_partkey * 13) % 5000 + 32 >= 1200),
+        |b AS (SELECT contig, p,
+        |    substr(seq, CAST(p - rstart + 1 AS INTEGER), 1) AS base
+        |  FROM r, UNNEST(range(GREATEST(rstart, 1200), LEAST(rstart + 31, 1263) + 1)) AS u(p)),
+        |c AS (SELECT contig, p,
+        |    CAST(SUM(CASE WHEN base = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN base = 'C' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+        |    CAST(SUM(CASE WHEN base = 'G' THEN 1 ELSE 0 END) AS BIGINT) AS n_g,
+        |    CAST(SUM(CASE WHEN base = 'T' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        |    COUNT(*) AS depth
+        |  FROM b GROUP BY 1, 2)
+        |SELECT contig, p, n_a, n_c, n_g, n_t, depth,
+        |  CASE WHEN n_a >= n_c AND n_a >= n_g AND n_a >= n_t THEN 'A'
+        |    WHEN n_c >= n_g AND n_c >= n_t THEN 'C'
+        |    WHEN n_g >= n_t THEN 'G' ELSE 'T' END AS major
+        |FROM c ORDER BY contig, p""".stripMargin
   )
 }
