@@ -2382,6 +2382,113 @@ object FormatQueries {
             "WHEN n_c >= n_g AND n_c >= n_t THEN 'C' " +
             "WHEN n_g >= n_t THEN 'G' ELSE 'T' END"))
         .orderBy($"contig", $"p")
+    },
+
+    // PHASE-SWITCH CENSUS (whatshap-compare shape): the first query to
+    // round-trip PHASED genotypes ('0|1'/'1|0' — the pipe separator, not
+    // the unphased slash every other cohort uses) and multi-entry FILTER
+    // columns (the ';'-joined 'q10;s50' text form). Per (sample, contig)
+    // the phased-het sites order by the deterministic site key and a lag()
+    // window counts haplotype flips — the switch-error statistic. Bounded
+    // ×2 explode, per-sample-contig window state, three-row rollup.
+    "q_vcf_phase_switch" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/phase.vcf.bgz"
+      val w = Window.partitionBy($"contig")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      def geno(name: String, code: org.apache.spark.sql.Column) = struct(
+        lit(name).as("sample"),
+        when(code === 0, "0|0").when(code === 1, "0|1")
+          .when(code === 2, "1|0").otherwise("1|1").as("gt"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false))
+          .as("fields"))
+      val vars = Tables.lineitem(s, d)
+        .withColumn("contig", concat(lit("chr"), ($"l_orderkey" % 24).cast("string")))
+        .withColumn("pos", row_number().over(w))
+        .select(
+          $"contig", $"pos".cast("int").as("start"), $"pos".cast("int").as("end"),
+          lit(null).cast("string").as("id"),
+          lit("A").as("ref"), array(lit("G")).as("alt"),
+          lit(30.0).as("qual"),
+          when(($"l_suppkey" + $"l_partkey") % 7 === 0,
+            array(lit("q10"), lit("s50"))).otherwise(array(lit("PASS"))).as("filters"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+          array(
+            geno("s01", ($"l_orderkey" * 3 + $"l_linenumber" + $"l_partkey") % 4),
+            geno("s02", ($"l_orderkey" * 7 + $"l_suppkey") % 4)).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val g = back
+        .select($"contig", $"start", size($"filters").as("nfilt"),
+          explode($"genotypes").as("g"))
+        .select($"contig", $"start", $"nfilt",
+          $"g.sample".as("sample"), $"g.gt".as("gt"))
+        .filter($"gt" === "0|1" || $"gt" === "1|0")
+      val ws = Window.partitionBy($"sample", $"contig").orderBy($"start")
+      g.withColumn("prev", lag($"gt", 1).over(ws))
+        .withColumn("switch",
+          when($"prev".isNotNull && $"prev" =!= $"gt", 1L).otherwise(0L))
+        .groupBy($"sample")
+        .agg(count(lit(1)).as("n_het_sites"),
+          sum($"switch").as("n_switches"),
+          sum(when($"nfilt" > 1, 1L).otherwise(0L)).as("n_multifilter"))
+        .orderBy($"sample")
+    },
+
+    // WGS COVERAGE METRICS (Picard CollectWgsMetrics shape): per-position
+    // depth over a fixed window INCLUDING zero-depth positions (sequence
+    // spine), rolled to mean depth (exact milli), max, and the ≥k
+    // coverage-threshold fractions in permille — one explode bounded by
+    // read length, one window-keyed count, one 3-row rollup.
+    "q_bam_wgs_metrics" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/wgs.bam"
+      val reads = Tables.lineitem(s, d)
+        .filter($"l_partkey" % 5 === 0) // thin to ~120x so thresholds bite
+        .select(
+          concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+          lit(0).cast("int").as("flags"),
+          concat(lit("chr"), ($"l_partkey" % 3).cast("string")).as("contig"),
+          ((($"l_partkey" * 13) % 5000) + 1).cast("int").as("start"),
+          lit(0).cast("int").as("end"),
+          lit(60).cast("int").as("mapq"),
+          lit("151M").as("cigar"),
+          lit(null).cast("string").as("mateContig"),
+          lit(0).cast("int").as("mateStart"),
+          lit(0).cast("int").as("tlen"),
+          lit("*").as("seq"),
+          lit("*").as("qual"),
+          map(lit("XO"), lit("i:1")).as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+        .select($"contig", $"start", $"end")
+        .filter($"start" <= 1999 && $"end" >= 1000)
+      val depth = back
+        .select($"contig", explode(sequence(greatest($"start", lit(1000)),
+          least($"end", lit(1999)))).as("p"))
+        .groupBy($"contig", $"p").agg(count(lit(1)).as("dep"))
+      val spine = s.range(3).select(concat(lit("chr"), $"id").as("contig"))
+        .select($"contig", explode(sequence(lit(1000), lit(1999))).as("p"))
+      spine.join(depth, Seq("contig", "p"), "left")
+        .select($"contig", coalesce($"dep", lit(0L)).as("dep"))
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_pos"), sum($"dep").as("sum_dep"),
+          max($"dep").as("max_depth"),
+          sum(when($"dep" >= 50, 1L).otherwise(0L)).as("ge50"),
+          sum(when($"dep" >= 150, 1L).otherwise(0L)).as("ge150"),
+          sum(when($"dep" >= 300, 1L).otherwise(0L)).as("ge300"),
+          sum(when($"dep" >= 600, 1L).otherwise(0L)).as("ge600"))
+        .select($"contig",
+          expr("sum_dep * 1000 div n_pos").as("mean_depth_milli"),
+          $"max_depth",
+          expr("ge50 * 1000 div n_pos").as("ge50_permille"),
+          expr("ge150 * 1000 div n_pos").as("ge150_permille"),
+          expr("ge300 * 1000 div n_pos").as("ge300_permille"),
+          expr("ge600 * 1000 div n_pos").as("ge600_permille"))
+        .orderBy($"contig")
     }
   )
 
@@ -3127,6 +3234,52 @@ object FormatQueries {
         |  CASE WHEN n_a >= n_c AND n_a >= n_g AND n_a >= n_t THEN 'A'
         |    WHEN n_c >= n_g AND n_c >= n_t THEN 'C'
         |    WHEN n_g >= n_t THEN 'G' ELSE 'T' END AS major
-        |FROM c ORDER BY contig, p""".stripMargin
+        |FROM c ORDER BY contig, p""".stripMargin,
+    // sites keyed by per-contig ROW_NUMBER (same tie argument as
+    // q_vcf_concordance: identical key tuples derive identical genotypes,
+    // so adjacent-duplicate order can never change the flip count)
+    "q_vcf_phase_switch" ->
+      """WITH r AS (SELECT
+        |    'chr' || CAST(l_orderkey % 24 AS VARCHAR) AS contig,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey % 24
+        |      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS pos,
+        |    (l_orderkey * 3 + l_linenumber + l_partkey) % 4 AS c1,
+        |    (l_orderkey * 7 + l_suppkey) % 4 AS c2,
+        |    CASE WHEN (l_suppkey + l_partkey) % 7 = 0 THEN 1 ELSE 0 END AS multi
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT contig, pos, multi, 's01' AS sample,
+        |    CASE c1 WHEN 1 THEN '0|1' ELSE '1|0' END AS gt FROM r WHERE c1 IN (1, 2)
+        |  UNION ALL
+        |  SELECT contig, pos, multi, 's02' AS sample,
+        |    CASE c2 WHEN 1 THEN '0|1' ELSE '1|0' END AS gt FROM r WHERE c2 IN (1, 2)),
+        |k AS (SELECT sample, gt, multi,
+        |    LAG(gt) OVER (PARTITION BY sample, contig ORDER BY pos) AS prev
+        |  FROM g)
+        |SELECT sample, COUNT(*) AS n_het_sites,
+        |  CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> gt THEN 1 ELSE 0 END) AS BIGINT) AS n_switches,
+        |  CAST(SUM(multi) AS BIGINT) AS n_multifilter
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bam_wgs_metrics" ->
+      """WITH reads AS (
+        |  SELECT 'chr' || CAST(l_partkey % 3 AS VARCHAR) AS contig,
+        |    (l_partkey * 13) % 5000 + 1 AS s,
+        |    (l_partkey * 13) % 5000 + 151 AS e
+        |  FROM lineitem WHERE l_partkey % 5 = 0),
+        |w AS (SELECT 'chr' || CAST(c AS VARCHAR) AS contig, pos
+        |  FROM (SELECT unnest(range(0, 3)) AS c) a,
+        |       (SELECT unnest(range(1000, 2000)) AS pos) b),
+        |d AS (SELECT w.contig, w.pos, COUNT(reads.s) AS dep
+        |  FROM w LEFT JOIN reads
+        |    ON reads.contig = w.contig AND reads.s <= w.pos AND reads.e >= w.pos
+        |  GROUP BY 1, 2)
+        |SELECT contig,
+        |  CAST(SUM(dep) * 1000 // COUNT(*) AS BIGINT) AS mean_depth_milli,
+        |  CAST(MAX(dep) AS BIGINT) AS max_depth,
+        |  CAST(SUM(CASE WHEN dep >= 50 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS ge50_permille,
+        |  CAST(SUM(CASE WHEN dep >= 150 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS ge150_permille,
+        |  CAST(SUM(CASE WHEN dep >= 300 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS ge300_permille,
+        |  CAST(SUM(CASE WHEN dep >= 600 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS ge600_permille
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

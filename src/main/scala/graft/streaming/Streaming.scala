@@ -983,4 +983,20 @@ object Streaming {
       .groupBy("a", "b", "c")
       .agg(count(lit(1)).as("n_sites"))
   }
+
+  /** Streaming base-quality-by-cycle — q_bam_baseq_cycle's twin, the live
+    * run-monitoring panel a sequencer dashboard polls while the flow cell
+    * is still writing: each read's phred+33 `qual` string explodes into
+    * (cycle, quality) pairs — a read-length-bounded fan-out — and the
+    * running per-cycle census aggregates in complete mode. State is one
+    * row per cycle (read length), never per read.
+    */
+  def baseqByCycle(reads: DataFrame): DataFrame =
+    reads
+      .select(explode(expr("sequence(1, length(qual))")).as("cycle"), col("qual"))
+      .select(col("cycle"),
+        (expr("ascii(substring(qual, cycle, 1))") - lit(33)).cast("long").as("q"))
+      .groupBy("cycle")
+      .agg(count(lit(1)).as("n_reads"), sum(col("q")).as("sum_q"),
+        min(col("q")).as("min_q"), max(col("q")).as("max_q"))
 }

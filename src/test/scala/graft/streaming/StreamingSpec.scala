@@ -11,6 +11,7 @@ case class Rd(readName: String, contig: String, pos: Long, rev: Int, ts: Timesta
 case class IdEv(event_id: Long, ts: Timestamp, event_type: String, user_id: Long, value: Double)
 case class VcfGt(sample: String, gt: String, fields: Map[String, String])
 case class VcfSite(contig: String, start: Int, genotypes: Seq[VcfGt])
+case class QualRead(readName: String, qual: String)
 
 class StreamingSpec extends AnyFunSuite with SparkFixture {
 
@@ -1147,6 +1148,34 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       assert(got.forall { case (a, b, c, _) => a + b + c == 12L })
       // state is the pattern space, not the site count
       assert(got.size < 100)
+    } finally q.stop()
+  }
+
+  test("baseqByCycle: streaming per-cycle census equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // variable-length reads so the cycle key space is ragged
+    val reads = (0 until 300).map { i =>
+      val len = 20 + i % 17
+      QualRead(s"r$i",
+        (0 until len).map(c => (33 + (i * 7 + c * 3) % 40).toChar).mkString)
+    }
+    val stream = MemoryStream[QualRead]
+    val q = Streaming.baseqByCycle(stream.toDF())
+      .writeStream.format("memory").queryName("baseq")
+      .outputMode("complete").start()
+    try {
+      stream.addData(reads.take(100)); q.processAllAvailable()
+      stream.addData(reads.drop(100)); q.processAllAvailable()
+      val got = spark.table("baseq").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val want = Streaming.baseqByCycle(spark.createDataset(reads).toDF())
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got == want)
+      // ragged tail: the longest read defines the cycle space
+      assert(got.map(_._1).max == 36)
+      assert(got.forall { case (_, _, _, mn, mx) => mn >= 0 && mx <= 39 })
     } finally q.stop()
   }
 }
