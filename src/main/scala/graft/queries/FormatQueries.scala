@@ -68,6 +68,12 @@ object FormatQueries {
 
   private val Refs = "chr0:1000000,chr1:1000000,chr2:1000000"
 
+  /** 24-contig dictionary for the window-heavy queries (per-contig RUNNING
+    * frames parallelize over contigs; 3 contigs on 32 cores is the measured
+    * scale artifact the ROH widening fixed — a real genome has ~25).
+    */
+  private val Refs24 = (0 until 24).map(i => s"chr$i:1000000").mkString(",")
+
   /** Deterministic indexed FASTA matching [[Refs]]: every contig is the
     * 4-periodic "ATGC…" sequence, so a read starting at 1-based `p` agrees
     * with `substr(repeat('ATGC',…), (p-1)%4+1, 151)` — an expression both
@@ -1306,11 +1312,25 @@ object FormatQueries {
       val dir = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
       val bamPath = s"$dir/closest.bam"
       val vcfPath = s"$dir/closest.vcf.bgz"
-      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
-        .option("refs", Refs).save(bamPath)
+      val reads24 = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_orderkey" % 24).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 151).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        lit("151M").as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit("*").as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), lit("i:1")).as("attributes"))
+      spread(reads24).write.format("bam").mode("overwrite")
+        .option("refs", Refs24).save(bamPath)
       import org.apache.spark.sql.types._
       val vars = Tables.orders(s, d).select(
-        concat(lit("chr"), ($"o_custkey" % 3).cast("string")).as("contig"),
+        concat(lit("chr"), ($"o_custkey" % 24).cast("string")).as("contig"),
         ((($"o_orderkey" * 53) % 999000) + 1).cast("int").as("start"),
         ((($"o_orderkey" * 53) % 999000) + 1).cast("int").as("end"),
         lit(null).cast("string").as("id"),
@@ -2877,10 +2897,10 @@ object FormatQueries {
         |  CAST(SUM(CASE WHEN ilen >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
         |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_genomic_closest" ->
-      """WITH rd AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS c,
+      """WITH rd AS (SELECT 'chr' || CAST(l_orderkey % 24 AS VARCHAR) AS c,
         |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS pos, 1 AS side
         |  FROM lineitem),
-        |vr AS (SELECT 'chr' || CAST(o_custkey % 3 AS VARCHAR) AS c,
+        |vr AS (SELECT 'chr' || CAST(o_custkey % 24 AS VARCHAR) AS c,
         |    CAST((o_orderkey * 53) % 999000 + 1 AS BIGINT) AS pos, 0 AS side
         |  FROM orders),
         |t AS (SELECT * FROM vr UNION ALL SELECT * FROM rd),
