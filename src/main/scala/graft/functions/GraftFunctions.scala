@@ -67,6 +67,13 @@ object GraftFunctions {
 
   /** Non-empty whitespace-ish tokens (single-space split, empties dropped —
     * mirrors `string_split(text, ' ')` + filter in the oracle).
+    *
+    * Measured (round 10, 1M docs, local[32]): this filter-HOF form runs
+    * 0.43 s vs 0.60 s for the codegen'd
+    * `regexp_extract_all(text, '[^ ]+')` equivalent — the simple
+    * length-predicate lambda is NOT the interpreted-lambda hot spot the
+    * popgen HOFs were (those walked wide structs per element); don't
+    * "optimize" this into a regex.
     */
   def words(text: Column): Column =
     filter(split(text, " "), w => length(w) > 0)

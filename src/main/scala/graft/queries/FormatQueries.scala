@@ -2509,6 +2509,54 @@ object FormatQueries {
           expr("ge300 * 1000 div n_pos").as("ge300_permille"),
           expr("ge600 * 1000 div n_pos").as("ge600_permille"))
         .orderBy($"contig")
+    },
+
+    // GENOTYPE-QUALITY MASKING (bcftools +setGT -t q: set low-GQ calls to
+    // missing before downstream use — the standard joint-callset hygiene
+    // pass): genotypes carry per-sample GQ in the FORMAT fields map, sites
+    // carry a MULTI-KEY INFO map including a value-less FLAG key (DB) —
+    // both map forms round-trip through the VCF text codec (flag keys
+    // serialize bare, no '=') — and the per-sample call rates before/after
+    // the GQ≥20 mask roll up from one bounded explode.
+    "q_vcf_setgt_filter" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/setgt.vcf.bgz"
+      def geno(j: Int) = {
+        val code = ($"l_orderkey" + lit(j) * $"l_linenumber" +
+          lit(j * j) * $"l_suppkey") % 4
+        val gq = ($"l_partkey" + lit(j * 17)) % 60
+        struct(
+          lit(f"s$j%02d").as("sample"),
+          when(code === 0, "0/0").when(code === 1, "0/1")
+            .when(code === 2, "1/1").otherwise("./.").as("gt"),
+          map(lit("GQ"), gq.cast("string")).as("fields"))
+      }
+      val vars = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"), array(lit("G")).as("alt"),
+        lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
+        when($"l_orderkey" % 5 === 0,
+          map(lit("DP"), $"l_suppkey".cast("string"), lit("DB"), lit("")))
+          .otherwise(map(lit("DP"), $"l_suppkey".cast("string"))).as("info"),
+        array((1 to 4).map(geno): _*).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      back
+        .select($"info", explode($"genotypes").as("g"))
+        .select($"g.sample".as("sample"), $"g.gt".as("gt"),
+          element_at($"g.fields", "GQ").cast("long").as("gq"),
+          map_contains_key($"info", "DB").cast("long").as("has_db"))
+        .groupBy($"sample")
+        .agg(count(lit(1)).as("n_sites"),
+          sum(when($"gt" =!= "./.", 1L).otherwise(0L)).as("called_before"),
+          sum(when($"gt" =!= "./." && $"gq" >= 20, 1L).otherwise(0L)).as("called_after"),
+          sum($"has_db").as("n_db_sites"))
+        .withColumn("callrate_after_milli", expr("called_after * 1000 div n_sites"))
+        .orderBy($"sample")
     }
   )
 
@@ -3300,6 +3348,18 @@ object FormatQueries {
         |  CAST(SUM(CASE WHEN dep >= 150 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS ge150_permille,
         |  CAST(SUM(CASE WHEN dep >= 300 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS ge300_permille,
         |  CAST(SUM(CASE WHEN dep >= 600 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS ge600_permille
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vcf_setgt_filter" ->
+      """WITH g AS (SELECT 's' || lpad(CAST(j AS VARCHAR), 2, '0') AS sample,
+        |    (l_orderkey + j * l_linenumber + j * j * l_suppkey) % 4 AS code,
+        |    (l_partkey + j * 17) % 60 AS gq,
+        |    CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE 0 END AS has_db
+        |  FROM lineitem, (SELECT unnest(range(1, 5)) AS j) t)
+        |SELECT sample, COUNT(*) AS n_sites,
+        |  CAST(SUM(CASE WHEN code <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS called_before,
+        |  CAST(SUM(CASE WHEN code <> 3 AND gq >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS called_after,
+        |  CAST(SUM(has_db) AS BIGINT) AS n_db_sites,
+        |  CAST(SUM(CASE WHEN code <> 3 AND gq >= 20 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS callrate_after_milli
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
