@@ -1752,7 +1752,7 @@ object FormatQueries {
       val w = Window.partitionBy($"contig")
         .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
       val sites = Tables.lineitem(s, d)
-        .withColumn("contig", concat(lit("chr"), ($"l_orderkey" % 3).cast("string")))
+        .withColumn("contig", concat(lit("chr"), ($"l_orderkey" % 24).cast("string")))
         .withColumn("pos", row_number().over(w))
         .select($"contig", $"pos",
           (($"l_orderkey" * 3 + $"l_linenumber") % 4).as("ca"),
@@ -3094,8 +3094,8 @@ object FormatQueries {
     // so the site set is deterministic either way
     "q_vcf_concordance" ->
       """WITH r AS (SELECT
-        |    'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
-        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey % 3
+        |    'chr' || CAST(l_orderkey % 24 AS VARCHAR) AS contig,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey % 24
         |      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS pos,
         |    (l_orderkey * 3 + l_linenumber) % 4 AS ca,
         |    (l_orderkey * 5 + l_linenumber * 2 + l_suppkey) % 4 AS cb
