@@ -2557,6 +2557,87 @@ object FormatQueries {
           sum($"has_db").as("n_db_sites"))
         .withColumn("callrate_after_milli", expr("called_after * 1000 div n_sites"))
         .orderBy($"sample")
+    },
+
+    // DOWNSAMPLE TO TARGET COVERAGE (GATK downsampling / Picard
+    // PositionBasedDownsampleSam shape, window-normalized): per-window
+    // start counts are ONE aggregate, joined back on the window key (both
+    // sides already window-keyed — no second corpus shuffle beyond the
+    // join), and the keep decision is the deterministic shared hash60
+    // (name-hash mod window-depth < target) so the SAME reads survive at
+    // any parallelism — the property naive random sampling breaks.
+    "q_bam_downsample_coverage" -> { (s, d) =>
+      import s.implicits._
+      import graft.functions.GraftFunctions.hash60
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/ds.bam"
+      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      val target = 100L
+      val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+        .select($"readName", $"contig", $"start".cast("long").as("start"))
+        .withColumn("w", expr("start div 1000"))
+      val depth = back.groupBy($"contig", $"w").agg(count(lit(1)).as("dep"))
+      back.join(depth, Seq("contig", "w"))
+        .withColumn("keep",
+          $"dep" <= target ||
+            hash60(concat(lit("ds|"), $"readName")) % $"dep" < target)
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_before"),
+          sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+          countDistinct(when($"dep" > target, $"w")).as("n_windows_capped"),
+          sum(when($"keep", $"start").otherwise(0L)).as("kept_start_sum"))
+        .orderBy($"contig")
+    },
+
+    // CHIMERIC / SUPPLEMENTARY-ALIGNMENT CENSUS (the SA:Z tag SV callers
+    // and samtools stats read): reads carry a STRUCTURED Z tag — the
+    // ';'-terminated, ','-separated SA segment list — through the codec;
+    // the census parses it back (split/explode, both codegen) and rolls
+    // up split-alignment fan-out per (contig → mate-contig) pair with a
+    // strand breakdown. Bounded explode (≤2 segments per read here;
+    // segment count is aligner-bounded in the wild).
+    "q_bam_chimeric_census" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/sa.bam"
+      def seg(i: Int) = concat(
+        lit("chr"), (($"l_partkey" + lit(i)) % 3).cast("string"), lit(","),
+        (($"l_suppkey" * 31 + lit(i * 97)) % 9000 + 1).cast("string"), lit(","),
+        when(($"l_orderkey" + lit(i)) % 2 === 0, "+").otherwise("-"), lit(","),
+        lit("100M,60,"), ($"l_suppkey" % 5).cast("string"), lit(";"))
+      val sa = concat(lit("Z:"), seg(1),
+        when($"l_orderkey" % 2 === 1, seg(2)).otherwise(lit("")))
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_partkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 13) % 5000) + 1).cast("int").as("start"),
+        lit(0).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        lit("151M").as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit("*").as("seq"),
+        lit("*").as("qual"),
+        when($"l_orderkey" % 7 === 0, map(lit("SA"), sa, lit("XO"), lit("i:1")))
+          .otherwise(map(lit("XO"), lit("i:1"))).as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+        .select($"contig", element_at($"attributes", "SA").as("sa"))
+        .filter($"sa".isNotNull)
+      back
+        .select($"contig",
+          explode(expr("filter(split(substring(sa, 3, 10000), ';'), x -> length(x) > 0)"))
+            .as("segstr"))
+        .select($"contig",
+          expr("split(segstr, ',')[0]").as("sa_contig"),
+          expr("split(segstr, ',')[2]").as("sa_strand"))
+        .groupBy($"contig", $"sa_contig")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when($"sa_strand" === "+", 1L).otherwise(0L)).as("n_fwd"),
+          sum(when($"sa_strand" === "-", 1L).otherwise(0L)).as("n_rev"))
+        .orderBy($"contig", $"sa_contig")
     }
   )
 
@@ -3360,6 +3441,34 @@ object FormatQueries {
         |  CAST(SUM(CASE WHEN code <> 3 AND gq >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS called_after,
         |  CAST(SUM(has_db) AS BIGINT) AS n_db_sites,
         |  CAST(SUM(CASE WHEN code <> 3 AND gq >= 20 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS callrate_after_milli
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bam_downsample_coverage" ->
+      """WITH reads AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS rstart,
+        |    'r' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS rname
+        |  FROM lineitem),
+        |w AS (SELECT *, rstart // 1000 AS win FROM reads),
+        |dep AS (SELECT contig, win, COUNT(*) AS dep FROM w GROUP BY 1, 2),
+        |k AS (SELECT w.contig, w.rstart, dep.dep, dep.win,
+        |    CASE WHEN dep.dep <= 100 OR
+        |      CAST('0x' || substr(md5('ds|' || w.rname), 1, 15) AS BIGINT) % dep.dep < 100
+        |      THEN 1 ELSE 0 END AS keep
+        |  FROM w JOIN dep ON w.contig = dep.contig AND w.win = dep.win)
+        |SELECT contig, COUNT(*) AS n_before,
+        |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+        |  CAST(COUNT(DISTINCT CASE WHEN dep > 100 THEN win END) AS BIGINT) AS n_windows_capped,
+        |  CAST(SUM(CASE WHEN keep = 1 THEN rstart ELSE 0 END) AS BIGINT) AS kept_start_sum
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bam_chimeric_census" ->
+      """WITH r AS (SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS sk
+        |  FROM lineitem WHERE l_orderkey % 7 = 0),
+        |g AS (SELECT 'chr' || CAST(pk % 3 AS VARCHAR) AS contig,
+        |    'chr' || CAST((pk + i) % 3 AS VARCHAR) AS sa_contig,
+        |    CASE WHEN (ok + i) % 2 = 0 THEN '+' ELSE '-' END AS strand
+        |  FROM r, UNNEST(range(1, 2 + ok % 2)) AS u(i))
+        |SELECT contig, sa_contig, COUNT(*) AS n_segments,
+        |  CAST(SUM(CASE WHEN strand = '+' THEN 1 ELSE 0 END) AS BIGINT) AS n_fwd,
+        |  CAST(SUM(CASE WHEN strand = '-' THEN 1 ELSE 0 END) AS BIGINT) AS n_rev
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
