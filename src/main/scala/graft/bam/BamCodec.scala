@@ -151,22 +151,57 @@ object BamCodec {
         else if ((qualBytes(0) & 0xff) == 0xff) "*"
         else { val sb = new StringBuilder(lSeq); qualBytes.foreach(q => sb.append((33 + (q & 0xff)).toChar)); sb.toString }
     } else bb.position(bb.position() + lSeq)
-    val attrs = if (mask.attrs) decodeTags(bb) else null
+    // CG-spilled ultralong CIGAR: a 2-op kSmN sentinel with a CG:B,I tag
+    // carries the real ops (SAMv1 §4.2.2). Reconstitute even under column
+    // pruning — when the scan wants the cigar but not the attributes, the
+    // tag bytes are decoded just for this rare record shape.
+    val mightBeSpilled = mask.cigarAndEnd && nCigarOp == 2 &&
+      cigarStr != null && isSentinelCigar(cigarStr)
+    val attrs0 = if (mask.attrs || mightBeSpilled) decodeTags(bb) else null
+    var finalCigar = cigarStr
+    var finalRefLen = refLen
+    var attrs = if (mask.attrs) attrs0 else null
+    if (mightBeSpilled && attrs0 != null) attrs0.get("CG") match {
+      case Some(cg) if cg.startsWith("B:I,") =>
+        val sb = new StringBuilder
+        var rl = 0
+        cg.substring(4).split(',').foreach { s =>
+          val v = s.toLong
+          val opLen = (v >>> 4).toInt
+          val op = (v & 0xf).toInt
+          if (op > 8) throw new IOException(s"bad CG cigar op $op")
+          val c = CigarOps.charAt(op)
+          sb.append(opLen).append(c)
+          if (c == 'M' || c == 'D' || c == 'N' || c == '=' || c == 'X') rl += opLen
+        }
+        finalCigar = sb.toString
+        finalRefLen = rl
+        if (attrs != null) attrs = attrs - "CG"
+      case _ => // a genuine 2-op kSmN alignment without CG stays as-is
+    }
     val start = if (pos < 0) 0 else pos + 1
     AlignmentRecord(
       readName = if (readName == "*") null else readName,
       flags = flag,
       contig = header.refName(refId),
       start = start,
-      end = if (start > 0 && refLen > 0) start + refLen - 1 else 0,
+      end = if (start > 0 && finalRefLen > 0) start + finalRefLen - 1 else 0,
       mapq = mapq,
-      cigar = if (!mask.cigarAndEnd) null else if (nCigarOp == 0) "*" else cigarStr,
+      cigar = if (!mask.cigarAndEnd) null else if (nCigarOp == 0) "*" else finalCigar,
       mateContig = header.refName(nextRefId),
       mateStart = if (nextPos < 0) 0 else nextPos + 1,
       tlen = tlen,
       seq = if (!mask.seq) null else if (lSeq == 0) "*" else seqStr,
       qual = qual,
       attributes = attrs)
+  }
+
+  /** "<digits>S<digits>N" — the CG-spill sentinel shape. */
+  private def isSentinelCigar(s: String): Boolean = {
+    val sPos = s.indexOf('S')
+    sPos > 0 && sPos < s.length - 1 && s.charAt(s.length - 1) == 'N' &&
+      s.substring(0, sPos).forall(_.isDigit) &&
+      s.substring(sPos + 1, s.length - 1).forall(_.isDigit)
   }
 
   private def decodeTags(bb: ByteBuffer): Map[String, String] = {
@@ -221,15 +256,36 @@ object BamCodec {
     val name = if (r.readName == null || r.readName.isEmpty) "*" else r.readName
     val nameBytes = name.getBytes("UTF-8")
     require(nameBytes.length <= 254, s"read name too long: $name")
-    val cigarOps: Array[Int] =
+    val cigarOps0: Array[Int] =
       if (r.cigar == null || r.cigar == "*") Array.empty
       else parseCigar(r.cigar)
+    // BAM's n_cigar_op field is uint16. Ultralong-read alignments (nanopore)
+    // legitimately exceed 65535 ops; the SAMv1 spec's escape is the CG
+    // spill: the CIGAR field holds the kSmN sentinel (k = query length
+    // consumed, m = reference length consumed) and the real ops move to a
+    // CG:B,I tag. Silent truncation here would misalign every downstream
+    // byte of the record.
+    val (cigarOps, tagAttrs) =
+      if (cigarOps0.length <= 0xFFFF) (cigarOps0, r.attributes)
+      else {
+        var qlen = 0
+        cigarOps0.foreach { v =>
+          val op = v & 0xf // M I S = X consume query
+          if (op == 0 || op == 1 || op == 4 || op == 7 || op == 8) qlen += (v >>> 4)
+        }
+        val rl = cigarRefLength(cigarOps0)
+        val sentinel = Array((qlen << 4) | 4 /* S */, (rl << 4) | 3 /* N */)
+        val cg = "B:I," +
+          cigarOps0.iterator.map(v => (v.toLong & 0xffffffffL).toString).mkString(",")
+        val base = if (r.attributes == null) Map.empty[String, String] else r.attributes
+        (sentinel, base + ("CG" -> cg))
+      }
     val seq = if (r.seq == null || r.seq == "*") "" else r.seq
     val lSeq = seq.length
     val qual: Array[Byte] =
       if (r.qual == null || r.qual == "*") Array.fill[Byte](lSeq)(0xff.toByte)
       else { require(r.qual.length == lSeq, "qual/seq length mismatch"); r.qual.map(c => (c - 33).toByte).toArray }
-    val tags = encodeTags(r.attributes)
+    val tags = encodeTags(tagAttrs)
     val size = 32 + nameBytes.length + 1 + 4 * cigarOps.length + (lSeq + 1) / 2 + lSeq + tags.length
     val bb = ByteBuffer.allocate(4 + size).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(size)

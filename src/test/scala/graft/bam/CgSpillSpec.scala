@@ -1,0 +1,87 @@
+package graft.bam
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+
+/** Ultralong-read CIGARs past BAM's uint16 n_cigar_op ceiling (nanopore
+  * reality): the encoder must spill the real ops to the CG:B,I tag behind
+  * the kSmN sentinel (SAMv1 §4.2.2), and the decoder must reconstitute —
+  * INCLUDING under column pruning where the scan never asked for
+  * attributes. Before this, `putShort(nOps.toShort)` silently wrapped and
+  * corrupted every byte after the cigar array.
+  */
+class CgSpillSpec extends AnyFunSuite with SparkFixture {
+
+  private def longRead(nOps: Int): AlignmentRecord = {
+    // alternating 1M1I so query/ref lengths differ and both matter
+    val cigar = new StringBuilder
+    var i = 0
+    while (i < nOps) { cigar.append(if (i % 2 == 0) "1M" else "1I"); i += 1 }
+    val qlen = nOps // every op consumes one query base
+    AlignmentRecord(
+      readName = "ultra-1", flags = 0, contig = "chr20", start = 100,
+      end = 0, mapq = 60, cigar = cigar.toString,
+      mateContig = null, mateStart = 0, tlen = 0,
+      seq = "A" * qlen, qual = "I" * qlen,
+      attributes = Map("XO" -> "i:7"))
+  }
+
+  test("70k-op CIGAR round-trips the record codec via the CG spill") {
+    val rec = longRead(70000)
+    val bytes = BamCodec.encodeRecord(rec, TestReads.header)
+    // the wire form holds the sentinel + a CG tag
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.getInt; bb.getInt; bb.getInt; bb.get; bb.get; bb.getShort
+    val nOpsWire = bb.getShort & 0xffff
+    assert(nOpsWire == 2, "wire cigar must be the 2-op kSmN sentinel")
+    val rec2 = java.util.Arrays.copyOfRange(bytes, 4, bytes.length)
+    val back = BamCodec.decodeRecord(rec2, rec2.length, TestReads.header, BamFieldMask.All)
+    assert(back.cigar == rec.cigar, "reconstituted cigar differs")
+    assert(!back.attributes.contains("CG"), "CG must be transparent")
+    assert(back.attributes("XO") == "i:7")
+    // end = start + refLen - 1; refLen = 35000 M ops
+    assert(back.end == 100 + 35000 - 1)
+  }
+
+  test("CG spill reconstitutes under column pruning (cigar without attrs)") {
+    val rec = longRead(70000)
+    val bytes = BamCodec.encodeRecord(rec, TestReads.header)
+    val mask = BamFieldMask(cigarAndEnd = true, seq = false, qual = false, attrs = false)
+    val rec2 = java.util.Arrays.copyOfRange(bytes, 4, bytes.length)
+    val back = BamCodec.decodeRecord(rec2, rec2.length, TestReads.header, mask)
+    assert(back.cigar == rec.cigar)
+    assert(back.attributes == null, "pruned attrs stay pruned")
+    assert(back.end == 100 + 35000 - 1)
+  }
+
+  test("a genuine 2-op kSmN alignment WITHOUT a CG tag is untouched") {
+    val rec = AlignmentRecord(
+      readName = "r1", flags = 0, contig = "chr20", start = 500, end = 0,
+      mapq = 60, cigar = "10S90N", mateContig = null, mateStart = 0, tlen = 0,
+      seq = "*", qual = "*", attributes = Map("XO" -> "i:1"))
+    val bytes = BamCodec.encodeRecord(rec, TestReads.header)
+    val rec2 = java.util.Arrays.copyOfRange(bytes, 4, bytes.length)
+    val back = BamCodec.decodeRecord(rec2, rec2.length, TestReads.header, BamFieldMask.All)
+    assert(back.cigar == "10S90N")
+    assert(back.attributes("XO") == "i:1")
+  }
+
+  test("ultralong record survives the full sink + splittable-source path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cgspill").toString
+    val path = s"$dir/ultra.bam"
+    val n = 70000
+    val recs = Seq(longRead(n)) ++ TestReads.pairs(50, "chr20").map(_.copy(
+      contig = "chr20", mateContig = "chr20"))
+    spark.createDataset(recs).write.format("bam").mode("overwrite")
+      .option("refs", "chr20:1000000,chr21:2000135").save(path)
+    val back = spark.read.format("bam").option("splitSize", 64 * 1024).load(path)
+    assert(back.count() == 101) // 1 ultra + 50 pairs (2 records each)
+    val ultra = back.filter($"readName" === "ultra-1")
+      .select($"cigar", $"end", $"attributes").head
+    assert(ultra.getString(0).length == n * 2) // "1M"/"1I" pairs
+    assert(ultra.getInt(1) == 100 + n / 2 - 1)
+    assert(!ultra.getMap[String, String](2).contains("CG"))
+  }
+}
