@@ -300,11 +300,14 @@ object BamCodec {
     bb.putInt(refId)
     bb.putInt(pos)
     bb.put((nameBytes.length + 1).toByte)
+    // uint8 / uint16 wire fields — out-of-range inputs must not wrap
+    require(r.mapq >= 0 && r.mapq <= 255, s"mapq ${r.mapq} outside uint8")
     bb.put(r.mapq.toByte)
     val refLen = cigarRefLength(cigarOps)
     val bin = if (pos >= 0) reg2bin(pos, if (refLen > 0) pos + refLen else pos + 1) else 4680
     bb.putShort(bin.toShort)
     bb.putShort(cigarOps.length.toShort)
+    require(r.flags >= 0 && r.flags <= 0xFFFF, s"flags ${r.flags} outside uint16")
     bb.putShort(r.flags.toShort)
     bb.putInt(lSeq)
     bb.putInt(header.refId(r.mateContig))
@@ -337,6 +340,10 @@ object BamCodec {
       var len = 0
       while (i < s.length && s.charAt(i).isDigit) { len = len * 10 + (s.charAt(i) - '0'); i += 1 }
       require(i < s.length, s"bad cigar: $s")
+      // BAM packs the length into 28 bits; a larger value would wrap into
+      // the op nibble silently (no real chromosome is that long — only a
+      // corrupt input reaches this, and it must fail loudly)
+      require(len <= 0xFFFFFFF, s"cigar op length $len exceeds BAM's 28-bit field in $s")
       val op = CigarOps.indexOf(s.charAt(i))
       require(op >= 0, s"bad cigar op '${s.charAt(i)}' in $s")
       out += (len << 4) | op
