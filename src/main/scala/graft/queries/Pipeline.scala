@@ -836,6 +836,58 @@ object Pipeline {
         .select($"rank", $"pair", $"n")
     },
 
+    // tokenizer vocab-coverage curve: the OOV rate a frequency-truncated
+    // vocabulary of size k would leave on this corpus, for several k — the
+    // analysis that sizes a tokenizer's vocab before training it. Corpus
+    // collapses to the vocabulary first (the only corpus-sized shuffle);
+    // the rank window runs over the VOCAB (bounded), and the curve is one
+    // conditional aggregate over it.
+    "q_vocab_coverage_curve" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .select(explode(split($"text", " ")).as("word"))
+        .filter(length($"word") > 0)
+        .groupBy($"word").agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy($"freq".desc, $"word")
+      counts.withColumn("rnk", row_number().over(w))
+        .agg(
+          sum($"freq").as("total_tokens"),
+          count(lit(1)).as("vocab_size"),
+          sum(when($"rnk" <= 5, $"freq").otherwise(0L)).as("cov5"),
+          sum(when($"rnk" <= 10, $"freq").otherwise(0L)).as("cov10"),
+          sum(when($"rnk" <= 20, $"freq").otherwise(0L)).as("cov20"))
+        .select($"total_tokens", $"vocab_size",
+          expr("(total_tokens - cov5) * 1000 div total_tokens").as("oov5_permille"),
+          expr("(total_tokens - cov10) * 1000 div total_tokens").as("oov10_permille"),
+          expr("(total_tokens - cov20) * 1000 div total_tokens").as("oov20_permille"))
+    },
+
+    // HYBRID SEARCH (keyword prefilter + vector rerank — the
+    // retrieval-augmentation shape): the term gate prunes the corpus
+    // BEFORE any vector math (the entire point of hybrid retrieval at
+    // scale), the query vectors broadcast, and top-k is a WindowGroupLimit
+    // per query. The keyword side reuses the documents table; doc_id and
+    // vec_id are 1:1.
+    "q_hybrid_search" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val hits = Tables.documents(s, d)
+        .filter($"text".contains("merge"))
+        .select($"doc_id")
+      val e = Tables.embeddings(s, d).select($"vec_id", quantized($"embedding").as("q"))
+      val cand = e.join(hits, e("vec_id") === hits("doc_id")).select($"vec_id", $"q")
+      val queriesDf = e.filter($"vec_id" < 3)
+        .select($"vec_id".as("query_id"), $"q".as("qq"))
+      val scored = cand.join(broadcast(queriesDf), $"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id", qdot($"q", $"qq").as("dot"))
+      val w = Window.partitionBy($"query_id").orderBy($"dot".desc, $"vec_id")
+      scored.withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 5)
+        .select($"query_id", $"rnk", $"vec_id", $"dot")
+        .orderBy($"query_id", $"rnk")
+    },
+
     // dataset card: the per-language "datasheet" rollup a corpus release
     // ships with — volume, token-length extremes, exact-duplicate
     // exposure (docs whose first-8-word key repeats corpus-wide, the
@@ -2307,6 +2359,33 @@ object Pipeline {
         |c AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY pair),
         |r AS (SELECT ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank, pair, n FROM c)
         |SELECT rank, pair, n FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q_vocab_coverage_curve" ->
+      """WITH w AS (SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  WHERE len(word) > 0 GROUP BY word),
+        |r AS (SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rnk FROM w)
+        |SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens,
+        |  COUNT(*) AS vocab_size,
+        |  CAST((SUM(freq) - SUM(CASE WHEN rnk <= 5 THEN freq ELSE 0 END)) * 1000 // SUM(freq) AS BIGINT) AS oov5_permille,
+        |  CAST((SUM(freq) - SUM(CASE WHEN rnk <= 10 THEN freq ELSE 0 END)) * 1000 // SUM(freq) AS BIGINT) AS oov10_permille,
+        |  CAST((SUM(freq) - SUM(CASE WHEN rnk <= 20 THEN freq ELSE 0 END)) * 1000 // SUM(freq) AS BIGINT) AS oov20_permille
+        |FROM r""".stripMargin,
+
+    "q_hybrid_search" ->
+      """WITH h AS (SELECT doc_id FROM documents WHERE text LIKE '%merge%'),
+        |e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c AS (SELECT e.vec_id, e.q FROM e JOIN h ON e.vec_id = h.doc_id),
+        |s AS (SELECT qv.vec_id AS query_id, c.vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> c.q[i] * qv.q[i])) AS BIGINT) AS dot
+        |  FROM c JOIN e qv ON qv.vec_id < 3 AND c.vec_id <> qv.vec_id),
+        |r AS (SELECT query_id, vec_id, dot,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rnk
+        |  FROM s)
+        |SELECT query_id, rnk, vec_id, dot FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
 
     "q_data_card" -> {
       val allStops = stopList(StopEn ++ StopDe ++ StopFr ++ StopEs)
