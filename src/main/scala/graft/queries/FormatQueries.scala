@@ -2638,6 +2638,118 @@ object FormatQueries {
           sum(when($"sa_strand" === "+", 1L).otherwise(0L)).as("n_fwd"),
           sum(when($"sa_strand" === "-", 1L).otherwise(0L)).as("n_rev"))
         .orderBy($"contig", $"sa_contig")
+    },
+
+    // BEDGRAPH COVERAGE (bedtools genomecov -bga): per-position depth over
+    // a fixed window (zeros included) COLLAPSED to maximal equal-depth
+    // runs — the run-length encoding every genome browser track uses. Run
+    // detection is the lag()+cumulative-sum pattern (RUNNING frames only);
+    // the rollup pins interval count, RLE checksum (Σ len·depth must equal
+    // the raw depth mass), and the longest run.
+    "q_bam_coverage_bedgraph" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/bedg.bam"
+      val reads = Tables.lineitem(s, d)
+        .filter($"l_partkey" % 5 === 0)
+        .select(
+          concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+          lit(0).cast("int").as("flags"),
+          concat(lit("chr"), ($"l_partkey" % 3).cast("string")).as("contig"),
+          ((($"l_partkey" * 13) % 5000) + 1).cast("int").as("start"),
+          lit(0).cast("int").as("end"),
+          lit(60).cast("int").as("mapq"),
+          lit("151M").as("cigar"),
+          lit(null).cast("string").as("mateContig"),
+          lit(0).cast("int").as("mateStart"),
+          lit(0).cast("int").as("tlen"),
+          lit("*").as("seq"),
+          lit("*").as("qual"),
+          map(lit("XO"), lit("i:1")).as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs).save(path)
+      val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+        .select($"contig", $"start", $"end")
+        .filter($"start" <= 1999 && $"end" >= 1000)
+      val depth = back
+        .select($"contig", explode(sequence(greatest($"start", lit(1000)),
+          least($"end", lit(1999)))).as("p"))
+        .groupBy($"contig", $"p").agg(count(lit(1)).as("dep"))
+      val spine = s.range(3).select(concat(lit("chr"), $"id").as("contig"))
+        .select($"contig", explode(sequence(lit(1000), lit(1999))).as("p"))
+      val full = spine.join(depth, Seq("contig", "p"), "left")
+        .select($"contig", $"p", coalesce($"dep", lit(0L)).as("dep"))
+      val wo = Window.partitionBy($"contig").orderBy($"p")
+      val wc = Window.partitionBy($"contig").orderBy($"p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      full
+        .withColumn("newrun",
+          when(lag($"dep", 1).over(wo).isNull ||
+            lag($"dep", 1).over(wo) =!= $"dep", 1L).otherwise(0L))
+        .withColumn("run", sum($"newrun").over(wc))
+        .groupBy($"contig", $"run")
+        .agg(count(lit(1)).as("len"), min($"dep").as("dep"))
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"len" * $"dep").as("depth_mass"),
+          max($"len").as("max_run"),
+          sum(when($"dep" === 0, $"len").otherwise(0L)).as("zero_bp"))
+        .orderBy($"contig")
+    },
+
+    // MULTI-CALLER CONSENSUS (ensemble variant calling — the bcbio/DREAM
+    // majority-vote shape): three independently WRITTEN callsets vote per
+    // site; the 2-of-3 majority genotype (ties broken by caller order
+    // never arising: 3 voters, diploid classes) and the disagreement
+    // census roll up from ONE site-keyed 3-way join of the round-tripped
+    // files.
+    "q_vcf_consensus" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types._
+      val base = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
+      val w = Window.partitionBy($"contig")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      val sites = Tables.lineitem(s, d)
+        .withColumn("contig", concat(lit("chr"), ($"l_orderkey" % 24).cast("string")))
+        .withColumn("pos", row_number().over(w))
+        .select($"contig", $"pos",
+          (($"l_orderkey" * 3 + $"l_linenumber") % 3).as("c1"),
+          (($"l_orderkey" * 5 + $"l_suppkey") % 3).as("c2"),
+          (($"l_orderkey" * 7 + $"l_linenumber" + $"l_suppkey") % 3).as("c3"))
+      def gtOf(c: org.apache.spark.sql.Column) =
+        when(c === 0, "0/0").when(c === 1, "0/1").otherwise("1/1")
+      def callset(code: org.apache.spark.sql.Column) = sites.select(
+        $"contig", $"pos".cast("int").as("start"), $"pos".cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"), array(lit("G")).as("alt"),
+        lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array(struct(lit("s1").as("sample"), gtOf(code).as("gt"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false))
+            .as("fields"))).as("genotypes"))
+      for ((c, i) <- Seq($"c1", $"c2", $"c3").zipWithIndex)
+        spread(callset(c)).write.format("vcf").mode("overwrite")
+          .save(s"$base/cons$i.vcf.bgz")
+      def back(i: Int, col: String) =
+        s.read.format("vcf").option("splitSize", 256 * 1024).load(s"$base/cons$i.vcf.bgz")
+          .select($"contig", $"start",
+            element_at($"genotypes", 1).getField("gt").as(col))
+      val joined = back(0, "g1")
+        .join(back(1, "g2"), Seq("contig", "start"))
+        .join(back(2, "g3"), Seq("contig", "start"))
+      joined
+        .withColumn("consensus",
+          when($"g1" === $"g2" || $"g1" === $"g3", $"g1")
+            .when($"g2" === $"g3", $"g2")
+            .otherwise("."))
+        .withColumn("n_agree",
+          when($"g1" === $"g2" && $"g2" === $"g3", 3L)
+            .when($"g1" === $"g2" || $"g1" === $"g3" || $"g2" === $"g3", 2L)
+            .otherwise(1L))
+        .groupBy($"consensus", $"n_agree")
+        .agg(count(lit(1)).as("n_sites"), sum($"start".cast("long")).as("sum_pos"))
+        .orderBy($"consensus", $"n_agree")
     }
   )
 
@@ -3469,6 +3581,58 @@ object FormatQueries {
         |SELECT contig, sa_contig, COUNT(*) AS n_segments,
         |  CAST(SUM(CASE WHEN strand = '+' THEN 1 ELSE 0 END) AS BIGINT) AS n_fwd,
         |  CAST(SUM(CASE WHEN strand = '-' THEN 1 ELSE 0 END) AS BIGINT) AS n_rev
-        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_bam_coverage_bedgraph" ->
+      """WITH reads AS (
+        |  SELECT 'chr' || CAST(l_partkey % 3 AS VARCHAR) AS contig,
+        |    (l_partkey * 13) % 5000 + 1 AS s,
+        |    (l_partkey * 13) % 5000 + 151 AS e
+        |  FROM lineitem WHERE l_partkey % 5 = 0),
+        |w AS (SELECT 'chr' || CAST(c AS VARCHAR) AS contig, pos
+        |  FROM (SELECT unnest(range(0, 3)) AS c) a,
+        |       (SELECT unnest(range(1000, 2000)) AS pos) b),
+        |d AS (SELECT w.contig, w.pos, COUNT(reads.s) AS dep
+        |  FROM w LEFT JOIN reads
+        |    ON reads.contig = w.contig AND reads.s <= w.pos AND reads.e >= w.pos
+        |  GROUP BY 1, 2),
+        |f AS (SELECT contig, pos, dep,
+        |    CASE WHEN LAG(dep) OVER (PARTITION BY contig ORDER BY pos) IS NULL
+        |      OR LAG(dep) OVER (PARTITION BY contig ORDER BY pos) <> dep
+        |      THEN 1 ELSE 0 END AS newrun
+        |  FROM d),
+        |g AS (SELECT contig, pos, dep,
+        |    SUM(newrun) OVER (PARTITION BY contig ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM f),
+        |runs AS (SELECT contig, run, COUNT(*) AS len, MIN(dep) AS dep
+        |  FROM g GROUP BY 1, 2)
+        |SELECT contig, COUNT(*) AS n_intervals,
+        |  CAST(SUM(len * dep) AS BIGINT) AS depth_mass,
+        |  CAST(MAX(len) AS BIGINT) AS max_run,
+        |  CAST(SUM(CASE WHEN dep = 0 THEN len ELSE 0 END) AS BIGINT) AS zero_bp
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vcf_consensus" ->
+      """WITH r AS (SELECT
+        |    'chr' || CAST(l_orderkey % 24 AS VARCHAR) AS contig,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey % 24
+        |      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS pos,
+        |    (l_orderkey * 3 + l_linenumber) % 3 AS c1,
+        |    (l_orderkey * 5 + l_suppkey) % 3 AS c2,
+        |    (l_orderkey * 7 + l_linenumber + l_suppkey) % 3 AS c3
+        |  FROM lineitem),
+        |g AS (SELECT pos,
+        |    CASE c1 WHEN 0 THEN '0/0' WHEN 1 THEN '0/1' ELSE '1/1' END AS g1,
+        |    CASE c2 WHEN 0 THEN '0/0' WHEN 1 THEN '0/1' ELSE '1/1' END AS g2,
+        |    CASE c3 WHEN 0 THEN '0/0' WHEN 1 THEN '0/1' ELSE '1/1' END AS g3
+        |  FROM r),
+        |v AS (SELECT pos,
+        |    CASE WHEN g1 = g2 OR g1 = g3 THEN g1
+        |      WHEN g2 = g3 THEN g2 ELSE '.' END AS consensus,
+        |    CASE WHEN g1 = g2 AND g2 = g3 THEN 3
+        |      WHEN g1 = g2 OR g1 = g3 OR g2 = g3 THEN 2 ELSE 1 END AS n_agree
+        |  FROM g)
+        |SELECT consensus, CAST(n_agree AS BIGINT) AS n_agree,
+        |  COUNT(*) AS n_sites, CAST(SUM(pos) AS BIGINT) AS sum_pos
+        |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
