@@ -2750,6 +2750,105 @@ object FormatQueries {
         .groupBy($"consensus", $"n_agree")
         .agg(count(lit(1)).as("n_sites"), sum($"start".cast("long")).as("sum_pos"))
         .orderBy($"consensus", $"n_agree")
+    },
+
+    // REGION ANNOTATION (VEP-lite / bedtools intersect -wa: classify every
+    // variant exonic / intronic / intergenic against a gene model): genes
+    // carry a periodic exon structure (300 bp exon every 800 bp), the
+    // variant×gene candidate pairs come from the 4 KiB binned equi-join
+    // (never variants×genes), the class is the max priority over a
+    // variant's overlapping genes, and intergenic falls out of an
+    // anti-join — no row ever fans out beyond its local gene density.
+    "q_vcf_region_annotate" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/regann.vcf.bgz"
+      val vars = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 24).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"), array(lit("G")).as("alt"),
+        lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false))
+          .as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val v = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+        .select($"contig", $"start".cast("long").as("pos"))
+      val genes = Tables.part(s, d).select(
+        concat(lit("chr"), ($"p_partkey" % 24).cast("string")).as("contig"),
+        (($"p_partkey" * 311) % 999000 + 1).cast("long").as("gstart"),
+        (lit(2000L) + ($"p_partkey" % 5) * 1000).as("glen"))
+        .withColumn("gend", $"gstart" + $"glen" - 1)
+        .distinct()
+      val vBins = v.withColumn("bin", expr("pos div 4096"))
+      val gBins = genes.withColumn("bin",
+        explode(expr("sequence(gstart div 4096, gend div 4096)")))
+      val ov = vBins.join(gBins, Seq("contig", "bin"))
+        .filter($"pos" >= $"gstart" && $"pos" <= $"gend")
+        .select($"contig", $"pos", (($"pos" - $"gstart") % 800 < 300).as("in_exon"))
+        .groupBy($"contig", $"pos")
+        .agg(max($"in_exon").as("exonic"))
+      val annotated = v.join(ov, Seq("contig", "pos"), "left")
+        .select($"contig",
+          when($"exonic".isNull, "intergenic")
+            .when($"exonic", "exonic").otherwise("intronic").as("klass"))
+      annotated.groupBy($"contig", $"klass")
+        .agg(count(lit(1)).as("n_sites"))
+        .orderBy($"contig", $"klass")
+    },
+
+    // CASE/CONTROL ASSOCIATION (plink --assoc allelic chi-square): the
+    // cohort splits samples 1–6 (cases) vs 7–12 (controls), each half's
+    // allele counts come from the SAME native census expression over an
+    // array SLICE (codegen end to end, no explode), sites aggregate to
+    // the tiny (case-alt, control-alt) pattern space FIRST, and the exact
+    // fixed-point chi-square is computed once per pattern.
+    "q_vcf_gwas_assoc" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/gwas.vcf.bgz"
+      // the ref-skewed multiplicative hash (see q_vcf_af_spectrum): any
+      // mod-3-linear derivation collapses the pattern space
+      def geno(j: Int) = {
+        val h = ($"gbase" * lit(17 * j + 1)) % 1000003 % 24
+        struct(
+          lit(f"s$j%02d").as("sample"),
+          when(h < 21, "0/0").when(h < 23, "0/1").otherwise("1/1").as("gt"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false))
+            .as("fields"))
+      }
+      val vars = Tables.lineitem(s, d)
+        .withColumn("gbase", $"l_orderkey" * 131 + $"l_partkey" * 37 +
+          $"l_suppkey" * 11 + $"l_linenumber" * 5)
+        .select(
+          concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+          ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+          ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+          lit(null).cast("string").as("id"),
+          lit("A").as("ref"), array(lit("G")).as("alt"),
+          lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+          array((1 to 12).map(geno): _*).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      graft.functions.GtCensusExpr.register(s)
+      back
+        .select(
+          expr("graft_gt_census(slice(genotypes, 1, 6))").as("cc"),
+          expr("graft_gt_census(slice(genotypes, 7, 6))").as("ct"))
+        .select((lit(2L) * $"cc".getItem(2) + $"cc".getItem(1)).as("a1"),
+          (lit(2L) * $"ct".getItem(2) + $"ct".getItem(1)).as("a2"))
+        .groupBy($"a1", $"a2")
+        .agg(count(lit(1)).as("n_sites"))
+        .withColumn("chi2_milli",
+          when($"a1" + $"a2" === 0 || $"a1" + $"a2" === 24, 0L)
+            .otherwise(expr(
+              "24 * (a1 * (12 - a2) - a2 * (12 - a1)) * (a1 * (12 - a2) - a2 * (12 - a1)) * 1000" +
+                " div (144 * (a1 + a2) * (24 - a1 - a2))")))
+        .select($"a1", $"a2", $"chi2_milli", $"n_sites")
+        .orderBy($"a1", $"a2")
     }
   )
 
@@ -3633,6 +3732,45 @@ object FormatQueries {
         |  FROM g)
         |SELECT consensus, CAST(n_agree AS BIGINT) AS n_agree,
         |  COUNT(*) AS n_sites, CAST(SUM(pos) AS BIGINT) AS sum_pos
-        |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_vcf_region_annotate" ->
+      """WITH v AS (SELECT 'chr' || CAST(l_orderkey % 24 AS VARCHAR) AS contig,
+        |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS pos FROM lineitem),
+        |g AS (SELECT DISTINCT 'chr' || CAST(p_partkey % 24 AS VARCHAR) AS contig,
+        |    CAST((p_partkey * 311) % 999000 + 1 AS BIGINT) AS gstart,
+        |    CAST(2000 + (p_partkey % 5) * 1000 AS BIGINT) AS glen
+        |  FROM part),
+        |g2 AS (SELECT contig, gstart, gstart + glen - 1 AS gend FROM g),
+        |ov AS (SELECT v.contig, v.pos,
+        |    MAX(CASE WHEN (v.pos - g2.gstart) % 800 < 300 THEN 1 ELSE 0 END) AS exonic
+        |  FROM v JOIN g2 ON v.contig = g2.contig
+        |    AND v.pos >= g2.gstart AND v.pos <= g2.gend
+        |  GROUP BY 1, 2),
+        |a AS (SELECT v.contig,
+        |    CASE WHEN ov.pos IS NULL THEN 'intergenic'
+        |      WHEN ov.exonic = 1 THEN 'exonic' ELSE 'intronic' END AS klass
+        |  FROM v LEFT JOIN ov ON v.contig = ov.contig AND v.pos = ov.pos)
+        |SELECT contig, klass, COUNT(*) AS n_sites
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_vcf_gwas_assoc" ->
+      """WITH r AS (SELECT ROW_NUMBER() OVER () AS rid,
+        |    l_orderkey*131 + l_partkey*37 + l_suppkey*11 + l_linenumber*5 AS gbase
+        |  FROM lineitem),
+        |g AS (SELECT rid, j,
+        |    CASE WHEN (gbase * (17*j + 1)) % 1000003 % 24 < 21 THEN 0
+        |      WHEN (gbase * (17*j + 1)) % 1000003 % 24 < 23 THEN 1
+        |      ELSE 2 END AS code
+        |  FROM r, (SELECT unnest(range(1, 13)) AS j) t),
+        |s AS (SELECT rid,
+        |    CAST(SUM(CASE WHEN j <= 6 THEN code ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(SUM(CASE WHEN j > 6 THEN code ELSE 0 END) AS BIGINT) AS a2
+        |  FROM g GROUP BY rid),
+        |p AS (SELECT a1, a2, COUNT(*) AS n_sites FROM s GROUP BY 1, 2)
+        |SELECT a1, a2,
+        |  CASE WHEN a1 + a2 = 0 OR a1 + a2 = 24 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(24 * (a1*(12-a2) - a2*(12-a1)) * (a1*(12-a2) - a2*(12-a1)) * 1000
+        |      // (144 * (a1 + a2) * (24 - a1 - a2)) AS BIGINT) END AS chi2_milli,
+        |  n_sites
+        |FROM p ORDER BY 1, 2""".stripMargin
   )
 }
