@@ -2849,6 +2849,45 @@ object FormatQueries {
                 " div (144 * (a1 + a2) * (24 - a1 - a2))")))
         .select($"a1", $"a2", $"chi2_milli", $"n_sites")
         .orderBy($"a1", $"a2")
+    },
+
+    // TEMPLATE-LENGTH MOMENTS (samtools stats "insert size average /
+    // standard deviation"): the signed TLEN field round-trips, and the
+    // per-contig mean and variance are EXACT fixed-point integers from one
+    // (n, Σt, Σt²) partial aggregate — the order-independent,
+    // any-parallelism form (Welford needs merge order; n·Σt²−(Σt)² does
+    // not). ANSI mode turns a Σ overflow into a loud error, never a wrap;
+    // operands are sized so sf10 stays in range.
+    "q_bam_tlen_stats" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/tlen.bam"
+      val mag = (($"l_partkey" * 7) % 300 + 100).cast("int")
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(1).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_partkey" % 24).cast("string")).as("contig"),
+        ((($"l_partkey" * 13) % 5000) + 1).cast("int").as("start"),
+        lit(0).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        lit("151M").as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        when($"l_linenumber" % 2 === 0, -mag).otherwise(mag).as("tlen"),
+        lit("*").as("seq"),
+        lit("*").as("qual"),
+        map(lit("XO"), lit("i:1")).as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("refs", Refs24).save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+        .select($"contig", $"tlen".cast("long").as("t"))
+        .filter($"t" > 0) // samtools convention: count each template once
+      back.groupBy($"contig")
+        .agg(count(lit(1)).as("n"), sum($"t").as("sum_t"),
+          sum($"t" * $"t").as("sumsq_t"))
+        .select($"contig", $"n",
+          expr("sum_t * 1000 div n").as("mean_milli"),
+          expr("(n * sumsq_t - sum_t * sum_t) * 1000 div (n * n)").as("var_milli"))
+        .orderBy($"contig")
     }
   )
 
@@ -3771,6 +3810,15 @@ object FormatQueries {
         |    ELSE CAST(24 * (a1*(12-a2) - a2*(12-a1)) * (a1*(12-a2) - a2*(12-a1)) * 1000
         |      // (144 * (a1 + a2) * (24 - a1 - a2)) AS BIGINT) END AS chi2_milli,
         |  n_sites
-        |FROM p ORDER BY 1, 2""".stripMargin
+        |FROM p ORDER BY 1, 2""".stripMargin,
+    "q_bam_tlen_stats" ->
+      """WITH r AS (SELECT 'chr' || CAST(l_partkey % 24 AS VARCHAR) AS contig,
+        |    CAST((l_partkey * 7) % 300 + 100 AS BIGINT) AS t
+        |  FROM lineitem WHERE l_linenumber % 2 = 1)
+        |SELECT contig, COUNT(*) AS n,
+        |  CAST(SUM(t) * 1000 // COUNT(*) AS BIGINT) AS mean_milli,
+        |  CAST((COUNT(*) * SUM(t * t) - SUM(t) * SUM(t)) * 1000
+        |    // (COUNT(*) * COUNT(*)) AS BIGINT) AS var_milli
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

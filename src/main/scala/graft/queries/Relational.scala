@@ -1247,6 +1247,29 @@ object Relational {
         .orderBy($"contig")
     },
 
+    // -- ACTIVITY STREAKS (gaps-and-islands): each user's longest run of
+    //    consecutive active DAYS — the engagement metric every product
+    //    dashboard carries. The dn − row_number() island key turns
+    //    consecutive days into one group with ZERO self-joins; windows
+    //    partition per user (scale out over users), and the output is the
+    //    bounded best-streak histogram.
+    "q_events_streaks" -> { (s, d) =>
+      import s.implicits._
+      val days = Tables.events(s, d)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+        .withColumn("dn", datediff($"day", lit("1970-01-01").cast("date")).cast("long"))
+      val w = Window.partitionBy($"user_id").orderBy($"dn")
+      days
+        .withColumn("grp", $"dn" - row_number().over(w))
+        .groupBy($"user_id", $"grp")
+        .agg(count(lit(1)).as("len"))
+        .groupBy($"user_id")
+        .agg(max($"len").as("best_streak"), count(lit(1)).as("n_streaks"))
+        .groupBy($"best_streak")
+        .agg(count(lit(1)).as("n_users"), sum($"n_streaks").as("sum_streaks"))
+        .orderBy($"best_streak")
+    },
+
     // -- EXACT weighted quantiles via the native histogram aggregate
     //    (graft_hist_quantile, a TypedImperativeAggregate): the buffer is
     //    a value→weight map, so map-side combine reduces each partition
@@ -2341,6 +2364,19 @@ object Relational {
         |  CAST(SUM(gs) AS BIGINT) AS sum_starts,
         |  CAST(MAX(ge - gs + 1) AS BIGINT) AS max_piece
         |FROM pieces GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_events_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |d AS (SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS dn FROM ud),
+        |g AS (SELECT user_id, dn,
+        |    dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn) AS grp FROM d),
+        |st AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2),
+        |b AS (SELECT user_id, MAX(len) AS best_streak, COUNT(*) AS n_streaks
+        |  FROM st GROUP BY 1)
+        |SELECT best_streak, COUNT(*) AS n_users,
+        |  CAST(SUM(n_streaks) AS BIGINT) AS sum_streaks
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_hist_quantiles" ->
       """WITH h AS (SELECT l_returnflag AS rf, CAST(ROUND(l_quantity*100) AS BIGINT) AS v,
