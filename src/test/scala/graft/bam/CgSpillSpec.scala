@@ -67,6 +67,36 @@ class CgSpillSpec extends AnyFunSuite with SparkFixture {
     assert(back.attributes("XO") == "i:1")
   }
 
+  test("fuzz: random CIGARs round-trip exactly on both sides of the spill threshold") {
+    val rnd = new scala.util.Random(42)
+    val opChars = "MIDNSX" // query/ref-consuming mix; no H/P to keep seq len simple
+    for (trial <- 0 until 20) {
+      val nOps = if (trial % 2 == 0) 1 + rnd.nextInt(200) else 65530 + rnd.nextInt(20)
+      val sb = new StringBuilder
+      var qlen = 0
+      var i = 0
+      while (i < nOps) {
+        val c = opChars.charAt(rnd.nextInt(opChars.length))
+        val len = 1 + rnd.nextInt(3)
+        sb.append(len).append(c)
+        if (c == 'M' || c == 'I' || c == 'S' || c == 'X') qlen += len
+        i += 1
+      }
+      val rec = AlignmentRecord(
+        readName = s"fz$trial", flags = 0, contig = "chr21", start = 1000,
+        end = 0, mapq = 60, cigar = sb.toString,
+        mateContig = null, mateStart = 0, tlen = 0,
+        seq = if (qlen == 0) "*" else "A" * qlen, qual = "*",
+        attributes = Map("XO" -> s"i:$trial"))
+      val bytes = BamCodec.encodeRecord(rec, TestReads.header)
+      val body = java.util.Arrays.copyOfRange(bytes, 4, bytes.length)
+      val back = BamCodec.decodeRecord(body, body.length, TestReads.header, BamFieldMask.All)
+      assert(back.cigar == rec.cigar, s"trial $trial (nOps=$nOps)")
+      assert(back.attributes("XO") == s"i:$trial")
+      assert(!back.attributes.contains("CG"))
+    }
+  }
+
   test("ultralong record survives the full sink + splittable-source path") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("cgspill").toString

@@ -1151,6 +1151,43 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("gtCensusSpectrum: restart from checkpoint neither drops nor double-counts sites") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-gtc").toString
+    val sites = (0 until 300).map { i =>
+      VcfSite(s"chr${i % 3}", i + 1,
+        (1 to 12).map { j =>
+          val code = (i * 5 + j * (i % 11) + j * j) % 3
+          VcfGt(f"s$j%02d", code match {
+            case 0 => "0/0"
+            case 1 => "0/1"
+            case _ => "1/1"
+          }, Map.empty)
+        })
+    }
+    val stream = MemoryStream[VcfSite]
+    def start() = Streaming.gtCensusSpectrum(stream.toDF())
+      .writeStream.format("memory").queryName("gtc_ckpt")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    val q1 = start()
+    stream.addData(sites.take(120)); q1.processAllAvailable()
+    q1.stop() // simulated driver loss between micro-batches
+    val q2 = start()
+    try {
+      stream.addData(sites.drop(120)); q2.processAllAvailable()
+      val got = spark.table("gtc_ckpt").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = Streaming.gtCensusSpectrum(spark.createDataset(sites).toDF())
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == want,
+        "post-restart spectrum diverges from batch truth — state or offsets lost/replayed")
+      assert(got.map(_._4).sum == 300L, "every site counted exactly once")
+    } finally q2.stop()
+  }
+
   test("baseqByCycle: streaming per-cycle census equals the batch twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
