@@ -82,15 +82,83 @@ object Bgzf {
 
   // ---- block compression ------------------------------------------------
 
-  /** Compress `len` bytes into one complete BGZF member. */
+  /** Compress `len` bytes into one complete BGZF member (one-shot; tests and
+    * cold paths). Hot write paths hold a [[BgzfBlockCompressor]] instead —
+    * `Deflater` construction is a JNI/native-buffer allocation, so doing it
+    * per 64 KiB block taxes every sink write.
+    */
   def compressBlock(data: Array[Byte], off: Int, len: Int, level: Int = Deflater.DEFAULT_COMPRESSION): Array[Byte] = {
-    require(len <= MaxUncompressedPayload, s"payload too large for one block: $len")
-    var cdata = deflate(data, off, len, level)
-    if (HeaderLength + cdata.length + FooterLength > MaxBlockSize) {
-      // incompressible: redo with stored-mode deflate (level 0), guaranteed to fit
-      cdata = deflate(data, off, len, Deflater.NO_COMPRESSION)
+    val c = new BgzfBlockCompressor(level)
+    try c.compress(data, off, len) finally c.end()
+  }
+
+  /** Inflate the CDATA of a block whose full bytes sit in `comp[off, off+blockLen)`.
+    * Returns the uncompressed length written into `out` (ISIZE-verified).
+    * One-shot; hot readers pass their own reusable `Inflater` to the overload.
+    */
+  def inflateBlock(comp: Array[Byte], off: Int, blockLen: Int, out: Array[Byte]): Int = {
+    val inf = new Inflater(true)
+    try inflateBlock(comp, off, blockLen, out, inf) finally inf.end()
+  }
+
+  /** Inflate with a caller-owned `Inflater` (reset here between blocks). */
+  def inflateBlock(comp: Array[Byte], off: Int, blockLen: Int, out: Array[Byte],
+                   inf: Inflater): Int = {
+    val xlen = u16le(comp, off + 10)
+    val cdataOff = off + 12 + xlen
+    val cdataLen = blockLen - (12 + xlen) - FooterLength
+    val isize = u32le(comp, off + blockLen - 4).toInt
+    require(isize >= 0 && isize <= out.length, s"ISIZE out of range: $isize")
+    inf.reset()
+    inf.setInput(comp, cdataOff, cdataLen)
+    var n = 0
+    while (!inf.finished() && n < isize) {
+      val got = inf.inflate(out, n, isize - n)
+      if (got == 0 && inf.needsInput()) throw new java.io.IOException("truncated BGZF block")
+      n += got
     }
-    val total = HeaderLength + cdata.length + FooterLength
+    require(n == isize, s"BGZF ISIZE mismatch: expected $isize, got $n")
+    n
+  }
+}
+
+/** Reusable per-writer BGZF block compressor: one `Deflater` (plus a lazily
+  * created stored-mode one for the incompressible fallback), one `CRC32`,
+  * and one scratch buffer, `reset()` between blocks. Not thread-safe — one
+  * instance per writer, exactly like the stream that owns it.
+  *
+  * `level` is a deflate level 0..9 or `Deflater.DEFAULT_COMPRESSION` (-1).
+  */
+final class BgzfBlockCompressor(level: Int) {
+  import Bgzf._
+  require(level == Deflater.DEFAULT_COMPRESSION || (level >= 0 && level <= 9),
+    s"compression level out of range: $level")
+  private val deflater = new Deflater(level, true)
+  private var storedDeflater: Deflater = null // lazily created; rarely needed
+  private val crc = new CRC32
+  private val cbuf = new Array[Byte](MaxBlockSize + 1024)
+  private var ended = false
+
+  private def deflateInto(d: Deflater, data: Array[Byte], off: Int, len: Int): Int = {
+    d.reset()
+    d.setInput(data, off, len)
+    d.finish()
+    var n = 0
+    while (!d.finished() && n < cbuf.length) n += d.deflate(cbuf, n, cbuf.length - n)
+    n
+  }
+
+  /** Compress `len` bytes into one complete BGZF member. */
+  def compress(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    require(!ended, "compressor already ended")
+    require(len <= MaxUncompressedPayload, s"payload too large for one block: $len")
+    var clen = deflateInto(deflater, data, off, len)
+    if (HeaderLength + clen + FooterLength > MaxBlockSize) {
+      // incompressible: redo with stored-mode deflate (level 0), guaranteed to fit
+      if (storedDeflater == null) storedDeflater = new Deflater(Deflater.NO_COMPRESSION, true)
+      clen = deflateInto(storedDeflater, data, off, len)
+    }
+    val total = HeaderLength + clen + FooterLength
     require(total <= MaxBlockSize, s"BGZF block overflow: $total")
     val out = new Array[Byte](total)
     out(0) = 0x1f.toByte; out(1) = 0x8b.toByte; out(2) = 8; out(3) = 4
@@ -100,11 +168,11 @@ object Bgzf {
     out(12) = 0x42; out(13) = 0x43; out(14) = 2; out(15) = 0
     val bsize = total - 1
     out(16) = (bsize & 0xff).toByte; out(17) = ((bsize >> 8) & 0xff).toByte
-    System.arraycopy(cdata, 0, out, HeaderLength, cdata.length)
-    val crc = new CRC32
+    System.arraycopy(cbuf, 0, out, HeaderLength, clen)
+    crc.reset()
     crc.update(data, off, len)
     val c = crc.getValue
-    var p = HeaderLength + cdata.length
+    var p = HeaderLength + clen
     out(p) = (c & 0xff).toByte; out(p + 1) = ((c >> 8) & 0xff).toByte
     out(p + 2) = ((c >> 16) & 0xff).toByte; out(p + 3) = ((c >> 24) & 0xff).toByte
     p += 4
@@ -113,38 +181,10 @@ object Bgzf {
     out
   }
 
-  private def deflate(data: Array[Byte], off: Int, len: Int, level: Int): Array[Byte] = {
-    val d = new Deflater(level, true)
-    try {
-      d.setInput(data, off, len)
-      d.finish()
-      val buf = new Array[Byte](MaxBlockSize + 1024)
-      var n = 0
-      while (!d.finished() && n < buf.length) n += d.deflate(buf, n, buf.length - n)
-      java.util.Arrays.copyOf(buf, n)
-    } finally d.end()
-  }
-
-  /** Inflate the CDATA of a block whose full bytes sit in `comp[off, off+blockLen)`.
-    * Returns the uncompressed length written into `out` (ISIZE-verified).
-    */
-  def inflateBlock(comp: Array[Byte], off: Int, blockLen: Int, out: Array[Byte]): Int = {
-    val xlen = u16le(comp, off + 10)
-    val cdataOff = off + 12 + xlen
-    val cdataLen = blockLen - (12 + xlen) - FooterLength
-    val isize = u32le(comp, off + blockLen - 4).toInt
-    require(isize >= 0 && isize <= out.length, s"ISIZE out of range: $isize")
-    val inf = new Inflater(true)
-    try {
-      inf.setInput(comp, cdataOff, cdataLen)
-      var n = 0
-      while (!inf.finished() && n < isize) {
-        val got = inf.inflate(out, n, isize - n)
-        if (got == 0 && inf.needsInput()) throw new java.io.IOException("truncated BGZF block")
-        n += got
-      }
-      require(n == isize, s"BGZF ISIZE mismatch: expected $isize, got $n")
-      n
-    } finally inf.end()
+  /** Release native deflater resources. Idempotent. */
+  def end(): Unit = if (!ended) {
+    ended = true
+    deflater.end()
+    if (storedDeflater != null) storedDeflater.end()
   }
 }

@@ -52,11 +52,15 @@ object SeekableInput {
   * Headerless part files for the single-file sink set `writeEof = false`
   * (terminator is a separate concat part — reference BamSink.java:62-65).
   */
-final class BgzfOutputStream(out: OutputStream, writeEof: Boolean = true) extends OutputStream {
+final class BgzfOutputStream(out: OutputStream, writeEof: Boolean = true,
+                             level: Int = java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    extends OutputStream {
   private val buf = new Array[Byte](Bgzf.MaxUncompressedPayload)
   private var bufLen = 0
   private var compressedWritten = 0L
   private var closed = false
+  // one reusable deflater pair per stream — never one per 64 KiB block
+  private val compressor = new BgzfBlockCompressor(level)
 
   /** Virtual offset of the next byte to be written (valid between writes). */
   def virtualOffset: Long = Bgzf.makeVirtualOffset(compressedWritten, bufLen)
@@ -77,7 +81,7 @@ final class BgzfOutputStream(out: OutputStream, writeEof: Boolean = true) extend
   }
 
   private def flushBlock(): Unit = if (bufLen > 0) {
-    val block = Bgzf.compressBlock(buf, 0, bufLen)
+    val block = compressor.compress(buf, 0, bufLen)
     out.write(block)
     compressedWritten += block.length
     bufLen = 0
@@ -87,8 +91,10 @@ final class BgzfOutputStream(out: OutputStream, writeEof: Boolean = true) extend
 
   override def close(): Unit = if (!closed) {
     closed = true
-    flushBlock()
-    if (writeEof) out.write(Bgzf.EofBlock)
+    try {
+      flushBlock()
+      if (writeEof) out.write(Bgzf.EofBlock)
+    } finally compressor.end()
     out.close()
   }
 }
@@ -101,6 +107,8 @@ final class BgzfOutputStream(out: OutputStream, writeEof: Boolean = true) extend
 final class BgzfInputStream(in: SeekableInput) extends InputStream {
   private val comp = new Array[Byte](Bgzf.MaxBlockSize)
   private val ucomp = new Array[Byte](Bgzf.MaxBlockSize)
+  // one reusable inflater per stream — never one per 64 KiB block
+  private val inflater = new java.util.zip.Inflater(true)
   private var ucompLen = 0
   private var intra = 0
   private var curBlockStart = 0L   // compressed offset of current block
@@ -145,7 +153,7 @@ final class BgzfInputStream(in: SeekableInput) extends InputStream {
       if (blockLen < 0) throw new java.io.IOException(s"not a BGZF block at offset $start")
       val rest = in.preadFully(start + Bgzf.HeaderLength, comp, Bgzf.HeaderLength, blockLen - Bgzf.HeaderLength)
       if (rest < blockLen - Bgzf.HeaderLength) throw new EOFException(s"truncated BGZF block at $start")
-      val n = Bgzf.inflateBlock(comp, 0, blockLen, ucomp)
+      val n = Bgzf.inflateBlock(comp, 0, blockLen, ucomp, inflater)
       curBlockStart = start
       nextBlockStart = start + blockLen
       intra = 0
@@ -187,5 +195,8 @@ final class BgzfInputStream(in: SeekableInput) extends InputStream {
     }
   }
 
-  override def close(): Unit = in.close()
+  override def close(): Unit = {
+    inflater.end()
+    in.close()
+  }
 }

@@ -46,6 +46,13 @@ object FormatQueries {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  // Construction writes below pass compressionLevel=1: the file is a
+  // pipeline-intermediate (written, read back, analyzed, discarded), and
+  // BGZF content is identical at every deflate level — only bytes differ.
+  // The explicit round-trip queries (q_{bam,sam,vcf,cram}_roundtrip*,
+  // q_bam_sort) keep the default level: there the writer itself is the
+  // measured operator.
+
   /** Deterministic reads derived from lineitem (schema = AlignmentRecord). */
   private def syntheticReads(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -180,7 +187,7 @@ object FormatQueries {
     "q_bam_unmapped_traversal" -> { (s, d) =>
       import s.implicits._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/unm.bam"
-      spread(syntheticReadsWithUnmapped(s, d)).write.format("bam").mode("overwrite")
+      spread(syntheticReadsWithUnmapped(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024)
         .option("intervals", "chr0:1-5000").option("unplacedUnmapped", "true")
@@ -196,7 +203,7 @@ object FormatQueries {
     "q_bam_coverage" -> { (s, d) =>
       import s.implicits._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/cov.bam"
-      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
+      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       // pruned scan: only contig/start/end decoded
       val reads = s.read.format("bam").option("splitSize", 1024 * 1024)
@@ -241,7 +248,7 @@ object FormatQueries {
         lit("*").as("qual"),
         map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
           .as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
         .select($"readName", $"contig", $"start", $"mapq",
@@ -294,7 +301,7 @@ object FormatQueries {
         lit("*").as("qual"),
         map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
           .as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
       def bit(b: Int): org.apache.spark.sql.Column =
@@ -339,7 +346,7 @@ object FormatQueries {
         lit("*").as("qual"),
         map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
           .as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024)
         .option("intervals", "chr0:1000-1299")
@@ -390,7 +397,7 @@ object FormatQueries {
         lit("*").as("qual"),
         map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
           .as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
       back
@@ -426,7 +433,7 @@ object FormatQueries {
         array(lit("PASS")).as("filters"),
         map(lit("DP"), $"l_suppkey".cast("string")).as("info"),
         array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false)).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       val a0 = element_at($"alt", 1)
       val isSnp = length($"ref") === 1 && length(a0) === 1
@@ -469,7 +476,7 @@ object FormatQueries {
       val base = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
       val bamPath = s"$base/anno.bam"
       val vcfPath = s"$base/anno.vcf.bgz"
-      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
+      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").save(bamPath)
       import org.apache.spark.sql.types._
       val vars = Tables.orders(s, d).filter($"o_orderkey" % 7 === 0).select(
@@ -484,7 +491,7 @@ object FormatQueries {
         map(lit("DP"), ($"o_orderkey" % 100).cast("string")).as("info"),
         array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false))
           .as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(vcfPath)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(vcfPath)
       val reads = s.read.format("bam").option("splitSize", 256 * 1024).load(bamPath)
         .select($"readName", $"contig", $"start".cast("long").as("rstart"),
           $"end".cast("long").as("rend"))
@@ -598,7 +605,7 @@ object FormatQueries {
     "q_bam_liftover" -> { (s, d) =>
       import s.implicits._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/lift.bam"
-      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
+      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       // chain: 20 of the 25 segments per contig lift (nation 23,24 and
       // region keys drop segments deterministically)
@@ -651,7 +658,7 @@ object FormatQueries {
         lit("*").as("qual"),
         map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
           .as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).save(path)
       s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .groupBy($"cigar")
@@ -673,7 +680,7 @@ object FormatQueries {
       val base = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
       val path = s"$base/lake_src.bam"
       val lake = s"$base/reads_lake"
-      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
+      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).save(path)
       s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .write.partitionBy("contig").mode("overwrite").parquet(lake)
@@ -712,8 +719,8 @@ object FormatQueries {
             map(lit("DP"), $"dp".cast("string")).as("fields"))).as("genotypes"))
       }
       val pa = s"$base/merge_a.vcf.bgz"; val pb = s"$base/merge_b.vcf.bgz"
-      spread(cohort(0, "sa")).write.format("vcf").mode("overwrite").save(pa)
-      spread(cohort(1, "sb")).write.format("vcf").mode("overwrite").save(pb)
+      spread(cohort(0, "sa")).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(pa)
+      spread(cohort(1, "sb")).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(pb)
       val a = s.read.format("vcf").option("splitSize", 256 * 1024).load(pa)
         .select($"contig", $"start", $"genotypes".as("ga"))
       val b = s.read.format("vcf").option("splitSize", 256 * 1024).load(pb)
@@ -761,7 +768,7 @@ object FormatQueries {
         array(lit("PASS")).as("filters"),
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array(geno(1), geno(2), geno(3)).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       back.select($"contig", explode($"genotypes").as("g"))
         .groupBy($"contig", $"g.sample".as("sample"))
@@ -808,7 +815,7 @@ object FormatQueries {
           lit("*").as("seq"),
           lit("*").as("qual"),
           map(lit("XO"), concat(lit("i:"), $"tag")).as("attributes"))
-      spread(paired).write.format("bam").mode("overwrite")
+      spread(paired).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
       back.select($"readName", $"contig", $"start".cast("long").as("start"))
@@ -832,7 +839,7 @@ object FormatQueries {
     "q_bam_subsample" -> { (s, d) =>
       import s.implicits._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/sub.bam"
-      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
+      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
         .filter(graft.functions.GraftFunctions.hash60(
@@ -843,7 +850,7 @@ object FormatQueries {
     // genomic interval predicate applied inside the scan (traversal params)
     "q_bam_intervals" -> { (s, d) =>
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/iv.bam"
-      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
+      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024)
         .option("intervals", "chr0:1-5000,chr1:2000-7000")
@@ -860,7 +867,7 @@ object FormatQueries {
       syntheticVariants(s, d)
         .repartitionByRange(8, $"contig", $"start")
         .sortWithinPartitions($"contig", $"start")
-        .write.format("vcf").mode("overwrite").option("writeTbi", "true").save(path)
+        .write.format("vcf").mode("overwrite").option("compressionLevel", "1").option("writeTbi", "true").save(path)
       val back = s.read.format("vcf").option("splitSize", 64 * 1024)
         .option("intervals", "chr0:1-5000,chr2:30000-40000")
         .load(path)
@@ -882,7 +889,7 @@ object FormatQueries {
       syntheticVariants(s, d)
         .repartitionByRange(8, $"contig", $"start")
         .sortWithinPartitions($"contig", $"start")
-        .write.format("vcf").mode("overwrite").option("writeIdx", "true").save(path)
+        .write.format("vcf").mode("overwrite").option("compressionLevel", "1").option("writeIdx", "true").save(path)
       val back = s.read.format("vcf").option("splitSize", 64 * 1024)
         .option("intervals", "chr0:1-5000,chr2:30000-40000")
         .load(path)
@@ -1082,7 +1089,7 @@ object FormatQueries {
       syntheticReads(s, d)
         .repartitionByRange(8, $"contig", $"start")
         .sortWithinPartitions($"contig", $"start")
-        .write.format("bam").mode("overwrite")
+        .write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeBai", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 64 * 1024)
         .option("intervals", "chr0:1-5000,chr1:2000-7000")
@@ -1119,7 +1126,7 @@ object FormatQueries {
         lit("*").as("qual"),
         map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
           .as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).save(path)
       s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .select($"seq", explode(sequence(lit(1), lit(25))).as("p"))
@@ -1151,7 +1158,7 @@ object FormatQueries {
           .as("seq"),
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).save(path)
       s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .select($"contig",
@@ -1194,7 +1201,7 @@ object FormatQueries {
           geno("mother", ($"l_orderkey" * 5 + $"l_linenumber" * 2) % 3),
           geno("child", ($"l_orderkey" * 11 + $"l_linenumber" * 3 + $"l_suppkey") % 3))
           .as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       def dose(i: Int) = {
         val gt = element_at($"genotypes", i).getField("gt")
@@ -1241,7 +1248,7 @@ object FormatQueries {
         lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array(geno(1), geno(2), geno(3)).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       back.select(explode($"genotypes").as("g"))
         .filter($"g.gt" === "0/1")
@@ -1283,7 +1290,7 @@ object FormatQueries {
         lit("*").as("seq"),
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).save(path)
       s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .select($"contig",
@@ -1326,7 +1333,7 @@ object FormatQueries {
         lit("*").as("seq"),
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
-      spread(reads24).write.format("bam").mode("overwrite")
+      spread(reads24).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs24).save(bamPath)
       import org.apache.spark.sql.types._
       val vars = Tables.orders(s, d).select(
@@ -1341,7 +1348,7 @@ object FormatQueries {
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false))
           .as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(vcfPath)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(vcfPath)
       val reads = s.read.format("bam").option("splitSize", 1024 * 1024).load(bamPath)
         .select($"contig", $"start".cast("long").as("pos"), lit(1).as("side"))
       val sites = s.read.format("vcf").option("splitSize", 256 * 1024).load(vcfPath)
@@ -1405,7 +1412,7 @@ object FormatQueries {
       reads
         .repartitionByRange(8, $"contig".asc_nulls_last, $"start")
         .sortWithinPartitions($"contig".asc_nulls_last, $"start")
-        .write.format("bam").mode("overwrite")
+        .write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeBai", "true").save(path)
       // O(index) driver-side read: header (names/lengths) + .bai pseudo-bins
       val conf = s.sessionState.newHadoopConf()
@@ -1463,7 +1470,7 @@ object FormatQueries {
           lit("*").as("seq"),
           lit("*").as("qual"),
           map(lit("XO"), lit("i:1")).as("attributes"))
-      spread(paired).write.format("bam").mode("overwrite")
+      spread(paired).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
       back
@@ -1510,7 +1517,7 @@ object FormatQueries {
           .as("seq"),
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).save(path)
       s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         // 25 k-mers (k=8, L=32) -> 21 windows of 5; winnowing emits a
@@ -1548,7 +1555,7 @@ object FormatQueries {
       val dir = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
       val fasta = writeRefFasta(dir)
       val path = s"$dir/ctx.vcf.bgz"
-      spread(syntheticVariants(s, d)).write.format("vcf").mode("overwrite").save(path)
+      spread(syntheticVariants(s, d)).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       val rows = back
         .select($"contig", $"start", element_at($"alt", 1).as("alt"))
@@ -1595,7 +1602,7 @@ object FormatQueries {
         lit("*").as("seq"),
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).save(path)
       val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .filter($"start" <= 1299 && $"end" >= 1000)
@@ -1657,7 +1664,7 @@ object FormatQueries {
         array(lit("PASS")).as("filters"),
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 12).map(geno): _*).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       graft.functions.GtCensusExpr.register(s)
       // aggregate FIRST to the tiny (a,b,c) pattern space, then compute
@@ -1713,7 +1720,7 @@ object FormatQueries {
           geno("mother", ($"l_orderkey" * 5 + $"l_linenumber" * 2) % 3),
           geno("child", ($"l_orderkey" * 11 + $"l_linenumber" * 3 + $"l_suppkey") % 3))
           .as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       def dose(i: Int) = {
         val gt = element_at($"genotypes", i).getField("gt")
@@ -1768,8 +1775,8 @@ object FormatQueries {
         array(struct(lit("s1").as("sample"), gtOf(code).as("gt"),
           map().cast(MapType(StringType, StringType, valueContainsNull = false))
             .as("fields"))).as("genotypes"))
-      spread(callset($"ca")).write.format("vcf").mode("overwrite").save(s"$base/concA.vcf.bgz")
-      spread(callset($"cb")).write.format("vcf").mode("overwrite").save(s"$base/concB.vcf.bgz")
+      spread(callset($"ca")).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(s"$base/concA.vcf.bgz")
+      spread(callset($"cb")).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(s"$base/concB.vcf.bgz")
       def back(p: String, col: String) =
         s.read.format("vcf").option("splitSize", 256 * 1024).load(p)
           .select($"contig", $"start",
@@ -1808,7 +1815,7 @@ object FormatQueries {
           concat(a1.cast("string"), lit("/"), a2.cast("string")).as("gt"),
           map().cast(MapType(StringType, StringType, valueContainsNull = false))
             .as("fields"))).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       val g = element_at($"genotypes", 1).getField("gt")
       val exploded = back.select(
@@ -1860,7 +1867,7 @@ object FormatQueries {
               .when(code === 2, "1/1").otherwise("0/1").as("gt"),
             map().cast(MapType(StringType, StringType, valueContainsNull = false))
               .as("fields"))).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       val isHet = (element_at($"genotypes", 1).getField("gt") === "0/1").cast("long")
       val runW = Window.partitionBy($"contig").orderBy($"start")
@@ -1914,7 +1921,7 @@ object FormatQueries {
         lit("*").as("seq"),
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
         .select($"readName", $"contig", $"start", $"end", $"cigar", $"mapq",
@@ -1968,7 +1975,7 @@ object FormatQueries {
         lit("*").as("seq"),
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
         .select($"contig", $"cigar",
@@ -2012,7 +2019,7 @@ object FormatQueries {
           .as("seq"),
         lit(QLadder).substr(($"l_partkey" % 40).cast("int") + 1, lit(36)).as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).save(path)
       val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .select($"qual")
@@ -2050,7 +2057,7 @@ object FormatQueries {
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false))
           .as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       back.select($"contig", $"ref", element_at($"alt", 1).as("alt"))
         .withColumn("is_ts",
@@ -2095,7 +2102,7 @@ object FormatQueries {
         lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 12).map(geno): _*).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       back.select(explode($"genotypes").as("g"))
         .select($"g.sample".as("sample"), $"g.gt".as("gt"))
@@ -2136,7 +2143,7 @@ object FormatQueries {
         lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 12).map(geno): _*).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       graft.functions.GtCensusExpr.register(s)
       val eRow = back
@@ -2193,7 +2200,7 @@ object FormatQueries {
         lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 12).map(geno): _*).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       graft.functions.GtCensusExpr.register(s)
       back
@@ -2246,7 +2253,7 @@ object FormatQueries {
         lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 12).map(geno): _*).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       graft.functions.GtCensusExpr.register(s)
       back
@@ -2289,7 +2296,7 @@ object FormatQueries {
         lit("*").as("seq"),
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
         .select($"contig", $"start", $"mateStart",
@@ -2336,7 +2343,7 @@ object FormatQueries {
           lit("XC"), when($"l_suppkey" % 2 === 0, "A:F").otherwise("A:R"))
           .as("attributes"))
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/rg.bam"
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
       back
@@ -2379,7 +2386,7 @@ object FormatQueries {
           .as("seq"),
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).save(path)
       val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .select($"contig", $"start", $"seq")
@@ -2438,7 +2445,7 @@ object FormatQueries {
           array(
             geno("s01", ($"l_orderkey" * 3 + $"l_linenumber" + $"l_partkey") % 4),
             geno("s02", ($"l_orderkey" * 7 + $"l_suppkey") % 4)).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       val g = back
         .select($"contig", $"start", size($"filters").as("nfilt"),
@@ -2481,7 +2488,7 @@ object FormatQueries {
           lit("*").as("seq"),
           lit("*").as("qual"),
           map(lit("XO"), lit("i:1")).as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).save(path)
       val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .select($"contig", $"start", $"end")
@@ -2543,7 +2550,7 @@ object FormatQueries {
           map(lit("DP"), $"l_suppkey".cast("string"), lit("DB"), lit("")))
           .otherwise(map(lit("DP"), $"l_suppkey".cast("string"))).as("info"),
         array((1 to 4).map(geno): _*).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       back
         .select($"info", explode($"genotypes").as("g"))
@@ -2570,7 +2577,7 @@ object FormatQueries {
       import s.implicits._
       import graft.functions.GraftFunctions.hash60
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/ds.bam"
-      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
+      spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).save(path)
       val target = 100L
       val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
@@ -2621,7 +2628,7 @@ object FormatQueries {
         lit("*").as("qual"),
         when($"l_orderkey" % 7 === 0, map(lit("SA"), sa, lit("XO"), lit("i:1")))
           .otherwise(map(lit("XO"), lit("i:1"))).as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
         .select($"contig", element_at($"attributes", "SA").as("sa"))
@@ -2666,7 +2673,7 @@ object FormatQueries {
           lit("*").as("seq"),
           lit("*").as("qual"),
           map(lit("XO"), lit("i:1")).as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).save(path)
       val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .select($"contig", $"start", $"end")
@@ -2729,7 +2736,7 @@ object FormatQueries {
           map().cast(MapType(StringType, StringType, valueContainsNull = false))
             .as("fields"))).as("genotypes"))
       for ((c, i) <- Seq($"c1", $"c2", $"c3").zipWithIndex)
-        spread(callset(c)).write.format("vcf").mode("overwrite")
+        spread(callset(c)).write.format("vcf").mode("overwrite").option("compressionLevel", "1")
           .save(s"$base/cons$i.vcf.bgz")
       def back(i: Int, col: String) =
         s.read.format("vcf").option("splitSize", 256 * 1024).load(s"$base/cons$i.vcf.bgz")
@@ -2773,7 +2780,7 @@ object FormatQueries {
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false))
           .as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val v = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
         .select($"contig", $"start".cast("long").as("pos"))
       val genes = Tables.part(s, d).select(
@@ -2831,7 +2838,7 @@ object FormatQueries {
           lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
           map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
           array((1 to 12).map(geno): _*).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       graft.functions.GtCensusExpr.register(s)
       back
@@ -2876,7 +2883,7 @@ object FormatQueries {
         lit("*").as("seq"),
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
-      spread(reads).write.format("bam").mode("overwrite")
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs24).save(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
         .select($"contig", $"tlen".cast("long").as("t"))

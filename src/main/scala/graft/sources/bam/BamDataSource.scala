@@ -673,7 +673,11 @@ class BamWrite(options0: Map[String, String], schema: StructType) extends Write 
         options.get("sbigranularity").map(_.toLong).getOrElse(SbiIndex.DefaultGranularity)
       else -1L
     val writeBai = options.get("writebai").exists(_.toBoolean) && singleFile
-    new BamBatchWrite(path, header, singleFile, schema, sbiGranularity, writeBai,
+    // deflate level 0..9 (htsjdk/samtools writer parity); -1 = zlib default
+    val level = options.get("compressionlevel").map(_.toInt)
+      .getOrElse(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    require(level == -1 || (level >= 0 && level <= 9), s"compressionLevel out of range: $level")
+    new BamBatchWrite(path, header, singleFile, schema, sbiGranularity, writeBai, level,
       new SerializableConf(SparkSession.active.sessionState.newHadoopConf()))
   }
 }
@@ -694,7 +698,7 @@ case class BamPartMessage(path: String, records: Long, compressedBytes: Long,
   */
 class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
                     schema: StructType, sbiGranularity: Long, writeBai: Boolean,
-                    conf: SerializableConf) extends BatchWrite {
+                    level: Int, conf: SerializableConf) extends BatchWrite {
 
   private val tempDir = path + ".parts"
 
@@ -709,14 +713,14 @@ class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
       fs.mkdirs(new Path(path))
     }
     new BamDataWriterFactory(if (singleFile) tempDir else path, header, singleFile, schema,
-      sbiGranularity, writeBai, conf)
+      sbiGranularity, writeBai, level, conf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = if (singleFile) {
     val fs = new Path(path).getFileSystem(conf.conf)
     // header part (BGZF, no terminator)
     val ho = fs.create(new Path(tempDir, "header"), true)
-    val hb = new graft.bgzf.BgzfOutputStream(ho, writeEof = false)
+    val hb = new graft.bgzf.BgzfOutputStream(ho, writeEof = false, level = level)
     BamCodec.writeHeader(hb, header)
     hb.close()
     val headerBytes = fs.getFileStatus(new Path(tempDir, "header")).getLen
@@ -806,21 +810,21 @@ class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
 
 class BamDataWriterFactory(dir: String, header: SamHeader, singleFile: Boolean,
                            schema: StructType, sbiGranularity: Long, writeBai: Boolean,
-                           conf: SerializableConf) extends DataWriterFactory {
+                           level: Int, conf: SerializableConf) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new BamDataWriter(dir, header, singleFile, schema, sbiGranularity, writeBai, conf, partitionId)
+    new BamDataWriter(dir, header, singleFile, schema, sbiGranularity, writeBai, level, conf, partitionId)
 }
 
 class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
                     schema: StructType, sbiGranularity: Long, writeBai: Boolean,
-                    conf: SerializableConf, partitionId: Int)
+                    level: Int, conf: SerializableConf, partitionId: Int)
     extends DataWriter[InternalRow] {
 
   private val name = if (singleFile) f"part-$partitionId%09d" else f"part-$partitionId%09d.bam"
   private val partPath = new Path(dir, name)
   private val fs = partPath.getFileSystem(conf.conf)
   private val raw = fs.create(partPath, true)
-  private val out = new graft.bgzf.BgzfOutputStream(raw, writeEof = !singleFile)
+  private val out = new graft.bgzf.BgzfOutputStream(raw, writeEof = !singleFile, level = level)
   private var count = 0L
   private val idx = RowToRecord.indices(schema)
   // SBI voffs + genomic coordinates of sampled records + sortedness check

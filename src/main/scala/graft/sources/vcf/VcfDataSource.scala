@@ -375,8 +375,12 @@ class VcfWrite(options: Map[String, String], schema: StructType) extends Write {
     val shardSuffix = options.getOrElse("shardsuffix", ".vcf")
     require(Seq(".vcf", ".vcf.gz", ".vcf.bgz").contains(shardSuffix),
       s"unsupported shardSuffix $shardSuffix")
+    // deflate level 0..9 for BGZF output (htsjdk writer parity); -1 = zlib default
+    val level = options.get("compressionlevel").map(_.toInt)
+      .getOrElse(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    require(level == -1 || (level >= 0 && level <= 9), s"compressionLevel out of range: $level")
     new VcfBatchWrite(path, options.get("vcfheader"), single, bgzf, writeTbi, writeIdx, shardSuffix,
-      schema, new SerializableConf(SparkSession.active.sessionState.newHadoopConf()))
+      level, schema, new SerializableConf(SparkSession.active.sessionState.newHadoopConf()))
   }
 }
 
@@ -386,7 +390,7 @@ class VcfWrite(options: Map[String, String], schema: StructType) extends Write {
   */
 class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean,
                     bgzf: Boolean, writeTbi: Boolean, writeIdx: Boolean, shardSuffix: String,
-                    schema: StructType, conf: SerializableConf) extends BatchWrite {
+                    level: Int, schema: StructType, conf: SerializableConf) extends BatchWrite {
   private val tempDir = path + ".parts"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -401,8 +405,8 @@ class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean
     }
     val dir = if (singleFile) tempDir else path
     val ho = headerOpt; val sf = singleFile; val bz = bgzf; val c = conf; val sch = schema
-    val tb = writeTbi; val ti = writeIdx; val ss = shardSuffix
-    (partitionId: Int, _: Long) => new VcfDataWriter(dir, ho, sf, bz, tb, ti, ss, sch, c, partitionId)
+    val tb = writeTbi; val ti = writeIdx; val ss = shardSuffix; val lv = level
+    (partitionId: Int, _: Long) => new VcfDataWriter(dir, ho, sf, bz, tb, ti, ss, lv, sch, c, partitionId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = if (singleFile) {
@@ -413,7 +417,7 @@ class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean
     val headerText = headerOpt.getOrElse(VcfHeader(Seq("##fileformat=VCFv4.2"), samples).headerText)
     val ho = fs.create(new Path(tempDir, "header"), true)
     if (bgzf) {
-      val b = new graft.bgzf.BgzfOutputStream(ho, writeEof = false)
+      val b = new graft.bgzf.BgzfOutputStream(ho, writeEof = false, level = level)
       b.write(headerText.getBytes("UTF-8")); b.close()
     } else { ho.write(headerText.getBytes("UTF-8")); ho.close() }
     if (bgzf) {
@@ -483,8 +487,8 @@ private[vcf] final class CountingOutputStream(under: java.io.OutputStream)
 }
 
 class VcfDataWriter(dir: String, headerOpt: Option[String], singleFile: Boolean, bgzf: Boolean,
-                    writeTbi: Boolean, writeIdx: Boolean, shardSuffix: String, schema: StructType,
-                    conf: SerializableConf, partitionId: Int)
+                    writeTbi: Boolean, writeIdx: Boolean, shardSuffix: String, level: Int,
+                    schema: StructType, conf: SerializableConf, partitionId: Int)
     extends DataWriter[InternalRow] {
   private val name = if (singleFile) f"part-$partitionId%09d" else f"part-$partitionId%09d$shardSuffix"
   private val partPath = new Path(dir, name)
@@ -492,8 +496,8 @@ class VcfDataWriter(dir: String, headerOpt: Option[String], singleFile: Boolean,
   private val raw = fs.create(partPath, true)
   private val shardBgzf = !singleFile && (shardSuffix.endsWith(".gz") || shardSuffix.endsWith(".bgz"))
   private val bgzfOut: graft.bgzf.BgzfOutputStream =
-    if (singleFile && bgzf) new graft.bgzf.BgzfOutputStream(raw, writeEof = false)
-    else if (shardBgzf) new graft.bgzf.BgzfOutputStream(raw, writeEof = true) // complete standalone file
+    if (singleFile && bgzf) new graft.bgzf.BgzfOutputStream(raw, writeEof = false, level = level)
+    else if (shardBgzf) new graft.bgzf.BgzfOutputStream(raw, writeEof = true, level = level) // complete standalone file
     else null
   private val counting: CountingOutputStream =
     if (bgzfOut == null) new CountingOutputStream(new java.io.BufferedOutputStream(raw, 1 << 16))

@@ -102,6 +102,42 @@ class BgzfSpec extends AnyFunSuite {
     }
   }
 
+  test("compression levels 1..9 all round-trip; low levels are larger but valid") {
+    val data = Array.tabulate[Byte](300000)(i => ((i * 31 + i / 7) % 97).toByte)
+    val sizes = for (level <- Seq(1, 5, 9)) yield {
+      val bos = new ByteArrayOutputStream()
+      val out = new BgzfOutputStream(bos, writeEof = true, level = level)
+      out.write(data); out.close()
+      val file = bos.toByteArray
+      assert(decompressAll(file).sameElements(data), s"level $level")
+      file.length
+    }
+    assert(sizes.head >= sizes.last, s"level 1 should not out-compress level 9: $sizes")
+  }
+
+  test("one compressor instance survives mixed compressible/stored blocks (deflater reuse)") {
+    // alternate highly-compressible and random payloads through ONE stream so
+    // the reused deflater crosses the stored-mode fallback repeatedly
+    val bos = new ByteArrayOutputStream()
+    val out = new BgzfOutputStream(bos)
+    val expect = new ByteArrayOutputStream()
+    for (i <- 0 until 8) {
+      val chunk = new Array[Byte](Bgzf.MaxUncompressedPayload)
+      if (i % 2 == 0) java.util.Arrays.fill(chunk, 'A'.toByte) else rng.nextBytes(chunk)
+      out.write(chunk); expect.write(chunk)
+    }
+    out.close()
+    assert(decompressAll(bos.toByteArray).sameElements(expect.toByteArray))
+  }
+
+  test("BgzfBlockCompressor rejects out-of-range levels and use-after-end") {
+    intercept[IllegalArgumentException](new BgzfBlockCompressor(10))
+    intercept[IllegalArgumentException](new BgzfBlockCompressor(-2))
+    val c = new BgzfBlockCompressor(1)
+    c.end(); c.end() // idempotent
+    intercept[IllegalArgumentException](c.compress(new Array[Byte](10), 0, 10))
+  }
+
   test("empty blocks mid-stream are skipped (concat of parts)") {
     val a = compress(Array.tabulate[Byte](100)(_.toByte), eof = true) // EOF block mid-file
     val b = compress(Array.tabulate[Byte](100)(i => (i + 100).toByte), eof = true)
