@@ -543,6 +543,9 @@ object FormatQueries {
             .otherwise(0L))
         .agg(count(lit(1)).as("n_records"), sum($"start").as("sum_start"),
           sum($"inv").as("inv_within"))
+      // unpartitioned by design: input is the PER-TASK boundary rollup —
+      // one row per read partition (#partitions, not #records), constant
+      // at any data scale (PlanHygieneSpec allowlist: q_bam_sort)
       val wp = Window.orderBy($"pid")
       val bound = b.groupBy($"pid")
         .agg(min_by(struct($"contig", $"start"), $"mid").as("first"),

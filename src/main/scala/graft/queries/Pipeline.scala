@@ -829,6 +829,9 @@ object Pipeline {
           explode(expr("sequence(1, length(word) - 1)")).as("i"))
         .select(expr("substring(word, i, 2)").as("pair"), $"freq")
         .groupBy($"pair").agg(sum($"freq").as("n"))
+      // unpartitioned by design: input is the adjacent-pair census —
+      // ≤ alphabet² rows, corpus-size-independent (PlanHygieneSpec
+      // allowlist: q_bpe_merge)
       val w = Window.orderBy($"n".desc, $"pair")
       pairs.withColumn("rank", row_number().over(w).cast("long"))
         .filter($"rank" <= 20)
@@ -844,19 +847,29 @@ object Pipeline {
     // conditional aggregate over it.
     "q_vocab_coverage_curve" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val counts = Tables.documents(s, d)
         .select(explode(split($"text", " ")).as("word"))
         .filter(length($"word") > 0)
         .groupBy($"word").agg(count(lit(1)).as("freq"))
-      val w = Window.orderBy($"freq".desc, $"word")
-      counts.withColumn("rnk", row_number().over(w))
-        .agg(
-          sum($"freq").as("total_tokens"),
-          count(lit(1)).as("vocab_size"),
-          sum(when($"rnk" <= 5, $"freq").otherwise(0L)).as("cov5"),
-          sum(when($"rnk" <= 10, $"freq").otherwise(0L)).as("cov10"),
-          sum(when($"rnk" <= 20, $"freq").otherwise(0L)).as("cov20"))
+      // Only ranks <= 20 matter, so NEVER rank the whole vocabulary in one
+      // unpartitioned window (the vocab grows with corpus content — 10^8
+      // distinct tokens at 100 TB would sort in a single task). Instead:
+      // orderBy().limit(20) plans TakeOrderedAndProject (parallel partial
+      // top-k per partition, 20-row merge on the driver side of the
+      // exchange), and the rank-k coverage sums come from a sorted
+      // 20-element array — constant-size at any corpus scale.
+      val top = counts.orderBy($"freq".desc, $"word").limit(20)
+        .agg(array_sort(collect_list(struct(
+          (-$"freq").as("negf"), $"word".as("word"), $"freq".as("freq")))).as("arr"))
+        .select(
+          expr("aggregate(slice(arr, 1, 5), 0L, (a, x) -> a + x.freq)").as("cov5"),
+          expr("aggregate(slice(arr, 1, 10), 0L, (a, x) -> a + x.freq)").as("cov10"),
+          expr("aggregate(arr, 0L, (a, x) -> a + x.freq)").as("cov20"))
+      val totals = counts.agg(
+        sum($"freq").as("total_tokens"), count(lit(1)).as("vocab_size"))
+      // both sides are single-row aggregates — the join is a broadcast of
+      // one row, not a data-sized cartesian
+      totals.crossJoin(top)
         .select($"total_tokens", $"vocab_size",
           expr("(total_tokens - cov5) * 1000 div total_tokens").as("oov5_permille"),
           expr("(total_tokens - cov10) * 1000 div total_tokens").as("oov10_permille"),

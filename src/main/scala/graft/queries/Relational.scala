@@ -941,6 +941,8 @@ object Relational {
       val daily = Tables.orders(s, d)
         .groupBy(datediff(to_date($"o_orderdate"), lit("1970-01-01")).as("dayno"))
         .agg(count(lit(1)).as("n_orders"), sum(cents($"o_totalprice")).as("day_c"))
+      // unpartitioned by design: input is one row per calendar day
+      // (PlanHygieneSpec allowlist: q_daily_moving_revenue)
       val w = Window.orderBy($"dayno").rangeBetween(-6, 0)
       daily
         .withColumn("ma7_c", sum($"day_c").over(w))
@@ -1538,6 +1540,9 @@ object Relational {
         .groupBy($"l_suppkey")
         .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_rev_c"))
       val top = rev
+        // unpartitioned by design: input is the per-supplier aggregate —
+        // supplier-dimension-sized, never the corpus (PlanHygieneSpec
+        // allowlist: q_top_supplier)
         .withColumn("mx", max($"total_rev_c").over(
           Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .filter($"total_rev_c" === $"mx")
