@@ -115,6 +115,10 @@ object BamCodec {
     val readName = new String(nameBytes, 0, lReadName - 1, "UTF-8")
     var cigarStr: String = null
     var refLen = 0
+    // CG-spill sentinel (kSmN, ops S then N) detected from the RAW ops so an
+    // attrs-only projection (cigar pruned) still strips the internal CG tag —
+    // the attribute set must not depend on which other columns were requested
+    var rawSentinel = false
     if (mask.cigarAndEnd) {
       val cigarSb = new StringBuilder
       var i = 0
@@ -126,10 +130,20 @@ object BamCodec {
         val c = CigarOps.charAt(op)
         cigarSb.append(opLen).append(c)
         if (c == 'M' || c == 'D' || c == 'N' || c == '=' || c == 'X') refLen += opLen
+        if (nCigarOp == 2) {
+          if (i == 0) rawSentinel = op == 4 /* S */
+          else rawSentinel &&= op == 3 /* N */
+        }
         i += 1
       }
       cigarStr = cigarSb.toString
-    } else bb.position(bb.position() + 4 * nCigarOp)
+    } else {
+      if (nCigarOp == 2) {
+        val p = bb.position()
+        rawSentinel = (bb.getInt(p) & 0xf) == 4 && (bb.getInt(p + 4) & 0xf) == 3
+      }
+      bb.position(bb.position() + 4 * nCigarOp)
+    }
     var seqStr: String = null
     if (mask.seq) {
       val seqSb = new StringBuilder(lSeq)
@@ -152,30 +166,32 @@ object BamCodec {
         else { val sb = new StringBuilder(lSeq); qualBytes.foreach(q => sb.append((33 + (q & 0xff)).toChar)); sb.toString }
     } else bb.position(bb.position() + lSeq)
     // CG-spilled ultralong CIGAR: a 2-op kSmN sentinel with a CG:B,I tag
-    // carries the real ops (SAMv1 §4.2.2). Reconstitute even under column
+    // carries the real ops (SAMv1 §4.2.2). Reconstitute under column
     // pruning — when the scan wants the cigar but not the attributes, the
-    // tag bytes are decoded just for this rare record shape.
-    val mightBeSpilled = mask.cigarAndEnd && nCigarOp == 2 &&
-      cigarStr != null && isSentinelCigar(cigarStr)
-    val attrs0 = if (mask.attrs || mightBeSpilled) decodeTags(bb) else null
+    // tag bytes are decoded just for this rare record shape; when it wants
+    // attributes but not the cigar, the internal CG tag is still stripped.
+    val mightBeSpilled = rawSentinel
+    val attrs0 = if (mask.attrs || (mightBeSpilled && mask.cigarAndEnd)) decodeTags(bb) else null
     var finalCigar = cigarStr
     var finalRefLen = refLen
     var attrs = if (mask.attrs) attrs0 else null
     if (mightBeSpilled && attrs0 != null) attrs0.get("CG") match {
       case Some(cg) if cg.startsWith("B:I,") =>
-        val sb = new StringBuilder
-        var rl = 0
-        cg.substring(4).split(',').foreach { s =>
-          val v = s.toLong
-          val opLen = (v >>> 4).toInt
-          val op = (v & 0xf).toInt
-          if (op > 8) throw new IOException(s"bad CG cigar op $op")
-          val c = CigarOps.charAt(op)
-          sb.append(opLen).append(c)
-          if (c == 'M' || c == 'D' || c == 'N' || c == '=' || c == 'X') rl += opLen
+        if (mask.cigarAndEnd) {
+          val sb = new StringBuilder
+          var rl = 0
+          cg.substring(4).split(',').foreach { s =>
+            val v = s.toLong
+            val opLen = (v >>> 4).toInt
+            val op = (v & 0xf).toInt
+            if (op > 8) throw new IOException(s"bad CG cigar op $op")
+            val c = CigarOps.charAt(op)
+            sb.append(opLen).append(c)
+            if (c == 'M' || c == 'D' || c == 'N' || c == '=' || c == 'X') rl += opLen
+          }
+          finalCigar = sb.toString
+          finalRefLen = rl
         }
-        finalCigar = sb.toString
-        finalRefLen = rl
         if (attrs != null) attrs = attrs - "CG"
       case _ => // a genuine 2-op kSmN alignment without CG stays as-is
     }
@@ -196,13 +212,6 @@ object BamCodec {
       attributes = attrs)
   }
 
-  /** "<digits>S<digits>N" — the CG-spill sentinel shape. */
-  private def isSentinelCigar(s: String): Boolean = {
-    val sPos = s.indexOf('S')
-    sPos > 0 && sPos < s.length - 1 && s.charAt(s.length - 1) == 'N' &&
-      s.substring(0, sPos).forall(_.isDigit) &&
-      s.substring(sPos + 1, s.length - 1).forall(_.isDigit)
-  }
 
   private def decodeTags(bb: ByteBuffer): Map[String, String] = {
     val m = Map.newBuilder[String, String]

@@ -146,6 +146,13 @@ object BamScanBuilder {
 
   /** Exact record count of every input file from its indexes, or None if
     * ANY file lacks one — O(files) tiny index reads, zero data I/O.
+    *
+    * Staleness guard: an index answering a query the data never sees must
+    * PROVE it describes this exact file, or the scan falls back to reading.
+    * The `.sbi` carries the BAM's byte length for precisely this check
+    * (compared against the live file status); a `.bai` carries no length,
+    * so we require its mtime to be >= the BAM's (a BAM rewritten in place
+    * after indexing is newer than its index → rejected).
     */
   private[bam] def indexCount(options: Map[String, String]): Option[Long] =
     try {
@@ -156,14 +163,18 @@ object BamScanBuilder {
       var total = 0L
       files.foreach { f =>
         val fs = f.getFileSystem(conf)
+        val bamStatus = fs.getFileStatus(f)
         val sbiP = new Path(f.toString + ".sbi")
         val baiP = new Path(f.toString + ".bai")
         val c: Option[Long] =
           if (fs.exists(sbiP)) {
             val in = HadoopIO.open(sbiP, conf)
-            try scala.util.Try(SbiIndex.read(in).totalRecords).toOption.filter(_ >= 0)
+            try scala.util.Try(SbiIndex.read(in)).toOption
+              .filter(_.fileLength == bamStatus.getLen) // stale-index guard
+              .map(_.totalRecords).filter(_ >= 0)
             finally in.close()
-          } else if (fs.exists(baiP)) {
+          } else if (fs.exists(baiP) &&
+                     fs.getFileStatus(baiP).getModificationTime >= bamStatus.getModificationTime) {
             val in = HadoopIO.open(baiP, conf)
             try scala.util.Try(BaiIndex.read(in)).toOption.flatMap(_.exactRecordCount)
             finally in.close()
@@ -174,7 +185,12 @@ object BamScanBuilder {
         }
       }
       Some(total)
-    } catch { case _: Throwable => None }
+    } catch {
+      // planning probe: missing/corrupt sidecars mean "no pushdown", but
+      // fatal VM errors must propagate
+      case _: java.io.IOException => None
+      case scala.util.control.NonFatal(_) => None
+    }
 }
 
 /** COUNT(*) answered from the indexes at planning time: one partition, one
@@ -259,20 +275,37 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
         val nSplits = math.max(1L, (size + splitSize - 1) / splitSize)
         val fs = file.getFileSystem(conf)
         val hostsOf = HadoopIO.blockHostsFor(fs, file, size)
+        val dataMtime = fs.getFileStatus(file).getModificationTime
+        // a .bai has no recorded file length, so its freshness proof is the
+        // mtime: an index older than its data file (in-place rewrite) is
+        // stale and must not steer seeks or pruning
+        def baiFresh(p: Path): Boolean =
+          fs.exists(p) && fs.getFileStatus(p).getModificationTime >= dataMtime
         val sbiPath = new Path(file.toString + ".sbi")
-        val parts: Seq[BamInputPartition] = if (limitHint >= 0 && intervals.isEmpty) {
+        val limitFastPath = limitHint >= 0 && intervals.isEmpty
+        // Stale-index guard: an .sbi whose recorded fileLength differs from
+        // the live file (BAM rewritten in place without re-indexing) is
+        // ignored entirely — its record offsets would misalign every split
+        // and silently corrupt the scan. Corrupt sidecars fall back the
+        // same way (the heuristic path stays exact, just slower).
+        val sbiOpt: Option[SbiIndex] =
+          if (!limitFastPath && fs.exists(sbiPath)) {
+            val sbiIn = HadoopIO.open(sbiPath, conf)
+            (try scala.util.Try(SbiIndex.read(sbiIn)).toOption finally sbiIn.close())
+              .filter(_.fileLength == size)
+          } else None
+        val parts: Seq[BamInputPartition] = if (limitFastPath) {
           // limit fast path (no interval traversal): ONE whole-file
           // partition, zero sidecar/index I/O, no derive job — the reader
           // stops after `limitHint` emitted records, so `.limit(5)` on a
           // lake costs one partition and a few BGZF blocks per file
           Seq(BamInputPartition(file.toString, 0L, size, header, headerEnd,
             None, unplacedUnmapped, -1L, -1L, pairAware, stringency))
-        } else if (fs.exists(sbiPath)) {
+        } else if (sbiOpt.isDefined) {
           // SBI path: split edges snap to indexed record offsets via binary
           // search — no heuristic boundary scan in the readers (intended
           // reference semantics, BamSource.java:74-92)
-          val sbiIn = HadoopIO.open(sbiPath, conf)
-          val sbi = try SbiIndex.read(sbiIn) finally sbiIn.close()
+          val sbi = sbiOpt.get
           val bounds = (0L to nSplits).map { i =>
             if (i == nSplits) sbi.offsets.last else sbi.boundaryAtOrAfter(i * splitSize)
           }
@@ -291,7 +324,7 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
           // external index instead (compressed-range intersection with the
           // merged interval spans; unmapped tail lives past the last span)
           val baiRanges: Option[(Seq[(Long, Long)], Long)] =
-            if (gci.isEmpty && intervals.isDefined && fs.exists(new Path(file.toString + ".bai"))) {
+            if (gci.isEmpty && intervals.isDefined && baiFresh(new Path(file.toString + ".bai"))) {
               val bin = HadoopIO.open(new Path(file.toString + ".bai"), conf)
               val bai = try scala.util.Try(graft.index.BaiIndex.read(bin)).toOption
                 finally bin.close()
@@ -357,7 +390,7 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
           // are dropped record-level, so pruning never changes results.
           val baiPath = new Path(file.toString + ".bai")
           val baiRanges: Option[Seq[(Long, Long)]] =
-            if (intervals.isDefined && fs.exists(baiPath)) {
+            if (intervals.isDefined && baiFresh(baiPath)) {
               val bin = HadoopIO.open(baiPath, conf)
               val bai = try scala.util.Try(graft.index.BaiIndex.read(bin)).toOption
                 finally bin.close()
@@ -621,7 +654,13 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
           slog.skipSilently() // framing was sane: next record follows
         case e: Exception if p.stringency eq Stringency.Lenient =>
           // a failure confined to the optional-tag region is recoverable:
-          // the record re-decodes cleanly without the attribute map
+          // the record re-decodes cleanly without the attribute map.
+          // CG-spilled records (kSmN sentinel cigar) are NOT salvageable
+          // when the cigar is projected: the authoritative ops live in the
+          // broken tag region, so the re-decode's reconstitution attempt
+          // throws too and the record is skipped, never emitted with the
+          // sentinel as its cigar (the codec decodes tags whenever the raw
+          // ops show the sentinel shape and the cigar is requested)
           val salvagedRec =
             if (mask.attrs)
               try BamCodec.decodeRecord(rec, blockSize, p.header, mask.copy(attrs = false))
@@ -731,29 +770,6 @@ class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
     val allParts = messages.collect { case m: BamPartMessage => m }.sortBy(_.path)
     // bytes preceding each part after concat (header + earlier parts)
     val shifts = { var b = headerBytes; allParts.map { m => val s = b; b += m.compressedBytes; s } }
-    // BAI co-write: merge per-part contributions, rebased by their shifts.
-    // Only meaningful for coordinate-sorted output — each writer tracked
-    // record order, the boundary check below completes the proof.
-    if (writeBai) {
-      var sorted = allParts.forall(_.partSorted)
-      var prevRef = Int.MinValue; var prevPos = Int.MinValue
-      allParts.foreach { m =>
-        if (m.records > 0) {
-          val fr = GciIndex.orderRef(m.firstRef)
-          if (fr < prevRef || (fr == prevRef && m.firstPos < prevPos)) sorted = false
-          prevRef = GciIndex.orderRef(m.lastRef); prevPos = m.lastPos
-        }
-      }
-      if (sorted) {
-        val idx = graft.index.BaiPartData.merge(
-          allParts.map(_.bai).toSeq, shifts.toSeq, header.refs.length)
-        val bo = fs.create(new Path(path + ".bai"), true)
-        graft.index.BaiIndex.write(bo, idx)
-        bo.close()
-      } else
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"writeBai: output $path is not coordinate-sorted; skipping .bai")
-    }
     // SBI co-write: parts' sampled offsets shift by the bytes that precede
     // them after concat (header + earlier parts); voff += base << 16
     if (sbiGranularity > 0) {
@@ -800,6 +816,31 @@ class BamBatchWrite(path: String, header: SamHeader, singleFile: Boolean,
       go.close()
     }
     HadoopIO.mergeParts(new Path(tempDir), new Path(path), conf.conf)
+    // BAI co-write AFTER the merge so the index's mtime is >= the BAM's —
+    // readers treat an index older than its data file as stale (in-place
+    // rewrite guard) and would otherwise reject every fresh co-write.
+    // Only meaningful for coordinate-sorted output — each writer tracked
+    // record order, the boundary check below completes the proof.
+    if (writeBai) {
+      var sorted = allParts.forall(_.partSorted)
+      var prevRef = Int.MinValue; var prevPos = Int.MinValue
+      allParts.foreach { m =>
+        if (m.records > 0) {
+          val fr = GciIndex.orderRef(m.firstRef)
+          if (fr < prevRef || (fr == prevRef && m.firstPos < prevPos)) sorted = false
+          prevRef = GciIndex.orderRef(m.lastRef); prevPos = m.lastPos
+        }
+      }
+      if (sorted) {
+        val idx = graft.index.BaiPartData.merge(
+          allParts.map(_.bai).toSeq, shifts.toSeq, header.refs.length)
+        val bo = fs.create(new Path(path + ".bai"), true)
+        graft.index.BaiIndex.write(bo, idx)
+        bo.close()
+      } else
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"writeBai: output $path is not coordinate-sorted; skipping .bai")
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -302,9 +302,14 @@ class CramScan(options: Map[String, String], required: StructType,
           // read, no derive job — readers stop after `limitHint` rows
           val start0 = CramContainers.FileDefinitionLength.toLong
           Seq(CramRangePartition(file.toString, start0, size, pred, hostsOf(start0, size)))
-        } else if (fs.exists(craiPath)) {
+        } else if (fs.exists(craiPath) &&
+                   fs.getFileStatus(craiPath).getModificationTime >=
+                     fs.getFileStatus(file).getModificationTime) {
           // index route: container offsets come from `.crai` — O(index)
-          // driver I/O, no header walk (the shape that matters at 100 TB)
+          // driver I/O, no header walk (the shape that matters at 100 TB).
+          // Stale-guard: a .crai older than its CRAM (in-place rewrite
+          // without re-indexing) must not steer container seeks — fall
+          // through to the container-walk route instead
           val cin = HadoopIO.open(craiPath, conf)
           val crai = try CraiIndex.read(cin) finally cin.close()
           val all = crai.entries.map(_.containerOffset).distinct.sorted
@@ -837,6 +842,9 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
     to.write(CramContainers.encodeEofContainer())
     to.close()
     val parts = messages.collect { case m: CramPartMessage => m }.sortBy(_.path)
+    HadoopIO.mergeParts(new Path(tempDir), new Path(path), conf.conf)
+    // .crai co-write AFTER the merge so the index's mtime is >= the CRAM's
+    // (readers reject an index older than its data file as stale)
     if (writeCrai) {
       var base = headBytes.length.toLong
       val rebased = Seq.newBuilder[CraiEntry]
@@ -848,7 +856,6 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
       CraiIndex.write(co, CraiIndex(rebased.result()))
       co.close()
     }
-    HadoopIO.mergeParts(new Path(tempDir), new Path(path), conf.conf)
   } // sharded: every shard (and its .crai) is already complete on disk
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -123,9 +123,16 @@ class VcfScan(options: Map[String, String], required: StructType,
           // records (reference TribbleIndexIntervalFilteringTextInputFormat
           // .java:33-73 / VcfSource.java:143-168); record-level residual
           // filters keep exactness
+          // stale-index guard (in-place rewrite without re-indexing): a
+          // tabix/tribble index carries no file length, so freshness is
+          // proven by mtime >= the data file's; a stale index would steer
+          // seeks into the middle of unrelated records
+          val dataMtime = fs.getFileStatus(file).getModificationTime
+          def idxFresh(p: org.apache.hadoop.fs.Path): Boolean =
+            fs.exists(p) && fs.getFileStatus(p).getModificationTime >= dataMtime
           val tbiPath = new org.apache.hadoop.fs.Path(file.toString + ".tbi")
           def tbiRangesNow(): Option[Seq[(Long, Long)]] =
-            if (bgzf && intervals.isDefined && fs.exists(tbiPath)) {
+            if (bgzf && intervals.isDefined && idxFresh(tbiPath)) {
               val tin = HadoopIO.open(tbiPath, conf)
               val tbi = try scala.util.Try(graft.index.TbiIndex.read(tin)).toOption
                 finally tin.close()
@@ -148,7 +155,7 @@ class VcfScan(options: Map[String, String], required: StructType,
           // BGZF virtual offsets when htsjdk indexed a compressed file.
           val idxPath = new org.apache.hadoop.fs.Path(file.toString + ".idx")
           val idxRanges: Option[Seq[(Long, Long)]] =
-            if (tbiRanges.isEmpty && intervals.isDefined && fs.exists(idxPath)) {
+            if (tbiRanges.isEmpty && intervals.isDefined && idxFresh(idxPath)) {
               val iin = HadoopIO.open(idxPath, conf)
               val idx = try scala.util.Try(graft.index.TribbleIdx.read(iin)).toOption
                 finally iin.close()
@@ -425,12 +432,17 @@ class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean
       to.write(graft.bgzf.Bgzf.EofBlock)
       to.close()
     }
+    // capture part geometry BEFORE the merge consumes the parts dir
+    val headerBytes = fs.getFileStatus(new Path(tempDir, "header")).getLen
+    val parts = messages.collect { case m: VcfPartMessage => m }.sortBy(_.path)
+    val shifts = { var b = headerBytes; parts.map { m => val s = b; b += m.partBytes; s } }
+    HadoopIO.mergeParts(new Path(tempDir), new Path(path), conf.conf)
+    // index co-writes AFTER the merge so their mtime is >= the data file's —
+    // readers treat an index older than its data file as stale (in-place
+    // rewrite guard) and would otherwise reject every fresh co-write
     if (writeTbi) {
       // rebase each part's index contribution by the compressed bytes that
       // precede it after concat; a non-sorted result skips the index
-      val headerBytes = fs.getFileStatus(new Path(tempDir, "header")).getLen
-      val parts = messages.collect { case m: VcfPartMessage => m }.sortBy(_.path)
-      val shifts = { var b = headerBytes; parts.map { m => val s = b; b += m.partBytes; s } }
       graft.index.TbiPartData.mergeSorted(parts.map(_.tbi).toSeq, shifts.toSeq) match {
         case Some(idx) =>
           val io = fs.create(new Path(path + ".tbi"), true)
@@ -443,9 +455,6 @@ class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean
     }
     if (writeIdx) {
       // rebase each part's byte offsets by the plain bytes preceding it
-      val headerBytes = fs.getFileStatus(new Path(tempDir, "header")).getLen
-      val parts = messages.collect { case m: VcfPartMessage => m }.sortBy(_.path)
-      val shifts = { var b = headerBytes; parts.map { m => val s = b; b += m.partBytes; s } }
       val totalBytes = headerBytes + parts.map(_.partBytes).sum
       graft.index.TribblePartData.mergeSorted(parts.map(_.idx).toSeq, shifts.toSeq) match {
         case Some(idx) =>
@@ -457,7 +466,6 @@ class VcfBatchWrite(path: String, headerOpt: Option[String], singleFile: Boolean
             s"writeIdx: output $path is not coordinate-sorted; skipping .idx")
       }
     }
-    HadoopIO.mergeParts(new Path(tempDir), new Path(path), conf.conf)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -55,6 +55,43 @@ class CgSpillSpec extends AnyFunSuite with SparkFixture {
     assert(back.end == 100 + 35000 - 1)
   }
 
+  test("CG spill strips the internal tag under attrs-only pruning (no cigar)") {
+    // the attribute set must be the same whether or not the cigar column is
+    // projected — an attrs-only scan leaking CG:B,I would make the record
+    // expose different attribute maps depending on column pruning
+    val rec = longRead(70000)
+    val bytes = BamCodec.encodeRecord(rec, TestReads.header)
+    val mask = BamFieldMask(cigarAndEnd = false, seq = false, qual = false, attrs = true)
+    val rec2 = java.util.Arrays.copyOfRange(bytes, 4, bytes.length)
+    val back = BamCodec.decodeRecord(rec2, rec2.length, TestReads.header, mask)
+    assert(back.cigar == null, "pruned cigar stays pruned")
+    assert(!back.attributes.contains("CG"), "CG must not leak into an attrs-only projection")
+    assert(back.attributes("XO") == "i:7")
+  }
+
+  test("lenient salvage SKIPS a CG-spilled record whose tag region is broken") {
+    // corrupt the tag region of a spilled record: the authoritative ops
+    // lived there, so a salvage that returns the kSmN sentinel as the real
+    // cigar would be silent corruption — the codec must throw on the
+    // attrs-less re-decode too (reconstitution needs the tags), so the
+    // reader skips the record
+    val rec = longRead(70000)
+    val bytes = BamCodec.encodeRecord(rec, TestReads.header)
+    val body = java.util.Arrays.copyOfRange(bytes, 4, bytes.length)
+    // find the tag region start: 32 fixed + name+1 + 4*2 sentinel ops +
+    // (lSeq+1)/2 + lSeq
+    val nameLen = "ultra-1".length + 1
+    val lSeq = 70000
+    val tagStart = 32 + nameLen + 8 + (lSeq + 1) / 2 + lSeq
+    body(tagStart + 2) = 'q'.toByte // invalid tag value type → decodeTags throws
+    val full = BamFieldMask.All
+    intercept[Exception](BamCodec.decodeRecord(body, body.length, TestReads.header, full))
+    // the salvage re-decode (attrs = false) must ALSO throw when the cigar
+    // is projected: silent sentinel-as-cigar is worse than a skip
+    intercept[Exception](BamCodec.decodeRecord(body, body.length, TestReads.header,
+      full.copy(attrs = false)))
+  }
+
   test("a genuine 2-op kSmN alignment WITHOUT a CG tag is untouched") {
     val rec = AlignmentRecord(
       readName = "r1", flags = 0, contig = "chr20", start = 500, end = 0,

@@ -95,6 +95,47 @@ class CountPushdownSpec extends AnyFunSuite with SparkFixture {
     assert(n3 == recs.size)
   }
 
+  test("stale .sbi (BAM rewritten in place, length changed) falls back to a scan") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val out = dir.resolve("stale.bam")
+    spark.createDataset(TestReads.mixed(300)).toDF().coalesce(1)
+      .write.format("bam").mode("overwrite")
+      .option("refs", refsOpt).option("writeSbi", "true").save(out.toString)
+    val sbiBytes = Files.readAllBytes(dir.resolve("stale.bam.sbi"))
+    // rewrite the BAM in place with DIFFERENT content, no re-index: restore
+    // the old .sbi on top of the new file (its fileLength no longer matches)
+    val rewritten = TestReads.mixed(120)
+    spark.createDataset(rewritten).toDF().coalesce(1)
+      .write.format("bam").mode("overwrite")
+      .option("refs", refsOpt).save(out.toString)
+    Files.write(dir.resolve("stale.bam.sbi"), sbiBytes)
+    val df = spark.read.format("bam").load(out.toString)
+    val (n, plan) = countPlan(df)
+    assert(!plan.contains("indexCount="), "stale index must not answer count()")
+    assert(n == rewritten.size, "fallback scan must count the REAL file")
+  }
+
+  test("stale .bai (older than the BAM) falls back to a scan") {
+    import spark.implicits._
+    val recs = TestReads.mixed(200).filter(r => r.contig != null)
+    val dir = tmpDir()
+    val out = dir.resolve("btale.bam")
+    spark.createDataset(recs).toDF()
+      .repartitionByRange(2, $"contig", $"start").sortWithinPartitions($"contig", $"start")
+      .write.format("bam").mode("overwrite")
+      .option("refs", refsOpt).option("writeBai", "true").save(out.toString)
+    // make the index OLDER than the data file (in-place rewrite scenario)
+    val bai = dir.resolve("btale.bam.bai").toFile
+    val bam = out.toFile
+    assert(bai.setLastModified(bam.lastModified() - 60000))
+    assert(bam.setLastModified(bai.lastModified() + 60000))
+    val df = spark.read.format("bam").load(out.toString)
+    val (n, plan) = countPlan(df)
+    assert(!plan.contains("indexCount="), "outdated .bai must not answer count()")
+    assert(n == recs.size)
+  }
+
   test("sharded directory: counts sum across per-shard indexes") {
     import spark.implicits._
     val recs = TestReads.mixed(400)
