@@ -108,12 +108,41 @@ class CramTable(properties: Map[String, String]) extends Table with SupportsRead
 
 class CramScanBuilder(options: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private val records = CramDataSource.recordsMode(options)
   private var required: StructType =
     if (records) AlignmentRecord.schema else CramTable.schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var limit: Int = -1
+
+  /** Unfiltered COUNT(*) answered from container headers: every container
+    * header carries its record count (ITF-8 `nRecords`), so the count is an
+    * O(containers) header walk — seeks from header to header via each
+    * container's length, ZERO block reads, zero record decode (the BAM
+    * source's `.sbi`-answered count, re-expressed for CRAM's self-indexing
+    * container framing). Complete-or-nothing, and only when the traversal
+    * is the unrestricted strict one — intervals / unplacedUnmapped /
+    * lenient salvage all change what a scan would count.
+    */
+  private var pushedCount: Option[Long] = None
+  private lazy val walkCount: Option[Long] = CramScanBuilder.containerCount(options)
+  private def countable(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    records && agg.groupByExpressions.isEmpty && agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar] &&
+      pushed.isEmpty && limit < 0 &&
+      !options.contains("intervals") && !options.contains("unplacedunmapped") &&
+      (graft.sources.Stringency.fromOptions(options) eq graft.sources.Stringency.Strict)
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countable(agg) && walkCount.isDefined
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val ok = countable(agg) && walkCount.isDefined
+    if (ok) pushedCount = walkCount
+    ok
+  }
   /** Partial limit pushdown: one whole-file partition per file (no `.crai`
     * read, no derive job) and readers stop after n emitted rows; Spark
     * keeps its own global limit on top.
@@ -134,7 +163,65 @@ class CramScanBuilder(options: Map[String, String])
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new CramScan(options, required, pushed, limit)
+  override def build(): Scan = pushedCount match {
+    case Some(total) => new CramCountScan(options.getOrElse("path", "?"), total)
+    case None => new CramScan(options, required, pushed, limit)
+  }
+}
+
+object CramScanBuilder {
+  /** Sum of `nRecords` over every container header of every input file
+    * (the SAM-header container and EOF container both carry nRecords = 0).
+    * O(containers) small reads at planning time; any failure → None → the
+    * normal scan plan runs.
+    */
+  private[cram] def containerCount(options: Map[String, String]): Option[Long] =
+    try {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val pathStr = options.getOrElse("path", return None)
+      val files = HadoopIO.listInputFiles(pathStr, conf)
+      if (files.isEmpty) return None
+      var total = 0L
+      files.foreach { f =>
+        val in = HadoopIO.open(f, conf)
+        try CramContainers.containers(in).foreach(c => total += c.nRecords)
+        finally in.close()
+      }
+      Some(total)
+    } catch {
+      case _: java.io.IOException => None
+      case scala.util.control.NonFatal(_) => None
+    }
+}
+
+/** COUNT(*) answered from container headers at planning time: one
+  * partition, one row, zero block decode.
+  */
+class CramCountScan(path: String, total: Long) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("count",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-cram $path PushedAggregates=[COUNT(*)] containerCount=$total"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CramCountPartition(total))
+  override def createReaderFactory(): PartitionReaderFactory = new CramCountReaderFactory
+}
+
+case class CramCountPartition(total: Long) extends InputPartition
+
+class CramCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val total = partition.asInstanceOf[CramCountPartition].total
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](total))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Conservative filter→predicate translation for the container schema (the
