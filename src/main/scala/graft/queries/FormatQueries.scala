@@ -1694,6 +1694,63 @@ object FormatQueries {
         .orderBy($"a", $"b", $"c")
     },
 
+    // WIDE-COHORT site-frequency spectrum (64 samples) through the FULL
+    // VCF write→read→native-census path: the rest of the oracled popgen
+    // family runs 12-wide cohorts (GtCensusSpec proves the expression
+    // alone at 256 samples); this pins the end-to-end pipeline at a
+    // realistic panel width. Genotypes use a ref-skewed MULTIPLICATIVE
+    // hash — anything linear in key residues mod 3 collapses to a handful
+    // of site types with zero singletons: h = site·(17j+1) mod 1000003
+    // mod 24, 0/0 below 21, 0/1 below 23, else 1/1 (rare-variant skew,
+    // full MAC coverage). The shared site hash is HOISTED into its own
+    // column before the 64-struct projection (inlining it into every
+    // struct falls out of JIT range — measured 2.3× write). Read side is
+    // ONE codegen census pass per site (no explode, row count independent
+    // of cohort width) + a MAC rollup whose key space is ≤ 2·samples+1.
+    "q_vcf_cohort64_sfs" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/cohort64.vcf.bgz"
+      // the query pins cohort WIDTH, not site count — a 1/16 site sample
+      // keeps the 64-wide write comparable to the 12-wide family's cost
+      // while still covering the full MAC spectrum
+      val base = Tables.lineitem(s, d)
+        .filter($"l_orderkey" % 16 === 1)
+        .withColumn("site",
+          ($"l_orderkey" * 37 + $"l_linenumber" * 101 + $"l_suppkey").cast("long"))
+      def geno(j: Int) = {
+        val h = ($"site" * lit(17L * j + 1)) % 1000003L % 24L
+        struct(
+          lit(f"s$j%02d").as("sample"),
+          when(h < 21, "0/0").when(h < 23, "0/1").otherwise("1/1").as("gt"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false))
+            .as("fields"))
+      }
+      val vars = base.select(
+        concat(lit("chr"), ($"l_orderkey" % 24).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"),
+        array(lit("G")).as("alt"),
+        lit(30.0).as("qual"),
+        array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array((1 to 64).map(geno): _*).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite")
+        .option("compressionLevel", "1").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      graft.functions.GtCensusExpr.register(s)
+      back
+        .select(expr("graft_gt_census(genotypes)").as("cen"))
+        .select($"cen".getItem(0).as("a"), $"cen".getItem(1).as("b"),
+          $"cen".getItem(2).as("c"))
+        .select(least(lit(2L) * $"a" + $"b", lit(2L) * $"c" + $"b").as("mac"), $"b")
+        .groupBy($"mac")
+        .agg(count(lit(1)).as("n_sites"), sum($"b").as("sum_het"))
+        .orderBy($"mac")
+    },
+
     // MENDELIAN-VIOLATION census (bcftools +mendelian shape) over trio
     // VCFs: father/mother/child genotypes per site, child dosage checked
     // against the transmissible range [f_min+m_min, f_max+m_max]. Like
@@ -3413,6 +3470,21 @@ object FormatQueries {
         |  + ((4*n*c - pq*pq)*(4*n*c - pq*pq)*1000) // (4*n*pq*pq) END AS chi2_milli,
         |  COUNT(*) AS n_sites
         |FROM x GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3""".stripMargin,
+    "q_vcf_cohort64_sfs" ->
+      """WITH r AS (SELECT ROW_NUMBER() OVER () AS rid,
+        |    l_orderkey * 37 + l_linenumber * 101 + l_suppkey AS site
+        |  FROM lineitem WHERE l_orderkey % 16 = 1),
+        |g AS (SELECT rid, (site * (17 * j + 1)) % 1000003 % 24 AS h
+        |  FROM r, (SELECT unnest(range(1, 65)) AS j) t),
+        |s AS (SELECT rid,
+        |    CAST(SUM(CASE WHEN h < 21 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN h >= 21 AND h < 23 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN h >= 23 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM g GROUP BY rid),
+        |m AS (SELECT LEAST(2*a + b, 2*c + b) AS mac, b FROM s)
+        |SELECT CAST(mac AS BIGINT) AS mac, COUNT(*) AS n_sites,
+        |  CAST(SUM(b) AS BIGINT) AS sum_het
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_vcf_mendel" ->
       """WITH t AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
         |    (l_orderkey * 7 + l_linenumber) % 3 AS df,
