@@ -56,13 +56,31 @@ object VcfCodec {
       // must not grow fabricated ./. calls), then the union of field keys
       // in sorted order
       val hasGt = v.genotypes.exists(_.gt != null)
-      val keys = v.genotypes.flatMap(_.fields.keys).distinct.sorted
-      val fmtKeys = if (hasGt) "GT" +: keys else keys
-      sb.append('\t').append(fmtKeys.mkString(":"))
-      v.genotypes.foreach { g =>
-        val cells = keys.map(k => g.fields.getOrElse(k, "."))
-        val all = if (hasGt) (if (g.gt == null) "./." else g.gt) +: cells else cells
-        sb.append('\t').append(all.mkString(":"))
+      // encode is the write path's dominant CPU (VcfWriteCostSpec: 2.6× the
+      // deflate at level 6) — the GT-only cohort line is the hot shape, so
+      // it appends directly with zero per-genotype Seq/String churn
+      val noFields = v.genotypes.forall(_.fields.isEmpty)
+      if (noFields) {
+        sb.append('\t')
+        if (hasGt) sb.append("GT")
+        v.genotypes.foreach { g =>
+          sb.append('\t')
+          if (hasGt) sb.append(if (g.gt == null) "./." else g.gt)
+        }
+      } else {
+        val keys = v.genotypes.flatMap(_.fields.keys).distinct.sorted
+        val fmtKeys = if (hasGt) "GT" +: keys else keys
+        sb.append('\t').append(fmtKeys.mkString(":"))
+        v.genotypes.foreach { g =>
+          sb.append('\t')
+          var started = false
+          if (hasGt) { sb.append(if (g.gt == null) "./." else g.gt); started = true }
+          keys.foreach { k =>
+            if (started) sb.append(':')
+            sb.append(g.fields.getOrElse(k, "."))
+            started = true
+          }
+        }
       }
     }
     sb.toString
