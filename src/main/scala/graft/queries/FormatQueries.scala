@@ -1751,6 +1751,173 @@ object FormatQueries {
         .orderBy($"mac")
     },
 
+    // LINKAGE DISEQUILIBRIUM between consecutive sites (plink --r2 /
+    // LD-decay shape): each site pairs with its successor per contig and
+    // the dosage covariance across the 12-sample cohort gives r². The
+    // pairing is ONE per-contig window (24 contigs, range-partitioned
+    // sort — never a self-join on position); everything downstream is a
+    // narrow per-row array pass (zip_with dot product over 12-wide dosage
+    // vectors) and an 11-key decile rollup. Ordering is total on
+    // (start, id) with id unique per synthetic site, so lead() is
+    // deterministic on both engines.
+    "q_vcf_ld_adjacent" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.expressions.Window
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/ld.vcf.bgz"
+      val base = Tables.lineitem(s, d)
+        .filter($"l_orderkey" % 8 === 3) // LD is pair work — sample the sites
+        .withColumn("site",
+          ($"l_orderkey" * 37 + $"l_linenumber" * 101 + $"l_suppkey").cast("long"))
+      def geno(j: Int) = {
+        val h = ($"site" * lit(17L * j + 1)) % 1000003L % 24L
+        struct(
+          lit(f"s$j%02d").as("sample"),
+          when(h < 21, "0/0").when(h < 23, "0/1").otherwise("1/1").as("gt"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false))
+            .as("fields"))
+      }
+      val vars = base.select(
+        concat(lit("chr"), ($"l_orderkey" % 24).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        concat($"l_orderkey", lit("-"), $"l_linenumber", lit("-"), $"l_suppkey").as("id"),
+        lit("A").as("ref"),
+        array(lit("G")).as("alt"),
+        lit(30.0).as("qual"),
+        array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array((1 to 12).map(geno): _*).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite")
+        .option("compressionLevel", "1").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val dosed = back.select($"contig", $"start", $"id",
+        expr("transform(genotypes, g -> CASE WHEN g.gt = '0/0' THEN 0L" +
+          " WHEN g.gt = '0/1' THEN 1L ELSE 2L END)").as("dx"))
+      val w = Window.partitionBy($"contig").orderBy($"start", $"id")
+      dosed
+        .withColumn("dy", lead($"dx", 1).over(w))
+        .filter($"dy".isNotNull)
+        .select(
+          expr("aggregate(dx, 0L, (a, x) -> a + x)").as("sx"),
+          expr("aggregate(dy, 0L, (a, x) -> a + x)").as("sy"),
+          expr("aggregate(zip_with(dx, dy, (a, b) -> a * b), 0L, (a, x) -> a + x)").as("sxy"),
+          expr("aggregate(dx, 0L, (a, x) -> a + x * x)").as("sxx"),
+          expr("aggregate(dy, 0L, (a, x) -> a + x * x)").as("syy"))
+        .withColumn("cov", lit(12L) * $"sxy" - $"sx" * $"sy")
+        .withColumn("vx", lit(12L) * $"sxx" - $"sx" * $"sx")
+        .withColumn("vy", lit(12L) * $"syy" - $"sy" * $"sy")
+        .filter($"vx" > 0 && $"vy" > 0) // monomorphic sites carry no LD signal
+        .withColumn("r2_milli", expr("(cov * cov * 1000) div (vx * vy)"))
+        .groupBy(expr("r2_milli div 100").as("r2_bin"))
+        .agg(count(lit(1)).as("n_pairs"), sum($"r2_milli").as("sum_r2_milli"))
+        .orderBy($"r2_bin")
+    },
+
+    // PAIRWISE KINSHIP COUNTS (the KING-robust estimator's sufficient
+    // statistics, Manichaikul 2010 / plink2 --make-king inputs) over the
+    // 12-sample cohort: per ordered pair, the joint het-het, IBS0, and
+    // marginal het counts. The pair space is cohort-width² (66 pairs) —
+    // INDEPENDENT of site count — so sites stream through one bounded
+    // explode and the rollup key space is 66; no per-sample shuffle, no
+    // site×site join.
+    "q_vcf_kinship_pairs" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/kin.vcf.bgz"
+      val base = Tables.lineitem(s, d)
+        .filter($"l_orderkey" % 8 === 5) // pair work scales 66×: sample the sites
+        .withColumn("site",
+          ($"l_orderkey" * 37 + $"l_linenumber" * 101 + $"l_suppkey").cast("long"))
+      def geno(j: Int) = {
+        val h = ($"site" * lit(17L * j + 1)) % 1000003L % 24L
+        struct(
+          lit(f"s$j%02d").as("sample"),
+          when(h < 21, "0/0").when(h < 23, "0/1").otherwise("1/1").as("gt"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false))
+            .as("fields"))
+      }
+      val vars = base.select(
+        concat(lit("chr"), ($"l_orderkey" % 24).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"),
+        array(lit("G")).as("alt"),
+        lit(30.0).as("qual"),
+        array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array((1 to 12).map(geno): _*).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite")
+        .option("compressionLevel", "1").save(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val pairLits = for { i <- 1 to 12; j <- (i + 1) to 12 }
+        yield struct(lit(i).as("i"), lit(j).as("j"))
+      back
+        .select(expr("transform(genotypes, g -> CASE WHEN g.gt = '0/1' THEN 1" +
+          " WHEN g.gt = '1/1' THEN 2 ELSE 0 END)").as("gc"))
+        .select(explode(array(pairLits: _*)).as("p"), $"gc")
+        .select($"p.i".as("i"), $"p.j".as("j"),
+          element_at($"gc", $"p.i").as("gi"), element_at($"gc", $"p.j").as("gj"))
+        .groupBy($"i", $"j")
+        .agg(
+          sum(when($"gi" === 1 && $"gj" === 1, 1L).otherwise(0L)).as("n_hethet"),
+          sum(when(($"gi" === 0 && $"gj" === 2) || ($"gi" === 2 && $"gj" === 0), 1L)
+            .otherwise(0L)).as("n_ibs0"),
+          sum(when($"gi" === 1, 1L).otherwise(0L)).as("n_het_i"),
+          sum(when($"gj" === 1, 1L).otherwise(0L)).as("n_het_j"))
+        .select(
+          concat(lit("s"), lpad($"i".cast("string"), 2, "0")).as("s1"),
+          concat(lit("s"), lpad($"j".cast("string"), 2, "0")).as("s2"),
+          $"n_hethet", $"n_ibs0", $"n_het_i", $"n_het_j")
+        .orderBy($"s1", $"s2")
+    },
+
+    // SEX INFERENCE from X/Y coverage by read group (plink --check-sex /
+    // somalier shape): per-RG read counts on chrX vs chrY vs autosomes
+    // through the BAM round-trip, the X-fraction in integer permille, and
+    // the call. One narrow groupBy whose key space is the sample count.
+    "q_bam_sex_infer" -> { (s, d) =>
+      import s.implicits._
+      val c = ($"l_orderkey" * 13 + $"l_linenumber" * 7 + $"l_suppkey" * 3) % 40
+      val rgIdx = $"l_orderkey" % 4
+      // even RGs are female-shaped (X reads, no Y), odd male-shaped (X≈Y)
+      val contig = when(c < 32, concat(lit("chr"), (c % 24).cast("string")))
+        .otherwise(when(rgIdx % 2 === 0, lit("chrX"))
+          .otherwise(when(c < 36, lit("chrX")).otherwise(lit("chrY"))))
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        contig.as("contig"),
+        ((($"l_partkey" * 13) % 5000) + 1).cast("int").as("start"),
+        lit(0).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        lit("100M").as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit("*").as("seq"),
+        lit("*").as("qual"),
+        map(lit("RG"), concat(lit("Z:rg"), rgIdx.cast("string"))).as("attributes"))
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/sex.bam"
+      spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
+        .option("refs", Refs24 + ",chrX:1000000,chrY:1000000")
+        .option("writeSbi", "true").save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      back
+        .select(substring(element_at($"attributes", "RG"), 3, 10).as("sample_rg"),
+          $"contig")
+        .groupBy($"sample_rg")
+        .agg(
+          sum(when($"contig" === "chrX", 1L).otherwise(0L)).as("n_x"),
+          sum(when($"contig" === "chrY", 1L).otherwise(0L)).as("n_y"),
+          sum(when($"contig" =!= "chrX" && $"contig" =!= "chrY", 1L).otherwise(0L))
+            .as("n_auto"))
+        .withColumn("x_fraction_milli", expr("n_x * 1000 div (n_x + n_y)"))
+        .withColumn("sex_call", when($"n_y" * 20 < $"n_x", "F").otherwise("M"))
+        .orderBy($"sample_rg")
+    },
+
     // MENDELIAN-VIOLATION census (bcftools +mendelian shape) over trio
     // VCFs: father/mother/child genotypes per site, child dosage checked
     // against the transmissible range [f_min+m_min, f_max+m_max]. Like
@@ -3485,6 +3652,71 @@ object FormatQueries {
         |SELECT CAST(mac AS BIGINT) AS mac, COUNT(*) AS n_sites,
         |  CAST(SUM(b) AS BIGINT) AS sum_het
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vcf_ld_adjacent" -> {
+      def hj(j: Int) = s"(site * ${17 * j + 1}) % 1000003 % 24"
+      val ds = (1 to 12).map(j =>
+        s"CASE WHEN ${hj(j)} < 21 THEN 0 WHEN ${hj(j)} < 23 THEN 1 ELSE 2 END AS d$j")
+        .mkString(", ")
+      val dall = (1 to 12).map("d" + _).mkString(", ")
+      val es = (1 to 12).map(j => s"LEAD(d$j) OVER w AS e$j").mkString(", ")
+      val sx = (1 to 12).map("d" + _).mkString(" + ")
+      val sy = (1 to 12).map("e" + _).mkString(" + ")
+      val sxy = (1 to 12).map(j => s"d$j * e$j").mkString(" + ")
+      val sxx = (1 to 12).map(j => s"d$j * d$j").mkString(" + ")
+      val syy = (1 to 12).map(j => s"e$j * e$j").mkString(" + ")
+      s"""WITH r AS (SELECT 'chr' || CAST(l_orderkey % 24 AS VARCHAR) AS contig,
+         |    (l_partkey * 37) % 999000 + 1 AS start,
+         |    CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+         |      || '-' || CAST(l_suppkey AS VARCHAR) AS id,
+         |    l_orderkey * 37 + l_linenumber * 101 + l_suppkey AS site
+         |  FROM lineitem WHERE l_orderkey % 8 = 3),
+         |g AS (SELECT contig, start, id, $ds FROM r),
+         |p AS (SELECT contig, $dall, $es FROM g
+         |  WINDOW w AS (PARTITION BY contig ORDER BY start, id)),
+         |q AS (SELECT 12*($sxy) - ($sx)*($sy) AS cov,
+         |    12*($sxx) - ($sx)*($sx) AS vx, 12*($syy) - ($sy)*($sy) AS vy
+         |  FROM p WHERE e1 IS NOT NULL),
+         |x AS (SELECT (cov*cov*1000) // (vx*vy) AS r2_milli FROM q
+         |  WHERE vx > 0 AND vy > 0)
+         |SELECT CAST(r2_milli // 100 AS BIGINT) AS r2_bin, COUNT(*) AS n_pairs,
+         |  CAST(SUM(r2_milli) AS BIGINT) AS sum_r2_milli
+         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q_vcf_kinship_pairs" -> {
+      def hj(j: Int) = s"(site * ${17 * j + 1}) % 1000003 % 24"
+      val cs = (1 to 12).map(j =>
+        s"CASE WHEN ${hj(j)} < 21 THEN 0 WHEN ${hj(j)} < 23 THEN 1 ELSE 2 END AS c$j")
+        .mkString(", ")
+      val pairSel = (for { i <- 1 to 12; j <- (i + 1) to 12 } yield
+        f"SELECT 's$i%02d' AS s1, 's$j%02d' AS s2, c$i AS gi, c$j AS gj FROM g")
+        .mkString(" UNION ALL ")
+      s"""WITH r AS (SELECT l_orderkey * 37 + l_linenumber * 101 + l_suppkey AS site
+         |  FROM lineitem WHERE l_orderkey % 8 = 5),
+         |g AS (SELECT $cs FROM r),
+         |p AS ($pairSel)
+         |SELECT s1, s2,
+         |  CAST(SUM(CASE WHEN gi = 1 AND gj = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hethet,
+         |  CAST(SUM(CASE WHEN (gi = 0 AND gj = 2) OR (gi = 2 AND gj = 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_ibs0,
+         |  CAST(SUM(CASE WHEN gi = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het_i,
+         |  CAST(SUM(CASE WHEN gj = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het_j
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "q_bam_sex_infer" ->
+      """WITH t AS (SELECT (l_orderkey * 13 + l_linenumber * 7 + l_suppkey * 3) % 40 AS c,
+        |    l_orderkey % 4 AS rg FROM lineitem),
+        |u AS (SELECT 'rg' || CAST(rg AS VARCHAR) AS sample_rg,
+        |    CASE WHEN c < 32 THEN 'chr' || CAST(c % 24 AS VARCHAR)
+        |         WHEN rg % 2 = 0 THEN 'chrX'
+        |         WHEN c < 36 THEN 'chrX' ELSE 'chrY' END AS contig FROM t),
+        |a AS (SELECT sample_rg,
+        |    CAST(SUM(CASE WHEN contig = 'chrX' THEN 1 ELSE 0 END) AS BIGINT) AS n_x,
+        |    CAST(SUM(CASE WHEN contig = 'chrY' THEN 1 ELSE 0 END) AS BIGINT) AS n_y,
+        |    CAST(SUM(CASE WHEN contig NOT IN ('chrX', 'chrY') THEN 1 ELSE 0 END) AS BIGINT) AS n_auto
+        |  FROM u GROUP BY 1)
+        |SELECT sample_rg, n_x, n_y, n_auto,
+        |  n_x * 1000 // (n_x + n_y) AS x_fraction_milli,
+        |  CASE WHEN n_y * 20 < n_x THEN 'F' ELSE 'M' END AS sex_call
+        |FROM a ORDER BY 1""".stripMargin,
     "q_vcf_mendel" ->
       """WITH t AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
         |    (l_orderkey * 7 + l_linenumber) % 3 AS df,
