@@ -1444,6 +1444,35 @@ object Pipeline {
         .orderBy($"lang", $"split")
     },
 
+    // CROSS-SPLIT LEAKAGE AUDIT: an eval example sharing a winnowed 8-gram
+    // fingerprint with ANY train document is compromised (the in-corpus
+    // face of decontamination — q_decontaminate gates against an EXTERNAL
+    // benchmark; this audits the corpus's own train/val/test cut). Scale
+    // shape: fingerprints are the only shuffle key — the per-fp rollup and
+    // the eval-side join are BOTH fp-partitioned (co-located, no second
+    // shuffle of the corpus), and the train side collapses to one bit per
+    // fingerprint before the join, never a doc×doc comparison.
+    "q_split_leakage" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.SubstrFpsExpr.register(s)
+      val docs = Tables.documents(s, d)
+        .withColumn("bucket",
+          hash60(concat(lit("split|"), $"doc_id".cast("string"))) % 1000)
+        .withColumn("split",
+          when($"bucket" < 900, "train").when($"bucket" < 950, "val").otherwise("test"))
+      val fps = docs.select($"doc_id", $"split",
+        explode(expr("graft_substr_fps(text)")).as("fp"))
+      val trainFps = fps.filter($"split" === "train").select($"fp").distinct()
+      fps.filter($"split" =!= "train")
+        .join(trainFps, "fp") // fp-partitioned both sides
+        .groupBy($"split")
+        .agg(
+          countDistinct($"doc_id").as("n_leaked_docs"),
+          countDistinct($"fp").as("n_leaked_fps"),
+          count(lit(1)).as("n_leaked_occurrences"))
+        .orderBy($"split")
+    },
+
     // deterministic global training order: every (epoch, doc) gets a
     // content-stable shuffle key (hash of doc_id + epoch salt), sharded to
     // worker files by key mod. The query emits the epoch MANIFEST — per
@@ -2822,6 +2851,25 @@ object Pipeline {
          |SELECT lang, split, COUNT(*) AS n_docs,
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
          |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_split_leakage" -> {
+      val gram = (0 until SubstrGram).map(o => s"ws[i+$o]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, text,
+         |    ${h60("'split|' || CAST(doc_id AS VARCHAR)")} % 1000 AS bucket FROM documents),
+         |u AS (SELECT doc_id, CASE WHEN bucket < 900 THEN 'train'
+         |    WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split,
+         |    $wsExpr AS ws FROM t),
+         |g AS (SELECT doc_id, split, CASE WHEN len(ws) >= $SubstrGram THEN
+         |    list_transform(range(1, len(ws) - ${SubstrGram - 2}), i -> ${h60(gram)})
+         |  ELSE [] END AS grams FROM u),
+         |f AS (SELECT doc_id, split, unnest(list_filter(grams, h -> h % $SubstrMod = 0)) AS fp FROM g),
+         |tr AS (SELECT DISTINCT fp FROM f WHERE split = 'train'),
+         |lk AS (SELECT f.split, f.doc_id, f.fp FROM f JOIN tr ON f.fp = tr.fp
+         |  WHERE f.split <> 'train')
+         |SELECT split, COUNT(DISTINCT doc_id) AS n_leaked_docs,
+         |  COUNT(DISTINCT fp) AS n_leaked_fps, COUNT(*) AS n_leaked_occurrences
+         |FROM lk GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q_mix_sample" ->
       s"""WITH t AS (SELECT doc_id, lang, len($wsExpr) AS n_tok FROM documents),

@@ -999,4 +999,26 @@ object Streaming {
       .groupBy("cycle")
       .agg(count(lit(1)).as("n_reads"), sum(col("q")).as("sum_q"),
         min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+
+  /** Streaming X/Y coverage by read group — q_bam_sex_infer's twin, the
+    * live sample-swap / contamination check a sequencing facility runs
+    * while the flow cell is writing: per-RG chrX/chrY/autosome counts and
+    * the running X-fraction. State is one row per read group (sample
+    * count), never per read; an inconsistent sex call against the sample
+    * sheet stops the run before a mislabeled sample reaches the cohort.
+    * Expects `rg` and `contig` columns (the BAM reader exposes RG via the
+    * attributes map; project it before handing the stream in).
+    */
+  def sexCoverageByRg(reads: DataFrame): DataFrame =
+    reads
+      .groupBy("rg")
+      .agg(
+        sum(when(col("contig") === "chrX", 1L).otherwise(0L)).as("n_x"),
+        sum(when(col("contig") === "chrY", 1L).otherwise(0L)).as("n_y"),
+        sum(when(col("contig") =!= "chrX" && col("contig") =!= "chrY", 1L)
+          .otherwise(0L)).as("n_auto"))
+      .withColumn("x_fraction_milli",
+        when(col("n_x") + col("n_y") > 0,
+          expr("n_x * 1000 div (n_x + n_y)")).otherwise(lit(null).cast("long")))
+      .withColumn("sex_call", when(col("n_y") * 20 < col("n_x"), "F").otherwise("M"))
 }

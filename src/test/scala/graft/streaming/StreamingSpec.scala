@@ -12,6 +12,7 @@ case class IdEv(event_id: Long, ts: Timestamp, event_type: String, user_id: Long
 case class VcfGt(sample: String, gt: String, fields: Map[String, String])
 case class VcfSite(contig: String, start: Int, genotypes: Seq[VcfGt])
 case class QualRead(readName: String, qual: String)
+case class RgRead(rg: String, contig: String)
 
 class StreamingSpec extends AnyFunSuite with SparkFixture {
 
@@ -1213,6 +1214,39 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       // ragged tail: the longest read defines the cycle space
       assert(got.map(_._1).max == 36)
       assert(got.forall { case (_, _, _, mn, mx) => mn >= 0 && mx <= 39 })
+    } finally q.stop()
+  }
+
+  test("sexCoverageByRg: streaming X/Y census equals the batch twin; calls stabilize") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two female-shaped RGs (X only) and two male-shaped (X≈Y), like the
+    // batch query's cohort construction
+    val reads = (0 until 400).map { i =>
+      val rg = i % 4
+      val c = (i * 13 + 7) % 40
+      val contig =
+        if (c < 32) s"chr${c % 24}"
+        else if (rg % 2 == 0) "chrX"
+        else if (c < 36) "chrX" else "chrY"
+      RgRead(s"rg$rg", contig)
+    }
+    val stream = MemoryStream[RgRead]
+    val q = Streaming.sexCoverageByRg(stream.toDF())
+      .writeStream.format("memory").queryName("sexcov")
+      .outputMode("complete").start()
+    try {
+      stream.addData(reads.take(150)); q.processAllAvailable()
+      stream.addData(reads.drop(150)); q.processAllAvailable()
+      def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getString(5))).toSet
+      val got = snap(spark.table("sexcov"))
+      val want = snap(Streaming.sexCoverageByRg(spark.createDataset(reads).toDF()))
+      assert(got == want)
+      val calls = got.map(t => t._1 -> t._6).toMap
+      assert(calls("rg0") == "F" && calls("rg2") == "F")
+      assert(calls("rg1") == "M" && calls("rg3") == "M")
     } finally q.stop()
   }
 }
