@@ -1918,6 +1918,62 @@ object FormatQueries {
         .orderBy($"sample_rg")
     },
 
+    // FASTQ ROUND-TRIP (raw reads — the lake stage BEFORE alignment, a
+    // surface the reference does not have): variable-length reads with
+    // adversarial quality strings (qual lines can legally START with '@'
+    // or '+', the case naive FASTQ splitting misframes) through the
+    // splittable single-file BGZF sink and back, then a per-length GC
+    // census. Record ownership is by header-line position key, so every
+    // split size yields the same rows (FastqSourceSpec proves the matrix).
+    "q_fastq_roundtrip" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/reads.fastq.bgz"
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        when($"l_orderkey" % 5 === 0,
+          concat(lit("len="), (lit(20) + $"l_partkey" % 31).cast("string")))
+          .otherwise(lit(null).cast("string")).as("comment"),
+        expr("substring(repeat('ACGT', 16), CAST((l_orderkey + l_linenumber) % 4 AS INT) + 1," +
+          " CAST(20 + l_partkey % 31 AS INT))").as("seq"),
+        expr("substring(repeat('IJKLMNOP@+FGH', 5), CAST(l_suppkey % 7 AS INT) + 1," +
+          " CAST(20 + l_partkey % 31 AS INT))").as("qual"))
+      spread(reads).write.format("fastq").mode("overwrite")
+        .option("compressionLevel", "1").save(path)
+      val back = s.read.format("fastq").option("splitSize", 256 * 1024).load(path)
+      back
+        .groupBy(length($"seq").as("len"))
+        .agg(count(lit(1)).as("n_reads"),
+          sum(length(regexp_replace($"seq", "[^GC]", ""))).cast("long").as("n_gc"),
+          sum(when($"comment".isNotNull, 1L).otherwise(0L)).as("n_commented"))
+        .orderBy($"len")
+    },
+
+    // FASTQ 3'-QUALITY TRIM census (the fastp/cutadapt pre-alignment
+    // step): trailing low-quality run length per read (phred < 20 ⇔
+    // qual char in [!-4]), trimmed-length decile histogram. One narrow
+    // regexp pass over the round-tripped reads; rollup key space is the
+    // read-length range.
+    "q_fastq_trim" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/trim.fastq.bgz"
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("t"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(null).cast("string").as("comment"),
+        expr("substring(repeat('ACGT', 16), CAST((l_orderkey + l_linenumber) % 4 AS INT) + 1," +
+          " CAST(20 + l_partkey % 31 AS INT))").as("seq"),
+        expr("substring(repeat('IJKLMNOP@+FGH', 5), CAST(l_suppkey % 7 AS INT) + 1," +
+          " CAST(20 + l_partkey % 31 AS INT))").as("qual"))
+      spread(reads).write.format("fastq").mode("overwrite")
+        .option("compressionLevel", "1").save(path)
+      val back = s.read.format("fastq").option("splitSize", 256 * 1024).load(path)
+      back
+        .select((length($"qual") -
+          length(regexp_extract($"qual", "[!-4]*$", 0))).as("trimmed_len"))
+        .groupBy(expr("trimmed_len div 10").as("len_decade"))
+        .agg(count(lit(1)).as("n_reads"), sum($"trimmed_len").as("sum_trimmed"))
+        .orderBy($"len_decade")
+    },
+
     // MENDELIAN-VIOLATION census (bcftools +mendelian shape) over trio
     // VCFs: father/mother/child genotypes per site, child dosage checked
     // against the transmissible range [f_min+m_min, f_max+m_max]. Like
@@ -3717,6 +3773,26 @@ object FormatQueries {
         |  n_x * 1000 // (n_x + n_y) AS x_fraction_milli,
         |  CASE WHEN n_y * 20 < n_x THEN 'F' ELSE 'M' END AS sex_call
         |FROM a ORDER BY 1""".stripMargin,
+    "q_fastq_roundtrip" ->
+      """WITH t AS (SELECT 20 + l_partkey % 31 AS len,
+        |    (l_orderkey + l_linenumber) % 4 AS ph,
+        |    l_orderkey % 5 = 0 AS has_comment FROM lineitem),
+        |u AS (SELECT len,
+        |    substring(repeat('ACGT', 16), CAST(ph AS INT) + 1, CAST(len AS INT)) AS seq,
+        |    has_comment FROM t)
+        |SELECT CAST(len AS INT) AS len, COUNT(*) AS n_reads,
+        |  CAST(SUM(length(regexp_replace(seq, '[^GC]', '', 'g'))) AS BIGINT) AS n_gc,
+        |  CAST(SUM(CASE WHEN has_comment THEN 1 ELSE 0 END) AS BIGINT) AS n_commented
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_fastq_trim" ->
+      """WITH t AS (SELECT 20 + l_partkey % 31 AS len, l_suppkey % 7 AS qph FROM lineitem),
+        |u AS (SELECT substring(repeat('IJKLMNOP@+FGH', 5),
+        |    CAST(qph AS INT) + 1, CAST(len AS INT)) AS qual FROM t),
+        |v AS (SELECT CAST(length(qual) - length(regexp_extract(qual, '[!-4]*$', 0)) AS BIGINT)
+        |    AS trimmed_len FROM u)
+        |SELECT trimmed_len // 10 AS len_decade, COUNT(*) AS n_reads,
+        |  CAST(SUM(trimmed_len) AS BIGINT) AS sum_trimmed
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_vcf_mendel" ->
       """WITH t AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
         |    (l_orderkey * 7 + l_linenumber) % 3 AS df,

@@ -47,9 +47,13 @@ class HtsjdkDataSource extends TableProvider with DataSourceRegister {
       if (name.endsWith(".bam")) new BamDataSource
       else if (name.endsWith(".sam")) new SamDataSource
       else if (name.endsWith(".cram")) new CramDataSource
+      else if (name.endsWith(".fastq") || name.endsWith(".fq") ||
+               name.endsWith(".fastq.gz") || name.endsWith(".fastq.bgz") ||
+               name.endsWith(".fq.gz"))
+        new graft.sources.fastq.FastqDataSource
       else throw new IllegalArgumentException(
-        s"cannot infer reads format from '$name' (want .bam/.sam/.cram); " +
-          "use spark.read.format(\"bam\"|\"sam\"|\"cram\") directly")
+        s"cannot infer reads format from '$name' (want .bam/.sam/.cram/.fastq); " +
+          "use spark.read.format(\"bam\"|\"sam\"|\"cram\"|\"fastq\") directly")
     cached.set((path, resolved))
     resolved
   }

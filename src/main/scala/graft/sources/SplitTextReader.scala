@@ -39,9 +39,27 @@ object SplitTextReader {
     if (bgzf) bgzfLines(in, splitStart, splitEnd)
     else plainLines(in, splitStart, splitEnd)
 
+  /** Lines paired with their OWNERSHIP KEY — the raw byte offset of the
+    * line start for plain text, the BGZF block start for compressed text.
+    * The key is what split tiling assigns: a line belongs to the split
+    * whose [start, end) contains its key. Multi-line record formats
+    * (FASTQ) pass splitEnd = file size and cut on the key themselves, so a
+    * record's trailing lines can be consumed past the split boundary by
+    * the split that owns the record's FIRST line.
+    */
+  def linesWithKeys(in: SeekableInput, splitStart: Long, splitEnd: Long,
+                    bgzf: Boolean): Iterator[(Long, String)] =
+    if (bgzf) bgzfLinesWithVoff(in, splitStart, splitEnd)
+      .map { case (l, beg, _) => (Bgzf.blockStart(beg), l) }
+    else plainLinesWithPos(in, splitStart, splitEnd)
+
   // ---- plain text -------------------------------------------------------
 
-  private def plainLines(in: SeekableInput, splitStart: Long, splitEnd: Long): Iterator[String] = {
+  private def plainLines(in: SeekableInput, splitStart: Long, splitEnd: Long): Iterator[String] =
+    plainLinesWithPos(in, splitStart, splitEnd).map(_._2)
+
+  private def plainLinesWithPos(in: SeekableInput, splitStart: Long,
+                                splitEnd: Long): Iterator[(Long, String)] = {
     // NB: named fileSize, not `size` — inside the anonymous Iterator below a
     // bare `size` would resolve to Iterator.size and consume the iterator.
     val fileSize = in.size
@@ -59,12 +77,12 @@ object SplitTextReader {
     }
     val firstLineStart = pos
     if (firstLineStart >= splitEnd || firstLineStart >= fileSize) return Iterator.empty
-    new Iterator[String] {
+    new Iterator[(Long, String)] {
       private var cur = firstLineStart
       private val buf = new Array[Byte](64 * 1024)
       private var bufPos = 0L
       private var bufLen = 0
-      private var nextLine: String = advance()
+      private var nextLine: (Long, String) = advance()
 
       private def fill(at: Long): Boolean = {
         bufLen = in.preadFully(at, buf, 0, buf.length)
@@ -72,8 +90,9 @@ object SplitTextReader {
         bufLen > 0
       }
 
-      private def advance(): String = {
+      private def advance(): (Long, String) = {
         if (cur >= splitEnd || cur >= fileSize) return null
+        val lineStart = cur
         val out = new ByteArrayOutputStream(160)
         var p = cur
         var done = false
@@ -87,11 +106,11 @@ object SplitTextReader {
           }
         }
         cur = p
-        stripCr(out.toString("UTF-8"))
+        (lineStart, stripCr(out.toString("UTF-8")))
       }
 
       def hasNext: Boolean = nextLine != null
-      def next(): String = { val l = nextLine; nextLine = advance(); l }
+      def next(): (Long, String) = { val l = nextLine; nextLine = advance(); l }
     }
   }
 
