@@ -1974,6 +1974,39 @@ object FormatQueries {
         .orderBy($"len_decade")
     },
 
+    // PAIRED-END FASTQ R1/R2 pairing (the mate-matching step every aligner
+    // front-end runs on dual-file lanes): both mates written as separate
+    // single-file FASTQs, read back, and name-joined. The join shuffles
+    // BOTH sides on readName — the honest cost of dual-file pairing at any
+    // scale (names are the only link) — then collapses to a length-delta
+    // census whose key space is the read-length range. Names carry all
+    // four derivation keys so the join is exactly 1:1.
+    "q_fastq_pairs" -> { (s, d) =>
+      import s.implicits._
+      val base = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
+      def mates(phase: String, lenSalt: Int) = Tables.lineitem(s, d).select(
+        concat(lit("p"), $"l_orderkey", lit("-"), $"l_linenumber",
+          lit("-"), $"l_suppkey", lit("-"), $"l_partkey").as("readName"),
+        lit(null).cast("string").as("comment"),
+        expr(s"substring(repeat('ACGT', 16), CAST((l_orderkey + l_linenumber + $lenSalt) % 4 AS INT) + 1," +
+          s" CAST(20 + (l_partkey * ${1 + lenSalt}) % 31 AS INT))").as("seq"),
+        expr(s"substring(repeat('IJKLMNOP@+FGH', 5), CAST(l_suppkey % 7 AS INT) + 1," +
+          s" CAST(20 + (l_partkey * ${1 + lenSalt}) % 31 AS INT))").as("qual"))
+        .dropDuplicates("readName")
+      mates("r1", 0).write.format("fastq").mode("overwrite")
+        .option("compressionLevel", "1").save(s"$base/r1.fastq.bgz")
+      mates("r2", 6).write.format("fastq").mode("overwrite")
+        .option("compressionLevel", "1").save(s"$base/r2.fastq.bgz")
+      val r1 = s.read.format("fastq").option("splitSize", 256 * 1024)
+        .load(s"$base/r1.fastq.bgz").select($"readName", length($"seq").as("len1"))
+      val r2 = s.read.format("fastq").option("splitSize", 256 * 1024)
+        .load(s"$base/r2.fastq.bgz").select($"readName", length($"seq").as("len2"))
+      r1.join(r2, "readName")
+        .groupBy(($"len1" - $"len2").as("len_delta"))
+        .agg(count(lit(1)).as("n_pairs"), sum($"len1" + $"len2").as("sum_bases"))
+        .orderBy($"len_delta")
+    },
+
     // MENDELIAN-VIOLATION census (bcftools +mendelian shape) over trio
     // VCFs: father/mother/child genotypes per site, child dosage checked
     // against the transmissible range [f_min+m_min, f_max+m_max]. Like
@@ -3793,6 +3826,14 @@ object FormatQueries {
         |SELECT trimmed_len // 10 AS len_decade, COUNT(*) AS n_reads,
         |  CAST(SUM(trimmed_len) AS BIGINT) AS sum_trimmed
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_fastq_pairs" ->
+      """WITH t AS (SELECT DISTINCT l_orderkey, l_linenumber, l_suppkey, l_partkey
+        |  FROM lineitem),
+        |u AS (SELECT 20 + l_partkey % 31 AS len1,
+        |    20 + (l_partkey * 7) % 31 AS len2 FROM t)
+        |SELECT CAST(len1 - len2 AS INT) AS len_delta, COUNT(*) AS n_pairs,
+        |  CAST(SUM(len1 + len2) AS BIGINT) AS sum_bases
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_vcf_mendel" ->
       """WITH t AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
         |    (l_orderkey * 7 + l_linenumber) % 3 AS df,

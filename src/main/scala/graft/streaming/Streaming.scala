@@ -1009,6 +1009,21 @@ object Streaming {
     * Expects `rg` and `contig` columns (the BAM reader exposes RG via the
     * attributes map; project it before handing the stream in).
     */
+  /** Streaming FASTQ QC by read length — q_fastq_roundtrip's aggregate as
+    * the live basecaller-output monitor: per-length read counts, GC bases,
+    * and low-quality (phred < 20) base counts, aggregated in complete
+    * mode. State is one row per distinct read length (instrument-bounded),
+    * never per read — a flow cell can stream forever.
+    */
+  def fastqQcByLength(reads: DataFrame): DataFrame =
+    reads
+      .select(length(col("seq")).as("len"),
+        length(regexp_replace(col("seq"), "[^GC]", "")).cast("long").as("gc"),
+        length(regexp_replace(col("qual"), "[^!-4]", "")).cast("long").as("lowq"))
+      .groupBy("len")
+      .agg(count(lit(1)).as("n_reads"), sum(col("gc")).as("n_gc"),
+        sum(col("lowq")).as("n_lowq"))
+
   def sexCoverageByRg(reads: DataFrame): DataFrame =
     reads
       .groupBy("rg")

@@ -13,6 +13,7 @@ case class VcfGt(sample: String, gt: String, fields: Map[String, String])
 case class VcfSite(contig: String, start: Int, genotypes: Seq[VcfGt])
 case class QualRead(readName: String, qual: String)
 case class RgRead(rg: String, contig: String)
+case class FqRead(readName: String, seq: String, qual: String)
 
 class StreamingSpec extends AnyFunSuite with SparkFixture {
 
@@ -1247,6 +1248,31 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       val calls = got.map(t => t._1 -> t._6).toMap
       assert(calls("rg0") == "F" && calls("rg2") == "F")
       assert(calls("rg1") == "M" && calls("rg3") == "M")
+    } finally q.stop()
+  }
+
+  test("fastqQcByLength: streaming per-length QC equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reads = (0 until 300).map { i =>
+      val len = 15 + i % 9
+      FqRead(s"f$i",
+        (0 until len).map(j => "ACGT".charAt((i * 3 + j) % 4)).mkString,
+        (0 until len).map(j => (33 + (i + j * 5) % 40).toChar).mkString)
+    }
+    val stream = MemoryStream[FqRead]
+    val q = Streaming.fastqQcByLength(stream.toDF())
+      .writeStream.format("memory").queryName("fqqc")
+      .outputMode("complete").start()
+    try {
+      stream.addData(reads.take(120)); q.processAllAvailable()
+      stream.addData(reads.drop(120)); q.processAllAvailable()
+      def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val got = snap(spark.table("fqqc"))
+      val want = snap(Streaming.fastqQcByLength(spark.createDataset(reads).toDF()))
+      assert(got == want)
+      assert(got.toSeq.map(_._2).sum == 300L, "every read counted exactly once")
     } finally q.stop()
   }
 }
