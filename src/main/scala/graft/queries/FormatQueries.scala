@@ -2007,6 +2007,92 @@ object FormatQueries {
         .orderBy($"len_delta")
     },
 
+    // BAM → FASTQ transcode (samtools fastq / Picard SamToFastq — the
+    // realignment prep every reprocessing pipeline runs): aligned reads
+    // with REAL base/quality strings through the BAM sink, projected back
+    // to raw-read shape, through the FASTQ sink, and QC'd. Exercises the
+    // 4-bit nibble seq codec against the text codec end to end; both
+    // writes are pipeline-intermediates at level 1.
+    "q_bam2fq" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val base = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("b"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_orderkey" % 24).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 20 + $"l_partkey" % 31).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        concat((lit(20) + $"l_partkey" % 31).cast("string"), lit("M")).as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        expr("substring(repeat('ACGT', 16), CAST((l_orderkey + l_linenumber) % 4 AS INT) + 1," +
+          " CAST(20 + l_partkey % 31 AS INT))").as("seq"),
+        expr("substring(repeat('IJKLMNOP@+FGH', 5), CAST(l_suppkey % 7 AS INT) + 1," +
+          " CAST(20 + l_partkey % 31 AS INT))").as("qual"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false))
+          .as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("compressionLevel", "1").option("refs", Refs24).save(s"$base/b2f.bam")
+      val aligned = s.read.format("bam").option("splitSize", 256 * 1024)
+        .load(s"$base/b2f.bam")
+      aligned.select($"readName", lit(null).cast("string").as("comment"), $"seq", $"qual")
+        .write.format("fastq").mode("overwrite")
+        .option("compressionLevel", "1").save(s"$base/b2f.fastq.bgz")
+      val raw = s.read.format("fastq").option("splitSize", 256 * 1024)
+        .load(s"$base/b2f.fastq.bgz")
+      raw
+        .groupBy(length($"seq").as("len"))
+        .agg(count(lit(1)).as("n_reads"),
+          sum(length(regexp_replace($"seq", "[^GC]", ""))).cast("long").as("n_gc"),
+          sum(length(regexp_replace($"qual", "[^!-4]", ""))).cast("long").as("n_lowq"))
+        .orderBy($"len")
+    },
+
+    // CRAM → BAM transcode (samtools view -b — archive-to-analysis
+    // rehydration): records with real bases/quals written natively to
+    // CRAM 3.0, read back, rewritten as BAM, and flagstat-shaped per
+    // contig. Every byte crosses BOTH record codecs (CRAM series blocks →
+    // BAM nibble/phred arrays); a drift anywhere hash-mismatches.
+    "q_cram2bam" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val base = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("c"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_orderkey" % 24).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 20 + $"l_partkey" % 31).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        concat((lit(20) + $"l_partkey" % 31).cast("string"), lit("M")).as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        expr("substring(repeat('ACGT', 16), CAST((l_orderkey + l_linenumber) % 4 AS INT) + 1," +
+          " CAST(20 + l_partkey % 31 AS INT))").as("seq"),
+        expr("substring(repeat('IJKLMNOP@+FGH', 5), CAST(l_suppkey % 7 AS INT) + 1," +
+          " CAST(20 + l_partkey % 31 AS INT))").as("qual"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false))
+          .as("attributes"))
+      spread(reads).write.format("cram").mode("overwrite")
+        .option("records", "true").option("refs", Refs24).save(s"$base/c2b.cram")
+      val archived = s.read.format("cram").option("records", "true")
+        .option("splitSize", 256 * 1024).load(s"$base/c2b.cram")
+      archived.write.format("bam").mode("overwrite")
+        .option("compressionLevel", "1").option("refs", Refs24).save(s"$base/c2b.bam")
+      val analysis = s.read.format("bam").option("splitSize", 256 * 1024)
+        .load(s"$base/c2b.bam")
+      analysis
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_reads"),
+          sum($"start".cast("long")).as("sum_start"),
+          sum(length($"seq")).cast("long").as("n_bases"))
+        .orderBy($"contig")
+    },
+
     // MENDELIAN-VIOLATION census (bcftools +mendelian shape) over trio
     // VCFs: father/mother/child genotypes per site, child dosage checked
     // against the transmissible range [f_min+m_min, f_max+m_max]. Like
@@ -3834,6 +3920,25 @@ object FormatQueries {
         |SELECT CAST(len1 - len2 AS INT) AS len_delta, COUNT(*) AS n_pairs,
         |  CAST(SUM(len1 + len2) AS BIGINT) AS sum_bases
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bam2fq" ->
+      """WITH t AS (SELECT 20 + l_partkey % 31 AS len,
+        |    (l_orderkey + l_linenumber) % 4 AS ph, l_suppkey % 7 AS qph FROM lineitem),
+        |u AS (SELECT len,
+        |    substring(repeat('ACGT', 16), CAST(ph AS INT) + 1, CAST(len AS INT)) AS seq,
+        |    substring(repeat('IJKLMNOP@+FGH', 5), CAST(qph AS INT) + 1, CAST(len AS INT)) AS qual
+        |  FROM t)
+        |SELECT CAST(len AS INT) AS len, COUNT(*) AS n_reads,
+        |  CAST(SUM(length(regexp_replace(seq, '[^GC]', '', 'g'))) AS BIGINT) AS n_gc,
+        |  CAST(SUM(length(regexp_replace(qual, '[^!-4]', '', 'g'))) AS BIGINT) AS n_lowq
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cram2bam" ->
+      """WITH t AS (SELECT 'chr' || CAST(l_orderkey % 24 AS VARCHAR) AS contig,
+        |    (l_partkey * 37) % 999000 + 1 AS start, 20 + l_partkey % 31 AS len
+        |  FROM lineitem)
+        |SELECT contig, COUNT(*) AS n_reads,
+        |  CAST(SUM(start) AS BIGINT) AS sum_start,
+        |  CAST(SUM(len) AS BIGINT) AS n_bases
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_vcf_mendel" ->
       """WITH t AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
         |    (l_orderkey * 7 + l_linenumber) % 3 AS df,
