@@ -75,7 +75,8 @@ object CramRecordWriter {
   def encodeContainer(records: IndexedSeq[AlignmentRecord], header: SamHeader,
                       recordCounter: Long, refSource: CramRefSource,
                       wire: Int = 0, tok3Names: Boolean = false,
-                      fqzQuals: Boolean = false): Encoded = {
+                      fqzQuals: Boolean = false,
+                      gzipLevel: Int = java.util.zip.Deflater.DEFAULT_COMPRESSION): Encoded = {
     require(records.nonEmpty, "empty CRAM container")
     val n = records.length
     val ext = scala.collection.mutable.Map.empty[Int, java.io.ByteArrayOutputStream]
@@ -256,13 +257,13 @@ object CramRecordWriter {
     val tmBody = Itf8.write(tagKeys.length) ++ tm.toByteArray
     ch.write(Itf8.write(tmBody.length)); ch.write(tmBody, 0, tmBody.length)
 
-    val chBlock = encodeBlockCompressed(1, 0, 1, ch.toByteArray)
+    val chBlock = encodeBlockCompressed(1, 0, 1, ch.toByteArray, gzipLevel)
 
     // ---- slice ---------------------------------------------------------------
     val extBlocks = ext.toSeq.filter(_._2.size > 0).sortBy(_._1).map { case (cid, s) =>
       val raw = s.toByteArray
       val method = compressionFor(cid, raw, wire, tok3Names, fqzQuals)
-      cid -> encodeBlockCompressed(4, cid, method, raw)
+      cid -> encodeBlockCompressed(4, cid, method, raw, gzipLevel)
     }
     val coreBlock = encodeBlock(5, 0, 0, Array.emptyByteArray)
     val sliceBody = {
@@ -441,11 +442,12 @@ object CramRecordWriter {
     * rANS Nx16 / arith respectively), 72 fqzcomp qualities (CRAM
     * method 7) — methods 5/6/7/8 are the 3.1 codecs.
     */
-  private def encodeBlockCompressed(ctype: Int, cid: Int, method: Int, raw: Array[Byte]): Array[Byte] = {
+  private def encodeBlockCompressed(ctype: Int, cid: Int, method: Int, raw: Array[Byte],
+                                    gzipLevel: Int): Array[Byte] = {
     method match {
       case 0 => encodeBlock(ctype, cid, 0, raw)
       case 1 =>
-        val (ok, packed) = gzipIfWorthIt(raw)
+        val (ok, packed) = gzipIfWorthIt(raw, gzipLevel)
         if (ok == 1) encodeBlockPacked(ctype, cid, 1, packed, raw.length)
         else encodeBlock(ctype, cid, 0, raw)
       case 40 | 41 =>
@@ -468,14 +470,18 @@ object CramRecordWriter {
         val packed = FqzComp.compress(raw)
         if (packed != null && packed.length < raw.length)
           encodeBlockPacked(ctype, cid, 7, packed, raw.length)
-        else encodeBlockCompressed(ctype, cid, 51, raw)
+        else encodeBlockCompressed(ctype, cid, 51, raw, gzipLevel)
       case m => throw new IOException(s"writer method $m")
     }
   }
 
-  private def gzipIfWorthIt(raw: Array[Byte]): (Int, Array[Byte]) = {
+  /** `level` is the deflate level for the gzip'd series blocks (the sink's
+    * compressionLevel option; -1 = zlib default) — per-slice streams, so
+    * pipeline-intermediate CRAMs can take level 1 like the BGZF sinks.
+    */
+  private def gzipIfWorthIt(raw: Array[Byte], level: Int): (Int, Array[Byte]) = {
     val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
-    val g = new java.util.zip.GZIPOutputStream(bos)
+    val g = new java.util.zip.GZIPOutputStream(bos) { `def`.setLevel(level) }
     g.write(raw); g.close()
     val packed = bos.toByteArray
     if (packed.length < raw.length) (1, packed) else (0, raw)

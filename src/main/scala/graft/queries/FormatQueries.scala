@@ -978,7 +978,7 @@ object FormatQueries {
       syntheticReads(s, d)
         .repartitionByRange(8, $"contig", $"start")
         .sortWithinPartitions($"contig", $"start")
-        .write.format("cram").mode("overwrite")
+        .write.format("cram").mode("overwrite").option("compressionLevel", "1")
         .option("records", "true").option("refs", Refs)
         .option("recordsPerContainer", "2000")
         .option("writeCrai", "true").save(path)
@@ -1011,7 +1011,7 @@ object FormatQueries {
           when($"start" % 10 === 0, concat(snp, substring(base, 2, 150))).otherwise(base))
         .repartitionByRange(8, $"contig", $"start")
         .sortWithinPartitions($"contig", $"start")
-        .write.format("cram").mode("overwrite")
+        .write.format("cram").mode("overwrite").option("compressionLevel", "1")
         .option("records", "true").option("refs", Refs)
         .option("fasta", fasta)
         .option("writeCrai", "true").save(path)
@@ -1069,7 +1069,7 @@ object FormatQueries {
       reads
         .repartitionByRange(8, $"contig", $"start")
         .sortWithinPartitions($"contig", $"start")
-        .write.format("cram").mode("overwrite")
+        .write.format("cram").mode("overwrite").option("compressionLevel", "1")
         .option("records", "true").option("refs", Refs)
         .option("fasta", fasta).save(path)
       s.read.format("cram").option("records", "true")
@@ -2077,7 +2077,7 @@ object FormatQueries {
           " CAST(20 + l_partkey % 31 AS INT))").as("qual"),
         map().cast(MapType(StringType, StringType, valueContainsNull = false))
           .as("attributes"))
-      spread(reads).write.format("cram").mode("overwrite")
+      spread(reads).write.format("cram").mode("overwrite").option("compressionLevel", "1")
         .option("records", "true").option("refs", Refs24).save(s"$base/c2b.cram")
       val archived = s.read.format("cram").option("records", "true")
         .option("splitSize", 256 * 1024).load(s"$base/c2b.cram")

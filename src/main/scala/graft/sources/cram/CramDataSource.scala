@@ -859,9 +859,13 @@ class CramWrite(options: Map[String, String], schema: StructType) extends Write 
       case Some(m) => throw new IllegalArgumentException(
         s"cram sink quals must be default or fqz, got $m")
     }
+    // gzip level for the series blocks (BGZF-sink parity); -1 = default
+    val level = options.get("compressionlevel").map(_.toInt)
+      .getOrElse(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    require(level == -1 || (level >= 0 && level <= 9), s"compressionLevel out of range: $level")
     new CramBatchWrite(path, singleFile, writeCrai, schema,
       new SerializableConf(SparkSession.active.sessionState.newHadoopConf()),
-      recordsHeader, perContainer, fasta, wire, tok3, fqz)
+      recordsHeader, perContainer, fasta, wire, tok3, fqz, level)
   }
 }
 
@@ -882,7 +886,9 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
                      perContainer: Int = 10000,
                      fastaPath: Option[String] = None,
                      wire: Int = 0, tok3Names: Boolean = false,
-                     fqzQuals: Boolean = false) extends BatchWrite {
+                     fqzQuals: Boolean = false,
+                     gzipLevel: Int = java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    extends BatchWrite {
   private val tempDir = path + ".parts"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -906,8 +912,9 @@ class CramBatchWrite(path: String, singleFile: Boolean, writeCrai: Boolean,
     val wireC = wire
     val tok3C = tok3Names
     val fqzC = fqzQuals
+    val lvlC = gzipLevel
     (partitionId: Int, _: Long) => hdr match {
-      case Some(h) => new CramRecordsDataWriter(dir, h, sch, c, partitionId, complete, shardCrai, perC, fasta, wireC, tok3C, fqzC)
+      case Some(h) => new CramRecordsDataWriter(dir, h, sch, c, partitionId, complete, shardCrai, perC, fasta, wireC, tok3C, fqzC, lvlC)
       case None => new CramDataWriter(dir, sch, c, partitionId, complete, shardCrai)
     }
   }
@@ -1029,7 +1036,8 @@ class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
                             complete: Boolean, shardCrai: Boolean, perContainer: Int,
                             fastaPath: Option[String] = None,
                             wire: Int = 0, tok3Names: Boolean = false,
-                            fqzQuals: Boolean = false)
+                            fqzQuals: Boolean = false,
+                            gzipLevel: Int = java.util.zip.Deflater.DEFAULT_COMPRESSION)
     extends DataWriter[InternalRow] {
   require(perContainer > 0, s"recordsPerContainer must be positive, got $perContainer")
   // ACCEPT_ANY_SCHEMA skips Spark's write-side validation; fail fast on a
@@ -1064,7 +1072,7 @@ class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
   private val refSource: CramRefSource = fastaOpened.map(_._2).getOrElse(NoRefSource)
 
   private def flushContainer(): Unit = if (buf.nonEmpty) {
-    val enc = CramRecordWriter.encodeContainer(buf.toIndexedSeq, header, recordCounter, refSource, wire, tok3Names, fqzQuals)
+    val enc = CramRecordWriter.encodeContainer(buf.toIndexedSeq, header, recordCounter, refSource, wire, tok3Names, fqzQuals, gzipLevel)
     out.write(enc.bytes)
     entries += enc.craiEntry.copy(containerOffset = written)
     recordCounter += buf.length
