@@ -2060,7 +2060,11 @@ object FormatQueries {
       import s.implicits._
       import org.apache.spark.sql.types._
       val base = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
-      val reads = Tables.lineitem(s, d).select(
+      // transcode fidelity is per-record, not volume-bound: a 1/4 site
+      // sample keeps the double-codec round-trip in the family cost band
+      val reads = Tables.lineitem(s, d)
+        .filter($"l_orderkey" % 4 === 1)
+        .select(
         concat(lit("c"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
         lit(0).cast("int").as("flags"),
         concat(lit("chr"), ($"l_orderkey" % 24).cast("string")).as("contig"),
@@ -3934,7 +3938,7 @@ object FormatQueries {
     "q_cram2bam" ->
       """WITH t AS (SELECT 'chr' || CAST(l_orderkey % 24 AS VARCHAR) AS contig,
         |    (l_partkey * 37) % 999000 + 1 AS start, 20 + l_partkey % 31 AS len
-        |  FROM lineitem)
+        |  FROM lineitem WHERE l_orderkey % 4 = 1)
         |SELECT contig, COUNT(*) AS n_reads,
         |  CAST(SUM(start) AS BIGINT) AS sum_start,
         |  CAST(SUM(len) AS BIGINT) AS n_bases
