@@ -2007,6 +2007,71 @@ object FormatQueries {
         .orderBy($"len_delta")
     },
 
+    // SAMPLE-SWAP CHECK (NGSCheckMate / Conpair shape — the cohort QC that
+    // catches mislabeled columns before they poison an association study):
+    // two VCF callsets over the same sites, where the second has samples
+    // s05/s07 SWAPPED; per (sampleA, sampleB) genotype concordance across
+    // the site-keyed join, then each A-sample's best B match. The pair
+    // matrix is cohort-width² (144) — independent of site count — so
+    // sites stream through one bounded explode; the site join is 1:1 on a
+    // unique id; the argmax is a GROUP-BY + join-back (no window).
+    "q_vcf_sample_swap" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val base = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
+      val perm: Map[Int, Int] = Map(5 -> 7, 7 -> 5).withDefault(identity)
+      val src = Tables.lineitem(s, d)
+        .filter($"l_orderkey" % 16 === 9) // pair matrix scales 144×: sample sites
+        .withColumn("site",
+          ($"l_orderkey" * 37 + $"l_linenumber" * 101 + $"l_suppkey").cast("long"))
+        .dropDuplicates("site") // unique site key → the A/B join is exactly 1:1
+      def geno(j: Int, hashIdx: Int) = {
+        val h = ($"site" * lit(17L * hashIdx + 1)) % 1000003L % 24L
+        struct(
+          lit(f"s$j%02d").as("sample"),
+          when(h < 21, "0/0").when(h < 23, "0/1").otherwise("1/1").as("gt"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false))
+            .as("fields"))
+      }
+      def callset(hashOf: Int => Int) = src.select(
+        concat(lit("chr"), ($"l_orderkey" % 24).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        $"site".cast("string").as("id"),
+        lit("A").as("ref"), array(lit("G")).as("alt"),
+        lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array((1 to 12).map(j => geno(j, hashOf(j))): _*).as("genotypes"))
+      callset(identity).write.format("vcf").mode("overwrite")
+        .option("compressionLevel", "1").save(s"$base/swapA.vcf.bgz")
+      callset(perm).write.format("vcf").mode("overwrite")
+        .option("compressionLevel", "1").save(s"$base/swapB.vcf.bgz")
+      def codes(p: String, as: String) =
+        s.read.format("vcf").option("splitSize", 256 * 1024).load(p)
+          .select($"id", expr("transform(genotypes, g -> CASE WHEN g.gt = '0/1' THEN 1" +
+            " WHEN g.gt = '1/1' THEN 2 ELSE 0 END)").as(as))
+      val joined = codes(s"$base/swapA.vcf.bgz", "ga")
+        .join(codes(s"$base/swapB.vcf.bgz", "gb"), "id")
+      val pairLits = for { i <- 1 to 12; j <- 1 to 12 }
+        yield struct(lit(i).as("i"), lit(j).as("j"))
+      val conc = joined
+        .select(explode(array(pairLits: _*)).as("p"), $"ga", $"gb")
+        .select($"p.i".as("i"), $"p.j".as("j"),
+          (element_at($"ga", $"p.i") === element_at($"gb", $"p.j")).as("eq"))
+        .groupBy($"i", $"j")
+        .agg(sum(when($"eq", 1L).otherwise(0L)).as("n_match"), count(lit(1)).as("n_sites"))
+      val best = conc.groupBy($"i").agg(max($"n_match").as("best_m"))
+      conc.join(best, "i").filter($"n_match" === $"best_m")
+        .groupBy($"i", $"n_match", $"n_sites")
+        .agg(min($"j").as("best_j")) // deterministic tie-break
+        .select(
+          concat(lit("s"), lpad($"i".cast("string"), 2, "0")).as("sample_a"),
+          concat(lit("s"), lpad($"best_j".cast("string"), 2, "0")).as("best_match_b"),
+          expr("n_match * 1000 div n_sites").as("conc_permille"),
+          ($"i" =!= $"best_j").as("swapped"))
+        .orderBy($"sample_a")
+    },
+
     // BAM → FASTQ transcode (samtools fastq / Picard SamToFastq — the
     // realignment prep every reprocessing pipeline runs): aligned reads
     // with REAL base/quality strings through the BAM sink, projected back
@@ -3924,6 +3989,32 @@ object FormatQueries {
         |SELECT CAST(len1 - len2 AS INT) AS len_delta, COUNT(*) AS n_pairs,
         |  CAST(SUM(len1 + len2) AS BIGINT) AS sum_bases
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vcf_sample_swap" -> {
+      def hj(j: Int) = s"(site * ${17 * j + 1}) % 1000003 % 24"
+      def code(j: Int) =
+        s"CASE WHEN ${hj(j)} < 21 THEN 0 WHEN ${hj(j)} < 23 THEN 1 ELSE 2 END"
+      val perm: Map[Int, Int] = Map(5 -> 7, 7 -> 5).withDefault(identity)
+      val as = (1 to 12).map(j => s"${code(j)} AS a$j").mkString(", ")
+      val bs = (1 to 12).map(j => s"${code(perm(j))} AS b$j").mkString(", ")
+      val gaCase = "CASE ti.i " + (1 to 12).map(j => s"WHEN $j THEN a$j").mkString(" ") + " END"
+      val gbCase = "CASE tj.j " + (1 to 12).map(j => s"WHEN $j THEN b$j").mkString(" ") + " END"
+      s"""WITH r AS (SELECT DISTINCT l_orderkey * 37 + l_linenumber * 101 + l_suppkey AS site
+         |  FROM lineitem WHERE l_orderkey % 16 = 9),
+         |g AS (SELECT $as, $bs FROM r),
+         |p AS (SELECT ti.i AS i, tj.j AS j, $gaCase AS ga, $gbCase AS gb
+         |  FROM g, (SELECT unnest(range(1, 13)) AS i) ti,
+         |       (SELECT unnest(range(1, 13)) AS j) tj),
+         |c AS (SELECT i, j, CAST(SUM(CASE WHEN ga = gb THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |    COUNT(*) AS n_sites FROM p GROUP BY 1, 2),
+         |b AS (SELECT i, MAX(n_match) AS best_m FROM c GROUP BY 1),
+         |f AS (SELECT c.i, c.n_match, c.n_sites, MIN(c.j) AS best_j
+         |  FROM c JOIN b ON c.i = b.i AND c.n_match = b.best_m GROUP BY 1, 2, 3)
+         |SELECT 's' || lpad(CAST(i AS VARCHAR), 2, '0') AS sample_a,
+         |  's' || lpad(CAST(best_j AS VARCHAR), 2, '0') AS best_match_b,
+         |  n_match * 1000 // n_sites AS conc_permille,
+         |  i <> best_j AS swapped
+         |FROM f ORDER BY 1""".stripMargin
+    },
     "q_bam2fq" ->
       """WITH t AS (SELECT 20 + l_partkey % 31 AS len,
         |    (l_orderkey + l_linenumber) % 4 AS ph, l_suppkey % 7 AS qph FROM lineitem),
