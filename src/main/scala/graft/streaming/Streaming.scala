@@ -1009,6 +1009,34 @@ object Streaming {
     * Expects `rg` and `contig` columns (the BAM reader exposes RG via the
     * attributes map; project it before handing the stream in).
     */
+  /** Streaming pairwise kinship counts — q_vcf_kinship_pairs' twin, the
+    * live cohort-integrity monitor an incremental joint-calling pipeline
+    * runs as new sites land: running het-het / IBS0 / marginal-het counts
+    * for every sample pair. State is the pair matrix — cohort-width²
+    * rows (n·(n−1)/2), NEVER per site — so a continuous variant feed
+    * updates a fixed-size table; a pair whose IBS0 rate drifts mid-batch
+    * signals a sample swap or contamination event while it's happening.
+    * `width` must match the genotypes arrays' length.
+    */
+  def kinshipPairCounts(variants: DataFrame, width: Int = 12): DataFrame = {
+    val pairLits = for { i <- 1 to width; j <- (i + 1) to width }
+      yield struct(lit(i).as("i"), lit(j).as("j"))
+    variants
+      .select(expr("transform(genotypes, g -> CASE WHEN g.gt = '0/1' THEN 1" +
+        " WHEN g.gt = '1/1' THEN 2 ELSE 0 END)").as("gc"))
+      .select(explode(array(pairLits: _*)).as("p"), col("gc"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        element_at(col("gc"), col("p.i")).as("gi"),
+        element_at(col("gc"), col("p.j")).as("gj"))
+      .groupBy("i", "j")
+      .agg(
+        sum(when(col("gi") === 1 && col("gj") === 1, 1L).otherwise(0L)).as("n_hethet"),
+        sum(when((col("gi") === 0 && col("gj") === 2) ||
+          (col("gi") === 2 && col("gj") === 0), 1L).otherwise(0L)).as("n_ibs0"),
+        sum(when(col("gi") === 1, 1L).otherwise(0L)).as("n_het_i"),
+        sum(when(col("gj") === 1, 1L).otherwise(0L)).as("n_het_j"))
+  }
+
   /** Streaming FASTQ QC by read length — q_fastq_roundtrip's aggregate as
     * the live basecaller-output monitor: per-length read counts, GC bases,
     * and low-quality (phred < 20) base counts, aggregated in complete

@@ -1251,6 +1251,40 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("kinshipPairCounts: streaming pair census equals the batch twin; state is width-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 4-sample cohort where s3 duplicates s1 (a planted twin/swap):
+    // their het-het count must equal their marginal het counts
+    def gt(h: Long) = if (h % 24 < 21) "0/0" else if (h % 24 < 23) "0/1" else "1/1"
+    val sites = (0 until 400).map { k =>
+      val gts = (1 to 4).map { j =>
+        val idx = if (j == 3) 1 else j // s3 == s1
+        VcfGt(f"s$j%02d", gt((k.toLong * 7 + 3) * (17 * idx + 1) % 1000003), Map.empty)
+      }
+      VcfSite(s"chr${k % 3}", k + 1, gts)
+    }
+    val stream = MemoryStream[VcfSite]
+    val q = Streaming.kinshipPairCounts(stream.toDF(), width = 4)
+      .writeStream.format("memory").queryName("kin")
+      .outputMode("complete").start()
+    try {
+      stream.addData(sites.take(150)); q.processAllAvailable()
+      stream.addData(sites.drop(150)); q.processAllAvailable()
+      def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+      val got = snap(spark.table("kin"))
+      val want = snap(Streaming.kinshipPairCounts(
+        spark.createDataset(sites).toDF(), width = 4))
+      assert(got == want)
+      assert(got.size == 6, "pair state is width-bounded: C(4,2) rows")
+      val (hh13, ibs13, het1, het3) = got((1, 3))
+      assert(ibs13 == 0L && hh13 == het1 && hh13 == het3,
+        "planted duplicate pair must be IBS0-free with het-het == marginal hets")
+    } finally q.stop()
+  }
+
   test("fastqQcByLength: streaming per-length QC equals the batch twin") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
