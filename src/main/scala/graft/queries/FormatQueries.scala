@@ -2007,6 +2007,71 @@ object FormatQueries {
         .orderBy($"len_delta")
     },
 
+    // SPLICE-JUNCTION CENSUS (regtools junctions extract / STAR SJ.out
+    // shape — the RNA-seq face of the cigar): spliced alignments carry
+    // mMgNnM cigars; the junction is (start + m, gap). Junction geometry
+    // crosses the BAM cigar codec round-trip, then one narrow regexp pass
+    // and a gap-keyed rollup whose key space is the splice-size range.
+    "q_bam_splice_junctions" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/splice.bam"
+      val m1 = lit(20) + $"l_partkey" % 30
+      val gap = lit(100) + ($"l_suppkey" % 50) * 20
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("j"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(0).cast("int").as("flags"),
+        concat(lit("chr"), ($"l_orderkey" % 24).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 900000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 900000) + m1 + gap + lit(30)).cast("int").as("end"),
+        lit(60).cast("int").as("mapq"),
+        concat(m1.cast("string"), lit("M"), gap.cast("string"), lit("N"), lit("30M"))
+          .as("cigar"),
+        lit(null).cast("string").as("mateContig"),
+        lit(0).cast("int").as("mateStart"),
+        lit(0).cast("int").as("tlen"),
+        lit("*").as("seq"), lit("*").as("qual"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false))
+          .as("attributes"))
+      spread(reads).write.format("bam").mode("overwrite")
+        .option("compressionLevel", "1").option("refs", Refs24).save(path)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      back
+        .select($"start",
+          expr("try_cast(regexp_extract(cigar, '^([0-9]+)M', 1) AS BIGINT)").as("m1"),
+          expr("try_cast(regexp_extract(cigar, '([0-9]+)N', 1) AS BIGINT)").as("gap"))
+        .filter($"gap".isNotNull && $"gap" > 0)
+        .select($"gap", ($"start".cast("long") + $"m1").as("junc_start"))
+        .groupBy($"gap")
+        .agg(count(lit(1)).as("n_junctions"), sum($"junc_start").as("sum_junc_start"))
+        .orderBy($"gap")
+    },
+
+    // PER-CYCLE BASE CONTENT from FASTQ (the FastQC per-base-sequence-
+    // content panel): each read explodes into (cycle, base) — a read-
+    // length-bounded fan-out — and the census keys on cycle × base
+    // (≤ 4·max-read-length rows at any corpus size).
+    "q_fastq_base_content" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/bc.fastq.bgz"
+      val reads = Tables.lineitem(s, d).select(
+        concat(lit("q"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+        lit(null).cast("string").as("comment"),
+        expr("substring(repeat('ACGT', 16), CAST((l_orderkey + l_linenumber) % 4 AS INT) + 1," +
+          " CAST(20 + l_partkey % 31 AS INT))").as("seq"),
+        expr("substring(repeat('IJKLMNOP@+FGH', 5), CAST(l_suppkey % 7 AS INT) + 1," +
+          " CAST(20 + l_partkey % 31 AS INT))").as("qual"))
+      spread(reads).write.format("fastq").mode("overwrite")
+        .option("compressionLevel", "1").save(path)
+      val back = s.read.format("fastq").option("splitSize", 256 * 1024).load(path)
+      back
+        .select(explode(expr("sequence(1, length(seq))")).as("cycle"), $"seq")
+        .select($"cycle", expr("substring(seq, cycle, 1)").as("base"))
+        .groupBy($"cycle", $"base")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"cycle", $"base")
+    },
+
     // SAMPLE-SWAP CHECK (NGSCheckMate / Conpair shape — the cohort QC that
     // catches mislabeled columns before they poison an association study):
     // two VCF callsets over the same sites, where the second has samples
@@ -3989,6 +4054,22 @@ object FormatQueries {
         |SELECT CAST(len1 - len2 AS INT) AS len_delta, COUNT(*) AS n_pairs,
         |  CAST(SUM(len1 + len2) AS BIGINT) AS sum_bases
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bam_splice_junctions" ->
+      """WITH t AS (SELECT 20 + l_partkey % 30 AS m1,
+        |    100 + (l_suppkey % 50) * 20 AS gap,
+        |    (l_partkey * 37) % 900000 + 1 AS start FROM lineitem)
+        |SELECT CAST(gap AS BIGINT) AS gap, COUNT(*) AS n_junctions,
+        |  CAST(SUM(start + m1) AS BIGINT) AS sum_junc_start
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_fastq_base_content" ->
+      """WITH t AS (SELECT (l_orderkey + l_linenumber) % 4 AS ph,
+        |    20 + l_partkey % 31 AS len FROM lineitem),
+        |u AS (SELECT substring(repeat('ACGT', 16), CAST(ph AS INT) + 1,
+        |    CAST(len AS INT)) AS seq FROM t),
+        |v AS (SELECT seq, unnest(range(1, length(seq) + 1)) AS cycle FROM u)
+        |SELECT CAST(cycle AS INT) AS cycle, substring(seq, CAST(cycle AS INT), 1) AS base,
+        |  COUNT(*) AS n
+        |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_vcf_sample_swap" -> {
       def hj(j: Int) = s"(site * ${17 * j + 1}) % 1000003 % 24"
       def code(j: Int) =
