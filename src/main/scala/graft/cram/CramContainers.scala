@@ -209,8 +209,21 @@ object CramContainers {
     if (bad || refSeqId < -2 || startPos < 0 || span < 0 || nRecords < 0 ||
       recCounter < 0 || bases < 0 || nBlocks < 0 ||
       nLandmarks < 0 || nLandmarks > MaxLandmarks) return None
+    // Landmarks are slice byte offsets within the dataLength-sized payload
+    // (spec §9), so they are non-decreasing and bounded by dataLength. For
+    // the boundary SCAN this check is the hot-path guard: a garbage offset
+    // whose random nLandmarks lands in [0, MaxLandmarks] would otherwise
+    // spin a ~6k-iteration varint loop + a multi-KB CRC per candidate byte
+    // (measured ~10 µs/offset → ~0.5 s per 256 KiB split, the whole CRAM
+    // read-path regression); with the bound it exits in ~2 iterations.
     var l = 0
-    while (l < nLandmarks && !bad) { itf8(); l += 1 }
+    var prevLm = -1
+    while (l < nLandmarks && !bad) {
+      val lm = itf8()
+      if (!bad && (lm < prevLm || lm > dataLength)) return None
+      prevLm = lm
+      l += 1
+    }
     if (bad || p + 4 > limit) return None
     val crc = new java.util.zip.CRC32()
     crc.update(buf, bufOff, p - bufOff)

@@ -801,7 +801,14 @@ class CramWrite(options: Map[String, String], schema: StructType) extends Write 
     // directory of COMPLETE per-partition .cram files (AnySamSinkMultiple
     // semantics, reference AnySamSinkMultiple.java:39-73)
     val singleFile = path.endsWith(".cram")
-    val writeCrai = options.get("writecrai").exists(_.toBoolean)
+    // records mode co-writes the `.crai` by DEFAULT (option still wins both
+    // ways): the index is one text line per slice, and its presence turns
+    // every downstream scan's planning into O(index) with zero executor-side
+    // boundary discovery — the shape that matters at 100 TB. Container-spec
+    // mode keeps the opt-in default (its zero-payload containers produce no
+    // slice entries, and an empty `.crai` would plan an empty scan).
+    val writeCrai = options.get("writecrai").map(_.toBoolean)
+      .getOrElse(CramDataSource.recordsMode(options))
     // records mode: rows are AlignmentRecords, encoded by the v3 record
     // writer; the header dictionary comes from `refs` like the BAM sink
     val recordsHeader: Option[SamHeader] =
@@ -1097,4 +1104,11 @@ class CramRecordsDataWriter(dir: String, header: SamHeader, schema: StructType,
   }
   override def abort(): Unit = { out.close(); fs.delete(partPath, false) }
   override def close(): Unit = fastaOpened.foreach(_._1.close())
+}
+
+/** Test/profiling access to [[FastaRefs]] (package-private). */
+object FastaRefsAccess {
+  def open(fastaPath: String, conf: org.apache.hadoop.conf.Configuration,
+           names: Int => String): (graft.bgzf.SeekableInput, graft.cram.CramRefSource) =
+    FastaRefs.open(fastaPath, conf, names)
 }

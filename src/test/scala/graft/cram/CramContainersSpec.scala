@@ -156,10 +156,14 @@ class CramContainersSpec extends AnyFunSuite {
     assert(CramContainers.findBoundary(in, c0off + 1, bytes.length.toLong) == c1off)
   }
 
-  /** A synthetic container whose header carries `nLandmarks` five-byte
-    * landmarks (header + zero payload + CRC), returned as raw bytes.
+  /** HEADER bytes of a synthetic container carrying `nLandmarks` five-byte
+    * landmarks — spec-valid (ascending, each ≤ dataLength): 5-byte ITF-8
+    * encodings require values ≥ 2^28, so the claimed payload is 2^28+n
+    * bytes. The payload is never materialized; pair with [[paddedInput]]
+    * so size arithmetic holds without allocating 256 MiB.
     */
-  private def bigLandmarkContainer(nLandmarks: Int, dataLen: Int = 64): Array[Byte] = {
+  private def bigLandmarkContainer(nLandmarks: Int): Array[Byte] = {
+    val dataLen = 0x10000000 + nLandmarks + 1
     val hdr = new java.io.ByteArrayOutputStream()
     hdr.write(dataLen & 0xff); hdr.write((dataLen >> 8) & 0xff)
     hdr.write((dataLen >> 16) & 0xff); hdr.write((dataLen >> 24) & 0xff)
@@ -168,15 +172,34 @@ class CramContainersSpec extends AnyFunSuite {
     hdr.write(Ltf8.write(0L)); hdr.write(Ltf8.write(0L))
     hdr.write(Itf8.write(nLandmarks)) // nBlocks
     hdr.write(Itf8.write(nLandmarks))
-    (0 until nLandmarks).foreach(i => hdr.write(Itf8.write(0x10000000 + i))) // 5-byte ITF-8s
+    (0 until nLandmarks).foreach(i => hdr.write(Itf8.write(0x10000000 + i))) // 5-byte ITF-8s, ascending, ≤ dataLen
     val hb = hdr.toByteArray
     val crc = new java.util.zip.CRC32(); crc.update(hb)
     val c = crc.getValue
     hdr.write((c & 0xff).toInt); hdr.write(((c >> 8) & 0xff).toInt)
     hdr.write(((c >> 16) & 0xff).toInt); hdr.write(((c >> 24) & 0xff).toInt)
-    hdr.write(new Array[Byte](dataLen))
     hdr.toByteArray
   }
+
+  /** `bytes` followed by a claimed run of zeros up to `claimedSize` — the
+    * sparse stand-in for a payload the header tests never read.
+    */
+  private def paddedInput(bytes: Array[Byte], claimedSize: Long): SeekableInput =
+    new SeekableInput {
+      def pread(pos: Long, buf: Array[Byte], off: Int, len: Int): Int = {
+        if (pos >= claimedSize) return -1
+        val n = math.min(len.toLong, claimedSize - pos).toInt
+        var i = 0
+        while (i < n) {
+          val p = pos + i
+          buf(off + i) = if (p < bytes.length) bytes(p.toInt) else 0
+          i += 1
+        }
+        n
+      }
+      def size: Long = claimedSize
+      def close(): Unit = ()
+    }
 
   test("validator and parse window share ONE bound: near-max header parses, over-bound rejects") {
     // the landmark bound is DERIVED from the 64 KiB parse window, so any
@@ -188,22 +211,55 @@ class CramContainersSpec extends AnyFunSuite {
     val off = bos.size().toLong
     val maxed = bigLandmarkContainer(CramContainers.MaxLandmarks)
     bos.write(maxed)
-    bos.write(CramContainers.encodeEofContainer())
     val bytes = bos.toByteArray
+    val dataLen = 0x10000000L + CramContainers.MaxLandmarks + 1
     // near-max header fills most of — but by construction fits — the window
-    val hdrSize = maxed.length - 64
+    val hdrSize = maxed.length
     assert(hdrSize > (1 << 16) - 100 && hdrSize <= (1 << 16),
       s"near-max header should fill the 64 KiB window, was $hdrSize")
-    val parsed = CramContainers.readValidatedHeader(SeekableInput.ofBytes(bytes), off, bytes.length.toLong)
+    val in = paddedInput(bytes, off + maxed.length + dataLen)
+    val parsed = CramContainers.readValidatedHeader(in, off, in.size)
     assert(parsed.isDefined, "a valid max-landmark header must parse inside the window")
     assert(parsed.get.nBlocks == CramContainers.MaxLandmarks)
     // one landmark past the bound → implausible, rejected (policy, not margin)
     val over = new java.io.ByteArrayOutputStream()
     over.write(CramContainers.encodeFileDefinition())
-    over.write(bigLandmarkContainer(CramContainers.MaxLandmarks + 1))
-    over.write(CramContainers.encodeEofContainer())
-    val ob = over.toByteArray
-    assert(CramContainers.readValidatedHeader(SeekableInput.ofBytes(ob), off, ob.length.toLong).isEmpty)
+    val overHdr = bigLandmarkContainer(CramContainers.MaxLandmarks + 1)
+    over.write(overHdr)
+    val oin = paddedInput(over.toByteArray, off + overHdr.length + dataLen + 1)
+    assert(CramContainers.readValidatedHeader(oin, off, oin.size).isEmpty)
+  }
+
+  test("landmark sanity: descending or out-of-payload landmarks reject the header") {
+    // landmarks are slice offsets within the dataLength-sized payload —
+    // non-decreasing and bounded. This is the scan hot-path guard (a
+    // garbage candidate byte must exit the landmark loop in ~2 parses, not
+    // spin thousands of varints + a multi-KB CRC), so pin both rejections.
+    def hdr(landmarks: Seq[Int], dataLen: Int): Array[Byte] = {
+      val h = new java.io.ByteArrayOutputStream()
+      h.write(dataLen & 0xff); h.write((dataLen >> 8) & 0xff)
+      h.write((dataLen >> 16) & 0xff); h.write((dataLen >> 24) & 0xff)
+      h.write(Itf8.write(0)); h.write(Itf8.write(1000))
+      h.write(Itf8.write(90)); h.write(Itf8.write(5))
+      h.write(Ltf8.write(0L)); h.write(Ltf8.write(0L))
+      h.write(Itf8.write(landmarks.length))
+      h.write(Itf8.write(landmarks.length))
+      landmarks.foreach(l => h.write(Itf8.write(l)))
+      val hb = h.toByteArray
+      val crc = new java.util.zip.CRC32(); crc.update(hb)
+      val c = crc.getValue
+      h.write((c & 0xff).toInt); h.write(((c >> 8) & 0xff).toInt)
+      h.write(((c >> 16) & 0xff).toInt); h.write(((c >> 24) & 0xff).toInt)
+      h.write(new Array[Byte](dataLen))
+      h.toByteArray
+    }
+    def parse(landmarks: Seq[Int], dataLen: Int) = {
+      val b = hdr(landmarks, dataLen)
+      CramContainers.tryParseValidated(b, 0, b.length, 0L, b.length.toLong)
+    }
+    assert(parse(Seq(10, 20, 30), 64).isDefined, "valid ascending landmarks must parse")
+    assert(parse(Seq(30, 20), 64).isEmpty, "descending landmarks must reject")
+    assert(parse(Seq(10, 100), 64).isEmpty, "landmark past dataLength must reject")
   }
 
   test("findBoundary finds a near-max header at a scan-window margin edge") {
@@ -219,10 +275,11 @@ class CramContainersSpec extends AnyFunSuite {
     val defLen = bos.size()
     bos.write(junk)
     val off = bos.size().toLong
-    bos.write(bigLandmarkContainer(CramContainers.MaxLandmarks))
-    bos.write(CramContainers.encodeEofContainer())
-    val bytes = bos.toByteArray
-    val found = CramContainers.findBoundary(SeekableInput.ofBytes(bytes), defLen.toLong, bytes.length.toLong)
+    val hdr = bigLandmarkContainer(CramContainers.MaxLandmarks)
+    bos.write(hdr)
+    val dataLen = 0x10000000L + CramContainers.MaxLandmarks + 1
+    val in = paddedInput(bos.toByteArray, off + hdr.length + dataLen)
+    val found = CramContainers.findBoundary(in, defLen.toLong, in.size)
     assert(found == off, s"boundary scan missed the margin-edge container: found $found, want $off")
   }
 

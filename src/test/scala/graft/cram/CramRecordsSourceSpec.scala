@@ -84,8 +84,11 @@ class CramRecordsSourceSpec extends AnyFunSuite with SparkFixture {
     val out = dir.resolve("u.cram")
     val df = reads(4000)
     val want = checksum(df)
+    // opt OUT of the default .crai co-write: this test pins the unindexed
+    // (external-file) route, where readers snap byte ranges to boundaries
     df.repartition(3).write.format("cram").mode("overwrite")
       .option("records", "true").option("refs", Refs)
+      .option("writeCrai", "false")
       .option("recordsPerContainer", "250").save(out.toString)
     assert(!Files.exists(dir.resolve("u.cram.crai")))
     val back = spark.read.format("cram")

@@ -115,9 +115,12 @@ class LimitPushdownSpec extends AnyFunSuite with SparkFixture {
     val recs = TestReads.mixed(600)
     val dir = tmpDir()
     val out = dir.resolve("t.cram")
+    // small containers so the default .crai-indexed route still yields a
+    // multi-partition unlimited scan (one 10k-record container would not)
     spark.createDataset(recs).toDF().coalesce(1)
       .write.format("cram").mode("overwrite")
       .option("records", "true").option("refs", "chr20:1000000,chr21:1000135")
+      .option("recordsPerContainer", "100")
       .save(out.toString)
     def read() = spark.read.format("cram").option("records", "true")
       .option("splitSize", 4096).load(out.toString)
