@@ -91,11 +91,14 @@ final class BgzfOutputStream(out: OutputStream, writeEof: Boolean = true,
 
   override def close(): Unit = if (!closed) {
     closed = true
+    // `out` must close even when the final flush throws — otherwise an
+    // error path leaks the underlying stream/file handle (round-11 advice)
     try {
       flushBlock()
       if (writeEof) out.write(Bgzf.EofBlock)
-    } finally compressor.end()
-    out.close()
+    } finally {
+      try compressor.end() finally out.close()
+    }
   }
 }
 

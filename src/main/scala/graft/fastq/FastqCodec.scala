@@ -21,12 +21,18 @@ object FastqRecord {
 object FastqCodec {
 
   /** Could `l` be a record's sequence line? Used only by the split-phase
-    * guesser — IUPAC letters plus the gap/wildcard characters occasionally
-    * seen in the wild. Deliberately permissive: the primary phase signals
-    * are the '@'/'+' markers and the seq/qual length equality.
+    * guesser — IUPAC letters, digits (color-space reads encode bases as
+    * 0–3), and the gap/wildcard characters seen in the wild; the EMPTY
+    * line is allowed too (zero-length reads exist after aggressive
+    * trimming). Deliberately permissive, and consistent with what
+    * [[parse]] accepts: a record that parses mid-split must also be
+    * phase-detectable when a split boundary lands ON it, or behavior
+    * becomes split-size-dependent (round-11 advice). The primary phase
+    * signals are the '@'/'+' markers, the seq/qual length equality, and
+    * the second-record confirmation.
     */
   private def plausibleSeq(l: String): Boolean =
-    l.nonEmpty && l.forall(c => Character.isLetter(c) || c == '.' || c == '*' ||
+    l.forall(c => Character.isLetterOrDigit(c) || c == '.' || c == '*' ||
       c == '=' || c == '-')
 
   /** Do four consecutive lines form a structurally valid record start? */

@@ -49,7 +49,7 @@ class HtsjdkDataSource extends TableProvider with DataSourceRegister {
       else if (name.endsWith(".cram")) new CramDataSource
       else if (name.endsWith(".fastq") || name.endsWith(".fq") ||
                name.endsWith(".fastq.gz") || name.endsWith(".fastq.bgz") ||
-               name.endsWith(".fq.gz"))
+               name.endsWith(".fq.gz") || name.endsWith(".fq.bgz"))
         new graft.sources.fastq.FastqDataSource
       else throw new IllegalArgumentException(
         s"cannot infer reads format from '$name' (want .bam/.sam/.cram/.fastq); " +

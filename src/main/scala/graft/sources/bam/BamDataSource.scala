@@ -278,7 +278,11 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
         val dataMtime = fs.getFileStatus(file).getModificationTime
         // a .bai has no recorded file length, so its freshness proof is the
         // mtime: an index older than its data file (in-place rewrite) is
-        // stale and must not steer seeks or pruning
+        // stale and must not steer seeks or pruning. Residual risk: with
+        // second-granularity filesystem timestamps, a rewrite landing in
+        // the same tick as the old index still passes — accepted, because
+        // the .bai format records nothing (no length, no checksum) that
+        // could prove freshness the way the .sbi fileLength guard does.
         def baiFresh(p: Path): Boolean =
           fs.exists(p) && fs.getFileStatus(p).getModificationTime >= dataMtime
         val sbiPath = new Path(file.toString + ".sbi")

@@ -234,7 +234,8 @@ class FastqWrite(options: Map[String, String], schema: StructType) extends Write
     val path = options.getOrElse("path",
       throw new IllegalArgumentException("fastq sink requires a path"))
     val single = path.endsWith(".fastq") || path.endsWith(".fq") ||
-      path.endsWith(".fastq.gz") || path.endsWith(".fastq.bgz") || path.endsWith(".fq.gz")
+      path.endsWith(".fastq.gz") || path.endsWith(".fastq.bgz") ||
+      path.endsWith(".fq.gz") || path.endsWith(".fq.bgz")
     val bgzf = path.endsWith(".gz") || path.endsWith(".bgz")
     val shardSuffix = options.getOrElse("shardsuffix", ".fastq")
     require(Seq(".fastq", ".fq", ".fastq.gz", ".fastq.bgz").contains(shardSuffix),

@@ -1000,15 +1000,6 @@ object Streaming {
       .agg(count(lit(1)).as("n_reads"), sum(col("q")).as("sum_q"),
         min(col("q")).as("min_q"), max(col("q")).as("max_q"))
 
-  /** Streaming X/Y coverage by read group — q_bam_sex_infer's twin, the
-    * live sample-swap / contamination check a sequencing facility runs
-    * while the flow cell is writing: per-RG chrX/chrY/autosome counts and
-    * the running X-fraction. State is one row per read group (sample
-    * count), never per read; an inconsistent sex call against the sample
-    * sheet stops the run before a mislabeled sample reaches the cohort.
-    * Expects `rg` and `contig` columns (the BAM reader exposes RG via the
-    * attributes map; project it before handing the stream in).
-    */
   /** Streaming pairwise kinship counts — q_vcf_kinship_pairs' twin, the
     * live cohort-integrity monitor an incremental joint-calling pipeline
     * runs as new sites land: running het-het / IBS0 / marginal-het counts
@@ -1052,6 +1043,15 @@ object Streaming {
       .agg(count(lit(1)).as("n_reads"), sum(col("gc")).as("n_gc"),
         sum(col("lowq")).as("n_lowq"))
 
+  /** Streaming X/Y coverage by read group — q_bam_sex_infer's twin, the
+    * live sample-swap / contamination check a sequencing facility runs
+    * while the flow cell is writing: per-RG chrX/chrY/autosome counts and
+    * the running X-fraction. State is one row per read group (sample
+    * count), never per read; an inconsistent sex call against the sample
+    * sheet stops the run before a mislabeled sample reaches the cohort.
+    * Expects `rg` and `contig` columns (the BAM reader exposes RG via the
+    * attributes map; project it before handing the stream in).
+    */
   def sexCoverageByRg(reads: DataFrame): DataFrame =
     reads
       .groupBy("rg")

@@ -156,6 +156,47 @@ class FastqSourceSpec extends AnyFunSuite with SparkFixture {
     assert(spark.read.format("htsjdk").load(p).count() == 60)
   }
 
+  test(".fq.bgz is a single BGZF file for the sink and dispatches via the facade") {
+    // round-11 advice: .fq.bgz silently became a sharded DIRECTORY of
+    // uncompressed shards; pin single-file + BGZF magic + facade dispatch
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fastq")
+    val recs = mkRecords(120)
+    val out = dir.resolve("s.fq.bgz")
+    spark.createDataset(recs).toDF().repartition(3)
+      .write.format("fastq").mode("overwrite").save(out.toString)
+    assert(Files.isRegularFile(out), ".fq.bgz must be a single file, not a shard directory")
+    val head = new Array[Byte](4)
+    val in = Files.newInputStream(out)
+    try in.read(head) finally in.close()
+    assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b, "must be gzip-framed (BGZF)")
+    assert(spark.read.format("htsjdk").load(out.toString).count() == 120)
+    assert(readAll(out.toString, 4096L).sortBy(_._1) == asTuples(recs).sortBy(_._1))
+  }
+
+  test("zero-length and color-space reads parse identically at every split size") {
+    // round-11 advice: plausibleSeq rejected empty/digit sequence lines
+    // that parse() accepts, making the SAME file succeed or fail depending
+    // on where a split boundary lands. Pin split-size invariance for both.
+    val dir = Files.createTempDirectory("fastq")
+    val recs = (0 until 300).map { i =>
+      if (i % 5 == 0) FastqRecord(s"empty$i", null, "", "")
+      else if (i % 5 == 1) {
+        val len = 8 + i % 11
+        // SOLiD color-space: primer base + digit colors
+        FastqRecord(s"cs$i", null,
+          "T" + (0 until len).map(j => ('0' + (i + j) % 4).toChar).mkString,
+          (0 to len).map(j => (33 + (i + j) % 40).toChar).mkString)
+      } else mkRecords(i + 1).last
+    }
+    val p = writePlain(recs, dir, "z.fastq")
+    val want = asTuples(recs).sortBy(_._1)
+    for (ss <- Seq(128L, 512L, 2048L, 1L << 20)) {
+      val got = readAll(p, ss).sortBy(_._1)
+      assert(got == want, s"splitSize $ss")
+    }
+  }
+
   test("detectPhase: adversarial quality lines never misframe") {
     // a window landing on each of the 4 phases of a stream whose qual
     // lines start with '@'/'+'
