@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import java.io.IOException
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,16 +10,18 @@ import org.apache.spark.sql.types._
   * engine as opaque `binary` columns with typed metadata; decode / feature
   * extraction runs batched per partition.
   *
-  * UNCOMPRESSED formats decode for REAL, no external libraries: [[Wav]]
-  * parses genuine RIFF/WAVE PCM containers (chunk walking, 8/16-bit,
-  * multi-channel; `q_audio_features`) and [[Bmp]] parses 24-bit BMP rasters
-  * (BGR order, bottom-up/top-down rows, row padding; `q_image_features`).
-  * Only COMPRESSED codecs (JPEG/PNG/video) remain stubbed — those genuinely
-  * need libraries this container lacks: [[FakeCodec]] is their
-  * deterministic stand-in with the same shape a real decoder would have.
-  * Everything around the stubs — schema, partition-batched execution via
-  * `mapPartitions` (the Scala-side analogue of `mapInPandas`), feature
-  * schema, downstream similarity compatibility — is real and tested.
+  * Every format claimed here decodes for REAL, no external libraries:
+  * [[Wav]] parses genuine RIFF/WAVE PCM containers (chunk walking, 8/16-bit,
+  * multi-channel), [[Bmp]] parses 24-bit BMP rasters (BGR order,
+  * bottom-up/top-down rows, row padding), and [[Png]] parses genuine
+  * zlib-compressed PNGs (chunk CRCs, multi-IDAT, all five scanline filters,
+  * RGB + RGBA). [[extractFeatures]] dispatches on the format column and
+  * computes features from DECODED pixels/samples — a mislaid byte anywhere
+  * in the container or the filter reconstruction moves the result. The one
+  * remaining model (not a decode) is [[sampleFrames]]: video rides as
+  * fixed-size frame chunks because real video codecs (H.264 etc.) genuinely
+  * need libraries this container lacks; the explode shape, schema and
+  * batched execution are what a real frame sampler feeds downstream.
   */
 object Multimodal {
 
@@ -28,7 +32,10 @@ object Multimodal {
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
                       width: Int, height: Int, format: String)
 
-  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+  /** `n_units` is DECODED size — pixels for images, samples for audio —
+    * so downstream rollups are about content, not container overhead.
+    */
+  case class MediaFeatures(media_id: Long, kind: String, n_units: Long,
                            features: Array[Float])
 
   val mediaSchema: StructType = StructType(Seq(
@@ -36,52 +43,93 @@ object Multimodal {
     StructField("payload", BinaryType), StructField("width", IntegerType),
     StructField("height", IntegerType), StructField("format", StringType)))
 
-  /** STUB decoder — a real implementation would call an image/audio codec
-    * here (???-equivalent). Deterministic: 16 features, feature k = mean of
-    * bytes congruent to k mod 16, scaled to [0,1]; plus byte count. Shape,
-    * determinism, and batch-iteration contract match a real decoder.
+  /** Deterministic raster for doc `id` — the generator the DuckDB oracles
+    * mirror. Channel c (0=R,1=G,2=B,3=A) at (x,y) is
+    * `(id*7 + x*3 + y*5 + c*11) % 256`; geometry `(16+id%17) x (8+id%11)`;
+    * every 4th image carries an alpha channel so both PNG color types are
+    * exercised at corpus scale.
     */
-  object FakeCodec {
-    val FeatureDim = 16
-    def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
-      val sums = new Array[Long](FeatureDim)
-      val counts = new Array[Long](FeatureDim)
-      var i = 0
-      while (i < payload.length) {
-        val b = payload(i) & 0xff
-        sums(b % FeatureDim) += b
-        counts(b % FeatureDim) += 1
-        i += 1
-      }
-      Array.tabulate(FeatureDim)(k =>
-        if (counts(k) == 0) 0f else (sums(k).toDouble / counts(k) / 255.0).toFloat)
+  def rasterFor(id: Long): Png.Image = {
+    val w = (16 + id % 17).toInt
+    val h = (8 + id % 11).toInt
+    val hasAlpha = id % 4 == 0
+    val px = Array.tabulate(w * h) { g =>
+      val x = g % w; val y = g / w
+      def ch(c: Int) = ((id * 7 + x * 3 + y * 5 + c * 11) % 256).toInt
+      val a = if (hasAlpha) ch(3) else 0xff
+      (a << 24) | (ch(0) << 16) | (ch(1) << 8) | ch(2)
     }
+    Png.Image(w, h, px, hasAlpha)
   }
 
-  /** Batched feature extraction: one decoder instantiation per partition,
-    * records streamed through it — the execution shape that amortizes model
-    * or codec setup at scale (mapInPandas semantics, Scala-typed).
+  /** Deterministic PCM wave for doc `id` (mirrors q_audio_features):
+    * `n = 64 + id%193` samples of `((id*31 + t*7919) % 4096) - 2048`.
+    */
+  def waveFor(id: Long): Array[Int] = {
+    val n = (64 + id % 193).toInt
+    Array.tabulate(n)(t => (((id * 31 + t.toLong * 7919) % 4096) - 2048).toInt)
+  }
+
+  /** Real decode, dispatched on the format column: PNG payloads yield
+    * per-channel means over decoded pixels, WAV payloads yield
+    * peak / zero-crossing-rate / mean-abs over decoded samples. One decoder
+    * instantiation per partition, records streamed through it — the
+    * execution shape that amortizes codec setup at scale. Unknown formats
+    * fail loudly: there is no fake path left.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition setup would happen here (codec/model init)
       rows.map { r =>
-        MediaFeatures(r.media_id, r.kind, r.payload.length,
-          FakeCodec.decodeToFeatures(r.payload))
+        r.format match {
+          case "png" =>
+            val img = Png.decode(r.payload)
+            val n = img.pixels.length
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < n) {
+              val p = img.pixels(i)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              i += 1
+            }
+            // widen BEFORE dividing so DuckDB reproduces the float32 exactly
+            def mean(s: Long) = (s.toDouble / n / 255.0).toFloat
+            MediaFeatures(r.media_id, r.kind, n.toLong,
+              Array(mean(sr), mean(sg), mean(sb)))
+          case "wav" =>
+            val pcm = Wav.decode(r.payload)
+            val ss = pcm.samples
+            var peak = 0L; var zc = 0L; var sumAbs = 0L
+            var t = 0
+            while (t < ss.length) {
+              val v = ss(t)
+              if (math.abs(v) > peak) peak = math.abs(v)
+              sumAbs += math.abs(v)
+              if (t >= 1 && ((v < 0) != (ss(t - 1) < 0))) zc += 1
+              t += 1
+            }
+            val n = ss.length
+            MediaFeatures(r.media_id, r.kind, n.toLong, Array(
+              (peak.toDouble / 2048.0).toFloat,
+              (zc.toDouble / n).toFloat,
+              (sumAbs.toDouble / n / 2048.0).toFloat))
+          case other =>
+            throw new IOException(s"no decoder for format '$other' (media ${r.media_id})")
+        }
       }
     }
   }
 
   case class FrameRow(media_id: Long, frame_idx: Int, frame_len: Int, frame_sum: Long)
 
-  /** STUB resize — a real implementation would decode, scale, re-encode.
-    * The fake is nearest-neighbor byte striding: output byte j of an
-    * outW×outH "image" is input byte (j·len)/(outW·outH). Deterministic,
-    * oracle-reproducible, and the plumbing (batched per-partition transform
-    * returning a re-usable MediaRow) is exactly a real resizer's shape.
+  /** Opaque-payload byte subsample (nearest-neighbor stride): output byte j
+    * of an outLen-byte digest is input byte (j*len)/outLen. This is NOT an
+    * image resize — it is the fixed-width digest the perceptual-hash dedup
+    * (`q_multimodal_dedup`) runs over payloads it does not decode, the
+    * content-defined-sampling trick a 100 TB blob dedup uses before paying
+    * for a real decode. For pixel-space resize see [[resizeImage]].
     */
-  def resize(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaRow] = {
+  def strideBytes(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     val outLen = outW * outH
     media.mapPartitions { rows =>
@@ -95,11 +143,34 @@ object Multimodal {
     }
   }
 
-  /** STUB frame sampling — video payloads as fixed-size frame chunks, every
+  /** REAL image resize: decode the PNG, nearest-neighbor sample the pixel
+    * grid (src x = x*w/outW, src y = y*h/outH, floor), re-encode as PNG.
+    * Batched per partition; output rows are themselves valid PNGs so the
+    * result feeds any downstream decode.
+    */
+  def resizeImage(media: Dataset[MediaRow], outW: Int, outH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.format != "png")
+          throw new IOException(s"resizeImage: format '${r.format}' (media ${r.media_id})")
+        val img = Png.decode(r.payload)
+        val out = Array.tabulate(outW * outH) { j =>
+          val x = j % outW; val y = j / outW
+          img.pixels((y * img.height / outH) * img.width + (x * img.width / outW))
+        }
+        r.copy(payload = Png.encode(Png.Image(outW, outH, out, img.hasAlpha)),
+          width = outW, height = outH)
+      }
+    }
+  }
+
+  /** Frame sampling MODEL — video payloads as fixed-size frame chunks, every
     * `everyNth` frame emitted as its own row (the explode shape a video
     * pipeline feeds downstream models with; last partial frame kept).
     * Frame content is summarized (len + byte sum) so the result is
-    * DuckDB-verifiable per frame.
+    * DuckDB-verifiable per frame. Real video codecs need libraries this
+    * container lacks; the schema/partitioning/batch shape here is real.
     */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
                    everyNth: Int = 4): Dataset[FrameRow] = {
@@ -120,9 +191,10 @@ object Multimodal {
     }
   }
 
-  /** Deterministic synthetic media derived from the documents table — stands
-    * in for real payloads so the plumbing is exercised end-to-end on the
-    * driver's data (doc text bytes as the "payload").
+  /** Opaque synthetic media derived from the documents table — doc text
+    * bytes as the payload. This is the corpus for the ops that treat
+    * payloads as opaque blobs (phash dedup, frame chunking); for decodable
+    * media see [[syntheticPixelMedia]].
     */
   def syntheticMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -130,24 +202,52 @@ object Multimodal {
       .select($"doc_id".as("media_id"),
         when($"doc_id" % 2 === 0, "image").otherwise("audio").as("kind"),
         encode($"text", "UTF-8").as("payload"),
-        lit(64).as("width"), lit(64).as("height"), lit("fake").as("format"))
+        lit(64).as("width"), lit(64).as("height"), lit("opaque").as("format"))
       .as[MediaRow]
   }
 
-  /** Per-kind feature summary — the query-shaped surface over the stub.
-    * Deterministic AND oracle-exact: the float32 feature is widened to
-    * double BEFORE the ×1000 (float×int would multiply in float32, whose
-    * rounding DuckDB can't portably mirror; double(float) is exact), so
-    * DuckDB reproduces the value bit-for-bit via CAST(… AS REAL) → DOUBLE.
+  /** REAL decodable synthetic media: even doc_ids become genuine PNG files
+    * (deterministic raster, per-row filter type cycling through all five,
+    * RGBA every 4th), odd doc_ids become genuine RIFF/WAV files (16-bit PCM
+    * with a JUNK chunk so the parser must walk chunks). Payload bytes are
+    * produced by the same encoders the sinks would use; everything
+    * downstream decodes them for real.
+    */
+  def syntheticPixelMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id").as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          if (id % 2 == 0) {
+            val img = rasterFor(id)
+            MediaRow(id, "image", Png.encode(img, filterFor = row => ((row + id) % 5).toInt),
+              img.width, img.height, "png")
+          } else {
+            val wave = waveFor(id)
+            MediaRow(id, "audio",
+              Wav.encode(16000, 1, 16, wave, junkBytes = (id % 13).toInt),
+              0, 0, "wav")
+          }
+        }
+      }
+  }
+
+  /** Per-kind feature summary over REAL decoded media. Deterministic AND
+    * oracle-exact: each float32 feature is widened to double BEFORE the
+    * ×1000 (float×int would multiply in float32, whose rounding DuckDB
+    * can't portably mirror; double(float) is exact), so DuckDB reproduces
+    * the value bit-for-bit via CAST(… AS REAL) → DOUBLE.
     */
   def featureSummary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    extractFeatures(syntheticMedia(spark, sfDir))
+    def milli(k: Int) =
+      sum(round(element_at($"features", k).cast("double") * 1000).cast("long"))
+    extractFeatures(syntheticPixelMedia(spark, sfDir))
       .groupBy($"kind")
       .agg(count(lit(1)).as("n_media"),
-        sum($"n_bytes".cast("long")).as("total_bytes"),
-        sum(round(element_at($"features", 1).cast("double") * 1000).cast("long"))
-          .as("f0_milli_sum"))
+        sum($"n_units").as("total_units"),
+        milli(1).as("f0_milli_sum"),
+        milli(2).as("f1_milli_sum"))
       .orderBy($"kind")
   }
 }

@@ -2,39 +2,51 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Multimodal feature extraction, oracled: the stub codec's features are
-  * integer byte statistics (mean of payload bytes congruent to k mod 16,
-  * scaled — Multimodal.FakeCodec), so DuckDB reproduces them exactly by
-  * re-deriving the payload bytes via hex(encode(text)) and mirroring the
-  * double→float32→double widening the Spark side performs.
+/** Multimodal feature extraction, oracled against REAL codecs: media
+  * payloads are genuine PNG (zlib, per-row filters, RGB+RGBA) and RIFF/WAV
+  * containers built by the in-house encoders, decoded back by the in-house
+  * decoders, and the features come from DECODED pixels/samples. The oracles
+  * re-derive the same statistics from the deterministic raster/wave
+  * generators (Multimodal.rasterFor / waveFor) — a byte mislaid anywhere in
+  * the container, the zlib stream, or the filter reconstruction moves the
+  * rollup. Float32 features are widened to double before scaling so DuckDB
+  * mirrors them bit-for-bit.
   */
 object Extras {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> { (s, d) => graft.multimodal.Multimodal.featureSummary(s, d) },
 
-    // stub resize (nearest-neighbor byte striding): per-kind totals over
-    // the resized 8x8 payloads — pins the stride math + batch plumbing
+    // REAL resize: decode the synthetic PNGs, nearest-neighbor resample to
+    // 8x8 in pixel space, re-encode as PNG — then decode the RESIZED file
+    // back and roll up per-channel sums, so the oracle pins the NN index
+    // math AND the round-trip through the second PNG encode/decode.
     "q_multimodal_resize" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.functions._
-      val m = graft.multimodal.Multimodal.syntheticMedia(s, d)
-      graft.multimodal.Multimodal.resize(m, 8, 8).toDF()
-        .select($"media_id", $"kind", $"payload")
-        .as[(Long, String, Array[Byte])]
-        .map { case (id, kind, p) => (id, kind, p.length, p.map(b => (b & 0xff).toLong).sum) }
-        .toDF("media_id", "kind", "out_len", "byte_sum")
-        .groupBy($"kind")
-        .agg(count(lit(1)).as("n_media"), sum($"out_len").as("total_len"),
-          sum($"byte_sum").as("total_byte_sum"))
-        .orderBy($"kind")
+      val m = graft.multimodal.Multimodal.syntheticPixelMedia(s, d)
+        .filter(_.kind == "image")
+      graft.multimodal.Multimodal.resizeImage(m, 8, 8).toDF()
+        .select($"media_id", $"payload").as[(Long, Array[Byte])]
+        .map { case (id, p) =>
+          val img = graft.multimodal.Png.decode(p)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          img.pixels.foreach { px =>
+            sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+          }
+          (id % 8, img.pixels.length.toLong, sr, sg, sb)
+        }.toDF("bucket", "n_px", "sr", "sg", "sb")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_media"), sum($"n_px").as("total_px"),
+          sum($"sr").as("sum_r"), sum($"sg").as("sum_g"), sum($"sb").as("sum_b"))
+        .orderBy($"bucket")
     },
 
-    // multimodal NEAR-DUP: a 60-bit perceptual hash over the stub-decoded
-    // 8×8 payload (bit k set when byte k exceeds the payload mean — the
-    // aHash family) bucketed per (kind, phash) — narrow per-item hash,
-    // ONE bucket shuffle, no pair space: the exact-dedup contract applied
-    // to media, with the real-codec swap point at the same decode seam
-    // the other multimodal ops document. The synthetic corpus has no
+    // multimodal NEAR-DUP: a 60-bit perceptual hash over a 64-byte
+    // nearest-neighbor stride digest of the OPAQUE payload (bit k set when
+    // byte k exceeds the digest mean — the aHash family) bucketed per
+    // (kind, phash) — narrow per-item hash, ONE bucket shuffle, no pair
+    // space: the exact-dedup contract applied to blobs a 100 TB pipeline
+    // would not pay to decode. The synthetic corpus has no
     // same-kind byte-identical media, so the oracled report is the
     // HASH PROFILE (count, distinct hashes, dup mass, xor-fold of every
     // hash) — the fold pins each row's 60-bit value, so any phash drift
@@ -43,7 +55,7 @@ object Extras {
       import s.implicits._
       import org.apache.spark.sql.functions._
       val m = graft.multimodal.Multimodal.syntheticMedia(s, d)
-      graft.multimodal.Multimodal.resize(m, 8, 8).toDF()
+      graft.multimodal.Multimodal.strideBytes(m, 8, 8).toDF()
         .select($"media_id", $"kind", $"payload")
         .as[(Long, String, Array[Byte])]
         .map { case (id, kind, p) =>
@@ -67,8 +79,9 @@ object Extras {
         .orderBy($"kind")
     },
 
-    // stub frame sampling: every 4th 64-byte frame as its own row —
-    // row-level oracle (one row per sampled frame, len + byte sum each)
+    // frame-sampling model (video rides as fixed-size frame chunks): every
+    // 4th 64-byte frame as its own row — row-level oracle (one row per
+    // sampled frame, len + byte sum each)
     "q_multimodal_frames" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.functions._
@@ -118,11 +131,13 @@ object Extras {
     },
 
     // REAL image decode (no stub): per-doc RGB rasters round-trip through
-    // genuine 24-bit BMP bytes — odd widths force row padding, and the row
-    // order ALTERNATES bottom-up/top-down by doc parity so both layouts
-    // decode — then luma and horizontal-gradient (sharpness) features come
-    // from the DECODED pixels. A swapped BGR byte, a mis-padded row, or a
-    // flipped raster moves the rollup. Narrow pass + one 8-key shuffle.
+    // a genuine codec ALTERNATING by doc parity — even docs through PNG
+    // (zlib, per-row filter cycle over all five types, RGBA every 4th doc),
+    // odd docs through 24-bit BMP (row padding, bottom-up/top-down) — then
+    // luma and horizontal-gradient (sharpness) features come from the
+    // DECODED pixels. A swapped channel byte, a mis-padded row, a flipped
+    // raster, or a bad filter reconstruction moves the rollup; the oracle
+    // is codec-independent because decode(encode(x)) == x for both.
     "q_image_features" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.functions._
@@ -131,21 +146,31 @@ object Extras {
         ids.map { id =>
           val w = (16 + id % 17).toInt
           val h = (8 + id % 11).toInt
+          val hasAlpha = id % 4 == 0
           val px = Array.tabulate(w * h) { g =>
             val x = g % w; val y = g / w
             def ch(c: Int) = ((id * 7 + x * 3 + y * 5 + c * 11) % 256).toInt
-            (ch(0) << 16) | (ch(1) << 8) | ch(2)
+            val a = if (hasAlpha) ch(3) else 0xff
+            (a << 24) | (ch(0) << 16) | (ch(1) << 8) | ch(2)
           }
-          val img = graft.multimodal.Bmp.decode(
-            graft.multimodal.Bmp.encode(
-              graft.multimodal.Bmp.Image(w, h, px), topDown = id % 2 == 1))
+          val (iw, ih, pixels) =
+            if (id % 2 == 0) {
+              val back = graft.multimodal.Png.decode(graft.multimodal.Png.encode(
+                graft.multimodal.Png.Image(w, h, px, hasAlpha),
+                filterFor = row => ((row + id) % 5).toInt))
+              (back.width, back.height, back.pixels)
+            } else {
+              val back = graft.multimodal.Bmp.decode(graft.multimodal.Bmp.encode(
+                graft.multimodal.Bmp.Image(w, h, px.map(_ & 0xffffff)), topDown = true))
+              (back.width, back.height, back.pixels)
+            }
           var sumLum = 0L; var grad = 0L
           var y = 0
-          while (y < img.height) {
+          while (y < ih) {
             var prev = -1L
             var x = 0
-            while (x < img.width) {
-              val p = img.pixels(y * img.width + x)
+            while (x < iw) {
+              val p = pixels(y * iw + x)
               val lum = ((p >> 16) & 0xff) * 299L + ((p >> 8) & 0xff) * 587L +
                 (p & 0xff) * 114L
               sumLum += lum
@@ -206,23 +231,23 @@ object Extras {
         |  CAST(SUM(sum_lum) AS BIGINT) AS sum_lum,
         |  CAST(SUM(grad) AS BIGINT) AS sum_grad
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // nearest-neighbor in pixel space: out pixel (x,y) of the 8x8 result is
+    // source pixel (x*w//8, y*h//8) of the deterministic raster
     "q_multimodal_resize" ->
-      """WITH m AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-        |    encode(text) AS payload FROM documents),
-        |b AS (SELECT doc_id, kind, octet_length(payload) AS n,
-        |    list_transform(range(0, octet_length(payload)),
-        |      i -> CAST('0x' || substr(hex(payload), CAST(2 * i + 1 AS INTEGER), 2) AS INTEGER)) AS bytes
-        |  FROM m),
-        |r AS (SELECT doc_id, kind,
-        |    CASE WHEN n = 0 THEN 0 ELSE 64 END AS out_len,
-        |    CASE WHEN n = 0 THEN 0 ELSE
-        |      list_sum(list_transform(range(0, 64), j -> bytes[CAST(j * n // 64 + 1 AS INTEGER)]))
-        |    END AS byte_sum
-        |  FROM b)
-        |SELECT kind, COUNT(*) AS n_media, CAST(SUM(out_len) AS BIGINT) AS total_len,
-        |  CAST(SUM(byte_sum) AS BIGINT) AS total_byte_sum
-        |FROM r GROUP BY kind ORDER BY kind""".stripMargin,
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 8 + doc_id % 11 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |o AS (SELECT doc_id, (g % 8) * w // 8 AS sx, (g // 8) * h // 8 AS sy
+        |  FROM d, UNNEST(range(0, 64)) AS t(g)),
+        |p AS (SELECT doc_id,
+        |    SUM((doc_id*7 + sx*3 + sy*5) % 256) AS sr,
+        |    SUM((doc_id*7 + sx*3 + sy*5 + 11) % 256) AS sg,
+        |    SUM((doc_id*7 + sx*3 + sy*5 + 22) % 256) AS sb
+        |  FROM o GROUP BY doc_id)
+        |SELECT doc_id % 8 AS bucket, COUNT(*) AS n_media,
+        |  CAST(COUNT(*) * 64 AS BIGINT) AS total_px,
+        |  CAST(SUM(sr) AS BIGINT) AS sum_r, CAST(SUM(sg) AS BIGINT) AS sum_g,
+        |  CAST(SUM(sb) AS BIGINT) AS sum_b
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_multimodal_dedup" ->
       """WITH m AS (SELECT doc_id AS media_id,
@@ -263,24 +288,35 @@ object Extras {
         |  CAST(list_sum(list_slice(bytes, frame_idx * 64 + 1,
         |    frame_idx * 64 + LEAST(64, n - frame_idx * 64))) AS BIGINT) AS frame_sum
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    // re-derives the decoded-content statistics from the deterministic
+    // generators: image f0/f1 = mean R / mean G over the raster (float32),
+    // audio f0/f1 = peak/2048 and zero-crossing rate over the wave
     "q_multimodal_features" ->
-      """WITH m AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-        |    encode(text) AS payload FROM documents),
-        |b AS (SELECT doc_id, kind, octet_length(payload) AS n_bytes,
-        |    list_transform(range(0, octet_length(payload)),
-        |      i -> CAST('0x' || substr(hex(payload), CAST(2 * i + 1 AS INTEGER), 2) AS INTEGER)) AS bytes
-        |  FROM m),
-        |f AS (SELECT kind, n_bytes,
-        |    CAST(list_sum(list_filter(bytes, v -> v % 16 = 0)) AS DOUBLE) AS s0,
-        |    len(list_filter(bytes, v -> v % 16 = 0)) AS c0
-        |  FROM b),
-        |g AS (SELECT kind, n_bytes,
-        |    CASE WHEN c0 = 0 THEN CAST(0 AS REAL)
-        |         ELSE CAST(s0 / c0 / 255.0 AS REAL) END AS f0
-        |  FROM f)
-        |SELECT kind, COUNT(*) AS n_media, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-        |  CAST(SUM(CAST(round(CAST(f0 AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS f0_milli_sum
-        |FROM g GROUP BY kind ORDER BY kind""".stripMargin
+      """WITH di AS (SELECT doc_id, 16 + doc_id % 17 AS w, 8 + doc_id % 11 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |ipx AS (SELECT doc_id, w, h, g % w AS x, g // w AS y
+        |  FROM di, UNNEST(range(0, w * h)) AS t(g)),
+        |isum AS (SELECT doc_id, MAX(w * h) AS n,
+        |    SUM((doc_id*7 + x*3 + y*5) % 256) AS sr,
+        |    SUM((doc_id*7 + x*3 + y*5 + 11) % 256) AS sg
+        |  FROM ipx GROUP BY doc_id),
+        |img AS (SELECT 'image' AS kind, COUNT(*) AS n_media,
+        |    CAST(SUM(n) AS BIGINT) AS total_units,
+        |    CAST(SUM(CAST(round(CAST(CAST(CAST(sr AS DOUBLE)/n/255.0 AS REAL) AS DOUBLE)*1000) AS BIGINT)) AS BIGINT) AS f0_milli_sum,
+        |    CAST(SUM(CAST(round(CAST(CAST(CAST(sg AS DOUBLE)/n/255.0 AS REAL) AS DOUBLE)*1000) AS BIGINT)) AS BIGINT) AS f1_milli_sum
+        |  FROM isum),
+        |da AS (SELECT doc_id, 64 + doc_id % 193 AS n FROM documents WHERE doc_id % 2 = 1),
+        |s AS (SELECT doc_id, n, g, ((doc_id*31 + g*7919) % 4096) - 2048 AS v,
+        |    CASE WHEN g >= 1 THEN ((doc_id*31 + (g-1)*7919) % 4096) - 2048 END AS prev
+        |  FROM da, UNNEST(range(0, n)) AS t(g)),
+        |asum AS (SELECT doc_id, MAX(n) AS n, MAX(ABS(v)) AS peak,
+        |    SUM(CASE WHEN g >= 1 AND ((v < 0) <> (prev < 0)) THEN 1 ELSE 0 END) AS zc
+        |  FROM s GROUP BY doc_id),
+        |aud AS (SELECT 'audio' AS kind, COUNT(*) AS n_media,
+        |    CAST(SUM(n) AS BIGINT) AS total_units,
+        |    CAST(SUM(CAST(round(CAST(CAST(CAST(peak AS DOUBLE)/2048.0 AS REAL) AS DOUBLE)*1000) AS BIGINT)) AS BIGINT) AS f0_milli_sum,
+        |    CAST(SUM(CAST(round(CAST(CAST(CAST(zc AS DOUBLE)/n AS REAL) AS DOUBLE)*1000) AS BIGINT)) AS BIGINT) AS f1_milli_sum
+        |  FROM asum)
+        |SELECT * FROM aud UNION ALL SELECT * FROM img ORDER BY kind""".stripMargin
   )
 }

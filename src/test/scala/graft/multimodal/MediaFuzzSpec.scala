@@ -2,7 +2,7 @@ package graft.multimodal
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Adversarial-input sweep over the WAV/BMP container parsers — same
+/** Adversarial-input sweep over the WAV/BMP/PNG container parsers — same
   * contract as the CRAM codec fuzz (CodecFuzzSpec): random byte blobs and
   * bit-flipped valid files must either fail with IOException or decode to a
   * geometry-consistent result. Never a raw index / negative-size /
@@ -31,6 +31,17 @@ class MediaFuzzSpec extends AnyFunSuite {
         fail(s"Bmp leaked ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
+  private def mustContainPng(in: Array[Byte]): Unit =
+    try {
+      val img = Png.decode(in)
+      assert(img.width > 0 && img.height > 0 &&
+        img.pixels.length == img.width * img.height)
+    } catch {
+      case _: java.io.IOException => // the contract
+      case e: Throwable =>
+        fail(s"Png leaked ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
   test("random byte blobs never escape the IOException contract") {
     val rnd = new java.util.Random(20260815)
     for (_ <- 0 until 500) {
@@ -38,6 +49,7 @@ class MediaFuzzSpec extends AnyFunSuite {
       rnd.nextBytes(blob)
       mustContainWav(blob)
       mustContainBmp(blob)
+      mustContainPng(blob)
     }
   }
 
@@ -51,6 +63,11 @@ class MediaFuzzSpec extends AnyFunSuite {
       mustContainWav(blob)
       blob(0) = 'B'.toByte; blob(1) = 'M'.toByte
       mustContainBmp(blob)
+      val png = new Array[Byte](8 + blob.length)
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+        .copyToArray(png, 0)
+      blob.copyToArray(png, 8)
+      mustContainPng(png)
     }
   }
 
@@ -65,6 +82,12 @@ class MediaFuzzSpec extends AnyFunSuite {
     for (bit <- 0 until bmp.length * 8) {
       val m = bmp.clone(); m(bit / 8) = (m(bit / 8) ^ (1 << (bit % 8))).toByte
       mustContainBmp(m)
+    }
+    val png = Png.encode(Png.Image(7, 5, Array.tabulate(35)(i =>
+      (0xff << 24) | (i * 0x050301)), hasAlpha = false))
+    for (bit <- 0 until png.length * 8) {
+      val m = png.clone(); m(bit / 8) = (m(bit / 8) ^ (1 << (bit % 8))).toByte
+      mustContainPng(m)
     }
   }
 }

@@ -1093,21 +1093,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
   import graft.multimodal.Multimodal
 
-  test("feature extraction: deterministic, fixed width, batched") {
+  test("feature extraction decodes REAL PNG and WAV payloads, fails loudly otherwise") {
     import spark.implicits._
+    import graft.multimodal.{Png, Wav}
+    // 4x2 raster with pixel i = i*0x010203: R=i, G=2i, B=3i (no byte carry)
+    val img = Png.Image(4, 2, Array.tabulate(8)(i => (0xff << 24) | (i * 0x010203)),
+      hasAlpha = false)
     val media = Seq(
-      Multimodal.MediaRow(1L, "image", Array[Byte](0, 15, 16, 31, 32), 64, 64, "fake"),
-      Multimodal.MediaRow(2L, "audio", "hello world".getBytes("UTF-8"), 0, 0, "fake"),
-      Multimodal.MediaRow(3L, "image", Array.empty[Byte], 0, 0, "fake"))
+      Multimodal.MediaRow(1L, "image", Png.encode(img), 4, 2, "png"),
+      Multimodal.MediaRow(2L, "audio",
+        Wav.encode(8000, 1, 16, Array(100, -100, 50, -50), junkBytes = 3), 0, 0, "wav"))
     val feats = Multimodal.extractFeatures(spark.createDataset(media)).collect()
       .sortBy(_.media_id)
-    assert(feats.length == 3)
-    assert(feats.forall(_.features.length == Multimodal.FakeCodec.FeatureDim))
+    assert(feats.length == 2)
+    // image: n_units = pixels; f0 = meanR/255 from DECODED pixels
+    assert(feats(0).n_units == 8)
+    assert(feats(0).features(0) == (28.0 / 8 / 255.0).toFloat) // sum R = 0+..+7
+    assert(feats(0).features(1) == (56.0 / 8 / 255.0).toFloat)
+    assert(feats(0).features(2) == (84.0 / 8 / 255.0).toFloat)
+    // audio: n_units = samples; peak 100, 3 sign changes in 4 samples
+    assert(feats(1).n_units == 4)
+    assert(feats(1).features(0) == (100.0 / 2048.0).toFloat)
+    assert(feats(1).features(1) == 0.75f)
     // deterministic: same input twice → identical features
     val again = Multimodal.extractFeatures(spark.createDataset(media)).collect().sortBy(_.media_id)
     assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
-    // empty payload → all zeros
-    assert(feats(2).features.forall(_ == 0f))
+    // no fake path left: an undecodable format is an error, not zeros
+    val bad = Seq(Multimodal.MediaRow(3L, "image", Array[Byte](1, 2, 3), 0, 0, "jpeg"))
+    assertThrows[org.apache.spark.SparkException](
+      Multimodal.extractFeatures(spark.createDataset(bad)).collect())
   }
 
   test("featureSummary over the documents table") {
