@@ -770,6 +770,103 @@ object Pipeline {
     s.createDataFrame(rows, outSchema)
   }
 
+  // ---- BPE tokenizer training -------------------------------------------
+
+  /** Merge rounds for q_bpe_train — vocab target at oracle scale. */
+  private[graft] val BpeMerges = 32
+
+  /** Corpus → (symbols, freq) vocabulary: the ONE corpus-sized shuffle of
+    * BPE training. Words start as character sequences.
+    */
+  private[graft] def bpeInitVocab(s: SparkSession, d: String)
+  : org.apache.spark.sql.Dataset[(Array[String], Long)] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("word"))
+      .filter(length($"word") >= 2 && $"word".rlike("^[a-z]+$"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.toCharArray.map(_.toString), f) }
+  }
+
+  /** One training round's pair census + argmax over a (syms, freq) frame:
+    * adjacent pairs form in a narrow zip_with (no self-join), the shuffle
+    * carries PAIR keys only, and the argmax is orderBy().limit(1) =
+    * TakeOrderedAndProject (ties broken n desc, lhs, rhs — same order the
+    * oracle replays).
+    */
+  private[graft] def bpePairArgmax(vocab: DataFrame): DataFrame = {
+    import vocab.sparkSession.implicits._
+    vocab
+      .select(explode(zip_with(
+        slice($"syms", lit(1), greatest(size($"syms") - 1, lit(0))),
+        slice($"syms", lit(2), greatest(size($"syms") - 1, lit(0))),
+        (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"), $"freq")
+      .groupBy($"p.lhs".as("lhs"), $"p.rhs".as("rhs"))
+      .agg(sum($"freq").as("n"))
+      .orderBy($"n".desc, $"lhs", $"rhs")
+      .limit(1)
+  }
+
+  /** Canonical greedy left-to-right merge application (Sennrich BPE): scan
+    * the symbol sequence once; each (lhs, rhs) occurrence merges and the
+    * scan resumes AFTER the merged symbol, so overlapping occurrences
+    * ("aaa" under (a,a)) merge non-overlapping from the left.
+    */
+  private[graft] def bpeApplyMerge(syms: Array[String], lhs: String, rhs: String)
+  : Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == lhs && syms(i + 1) == rhs) {
+        out += lhs + rhs; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** DuckDB replay of the full training loop, generated per round (the
+    * oracle-SQL-built-programmatically convention). Each round r:
+    * p{r} = pair census over s{r-1} (UNNEST over adjacent indices),
+    * b{r} = argmax (ORDER BY n DESC, lhs, rhs LIMIT 1), and
+    * s{r} = the merge applied via a list_reduce fold over ''-seeded
+    * comma-joined symbols — append ','||x, or extend the tail symbol when
+    * it equals lhs and x equals rhs. The fold is equivalent to the greedy
+    * scan: a just-merged tail symbol is lhs+rhs, which can never re-match
+    * lhs (rhs is non-empty), so each incoming symbol merges at most once,
+    * left to right — BpeTrainSpec pins the equivalence exhaustively.
+    * Symbols are ^[a-z]+$ so ',' never collides. CTEs are MATERIALIZED:
+    * s{r-1} is referenced twice per round and would otherwise inline
+    * exponentially across 32 rounds.
+    */
+  private[graft] def bpeTrainOracle(n: Int): String = {
+    val head =
+      """WITH v0 AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  WHERE len(word) >= 2 AND regexp_matches(word, '^[a-z]+$') GROUP BY word),
+        |s0 AS MATERIALIZED (SELECT freq, list_transform(range(1, len(word) + 1),
+        |    i -> substr(word, CAST(i AS INTEGER), 1)) AS syms FROM v0)""".stripMargin
+    val rounds = (1 to n).map { r =>
+      val census =
+        s"""p$r AS (SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(SUM(freq) AS BIGINT) AS n
+           |  FROM s${r - 1}, UNNEST(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+           |b$r AS MATERIALIZED (SELECT lhs, rhs, n FROM p$r ORDER BY n DESC, lhs, rhs LIMIT 1)""".stripMargin
+      val apply =
+        if (r == n) ""
+        else
+          s""",
+             |s$r AS MATERIALIZED (SELECT freq, string_split(substr(list_reduce(list_concat([''], s.syms),
+             |    (acc, x) -> CASE WHEN x = b.rhs AND ends_with(acc, ',' || b.lhs)
+             |                THEN acc || x ELSE acc || ',' || x END), 2), ',') AS syms
+             |  FROM s${r - 1} s CROSS JOIN b$r b)""".stripMargin
+      census + apply
+    }.mkString(",\n")
+    val sel = (1 to n).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, lhs, rhs, lhs || rhs AS merged, n FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"$head,\n$rounds\n$sel\nORDER BY rank"
+  }
+
   // ---- queries ----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -837,6 +934,49 @@ object Pipeline {
         .filter($"rank" <= 20)
         .orderBy($"rank")
         .select($"rank", $"pair", $"n")
+    },
+
+    // FULL BPE tokenizer training — the canonical LLM-pipeline operator:
+    // N merge rounds to a vocab target, not just one census. The corpus
+    // collapses to the (word, freq) vocabulary ONCE (the only corpus-sized
+    // shuffle in the whole loop); each round is then ONE aggregate whose
+    // shuffle keys are adjacent SYMBOL PAIRS (bounded by live-symbol², not
+    // corpus size), an orderBy().limit(1) = TakeOrderedAndProject argmax
+    // (per-partition top-1, single row to the driver — the same O(codebook)
+    // collect discipline as the k-means trainer), and a narrow map that
+    // applies the broadcast-captured winning merge greedily left-to-right.
+    // At 100 TB the vocabulary is still distributed (10^8 distinct words)
+    // and per-round cost is vocab-linear. Each round localCheckpoints the
+    // symbol table: lineage would otherwise chain 32 map stages deep (the
+    // round-32 plan carries every earlier round — plan construction alone
+    // OOMs), whereas a checkpoint keeps every round's plan constant-size;
+    // a production cluster run would use reliable checkpoint() for
+    // executor-loss tolerance. The DuckDB oracle replays the IDENTICAL
+    // loop, generated programmatically ([[bpeTrainOracle]]): per round a
+    // pair census + argmax + a list_reduce fold whose merge-or-append step
+    // is provably equivalent to the greedy scan (see BpeTrainSpec).
+    "q_bpe_train" -> { (s, d) =>
+      import s.implicits._
+      var vocab = bpeInitVocab(s, d).localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+      var round = 1
+      var exhausted = false
+      while (round <= BpeMerges && !exhausted) {
+        // O(1) driver rows: the single argmax merge of this round
+        val top = bpePairArgmax(vocab.toDF("syms", "freq")).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (bl, br, bn) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((round.toLong, bl, br, bl + br, bn))
+          val prev = vocab
+          vocab = vocab.map { case (syms, f) => (bpeApplyMerge(syms, bl, br), f) }
+            .localCheckpoint()
+          prev.unpersist()
+          round += 1
+        }
+      }
+      vocab.unpersist()
+      merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "n").orderBy($"rank")
     },
 
     // tokenizer vocab-coverage curve: the OOV rate a frequency-truncated
@@ -2401,6 +2541,8 @@ object Pipeline {
         |c AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY pair),
         |r AS (SELECT ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rank, pair, n FROM c)
         |SELECT rank, pair, n FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q_bpe_train" -> bpeTrainOracle(BpeMerges),
 
     "q_vocab_coverage_curve" ->
       """WITH w AS (SELECT word, COUNT(*) AS freq FROM (
