@@ -157,14 +157,35 @@ object Bench {
     // read_s is the median of the PER-RUN differences, not a difference of
     // medians — skewed samples would otherwise misattribute phase time
     // (the exact confusion this field exists to prevent)
+    // scaffold vs operator: most construction writes exist only to build a
+    // fixture the same query re-reads (a cohort VCF before computing HWE) —
+    // that time is SCAFFOLDING, not the operator under test, and it is why
+    // the headline total grows with every added round-trip query. For the
+    // queries whose write IS the operator (sink round-trips, sorts,
+    // transcodes, merges, consensus/compaction rewrites) the write is the
+    // measurement. operator_s = total − scaffold_s is the number to track
+    // round-over-round; scaffold totals only restate fixture cost.
+    def writeIsOperator(n: String): Boolean =
+      n.contains("roundtrip") || n.contains("_sort") || n.contains("2bam") ||
+        n.contains("2fq") || n.contains("merge") || n.contains("consensus") ||
+        n.contains("compact")
+    def scaffoldOf(n: String): Double = {
+      val t = median(samples(n))
+      if (writeIsOperator(n)) 0.0 else math.min(math.max(0.0, median(writeSamples(n))), t)
+    }
+    val scaffoldTotal = names.filter(samples(_).nonEmpty).map(scaffoldOf).sum
+    val operatorTotal = total - scaffoldTotal
     val phaseJson = names.filter(samples(_).nonEmpty).map { n =>
       val reads = samples(n).zip(writeSamples(n)).map { case (t, w) => math.max(0.0, t - w) }
-      s"${jstr(n)}:{\"write_s\":${r3(median(writeSamples(n)))},\"read_s\":${r3(median(reads))}}"
+      val sc = scaffoldOf(n)
+      s"${jstr(n)}:{\"write_s\":${r3(median(writeSamples(n)))},\"read_s\":${r3(median(reads))}," +
+        s"\"scaffold_s\":${r3(sc)},\"operator_s\":${r3(math.max(0.0, median(samples(n)) - sc))}}"
     }.mkString("{", ",", "}")
     val unstableJson = unstable.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val probeJson =
       s"""{"seq_write_mbps":${r3(probeWriteMbps)},"cached_read_mbps":${r3(probeReadMbps)}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""scaffold_s":${r3(scaffoldTotal)},"operator_s":${r3(operatorTotal)},"queries":$qs,""" +
       s""""host_probe":$probeJson,""" +
       s""""spread":$spreadJson,"spread_max":${r3(spreadMax)},""" +
       s""""phases":$phaseJson,""" +
@@ -183,6 +204,7 @@ object Bench {
       (if (errors.size > 5) Seq(s""""errors_omitted":${errors.size - 5}""") else Nil))
       .mkString("{", ",", "}")
     val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${medians.count(_._2 >= 0)},""" +
+      s""""scaffold_s":${r3(scaffoldTotal)},"operator_s":${r3(operatorTotal)},""" +
       s""""spread_max":${r3(spreadMax)},"host_probe":$probeJson,"runs":$runs,"errors":$errCompact,""" +
       s""""detail":"BENCH_OUT.json","sf":"$sfDir","queries":{"""
     val bySlowest = medians.filter(_._2 >= 0).sortBy(-_._2)

@@ -10,9 +10,14 @@ import graft.bgzf.BgzfInputStream
   * /root/reference impl/formats/bam/BamRecordGuesser.java:80-96.
   */
 /** Which expensive record fields a scan actually needs (column pruning).
-  * `cigarAndEnd` gates the cigar walk that also yields `end`.
+  * `cigarAndEnd` gates the cigar walk that also yields `end`. `tagCols` are
+  * the typed-tag projections (`tag_NM` → "NM"): requested tags are decoded
+  * SELECTIVELY in the self-describing tag walk — unrequested tag values are
+  * byte-skipped, never parsed, and the walk stops once every requested tag
+  * is found.
   */
-final case class BamFieldMask(cigarAndEnd: Boolean, seq: Boolean, qual: Boolean, attrs: Boolean)
+final case class BamFieldMask(cigarAndEnd: Boolean, seq: Boolean, qual: Boolean, attrs: Boolean,
+                              tagCols: Array[String] = Array.empty)
     extends Serializable
 
 object BamFieldMask {
@@ -23,7 +28,8 @@ object BamFieldMask {
     cigarAndEnd = cols.contains("cigar") || cols.contains("end"),
     seq = cols.contains("seq"),
     qual = cols.contains("qual"),
-    attrs = cols.contains("attributes"))
+    attrs = cols.contains("attributes"),
+    tagCols = cols.filter(_.startsWith("tag_")).map(_.substring(4)).toArray.sorted)
 }
 
 object BamCodec {
@@ -97,7 +103,16 @@ object BamCodec {
     * htsjdk, AbstractSamSource.java:66-69 — here driven by Catalyst's
     * SupportsPushDownRequiredColumns). Skipped fields are null/0.
     */
-  def decodeRecord(rec: Array[Byte], blockSize: Int, header: SamHeader, mask: BamFieldMask): AlignmentRecord = {
+  def decodeRecord(rec: Array[Byte], blockSize: Int, header: SamHeader, mask: BamFieldMask): AlignmentRecord =
+    decodeRecord(rec, blockSize, header, mask, null)
+
+  /** `tagOut`: reader-owned slots for the typed-tag projection, one per
+    * `mask.tagCols` entry (same order), overwritten per record with the
+    * "T:value" rendering or null when the tag is absent.
+    */
+  def decodeRecord(rec: Array[Byte], blockSize: Int, header: SamHeader, mask: BamFieldMask,
+                   tagOut: Array[String]): AlignmentRecord = {
+    if (tagOut != null) java.util.Arrays.fill(tagOut.asInstanceOf[Array[AnyRef]], null)
     val bb = ByteBuffer.wrap(rec, 0, blockSize).order(ByteOrder.LITTLE_ENDIAN)
     val refId = bb.getInt
     val pos = bb.getInt
@@ -172,6 +187,17 @@ object BamCodec {
     // attributes but not the cigar, the internal CG tag is still stripped.
     val mightBeSpilled = rawSentinel
     val attrs0 = if (mask.attrs || (mightBeSpilled && mask.cigarAndEnd)) decodeTags(bb) else null
+    // typed-tag projection: when only tag columns are requested, walk the
+    // self-describing tag region selectively (skip unrequested values, stop
+    // when all found); when the full map was decoded anyway, pick from it
+    if (tagOut != null && mask.tagCols.nonEmpty) {
+      if (attrs0 != null) {
+        var i = 0
+        while (i < mask.tagCols.length) {
+          tagOut(i) = attrs0.getOrElse(mask.tagCols(i), null); i += 1
+        }
+      } else decodeSelectedTags(bb, mask.tagCols, tagOut)
+    }
     var finalCigar = cigarStr
     var finalRefLen = refLen
     var attrs = if (mask.attrs) attrs0 else null
@@ -210,6 +236,92 @@ object BamCodec {
       seq = if (!mask.seq) null else if (lSeq == 0) "*" else seqStr,
       qual = qual,
       attributes = attrs)
+  }
+
+  /** Selective tag decode: walk the self-describing tag region, rendering
+    * ONLY the `wanted` tags (same "T:value" text form as [[decodeTags]])
+    * into the aligned `out` slots; every other tag's value bytes are
+    * SKIPPED by length arithmetic — Z/H strings scan to NUL without
+    * building a string, B arrays jump n×elemSize — and the walk RETURNS as
+    * soon as every wanted tag has been found, so garbage beyond the last
+    * requested tag is never read. A skip that would overrun the record
+    * fails loudly (the region is desynced), never silently mis-frames the
+    * next tag.
+    */
+  private[bam] def decodeSelectedTags(bb: ByteBuffer, wanted: Array[String],
+                                      out: Array[String]): Unit = {
+    var found = 0
+    while (bb.remaining() >= 3 && found < wanted.length) {
+      val c0 = (bb.get & 0xff).toChar
+      val c1 = (bb.get & 0xff).toChar
+      val t = (bb.get & 0xff).toChar
+      var slot = -1
+      var i = 0
+      while (i < wanted.length && slot < 0) {
+        val w = wanted(i)
+        if (w.length == 2 && w.charAt(0) == c0 && w.charAt(1) == c1) slot = i
+        i += 1
+      }
+      if (slot >= 0) {
+        val v: String = t match {
+          case 'A' => "A:" + (bb.get & 0xff).toChar
+          case 'c' => "c:" + bb.get.toInt
+          case 'C' => "C:" + (bb.get & 0xff)
+          case 's' => "s:" + bb.getShort.toInt
+          case 'S' => "S:" + (bb.getShort & 0xffff)
+          case 'i' => "i:" + bb.getInt
+          case 'I' => "I:" + (bb.getInt.toLong & 0xffffffffL)
+          case 'f' => "f:" + bb.getFloat
+          case 'Z' => "Z:" + readNulString(bb)
+          case 'H' => "H:" + readNulString(bb)
+          case 'B' =>
+            val sub = (bb.get & 0xff).toChar
+            val n = bb.getInt
+            val vals = (0 until n).map { _ =>
+              sub match {
+                case 'c' => bb.get.toInt.toString
+                case 'C' => (bb.get & 0xff).toString
+                case 's' => bb.getShort.toInt.toString
+                case 'S' => (bb.getShort & 0xffff).toString
+                case 'i' => bb.getInt.toString
+                case 'I' => (bb.getInt.toLong & 0xffffffffL).toString
+                case 'f' => bb.getFloat.toString
+                case x => throw new IOException(s"bad B subtype $x")
+              }
+            }
+            "B:" + sub + (if (vals.isEmpty) "" else "," + vals.mkString(","))
+          case x => throw new IOException(s"bad tag type $x")
+        }
+        out(slot) = v
+        found += 1
+      } else {
+        val skip = t match {
+          case 'A' | 'c' | 'C' => 1
+          case 's' | 'S' => 2
+          case 'i' | 'I' | 'f' => 4
+          case 'Z' | 'H' =>
+            var n = 0
+            while (bb.get != 0) n += 1 // scan to NUL, no allocation
+            0
+          case 'B' =>
+            val sub = (bb.get & 0xff).toChar
+            val n = bb.getInt
+            val sz = sub match {
+              case 'c' | 'C' => 1
+              case 's' | 'S' => 2
+              case 'i' | 'I' | 'f' => 4
+              case x => throw new IOException(s"bad B subtype $x")
+            }
+            if (n < 0 || n.toLong * sz > bb.remaining())
+              throw new IOException(s"B array overruns record (n=$n elem=$sz)")
+            n * sz
+          case x => throw new IOException(s"bad tag type $x")
+        }
+        if (skip > bb.remaining())
+          throw new IOException(s"tag $c0$c1:$t value overruns record")
+        bb.position(bb.position() + skip)
+      }
+    }
   }
 
 

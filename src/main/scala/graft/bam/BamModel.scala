@@ -105,8 +105,58 @@ object RecordToRow {
   import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
   import org.apache.spark.unsafe.types.UTF8String
 
+  /** Typed-tag column getter: the wire rendering is "T:value" in
+    * `tagHolder(idx)` (the reader-owned slot the codec fills per record);
+    * the DECLARED column type (tagColumns option) coerces it — integer wire
+    * types → long, any numeric → double, everything → its value text. A
+    * wire type the declared type can't hold yields null (a `Z` tag read as
+    * int), as does an absent tag — never a wrong number.
+    */
+  private def tagGetter(idx: Int, holder: Array[String], dt: DataType): AlignmentRecord => Any =
+    dt match {
+      case LongType => _ => {
+        val v = holder(idx)
+        if (v == null || v.length < 2) null
+        else v.charAt(0) match {
+          case 'c' | 'C' | 's' | 'S' | 'i' | 'I' =>
+            try java.lang.Long.valueOf(v.substring(2)) catch { case _: NumberFormatException => null }
+          case _ => null
+        }
+      }
+      case DoubleType => _ => {
+        val v = holder(idx)
+        if (v == null || v.length < 2) null
+        else v.charAt(0) match {
+          case 'c' | 'C' | 's' | 'S' | 'i' | 'I' | 'f' =>
+            try java.lang.Double.valueOf(v.substring(2)) catch { case _: NumberFormatException => null }
+          case _ => null
+        }
+      }
+      case StringType => _ => {
+        val v = holder(idx)
+        if (v == null || v.length < 2) null else UTF8String.fromString(v.substring(2))
+      }
+      case other => throw new IllegalArgumentException(s"unsupported tag column type $other")
+    }
+
   def getters(required: StructType): Array[AlignmentRecord => Any] =
-    required.fieldNames.map[AlignmentRecord => Any] {
+    getters(required, Array.empty, Array.empty)
+
+  /** `tagCols`/`tagHolder`: the reader's requested-tag names (sorted, as in
+    * BamFieldMask) and the per-record value slots the codec fills.
+    */
+  def getters(required: StructType, tagCols: Array[String], tagHolder: Array[String])
+  : Array[AlignmentRecord => Any] =
+    required.fields.map[AlignmentRecord => Any] { f =>
+      if (f.name.startsWith("tag_")) {
+        val idx = tagCols.indexOf(f.name.substring(4))
+        require(idx >= 0, s"tag column ${f.name} missing from the decode mask")
+        tagGetter(idx, tagHolder, f.dataType)
+      } else baseGetter(f.name)
+    }
+
+  private def baseGetter(name: String): AlignmentRecord => Any =
+    name match {
       case "readName" => r => if (r.readName == null) null else UTF8String.fromString(r.readName)
       case "flags" => r => r.flags
       case "contig" => r => if (r.contig == null) null else UTF8String.fromString(r.contig)

@@ -2873,21 +2873,34 @@ object FormatQueries {
         lit(0).cast("int").as("tlen"),
         lit("*").as("seq"),
         lit("*").as("qual"),
+        // realistic aligner tag load (bwa-style): the three tags the query
+        // reads PLUS five it does not (incl. a long MD string) — the typed
+        // projection below decodes 3 of 8, byte-skipping the rest
         map(
           lit("RG"), concat(lit("Z:rg"), ($"l_orderkey" % 4).cast("string")),
           lit("NM"), concat(lit("i:"), (($"l_partkey" + $"l_linenumber") % 9).cast("string")),
-          lit("XC"), when($"l_suppkey" % 2 === 0, "A:F").otherwise("A:R"))
+          lit("XC"), when($"l_suppkey" % 2 === 0, "A:F").otherwise("A:R"),
+          lit("AS"), concat(lit("i:"), ($"l_linenumber" + 140).cast("string")),
+          lit("XS"), concat(lit("i:"), ($"l_suppkey" % 100).cast("string")),
+          lit("MC"), lit("Z:151M"),
+          lit("MD"), concat(lit("Z:7A21C9T2G33A11C5T17A9G12C8T"),
+            ($"l_partkey" % 50).cast("string")),
+          lit("ms"), concat(lit("i:"), ($"l_orderkey" % 2000 + 4000).cast("string")))
           .as("attributes"))
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/rg.bam"
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").save(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      // typed-tag projection: the reader decodes ONLY RG/NM/XC in the
+      // self-describing tag walk — no per-record attribute map is built,
+      // no "i:"-prefixed string parsing in the plan (the declared types
+      // surface long/string columns directly)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024)
+        .option("tagColumns", "RG:string,NM:int,XC:string").load(path)
       back
         .select(
-          substring(element_at($"attributes", "RG"), 3, 10).as("read_group"),
-          expr("try_cast(substring(element_at(attributes, 'NM'), 3, 10) as bigint)")
-            .as("nm"),
-          substring(element_at($"attributes", "XC"), 3, 1).as("xc"))
+          $"tag_RG".as("read_group"),
+          $"tag_NM".as("nm"),
+          substring($"tag_XC", 1, 1).as("xc"))
         .groupBy($"read_group")
         .agg(count(lit(1)).as("n_reads"),
           sum($"nm").as("sum_nm"),

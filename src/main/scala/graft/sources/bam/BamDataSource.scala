@@ -42,15 +42,54 @@ import graft.sources.{GenomicInterval, HadoopIO, PushedRegion, SerializableConf,
   */
 class BamDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "bam"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = AlignmentRecord.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TagCols.schemaWith(Opts.normalize(options.asScala.toMap))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new BamTable(properties.asScala.toMap)
 }
 
+/** Typed-tag projection (`.option("tagColumns", "NM:int,RG:string")`):
+  * each entry adds a `tag_XX` column of the declared type (int → long,
+  * float → double, string; bare `XX` defaults to string) to the scan
+  * schema. Requesting a typed tag decodes ONLY that tag in the record's
+  * self-describing tag walk — the full attributes map is neither built nor
+  * parsed — so tag-driven analytics (read-group rollups, NM error rates)
+  * skip the per-record map allocation entirely. The reference exposes tags
+  * only through htsjdk's eager SAMRecord attribute list; this projection
+  * is a Spark-side extension in the spirit of its lazy record decode.
+  */
+private[bam] object TagCols {
+  import org.apache.spark.sql.types._
+
+  def parse(options: Map[String, String]): Seq[StructField] =
+    options.get("tagcolumns").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { spec =>
+      spec.split(",").map(_.trim).filter(_.nonEmpty).map { ent =>
+        val (tag, ty) = ent.split(":", 2) match {
+          case Array(t) => (t, "string")
+          case Array(t, ty0) => (t, ty0.trim.toLowerCase(java.util.Locale.ROOT))
+        }
+        require(tag.length == 2 && tag.forall(c => c.isLetterOrDigit),
+          s"tagColumns: '$tag' is not a two-character SAM tag")
+        val dt = ty match {
+          case "int" | "long" => LongType
+          case "float" | "double" => DoubleType
+          case "string" => StringType
+          case other => throw new IllegalArgumentException(
+            s"tagColumns: unsupported type '$other' for tag $tag (int|float|string)")
+        }
+        StructField(s"tag_$tag", dt, nullable = true)
+      }
+    }
+
+  /** Base alignment schema + any requested tag columns. */
+  def schemaWith(options: Map[String, String]): StructType =
+    StructType(AlignmentRecord.schema.fields.toSeq ++ parse(options))
+}
+
 class BamTable(properties: Map[String, String]) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"bam:${properties.getOrElse("path", "?")}"
-  override def schema(): StructType = AlignmentRecord.schema
+  override def schema(): StructType = TagCols.schemaWith(Opts.normalize(properties))
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -76,7 +115,7 @@ class BamScanBuilder(options0: Map[String, String])
     with SupportsPushDownLimit with SupportsPushDownAggregates {
   private val options = Opts.normalize(options0)
 
-  private var required: StructType = AlignmentRecord.schema
+  private var required: StructType = TagCols.schemaWith(options)
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
 
@@ -584,7 +623,11 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
     name
   }
 
-  private val fieldGetters: Array[AlignmentRecord => Any] = RecordToRow.getters(required)
+  // typed-tag projection: one reusable slot per requested tag, filled by
+  // the codec on each decode and read by the tag_ column getters
+  private val tagHolder = new Array[String](mask.tagCols.length)
+  private val fieldGetters: Array[AlignmentRecord => Any] =
+    RecordToRow.getters(required, mask.tagCols, tagHolder)
 
   private def keep(r: AlignmentRecord): Boolean = p.intervals match {
     case None => true
@@ -652,7 +695,7 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
           s"bad BAM record block_size $blockSize at voff $recVoff in ${p.file}")
       val rec = new Array[Byte](blockSize)
       stream.readFully(rec, 0, blockSize)
-      try return BamCodec.decodeRecord(rec, blockSize, p.header, mask)
+      try return BamCodec.decodeRecord(rec, blockSize, p.header, mask, tagHolder)
       catch {
         case _: Exception if p.stringency eq Stringency.Permissive =>
           slog.skipSilently() // framing was sane: next record follows
@@ -667,7 +710,8 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
           // ops show the sentinel shape and the cigar is requested)
           val salvagedRec =
             if (mask.attrs)
-              try BamCodec.decodeRecord(rec, blockSize, p.header, mask.copy(attrs = false))
+              try BamCodec.decodeRecord(rec, blockSize, p.header,
+                mask.copy(attrs = false, tagCols = Array.empty), tagHolder)
               catch { case _: Exception => null }
             else null
           if (salvagedRec != null) {
