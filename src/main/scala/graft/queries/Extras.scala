@@ -79,6 +79,37 @@ object Extras {
         .orderBy($"kind")
     },
 
+    // PIXEL-SPACE perceptual near-dup (the real-decode upgrade of
+    // q_multimodal_dedup's opaque-byte aHash): decode each PNG, NN-resize
+    // to 8x8 in pixel space, aHash over LUMA (bit k set when pixel k's
+    // luma exceeds the image mean — the standard average-hash), then the
+    // same bucketed profile contract: narrow decode+hash per item, ONE
+    // phash-keyed shuffle, no pair space. The hash_fold pins every 60-bit
+    // value, so a drift anywhere in zlib/filters/NN/luma hash-mismatches
+    // even at zero duplicate families.
+    "q_image_phash_dedup" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val m = graft.multimodal.Multimodal.syntheticPixelMedia(s, d)
+        .filter(_.kind == "image")
+      graft.multimodal.Multimodal.resizeImage(m, 8, 8).toDF()
+        .select($"media_id", $"payload").as[(Long, Array[Byte])]
+        .map { case (id, p) =>
+          val img = graft.multimodal.Png.decode(p)
+          val lum = img.pixels.map(px =>
+            ((px >> 16) & 0xff) * 299L + ((px >> 8) & 0xff) * 587L + (px & 0xff) * 114L)
+          val total = lum.sum
+          var bits = 0L
+          var k = 0
+          while (k < 60) { if (lum(k) * 64 > total) bits |= 1L << k; k += 1 }
+          (id, bits)
+        }.toDF("media_id", "phash")
+        .groupBy($"phash").agg(count(lit(1)).as("nb"))
+        .agg(sum($"nb").as("n_media"), count(lit(1)).as("n_phash"),
+          sum($"nb" - 1).as("n_dup_media"),
+          sum($"phash" % 1000003L).as("hash_fold"))
+    },
+
     // frame-sampling model (video rides as fixed-size frame chunks): every
     // 4th 64-byte frame as its own row — row-level oracle (one row per
     // sampled frame, len + byte sum each)
@@ -288,6 +319,29 @@ object Extras {
         |  CAST(list_sum(list_slice(bytes, frame_idx * 64 + 1,
         |    frame_idx * 64 + LEAST(64, n - frame_idx * 64))) AS BIGINT) AS frame_sum
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    // NN indices as in q_multimodal_resize; luma from the raster generator;
+    // bit k (< 60) set when lum(k)*64 > image total — mirrors the aHash
+    "q_image_phash_dedup" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS w, 8 + doc_id % 11 AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |o AS (SELECT doc_id, g, (g % 8) * w // 8 AS sx, (g // 8) * h // 8 AS sy
+        |  FROM d, UNNEST(range(0, 64)) AS t(g)),
+        |l AS (SELECT doc_id, g,
+        |    ((doc_id*7 + sx*3 + sy*5) % 256) * 299
+        |  + ((doc_id*7 + sx*3 + sy*5 + 11) % 256) * 587
+        |  + ((doc_id*7 + sx*3 + sy*5 + 22) % 256) * 114 AS lum
+        |  FROM o),
+        |t AS (SELECT doc_id, SUM(lum) AS total FROM l GROUP BY doc_id),
+        |hb AS (SELECT l.doc_id,
+        |    CAST(SUM(CASE WHEN g < 60 AND lum * 64 > total
+        |      THEN CAST(1 AS BIGINT) << CAST(g AS INTEGER) ELSE 0 END) AS BIGINT) AS phash
+        |  FROM l JOIN t ON l.doc_id = t.doc_id GROUP BY l.doc_id),
+        |g2 AS (SELECT phash, COUNT(*) AS nb FROM hb GROUP BY phash)
+        |SELECT CAST(SUM(nb) AS BIGINT) AS n_media, COUNT(*) AS n_phash,
+        |  CAST(SUM(nb - 1) AS BIGINT) AS n_dup_media,
+        |  CAST(SUM(phash % 1000003) AS BIGINT) AS hash_fold
+        |FROM g2""".stripMargin,
+
     // re-derives the decoded-content statistics from the deterministic
     // generators: image f0/f1 = mean R / mean G over the raster (float32),
     // audio f0/f1 = peak/2048 and zero-crossing rate over the wave

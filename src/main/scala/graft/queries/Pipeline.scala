@@ -825,6 +825,43 @@ object Pipeline {
     out.toArray
   }
 
+  /** Fixed merge table for the ENCODE pass (q_bpe_encode) — a trained
+    * tokenizer's vocabulary, applied in rank order. Deliberately includes
+    * CHAINED merges (ers, the, and, ing need earlier ranks to fire first)
+    * so the encode provably iterates on merged symbols.
+    */
+  private[graft] val BpeEncodeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "n"), ("s", "t"), ("a", "n"), ("t", "h"),
+    ("er", "s"), ("in", "g"), ("th", "e"), ("an", "d"), ("o", "r"), ("e", "n"),
+    ("a", "r"), ("o", "u"), ("l", "l"), ("e", "s"))
+
+  /** DuckDB replay of the encode pass: the fixed merge table inlined as
+    * literal fold CTEs (no argmax — the vocabulary is given), then the
+    * per-word-length compression rollup.
+    */
+  private[graft] def bpeEncodeOracle: String = {
+    val head =
+      """WITH v0 AS MATERIALIZED (SELECT word, COUNT(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  WHERE len(word) >= 2 AND regexp_matches(word, '^[a-z]+$') GROUP BY word),
+        |s0 AS MATERIALIZED (SELECT freq, len(word) AS wl, list_transform(range(1, len(word) + 1),
+        |    i -> substr(word, CAST(i AS INTEGER), 1)) AS syms FROM v0)""".stripMargin
+    val folds = BpeEncodeMerges.zipWithIndex.map { case ((l, r), i) =>
+      s"""s${i + 1} AS MATERIALIZED (SELECT freq, wl, string_split(substr(list_reduce(list_concat([''], syms),
+         |    (acc, x) -> CASE WHEN x = '$r' AND ends_with(acc, ',' || '$l')
+         |                THEN acc || x ELSE acc || ',' || x END), 2), ',') AS syms
+         |  FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$folds
+       |SELECT CAST(wl AS BIGINT) AS word_len, COUNT(*) AS n_words,
+       |  CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+       |  CAST(SUM(wl * freq) AS BIGINT) AS chars_total,
+       |  CAST(SUM(len(syms) * freq) AS BIGINT) AS tokens_total,
+       |  CAST(SUM(len(syms) * freq) * 1000 // SUM(wl * freq) AS BIGINT) AS compression_permille
+       |FROM s${BpeEncodeMerges.length} GROUP BY wl ORDER BY word_len""".stripMargin
+  }
+
   /** DuckDB replay of the full training loop, generated per round (the
     * oracle-SQL-built-programmatically convention). Each round r:
     * p{r} = pair census over s{r-1} (UNNEST over adjacent indices),
@@ -977,6 +1014,34 @@ object Pipeline {
       }
       vocab.unpersist()
       merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "n").orderBy($"rank")
+    },
+
+    // BPE ENCODE — the every-document half of the tokenizer (training is
+    // rare; encode runs on all 100 TB): a FIXED trained merge table (16
+    // ranks, broadcast in the closure) applied in rank order to each
+    // vocabulary word, then a per-word-length compression rollup. One
+    // corpus→vocab shuffle + one word-length-bounded rollup; the merge
+    // application is a narrow map that never shuffles. Chained ranks
+    // (ers/the/and/ing) only fire because earlier merges created their
+    // left halves — pinning that encode iterates on merged symbols.
+    "q_bpe_encode" -> { (s, d) =>
+      import s.implicits._
+      val table = BpeEncodeMerges
+      bpeInitVocab(s, d)
+        .map { case (syms, f) =>
+          var cur = syms
+          table.foreach { case (l, r) => cur = bpeApplyMerge(cur, l, r) }
+          (syms.length.toLong, f, syms.length.toLong * f, cur.length.toLong * f)
+        }
+        .toDF("word_len", "freq", "chars_w", "tokens_w")
+        .groupBy($"word_len")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"freq").as("n_occurrences"),
+          sum($"chars_w").as("chars_total"),
+          sum($"tokens_w").as("tokens_total"))
+        .withColumn("compression_permille",
+          expr("tokens_total * 1000 div chars_total"))
+        .orderBy($"word_len")
     },
 
     // tokenizer vocab-coverage curve: the OOV rate a frequency-truncated
@@ -2543,6 +2608,8 @@ object Pipeline {
         |SELECT rank, pair, n FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "q_bpe_train" -> bpeTrainOracle(BpeMerges),
+
+    "q_bpe_encode" -> bpeEncodeOracle,
 
     "q_vocab_coverage_curve" ->
       """WITH w AS (SELECT word, COUNT(*) AS freq FROM (

@@ -1064,4 +1064,23 @@ object Streaming {
         when(col("n_x") + col("n_y") > 0,
           expr("n_x * 1000 div (n_x + n_y)")).otherwise(lit(null).cast("long")))
       .withColumn("sex_call", when(col("n_y") * 20 < col("n_x"), "F").otherwise("M"))
+
+  /** Streaming media features by kind — q_multimodal_features' live face:
+    * the multimodal ingest gate decoding REAL PNG/WAV payloads as they
+    * land and keeping per-kind running feature sums (complete mode). The
+    * decode is the SAME batched extractFeatures the batch query uses (a
+    * codec defect surfaces identically live and offline); state is one row
+    * per kind, never per media item, so the ingest can stream forever.
+    */
+  def mediaFeaturesByKind(
+      media: org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.MediaRow]): DataFrame = {
+    def milli(k: Int) =
+      sum(round(element_at(col("features"), k).cast("double") * 1000).cast("long"))
+    graft.multimodal.Multimodal.extractFeatures(media).toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_units")).as("total_units"),
+        milli(1).as("f0_milli_sum"),
+        milli(2).as("f1_milli_sum"))
+  }
 }

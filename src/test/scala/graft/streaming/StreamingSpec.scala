@@ -1131,6 +1131,40 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getLong(1)).sum > 0)
   }
 
+  test("mediaFeaturesByKind: streaming media ingest equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.multimodal.{Png, Wav}
+    import graft.streaming.Streaming
+    val media = (0L until 60L).map { id =>
+      if (id % 2 == 0) {
+        val img = Multimodal.rasterFor(id)
+        Multimodal.MediaRow(id, "image",
+          Png.encode(img, filterFor = r => ((r + id) % 5).toInt),
+          img.width, img.height, "png")
+      } else {
+        Multimodal.MediaRow(id, "audio",
+          Wav.encode(16000, 1, 16, Multimodal.waveFor(id), junkBytes = (id % 13).toInt),
+          0, 0, "wav")
+      }
+    }
+    val stream = MemoryStream[Multimodal.MediaRow]
+    val q = Streaming.mediaFeaturesByKind(stream.toDS())
+      .writeStream.format("memory").queryName("mmfeat")
+      .outputMode("complete").start()
+    try {
+      stream.addData(media.take(25)); q.processAllAvailable()
+      stream.addData(media.drop(25)); q.processAllAvailable()
+      def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val got = snap(spark.table("mmfeat"))
+      val want = snap(Streaming.mediaFeaturesByKind(spark.createDataset(media)))
+      assert(got == want)
+      assert(got.toSeq.map(_._2).sum == 60L, "every media item counted exactly once")
+      assert(got.map(_._1) == Set("image", "audio"))
+    } finally q.stop()
+  }
+
   test("gtCensusSpectrum: streaming census equals the batch twin, native expr both sides") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
