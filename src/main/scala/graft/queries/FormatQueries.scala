@@ -75,6 +75,41 @@ object FormatQueries {
 
   private val Refs = "chr0:1000000,chr1:1000000,chr2:1000000"
 
+  /** Shared aligner-shaped read generator for the typed-tag queries
+    * (q_bam_rg_error_rate, q_bam_bqsr_covariates): a realistic bwa-style
+    * 8-tag load — RG/NM/XC the queries read PLUS AS/XS/MC/ms they skip —
+    * and a deterministic MD mismatch string whose leading matched run
+    * varies per read (`p0 = l_partkey % 8`), so mismatch CYCLES differ
+    * across reads and the BQSR covariate table is non-degenerate.
+    */
+  private def rgTagReads(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d).select(
+      concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
+      lit(0).cast("int").as("flags"),
+      concat(lit("chr"), ($"l_partkey" % 3).cast("string")).as("contig"),
+      ((($"l_partkey" * 13) % 5000) + 1).cast("int").as("start"),
+      lit(0).cast("int").as("end"),
+      lit(60).cast("int").as("mapq"),
+      lit("151M").as("cigar"),
+      lit(null).cast("string").as("mateContig"),
+      lit(0).cast("int").as("mateStart"),
+      lit(0).cast("int").as("tlen"),
+      lit("*").as("seq"),
+      lit("*").as("qual"),
+      map(
+        lit("RG"), concat(lit("Z:rg"), ($"l_orderkey" % 4).cast("string")),
+        lit("NM"), concat(lit("i:"), (($"l_partkey" + $"l_linenumber") % 9).cast("string")),
+        lit("XC"), when($"l_suppkey" % 2 === 0, "A:F").otherwise("A:R"),
+        lit("AS"), concat(lit("i:"), ($"l_linenumber" + 140).cast("string")),
+        lit("XS"), concat(lit("i:"), ($"l_suppkey" % 100).cast("string")),
+        lit("MC"), lit("Z:151M"),
+        lit("MD"), concat(lit("Z:"), ($"l_partkey" % 8).cast("string"),
+          lit("A21C9T2G33A11C5T17A9G12C8T"), ($"l_partkey" % 50).cast("string")),
+        lit("ms"), concat(lit("i:"), ($"l_orderkey" % 2000 + 4000).cast("string")))
+        .as("attributes"))
+  }
+
   /** 24-contig dictionary for the window-heavy queries (per-contig RUNNING
     * frames parallelize over contigs; 3 contigs on 32 cores is the measured
     * scale artifact the ROH widening fixed — a real genome has ~25).
@@ -2860,33 +2895,7 @@ object FormatQueries {
     // just the i-typed XO the other queries carry.
     "q_bam_rg_error_rate" -> { (s, d) =>
       import s.implicits._
-      val reads = Tables.lineitem(s, d).select(
-        concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber").as("readName"),
-        lit(0).cast("int").as("flags"),
-        concat(lit("chr"), ($"l_partkey" % 3).cast("string")).as("contig"),
-        ((($"l_partkey" * 13) % 5000) + 1).cast("int").as("start"),
-        lit(0).cast("int").as("end"),
-        lit(60).cast("int").as("mapq"),
-        lit("151M").as("cigar"),
-        lit(null).cast("string").as("mateContig"),
-        lit(0).cast("int").as("mateStart"),
-        lit(0).cast("int").as("tlen"),
-        lit("*").as("seq"),
-        lit("*").as("qual"),
-        // realistic aligner tag load (bwa-style): the three tags the query
-        // reads PLUS five it does not (incl. a long MD string) — the typed
-        // projection below decodes 3 of 8, byte-skipping the rest
-        map(
-          lit("RG"), concat(lit("Z:rg"), ($"l_orderkey" % 4).cast("string")),
-          lit("NM"), concat(lit("i:"), (($"l_partkey" + $"l_linenumber") % 9).cast("string")),
-          lit("XC"), when($"l_suppkey" % 2 === 0, "A:F").otherwise("A:R"),
-          lit("AS"), concat(lit("i:"), ($"l_linenumber" + 140).cast("string")),
-          lit("XS"), concat(lit("i:"), ($"l_suppkey" % 100).cast("string")),
-          lit("MC"), lit("Z:151M"),
-          lit("MD"), concat(lit("Z:7A21C9T2G33A11C5T17A9G12C8T"),
-            ($"l_partkey" % 50).cast("string")),
-          lit("ms"), concat(lit("i:"), ($"l_orderkey" % 2000 + 4000).cast("string")))
-          .as("attributes"))
+      val reads = rgTagReads(s, d)
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/rg.bam"
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").save(path)
@@ -2907,6 +2916,40 @@ object FormatQueries {
           sum(when($"xc" === "F", 1L).otherwise(0L)).as("n_fwd_class"))
         .withColumn("err_per_mb", expr("sum_nm * 1000000 div (n_reads * 151)"))
         .orderBy($"read_group")
+    },
+
+    // BQSR COVARIATE TABLE (the GATK BaseRecalibrator shape): per
+    // (read group, machine-cycle bin) mismatch counts, with mismatch
+    // CYCLES recovered by parsing the MD tag — the matched-run/mismatch
+    // walk every recalibrator performs. The MD parse is a single
+    // codegen-friendly higher-order aggregate over the regexp token
+    // stream (runs advance the cursor, deletions don't consume read
+    // positions, letters emit the current cycle); the read path is the
+    // typed-tag projection (RG + MD only — six other tags byte-skipped).
+    // Scale shape: narrow parse per read, explode bounded by mismatches
+    // per read (11 here), rollup keyed by (rg, bin) ≤ rgs × ceil(151/16),
+    // per-rg totals broadcast back.
+    "q_bam_bqsr_covariates" -> { (s, d) =>
+      import s.implicits._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/bqsr.bam"
+      spread(rgTagReads(s, d)).write.format("bam").mode("overwrite")
+        .option("compressionLevel", "1").option("refs", Refs)
+        .option("writeSbi", "true").save(path)
+      graft.functions.MdCyclesExpr.register(s)
+      val back = s.read.format("bam").option("splitSize", 256 * 1024)
+        .option("tagColumns", "RG:string,MD:string").load(path)
+      val hits = back.select(
+        $"tag_RG".as("read_group"),
+        expr("graft_md_cycles(tag_MD)").as("mm"))
+      val perRg = hits.groupBy($"read_group").agg(count(lit(1)).as("n_reads"))
+      hits.select($"read_group", explode($"mm").as("cycle"))
+        .groupBy($"read_group", expr("cycle div 16").as("cycle_bin"))
+        .agg(count(lit(1)).as("n_mismatch"))
+        .join(broadcast(perRg), "read_group")
+        .withColumn("err_permille", expr("n_mismatch * 1000 div (n_reads * 16)"))
+        .select($"read_group", $"cycle_bin".cast("long").as("cycle_bin"),
+          $"n_mismatch", $"n_reads", $"err_permille")
+        .orderBy($"read_group", $"cycle_bin")
     },
 
     // ALLELE-AWARE PILEUP (the bcftools-mpileup core, one step past
@@ -4336,6 +4379,22 @@ object FormatQueries {
         |  CAST(SUM(fwd) AS BIGINT) AS n_fwd_class,
         |  CAST(SUM(nm) * 1000000 // (COUNT(*) * 151) AS BIGINT) AS err_per_mb
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // mismatch cycles re-derived from the MD generator formula: leading
+    // matched run p0 = l_partkey % 8, then the fixed mismatch offsets of
+    // the 'A21C9T2G33A11C5T17A9G12C8T' walk
+    "q_bam_bqsr_covariates" ->
+      """WITH r AS (SELECT 'rg' || CAST(l_orderkey % 4 AS VARCHAR) AS read_group,
+        |    l_partkey % 8 AS p0 FROM lineitem),
+        |m AS (SELECT read_group, p0 + o AS cycle
+        |  FROM r, UNNEST([0,22,32,35,69,81,87,105,115,128,137]) AS t(o)),
+        |pr AS (SELECT read_group, COUNT(*) AS n_reads FROM r GROUP BY 1),
+        |g AS (SELECT read_group, cycle // 16 AS cycle_bin, COUNT(*) AS n_mismatch
+        |  FROM m GROUP BY 1, 2)
+        |SELECT g.read_group, CAST(cycle_bin AS BIGINT) AS cycle_bin,
+        |  CAST(n_mismatch AS BIGINT) AS n_mismatch, pr.n_reads,
+        |  CAST(n_mismatch * 1000 // (pr.n_reads * 16) AS BIGINT) AS err_permille
+        |FROM g JOIN pr USING (read_group) ORDER BY read_group, cycle_bin""".stripMargin,
     "q_bam_basecall_pileup" ->
       s"""WITH r AS (SELECT 'chr' || CAST(l_partkey % 3 AS VARCHAR) AS contig,
         |    (l_partkey * 13) % 5000 + 1 AS rstart,
