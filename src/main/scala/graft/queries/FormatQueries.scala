@@ -2359,6 +2359,66 @@ object FormatQueries {
         .orderBy($"gt_a", $"gt_b")
     },
 
+    // SOMATIC TUMOR/NORMAL TRIAGE (the Mutect2 contract): two
+    // independently written callsets — the tumor one carrying a per-site
+    // allele-fraction FORMAT field — full-outer joined on the site key and
+    // classified: tumor-private with AF ≥ 5% → somatic candidate,
+    // tumor-private below → low-AF artifact, shared → germline,
+    // normal-private → normal_only (LOH/dropout review bucket). The AF
+    // value round-trips through the FORMAT fields map, so a text-codec
+    // drift moves the class boundaries. One site-keyed shuffle for the
+    // join; rollup keyed by (contig, class) — 8 × 4 rows.
+    "q_vcf_somatic" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types._
+      val base = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
+      val emptyMap = map().cast(MapType(StringType, StringType, valueContainsNull = false))
+      val w = Window.partitionBy($"contig")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      val sites = Tables.lineitem(s, d)
+        .withColumn("contig", concat(lit("chr"), ($"l_orderkey" % 8).cast("string")))
+        .withColumn("pos", row_number().over(w))
+        .select($"contig", $"pos",
+          (($"l_orderkey" + $"l_partkey") % 5 =!= 0).as("in_normal"),
+          (($"l_orderkey" * 3 + $"l_suppkey") % 7 =!= 0).as("in_tumor"),
+          (($"l_partkey" * 13 + $"l_linenumber") % 1000).as("af_pm"))
+      def callset(flag: org.apache.spark.sql.Column, sample: String,
+                  fields: org.apache.spark.sql.Column) = sites.filter(flag).select(
+        $"contig", $"pos".cast("int").as("start"), $"pos".cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"), array(lit("T")).as("alt"),
+        lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
+        emptyMap.as("info"),
+        array(struct(lit(sample).as("sample"), lit("0/1").as("gt"),
+          fields.as("fields"))).as("genotypes"))
+      spread(callset($"in_normal", "normal", emptyMap))
+        .write.format("vcf").mode("overwrite").option("compressionLevel", "1")
+        .save(s"$base/somN.vcf.bgz")
+      spread(callset($"in_tumor", "tumor", map(lit("AF"), $"af_pm".cast("string"))))
+        .write.format("vcf").mode("overwrite").option("compressionLevel", "1")
+        .save(s"$base/somT.vcf.bgz")
+      val nb = s.read.format("vcf").option("splitSize", 256 * 1024)
+        .load(s"$base/somN.vcf.bgz")
+        .select($"contig", $"start", lit(1).as("in_n"))
+      val tb = s.read.format("vcf").option("splitSize", 256 * 1024)
+        .load(s"$base/somT.vcf.bgz")
+        .select($"contig", $"start",
+          element_at(element_at($"genotypes", 1).getField("fields"), "AF")
+            .cast("long").as("af_pm"))
+      tb.join(nb, Seq("contig", "start"), "full_outer")
+        .withColumn("cls",
+          when($"af_pm".isNotNull && $"in_n".isNull && $"af_pm" >= 50, "somatic")
+            .when($"af_pm".isNotNull && $"in_n".isNull, "low_af_artifact")
+            .when($"af_pm".isNotNull, "germline")
+            .otherwise("normal_only"))
+        .groupBy($"contig", $"cls")
+        .agg(count(lit(1)).as("n_sites"),
+          sum($"start".cast("long")).as("sum_pos"),
+          sum(coalesce($"af_pm", lit(0L))).as("sum_af_pm"))
+        .orderBy($"contig", $"cls")
+    },
+
     // MULTIALLELIC SPLIT (bcftools norm -m- shape): sites carry 1-3 ALT
     // alleles and a diploid GT indexing into them; the split emits one
     // biallelic record per ALT, remapping each GT allele by the bcftools
@@ -4205,6 +4265,27 @@ object FormatQueries {
         |  FROM r)
         |SELECT gt_a, gt_b, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS sum_pos
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_vcf_somatic" ->
+      """WITH r AS (SELECT
+        |    'chr' || CAST(l_orderkey % 8 AS VARCHAR) AS contig,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey % 8
+        |      ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS pos,
+        |    (l_orderkey + l_partkey) % 5 <> 0 AS in_normal,
+        |    (l_orderkey * 3 + l_suppkey) % 7 <> 0 AS in_tumor,
+        |    (l_partkey * 13 + l_linenumber) % 1000 AS af_pm
+        |  FROM lineitem),
+        |c AS (SELECT contig, pos,
+        |    CASE WHEN in_tumor AND NOT in_normal AND af_pm >= 50 THEN 'somatic'
+        |         WHEN in_tumor AND NOT in_normal THEN 'low_af_artifact'
+        |         WHEN in_tumor THEN 'germline'
+        |         ELSE 'normal_only' END AS cls,
+        |    CASE WHEN in_tumor THEN af_pm ELSE 0 END AS af
+        |  FROM r WHERE in_tumor OR in_normal)
+        |SELECT contig, cls, COUNT(*) AS n_sites,
+        |  CAST(SUM(pos) AS BIGINT) AS sum_pos,
+        |  CAST(SUM(af) AS BIGINT) AS sum_af_pm
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_vcf_split_multiallelic" ->
       """WITH r AS (SELECT
         |    CAST((l_partkey * 37) % 999000 + 1 AS BIGINT) AS pos,

@@ -862,6 +862,45 @@ object Pipeline {
        |FROM s${BpeEncodeMerges.length} GROUP BY wl ORDER BY word_len""".stripMargin
   }
 
+  /** DuckDB replay of the fertility audit: the langid CASE (same stop
+    * lists as q_text_langid), the (language, word) vocabulary rollup, the
+    * fixed merge table as fold CTEs, and the per-language rollup.
+    */
+  private[graft] def tokenizerFertilityOracle: String = {
+    val head =
+      s"""WITH lang AS MATERIALIZED (SELECT text,
+         |    len(list_filter($wsExpr, w -> list_contains(${stopList(StopEn)}, w))) AS en_hits,
+         |    len(list_filter($wsExpr, w -> list_contains(${stopList(StopDe)}, w))) AS de_hits,
+         |    len(list_filter($wsExpr, w -> list_contains(${stopList(StopFr)}, w))) AS fr_hits,
+         |    len(list_filter($wsExpr, w -> list_contains(${stopList(StopEs)}, w))) AS es_hits
+         |  FROM documents),
+         |ld AS (SELECT text,
+         |    CASE WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+         |         WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+         |         WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS pred_lang
+         |  FROM lang),
+         |w AS MATERIALIZED (SELECT pred_lang, word, COUNT(*) AS freq FROM (
+         |    SELECT pred_lang, unnest(string_split(text, ' ')) AS word FROM ld) t
+         |  WHERE len(word) >= 2 AND regexp_matches(word, '^[a-z]+$$') GROUP BY 1, 2),
+         |f0 AS MATERIALIZED (SELECT pred_lang, freq, len(word) AS wl,
+         |  list_transform(range(1, len(word) + 1),
+         |    i -> substr(word, CAST(i AS INTEGER), 1)) AS syms FROM w)""".stripMargin
+    val folds = BpeEncodeMerges.zipWithIndex.map { case ((l, r), i) =>
+      s"""f${i + 1} AS MATERIALIZED (SELECT pred_lang, freq, wl, string_split(substr(list_reduce(list_concat([''], syms),
+         |    (acc, x) -> CASE WHEN x = '$r' AND ends_with(acc, ',' || '$l')
+         |                THEN acc || x ELSE acc || ',' || x END), 2), ',') AS syms
+         |  FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$folds
+       |SELECT pred_lang, CAST(SUM(freq) AS BIGINT) AS n_words,
+       |  COUNT(*) AS n_distinct_words,
+       |  CAST(SUM(wl * freq) AS BIGINT) AS chars_total,
+       |  CAST(SUM(len(syms) * freq) AS BIGINT) AS tokens_total,
+       |  CAST(SUM(len(syms) * freq) * 1000 // SUM(freq) AS BIGINT) AS fertility_milli
+       |FROM f${BpeEncodeMerges.length} GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** DuckDB replay of the full training loop, generated per round (the
     * oracle-SQL-built-programmatically convention). Each round r:
     * p{r} = pair census over s{r-1} (UNNEST over adjacent indices),
@@ -1042,6 +1081,43 @@ object Pipeline {
         .withColumn("compression_permille",
           expr("tokens_total * 1000 div chars_total"))
         .orderBy($"word_len")
+    },
+
+    // TOKENIZER FERTILITY BY LANGUAGE — the audit every multilingual
+    // tokenizer ships with: tokens-per-word under the fixed merge table,
+    // split by the n-gram language call (same stop-hit census as
+    // q_text_langid, one codegen pass). Scale shape: the corpus collapses
+    // to the (language, word) vocabulary FIRST — the encode fold then runs
+    // once per distinct pair, not per occurrence — and the final rollup
+    // has one row per language.
+    "q_tokenizer_fertility" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.StopHitsExpr.register(s)
+      val table = BpeEncodeMerges
+      val vocab = Tables.documents(s, d)
+        .withColumn("sh", expr("graft_stop_hits(text)"))
+        .withColumn("pred_lang",
+          when($"sh".getItem(0) >= greatest($"sh".getItem(1), $"sh".getItem(2), $"sh".getItem(3)), "en")
+            .when($"sh".getItem(1) >= greatest($"sh".getItem(2), $"sh".getItem(3)), "de")
+            .when($"sh".getItem(2) >= $"sh".getItem(3), "fr")
+            .otherwise("es"))
+        .select($"pred_lang", explode(split($"text", " ")).as("word"))
+        .filter(length($"word") >= 2 && $"word".rlike("^[a-z]+$"))
+        .groupBy($"pred_lang", $"word").agg(count(lit(1)).as("freq"))
+      vocab.as[(String, String, Long)]
+        .map { case (lang, w, f) =>
+          var cur = w.toCharArray.map(_.toString)
+          table.foreach { case (l, r) => cur = bpeApplyMerge(cur, l, r) }
+          (lang, f, w.length.toLong * f, cur.length.toLong * f)
+        }
+        .toDF("pred_lang", "freq", "chars_w", "toks_w")
+        .groupBy($"pred_lang")
+        .agg(sum($"freq").as("n_words"),
+          count(lit(1)).as("n_distinct_words"),
+          sum($"chars_w").as("chars_total"),
+          sum($"toks_w").as("tokens_total"))
+        .withColumn("fertility_milli", expr("tokens_total * 1000 div n_words"))
+        .orderBy($"pred_lang")
     },
 
     // tokenizer vocab-coverage curve: the OOV rate a frequency-truncated
@@ -2610,6 +2686,8 @@ object Pipeline {
     "q_bpe_train" -> bpeTrainOracle(BpeMerges),
 
     "q_bpe_encode" -> bpeEncodeOracle,
+
+    "q_tokenizer_fertility" -> tokenizerFertilityOracle,
 
     "q_vocab_coverage_curve" ->
       """WITH w AS (SELECT word, COUNT(*) AS freq FROM (
