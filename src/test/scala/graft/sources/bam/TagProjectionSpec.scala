@@ -135,6 +135,17 @@ class TagProjectionSpec extends AnyFunSuite with SparkFixture {
     assert(holder.toSeq == Seq("i:9"))
   }
 
+  test("typed tags dispatch through the htsjdk facade") {
+    import spark.implicits._
+    val recs = Seq(rec("r1", Map("NM" -> "i:3", "RG" -> "Z:rgZ")))
+    val path = s"${tmp()}/f.bam"
+    spark.createDataset(recs).toDF().write.format("bam").mode("overwrite")
+      .option("refs", refsOpt).save(path)
+    val got = spark.read.format("htsjdk").option("tagColumns", "NM:int,RG:string")
+      .load(path).select($"tag_NM", $"tag_RG").head
+    assert(got.getLong(0) == 3L && got.getString(1) == "rgZ")
+  }
+
   test("option validation fails loudly") {
     val ex1 = intercept[Exception](spark.read.format("bam")
       .option("tagColumns", "NMX:int").load("/nonexistent.bam").schema)
