@@ -1083,4 +1083,28 @@ object Streaming {
         milli(1).as("f0_milli_sum"),
         milli(2).as("f1_milli_sum"))
   }
+
+  /** Streaming somatic gate — q_vcf_somatic's live face: tumor variants
+    * stream in from the caller and are triaged against the STATIC normal
+    * callset (a stream-static left join: the normal side is a bounded
+    * batch relation, so there is NO stream-stream state) into the running
+    * per-(contig, class) census a molecular tumor board watches during a
+    * sequencing run. Classes mirror the batch query: normal-absent with
+    * AF ≥ 5% → somatic candidate, normal-absent below → low-AF artifact,
+    * shared → germline (normal-only is unobservable on a tumor stream —
+    * the batch query reports it from the full-outer join). State is the
+    * complete-mode (contig × class) rollup, bounded by contigs × 3.
+    * Expects `contig`, `start`, `af_pm` on the stream and
+    * `contig`, `start` on the static side.
+    */
+  def somaticGate(tumor: DataFrame, normalSites: DataFrame): DataFrame =
+    tumor
+      .join(normalSites.select(col("contig"), col("start"), lit(1).as("in_n"))
+        .dropDuplicates("contig", "start"), Seq("contig", "start"), "left_outer")
+      .withColumn("cls",
+        when(col("in_n").isNull && col("af_pm") >= 50, "somatic")
+          .when(col("in_n").isNull, "low_af_artifact")
+          .otherwise("germline"))
+      .groupBy(col("contig"), col("cls"))
+      .agg(count(lit(1)).as("n_sites"), sum(col("af_pm")).as("sum_af_pm"))
 }

@@ -14,6 +14,7 @@ case class VcfSite(contig: String, start: Int, genotypes: Seq[VcfGt])
 case class QualRead(readName: String, qual: String)
 case class RgRead(rg: String, contig: String)
 case class FqRead(readName: String, seq: String, qual: String)
+case class TumorVar(contig: String, start: Int, af_pm: Long)
 
 class StreamingSpec extends AnyFunSuite with SparkFixture {
 
@@ -1296,6 +1297,36 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       val calls = got.map(t => t._1 -> t._6).toMap
       assert(calls("rg0") == "F" && calls("rg2") == "F")
       assert(calls("rg1") == "M" && calls("rg3") == "M")
+    } finally q.stop()
+  }
+
+  test("somaticGate: streaming tumor triage equals the batch twin; planted somatic survives") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Streaming
+    // static normal callset: every 3rd site per contig
+    val normal = (0 until 200).filter(_ % 3 == 0)
+      .map(i => (s"chr${i % 4}", i + 1)).toDF("contig", "start")
+    // tumor stream: all sites, AF varying; site 100 is the planted somatic
+    // (not in normal since 100 % 3 != 0; AF 600 >= 50)
+    val tumor = (0 until 200).map(i =>
+      TumorVar(s"chr${i % 4}", i + 1, if (i == 100) 600L else (i * 7 % 100).toLong))
+    val stream = MemoryStream[TumorVar]
+    val q = Streaming.somaticGate(stream.toDF(), normal)
+      .writeStream.format("memory").queryName("somgate")
+      .outputMode("complete").start()
+    try {
+      stream.addData(tumor.take(80)); q.processAllAvailable()
+      stream.addData(tumor.drop(80)); q.processAllAvailable()
+      def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val got = snap(spark.table("somgate"))
+      val want = snap(Streaming.somaticGate(tumor.toDF(), normal))
+      assert(got == want)
+      assert(got.toSeq.map(_._3).sum == 200L, "every tumor site classified exactly once")
+      // the planted somatic site: chr0 (100 % 4 == 0), class somatic, its AF in the sum
+      val som = got.filter(x => x._1 == "chr0" && x._2 == "somatic")
+      assert(som.nonEmpty && som.head._4 >= 600L, s"planted somatic missing: $got")
     } finally q.stop()
   }
 
