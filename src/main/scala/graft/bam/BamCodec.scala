@@ -16,8 +16,11 @@ import graft.bgzf.BgzfInputStream
   * byte-skipped, never parsed, and the walk stops once every requested tag
   * is found.
   */
+// tagCols is an IndexedSeq, NOT an Array: case-class equals/hashCode on an
+// Array compare by reference, so structurally identical masks would compare
+// unequal if the mask were ever cached or used in plan equality
 final case class BamFieldMask(cigarAndEnd: Boolean, seq: Boolean, qual: Boolean, attrs: Boolean,
-                              tagCols: Array[String] = Array.empty)
+                              tagCols: IndexedSeq[String] = Vector.empty)
     extends Serializable
 
 object BamFieldMask {
@@ -29,7 +32,7 @@ object BamFieldMask {
     seq = cols.contains("seq"),
     qual = cols.contains("qual"),
     attrs = cols.contains("attributes"),
-    tagCols = cols.filter(_.startsWith("tag_")).map(_.substring(4)).toArray.sorted)
+    tagCols = cols.filter(_.startsWith("tag_")).map(_.substring(4)).toVector.sorted)
 }
 
 object BamCodec {
@@ -248,7 +251,7 @@ object BamCodec {
     * fails loudly (the region is desynced), never silently mis-frames the
     * next tag.
     */
-  private[bam] def decodeSelectedTags(bb: ByteBuffer, wanted: Array[String],
+  private[bam] def decodeSelectedTags(bb: ByteBuffer, wanted: IndexedSeq[String],
                                       out: Array[String]): Unit = {
     var found = 0
     while (bb.remaining() >= 3 && found < wanted.length) {
@@ -277,6 +280,17 @@ object BamCodec {
           case 'B' =>
             val sub = (bb.get & 0xff).toChar
             val n = bb.getInt
+            // same corrupt-count guard as the skip branch: fail with the
+            // promised IOException instead of BufferUnderflowException (and
+            // never allocate up to n strings first)
+            val elemSize = sub match {
+              case 'c' | 'C' => 1
+              case 's' | 'S' => 2
+              case 'i' | 'I' | 'f' => 4
+              case x => throw new IOException(s"bad B subtype $x")
+            }
+            if (n < 0 || n.toLong * elemSize > bb.remaining())
+              throw new IOException(s"B array overruns record (n=$n elem=$elemSize)")
             val vals = (0 until n).map { _ =>
               sub match {
                 case 'c' => bb.get.toInt.toString

@@ -140,12 +140,12 @@ object RecordToRow {
     }
 
   def getters(required: StructType): Array[AlignmentRecord => Any] =
-    getters(required, Array.empty, Array.empty)
+    getters(required, Vector.empty, Array.empty)
 
   /** `tagCols`/`tagHolder`: the reader's requested-tag names (sorted, as in
     * BamFieldMask) and the per-record value slots the codec fills.
     */
-  def getters(required: StructType, tagCols: Array[String], tagHolder: Array[String])
+  def getters(required: StructType, tagCols: IndexedSeq[String], tagHolder: Array[String])
   : Array[AlignmentRecord => Any] =
     required.fields.map[AlignmentRecord => Any] { f =>
       if (f.name.startsWith("tag_")) {

@@ -95,8 +95,7 @@ object GtCensusExpr {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_gt_census"),
+    Natives.registerOnce(spark, "graft_gt_census",
       new ExpressionInfo(classOf[GtCensusExpr].getName, "graft_gt_census"),
       builder)
 }

@@ -104,8 +104,7 @@ object MinhashSigExpr {
 
   /** Idempotent direct registration on an existing session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_minhash_sig"), info, builder)
+    Natives.registerOnce(spark, "graft_minhash_sig", info, builder)
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` wires the native

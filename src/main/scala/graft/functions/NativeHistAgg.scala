@@ -255,16 +255,14 @@ object HistQuantileAgg {
   val MaxBins: Int = 1 << 20
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_hist_quantile"),
+    Natives.registerOnce(spark, "graft_hist_quantile",
       new ExpressionInfo(classOf[HistQuantileAgg].getName, "graft_hist_quantile"),
       { exprs: Seq[Expression] =>
         require(exprs.length == 3,
           "graft_hist_quantile(value, weight, permille) takes three arguments")
         HistQuantileAgg(exprs(0), exprs(1), exprs(2))
       })
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_hist_quantiles"),
+    Natives.registerOnce(spark, "graft_hist_quantiles",
       new ExpressionInfo(classOf[HistQuantilesAgg].getName, "graft_hist_quantiles"),
       { exprs: Seq[Expression] =>
         require(exprs.length == 3,

@@ -60,8 +60,7 @@ object NativeIvf {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_ivf_argmax"),
+    Natives.registerOnce(spark, "graft_ivf_argmax",
       new ExpressionInfo(classOf[IvfArgmaxExpr].getName, "graft_ivf_argmax"),
       builder)
 }

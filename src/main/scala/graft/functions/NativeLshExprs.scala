@@ -102,12 +102,10 @@ object NativeLsh {
     exprs => LshDotsExpr(exprs.head, planesOf(exprs, "graft_lsh_dots"))
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_lsh_bucket"),
+    Natives.registerOnce(spark, "graft_lsh_bucket",
       new ExpressionInfo(classOf[LshBucketExpr].getName, "graft_lsh_bucket"),
       bucketBuilder)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_lsh_dots"),
+    Natives.registerOnce(spark, "graft_lsh_dots",
       new ExpressionInfo(classOf[LshDotsExpr].getName, "graft_lsh_dots"),
       dotsBuilder)
   }

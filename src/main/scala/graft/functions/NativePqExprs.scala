@@ -138,16 +138,13 @@ object NativePq {
   }
 
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_vec_residual"),
+    Natives.registerOnce(spark, "graft_vec_residual",
       new ExpressionInfo(classOf[VecResidualExpr].getName, "graft_vec_residual"),
       residualBuilder)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_pq_encode"),
+    Natives.registerOnce(spark, "graft_pq_encode",
       new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
       encodeBuilder)
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_pq_adc"),
+    Natives.registerOnce(spark, "graft_pq_adc",
       new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
       adcBuilder)
   }

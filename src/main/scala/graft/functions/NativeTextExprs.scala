@@ -96,8 +96,7 @@ object SimhashExpr {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_simhash"),
+    Natives.registerOnce(spark, "graft_simhash",
       new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash"),
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "graft_simhash(text) takes one argument")
@@ -162,8 +161,7 @@ object FingerprintsExpr {
   def compute(text: UTF8String): ArrayData = gramSample(text, Gram, Mod)
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_fingerprints"),
+    Natives.registerOnce(spark, "graft_fingerprints",
       new ExpressionInfo(classOf[FingerprintsExpr].getName, "graft_fingerprints"),
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "graft_fingerprints(text) takes one argument")
@@ -205,8 +203,7 @@ object SubstrFpsExpr {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_substr_fps"),
+    Natives.registerOnce(spark, "graft_substr_fps",
       new ExpressionInfo(classOf[SubstrFpsExpr].getName, "graft_substr_fps"),
       builder)
 }
@@ -271,8 +268,7 @@ object StopHitsExpr {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_stop_hits"),
+    Natives.registerOnce(spark, "graft_stop_hits",
       new ExpressionInfo(classOf[StopHitsExpr].getName, "graft_stop_hits"),
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "graft_stop_hits(text) takes one argument")
@@ -332,8 +328,7 @@ object MdCyclesExpr {
   }
 
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_md_cycles"),
+    Natives.registerOnce(spark, "graft_md_cycles",
       new ExpressionInfo(classOf[MdCyclesExpr].getName, "graft_md_cycles"),
       { exprs: Seq[Expression] =>
         require(exprs.length == 1, "graft_md_cycles(md) takes one argument")

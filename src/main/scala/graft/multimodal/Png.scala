@@ -119,7 +119,9 @@ object Png {
     while (!sawIend) {
       if (pos + 8 > b.length) fail("truncated chunk header")
       val len = readI32(b, pos)
-      if (len < 0 || pos + 12 + len > b.length) fail(s"chunk length $len overruns file")
+      // long arithmetic: a crafted len near Int.MaxValue would wrap
+      // `pos + 12 + len` negative and slip past this guard into CRC32.update
+      if (len < 0 || pos.toLong + 12L + len > b.length) fail(s"chunk length $len overruns file")
       val typ = new String(b, pos + 4, 4, "US-ASCII")
       val crc = new CRC32
       crc.update(b, pos + 4, 4 + len)
@@ -130,6 +132,11 @@ object Png {
           if (len != 13) fail(s"IHDR length $len")
           width = readI32(b, pos + 8); height = readI32(b, pos + 12)
           if (width <= 0 || height <= 0) fail(s"geometry ${width}x$height")
+          // reject before allocating: crafted dimensions overflow the Int
+          // products `(stride + 1) * height` / `width * height` below —
+          // 2^28 pixels (≈1 GiB of filtered RGBA bytes) is far beyond any
+          // legitimate fixture and keeps every product inside Int range
+          if (width.toLong * height > (1L << 28)) fail(s"geometry ${width}x$height exceeds pixel bound")
           val bitDepth = b(pos + 16) & 0xff
           colorType = b(pos + 17) & 0xff
           if (bitDepth != 8) fail(s"unsupported bit depth $bitDepth")

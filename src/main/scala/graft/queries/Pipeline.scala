@@ -1044,10 +1044,16 @@ object Pipeline {
         else {
           val (bl, br, bn) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((round.toLong, bl, br, bl + br, bn))
-          val prev = vocab
-          vocab = vocab.map { case (syms, f) => (bpeApplyMerge(syms, bl, br), f) }
-            .localCheckpoint()
-          prev.unpersist()
+          // the final round only needs its argmax recorded — applying the
+          // winning merge and checkpointing the result would be one full
+          // materialization pass over the distributed vocab that nothing
+          // ever reads
+          if (round < BpeMerges) {
+            val prev = vocab
+            vocab = vocab.map { case (syms, f) => (bpeApplyMerge(syms, bl, br), f) }
+              .localCheckpoint()
+            prev.unpersist()
+          }
           round += 1
         }
       }

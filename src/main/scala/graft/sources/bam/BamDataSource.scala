@@ -711,7 +711,7 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
           val salvagedRec =
             if (mask.attrs)
               try BamCodec.decodeRecord(rec, blockSize, p.header,
-                mask.copy(attrs = false, tagCols = Array.empty), tagHolder)
+                mask.copy(attrs = false, tagCols = Vector.empty), tagHolder)
               catch { case _: Exception => null }
             else null
           if (salvagedRec != null) {

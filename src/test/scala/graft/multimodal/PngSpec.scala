@@ -92,6 +92,33 @@ class PngSpec extends AnyFunSuite {
     assertThrows[IOException](Png.decode(good.dropRight(13))) // missing IEND
   }
 
+  test("crafted overflow inputs fail with IOException, not AIOOBE/OOM") {
+    val good = Png.encode(pattern(3, 3, alpha = false))
+    // chunk length near Int.MaxValue: pos + 12 + len must not wrap negative
+    // and slip past the overrun guard into CRC32.update
+    val hugeLen = good.clone()
+    hugeLen(8) = 0x7f.toByte; hugeLen(9) = 0xff.toByte
+    hugeLen(10) = 0xff.toByte; hugeLen(11) = 0xf0.toByte
+    assertThrows[IOException](Png.decode(hugeLen))
+    // IHDR geometry whose (stride + 1) * height / width * height products
+    // overflow Int: must be rejected before any allocation
+    def patchGeom(w: Int, h: Int): Array[Byte] = {
+      val b = good.clone()
+      def put(off: Int, v: Int): Unit = {
+        b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+        b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+      }
+      put(16, w); put(20, h) // 8 sig + 8 chunk hdr
+      val crc = new java.util.zip.CRC32
+      crc.update(b, 12, 4 + 13)
+      put(8 + 8 + 13, crc.getValue.toInt)
+      b
+    }
+    assertThrows[IOException](Png.decode(patchGeom(0x40000000, 0x40000000)))
+    assertThrows[IOException](Png.decode(patchGeom(1 << 20, 1 << 20)))
+    assertThrows[IOException](Png.decode(patchGeom(Int.MaxValue, 1)))
+  }
+
   test("unsupported shapes rejected: interlace, depth, color type") {
     val good = Png.encode(pattern(3, 3, alpha = false))
     def patchIhdr(off: Int, v: Byte): Array[Byte] = {

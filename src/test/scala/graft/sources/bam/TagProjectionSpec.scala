@@ -106,16 +106,33 @@ class TagProjectionSpec extends AnyFunSuite with SparkFixture {
     assertThrows[java.io.IOException](BamCodec.decodeRecord(body, blockSize, header, full))
     // selective decode (only tag_NM requested) -> succeeds, value intact
     val sel = BamFieldMask(cigarAndEnd = false, seq = false, qual = false, attrs = false,
-      tagCols = Array("NM"))
+      tagCols = Vector("NM"))
     val holder = new Array[String](1)
     val got = BamCodec.decodeRecord(body, blockSize, header, sel, holder)
     assert(holder.toSeq == Seq("i:5"))
     assert(got.attributes == null)
     // but a wanted tag BEYOND the corruption still fails loudly (the walk
     // cannot skip a tag whose type it cannot size)
-    val selBeyond = sel.copy(tagCols = Array("ZZ"))
+    val selBeyond = sel.copy(tagCols = Vector("ZZ"))
     assertThrows[java.io.IOException](
       BamCodec.decodeRecord(body, blockSize, header, selBeyond, new Array[String](1)))
+  }
+
+  test("corrupt B-array count in a WANTED tag fails with IOException") {
+    // the decode branch must carry the same bounds guard as the skip
+    // branch: a crafted element count would otherwise surface as
+    // BufferUnderflowException after allocating up to n strings
+    val r = rec("r1", scala.collection.immutable.ListMap("XB" -> "B:i,1,2,3"))
+    val enc = BamCodec.encodeRecord(r, header)
+    val body = java.util.Arrays.copyOfRange(enc, 4, enc.length)
+    // tag layout at tail: 'X','B','B',subtype,count(int32 LE),3×int32
+    val countOff = body.length - 12 - 4
+    body(countOff) = 0xff.toByte; body(countOff + 1) = 0xff.toByte
+    body(countOff + 2) = 0xff.toByte; body(countOff + 3) = 0x7f.toByte
+    val sel = BamFieldMask(cigarAndEnd = false, seq = false, qual = false, attrs = false,
+      tagCols = Vector("XB"))
+    assertThrows[java.io.IOException](
+      BamCodec.decodeRecord(body, enc.length - 4, header, sel, new Array[String](1)))
   }
 
   test("skip arithmetic walks every wire type without parsing") {
@@ -128,7 +145,7 @@ class TagProjectionSpec extends AnyFunSuite with SparkFixture {
     val r = rec("r1", attrs)
     val enc = BamCodec.encodeRecord(r, header)
     val sel = BamFieldMask(cigarAndEnd = false, seq = false, qual = false, attrs = false,
-      tagCols = Array("NM"))
+      tagCols = Vector("NM"))
     val holder = new Array[String](1)
     BamCodec.decodeRecord(
       java.util.Arrays.copyOfRange(enc, 4, enc.length), enc.length - 4, header, sel, holder)
