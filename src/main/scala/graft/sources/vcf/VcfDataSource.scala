@@ -25,7 +25,12 @@ import graft.vcf.{Genotype, Variant, VcfCodec, VcfHeader}
   * reference's VcfSource/VcfSink (VcfSource.java:88-129, VcfSink.java:27-68,
   * BGZFEnhancedGzipCodec.java:38-77).
   *
-  * Read options: `splitSize`, `intervals` ("chr1:100-200,…").
+  * Read options: `splitSize`, `intervals` ("chr1:100-200,…"),
+  * `formatFields` ("GT,DP" — decode only the listed FORMAT keys per sample;
+  * the map-typed `fields` column then carries just those keys. Catalyst's
+  * nested pruning already skips FORMAT parsing entirely when a query reads
+  * only `genotypes[i].gt`; this option is for queries that consume the whole
+  * genotype array, where map keys cannot be pruned automatically).
   * Write options: `vcfHeader` (literal ##-lines + #CHROM line) — else a
   * minimal header with sample names taken from the first record's genotypes;
   * path `.vcf` → single plain file, `.vcf.bgz`/`.vcf.gz` → single BGZF file
@@ -80,12 +85,17 @@ class VcfScanBuilder(options: Map[String, String])
 class VcfScan(options: Map[String, String], required: StructType,
               pushed: Array[org.apache.spark.sql.sources.Filter],
               limitHint: Int = -1) extends Scan with Batch {
+  // FORMAT-field projection: validated at planning so a bad option fails
+  // before any task launches
+  private val formatKeys: Option[IndexedSeq[String]] =
+    graft.vcf.VcfFormatMask.parseOption(options.get("formatfields"))
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val iv = options.get("intervals").map(i => s" intervals=$i").getOrElse("")
     val lim = if (limitHint >= 0) s" limit=$limitHint" else ""
-    s"graft-vcf ${options.getOrElse("path", "")}$iv pushed=[${pushed.mkString(",")}]$lim"
+    val ff = formatKeys.map(k => s" formatFields=[${k.mkString(",")}]").getOrElse("")
+    s"graft-vcf ${options.getOrElse("path", "")}$iv pushed=[${pushed.mkString(",")}]$lim$ff"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -230,8 +240,9 @@ class VcfScan(options: Map[String, String], required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
     val req = required
+    val mask = graft.vcf.VcfFormatMask.from(req, formatKeys)
     (partition: InputPartition) => new VcfPartitionReader(
-      partition.asInstanceOf[VcfInputPartition], conf, req)
+      partition.asInstanceOf[VcfInputPartition], conf, req, mask)
   }
 }
 
@@ -244,7 +255,8 @@ case class VcfInputPartition(file: String, splitStart: Long, splitEnd: Long,
   override def preferredLocations(): Array[String] = hosts
 }
 
-class VcfPartitionReader(p: VcfInputPartition, conf: SerializableConf, required: StructType)
+class VcfPartitionReader(p: VcfInputPartition, conf: SerializableConf, required: StructType,
+                         mask: graft.vcf.VcfFormatMask = graft.vcf.VcfFormatMask.All)
     extends PartitionReader[InternalRow] {
   private val input = HadoopIO.open(new Path(p.file), conf.conf)
   private val lines =
@@ -276,7 +288,7 @@ class VcfPartitionReader(p: VcfInputPartition, conf: SerializableConf, required:
         // lines whose failure is confined to the FORMAT/genotype columns
         // past the 8 mandatory VCF fields), permissive skips silently
         val v =
-          try VcfCodec.fromLine(line, p.header.samples)
+          try VcfCodec.fromLine(line, p.header.samples, mask, null)
           catch {
             case _: Exception if p.stringency eq graft.sources.Stringency.Permissive =>
               slog.skipSilently(); null

@@ -3,8 +3,32 @@ package graft.vcf
 /** VCF text codec: Variant ↔ tab-separated data line (VCF spec 4.2 §1.6). */
 object VcfCodec {
 
-  def fromLine(line: String, samples: Seq[String]): Variant = {
-    val f = line.split('\t')
+  def fromLine(line: String, samples: Seq[String]): Variant =
+    fromLine(line, samples, VcfFormatMask.All, null)
+
+  /** Masked decode: the FORMAT/genotype columns are the wide, expensive part
+    * of a cohort line, so `mask` controls how much of them is parsed —
+    * `genotypes=false` skips the sample columns entirely (the line is split
+    * only to its 8 mandatory fields), a pruned struct without `fields`
+    * decodes GT by token scan without building per-sample maps, and
+    * `fieldKeys` restricts the map to the requested FORMAT keys. `probe`
+    * (test-only, pass null) observes every non-GT FORMAT value the decode
+    * materializes — the skip-proof hook.
+    */
+  def fromLine(line: String, samples: Seq[String], mask: VcfFormatMask,
+               probe: String => Unit): Variant = {
+    val needG = mask.genotypes && samples.nonEmpty
+    val f =
+      if (needG) line.split('\t')
+      else {
+        // only fields 0..7 are read: cap the split so a wide cohort line
+        // costs O(mandatory fields), not O(samples). Java split drops
+        // TRAILING empty fields (the full path's >= 8 check depends on
+        // it); the capped split differs only when its tail element is
+        // empty — fall back to the full split exactly there.
+        val f0 = line.split("\t", 9)
+        if (f0.nonEmpty && f0.last.isEmpty) line.split('\t') else f0
+      }
     require(f.length >= 8, s"bad VCF line (${f.length} fields)")
     val pos = f(1).toInt
     val ref = f(3)
@@ -16,18 +40,8 @@ object VcfCodec {
       }.toMap
     val end = info.get("END").map(_.toInt).getOrElse(pos + ref.length - 1)
     val genotypes: Seq[Genotype] =
-      if (f.length > 9 && samples.nonEmpty) {
-        val fmtKeys = f(8).split(':')
-        samples.indices.map { si =>
-          val vals = if (9 + si < f.length) f(9 + si).split(':') else Array.empty[String]
-          val fields = fmtKeys.zipWithIndex.collect {
-            case (k, i) if i < vals.length => k -> vals(i)
-          }.toMap
-          // gt = null when FORMAT has no GT (site-only annotations like
-          // DP-only) — fabricating "./." would invent genotype calls
-          Genotype(samples(si), fields.getOrElse("GT", null), fields - "GT")
-        }
-      } else Nil
+      if (needG && f.length > 9) decodeGenotypes(f, samples, mask, probe)
+      else Nil
     Variant(
       contig = f(0),
       start = pos,
@@ -39,6 +53,99 @@ object VcfCodec {
       filters = if (f(6) == ".") Nil else f(6).split(';').toSeq,
       info = info,
       genotypes = genotypes)
+  }
+
+  private def decodeGenotypes(f: Array[String], samples: Seq[String],
+      mask: VcfFormatMask, probe: String => Unit): Seq[Genotype] = {
+    if (mask.fields && mask.fieldKeys.isEmpty) {
+      // full decode — the reference shape, byte-for-byte as ever
+      val fmtKeys = f(8).split(':')
+      samples.indices.map { si =>
+        val vals = if (9 + si < f.length) f(9 + si).split(':') else Array.empty[String]
+        val fields = fmtKeys.zipWithIndex.collect {
+          case (k, i) if i < vals.length => k -> vals(i)
+        }.toMap
+        if (probe != null) {
+          var i = 0
+          while (i < vals.length && i < fmtKeys.length) {
+            if (fmtKeys(i) != "GT") probe(vals(i)); i += 1
+          }
+        }
+        // gt = null when FORMAT has no GT (site-only annotations like
+        // DP-only) — fabricating "./." would invent genotype calls
+        Genotype(samples(si), fields.getOrElse("GT", null), fields - "GT")
+      }
+    } else {
+      val wantKeys: Array[String] =
+        if (mask.fields) mask.fieldKeys.get.filterNot(_ == "GT").toArray
+        else Array.empty
+      if (!mask.gt && wantKeys.isEmpty)
+        // sample-only projection: names come from the header, nothing in
+        // the FORMAT/sample columns is read at all
+        return samples.indices.map(si => Genotype(samples(si), null, Map.empty))
+      // token-index → decode slot (-1 skip, -2 GT, >=0 wantKeys slot). A
+      // repeated FORMAT key keeps its first position but last value below
+      // the sample's token count — the full path's small-Map semantics —
+      // which overwrite-as-scanned plus first-occurrence map build
+      // reproduces exactly.
+      val fmtKeys = f(8).split(':')
+      val slotByTok = new Array[Int](fmtKeys.length)
+      java.util.Arrays.fill(slotByTok, -1)
+      var maxWanted = -1
+      var i = 0
+      while (i < fmtKeys.length) {
+        val k = fmtKeys(i)
+        if (mask.gt && k == "GT") { slotByTok(i) = -2; maxWanted = i }
+        else {
+          var w = 0
+          while (w < wantKeys.length) {
+            if (wantKeys(w) == k) { slotByTok(i) = w; maxWanted = i }
+            w += 1
+          }
+        }
+        i += 1
+      }
+      val fieldVals = new Array[String](wantKeys.length)
+      samples.indices.map { si =>
+        var gt: String = null
+        java.util.Arrays.fill(fieldVals.asInstanceOf[Array[AnyRef]], null)
+        if (9 + si < f.length && maxWanted >= 0) {
+          val s = f(9 + si)
+          // split-semantics parity: a trailing run of ':' contributes no
+          // tokens, but a lone empty column is ONE empty token (Java
+          // "".split(":") -> [""])
+          var eff = s.length
+          while (eff > 0 && s.charAt(eff - 1) == ':') eff -= 1
+          if (s.isEmpty || eff > 0) {
+            var tok = 0; var off = 0
+            var done = false
+            while (!done && tok <= maxWanted) {
+              val nxt = s.indexOf(':', off)
+              val end = if (nxt < 0 || nxt >= eff) eff else nxt
+              slotByTok(tok) match {
+                case -2 => gt = s.substring(off, end)
+                case sl if sl >= 0 =>
+                  val v = s.substring(off, end)
+                  if (probe != null) probe(v)
+                  fieldVals(sl) = v
+                case _ => // unrequested: boundary scan only, never materialized
+              }
+              if (end >= eff) done = true else off = end + 1
+              tok += 1
+            }
+          }
+        }
+        var m = Map.empty[String, String]
+        var t = 0
+        while (t < slotByTok.length) {
+          val sl = slotByTok(t)
+          if (sl >= 0 && fieldVals(sl) != null && !m.contains(wantKeys(sl)))
+            m += (wantKeys(sl) -> fieldVals(sl))
+          t += 1
+        }
+        Genotype(samples(si), gt, m)
+      }
+    }
   }
 
   def toLine(v: Variant): String = {

@@ -20,6 +20,49 @@ case class Variant(
 
 case class Genotype(sample: String, gt: String, fields: Map[String, String])
 
+/** Which parts of the genotype columns a VCF scan actually needs — the
+  * FORMAT-side analog of the BAM read path's BamFieldMask. Driven by two
+  * signals: Catalyst's nested-column pruning (a query reading only
+  * `genotypes[i].gt` hands the scan a genotype struct without `fields`, so
+  * per-sample FORMAT maps are never built) and the explicit
+  * `.option("formatFields", "GT,DP")` (Catalyst cannot prune MAP keys, so
+  * restricting which FORMAT keys the text codec materializes is opt-in).
+  * `fieldKeys = None` means the full map; `Some(keys)` restricts it.
+  * Reference analog: the lazy-decode posture of VcfSource.java:104-116.
+  */
+final case class VcfFormatMask(genotypes: Boolean, sample: Boolean, gt: Boolean,
+    fields: Boolean, fieldKeys: Option[IndexedSeq[String]]) extends Serializable
+
+object VcfFormatMask {
+  val All: VcfFormatMask =
+    VcfFormatMask(genotypes = true, sample = true, gt = true, fields = true, fieldKeys = None)
+
+  /** Derive from the pruned schema Catalyst hands the scan + the option. */
+  def from(required: StructType, formatFields: Option[Seq[String]]): VcfFormatMask = {
+    val keys = formatFields.map(_.toVector)
+    required.fields.find(_.name == "genotypes") match {
+      case None => VcfFormatMask(genotypes = false, sample = false, gt = false,
+        fields = false, fieldKeys = keys)
+      case Some(gf) => gf.dataType match {
+        case ArrayType(st: StructType, _) =>
+          val names = st.fieldNames.toSet
+          VcfFormatMask(genotypes = true, sample = names.contains("sample"),
+            gt = names.contains("gt"), fields = names.contains("fields"), fieldKeys = keys)
+        case _ => All.copy(fieldKeys = keys)
+      }
+    }
+  }
+
+  /** Parse + validate the `formatFields` option value ("GT,DP,GQ"). */
+  def parseOption(opt: Option[String]): Option[IndexedSeq[String]] = opt.map { s =>
+    val ks = s.split(',').map(_.trim).filter(_.nonEmpty).toVector
+    require(ks.nonEmpty, s"formatFields: no FORMAT keys in '$s'")
+    ks.foreach(k => require(k.forall(c => c.isLetterOrDigit),
+      s"formatFields: bad FORMAT key '$k' (want alphanumeric, e.g. GT, DP, GQ)"))
+    ks
+  }
+}
+
 object Variant {
   val genotypeType: StructType = StructType(Seq(
     StructField("sample", StringType, nullable = true),
