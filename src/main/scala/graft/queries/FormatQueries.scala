@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.queries.Fixtures.FixtureWriterOps
+
 /** Format-layer queries that make the BAM source/sink DuckDB-verifiable:
   * deterministic alignment records are derived from `lineitem`, pushed
   * through a full write→read cycle of the connector, and aggregated; the
@@ -223,7 +225,7 @@ object FormatQueries {
       import s.implicits._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/unm.bam"
       spread(syntheticReadsWithUnmapped(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).option("writeSbi", "true").save(path)
+        .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024)
         .option("intervals", "chr0:1-5000").option("unplacedUnmapped", "true")
         .load(path)
@@ -239,7 +241,7 @@ object FormatQueries {
       import s.implicits._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/cov.bam"
       spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).option("writeSbi", "true").save(path)
+        .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
       // pruned scan: only contig/start/end decoded
       val reads = s.read.format("bam").option("splitSize", 1024 * 1024)
         .load(path).select($"contig", $"start", $"end")
@@ -284,7 +286,7 @@ object FormatQueries {
         map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).option("writeSbi", "true").save(path)
+        .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
         .select($"readName", $"contig", $"start", $"mapq",
           ($"flags".bitwiseAND(16) =!= 0).cast("int").as("strand"))
@@ -337,7 +339,7 @@ object FormatQueries {
         map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).option("writeSbi", "true").save(path)
+        .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
       def bit(b: Int): org.apache.spark.sql.Column =
         back("flags").bitwiseAND(b) =!= 0
@@ -382,7 +384,7 @@ object FormatQueries {
         map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).option("writeSbi", "true").save(path)
+        .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024)
         .option("intervals", "chr0:1000-1299")
         .load(path)
@@ -433,7 +435,7 @@ object FormatQueries {
         map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).option("writeSbi", "true").save(path)
+        .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
       back
         .filter($"tlen" > 0) // the leftward mate counts each template once
@@ -468,7 +470,7 @@ object FormatQueries {
         array(lit("PASS")).as("filters"),
         map(lit("DP"), $"l_suppkey".cast("string")).as("info"),
         array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false)).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       val a0 = element_at($"alt", 1)
       val isSnp = length($"ref") === 1 && length(a0) === 1
@@ -512,7 +514,7 @@ object FormatQueries {
       val bamPath = s"$base/anno.bam"
       val vcfPath = s"$base/anno.vcf.bgz"
       spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).option("writeSbi", "true").save(bamPath)
+        .option("refs", Refs).option("writeSbi", "true").saveFixture(bamPath)
       import org.apache.spark.sql.types._
       val vars = Tables.orders(s, d).filter($"o_orderkey" % 7 === 0).select(
         concat(lit("chr"), ($"o_orderkey" % 3).cast("string")).as("contig"),
@@ -526,7 +528,7 @@ object FormatQueries {
         map(lit("DP"), ($"o_orderkey" % 100).cast("string")).as("info"),
         array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false))
           .as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(vcfPath)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(vcfPath)
       val reads = s.read.format("bam").option("splitSize", 256 * 1024).load(bamPath)
         .select($"readName", $"contig", $"start".cast("long").as("rstart"),
           $"end".cast("long").as("rend"))
@@ -644,7 +646,7 @@ object FormatQueries {
       import s.implicits._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/lift.bam"
       spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).option("writeSbi", "true").save(path)
+        .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
       // chain: 20 of the 25 segments per contig lift (nation 23,24 and
       // region keys drop segments deterministically)
       val chain = Tables.nation(s, d)
@@ -697,7 +699,7 @@ object FormatQueries {
         map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).saveFixture(path)
       s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .groupBy($"cigar")
         .agg(count(lit(1)).as("n_reads"),
@@ -719,7 +721,7 @@ object FormatQueries {
       val path = s"$base/lake_src.bam"
       val lake = s"$base/reads_lake"
       spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).saveFixture(path)
       s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .write.partitionBy("contig").mode("overwrite").parquet(lake)
       s.read.parquet(lake)
@@ -806,7 +808,7 @@ object FormatQueries {
         array(lit("PASS")).as("filters"),
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array(geno(1), geno(2), geno(3)).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       back.select($"contig", explode($"genotypes").as("g"))
         .groupBy($"contig", $"g.sample".as("sample"))
@@ -815,6 +817,52 @@ object FormatQueries {
           sum(when($"g.gt" === "1/1", 1L).otherwise(0L)).as("n_homalt"),
           sum(element_at($"g.fields", "DP").cast("long")).as("sum_dp"))
         .orderBy($"contig", $"sample")
+    },
+
+    // WIDE-FORMAT projection read — the formatFields option end-to-end
+    // under the oracle: every genotype carries FIVE FORMAT keys
+    // (GT:DP:GQ:AD:PL, the realistic caller payload) across 12 samples,
+    // and the query reads only GT + DP via .option("formatFields",
+    // "GT,DP") — the GQ/AD/PL values of every sample column are boundary-
+    // scanned, never materialized (VcfFormatProjectionSpec proves the
+    // skip at codec level; this pins it through the full scan + oracle).
+    "q_vcf_format_projection" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/wideformat.vcf.bgz"
+      def geno(j: Int) = {
+        val code = ($"l_orderkey" + lit(j) * $"l_linenumber") % 3
+        val dp = ($"l_suppkey" + lit(j)) % 50
+        struct(
+          lit(f"s$j%02d").as("sample"),
+          when(code === 0, "0/0").when(code === 1, "0/1").otherwise("1/1").as("gt"),
+          map(
+            lit("DP"), dp.cast("string"),
+            lit("GQ"), (($"l_partkey" + lit(j)) % 99).cast("string"),
+            lit("AD"), concat((dp - dp % 3).cast("string"), lit(","), (dp % 3).cast("string")),
+            lit("PL"), concat((($"l_partkey" * 3 + lit(j)) % 255).cast("string"),
+              lit(",0,"), (($"l_partkey" * 7 + lit(j)) % 255).cast("string"))).as("fields"))
+      }
+      val vars = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"),
+        array(lit("G")).as("alt"),
+        lit(30.0).as("qual"),
+        array(lit("PASS")).as("filters"),
+        map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
+        array((1 to 12).map(geno): _*).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024)
+        .option("formatFields", "GT,DP").load(path)
+      back.select(explode($"genotypes").as("g"))
+        .groupBy($"g.sample".as("sample"))
+        .agg(count(lit(1)).as("n_sites"),
+          sum(when($"g.gt" === "0/1", 1L).otherwise(0L)).as("n_het"),
+          sum(element_at($"g.fields", "DP").cast("long")).as("sum_dp"))
+        .orderBy($"sample")
     },
 
     // mate-pair recomputation (samtools `fixmate`): each source row emits
@@ -854,7 +902,7 @@ object FormatQueries {
           lit("*").as("qual"),
           map(lit("XO"), concat(lit("i:"), $"tag")).as("attributes"))
       spread(paired).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).option("writeSbi", "true").save(path)
+        .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
       back.select($"readName", $"contig", $"start".cast("long").as("start"))
         .groupBy($"readName", $"contig")
@@ -878,7 +926,7 @@ object FormatQueries {
       import s.implicits._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/sub.bam"
       spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).option("writeSbi", "true").save(path)
+        .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
         .filter(graft.functions.GraftFunctions.hash60(
           concat(lit("sub|"), $"readName")) % 100 < 25)
@@ -889,7 +937,7 @@ object FormatQueries {
     "q_bam_intervals" -> { (s, d) =>
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/iv.bam"
       spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).option("writeSbi", "true").save(path)
+        .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024)
         .option("intervals", "chr0:1-5000,chr1:2000-7000")
         .load(path)
@@ -905,7 +953,7 @@ object FormatQueries {
       syntheticVariants(s, d)
         .repartitionByRange(8, $"contig", $"start")
         .sortWithinPartitions($"contig", $"start")
-        .write.format("vcf").mode("overwrite").option("compressionLevel", "1").option("writeTbi", "true").save(path)
+        .write.format("vcf").mode("overwrite").option("compressionLevel", "1").option("writeTbi", "true").saveFixture(path)
       val back = s.read.format("vcf").option("splitSize", 64 * 1024)
         .option("intervals", "chr0:1-5000,chr2:30000-40000")
         .load(path)
@@ -927,7 +975,7 @@ object FormatQueries {
       syntheticVariants(s, d)
         .repartitionByRange(8, $"contig", $"start")
         .sortWithinPartitions($"contig", $"start")
-        .write.format("vcf").mode("overwrite").option("compressionLevel", "1").option("writeIdx", "true").save(path)
+        .write.format("vcf").mode("overwrite").option("compressionLevel", "1").option("writeIdx", "true").saveFixture(path)
       val back = s.read.format("vcf").option("splitSize", 64 * 1024)
         .option("intervals", "chr0:1-5000,chr2:30000-40000")
         .load(path)
@@ -959,7 +1007,7 @@ object FormatQueries {
         ($"s_suppkey" % 100 + 1).cast("int").as("n_records"),
         (($"s_suppkey" % 7) * 16).cast("int").as("data_length"))
       spread(containers).write.format("cram").mode("overwrite")
-        .option("writeCrai", "true").save(path)
+        .option("writeCrai", "true").saveFixture(path)
       val back = s.read.format("cram").option("splitSize", 4 * 1024)
         .option("intervals", "0:1-50000,2:60000-99999")
         .load(path)
@@ -998,7 +1046,7 @@ object FormatQueries {
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/rec31.cram"
       spread(syntheticReads(s, d)).write.format("cram").mode("overwrite")
         .option("records", "true").option("refs", Refs).option("version", "3.1")
-        .option("writeCrai", "true").save(path)
+        .option("writeCrai", "true").saveFixture(path)
       val back = s.read.format("cram").option("records", "true")
         .option("splitSize", 256 * 1024).load(path)
       readsAggregate(back)
@@ -1016,7 +1064,7 @@ object FormatQueries {
         .write.format("cram").mode("overwrite").option("compressionLevel", "1")
         .option("records", "true").option("refs", Refs)
         .option("recordsPerContainer", "2000")
-        .option("writeCrai", "true").save(path)
+        .option("writeCrai", "true").saveFixture(path)
       val back = s.read.format("cram").option("records", "true")
         .option("splitSize", 64 * 1024)
         .option("intervals", "chr0:1-5000,chr1:2000-7000")
@@ -1049,7 +1097,7 @@ object FormatQueries {
         .write.format("cram").mode("overwrite").option("compressionLevel", "1")
         .option("records", "true").option("refs", Refs)
         .option("fasta", fasta)
-        .option("writeCrai", "true").save(path)
+        .option("writeCrai", "true").saveFixture(path)
       val back = s.read.format("cram").option("records", "true")
         .option("fasta", fasta).option("splitSize", 256 * 1024).load(path)
       back.groupBy($"contig")
@@ -1106,7 +1154,7 @@ object FormatQueries {
         .sortWithinPartitions($"contig", $"start")
         .write.format("cram").mode("overwrite").option("compressionLevel", "1")
         .option("records", "true").option("refs", Refs)
-        .option("fasta", fasta).save(path)
+        .option("fasta", fasta).saveFixture(path)
       s.read.format("cram").option("records", "true")
         .option("fasta", fasta).option("splitSize", 256 * 1024).load(path)
         .groupBy($"cigar")
@@ -1128,7 +1176,7 @@ object FormatQueries {
         .repartitionByRange(8, $"contig", $"start")
         .sortWithinPartitions($"contig", $"start")
         .write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).option("writeBai", "true").save(path)
+        .option("refs", Refs).option("writeBai", "true").saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 64 * 1024)
         .option("intervals", "chr0:1-5000,chr1:2000-7000")
         .load(path)
@@ -1165,7 +1213,7 @@ object FormatQueries {
         map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).saveFixture(path)
       s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .select($"seq", explode(sequence(lit(1), lit(25))).as("p"))
         .select(expr("substring(seq, p, 8)").as("kmer"))
@@ -1197,7 +1245,7 @@ object FormatQueries {
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).saveFixture(path)
       s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .select($"contig",
           (length($"seq") - length(replace($"seq", lit("G")))
@@ -1239,7 +1287,7 @@ object FormatQueries {
           geno("mother", ($"l_orderkey" * 5 + $"l_linenumber" * 2) % 3),
           geno("child", ($"l_orderkey" * 11 + $"l_linenumber" * 3 + $"l_suppkey") % 3))
           .as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       def dose(i: Int) = {
         val gt = element_at($"genotypes", i).getField("gt")
@@ -1286,7 +1334,7 @@ object FormatQueries {
         lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array(geno(1), geno(2), geno(3)).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       back.select(explode($"genotypes").as("g"))
         .filter($"g.gt" === "0/1")
@@ -1329,7 +1377,7 @@ object FormatQueries {
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).saveFixture(path)
       s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .select($"contig",
           explode(expr("regexp_extract_all(cigar, '(\\\\d+)N', 1)")).as("ilen_s"))
@@ -1372,7 +1420,7 @@ object FormatQueries {
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads24).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs24).save(bamPath)
+        .option("refs", Refs24).saveFixture(bamPath)
       import org.apache.spark.sql.types._
       val vars = Tables.orders(s, d).select(
         concat(lit("chr"), ($"o_custkey" % 24).cast("string")).as("contig"),
@@ -1386,7 +1434,7 @@ object FormatQueries {
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false))
           .as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(vcfPath)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(vcfPath)
       val reads = s.read.format("bam").option("splitSize", 1024 * 1024).load(bamPath)
         .select($"contig", $"start".cast("long").as("pos"), lit(1).as("side"))
       val sites = s.read.format("vcf").option("splitSize", 256 * 1024).load(vcfPath)
@@ -1451,7 +1499,7 @@ object FormatQueries {
         .repartitionByRange(8, $"contig".asc_nulls_last, $"start")
         .sortWithinPartitions($"contig".asc_nulls_last, $"start")
         .write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).option("writeBai", "true").save(path)
+        .option("refs", Refs).option("writeBai", "true").saveFixture(path)
       // O(index) driver-side read: header (names/lengths) + .bai pseudo-bins
       val conf = s.sessionState.newHadoopConf()
       val header = {
@@ -1509,7 +1557,7 @@ object FormatQueries {
           lit("*").as("qual"),
           map(lit("XO"), lit("i:1")).as("attributes"))
       spread(paired).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
       back
         .select($"readName", $"contig", $"start".cast("long").as("start"),
@@ -1556,7 +1604,7 @@ object FormatQueries {
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).saveFixture(path)
       s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         // 25 k-mers (k=8, L=32) -> 21 windows of 5; winnowing emits a
         // minimizer when it DIFFERS from the previous window's (run-dedup,
@@ -1593,7 +1641,7 @@ object FormatQueries {
       val dir = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}"
       val fasta = writeRefFasta(dir)
       val path = s"$dir/ctx.vcf.bgz"
-      spread(syntheticVariants(s, d)).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
+      spread(syntheticVariants(s, d)).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       val rows = back
         .select($"contig", $"start", element_at($"alt", 1).as("alt"))
@@ -1641,7 +1689,7 @@ object FormatQueries {
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .filter($"start" <= 1299 && $"end" >= 1000)
       val depth = back
@@ -1702,8 +1750,12 @@ object FormatQueries {
         array(lit("PASS")).as("filters"),
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 12).map(geno): _*).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
+      // formatFields=GT: the census consumes the whole genotype array, so
+      // Catalyst cannot prune the map-typed FORMAT fields — opt in to the
+      // selective decode (gt by token scan, no per-sample maps)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024)
+        .option("formatFields", "GT").load(path)
       graft.functions.GtCensusExpr.register(s)
       // aggregate FIRST to the tiny (a,b,c) pattern space, then compute
       // the chi-square on the grouped handful: per-row work is exactly one
@@ -1773,8 +1825,12 @@ object FormatQueries {
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 64).map(geno): _*).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite")
-        .option("compressionLevel", "1").save(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+        .option("compressionLevel", "1").saveFixture(path)
+      // formatFields=GT: the census consumes the whole genotype array, so
+      // Catalyst cannot prune the map-typed FORMAT fields — opt in to the
+      // selective decode (gt by token scan, no per-sample maps)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024)
+        .option("formatFields", "GT").load(path)
       graft.functions.GtCensusExpr.register(s)
       back
         .select(expr("graft_gt_census(genotypes)").as("cen"))
@@ -1824,7 +1880,7 @@ object FormatQueries {
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 12).map(geno): _*).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite")
-        .option("compressionLevel", "1").save(path)
+        .option("compressionLevel", "1").saveFixture(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       val dosed = back.select($"contig", $"start", $"id",
         expr("transform(genotypes, g -> CASE WHEN g.gt = '0/0' THEN 0L" +
@@ -1884,7 +1940,7 @@ object FormatQueries {
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 12).map(geno): _*).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite")
-        .option("compressionLevel", "1").save(path)
+        .option("compressionLevel", "1").saveFixture(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       val pairLits = for { i <- 1 to 12; j <- (i + 1) to 12 }
         yield struct(lit(i).as("i"), lit(j).as("j"))
@@ -1937,7 +1993,7 @@ object FormatQueries {
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/sex.bam"
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs24 + ",chrX:1000000,chrY:1000000")
-        .option("writeSbi", "true").save(path)
+        .option("writeSbi", "true").saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
       back
         .select(substring(element_at($"attributes", "RG"), 3, 10).as("sample_rg"),
@@ -1999,7 +2055,7 @@ object FormatQueries {
         expr("substring(repeat('IJKLMNOP@+FGH', 5), CAST(l_suppkey % 7 AS INT) + 1," +
           " CAST(20 + l_partkey % 31 AS INT))").as("qual"))
       spread(reads).write.format("fastq").mode("overwrite")
-        .option("compressionLevel", "1").save(path)
+        .option("compressionLevel", "1").saveFixture(path)
       val back = s.read.format("fastq").option("splitSize", 256 * 1024).load(path)
       back
         .select((length($"qual") -
@@ -2029,9 +2085,9 @@ object FormatQueries {
           s" CAST(20 + (l_partkey * ${1 + lenSalt}) % 31 AS INT))").as("qual"))
         .dropDuplicates("readName")
       mates("r1", 0).write.format("fastq").mode("overwrite")
-        .option("compressionLevel", "1").save(s"$base/r1.fastq.bgz")
+        .option("compressionLevel", "1").saveFixture(s"$base/r1.fastq.bgz")
       mates("r2", 6).write.format("fastq").mode("overwrite")
-        .option("compressionLevel", "1").save(s"$base/r2.fastq.bgz")
+        .option("compressionLevel", "1").saveFixture(s"$base/r2.fastq.bgz")
       val r1 = s.read.format("fastq").option("splitSize", 256 * 1024)
         .load(s"$base/r1.fastq.bgz").select($"readName", length($"seq").as("len1"))
       val r2 = s.read.format("fastq").option("splitSize", 256 * 1024)
@@ -2069,7 +2125,7 @@ object FormatQueries {
         map().cast(MapType(StringType, StringType, valueContainsNull = false))
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite")
-        .option("compressionLevel", "1").option("refs", Refs24).save(path)
+        .option("compressionLevel", "1").option("refs", Refs24).saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
       back
         .select($"start",
@@ -2097,7 +2153,7 @@ object FormatQueries {
         expr("substring(repeat('IJKLMNOP@+FGH', 5), CAST(l_suppkey % 7 AS INT) + 1," +
           " CAST(20 + l_partkey % 31 AS INT))").as("qual"))
       spread(reads).write.format("fastq").mode("overwrite")
-        .option("compressionLevel", "1").save(path)
+        .option("compressionLevel", "1").saveFixture(path)
       val back = s.read.format("fastq").option("splitSize", 256 * 1024).load(path)
       back
         .select(explode(expr("sequence(1, length(seq))")).as("cycle"), $"seq")
@@ -2143,9 +2199,9 @@ object FormatQueries {
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 12).map(j => geno(j, hashOf(j))): _*).as("genotypes"))
       callset(identity).write.format("vcf").mode("overwrite")
-        .option("compressionLevel", "1").save(s"$base/swapA.vcf.bgz")
+        .option("compressionLevel", "1").saveFixture(s"$base/swapA.vcf.bgz")
       callset(perm).write.format("vcf").mode("overwrite")
-        .option("compressionLevel", "1").save(s"$base/swapB.vcf.bgz")
+        .option("compressionLevel", "1").saveFixture(s"$base/swapB.vcf.bgz")
       def codes(p: String, as: String) =
         s.read.format("vcf").option("splitSize", 256 * 1024).load(p)
           .select($"id", expr("transform(genotypes, g -> CASE WHEN g.gt = '0/1' THEN 1" +
@@ -2291,7 +2347,7 @@ object FormatQueries {
           geno("mother", ($"l_orderkey" * 5 + $"l_linenumber" * 2) % 3),
           geno("child", ($"l_orderkey" * 11 + $"l_linenumber" * 3 + $"l_suppkey") % 3))
           .as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       def dose(i: Int) = {
         val gt = element_at($"genotypes", i).getField("gt")
@@ -2346,8 +2402,8 @@ object FormatQueries {
         array(struct(lit("s1").as("sample"), gtOf(code).as("gt"),
           map().cast(MapType(StringType, StringType, valueContainsNull = false))
             .as("fields"))).as("genotypes"))
-      spread(callset($"ca")).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(s"$base/concA.vcf.bgz")
-      spread(callset($"cb")).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(s"$base/concB.vcf.bgz")
+      spread(callset($"ca")).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(s"$base/concA.vcf.bgz")
+      spread(callset($"cb")).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(s"$base/concB.vcf.bgz")
       def back(p: String, col: String) =
         s.read.format("vcf").option("splitSize", 256 * 1024).load(p)
           .select($"contig", $"start",
@@ -2394,10 +2450,10 @@ object FormatQueries {
           fields.as("fields"))).as("genotypes"))
       spread(callset($"in_normal", "normal", emptyMap))
         .write.format("vcf").mode("overwrite").option("compressionLevel", "1")
-        .save(s"$base/somN.vcf.bgz")
+        .saveFixture(s"$base/somN.vcf.bgz")
       spread(callset($"in_tumor", "tumor", map(lit("AF"), $"af_pm".cast("string"))))
         .write.format("vcf").mode("overwrite").option("compressionLevel", "1")
-        .save(s"$base/somT.vcf.bgz")
+        .saveFixture(s"$base/somT.vcf.bgz")
       val nb = s.read.format("vcf").option("splitSize", 256 * 1024)
         .load(s"$base/somN.vcf.bgz")
         .select($"contig", $"start", lit(1).as("in_n"))
@@ -2446,7 +2502,7 @@ object FormatQueries {
           concat(a1.cast("string"), lit("/"), a2.cast("string")).as("gt"),
           map().cast(MapType(StringType, StringType, valueContainsNull = false))
             .as("fields"))).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       val g = element_at($"genotypes", 1).getField("gt")
       val exploded = back.select(
@@ -2498,7 +2554,7 @@ object FormatQueries {
               .when(code === 2, "1/1").otherwise("0/1").as("gt"),
             map().cast(MapType(StringType, StringType, valueContainsNull = false))
               .as("fields"))).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       val isHet = (element_at($"genotypes", 1).getField("gt") === "0/1").cast("long")
       val runW = Window.partitionBy($"contig").orderBy($"start")
@@ -2553,7 +2609,7 @@ object FormatQueries {
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).option("writeSbi", "true").save(path)
+        .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
         .select($"readName", $"contig", $"start", $"end", $"cigar", $"mapq",
           ($"flags".bitwiseAND(16) =!= 0).cast("int").as("strand"))
@@ -2607,7 +2663,7 @@ object FormatQueries {
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
         .select($"contig", $"cigar",
           ($"flags".bitwiseAND(16) =!= 0).cast("int").as("strand"))
@@ -2651,7 +2707,7 @@ object FormatQueries {
         lit(QLadder).substr(($"l_partkey" % 40).cast("int") + 1, lit(36)).as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .select($"qual")
       back
@@ -2688,7 +2744,7 @@ object FormatQueries {
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false))
           .as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       back.select($"contig", $"ref", element_at($"alt", 1).as("alt"))
         .withColumn("is_ts",
@@ -2733,7 +2789,7 @@ object FormatQueries {
         lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 12).map(geno): _*).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       back.select(explode($"genotypes").as("g"))
         .select($"g.sample".as("sample"), $"g.gt".as("gt"))
@@ -2774,8 +2830,12 @@ object FormatQueries {
         lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 12).map(geno): _*).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
+      // formatFields=GT: the census consumes the whole genotype array, so
+      // Catalyst cannot prune the map-typed FORMAT fields — opt in to the
+      // selective decode (gt by token scan, no per-sample maps)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024)
+        .option("formatFields", "GT").load(path)
       graft.functions.GtCensusExpr.register(s)
       val eRow = back
         .select(expr("graft_gt_census(genotypes)").as("cen"))
@@ -2831,8 +2891,12 @@ object FormatQueries {
         lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 12).map(geno): _*).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
+      // formatFields=GT: the census consumes the whole genotype array, so
+      // Catalyst cannot prune the map-typed FORMAT fields — opt in to the
+      // selective decode (gt by token scan, no per-sample maps)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024)
+        .option("formatFields", "GT").load(path)
       graft.functions.GtCensusExpr.register(s)
       back
         .select($"start".cast("long").as("pos"),
@@ -2884,8 +2948,12 @@ object FormatQueries {
         lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 12).map(geno): _*).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
+      // formatFields=GT: the census consumes the whole genotype array, so
+      // Catalyst cannot prune the map-typed FORMAT fields — opt in to the
+      // selective decode (gt by token scan, no per-sample maps)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024)
+        .option("formatFields", "GT").load(path)
       graft.functions.GtCensusExpr.register(s)
       back
         .select($"genotypes", expr("graft_gt_census(genotypes)").as("cen"))
@@ -2928,7 +2996,7 @@ object FormatQueries {
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).option("writeSbi", "true").save(path)
+        .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
         .select($"contig", $"start", $"mateStart",
           ($"flags".bitwiseAND(16) =!= 0).as("selfRev"),
@@ -2958,12 +3026,40 @@ object FormatQueries {
       val reads = rgTagReads(s, d)
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/rg.bam"
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).option("writeSbi", "true").save(path)
+        .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
       // typed-tag projection: the reader decodes ONLY RG/NM/XC in the
       // self-describing tag walk — no per-record attribute map is built,
       // no "i:"-prefixed string parsing in the plan (the declared types
       // surface long/string columns directly)
       val back = s.read.format("bam").option("splitSize", 256 * 1024)
+        .option("tagColumns", "RG:string,NM:int,XC:string").load(path)
+      back
+        .select(
+          $"tag_RG".as("read_group"),
+          $"tag_NM".as("nm"),
+          substring($"tag_XC", 1, 1).as("xc"))
+        .groupBy($"read_group")
+        .agg(count(lit(1)).as("n_reads"),
+          sum($"nm").as("sum_nm"),
+          sum(when($"xc" === "F", 1L).otherwise(0L)).as("n_fwd_class"))
+        .withColumn("err_per_mb", expr("sum_nm * 1000000 div (n_reads * 151)"))
+        .orderBy($"read_group")
+    },
+
+    // the SAME per-read-group rollup through the SAM TEXT path: tagColumns
+    // parity for format("sam") — requested tags are found by a boundary
+    // scan of the raw optional-column tail (SamCodec.scanSelectedTags),
+    // the five unrequested tags of the 8-tag aligner payload (AS/XS/MC/
+    // MD/XO) are never materialized, and no per-line attributes map is
+    // built. Identical oracle to the BAM twin, so a divergence between
+    // the binary tag walk and the text tag scan hash-mismatches here.
+    "q_sam_rg_error_rate" -> { (s, d) =>
+      import s.implicits._
+      val reads = rgTagReads(s, d)
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/rg.sam"
+      spread(reads).write.format("sam").mode("overwrite")
+        .option("refs", Refs).saveFixture(path)
+      val back = s.read.format("sam").option("splitSize", 256 * 1024)
         .option("tagColumns", "RG:string,NM:int,XC:string").load(path)
       back
         .select(
@@ -2994,7 +3090,7 @@ object FormatQueries {
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/bqsr.bam"
       spread(rgTagReads(s, d)).write.format("bam").mode("overwrite")
         .option("compressionLevel", "1").option("refs", Refs)
-        .option("writeSbi", "true").save(path)
+        .option("writeSbi", "true").saveFixture(path)
       graft.functions.MdCyclesExpr.register(s)
       val back = s.read.format("bam").option("splitSize", 256 * 1024)
         .option("tagColumns", "RG:string,MD:string").load(path)
@@ -3039,7 +3135,7 @@ object FormatQueries {
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .select($"contig", $"start", $"seq")
         .filter($"start" <= 1263 && $"start" + 31 >= 1200)
@@ -3097,7 +3193,7 @@ object FormatQueries {
           array(
             geno("s01", ($"l_orderkey" * 3 + $"l_linenumber" + $"l_partkey") % 4),
             geno("s02", ($"l_orderkey" * 7 + $"l_suppkey") % 4)).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       val g = back
         .select($"contig", $"start", size($"filters").as("nfilt"),
@@ -3141,7 +3237,7 @@ object FormatQueries {
           lit("*").as("qual"),
           map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .select($"contig", $"start", $"end")
         .filter($"start" <= 1999 && $"end" >= 1000)
@@ -3202,7 +3298,7 @@ object FormatQueries {
           map(lit("DP"), $"l_suppkey".cast("string"), lit("DB"), lit("")))
           .otherwise(map(lit("DP"), $"l_suppkey".cast("string"))).as("info"),
         array((1 to 4).map(geno): _*).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       back
         .select($"info", explode($"genotypes").as("g"))
@@ -3230,7 +3326,7 @@ object FormatQueries {
       import graft.functions.GraftFunctions.hash60
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/ds.bam"
       spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).saveFixture(path)
       val target = 100L
       val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .select($"readName", $"contig", $"start".cast("long").as("start"))
@@ -3281,7 +3377,7 @@ object FormatQueries {
         when($"l_orderkey" % 7 === 0, map(lit("SA"), sa, lit("XO"), lit("i:1")))
           .otherwise(map(lit("XO"), lit("i:1"))).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
         .select($"contig", element_at($"attributes", "SA").as("sa"))
         .filter($"sa".isNotNull)
@@ -3326,7 +3422,7 @@ object FormatQueries {
           lit("*").as("qual"),
           map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs).save(path)
+        .option("refs", Refs).saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
         .select($"contig", $"start", $"end")
         .filter($"start" <= 1999 && $"end" >= 1000)
@@ -3432,7 +3528,7 @@ object FormatQueries {
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false))
           .as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
       val v = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
         .select($"contig", $"start".cast("long").as("pos"))
       val genes = Tables.part(s, d).select(
@@ -3490,8 +3586,12 @@ object FormatQueries {
           lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
           map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
           array((1 to 12).map(geno): _*).as("genotypes"))
-      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
+      // formatFields=GT: the census consumes the whole genotype array, so
+      // Catalyst cannot prune the map-typed FORMAT fields — opt in to the
+      // selective decode (gt by token scan, no per-sample maps)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024)
+        .option("formatFields", "GT").load(path)
       graft.functions.GtCensusExpr.register(s)
       back
         .select(
@@ -3536,7 +3636,7 @@ object FormatQueries {
         lit("*").as("qual"),
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
-        .option("refs", Refs24).save(path)
+        .option("refs", Refs24).saveFixture(path)
       val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
         .select($"contig", $"tlen".cast("long").as("t"))
         .filter($"t" > 0) // samtools convention: count each template once
@@ -3852,6 +3952,18 @@ object FormatQueries {
         |  CAST(SUM(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_homalt,
         |  CAST(SUM(dp) AS BIGINT) AS sum_dp
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // projection-read rollup over the wide-FORMAT cohort: GT and DP only
+    "q_vcf_format_projection" ->
+      """WITH g AS (SELECT s.j AS j,
+        |    (l_orderkey + s.j * l_linenumber) % 3 AS code,
+        |    (l_suppkey + s.j) % 50 AS dp
+        |  FROM lineitem, UNNEST(range(1, 13)) AS s(j))
+        |SELECT 's' || lpad(CAST(j AS VARCHAR), 2, '0') AS sample,
+        |  COUNT(*) AS n_sites,
+        |  CAST(SUM(CASE WHEN code = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+        |  CAST(SUM(dp) AS BIGINT) AS sum_dp
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_vcf_intervals" ->
       """WITH v AS (
         |  SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
@@ -4451,6 +4563,19 @@ object FormatQueries {
         |  CAST(SUM(gap) AS BIGINT) AS sum_gap
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_bam_rg_error_rate" ->
+      """WITH r AS (SELECT 'rg' || CAST(l_orderkey % 4 AS VARCHAR) AS read_group,
+        |    (l_partkey + l_linenumber) % 9 AS nm,
+        |    CASE WHEN l_suppkey % 2 = 0 THEN 1 ELSE 0 END AS fwd
+        |  FROM lineitem)
+        |SELECT read_group, COUNT(*) AS n_reads,
+        |  CAST(SUM(nm) AS BIGINT) AS sum_nm,
+        |  CAST(SUM(fwd) AS BIGINT) AS n_fwd_class,
+        |  CAST(SUM(nm) * 1000000 // (COUNT(*) * 151) AS BIGINT) AS err_per_mb
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SAM-text twin of q_bam_rg_error_rate — same derivation, so the text
+    // tag scan must agree with the binary tag walk bit-for-bit
+    "q_sam_rg_error_rate" ->
       """WITH r AS (SELECT 'rg' || CAST(l_orderkey % 4 AS VARCHAR) AS read_group,
         |    (l_partkey + l_linenumber) % 9 AS nm,
         |    CASE WHEN l_suppkey % 2 = 0 THEN 1 ELSE 0 END AS fwd

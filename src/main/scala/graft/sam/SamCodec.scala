@@ -32,8 +32,32 @@ object SamCodec {
     sb.toString
   }
 
-  def fromLine(line: String, header: SamHeader): AlignmentRecord = {
-    val f = line.split('\t')
+  def fromLine(line: String, header: SamHeader): AlignmentRecord =
+    fromLine(line, header, graft.bam.BamFieldMask.All, null)
+
+  /** Masked decode — the text face of the BAM typed-tag projection. With
+    * `mask.attrs = false` the optional-column region is never split into
+    * per-tag strings: the line splits to the 11 mandatory fields plus ONE
+    * raw tail, and requested `mask.tagCols` are found by a boundary scan of
+    * that tail (tab arithmetic; unrequested tag values are never
+    * materialized). `tagOut` (reader-owned, aligned with `mask.tagCols`)
+    * receives the same "T:value" rendering the BAM walk produces; a
+    * repeated tag keeps its LAST value (full-decode Map parity). A
+    * malformed chunk yields null for that tag rather than failing the line
+    * — only a full attributes decode validates every chunk.
+    */
+  def fromLine(line: String, header: SamHeader, mask: graft.bam.BamFieldMask,
+               tagOut: Array[String]): AlignmentRecord = {
+    if (tagOut != null) java.util.Arrays.fill(tagOut.asInstanceOf[Array[AnyRef]], null)
+    val f =
+      if (mask.attrs) line.split('\t')
+      else {
+        // capped split: mandatory fields + raw tag region. Java split drops
+        // trailing empty fields; the capped form differs only when its tail
+        // element is empty — fall back to the full split exactly there.
+        val f0 = line.split("\t", 12)
+        if (f0.nonEmpty && f0.last.isEmpty) line.split('\t') else f0
+      }
     require(f.length >= 11, s"bad SAM line (${f.length} fields)")
     val flags = f(1).toInt
     val contig = if (f(2) == "*") null else f(2)
@@ -45,11 +69,21 @@ object SamCodec {
       case c => c
     }
     val refLen = if (cigar == "*") 0 else BamCodec.cigarRefLength(BamCodec.parseCigar(cigar))
-    val attrs = f.iterator.drop(11).map { t =>
-      // XO:i:5 → "XO" -> "i:5"
-      val tag = t.substring(0, 2)
-      tag -> t.substring(3)
-    }.toMap
+    val attrs: Map[String, String] =
+      if (!mask.attrs) null
+      else f.iterator.drop(11).map { t =>
+        // XO:i:5 → "XO" -> "i:5"
+        val tag = t.substring(0, 2)
+        tag -> t.substring(3)
+      }.toMap
+    if (tagOut != null && mask.tagCols.nonEmpty) {
+      if (attrs != null) {
+        var i = 0
+        while (i < mask.tagCols.length) {
+          tagOut(i) = attrs.getOrElse(mask.tagCols(i), null); i += 1
+        }
+      } else if (f.length > 11) scanSelectedTags(f(11), mask.tagCols, tagOut)
+    }
     AlignmentRecord(
       readName = if (f(0) == "*") null else f(0),
       flags = flags,
@@ -64,5 +98,33 @@ object SamCodec {
       seq = f(9),
       qual = f(10),
       attributes = attrs)
+  }
+
+  /** Boundary-scan the raw tag tail (`NM:i:5\tRG:Z:rgA\t…`): requested tags
+    * render as "T:value" into the aligned `out` slots, everything else is
+    * skipped by `indexOf('\t')` arithmetic without materializing a value.
+    * Scans the WHOLE tail (no early stop) so a duplicated tag resolves to
+    * its last occurrence, as the full decode's Map does.
+    */
+  private[sam] def scanSelectedTags(tail: String, wanted: IndexedSeq[String],
+                                    out: Array[String]): Unit = {
+    val n = tail.length
+    var off = 0
+    while (off < n) {
+      val e0 = tail.indexOf('\t', off)
+      val end = if (e0 < 0) n else e0
+      // minimal well-formed chunk "XX:T:" is 5 chars (Z/H values may be empty)
+      if (end - off >= 5 && tail.charAt(off + 2) == ':' && tail.charAt(off + 4) == ':') {
+        val c0 = tail.charAt(off); val c1 = tail.charAt(off + 1)
+        var i = 0
+        while (i < wanted.length) {
+          val w = wanted(i)
+          if (w.length == 2 && w.charAt(0) == c0 && w.charAt(1) == c1)
+            out(i) = tail.substring(off + 3, end)
+          i += 1
+        }
+      }
+      off = end + 1
+    }
   }
 }

@@ -59,7 +59,7 @@ class BamDataSource extends TableProvider with DataSourceRegister {
   * only through htsjdk's eager SAMRecord attribute list; this projection
   * is a Spark-side extension in the spirit of its lazy record decode.
   */
-private[bam] object TagCols {
+private[sources] object TagCols {
   import org.apache.spark.sql.types._
 
   def parse(options: Map[String, String]): Seq[StructField] =
@@ -105,7 +105,7 @@ class BamTable(properties: Map[String, String]) extends Table with SupportsRead 
 /** Option lookups must be case-insensitive: CaseInsensitiveStringMap hands
   * the connector lowercased keys, while users write `splitSize` etc.
   */
-private[bam] object Opts {
+private[sources] object Opts {
   def normalize(m: Map[String, String]): Map[String, String] =
     m.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
 }

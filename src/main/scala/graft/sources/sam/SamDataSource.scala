@@ -6,8 +6,6 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -15,21 +13,26 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
-import graft.bam.{AlignmentRecord, SamHeader}
+import graft.bam.{AlignmentRecord, BamFieldMask, RecordToRow, SamHeader}
 import graft.sam.SamCodec
 import graft.sources.{GenomicInterval, HadoopIO, SerializableConf, SplitTextReader}
-import graft.sources.bam.RowToRecord
+import graft.sources.bam.{Opts, RowToRecord, TagCols}
 
 /** `format("sam")` — plain-text SAM scan/sink (reference SamSource.java:35-87,
   * SamSink.java:27-46). Text splits with exact line ownership; data lines
   * cannot start with '@' (QNAME charset excludes it), so header skipping is
   * a plain line filter, as in the reference.
+  *
+  * Supports the same `.option("tagColumns", "NM:int,RG:string")` typed-tag
+  * projection as the BAM scan: requested tags are found by a boundary scan
+  * of the raw optional-column tail, unrequested tag values are never
+  * materialized (SamCodec.scanSelectedTags).
   */
 class SamDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "sam"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = AlignmentRecord.schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TagCols.schemaWith(Opts.normalize(options.asScala.toMap))
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new SamTable(properties.asScala.toMap)
@@ -37,7 +40,7 @@ class SamDataSource extends TableProvider with DataSourceRegister {
 
 class SamTable(properties: Map[String, String]) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"sam:${properties.getOrElse("path", "?")}"
-  override def schema(): StructType = AlignmentRecord.schema
+  override def schema(): StructType = TagCols.schemaWith(Opts.normalize(properties))
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -53,7 +56,7 @@ class SamTable(properties: Map[String, String]) extends Table with SupportsRead 
 class SamScanBuilder(options: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
-  private var required: StructType = AlignmentRecord.schema
+  private var required: StructType = TagCols.schemaWith(options)
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var limit: Int = -1
   /** Partial limit pushdown: one whole-file partition per file, reader stops
@@ -152,7 +155,11 @@ class SamPartitionReader(p: SamInputPartition, conf: SerializableConf, required:
     extends PartitionReader[InternalRow] {
   private val input = HadoopIO.open(new Path(p.file), conf.conf)
   private val lines = SplitTextReader.lines(input, p.splitStart, p.splitEnd, bgzf = false)
-  private val getters = AlignmentRowBuilder.getters(required)
+  // column-pruned decode mask: tag_XX columns drive the selective tail
+  // scan, and a projection without `attributes` skips the per-tag split
+  private val mask = BamFieldMask.fromColumns(required.fieldNames.toSet)
+  private val tagHolder = new Array[String](mask.tagCols.length)
+  private val getters = RecordToRow.getters(required, mask.tagCols, tagHolder)
   private var currentRow: InternalRow = _
   private val slog = new graft.sources.StringencyLog(s"${p.file} [${p.splitStart}, ${p.splitEnd})")
 
@@ -182,14 +189,14 @@ class SamPartitionReader(p: SamInputPartition, conf: SerializableConf, required:
         // lines whose failure is confined to the optional columns past the
         // 11 mandatory SAM fields), permissive skips silently
         val rec =
-          try SamCodec.fromLine(line, p.header)
+          try SamCodec.fromLine(line, p.header, mask, tagHolder)
           catch {
             case _: Exception if p.stringency eq graft.sources.Stringency.Permissive =>
               slog.skipSilently(); null
             case e: Exception if p.stringency eq graft.sources.Stringency.Lenient =>
               val mandatory = line.split('\t').take(11).mkString("\t")
               val salvagedRec =
-                try SamCodec.fromLine(mandatory, p.header)
+                try SamCodec.fromLine(mandatory, p.header, mask, tagHolder)
                 catch { case _: Exception => null }
               if (salvagedRec != null)
                 slog.salvage(s"optional columns of SAM line in ${p.file}: ${e.getMessage}")
@@ -199,7 +206,7 @@ class SamPartitionReader(p: SamInputPartition, conf: SerializableConf, required:
               throw new java.io.IOException(s"bad SAM line in ${p.file}: $line", e)
           }
         if (rec != null && keep(rec)) {
-          currentRow = AlignmentRowBuilder.build(rec, getters)
+          currentRow = RecordToRow.toRow(rec, getters)
           return true
         }
       }
@@ -210,45 +217,8 @@ class SamPartitionReader(p: SamInputPartition, conf: SerializableConf, required:
   override def close(): Unit = { slog.summarize(); input.close() }
 }
 
-/** AlignmentRecord → InternalRow for a required schema (shared with BAM). */
-object AlignmentRowBuilder {
-  type Getter = AlignmentRecord => Any
-
-  def getters(required: StructType): Array[Getter] =
-    required.fieldNames.map[Getter] {
-      case "readName" => r => if (r.readName == null) null else UTF8String.fromString(r.readName)
-      case "flags" => r => r.flags
-      case "contig" => r => if (r.contig == null) null else UTF8String.fromString(r.contig)
-      case "start" => r => r.start
-      case "end" => r => r.end
-      case "mapq" => r => r.mapq
-      case "cigar" => r => if (r.cigar == null) null else UTF8String.fromString(r.cigar)
-      case "mateContig" => r => if (r.mateContig == null) null else UTF8String.fromString(r.mateContig)
-      case "mateStart" => r => r.mateStart
-      case "tlen" => r => r.tlen
-      case "seq" => r => if (r.seq == null) null else UTF8String.fromString(r.seq)
-      case "qual" => r => if (r.qual == null) null else UTF8String.fromString(r.qual)
-      case "attributes" => r =>
-        if (r.attributes == null) null
-        else {
-          val keys = new Array[Any](r.attributes.size)
-          val vals = new Array[Any](r.attributes.size)
-          var i = 0
-          r.attributes.foreach { case (k, v) =>
-            keys(i) = UTF8String.fromString(k); vals(i) = UTF8String.fromString(v); i += 1
-          }
-          new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
-        }
-      case other => throw new IllegalArgumentException(s"unknown column $other")
-    }
-
-  def build(r: AlignmentRecord, getters: Array[Getter]): InternalRow = {
-    val vals = new Array[Any](getters.length)
-    var i = 0
-    while (i < vals.length) { vals(i) = getters(i)(r); i += 1 }
-    new GenericInternalRow(vals)
-  }
-}
+// (row building is RecordToRow in BamModel.scala — shared by BAM/CRAM/SAM
+// so column semantics can't drift between formats)
 
 // ---- write path -----------------------------------------------------------
 
