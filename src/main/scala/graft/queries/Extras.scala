@@ -220,6 +220,60 @@ object Extras {
           sum($"sum_lum").as("sum_lum"),
           sum($"grad").as("sum_grad"))
         .orderBy($"bucket")
+    },
+
+    // REAL JPEG decode under the hash-equality oracle: JPEG is lossy, so
+    // the fixture exploits the one integer-exact corner of the codec —
+    // block-constant GRAY 8x8 tiles at quality 75, where the scaled luma
+    // DC quantizer is exactly 8 and the whole DC-only path (level shift,
+    // FDCT DC, floor(x/q+0.5) quantize, dequant, IDCT, floor(x+0.5))
+    // round-trips every block value EXACTLY (JpegSpec pins the property;
+    // chroma of gray is 128 and quantizes to 0 under any table). Docs
+    // alternate 4:2:0 / 4:4:4 so both MCU layouts, the DC prediction
+    // chain, byte stuffing, and the marker plumbing all sit under the
+    // oracle; AC coding is exercised with bounded error in JpegSpec.
+    // Narrow per-partition encode+decode, one 8-key rollup shuffle.
+    "q_jpeg_features" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$d/documents.parquet").select($"doc_id").as[Long]
+      docs.mapPartitions { ids =>
+        ids.map { id =>
+          val wb = (4 + 2 * (id % 3)).toInt // block columns (even: 4:2:0-safe)
+          val hb = (2 + 2 * (id % 2)).toInt // block rows
+          val w = wb * 8; val h = hb * 8
+          val px = Array.tabulate(w * h) { i =>
+            val g = ((id * 7 + (i % w / 8) * 13 + (i / w / 8) * 29) % 256).toInt
+            (g << 16) | (g << 8) | g
+          }
+          val back = graft.multimodal.Jpeg.decode(graft.multimodal.Jpeg.encode(
+            graft.multimodal.Jpeg.Image(w, h, px),
+            quality = 75, subsample420 = id % 2 == 0))
+          var sumLum = 0L; var grad = 0L
+          var y = 0
+          while (y < back.height) {
+            var prev = -1L
+            var x = 0
+            while (x < back.width) {
+              val p = back.pixels(y * back.width + x)
+              val lum = ((p >> 16) & 0xff) * 299L + ((p >> 8) & 0xff) * 587L +
+                (p & 0xff) * 114L
+              sumLum += lum
+              if (prev >= 0) grad += math.abs(lum - prev)
+              prev = lum
+              x += 1
+            }
+            y += 1
+          }
+          (id % 8, (w * h).toLong, sumLum, grad)
+        }
+      }.toDF("bucket", "n_px", "sum_lum", "grad")
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_px").as("sum_px"),
+          sum($"sum_lum").as("sum_lum"),
+          sum($"grad").as("sum_grad"))
+        .orderBy($"bucket")
     }
   )
 
@@ -262,6 +316,29 @@ object Extras {
         |  CAST(SUM(sum_lum) AS BIGINT) AS sum_lum,
         |  CAST(SUM(grad) AS BIGINT) AS sum_grad
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    // block-constant gray tiles decode EXACTLY (DC-only path, luma q00=8 at
+    // quality 75 — JpegSpec), so the oracle re-derives each 8x8 block's
+    // value: luma = 1000*v per pixel, horizontal gradient only at block
+    // boundaries (8 rows per block-row)
+    "q_jpeg_features" ->
+      """WITH d AS (SELECT doc_id, 4 + 2*(doc_id % 3) AS wb, 2 + 2*(doc_id % 2) AS hb
+        |  FROM documents),
+        |blk AS (SELECT doc_id, wb, hb,
+        |    (doc_id*7 + (g % wb)*13 + (g // wb)*29) % 256 AS v,
+        |    CASE WHEN g % wb >= 1
+        |      THEN (doc_id*7 + (g % wb - 1)*13 + (g // wb)*29) % 256 END AS vprev,
+        |    g % wb AS bx
+        |  FROM d, UNNEST(range(0, wb * hb)) AS t(g)),
+        |p AS (SELECT doc_id, MAX(wb * 8 * hb * 8) AS n_px,
+        |    SUM(64 * 1000 * v) AS sum_lum,
+        |    SUM(CASE WHEN bx >= 1 THEN 8 * 1000 * ABS(v - vprev) ELSE 0 END) AS grad
+        |  FROM blk GROUP BY doc_id)
+        |SELECT doc_id % 8 AS bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_px) AS BIGINT) AS sum_px,
+        |  CAST(SUM(sum_lum) AS BIGINT) AS sum_lum,
+        |  CAST(SUM(grad) AS BIGINT) AS sum_grad
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // nearest-neighbor in pixel space: out pixel (x,y) of the 8x8 result is
     // source pixel (x*w//8, y*h//8) of the deterministic raster
     "q_multimodal_resize" ->
