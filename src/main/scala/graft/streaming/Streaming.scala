@@ -1107,4 +1107,51 @@ object Streaming {
           .otherwise("germline"))
       .groupBy(col("contig"), col("cls"))
       .agg(count(lit(1)).as("n_sites"), sum(col("af_pm")).as("sum_af_pm"))
+
+  /** Twin 30 — the JPEG ingest gate (q_jpeg_features' live face): each
+    * arriving doc id becomes a real JPEG (block-constant gray, alternating
+    * 4:2:0 / 4:4:4) that is encoded AND decoded on arrival by the pure-JVM
+    * baseline codec; luma/gradient features come from the DECODED pixels
+    * (the q75 DC-exact property makes them deterministic), rolled up into
+    * the same 8-bucket census as the batch twin. The decode is a stateless
+    * narrow map; state is the complete-mode 8-row rollup.
+    */
+  def jpegIngestGate(docIds: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = docIds.sparkSession
+    import s.implicits._
+    docIds.map { id =>
+      val wb = (4 + 2 * (id % 3)).toInt
+      val hb = (2 + 2 * (id % 2)).toInt
+      val w = wb * 8; val h = hb * 8
+      val px = Array.tabulate(w * h) { i =>
+        val g = ((id * 7 + (i % w / 8) * 13 + (i / w / 8) * 29) % 256).toInt
+        (g << 16) | (g << 8) | g
+      }
+      val back = graft.multimodal.Jpeg.decode(graft.multimodal.Jpeg.encode(
+        graft.multimodal.Jpeg.Image(w, h, px),
+        quality = 75, subsample420 = id % 2 == 0))
+      var sumLum = 0L; var grad = 0L
+      var y = 0
+      while (y < back.height) {
+        var prev = -1L
+        var x = 0
+        while (x < back.width) {
+          val p = back.pixels(y * back.width + x)
+          val lum = ((p >> 16) & 0xff) * 299L + ((p >> 8) & 0xff) * 587L +
+            (p & 0xff) * 114L
+          sumLum += lum
+          if (prev >= 0) grad += math.abs(lum - prev)
+          prev = lum
+          x += 1
+        }
+        y += 1
+      }
+      (id % 8, (w * h).toLong, sumLum, grad)
+    }.toDF("bucket", "n_px", "sum_lum", "grad")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_px")).as("sum_px"),
+        sum(col("sum_lum")).as("sum_lum"),
+        sum(col("grad")).as("sum_grad"))
+  }
 }

@@ -1330,6 +1330,37 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("jpegIngestGate: streaming JPEG decode equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Streaming
+    val ids = (0L until 48L)
+    val stream = MemoryStream[Long]
+    val q = Streaming.jpegIngestGate(stream.toDS())
+      .writeStream.format("memory").queryName("jpeggate")
+      .outputMode("complete").start()
+    try {
+      stream.addData(ids.take(20)); q.processAllAvailable()
+      stream.addData(ids.drop(20)); q.processAllAvailable()
+      def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val got = snap(spark.table("jpeggate"))
+      val want = snap(Streaming.jpegIngestGate(spark.createDataset(ids)))
+      assert(got == want)
+      assert(got.toSeq.map(_._2).sum == 48L, "every doc decoded exactly once")
+      assert(got.size == 8, "8-bucket census")
+      // DC-exact decode: sum_lum of bucket rows must be the block-formula
+      // value, re-derived here independently of the codec
+      val wantLum = ids.map { id =>
+        val wb = (4 + 2 * (id % 3)).toInt; val hb = (2 + 2 * (id % 2)).toInt
+        (id % 8, (0 until wb * hb).map { g =>
+          64L * 1000L * ((id * 7 + (g % wb) * 13 + (g / wb) * 29) % 256)
+        }.sum)
+      }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+      got.foreach { case (b, _, _, lum, _) => assert(lum == wantLum(b), s"bucket $b") }
+    } finally q.stop()
+  }
+
   test("kinshipPairCounts: streaming pair census equals the batch twin; state is width-bounded") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
