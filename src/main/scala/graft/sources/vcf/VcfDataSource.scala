@@ -30,7 +30,12 @@ import graft.vcf.{Genotype, Variant, VcfCodec, VcfHeader}
   * the map-typed `fields` column then carries just those keys. Catalyst's
   * nested pruning already skips FORMAT parsing entirely when a query reads
   * only `genotypes[i].gt`; this option is for queries that consume the whole
-  * genotype array, where map keys cannot be pruned automatically).
+  * genotype array, where map keys cannot be pruned automatically),
+  * `infoFields` ("DP,AF" — the same contract for the INFO map: annotated
+  * VCFs carry kilobyte CSQ/ANN payloads there, and unlisted values are
+  * boundary-scanned, never materialized. A query that reads neither `info`
+  * nor `end` skips INFO parsing entirely; `end` forces the END-key scan
+  * back on, as does any interval predicate).
   * Write options: `vcfHeader` (literal ##-lines + #CHROM line) — else a
   * minimal header with sample names taken from the first record's genotypes;
   * path `.vcf` → single plain file, `.vcf.bgz`/`.vcf.gz` → single BGZF file
@@ -85,17 +90,20 @@ class VcfScanBuilder(options: Map[String, String])
 class VcfScan(options: Map[String, String], required: StructType,
               pushed: Array[org.apache.spark.sql.sources.Filter],
               limitHint: Int = -1) extends Scan with Batch {
-  // FORMAT-field projection: validated at planning so a bad option fails
-  // before any task launches
+  // FORMAT/INFO-field projection: validated at planning so a bad option
+  // fails before any task launches
   private val formatKeys: Option[IndexedSeq[String]] =
     graft.vcf.VcfFormatMask.parseOption(options.get("formatfields"))
+  private val infoKeys: Option[IndexedSeq[String]] =
+    graft.vcf.VcfFormatMask.parseInfoOption(options.get("infofields"))
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val iv = options.get("intervals").map(i => s" intervals=$i").getOrElse("")
     val lim = if (limitHint >= 0) s" limit=$limitHint" else ""
     val ff = formatKeys.map(k => s" formatFields=[${k.mkString(",")}]").getOrElse("")
-    s"graft-vcf ${options.getOrElse("path", "")}$iv pushed=[${pushed.mkString(",")}]$lim$ff"
+    val inf = infoKeys.map(k => s" infoFields=[${k.mkString(",")}]").getOrElse("")
+    s"graft-vcf ${options.getOrElse("path", "")}$iv pushed=[${pushed.mkString(",")}]$lim$ff$inf"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -240,7 +248,7 @@ class VcfScan(options: Map[String, String], required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
     val req = required
-    val mask = graft.vcf.VcfFormatMask.from(req, formatKeys)
+    val mask = graft.vcf.VcfFormatMask.from(req, formatKeys, infoKeys)
     (partition: InputPartition) => new VcfPartitionReader(
       partition.asInstanceOf[VcfInputPartition], conf, req, mask)
   }
@@ -256,8 +264,14 @@ case class VcfInputPartition(file: String, splitStart: Long, splitEnd: Long,
 }
 
 class VcfPartitionReader(p: VcfInputPartition, conf: SerializableConf, required: StructType,
-                         mask: graft.vcf.VcfFormatMask = graft.vcf.VcfFormatMask.All)
+                         mask0: graft.vcf.VcfFormatMask = graft.vcf.VcfFormatMask.All)
     extends PartitionReader[InternalRow] {
+  // the interval residual filter compares against the record's END-aware
+  // span, so a pruned-away `end` column is forced back on whenever an
+  // interval predicate is present — projection must never change which
+  // records an interval scan returns
+  private val mask =
+    if (p.intervals.isDefined) mask0.copy(end = true) else mask0
   private val input = HadoopIO.open(new Path(p.file), conf.conf)
   private val lines =
     if (p.wholeGzip) SplitTextReader.allLines(input)

@@ -32,13 +32,33 @@ object VcfCodec {
     require(f.length >= 8, s"bad VCF line (${f.length} fields)")
     val pos = f(1).toInt
     val ref = f(3)
+    // INFO decode under the mask: full when the whole map is required,
+    // selective key scan when `infoKeys` restricts it or only `end` needs
+    // the END override, skipped entirely when neither info nor end is read
+    // (annotated real-world VCFs carry kilobyte CSQ/ANN payloads here)
+    val fullInfo = mask.info && mask.infoKeys.isEmpty
+    var endOverride: String = null
     val info: Map[String, String] =
-      if (f(7) == ".") Map.empty
-      else f(7).split(';').iterator.filter(_.nonEmpty).map { kv =>
-        val i = kv.indexOf('=')
-        if (i < 0) kv -> "" else kv.substring(0, i) -> kv.substring(i + 1)
-      }.toMap
-    val end = info.get("END").map(_.toInt).getOrElse(pos + ref.length - 1)
+      if (fullInfo) {
+        if (f(7) == ".") Map.empty
+        else {
+          val m = f(7).split(';').iterator.filter(_.nonEmpty).map { kv =>
+            val i = kv.indexOf('=')
+            if (i < 0) kv -> "" else kv.substring(0, i) -> kv.substring(i + 1)
+          }.toMap
+          if (probe != null) m.valuesIterator.foreach(v => if (v.nonEmpty) probe(v))
+          m
+        }
+      } else if (mask.info || mask.end) {
+        val wanted = if (mask.info) mask.infoKeys.get else Vector.empty[String]
+        val (m, e) = scanInfo(f(7), wanted, mask.end, probe)
+        endOverride = e
+        m
+      } else Map.empty
+    val end =
+      if (fullInfo) info.get("END").map(_.toInt).getOrElse(pos + ref.length - 1)
+      else if (endOverride != null) endOverride.toInt
+      else pos + ref.length - 1
     val genotypes: Seq[Genotype] =
       if (needG && f.length > 9) decodeGenotypes(f, samples, mask, probe)
       else Nil
@@ -53,6 +73,45 @@ object VcfCodec {
       filters = if (f(6) == ".") Nil else f(6).split(';').toSeq,
       info = info,
       genotypes = genotypes)
+  }
+
+  /** Selective INFO parse: materialize only `wanted` keys' values (and the
+    * END override when `needEnd`); every other key=value token is skipped
+    * by ';'-boundary arithmetic with `regionMatches` key compare — never
+    * turned into a string. Duplicate keys keep first position, last value
+    * (small-Map `+` semantics of the full path); an END flag without '='
+    * fails `.toInt` exactly like the full path's `"".toInt`.
+    */
+  private def scanInfo(s: String, wanted: IndexedSeq[String], needEnd: Boolean,
+                       probe: String => Unit): (Map[String, String], String) = {
+    var m = Map.empty[String, String]
+    var end: String = null
+    if (s == ".") return (m, end)
+    val n = s.length
+    var off = 0
+    while (off < n) {
+      val e0 = s.indexOf(';', off)
+      val tokEnd = if (e0 < 0) n else e0
+      if (tokEnd > off) { // empty tokens dropped (filter(_.nonEmpty) parity)
+        var eq = s.indexOf('=', off)
+        if (eq < 0 || eq >= tokEnd) eq = tokEnd // flag key: value ""
+        val klen = eq - off
+        if (needEnd && klen == 3 && s.regionMatches(off, "END", 0, 3))
+          end = if (eq < tokEnd) s.substring(eq + 1, tokEnd) else ""
+        var i = 0
+        while (i < wanted.length) {
+          val w = wanted(i)
+          if (w.length == klen && s.regionMatches(off, w, 0, klen)) {
+            val v = if (eq < tokEnd) s.substring(eq + 1, tokEnd) else ""
+            if (probe != null && v.nonEmpty) probe(v)
+            m += (w -> v) // replaces value, keeps first position
+          }
+          i += 1
+        }
+      }
+      off = tokEnd + 1
+    }
+    (m, end)
   }
 
   private def decodeGenotypes(f: Array[String], samples: Seq[String],

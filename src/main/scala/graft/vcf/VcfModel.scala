@@ -31,16 +31,24 @@ case class Genotype(sample: String, gt: String, fields: Map[String, String])
   * Reference analog: the lazy-decode posture of VcfSource.java:104-116.
   */
 final case class VcfFormatMask(genotypes: Boolean, sample: Boolean, gt: Boolean,
-    fields: Boolean, fieldKeys: Option[IndexedSeq[String]]) extends Serializable
+    fields: Boolean, fieldKeys: Option[IndexedSeq[String]],
+    info: Boolean = true, end: Boolean = true,
+    infoKeys: Option[IndexedSeq[String]] = None) extends Serializable
 
 object VcfFormatMask {
   val All: VcfFormatMask =
     VcfFormatMask(genotypes = true, sample = true, gt = true, fields = true, fieldKeys = None)
 
-  /** Derive from the pruned schema Catalyst hands the scan + the option. */
-  def from(required: StructType, formatFields: Option[Seq[String]]): VcfFormatMask = {
+  /** Derive from the pruned schema Catalyst hands the scan + the options.
+    * `end` matters because the END key of a pruned-away INFO column still
+    * decides the record's span — the reader forces it back on whenever an
+    * interval predicate is present.
+    */
+  def from(required: StructType, formatFields: Option[Seq[String]],
+           infoFields: Option[Seq[String]] = None): VcfFormatMask = {
     val keys = formatFields.map(_.toVector)
-    required.fields.find(_.name == "genotypes") match {
+    val top = required.fieldNames.toSet
+    val base = required.fields.find(_.name == "genotypes") match {
       case None => VcfFormatMask(genotypes = false, sample = false, gt = false,
         fields = false, fieldKeys = keys)
       case Some(gf) => gf.dataType match {
@@ -51,6 +59,8 @@ object VcfFormatMask {
         case _ => All.copy(fieldKeys = keys)
       }
     }
+    base.copy(info = top.contains("info"), end = top.contains("end"),
+      infoKeys = infoFields.map(_.toVector))
   }
 
   /** Parse + validate the `formatFields` option value ("GT,DP,GQ"). */
@@ -59,6 +69,17 @@ object VcfFormatMask {
     require(ks.nonEmpty, s"formatFields: no FORMAT keys in '$s'")
     ks.foreach(k => require(k.forall(c => c.isLetterOrDigit),
       s"formatFields: bad FORMAT key '$k' (want alphanumeric, e.g. GT, DP, GQ)"))
+    ks
+  }
+
+  /** Parse + validate the `infoFields` option value ("DP,AF,CSQ"). INFO
+    * keys allow '_' and '.' per the VCF spec's key grammar.
+    */
+  def parseInfoOption(opt: Option[String]): Option[IndexedSeq[String]] = opt.map { s =>
+    val ks = s.split(',').map(_.trim).filter(_.nonEmpty).toVector
+    require(ks.nonEmpty, s"infoFields: no INFO keys in '$s'")
+    ks.foreach(k => require(k.forall(c => c.isLetterOrDigit || c == '_' || c == '.'),
+      s"infoFields: bad INFO key '$k'"))
     ks
   }
 }

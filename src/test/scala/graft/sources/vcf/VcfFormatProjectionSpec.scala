@@ -177,6 +177,82 @@ class VcfFormatProjectionSpec extends AnyFunSuite with SparkFixture {
     assert(contigs == Seq(("chr1", 2L), ("chr2", 1L)))
   }
 
+  test("INFO projection: unrequested INFO values never materialized, END honored") {
+    val line = "chr1\t100\t.\tAT\tG\t30\tPASS\t" +
+      "DP=55;DB;CSQ=hugeannotation|x|y|z;END=222;AF=0.5\tGT\t0/1\t1/1\t0/0"
+    def decode(mask: VcfFormatMask): (graft.vcf.Variant, Seq[String]) = {
+      val seen = scala.collection.mutable.ArrayBuffer[String]()
+      (VcfCodec.fromLine(line, samples, mask, seen += _), seen.toSeq)
+    }
+    val noG = VcfFormatMask(genotypes = false, sample = false, gt = false,
+      fields = false, fieldKeys = None)
+    // full: every non-empty INFO value materialized (DB flag has none)
+    val (vFull, fullSeen) = decode(noG)
+    assert(fullSeen.toSet == Set("55", "hugeannotation|x|y|z", "222", "0.5"))
+    assert(vFull.end == 222 && vFull.info("DB") == "")
+    // info+end pruned: nothing materialized, map empty, default end
+    val (vNone, noneSeen) = decode(noG.copy(info = false, end = false))
+    assert(noneSeen.isEmpty && vNone.info.isEmpty && vNone.end == 101)
+    // end-only: END honored, no map values materialized
+    val (vEnd, endSeen) = decode(noG.copy(info = false, end = true))
+    assert(endSeen.isEmpty && vEnd.end == 222 && vEnd.info.isEmpty)
+    // infoFields=DP: only DP's value materialized; flags/END behavior intact
+    val (vDp, dpSeen) = decode(noG.copy(infoKeys = Some(Vector("DP", "DB"))))
+    assert(dpSeen == Seq("55"))
+    assert(vDp.info == Map("DP" -> "55", "DB" -> "") && vDp.end == 222)
+    // equivalence: selecting EVERY key reproduces the full map + end
+    val allKeys = Vector("DP", "DB", "CSQ", "END", "AF")
+    val (vAll, _) = decode(noG.copy(infoKeys = Some(allKeys)))
+    assert(vAll.info == vFull.info && vAll.end == vFull.end)
+    // duplicate key: last value wins on both paths
+    val dup = "chr1\t10\t.\tA\tG\t.\t.\tDP=1;DP=9"
+    assert(VcfCodec.fromLine(dup, Nil).info("DP") == "9")
+    val (vDup, _) = (VcfCodec.fromLine(dup, Nil, noG.copy(infoKeys = Some(Vector("DP"))), null), ())
+    assert(vDup.info("DP") == "9")
+    // malformed END flag (no value) throws on both paths
+    val badEnd = "chr1\t10\t.\tA\tG\t.\t.\tEND"
+    assertThrows[Exception](VcfCodec.fromLine(badEnd, Nil))
+    assertThrows[Exception](VcfCodec.fromLine(badEnd, Nil, noG.copy(info = false, end = true), null))
+  }
+
+  test("INFO projection end-to-end: infoFields option + interval exactness with pruned end") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // deletion record: start 100, INFO END=200 — overlaps 150-160 only via END
+    val vars = Seq(
+      ("chr1", 100, 200, "55"), ("chr1", 300, 300, "7"), ("chr1", 400, 400, "9"))
+      .toDF("contig", "start", "end", "dp")
+      .select($"contig", $"start", $"end",
+        lit(null).cast("string").as("id"), lit("A").as("ref"),
+        array(lit("G")).as("alt"), lit(30.0).as("qual"),
+        array(lit("PASS")).as("filters"),
+        map_concat(
+          map(lit("DP"), $"dp"), map(lit("CSQ"), lit("big|annotation|payload")),
+          when($"end" =!= $"start", map(lit("END"), $"end".cast("string")))
+            .otherwise(map().cast(MapType(StringType, StringType, valueContainsNull = false)))).as("info"),
+        array(struct(lit("s1").as("sample"), lit("0/1").as("gt"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("fields"))).as("genotypes"))
+    val path = s"${tmp()}/info.vcf"
+    vars.write.format("vcf").mode("overwrite").save(path)
+    // infoFields restricts the map, values exact
+    val proj = spark.read.format("vcf").option("infoFields", "DP").load(path)
+      .select($"start", map_keys($"info").as("ks"), element_at($"info", "DP").as("dp"))
+      .orderBy($"start").collect()
+    assert(proj.forall(_.getSeq[String](1).toSeq == Seq("DP")))
+    assert(proj.map(r => (r.getInt(0), r.getString(2))).toSeq ==
+      Seq((100, "55"), (300, "7"), (400, "9")))
+    // interval + fully-pruned projection: the END-extended record must be
+    // found even though neither info nor end is in the projected schema
+    val hit = spark.read.format("vcf").option("intervals", "chr1:150-160").load(path)
+      .select($"contig", $"start").collect()
+    assert(hit.map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("chr1", 100)))
+    // end column honored when selected (mask.end -> END scan)
+    val ends = spark.read.format("vcf").load(path)
+      .select($"start", $"end").orderBy($"start").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(ends == Seq((100, 200), (300, 300), (400, 400)))
+  }
+
   test("option validation fails loudly") {
     val ex1 = intercept[Exception] {
       spark.read.format("vcf").option("formatFields", "GT,D P")
