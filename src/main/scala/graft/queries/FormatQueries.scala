@@ -819,6 +819,57 @@ object FormatQueries {
         .orderBy($"contig", $"sample")
     },
 
+    // ANNOTATED-VCF projection read — the infoFields option end-to-end on
+    // the shape that dominates real annotated callsets: every site carries
+    // a ~600-byte CSQ/ANN payload (VEP-style pipe-delimited consequence
+    // strings) plus the small DP/AF keys, and the query reads ONLY DP via
+    // .option("infoFields", "DP") — the kilobyte annotations are boundary-
+    // scanned, never materialized into strings or map entries, and no
+    // per-site info map is built beyond the one requested key. The oracle
+    // never sees CSQ (it replays DP from lineitem), so the hash pins that
+    // skipping annotations cannot perturb what IS read.
+    "q_vcf_info_projection" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/annotated.vcf.bgz"
+      // deterministic ~600-char VEP-ish consequence string, varied per site
+      val csq = concat(
+        lit("G|missense_variant|MODERATE|GENE"),
+        ($"l_partkey" % 997).cast("string"),
+        lit("|ENSG"), (($"l_partkey" * 31) % 100000).cast("string"),
+        lit("|Transcript|ENST"), (($"l_orderkey" * 17) % 100000).cast("string"),
+        lit("|protein_coding|"),
+        repeat(concat(lit("exon"), ($"l_linenumber" % 20).cast("string"),
+          lit("/20|c."), (($"l_partkey" * 7) % 3000).cast("string"),
+          lit("A>G|p.Lys"), (($"l_partkey" * 11) % 900).cast("string"),
+          lit("Arg|tol(0."), ($"l_suppkey" % 99).cast("string"), lit(")|")), 8))
+      val vars = Tables.lineitem(s, d).select(
+        concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("start"),
+        ((($"l_partkey" * 37) % 999000) + 1).cast("int").as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"),
+        array(lit("G")).as("alt"),
+        lit(30.0).as("qual"),
+        array(lit("PASS")).as("filters"),
+        map(
+          lit("DP"), ($"l_suppkey" % 100).cast("string"),
+          lit("AF"), concat(lit("0."), ($"l_partkey" % 1000).cast("string")),
+          lit("CSQ"), csq).as("info"),
+        array(struct(lit("s1").as("sample"), lit("0/1").as("gt"),
+          map().cast(MapType(StringType, StringType, valueContainsNull = false))
+            .as("fields"))).as("genotypes"))
+      spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024)
+        .option("infoFields", "DP").load(path)
+      back
+        .select($"contig", element_at($"info", "DP").cast("long").as("dp"))
+        .groupBy($"contig")
+        .agg(count(lit(1)).as("n_sites"), sum($"dp").as("sum_dp"),
+          max($"dp").as("max_dp"))
+        .orderBy($"contig")
+    },
+
     // WIDE-FORMAT projection read — the formatFields option end-to-end
     // under the oracle: every genotype carries FIVE FORMAT keys
     // (GT:DP:GQ:AD:PL, the realistic caller payload) across 12 samples,
@@ -3952,6 +4003,15 @@ object FormatQueries {
         |  CAST(SUM(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_homalt,
         |  CAST(SUM(dp) AS BIGINT) AS sum_dp
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // annotated-VCF projection: DP-only rollup, CSQ payload invisible
+    "q_vcf_info_projection" ->
+      """WITH v AS (SELECT 'chr' || CAST(l_orderkey % 3 AS VARCHAR) AS contig,
+        |    l_suppkey % 100 AS dp FROM lineitem)
+        |SELECT contig, COUNT(*) AS n_sites,
+        |  CAST(SUM(dp) AS BIGINT) AS sum_dp,
+        |  CAST(MAX(dp) AS BIGINT) AS max_dp
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // projection-read rollup over the wide-FORMAT cohort: GT and DP only
     "q_vcf_format_projection" ->
