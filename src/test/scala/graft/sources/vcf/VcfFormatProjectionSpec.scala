@@ -253,6 +253,39 @@ class VcfFormatProjectionSpec extends AnyFunSuite with SparkFixture {
     assert(ends == Seq((100, 200), (300, 300), (400, 400)))
   }
 
+  test("plans pin the pruning: scan readSchema drops fields/info under projection") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val vars = Seq(("chr1", 10, "0/1", "5"))
+      .toDF("contig", "start", "gt", "dp")
+      .select($"contig", $"start", $"start".as("end"),
+        lit(null).cast("string").as("id"),
+        lit("A").as("ref"), array(lit("G")).as("alt"),
+        lit(30.0).as("qual"), array(lit("PASS")).as("filters"),
+        map(lit("DP"), $"dp").as("info"),
+        array(struct(lit("s1").as("sample"), $"gt".as("gt"),
+          map(lit("GQ"), lit("99")).as("fields"))).as("genotypes"))
+    val path = s"${tmp()}/prune2.vcf"
+    vars.write.format("vcf").mode("overwrite").save(path)
+    def scanSchema(df: org.apache.spark.sql.DataFrame): StructType =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan.readSchema()
+      }.head
+    // explode + gt-only: the genotype struct must prune to a subset
+    // without `fields`, and info/end must be gone from the scan entirely
+    val s1 = scanSchema(spark.read.format("vcf").load(path)
+      .select(explode($"genotypes").as("g")).select($"g.gt"))
+    assert(s1.fieldNames.toSet.subsetOf(Set("genotypes")), s1.treeString)
+    val gElem = s1("genotypes").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(!gElem.fieldNames.contains("fields"),
+      s"fields not pruned through explode: ${gElem.treeString}")
+    assert(gElem.fieldNames.contains("gt"))
+    // top-level-only projection: neither genotypes nor info nor end read
+    val s2 = scanSchema(spark.read.format("vcf").load(path).select($"contig", $"start"))
+    assert(s2.fieldNames.toSet == Set("contig", "start"), s2.treeString)
+  }
+
   test("option validation fails loudly") {
     val ex1 = intercept[Exception] {
       spark.read.format("vcf").option("formatFields", "GT,D P")
