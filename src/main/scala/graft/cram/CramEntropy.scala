@@ -53,12 +53,20 @@ final class BitWriter {
   }
 }
 
-/** Positioned views over a slice's external blocks, keyed by content id. */
-final class ExtStreams(blocks: Map[Int, Array[Byte]]) {
+/** Positioned views over a slice's external blocks, keyed by content id.
+  * `resolve` may decompress lazily — a stream never read is a block never
+  * inflated (the whole point of the record-level field projection) — so
+  * resolved buffers are memoized here.
+  */
+final class ExtStreams(resolve: Int => Option[Array[Byte]]) {
+  def this(blocks: Map[Int, Array[Byte]]) = this(blocks.get _)
+
+  private val cache = scala.collection.mutable.Map.empty[Int, Array[Byte]]
   private val pos = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
 
   private def buf(cid: Int): Array[Byte] =
-    blocks.getOrElse(cid, throw new IOException(s"CRAM external block $cid missing"))
+    cache.getOrElseUpdate(cid,
+      resolve(cid).getOrElse(throw new IOException(s"CRAM external block $cid missing")))
 
   def readItf8(cid: Int): Int = {
     val b = buf(cid)
@@ -103,12 +111,20 @@ sealed trait CCodec {
     throw new IOException(s"codec $this cannot produce bytes")
   def readArray(bits: BitReader, ext: ExtStreams): Array[Byte] =
     throw new IOException(s"codec $this cannot produce byte arrays")
+  /** Which streams a read consumes — the skip-eligibility signal for field
+    * projection: a series is skippable only if it never touches the shared
+    * core bit-stream and its external blocks are exclusively its own.
+    */
+  def usesCore: Boolean
+  def extIds: Set[Int]
 }
 
 /** EXTERNAL (id 1): ITF-8 ints / raw bytes from block `cid`. */
 final case class CExternal(cid: Int) extends CCodec {
   override def readInt(bits: BitReader, ext: ExtStreams): Int = ext.readItf8(cid)
   override def readByte(bits: BitReader, ext: ExtStreams): Int = ext.readByte(cid)
+  override def usesCore: Boolean = false
+  override def extIds: Set[Int] = Set(cid)
 }
 
 /** HUFFMAN (id 3), canonical over (bit length, symbol). */
@@ -150,12 +166,16 @@ final case class CHuffman(syms: Array[Int], lens: Array[Int]) extends CCodec {
     0 // unreachable
   }
   override def readByte(bits: BitReader, ext: ExtStreams): Int = readInt(bits, ext)
+  override def usesCore: Boolean = !single // a zero-length single consumes nothing
+  override def extIds: Set[Int] = Set.empty
 }
 
 /** BETA (id 6): fixed-width `nbits` minus `offset`. */
 final case class CBeta(offset: Int, nbits: Int) extends CCodec {
   override def readInt(bits: BitReader, ext: ExtStreams): Int = bits.readBits(nbits) - offset
   override def readByte(bits: BitReader, ext: ExtStreams): Int = readInt(bits, ext)
+  override def usesCore: Boolean = nbits > 0
+  override def extIds: Set[Int] = Set.empty
 }
 
 /** GAMMA (id 9): Elias gamma minus `offset`. */
@@ -168,6 +188,8 @@ final case class CGamma(offset: Int) extends CCodec {
     while (i < n) { v = (v << 1) | bits.readBit(); i += 1 }
     v - offset
   }
+  override def usesCore: Boolean = true
+  override def extIds: Set[Int] = Set.empty
 }
 
 /** SUBEXP (id 7): sub-exponential with parameter `k`, minus `offset`. */
@@ -180,6 +202,8 @@ final case class CSubExp(offset: Int, k: Int) extends CCodec {
       else (1 << (k + n - 1)) | bits.readBits(k + n - 1)
     u - offset
   }
+  override def usesCore: Boolean = true
+  override def extIds: Set[Int] = Set.empty
 }
 
 /** BYTE_ARRAY_LEN (id 4): nested length codec + per-byte value codec. */
@@ -192,11 +216,15 @@ final case class CByteArrayLen(lenCodec: CCodec, valCodec: CCodec) extends CCode
     while (i < n) { out(i) = valCodec.readByte(bits, ext).toByte; i += 1 }
     out
   }
+  override def usesCore: Boolean = lenCodec.usesCore || valCodec.usesCore
+  override def extIds: Set[Int] = lenCodec.extIds ++ valCodec.extIds
 }
 
 /** BYTE_ARRAY_STOP (id 5): bytes from block `cid` until `stop`. */
 final case class CByteArrayStop(stop: Int, cid: Int) extends CCodec {
   override def readArray(bits: BitReader, ext: ExtStreams): Array[Byte] = ext.readUntil(cid, stop)
+  override def usesCore: Boolean = false
+  override def extIds: Set[Int] = Set(cid)
 }
 
 object Encoding {

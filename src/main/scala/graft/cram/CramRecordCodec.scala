@@ -41,6 +41,40 @@ object CramRecordCodec {
     val packed = java.util.Arrays.copyOfRange(buf, p, p + csize)
     p += csize
     if (major >= 3) p += 4 // block CRC32 (validated at container level by CRC-checked headers; payload CRC skipped for speed)
+    (Block(method, ctype, cid, inflate(method, packed, rsize)), p)
+  }
+
+  /** Same frame parse, payload decompressed ON FIRST ACCESS: a stream never
+    * read under record-level field projection is a block never inflated —
+    * qualities and tags are routinely the largest blocks of a CRAM slice.
+    */
+  def readBlockLazy(buf: Array[Byte], off: Int, major: Int): (LazyBlock, Int) = {
+    val method = buf(off) & 0xff
+    val ctype = buf(off + 1) & 0xff
+    var p = off + 2
+    val (cid, n1) = Itf8.read(buf, p); p += n1
+    val (csize, n2) = Itf8.read(buf, p); p += n2
+    val (rsize, n3) = Itf8.read(buf, p); p += n3
+    if (csize < 0 || rsize < 0 || p + csize > buf.length)
+      throw new IOException(s"bad CRAM block geometry at $off (csize=$csize rsize=$rsize)")
+    val packed = java.util.Arrays.copyOfRange(buf, p, p + csize)
+    p += csize
+    if (major >= 3) p += 4
+    (new LazyBlock(method, ctype, cid, packed, rsize), p)
+  }
+
+  final class LazyBlock(val method: Int, val ctype: Int, val cid: Int,
+                        packed: Array[Byte], rsize: Int) {
+    lazy val data: Array[Byte] = inflate(method, packed, rsize)
+  }
+
+  /** Test/diagnostic hook: counts block decompressions so a spec can prove
+    * projection skips whole blocks, not just value materialization.
+    */
+  private[graft] val blocksInflated = new java.util.concurrent.atomic.AtomicLong
+
+  private[cram] def inflate(method: Int, packed: Array[Byte], rsize: Int): Array[Byte] = {
+    blocksInflated.incrementAndGet()
     val raw = method match {
       case 0 => packed
       case 1 => gunzip(packed)
@@ -55,7 +89,7 @@ object CramRecordCodec {
     }
     if (raw.length != rsize)
       throw new IOException(s"CRAM block raw size mismatch: declared $rsize, got ${raw.length}")
-    (Block(method, ctype, cid, raw), p)
+    raw
   }
 
   private def gunzip(in: Array[Byte]): Array[Byte] = {
@@ -181,34 +215,44 @@ object CramRecordCodec {
     * block and need nothing from `refs`).
     */
   def decodeContainer(payload: Array[Byte], major: Int, header: SamHeader,
-                      refs: CramRefSource): Iterator[AlignmentRecord] = {
+                      refs: CramRefSource): Iterator[AlignmentRecord] =
+    decodeContainer(payload, major, header, refs, graft.bam.BamFieldMask.All)
+
+  /** `mask` drives record-level field projection: with qualities, sequence,
+    * or the attributes map pruned away, their data series are not just left
+    * unparsed — blocks exclusively backing them are never DECOMPRESSED
+    * (see decodeSlice's eligibility rule).
+    */
+  def decodeContainer(payload: Array[Byte], major: Int, header: SamHeader,
+                      refs: CramRefSource,
+                      mask: graft.bam.BamFieldMask): Iterator[AlignmentRecord] = {
     val (chBlock, afterCh) = readBlock(payload, 0, major)
     if (chBlock.ctype != 1)
       throw new IOException(s"expected compression header block, got type ${chBlock.ctype}")
     val ch = parseCompHeader(chBlock.data)
     var p = afterCh
-    val slices = IndexedSeq.newBuilder[(SliceHeader, Array[Byte], Map[Int, Array[Byte]])]
+    val slices = IndexedSeq.newBuilder[(SliceHeader, Array[Byte], Map[Int, LazyBlock])]
     while (p < payload.length) {
-      val (shBlock, q0) = readBlock(payload, p, major)
+      val (shBlock, q0) = readBlockLazy(payload, p, major)
       if (shBlock.ctype != 2 && shBlock.ctype != 3)
         throw new IOException(s"expected slice header block, got type ${shBlock.ctype}")
       val sh = parseSliceHeader(shBlock.data, major)
       var q = q0
       var core: Array[Byte] = Array.emptyByteArray
-      val ext = Map.newBuilder[Int, Array[Byte]]
+      val ext = Map.newBuilder[Int, LazyBlock]
       var b = 0
       while (b < sh.nBlocks) {
-        val (blk, nq) = readBlock(payload, q, major)
+        val (blk, nq) = readBlockLazy(payload, q, major)
         q = nq
         if (blk.ctype == 5) core = blk.data
-        else if (blk.ctype == 4) ext += blk.cid -> blk.data
+        else if (blk.ctype == 4) ext += blk.cid -> blk
         b += 1
       }
       slices += ((sh, core, ext.result()))
       p = q
     }
     slices.result().iterator.flatMap { case (sh, core, ext) =>
-      decodeSlice(ch, sh, core, ext, header, refs)
+      decodeSlice(ch, sh, core, ext, header, refs, mask)
     }
   }
 
@@ -248,20 +292,67 @@ object CramRecordCodec {
 
   def decodeSlice(ch: CompHeader, sh: SliceHeader, core: Array[Byte],
                   ext: Map[Int, Array[Byte]], header: SamHeader,
-                  refs: CramRefSource): Iterator[AlignmentRecord] = {
+                  refs: CramRefSource): Iterator[AlignmentRecord] =
+    decodeSlice(ch, sh, core,
+      ext.map { case (k, v) => k -> new LazyBlock(0, 4, k, v, v.length) },
+      header, refs, graft.bam.BamFieldMask.All)
+
+  def decodeSlice(ch: CompHeader, sh: SliceHeader, core: Array[Byte],
+                  ext: Map[Int, LazyBlock], header: SamHeader,
+                  refs: CramRefSource,
+                  mask: graft.bam.BamFieldMask): Iterator[AlignmentRecord] = {
     val bits = new BitReader(core)
-    val streams = new ExtStreams(ext)
+    val streams = new ExtStreams(cid => ext.get(cid).map(_.data))
     val sub = buildSubMatrix(ch.subMatrix)
     val rgIds = readGroupIds(header.text)
 
-    // reference window for this slice: embedded block beats external FASTA
+    // ---- record-level field projection --------------------------------
+    // A gated series (qualities QS/QQ, sequence bases BA, tag values) can
+    // be SKIPPED — its stream never read, its exclusive blocks never
+    // inflated — only when it reads no core bits and none of its external
+    // blocks is touched by anything that WILL be read; otherwise its
+    // values are still CONSUMED (read + discarded) to keep every shared
+    // stream in sync. Features that carry CIGAR length (SC/IN/BB) are
+    // never gated: the cigar and end derive from them.
+    val wantQual = mask.qual
+    val wantSeq = mask.seq
+    val wantAttrs = mask.attrs
+    val activeSeriesCodecs: Iterable[CCodec] = ch.series.collect {
+      case (k, c) if (k match {
+        case "QS" | "QQ" => wantQual
+        case "BA" => wantSeq
+        case _ => true
+      }) => c
+    }
+    val activeTagCodecs: Iterable[CCodec] = if (wantAttrs) ch.tagCodecs.values else Nil
+    val neededExt: Set[Int] =
+      (activeSeriesCodecs ++ activeTagCodecs).flatMap(_.extIds).toSet ++
+        (if (wantSeq && sh.embeddedRefId >= 0) Set(sh.embeddedRefId) else Set.empty)
+    def seriesSkippable(key: String): Boolean = ch.series.get(key) match {
+      case None => true
+      case Some(c) => !c.usesCore && c.extIds.forall(id => !neededExt.contains(id))
+    }
+    // per gated series: read-and-use / read-and-discard / never-touch
+    val readQS = wantQual || !seriesSkippable("QS")
+    val readQQ = wantQual || !seriesSkippable("QQ")
+    val readBA = wantSeq || !seriesSkippable("BA")
+    val tagSkippable: Int => Boolean =
+      if (wantAttrs) _ => false
+      else ch.tagCodecs.map { case (k, c) =>
+        k -> (!c.usesCore && c.extIds.forall(id => !neededExt.contains(id)))
+      }.withDefaultValue(false)
+
+    // reference window for this slice: embedded block beats external FASTA.
+    // With seq pruned away, NO reference is needed at all — no FASTA I/O,
+    // no embedded-ref block inflation, and a ref-required CRAM becomes
+    // readable without the fasta option for non-sequence queries.
     val refWindow: Array[Byte] =
-      if (sh.refSeqId < 0) null
-      else if (sh.embeddedRefId >= 0) ext.getOrElse(sh.embeddedRefId, null)
+      if (!wantSeq || sh.refSeqId < 0) null
+      else if (sh.embeddedRefId >= 0) ext.get(sh.embeddedRefId).map(_.data).orNull
       else refs.region(sh.refSeqId, sh.start, sh.span)
     // RR=1 slices reconstruct sequence FROM the reference — decoding one
     // without bases would silently emit N-seqs; fail with the remedy instead
-    if (ch.refRequired && sh.refSeqId >= 0 && sh.span > 0 && refWindow == null)
+    if (wantSeq && ch.refRequired && sh.refSeqId >= 0 && sh.span > 0 && refWindow == null)
       throw new IOException(
         s"slice at ref ${sh.refSeqId}:${sh.start} requires reference bases (RR=1) — " +
           "pass the fasta option (indexed FASTA with a .fai sidecar)")
@@ -310,8 +401,12 @@ object CramRecordCodec {
           val key = (tag.charAt(0).toInt << 16) | (tag.charAt(1).toInt << 8) | typ.toInt
           val codec = ch.tagCodecs.getOrElse(key,
             throw new IOException(s"tag codec missing for $tag:$typ"))
-          val raw = codec.readArray(bits, streams)
-          attrs = (tag -> CramTagValues.binaryToTyped(typ, raw)) :: attrs
+          if (wantAttrs) {
+            val raw = codec.readArray(bits, streams)
+            attrs = (tag -> CramTagValues.binaryToTyped(typ, raw)) :: attrs
+          } else if (!tagSkippable(key)) {
+            codec.readArray(bits, streams): Unit // keep shared streams in sync
+          } // else: exclusive tag blocks stay compressed, untouched
         }
       }
       var features: List[Feature] = Nil
@@ -328,18 +423,27 @@ object CramRecordCodec {
             case 'X' => Feature(fpos, 'X', series("BS").readByte(bits, streams), null)
             case 'S' => Feature(fpos, 'S', 0, series("SC").readArray(bits, streams))
             case 'I' => Feature(fpos, 'I', 0, series("IN").readArray(bits, streams))
-            case 'i' => Feature(fpos, 'i', 0, Array(series("BA").readByte(bits, streams).toByte))
+            case 'i' =>
+              // single-base insertion: cigar length is fixed (1), so the
+              // base itself is seq-only and gated
+              val ba = if (readBA) series("BA").readByte(bits, streams) else 'N'.toInt
+              Feature(fpos, 'i', 0, Array(ba.toByte))
             case 'b' => Feature(fpos, 'b', 0, series("BB").readArray(bits, streams))
-            case 'q' => Feature(fpos, 'q', 0, series("QQ").readArray(bits, streams))
+            case 'q' =>
+              // quality run: no seq/cigar effect — value gated
+              val qq = if (readQQ) series("QQ").readArray(bits, streams)
+                else Array.emptyByteArray
+              Feature(fpos, 'q', 0, qq)
             case 'D' => Feature(fpos, 'D', series("DL").readInt(bits, streams), null)
             case 'N' => Feature(fpos, 'N', series("RS").readInt(bits, streams), null)
             case 'H' => Feature(fpos, 'H', series("HC").readInt(bits, streams), null)
             case 'P' => Feature(fpos, 'P', series("PD").readInt(bits, streams), null)
             case 'B' =>
-              val ba = series("BA").readByte(bits, streams)
-              val qs = series("QS").readByte(bits, streams)
+              val ba = if (readBA) series("BA").readByte(bits, streams) else 'N'.toInt
+              val qs = if (readQS) series("QS").readByte(bits, streams) else 0
               Feature(fpos, 'B', qs, Array(ba.toByte))
-            case 'Q' => Feature(fpos, 'Q', series("QS").readByte(bits, streams), null)
+            case 'Q' =>
+              Feature(fpos, 'Q', if (readQS) series("QS").readByte(bits, streams) else 0, null)
             case other => throw new IOException(s"unknown CRAM read feature '$other'")
           }
           features = feat :: features
@@ -347,19 +451,29 @@ object CramRecordCodec {
         }
         mq = series("MQ").readInt(bits, streams)
         if ((cf & 0x1) != 0) {
-          quals = new Array[Byte](rl)
-          var k = 0
-          while (k < rl) { quals(k) = series("QS").readByte(bits, streams).toByte; k += 1 }
+          if (readQS) {
+            quals = new Array[Byte](rl)
+            var k = 0
+            while (k < rl) { quals(k) = series("QS").readByte(bits, streams).toByte; k += 1 }
+            if (!wantQual) quals = null // consumed only for stream sync
+          }
         }
       } else {
-        val bases = new Array[Byte](rl)
-        var k = 0
-        while (k < rl) { bases(k) = series("BA").readByte(bits, streams).toByte; k += 1 }
-        features = List(Feature(1, 'b', 0, bases)) // reuse bases carrier
+        if (readBA) {
+          val bases = new Array[Byte](rl)
+          var k = 0
+          while (k < rl) { bases(k) = series("BA").readByte(bits, streams).toByte; k += 1 }
+          features = List(Feature(1, 'b', 0, if (wantSeq) bases else Array.emptyByteArray))
+        } else {
+          features = List(Feature(1, 'b', 0, Array.emptyByteArray)) // bases carrier, seq pruned
+        }
         if ((cf & 0x1) != 0) {
-          quals = new Array[Byte](rl)
-          k = 0
-          while (k < rl) { quals(k) = series("QS").readByte(bits, streams).toByte; k += 1 }
+          if (readQS) {
+            quals = new Array[Byte](rl)
+            var k = 0
+            while (k < rl) { quals(k) = series("QS").readByte(bits, streams).toByte; k += 1 }
+            if (!wantQual) quals = null
+          }
         }
       }
       raws(i) = Raw(bf, cf, rid, rl, start, rg, name, mf, mateRid, matePos, tlen, nfDist,
@@ -415,11 +529,11 @@ object CramRecordCodec {
       val unmapped = (r.bf & 0x4) != 0
       val (seqStr, cigar) =
         if (unmapped) {
-          val s = new String(r.features.head.bytes, "ASCII")
+          val s = if (wantSeq) new String(r.features.head.bytes, "ASCII") else "*"
           (if (s.isEmpty) "*" else s, "*")
         } else {
           val (s, c) = reconstruct(r.rl, r.start, r.features, refWindow, refBase1, sub,
-            seqUnknown = (r.cf & 0x8) != 0)
+            seqUnknown = (r.cf & 0x8) != 0, wantSeq = wantSeq)
           (if (s.isEmpty) "*" else s, c)
         }
       val qual =
@@ -473,11 +587,15 @@ object CramRecordCodec {
     ref
   }
 
-  /** Rebuild SEQ and CIGAR from features over the reference window. */
+  /** Rebuild SEQ and CIGAR from features over the reference window. With
+    * `wantSeq = false` only the cigar is built — no seq array, no reference
+    * base lookups, no substitution decodes (the projection fast path).
+    */
   private def reconstruct(rl: Int, start: Int, features: List[Feature],
                           refWindow: Array[Byte], refBase1: Int,
-                          sub: Array[Array[Byte]], seqUnknown: Boolean): (String, String) = {
-    val seq = Array.fill[Byte](rl)('N')
+                          sub: Array[Array[Byte]], seqUnknown: Boolean,
+                          wantSeq: Boolean = true): (String, String) = {
+    val seq = if (wantSeq) Array.fill[Byte](rl)('N') else null
     val cig = new scala.collection.mutable.ArrayBuffer[(Char, Int)]()
     def emit(op: Char, n: Int): Unit =
       if (n > 0) {
@@ -496,26 +614,35 @@ object CramRecordCodec {
     features.foreach { f =>
       val gap = f.pos - readPos
       if (gap > 0) {
-        var i = 0
-        while (i < gap) { seq(readPos - 1 + i) = refBase(refPos + i); i += 1 }
+        if (wantSeq) {
+          var i = 0
+          while (i < gap) { seq(readPos - 1 + i) = refBase(refPos + i); i += 1 }
+        }
         emit('M', gap); readPos += gap; refPos += gap
       }
       f.code match {
         case 'X' =>
-          val rb = refBase(refPos)
-          seq(readPos - 1) = sub(baseIndex(rb))(f.intVal & 3)
+          if (wantSeq) {
+            val rb = refBase(refPos)
+            seq(readPos - 1) = sub(baseIndex(rb))(f.intVal & 3)
+          }
           emit('M', 1); readPos += 1; refPos += 1
         case 'S' =>
-          copyBytes(f.bytes, seq, readPos - 1); emit('S', f.bytes.length); readPos += f.bytes.length
+          if (wantSeq) copyBytes(f.bytes, seq, readPos - 1)
+          emit('S', f.bytes.length); readPos += f.bytes.length
         case 'I' =>
-          copyBytes(f.bytes, seq, readPos - 1); emit('I', f.bytes.length); readPos += f.bytes.length
+          if (wantSeq) copyBytes(f.bytes, seq, readPos - 1)
+          emit('I', f.bytes.length); readPos += f.bytes.length
         case 'i' =>
-          seq(readPos - 1) = f.bytes(0); emit('I', 1); readPos += 1
+          if (wantSeq) seq(readPos - 1) = f.bytes(0)
+          emit('I', 1); readPos += 1
         case 'b' =>
-          copyBytes(f.bytes, seq, readPos - 1); emit('M', f.bytes.length)
+          if (wantSeq) copyBytes(f.bytes, seq, readPos - 1)
+          emit('M', f.bytes.length)
           readPos += f.bytes.length; refPos += f.bytes.length
         case 'B' =>
-          seq(readPos - 1) = f.bytes(0); emit('M', 1); readPos += 1; refPos += 1
+          if (wantSeq) seq(readPos - 1) = f.bytes(0)
+          emit('M', 1); readPos += 1; refPos += 1
         case 'D' => emit('D', f.intVal); refPos += f.intVal
         case 'N' => emit('N', f.intVal); refPos += f.intVal
         case 'H' => emit('H', f.intVal)
@@ -526,14 +653,16 @@ object CramRecordCodec {
     }
     val tail = rl - readPos + 1
     if (tail > 0) {
-      var i = 0
-      while (i < tail) { seq(readPos - 1 + i) = refBase(refPos + i); i += 1 }
+      if (wantSeq) {
+        var i = 0
+        while (i < tail) { seq(readPos - 1 + i) = refBase(refPos + i); i += 1 }
+      }
       emit('M', tail)
     }
     val cigar =
       if (cig.isEmpty) "*"
       else cig.iterator.map { case (op, n) => s"$n$op" }.mkString
-    (if (seqUnknown) "*" else new String(seq, "ASCII"), cigar)
+    (if (seqUnknown || !wantSeq) "*" else new String(seq, "ASCII"), cigar)
   }
 
   private def copyBytes(src: Array[Byte], dst: Array[Byte], off: Int): Unit =

@@ -686,6 +686,11 @@ class CramRecordsPartitionReader(
   private val fastaIn = fastaOpened.map(_._1)
   private val refSource: CramRefSource = fastaOpened.map(_._2).getOrElse(NoRefSource)
   private val getters = RecordToRow.getters(required)
+  // record-level field projection: pruned qualities/sequence/attributes are
+  // not just left unparsed — blocks exclusively backing them are never
+  // decompressed, and with seq pruned no reference window is fetched at all
+  // (cigar/end always decode: the features that carry them are never gated)
+  private val fieldMask = graft.bam.BamFieldMask.fromColumns(required.fieldNames.toSet)
   private val slog = new StringencyLog(s"cram ${file}")
 
   private var idxI = 0 // Left route: next index into the offsets array
@@ -716,7 +721,7 @@ class CramRecordsPartitionReader(
   private def decodeInto(c: CramContainer): Boolean =
     try {
       recIt = CramRecordCodec.decodeContainer(
-        CramRecordCodec.containerPayload(input, c), major, header, refSource)
+        CramRecordCodec.containerPayload(input, c), major, header, refSource, fieldMask)
       true
     } catch {
       case e: Exception if mode != Stringency.Strict =>

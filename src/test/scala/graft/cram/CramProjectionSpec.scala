@@ -1,0 +1,145 @@
+package graft.cram
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** CRAM records-mode field projection: pruned qualities/sequence/attributes
+  * don't just skip value materialization — their exclusive external blocks
+  * are never DECOMPRESSED (counted via the codec's inflate counter), and a
+  * pruned seq drops the reference requirement entirely. Values on the
+  * columns that ARE read must be identical to a full decode.
+  */
+class CramProjectionSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmpDir(): java.nio.file.Path = {
+    val d = Files.createTempDirectory("cramproj")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def reads(n: Int) = {
+    val s = spark
+    import s.implicits._
+    spark.range(n.toLong).select(
+      concat(lit("q"), col("id")).as("readName"),
+      lit(0).cast("int").as("flags"),
+      when(col("id") % 2 === 0, "chrA").otherwise("chrB").as("contig"),
+      (col("id") * 13 % 9000 + 1).cast("int").as("start"),
+      (col("id") * 13 % 9000 + 6).cast("int").as("end"),
+      lit(30).cast("int").as("mapq"),
+      lit("4M2I2M").as("cigar"),
+      lit(null).cast("string").as("mateContig"),
+      lit(0).cast("int").as("mateStart"),
+      lit(0).cast("int").as("tlen"),
+      lit("ACGTACGT").as("seq"),
+      lit("FFIIFFII").as("qual"),
+      map(lit("NM"), concat(lit("i:"), (col("id") % 5).cast("string")),
+        lit("XZ"), concat(lit("Z:payload"), (col("id") % 97).cast("string"))).as("attributes"))
+  }
+
+  test("pruned qual/seq/attrs skip whole block inflations; kept columns identical") {
+    val dir = tmpDir()
+    val out = dir.resolve("p.cram")
+    reads(4000).write.format("cram").mode("overwrite")
+      .option("records", "true").option("refs", "chrA:1000000,chrB:1000000")
+      .option("recordsPerContainer", "1000").save(out.toString)
+
+    def countInflations[T](body: => T): (T, Long) = {
+      val before = CramRecordCodec.blocksInflated.get()
+      val r = body
+      (r, CramRecordCodec.blocksInflated.get() - before)
+    }
+    def shared(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("contig"))
+      .agg(count(lit(1)).as("n"), sum(col("start").cast("long")).as("ss"),
+        sum(col("end").cast("long")).as("se"))
+    def base = spark.read.format("cram").option("records", "true").load(out.toString)
+    // full decode: FORCE qual/attrs consumption (a mere selectExpr would be
+    // pruned right back out by Catalyst and skip the same blocks)
+    val (fullRows, fullInfl) = countInflations {
+      val r = base
+        .groupBy(col("contig"))
+        .agg(count(lit(1)).as("n"), sum(col("start").cast("long")).as("ss"),
+          sum(col("end").cast("long")).as("se"),
+          sum(length(col("qual")).cast("long")).as("lq"),
+          sum(length(element_at(col("attributes"), "XZ")).cast("long")).as("lx"))
+        .orderBy(col("contig")).collect().toSeq
+      (r.map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3))),
+        r.map(_.getLong(4)).sum, r.map(_.getLong(5)).sum)
+    }
+    assert(fullRows._2 > 0 && fullRows._3 > 0) // qual/attrs really decoded
+    val (prunedRows, prunedInfl) = countInflations {
+      shared(base).orderBy(col("contig")).collect().toSeq
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    }
+    assert(prunedRows == fullRows._1, "projection changed kept-column values")
+    // the QS block and both tag blocks (NM, XZ) must stay compressed in the
+    // pruned read: at least 3 fewer inflations per container x 4 containers
+    assert(prunedInfl <= fullInfl - 8,
+      s"expected block skips: full=$fullInfl pruned=$prunedInfl")
+
+    // selected columns keep exact values under partial pruning
+    val qs = spark.read.format("cram").option("records", "true").load(out.toString)
+      .select(col("readName"), col("qual"), col("seq"),
+        element_at(col("attributes"), "NM").as("nm"))
+      .orderBy(col("readName")).limit(3).collect()
+    assert(qs.forall(r => r.getString(1) == "FFIIFFII" && r.getString(2) == "ACGTACGT"))
+    assert(qs.forall(_.getString(3).startsWith("i:")))
+  }
+
+  test("seq pruned -> ref-required CRAM readable without fasta, cigar/end exact") {
+    val dir = tmpDir()
+    // deterministic indexed FASTA (the CramRecordsSourceSpec shape)
+    def refBase(p: Int): Char = "ACGT".charAt(p * 7 % 4)
+    val fa = dir.resolve("ref.fasta")
+    val len = 120000
+    val sb = new StringBuilder(">chrR\n")
+    val offset = sb.length.toLong
+    var i = 0
+    while (i < len) {
+      val lineLen = math.min(60, len - i)
+      var j = 0
+      while (j < lineLen) { sb.append(refBase(i + j)); j += 1 }
+      sb.append('\n'); i += lineLen
+    }
+    Files.write(fa, sb.toString.getBytes("UTF-8"))
+    Files.write(dir.resolve("ref.fasta.fai"),
+      s"chrR\t$len\t$offset\t60\t61\n".getBytes("UTF-8"))
+    val rl = 40
+    val recs = (0 until 1200).map { i =>
+      val start = i * 31 % 99000 + 1
+      val seq = (0 until rl).map(j => refBase(start - 1 + j)).mkString
+      graft.bam.AlignmentRecord(s"r$i", 0, "chrR", start, start + rl - 1, 60, s"${rl}M",
+        null, 0, 0, seq, "F" * rl, Map("XO" -> s"i:${i % 50}"))
+    }
+    val s = spark
+    import s.implicits._
+    val out = dir.resolve("rr.cram")
+    s.createDataset(recs).toDF().write.format("cram").mode("overwrite")
+      .option("records", "true").option("refs", "chrR:200000")
+      .option("recordsPerContainer", "400")
+      .option("fasta", fa.toString).save(out.toString)
+
+    // full read without fasta still fails loudly (seq needs the reference)
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.format("cram").option("records", "true").load(out.toString).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) String.valueOf(t.getMessage) else rootMsg(t.getCause)
+    assert(rootMsg(ex).contains("requires reference bases"))
+
+    // seq-pruned read needs NO reference at all, and cigar/end stay exact
+    val got = spark.read.format("cram").option("records", "true").load(out.toString)
+      .select(col("readName"), col("start"), col("end"), col("cigar"))
+      .orderBy(col("readName")).collect()
+    assert(got.length == 1200)
+    val want = recs.map(r => (r.readName, r.start, r.end, r.cigar)).sortBy(_._1)
+    got.zip(want).foreach { case (g, w) =>
+      assert((g.getString(0), g.getInt(1), g.getInt(2), g.getString(3)) == w)
+    }
+  }
+}
