@@ -324,7 +324,20 @@ object CramRecordCodec {
         case _ => true
       }) => c
     }
-    val activeTagCodecs: Iterable[CCodec] = if (wantAttrs) ch.tagCodecs.values else Nil
+    // typed-tag projection (tagColumns): a requested tag decodes even when
+    // the attributes map is pruned — its value lands in the (restricted)
+    // attrs list the reader's tag getters pick from
+    val wantTagNames: Set[String] = mask.tagCols.toSet
+    def tagWanted(tag: String): Boolean = wantAttrs || wantTagNames.contains(tag)
+    val activeTagCodecs: Iterable[CCodec] =
+      if (wantAttrs) ch.tagCodecs.values
+      else if (wantTagNames.isEmpty) Nil
+      else ch.tagDict.flatten.distinct.collect {
+        case (tag, typ) if wantTagNames.contains(tag) =>
+          val key = (tag.charAt(0).toInt << 16) | (tag.charAt(1).toInt << 8) | typ.toInt
+          ch.tagCodecs.getOrElse(key,
+            throw new IOException(s"tag codec missing for $tag:$typ"))
+      }
     val neededExt: Set[Int] =
       (activeSeriesCodecs ++ activeTagCodecs).flatMap(_.extIds).toSet ++
         (if (wantSeq && sh.embeddedRefId >= 0) Set(sh.embeddedRefId) else Set.empty)
@@ -401,7 +414,7 @@ object CramRecordCodec {
           val key = (tag.charAt(0).toInt << 16) | (tag.charAt(1).toInt << 8) | typ.toInt
           val codec = ch.tagCodecs.getOrElse(key,
             throw new IOException(s"tag codec missing for $tag:$typ"))
-          if (wantAttrs) {
+          if (tagWanted(tag)) {
             val raw = codec.readArray(bits, streams)
             attrs = (tag -> CramTagValues.binaryToTyped(typ, raw)) :: attrs
           } else if (!tagSkippable(key)) {

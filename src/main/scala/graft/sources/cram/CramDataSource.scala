@@ -42,7 +42,10 @@ import graft.sources.{GenomicInterval, HadoopIO, PushedRegion, SerializableConf,
 class CramDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "cram"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (options.getBoolean("records", false)) AlignmentRecord.schema else CramTable.schema
+    if (options.getBoolean("records", false))
+      graft.sources.bam.TagCols.schemaWith(
+        graft.sources.bam.Opts.normalize(options.asScala.toMap))
+    else CramTable.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new CramTable(properties.asScala.toMap)
@@ -90,7 +93,9 @@ class CramTable(properties: Map[String, String]) extends Table with SupportsRead
   private val records = CramDataSource.recordsMode(properties)
   override def name(): String = s"cram:${properties.getOrElse("path", "?")}"
   override def schema(): StructType =
-    if (records) AlignmentRecord.schema else CramTable.schema
+    if (records)
+      graft.sources.bam.TagCols.schemaWith(graft.sources.bam.Opts.normalize(properties))
+    else CramTable.schema
   // ACCEPT_ANY_SCHEMA: the sink takes container SPECS (ref_seq_id, start_pos,
   // span, n_records, data_length) — offset/n_blocks are geometry the writer
   // computes, so the input never carries the full read schema; the writer
@@ -112,7 +117,7 @@ class CramScanBuilder(options: Map[String, String])
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private val records = CramDataSource.recordsMode(options)
   private var required: StructType =
-    if (records) AlignmentRecord.schema else CramTable.schema
+    if (records) graft.sources.bam.TagCols.schemaWith(options) else CramTable.schema
   private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var limit: Int = -1
 
@@ -685,12 +690,15 @@ class CramRecordsPartitionReader(
   private val fastaOpened = fastaPath.map(p => FastaRefs.open(p, conf.conf, header.refName))
   private val fastaIn = fastaOpened.map(_._1)
   private val refSource: CramRefSource = fastaOpened.map(_._2).getOrElse(NoRefSource)
-  private val getters = RecordToRow.getters(required)
   // record-level field projection: pruned qualities/sequence/attributes are
   // not just left unparsed — blocks exclusively backing them are never
   // decompressed, and with seq pruned no reference window is fetched at all
-  // (cigar/end always decode: the features that carry them are never gated)
+  // (cigar/end always decode: the features that carry them are never gated).
+  // tag_XX columns (tagColumns option) decode ONLY those tags — a
+  // requested tag's block inflates, every other tag block stays compressed.
   private val fieldMask = graft.bam.BamFieldMask.fromColumns(required.fieldNames.toSet)
+  private val tagHolder = new Array[String](fieldMask.tagCols.length)
+  private val getters = RecordToRow.getters(required, fieldMask.tagCols, tagHolder)
   private val slog = new StringencyLog(s"cram ${file}")
 
   private var idxI = 0 // Left route: next index into the offsets array
@@ -776,7 +784,18 @@ class CramRecordsPartitionReader(
     while (true) {
       while (recIt.hasNext) {
         val r = recIt.next()
-        if (keepR(r)) { currentRow = RecordToRow.toRow(r, getters); return true }
+        if (keepR(r)) {
+          if (tagHolder.length > 0) {
+            var i = 0
+            while (i < tagHolder.length) {
+              tagHolder(i) =
+                if (r.attributes == null) null
+                else r.attributes.getOrElse(fieldMask.tagCols(i), null)
+              i += 1
+            }
+          }
+          currentRow = RecordToRow.toRow(r, getters); return true
+        }
       }
       if (!advance()) return false
     }

@@ -91,6 +91,42 @@ class CramProjectionSpec extends AnyFunSuite with SparkFixture {
     assert(qs.forall(_.getString(3).startsWith("i:")))
   }
 
+  test("tagColumns: typed tags decode selectively, unrequested tag blocks stay compressed") {
+    val dir = tmpDir()
+    val out = dir.resolve("t.cram")
+    reads(3000).write.format("cram").mode("overwrite")
+      .option("records", "true").option("refs", "chrA:1000000,chrB:1000000")
+      .option("recordsPerContainer", "1000").save(out.toString)
+    def countInflations[T](body: => T): (T, Long) = {
+      val before = CramRecordCodec.blocksInflated.get()
+      val r = body
+      (r, CramRecordCodec.blocksInflated.get() - before)
+    }
+    // NM requested as a typed column; the XZ tag block must never inflate
+    val (rows, nmInfl) = countInflations {
+      spark.read.format("cram").option("records", "true")
+        .option("tagColumns", "NM:int")
+        .load(out.toString)
+        .groupBy(col("contig"))
+        .agg(sum(col("tag_NM")).as("snm"), count(lit(1)).as("n"))
+        .orderBy(col("contig")).collect().toSeq
+    }
+    assert(rows.map(_.getLong(2)).sum == 3000)
+    // NM values: id % 5 summed per contig parity
+    val wantNm = (0 until 3000).groupBy(i => if (i % 2 == 0) "chrA" else "chrB")
+      .map { case (c, is) => c -> is.map(_ % 5).sum.toLong }
+    rows.foreach(r => assert(r.getLong(1) == wantNm(r.getString(0))))
+    val (_, bothInfl) = countInflations {
+      spark.read.format("cram").option("records", "true")
+        .option("tagColumns", "NM:int,XZ")
+        .load(out.toString)
+        .select(sum(length(col("tag_XZ"))), sum(col("tag_NM"))).collect()
+    }
+    // requesting XZ too inflates its blocks: strictly more inflations
+    assert(bothInfl > nmInfl,
+      s"XZ block not skipped under NM-only projection: nm=$nmInfl both=$bothInfl")
+  }
+
   test("seq pruned -> ref-required CRAM readable without fasta, cigar/end exact") {
     val dir = tmpDir()
     // deterministic indexed FASTA (the CramRecordsSourceSpec shape)
