@@ -148,7 +148,9 @@ object Jpeg {
         nbits -= 8
       }
     }
-    def flush(): Unit = if (nbits > 0) { put(0x7f, 7 - ((nbits + 7) % 8) + 7); nbits = 0 }
+    // T.81 F.1.2.3: pad the final partial byte with 1-bits (stuffing above
+    // handles a resulting 0xFF).
+    def flush(): Unit = if (nbits > 0) { val pad = 8 - nbits; put((1 << pad) - 1, pad); nbits = 0 }
   }
 
   private def bitSize(v: Int): Int = {

@@ -19,13 +19,14 @@ package graft.queries
   */
 object Fixtures {
   @volatile var reuseEnabled: Boolean = false
-  private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val written = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   def ensure(path: String)(write: => Unit): Unit = {
     if (!reuseEnabled) { write; return }
-    if (written.contains(path)) return
-    write
-    written.add(path)
+    // computeIfAbsent runs the write atomically per key: concurrent callers
+    // block rather than double-write, and an exception leaves the key
+    // unmapped (write-before-mark exception safety preserved).
+    written.computeIfAbsent(path, _ => { write; java.lang.Boolean.TRUE })
   }
 
   /** Test hook: drop the memo so a suite can exercise both branches. */

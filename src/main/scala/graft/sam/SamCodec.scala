@@ -42,12 +42,15 @@ object SamCodec {
     * that tail (tab arithmetic; unrequested tag values are never
     * materialized). `tagOut` (reader-owned, aligned with `mask.tagCols`)
     * receives the same "T:value" rendering the BAM walk produces; a
-    * repeated tag keeps its LAST value (full-decode Map parity). A
-    * malformed chunk yields null for that tag rather than failing the line
-    * — only a full attributes decode validates every chunk.
+    * repeated tag keeps its LAST value (full-decode Map parity). With
+    * `strictTail = true` (the reader passes it under stringency=strict) the
+    * raw tail is shape-checked to the SAME failure surface the full
+    * attributes decode has, so strict validation does not depend on which
+    * columns a query selects; otherwise a malformed chunk yields null for
+    * that tag rather than failing the line.
     */
   def fromLine(line: String, header: SamHeader, mask: graft.bam.BamFieldMask,
-               tagOut: Array[String]): AlignmentRecord = {
+               tagOut: Array[String], strictTail: Boolean = false): AlignmentRecord = {
     if (tagOut != null) java.util.Arrays.fill(tagOut.asInstanceOf[Array[AnyRef]], null)
     val f =
       if (mask.attrs) line.split('\t')
@@ -59,6 +62,7 @@ object SamCodec {
         if (f0.nonEmpty && f0.last.isEmpty) line.split('\t') else f0
       }
     require(f.length >= 11, s"bad SAM line (${f.length} fields)")
+    if (strictTail && !mask.attrs && f.length > 11) validateTail(f(11))
     val flags = f(1).toInt
     val contig = if (f(2) == "*") null else f(2)
     val start = f(3).toInt
@@ -98,6 +102,25 @@ object SamCodec {
       seq = f(9),
       qual = f(10),
       attributes = attrs)
+  }
+
+  /** Strict-mode shape check of the raw tag tail — mirrors EXACTLY what the
+    * full attributes decode enforces (`substring(0, 2)` / `substring(3)` need
+    * a ≥3-char chunk; an empty chunk throws), no more and no less, so a file
+    * fails or passes under stringency=strict independent of projection.
+    */
+  private[sam] def validateTail(tail: String): Unit = {
+    // Java's split('\t') drops TRAILING empty tokens, so tabs at end of line
+    // are invisible to the full decode — mirror that here.
+    var n = tail.length
+    while (n > 0 && tail.charAt(n - 1) == '\t') n -= 1
+    var off = 0
+    while (off < n) {
+      val e0 = tail.indexOf('\t', off)
+      val end = if (e0 < 0) n else e0
+      require(end - off >= 3, s"bad SAM optional field '${tail.substring(off, end)}'")
+      off = end + 1
+    }
   }
 
   /** Boundary-scan the raw tag tail (`NM:i:5\tRG:Z:rgA\t…`): requested tags

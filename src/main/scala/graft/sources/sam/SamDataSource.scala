@@ -188,8 +188,9 @@ class SamPartitionReader(p: SamInputPartition, conf: SerializableConf, required:
         // strict fails fast with context, lenient warns+counts (salvaging
         // lines whose failure is confined to the optional columns past the
         // 11 mandatory SAM fields), permissive skips silently
+        val strictTail = p.stringency eq graft.sources.Stringency.Strict
         val rec =
-          try SamCodec.fromLine(line, p.header, mask, tagHolder)
+          try SamCodec.fromLine(line, p.header, mask, tagHolder, strictTail)
           catch {
             case _: Exception if p.stringency eq graft.sources.Stringency.Permissive =>
               slog.skipSilently(); null
