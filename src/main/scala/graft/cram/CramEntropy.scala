@@ -97,8 +97,41 @@ final class ExtStreams(resolve: Int => Option[Array[Byte]]) {
       throw new IOException(
         f"CRAM external block $cid missing stop byte 0x$stop%02x (read from $p, block length ${b.length})")
     pos(cid) = q + 1 // consume the stop byte
+    val h = ExtStreams.materializeProbe
+    if (h != null) h(q - p)
     java.util.Arrays.copyOfRange(b, p, q)
   }
+
+  /** [[readUntil]]'s stream advancement without the copy — the consume path
+    * for values that exist only to keep a shared stream in sync.
+    */
+  def skipUntil(cid: Int, stop: Int): Unit = {
+    val b = buf(cid)
+    val p = pos(cid)
+    var q = p
+    while (q < b.length && (b(q) & 0xff) != stop) q += 1
+    if (q >= b.length)
+      throw new IOException(
+        f"CRAM external block $cid missing stop byte 0x$stop%02x (read from $p, block length ${b.length})")
+    pos(cid) = q + 1
+  }
+
+  /** Advance `n` raw bytes (the skip face of n×readByte), bounds-checked. */
+  def skipBytes(cid: Int, n: Int): Unit = {
+    val b = buf(cid)
+    val p = pos(cid)
+    if (n < 0 || p + n > b.length)
+      throw new IOException(s"CRAM external block $cid exhausted (skip $n at $p of ${b.length})")
+    pos(cid) = p + n
+  }
+}
+
+object ExtStreams {
+  /** Test hook: observes every byte-array VALUE materialization (length) on
+    * the external-stream read paths, so a spec can prove consumed-but-
+    * unwanted values are position-skipped, never copied. Null in production.
+    */
+  @volatile private[graft] var materializeProbe: Int => Unit = null
 }
 
 /** One parsed encoding = a value codec. Series types decide which read is
@@ -117,6 +150,13 @@ sealed trait CCodec {
     */
   def usesCore: Boolean
   def extIds: Set[Int]
+
+  /** Advance every stream exactly as [[readArray]] would, materializing
+    * nothing — the consume path for gated-but-unskippable values (kept only
+    * to hold shared streams in sync). Default: read and discard; external
+    * codecs override with a pure position skip.
+    */
+  def skipArray(bits: BitReader, ext: ExtStreams): Unit = { readArray(bits, ext); () }
 }
 
 /** EXTERNAL (id 1): ITF-8 ints / raw bytes from block `cid`. */
@@ -211,10 +251,20 @@ final case class CByteArrayLen(lenCodec: CCodec, valCodec: CCodec) extends CCode
   override def readArray(bits: BitReader, ext: ExtStreams): Array[Byte] = {
     val n = lenCodec.readInt(bits, ext)
     if (n < 0) throw new IOException(s"negative byte array length $n")
+    val h = ExtStreams.materializeProbe
+    if (h != null) h(n)
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) { out(i) = valCodec.readByte(bits, ext).toByte; i += 1 }
     out
+  }
+  override def skipArray(bits: BitReader, ext: ExtStreams): Unit = {
+    val n = lenCodec.readInt(bits, ext) // length still decoded (it drives the skip)
+    if (n < 0) throw new IOException(s"negative byte array length $n")
+    valCodec match {
+      case CExternal(cid) => ext.skipBytes(cid, n) // pure position skip
+      case vc => var i = 0; while (i < n) { vc.readByte(bits, ext); i += 1 }
+    }
   }
   override def usesCore: Boolean = lenCodec.usesCore || valCodec.usesCore
   override def extIds: Set[Int] = lenCodec.extIds ++ valCodec.extIds
@@ -223,6 +273,7 @@ final case class CByteArrayLen(lenCodec: CCodec, valCodec: CCodec) extends CCode
 /** BYTE_ARRAY_STOP (id 5): bytes from block `cid` until `stop`. */
 final case class CByteArrayStop(stop: Int, cid: Int) extends CCodec {
   override def readArray(bits: BitReader, ext: ExtStreams): Array[Byte] = ext.readUntil(cid, stop)
+  override def skipArray(bits: BitReader, ext: ExtStreams): Unit = ext.skipUntil(cid, stop)
   override def usesCore: Boolean = false
   override def extIds: Set[Int] = Set(cid)
 }

@@ -290,6 +290,29 @@ object CramRecordCodec {
 
   private final case class Feature(pos: Int, code: Char, intVal: Int, bytes: Array[Byte])
 
+  /** Fixpoint closure of the needed-external-block set over consumed gated
+    * codecs: any gated codec that is non-skippable (uses core bits, or
+    * touches a block something else will read) is CONSUMED, and its reads
+    * advance every stream it touches — so every block it touches must in
+    * turn be treated as needed, which can make further gated codecs
+    * consumers. Iterates until stable (each pass either grows the set or
+    * stops; bounded by the number of distinct blocks).
+    */
+  private[cram] def closeConsumedExt(base: Set[Int], gated: Iterable[CCodec]): Set[Int] = {
+    var needed = base
+    var grew = true
+    while (grew) {
+      grew = false
+      gated.foreach { c =>
+        val consumed = c.usesCore || c.extIds.exists(needed.contains)
+        if (consumed && !c.extIds.forall(needed.contains)) {
+          needed = needed ++ c.extIds; grew = true
+        }
+      }
+    }
+    needed
+  }
+
   def decodeSlice(ch: CompHeader, sh: SliceHeader, core: Array[Byte],
                   ext: Map[Int, Array[Byte]], header: SamHeader,
                   refs: CramRefSource): Iterator[AlignmentRecord] =
@@ -338,9 +361,27 @@ object CramRecordCodec {
           ch.tagCodecs.getOrElse(key,
             throw new IOException(s"tag codec missing for $tag:$typ"))
       }
-    val neededExt: Set[Int] =
+    // Fixpoint closure over consumed codecs: a gated codec judged
+    // NON-skippable is still CONSUMED (read + discarded), and its reads
+    // advance every external stream it touches — so any OTHER gated codec
+    // sharing a block with a consumer must be consumed too, or positions
+    // desync and a foreign CRAM with shared content ids silently decodes
+    // wrong values. Our own writer and htsjdk defaults give every series/tag
+    // its own block (the loop converges immediately there), but valid CRAMs
+    // may share; iterate until no consumer adds a new block.
+    val gatedCodecs: Seq[CCodec] =
+      (ch.series.collect {
+        case (k, c) if ((k == "QS" || k == "QQ") && !wantQual) || (k == "BA" && !wantSeq) => c
+      } ++ (
+        if (wantAttrs) Nil
+        else ch.tagCodecs.collect {
+          case (key, c) if !wantTagNames.contains(
+            s"${((key >> 16) & 0xff).toChar}${((key >> 8) & 0xff).toChar}") => c
+        })).toSeq
+    val neededExt: Set[Int] = closeConsumedExt(
       (activeSeriesCodecs ++ activeTagCodecs).flatMap(_.extIds).toSet ++
-        (if (wantSeq && sh.embeddedRefId >= 0) Set(sh.embeddedRefId) else Set.empty)
+        (if (wantSeq && sh.embeddedRefId >= 0) Set(sh.embeddedRefId) else Set.empty),
+      gatedCodecs)
     def seriesSkippable(key: String): Boolean = ch.series.get(key) match {
       case None => true
       case Some(c) => !c.usesCore && c.extIds.forall(id => !neededExt.contains(id))
@@ -418,7 +459,8 @@ object CramRecordCodec {
             val raw = codec.readArray(bits, streams)
             attrs = (tag -> CramTagValues.binaryToTyped(typ, raw)) :: attrs
           } else if (!tagSkippable(key)) {
-            codec.readArray(bits, streams): Unit // keep shared streams in sync
+            // keep shared streams in sync: positions advance, nothing copied
+            codec.skipArray(bits, streams)
           } // else: exclusive tag blocks stay compressed, untouched
         }
       }
@@ -443,9 +485,11 @@ object CramRecordCodec {
               Feature(fpos, 'i', 0, Array(ba.toByte))
             case 'b' => Feature(fpos, 'b', 0, series("BB").readArray(bits, streams))
             case 'q' =>
-              // quality run: no seq/cigar effect — value gated
-              val qq = if (readQQ) series("QQ").readArray(bits, streams)
-                else Array.emptyByteArray
+              // quality run: no seq/cigar effect — value gated; a consumed-
+              // but-unwanted run is position-skipped, never copied
+              val qq =
+                if (wantQual) series("QQ").readArray(bits, streams)
+                else { if (readQQ) series("QQ").skipArray(bits, streams); Array.emptyByteArray }
               Feature(fpos, 'q', 0, qq)
             case 'D' => Feature(fpos, 'D', series("DL").readInt(bits, streams), null)
             case 'N' => Feature(fpos, 'N', series("RS").readInt(bits, streams), null)
@@ -464,28 +508,37 @@ object CramRecordCodec {
         }
         mq = series("MQ").readInt(bits, streams)
         if ((cf & 0x1) != 0) {
-          if (readQS) {
+          if (wantQual) {
             quals = new Array[Byte](rl)
             var k = 0
             while (k < rl) { quals(k) = series("QS").readByte(bits, streams).toByte; k += 1 }
-            if (!wantQual) quals = null // consumed only for stream sync
+          } else if (readQS) {
+            // consumed only for stream sync: advance, allocate nothing
+            var k = 0
+            while (k < rl) { series("QS").readByte(bits, streams); k += 1 }
           }
         }
       } else {
-        if (readBA) {
+        if (wantSeq) {
           val bases = new Array[Byte](rl)
           var k = 0
           while (k < rl) { bases(k) = series("BA").readByte(bits, streams).toByte; k += 1 }
-          features = List(Feature(1, 'b', 0, if (wantSeq) bases else Array.emptyByteArray))
+          features = List(Feature(1, 'b', 0, bases))
         } else {
+          if (readBA) { // consumed only for stream sync
+            var k = 0
+            while (k < rl) { series("BA").readByte(bits, streams); k += 1 }
+          }
           features = List(Feature(1, 'b', 0, Array.emptyByteArray)) // bases carrier, seq pruned
         }
         if ((cf & 0x1) != 0) {
-          if (readQS) {
+          if (wantQual) {
             quals = new Array[Byte](rl)
             var k = 0
             while (k < rl) { quals(k) = series("QS").readByte(bits, streams).toByte; k += 1 }
-            if (!wantQual) quals = null
+          } else if (readQS) {
+            var k = 0
+            while (k < rl) { series("QS").readByte(bits, streams); k += 1 }
           }
         }
       }

@@ -127,6 +127,85 @@ class CramProjectionSpec extends AnyFunSuite with SparkFixture {
       s"XZ block not skipped under NM-only projection: nm=$nmInfl both=$bothInfl")
   }
 
+  test("skip eligibility is fixpoint-closed over consumed codecs") {
+    // a: usesCore -> always consumed, touches block 1
+    // b: shares 1 with the consumer a -> consumed, drags in block 2
+    // c: shares 2 with b -> consumed (the transitive step a one-pass rule misses)
+    // d: exclusive block 3 -> stays skippable
+    val a = CByteArrayLen(CBeta(0, 8), CExternal(1))
+    val b = CByteArrayLen(CExternal(1), CExternal(2))
+    val c = CByteArrayStop(0, 2)
+    val d = CByteArrayStop(0, 3)
+    assert(CramRecordCodec.closeConsumedExt(Set.empty, Seq(a, b, c, d)) == Set(1, 2))
+    // order-independence: the fixpoint must not depend on iteration order
+    assert(CramRecordCodec.closeConsumedExt(Set.empty, Seq(d, c, b, a)) == Set(1, 2))
+    // distinct-cid layout (our writer, htsjdk default): nothing grows
+    assert(CramRecordCodec.closeConsumedExt(Set(5), Seq(CByteArrayStop(0, 6), d)) == Set(5))
+  }
+
+  test("foreign shared-block CRAM: skipped codec must not desync a wanted tag") {
+    import graft.bam.{BamFieldMask, SamHeader}
+    // Layout a valid-but-foreign writer could emit (our writer never shares
+    // content ids): block 20 interleaves XM's stop-terminated values with
+    // XN's ITF8 lengths; block 21 interleaves XN's values with wanted XA's.
+    // With only XA projected, XN is consumed (shares 21 with XA); skipping
+    // XM would leave its bytes in block 20, feeding XN garbage LENGTHS and
+    // desyncing XA's stream — the fixpoint must consume XM too.
+    val n = 5
+    def key(t: String, typ: Char) =
+      (t.charAt(0).toInt << 16) | (t.charAt(1).toInt << 8) | typ.toInt
+    def const(v: Int) = CHuffman(Array(v), Array(0))
+    val ch = CramRecordCodec.CompHeader(
+      rnPreserved = false, apDelta = false, refRequired = false,
+      subMatrix = Array.fill[Byte](5)(0x1b),
+      tagDict = Vector(Vector(("XM", 'Z'), ("XN", 'Z'), ("XA", 'Z'), ("XD", 'Z'))),
+      series = Map(
+        "BF" -> const(4), "CF" -> const(0), "RL" -> const(0),
+        "AP" -> const(0), "RG" -> const(-1), "TL" -> const(0)),
+      tagCodecs = Map(
+        key("XM", 'Z') -> CByteArrayStop(9, 20),
+        key("XN", 'Z') -> CByteArrayLen(CExternal(20), CExternal(21)),
+        key("XA", 'Z') -> CByteArrayStop(9, 21),
+        key("XD", 'Z') -> CByteArrayStop(9, 23)))
+    val b20 = new java.io.ByteArrayOutputStream()
+    val b21 = new java.io.ByteArrayOutputStream()
+    (0 until n).foreach { i =>
+      b20.write(s"m$i".getBytes("ASCII")); b20.write(9) // XM value + stop
+      val xn = s"n$i".getBytes("ASCII")
+      b20.write(xn.length) // XN ITF8 length (single byte below 0x80)
+      b21.write(xn) // XN value
+      b21.write(s"aval$i".getBytes("ASCII")); b21.write(9) // XA value + stop
+    }
+    def raw(cid: Int, bytes: Array[Byte]) =
+      new CramRecordCodec.LazyBlock(0, 4, cid, bytes, bytes.length)
+    val ext = Map(
+      20 -> raw(20, b20.toByteArray),
+      21 -> raw(21, b21.toByteArray),
+      // XD is untouched by any consumer: its block carries garbage under a
+      // DECLARED gzip method, so merely inflating it would throw — proof
+      // the exclusive-block skip survives the fixpoint
+      23 -> new CramRecordCodec.LazyBlock(1, 4, 23, Array[Byte](1, 2, 3), 16))
+    val sh = CramRecordCodec.SliceHeader(-1, 0, 0, n, 3, Array(20, 21, 23), -1,
+      new Array[Byte](16))
+    val mask = BamFieldMask(cigarAndEnd = false, seq = false, qual = false,
+      attrs = false, tagCols = Vector("XA"))
+    // materialization probe: consumed XM/XN must be POSITION-skipped — only
+    // the wanted XA values (5 bytes x 5 records) are ever copied
+    var materialized = 0L
+    ExtStreams.materializeProbe = materialized += _
+    val recs =
+      try CramRecordCodec.decodeSlice(ch, sh, Array.emptyByteArray, ext,
+        SamHeader("@HD\tVN:1.6\n", Vector.empty), null, mask).toVector
+      finally ExtStreams.materializeProbe = null
+    assert(recs.length == n)
+    recs.zipWithIndex.foreach { case (r, i) =>
+      assert(r.attributes == Map("XA" -> s"Z:aval$i"),
+        s"record $i decoded ${r.attributes} — shared-stream desync")
+    }
+    assert(materialized == n * 5L,
+      s"consumed values were copied: $materialized bytes materialized, want ${n * 5}")
+  }
+
   test("seq pruned -> ref-required CRAM readable without fasta, cigar/end exact") {
     val dir = tmpDir()
     // deterministic indexed FASTA (the CramRecordsSourceSpec shape)
