@@ -27,8 +27,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // native functions + VCF auto-projection rule
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Four allowlisted queries use unpartitioned windows over PROVEN
+    // constant-size inputs (PlanHygieneSpec documents each bound); the
+    // per-execution "No Partition Defined" WARN from WindowExecBase is tail
+    // noise here, not a scale signal — silence the window package in the
+    // bench JVM only (plans untouched, the hygiene sweep still sees them).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
     // JVM/codegen/FS warmup outside the measurement window; also warms the
     // corpus-count memo so sample 0 of the LSH queries doesn't pay the
     // one-time catalog-statistics job the later samples skip

@@ -113,6 +113,9 @@ object MinhashSigExpr {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // option-free FORMAT/INFO-key projection for the VCF source (runs in the
+    // operator-optimization fixpoint, before V2 pushdown builds the scan)
+    ext.injectOptimizerRule(_ => graft.plans.VcfAutoProjection)
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinhashSigExpr].getName, "graft_minhash_sig"),

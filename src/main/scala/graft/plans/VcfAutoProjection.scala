@@ -1,0 +1,210 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{MapType, StringType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.vcf.VcfTable
+
+/** Option-free FORMAT/INFO-key projection for the VCF source.
+  *
+  * Catalyst's nested-column pruning handles struct FIELDS (`genotypes[i].gt`)
+  * but cannot prune MAP keys — `element_at(g.fields, "DP")` reaches the scan
+  * as "needs the whole fields map", forcing a full per-sample FORMAT decode.
+  * Round 13 added `.option("formatFields", ...)`/`.option("infoFields", ...)`
+  * with a proven value-identical masked decode; this rule makes that win
+  * automatic (the reference's lazy-decode posture, VcfSource.java:104-116, is
+  * option-free too): it walks the plan above each VCF relation, and when
+  * EVERY use of the `fields`/`info` maps is a literal-key lookup and the map
+  * itself never escapes (not in the plan output, no non-lookup consumer, no
+  * flow into a node type that could smuggle it under fresh attribute ids),
+  * it rewrites the relation's options with the derived key list. Any shape
+  * the analysis cannot positively account for bails to the full decode —
+  * wrong results are impossible, only the optimization is lost.
+  *
+  * Runs in the operator-optimization fixpoint (before V2 pushdown builds the
+  * scan). Idempotent: a derivation only fires when the option is absent, and
+  * a non-bailed derivation is complete for the relation, so re-runs derive
+  * the same keys and leave the plan untouched. User-provided options always
+  * win; `.option("autoProjection", "false")` disables the rule per read.
+  */
+object VcfAutoProjection extends Rule[LogicalPlan] {
+
+  private final val GenoArray = 0 // the genotypes array<struct> column
+  private final val GenoStruct = 1 // one exploded genotype struct
+  private final val FieldsMap = 2 // the per-sample FORMAT map
+  private final val InfoMap = 3 // the INFO map
+
+  private final case class Taint(rel: Int, kind: Int)
+
+  private final class RelState(val relation: DataSourceV2Relation) {
+    var bailed = false
+    val formatKeys = mutable.LinkedHashSet.empty[String]
+    val infoKeys = mutable.LinkedHashSet.empty[String]
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val rels = mutable.ArrayBuffer.empty[RelState]
+    val taint = mutable.Map.empty[ExprId, Taint]
+
+    // seed taint from every VCF relation's output (leaves visited first)
+    plan.foreach {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[VcfTable] &&
+          r.options.getOrDefault("autoprojection", "true") != "false" =>
+        val idx = rels.length
+        rels += new RelState(r)
+        r.output.foreach { a =>
+          a.name match {
+            case "genotypes" => taint(a.exprId) = Taint(idx, GenoArray)
+            case "info" if a.dataType.isInstanceOf[MapType] =>
+              taint(a.exprId) = Taint(idx, InfoMap)
+            case _ =>
+          }
+        }
+      case _ =>
+    }
+    if (rels.isEmpty) return plan
+
+    def bail(rel: Int): Unit = rels(rel).bailed = true
+
+    def addFormatKey(rel: Int, k: String): Unit =
+      if (k.nonEmpty && k.forall(_.isLetterOrDigit)) rels(rel).formatKeys += k
+      else bail(rel) // key outside the option grammar: fall back to full decode
+
+    def addInfoKey(rel: Int, k: String): Unit =
+      if (k.nonEmpty && k.forall(c => c.isLetterOrDigit || c == '_' || c == '.'))
+        rels(rel).infoKeys += k
+      else bail(rel)
+
+    def literalKey(e: Expression): Option[String] = e match {
+      case Literal(s: UTF8String, StringType) => Some(s.toString)
+      case _ => None
+    }
+
+    // is `m` a recognized reference to a tainted fields/info map?
+    // returns (relIdx, isFieldsMap)
+    def mapTarget(m: Expression): Option[(Int, Boolean)] = m match {
+      case a: AttributeReference => taint.get(a.exprId).collect {
+        case Taint(rel, FieldsMap) => (rel, true)
+        case Taint(rel, InfoMap) => (rel, false)
+      }
+      case gsf: GetStructField => gsf.child match {
+        case a: AttributeReference if taint.get(a.exprId).exists(_.kind == GenoStruct) &&
+            gsf.extractFieldName == "fields" =>
+          Some((taint(a.exprId).rel, true))
+        case _ => None
+      }
+      case _ => None
+    }
+
+    // conservative use-classification: anything touching tainted data in a
+    // shape we don't positively recognize bails the relation to full decode
+    def scanExpr(e: Expression): Unit = e match {
+      case GetMapValue(m, k) if mapTarget(m).isDefined =>
+        val (rel, isFields) = mapTarget(m).get
+        literalKey(k) match {
+          case Some(key) => if (isFields) addFormatKey(rel, key) else addInfoKey(rel, key)
+          case None => bail(rel)
+        }
+      case ea: ElementAt if mapTarget(ea.left).isDefined =>
+        val (rel, isFields) = mapTarget(ea.left).get
+        literalKey(ea.right) match {
+          case Some(key) => if (isFields) addFormatKey(rel, key) else addInfoKey(rel, key)
+          case None => bail(rel)
+        }
+      case gsf: GetStructField => gsf.child match {
+        case a: AttributeReference if taint.get(a.exprId).exists(_.kind == GenoStruct) =>
+          // scalar struct field (sample/gt) is fine; extracting the whole
+          // map anywhere but a recognized lookup position escapes it
+          if (gsf.extractFieldName == "fields") bail(taint(a.exprId).rel)
+        case other => scanExpr(other)
+      }
+      case gasf: GetArrayStructFields => gasf.child match {
+        case a: AttributeReference if taint.get(a.exprId).exists(_.kind == GenoArray) =>
+          if (gasf.field.name == "fields") bail(taint(a.exprId).rel)
+        case other => scanExpr(other)
+      }
+      case a: AttributeReference if taint.contains(a.exprId) =>
+        bail(taint(a.exprId).rel) // bare tainted reference in an unhandled shape
+      case other => other.children.foreach(scanExpr)
+    }
+
+    // named lists (Project/Aggregate) both propagate taint through aliases
+    // and pass tainted attributes through by exprId (no action needed)
+    def scanNamed(ne: NamedExpression): Unit = ne match {
+      case _: AttributeReference => // passthrough keeps its exprId
+      case al @ Alias(child, _) => child match {
+        case a: AttributeReference if taint.contains(a.exprId) =>
+          taint(al.exprId) = taint(a.exprId)
+        case gsf: GetStructField => gsf.child match {
+          case a: AttributeReference if taint.get(a.exprId).exists(_.kind == GenoStruct) &&
+              gsf.extractFieldName == "fields" =>
+            taint(al.exprId) = Taint(taint(a.exprId).rel, FieldsMap)
+          case _ => scanExpr(child)
+        }
+        case other => scanExpr(other)
+      }
+      case other => scanExpr(other)
+    }
+
+    plan.foreachUp {
+      case _: DataSourceV2Relation => // leaf, seeded above
+      case p: Project => p.projectList.foreach(scanNamed)
+      case a: Aggregate =>
+        a.groupingExpressions.foreach(scanExpr)
+        a.aggregateExpressions.foreach(scanNamed)
+      case g: Generate => g.generator match {
+        case Explode(a: AttributeReference) if taint.get(a.exprId).exists(_.kind == GenoArray) =>
+          taint(g.generatorOutput.last.exprId) = Taint(taint(a.exprId).rel, GenoStruct)
+        case PosExplode(a: AttributeReference) if taint.get(a.exprId).exists(_.kind == GenoArray) =>
+          taint(g.generatorOutput.last.exprId) = Taint(taint(a.exprId).rel, GenoStruct)
+        case gen => gen.children.foreach(scanExpr)
+      }
+      case f: Filter => scanExpr(f.condition)
+      case j: Join => j.condition.foreach(scanExpr)
+      // passthrough nodes: output attrs keep their exprIds, expressions can
+      // still consume tainted values — scan them all
+      case n @ (_: Sort | _: GlobalLimit | _: LocalLimit | _: Offset | _: Tail |
+                _: Repartition | _: RepartitionOperation | _: Sample |
+                _: Deduplicate | _: Window | _: SubqueryAlias | _: Distinct) =>
+        n.expressions.foreach(scanExpr)
+      case other =>
+        // unknown node type: it may smuggle tainted data out under fresh
+        // attribute ids (Union, Expand, CTE, script transforms, ...) — bail
+        // every relation whose taint flows into it
+        other.children.flatMap(_.output).foreach { a =>
+          taint.get(a.exprId).foreach(t => bail(t.rel))
+        }
+        other.expressions.foreach(scanExpr)
+    }
+
+    // a tainted attr in the final output hands the whole object to the user
+    plan.output.foreach(a => taint.get(a.exprId).foreach(t => bail(t.rel)))
+
+    val rewrites = new java.util.IdentityHashMap[DataSourceV2Relation, CaseInsensitiveStringMap]()
+    rels.foreach { st =>
+      if (!st.bailed) {
+        val opts = st.relation.options
+        val addFmt = !opts.containsKey("formatfields") && st.formatKeys.nonEmpty
+        val addInfo = !opts.containsKey("infofields") && st.infoKeys.nonEmpty
+        if (addFmt || addInfo) {
+          val m = new java.util.HashMap[String, String](opts.asCaseSensitiveMap())
+          if (addFmt) m.put("formatfields", st.formatKeys.toSeq.sorted.mkString(","))
+          if (addInfo) m.put("infofields", st.infoKeys.toSeq.sorted.mkString(","))
+          rewrites.put(st.relation, new CaseInsensitiveStringMap(m))
+        }
+      }
+    }
+    if (rewrites.isEmpty) plan
+    else plan.transform {
+      case r: DataSourceV2Relation if rewrites.containsKey(r) =>
+        r.copy(options = rewrites.get(r))
+    }
+  }
+}

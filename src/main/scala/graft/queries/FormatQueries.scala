@@ -860,8 +860,9 @@ object FormatQueries {
           map().cast(MapType(StringType, StringType, valueContainsNull = false))
             .as("fields"))).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024)
-        .option("infoFields", "DP").load(path)
+      // no infoFields option: the VcfAutoProjection rule derives it from the
+      // literal element_at key below (option-free since round 14)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       back
         .select($"contig", element_at($"info", "DP").cast("long").as("dp"))
         .groupBy($"contig")
@@ -870,13 +871,15 @@ object FormatQueries {
         .orderBy($"contig")
     },
 
-    // WIDE-FORMAT projection read — the formatFields option end-to-end
+    // WIDE-FORMAT projection read — option-free FORMAT projection end-to-end
     // under the oracle: every genotype carries FIVE FORMAT keys
     // (GT:DP:GQ:AD:PL, the realistic caller payload) across 12 samples,
-    // and the query reads only GT + DP via .option("formatFields",
-    // "GT,DP") — the GQ/AD/PL values of every sample column are boundary-
-    // scanned, never materialized (VcfFormatProjectionSpec proves the
-    // skip at codec level; this pins it through the full scan + oracle).
+    // and the query reads only GT + DP; the VcfAutoProjection rule derives
+    // formatFields=DP from the literal element_at key, so the GQ/AD/PL
+    // values of every sample column are boundary-scanned, never
+    // materialized (VcfFormatProjectionSpec proves the skip at codec
+    // level; VcfAutoProjectionSpec pins the derivation; this pins it
+    // through the full scan + oracle).
     "q_vcf_format_projection" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.types._
@@ -906,8 +909,9 @@ object FormatQueries {
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 12).map(geno): _*).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024)
-        .option("formatFields", "GT,DP").load(path)
+      // no formatFields option: the VcfAutoProjection rule derives DP from
+      // the literal element_at key below (GT rides the nested struct pruning)
+      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       back.select(explode($"genotypes").as("g"))
         .groupBy($"g.sample".as("sample"))
         .agg(count(lit(1)).as("n_sites"),

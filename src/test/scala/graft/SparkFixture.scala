@@ -20,5 +20,7 @@ object SparkFixture {
     // match the Verify/Bench sessions: events.parquet carries
     // TIMESTAMP(NANOS), surfaced as long and converted in Tables.events
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // match Verify/Bench: native functions + the VCF auto-projection rule
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 }
