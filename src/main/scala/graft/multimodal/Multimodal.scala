@@ -17,11 +17,10 @@ import org.apache.spark.sql.types._
   * zlib-compressed PNGs (chunk CRCs, multi-IDAT, all five scanline filters,
   * RGB + RGBA). [[extractFeatures]] dispatches on the format column and
   * computes features from DECODED pixels/samples — a mislaid byte anywhere
-  * in the container or the filter reconstruction moves the result. The one
-  * remaining model (not a decode) is [[sampleFrames]]: video rides as
-  * fixed-size frame chunks because real video codecs (H.264 etc.) genuinely
-  * need libraries this container lacks; the explode shape, schema and
-  * batched execution are what a real frame sampler feeds downstream.
+  * in the container or the filter reconstruction moves the result. Video is
+  * real too since round 14: [[Avi]] walks genuine MJPEG-in-AVI RIFF
+  * containers and [[Jpeg]] decodes every frame (T.81 baseline), so frame
+  * sampling operates on decoded pixels, not byte chunks.
   */
 object Multimodal {
 
@@ -120,8 +119,6 @@ object Multimodal {
     }
   }
 
-  case class FrameRow(media_id: Long, frame_idx: Int, frame_len: Int, frame_sum: Long)
-
   /** Opaque-payload byte subsample (nearest-neighbor stride): output byte j
     * of an outLen-byte digest is input byte (j*len)/outLen. This is NOT an
     * image resize — it is the fixed-width digest the perceptual-hash dedup
@@ -161,32 +158,6 @@ object Multimodal {
         }
         r.copy(payload = Png.encode(Png.Image(outW, outH, out, img.hasAlpha)),
           width = outW, height = outH)
-      }
-    }
-  }
-
-  /** Frame sampling MODEL — video payloads as fixed-size frame chunks, every
-    * `everyNth` frame emitted as its own row (the explode shape a video
-    * pipeline feeds downstream models with; last partial frame kept).
-    * Frame content is summarized (len + byte sum) so the result is
-    * DuckDB-verifiable per frame. Real video codecs need libraries this
-    * container lacks; the schema/partitioning/batch shape here is real.
-    */
-  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
-                   everyNth: Int = 4): Dataset[FrameRow] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      rows.flatMap { r =>
-        val n = r.payload.length
-        val nFrames = (n + frameBytes - 1) / frameBytes
-        (0 until nFrames).iterator.filter(_ % everyNth == 0).map { fi =>
-          val off = fi * frameBytes
-          val len = math.min(frameBytes, n - off)
-          var sum = 0L
-          var i = off
-          while (i < off + len) { sum += r.payload(i) & 0xff; i += 1 }
-          FrameRow(r.media_id, fi, len, sum)
-        }
       }
     }
   }

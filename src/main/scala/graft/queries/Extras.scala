@@ -110,14 +110,33 @@ object Extras {
           sum($"phash" % 1000003L).as("hash_fold"))
     },
 
-    // frame-sampling model (video rides as fixed-size frame chunks): every
-    // 4th 64-byte frame as its own row — row-level oracle (one row per
-    // sampled frame, len + byte sum each)
+    // REAL video decode (no stub, no model): per-doc MJPEG-in-AVI files are
+    // built frame-by-frame (each frame a genuine baseline JPEG in a RIFF
+    // '00dc' chunk), then the container is RIFF-walked and every sampled
+    // frame's pixels come from a genuine T.81 decode. Frames are 8x8-block-
+    // constant gray at q75 — the integer-exact JPEG corner — so the oracle
+    // reproduces the DECODED luma sums analytically: a byte mislaid in the
+    // container walk, the Huffman stream, or the IDCT moves a row. One row
+    // per sampled frame (every 2nd); narrow per-partition encode+decode,
+    // volume-linear at 100 TB.
     "q_multimodal_frames" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.functions._
-      val m = graft.multimodal.Multimodal.syntheticMedia(s, d)
-      graft.multimodal.Multimodal.sampleFrames(m).toDF()
+      val docs = s.read.parquet(s"$d/documents.parquet").select($"doc_id").as[Long]
+      docs.mapPartitions { ids =>
+        ids.flatMap { id =>
+          val nf = (3 + id % 5).toInt
+          val avi = graft.multimodal.Avi.encodeGrayFrames(16, 16, 10,
+            (fi, b) => ((id * 31 + fi.toLong * 7 + b.toLong * 13) % 256).toInt, nf)
+          val (_, frames) = graft.multimodal.Avi.decodePixels(avi)
+          frames.iterator.zipWithIndex.filter(_._2 % 2 == 0).map { case (img, fi) =>
+            var lum = 0L
+            var k = 0
+            while (k < img.pixels.length) { lum += (img.pixels(k) >> 16) & 0xff; k += 1 }
+            (id, fi, img.pixels.length, lum)
+          }
+        }
+      }.toDF("media_id", "frame_idx", "n_pixels", "lum_sum")
         .orderBy($"media_id", $"frame_idx")
     },
 
@@ -382,20 +401,19 @@ object Extras {
         |  CAST(SUM(phash % 1000003) AS BIGINT) AS hash_fold
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // analytic mirror of the MJPEG frames: 16x16 gray frames of four
+    // 8x8-constant blocks, value (id*31 + fi*7 + b*13) % 256 — DC-exact at
+    // q75, so decoded luma sums equal the closed form
     "q_multimodal_frames" ->
-      """WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload FROM documents),
-        |b AS (SELECT media_id, octet_length(payload) AS n,
-        |    list_transform(range(0, octet_length(payload)),
-        |      i -> CAST('0x' || substr(hex(payload), CAST(2 * i + 1 AS INTEGER), 2) AS INTEGER)) AS bytes
-        |  FROM m),
-        |f AS (SELECT media_id, n, bytes, CAST(u.fi AS INTEGER) AS frame_idx
-        |  FROM b, UNNEST(range(0, (n + 63) // 64)) AS u(fi)
-        |  WHERE u.fi % 4 = 0)
-        |SELECT media_id, frame_idx,
-        |  CAST(LEAST(64, n - frame_idx * 64) AS INTEGER) AS frame_len,
-        |  CAST(list_sum(list_slice(bytes, frame_idx * 64 + 1,
-        |    frame_idx * 64 + LEAST(64, n - frame_idx * 64))) AS BIGINT) AS frame_sum
-        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS nf FROM documents),
+        |f AS (SELECT doc_id, CAST(u.fi AS INTEGER) AS frame_idx
+        |  FROM d, UNNEST(range(0, nf)) AS u(fi) WHERE u.fi % 2 = 0),
+        |v AS (SELECT doc_id, frame_idx,
+        |    (doc_id * 31 + frame_idx * 7 + t.b * 13) % 256 AS val
+        |  FROM f, UNNEST(range(0, 4)) AS t(b))
+        |SELECT doc_id AS media_id, frame_idx, CAST(256 AS INTEGER) AS n_pixels,
+        |  CAST(64 * SUM(val) AS BIGINT) AS lum_sum
+        |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // NN indices as in q_multimodal_resize; luma from the raster generator;
     // bit k (< 60) set when lum(k)*64 > image total — mirrors the aHash
     "q_image_phash_dedup" ->

@@ -1154,4 +1154,33 @@ object Streaming {
         sum(col("sum_lum")).as("sum_lum"),
         sum(col("grad")).as("sum_grad"))
   }
+
+  /** Twin 31 — the video ingest gate (q_multimodal_frames' live face): each
+    * arriving doc id becomes a real MJPEG-in-AVI file that is container-
+    * walked and frame-decoded on arrival (RIFF chunk walk + per-frame T.81
+    * baseline decode — a corrupt container or stream fails loudly instead
+    * of passing wrong frames downstream); every 2nd frame's decoded luma
+    * rolls up into an 8-bucket census. The decode is a stateless narrow
+    * flatMap; state is the complete-mode 8-row rollup.
+    */
+  def videoFrameGate(docIds: org.apache.spark.sql.Dataset[Long]): DataFrame = {
+    val s = docIds.sparkSession
+    import s.implicits._
+    docIds.flatMap { id =>
+      val nf = (3 + id % 5).toInt
+      val avi = graft.multimodal.Avi.encodeGrayFrames(16, 16, 10,
+        (fi, b) => ((id * 31 + fi.toLong * 7 + b.toLong * 13) % 256).toInt, nf)
+      val (_, frames) = graft.multimodal.Avi.decodePixels(avi)
+      frames.iterator.zipWithIndex.filter(_._2 % 2 == 0).map { case (img, _) =>
+        var lum = 0L
+        var k = 0
+        while (k < img.pixels.length) { lum += (img.pixels(k) >> 16) & 0xff; k += 1 }
+        (id % 8, img.pixels.length.toLong, lum)
+      }
+    }.toDF("bucket", "n_px", "lum")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("n_px")).as("sum_px"),
+        sum(col("lum")).as("sum_lum"))
+  }
 }

@@ -1361,6 +1361,34 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("videoFrameGate: streaming MJPEG-AVI decode equals the batch twin and the analytic form") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Streaming
+    val ids = (0L until 40L)
+    val stream = MemoryStream[Long]
+    val q = Streaming.videoFrameGate(stream.toDS())
+      .writeStream.format("memory").queryName("videogate")
+      .outputMode("complete").start()
+    try {
+      stream.addData(ids.take(15)); q.processAllAvailable()
+      stream.addData(ids.drop(15)); q.processAllAvailable()
+      def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val got = snap(spark.table("videogate"))
+      val want = snap(Streaming.videoFrameGate(spark.createDataset(ids)))
+      assert(got == want)
+      assert(got.size == 8, "8-bucket census")
+      // DC-exact frames: luma re-derived from the block formula, codec-free
+      val wantLum = ids.flatMap { id =>
+        (0 until (3 + id % 5).toInt).filter(_ % 2 == 0).map { fi =>
+          (id % 8, (0 until 4).map(b => 64L * ((id * 31 + fi * 7 + b * 13) % 256)).sum)
+        }
+      }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+      got.foreach { case (b, _, _, lum) => assert(lum == wantLum(b), s"bucket $b") }
+    } finally q.stop()
+  }
+
   test("kinshipPairCounts: streaming pair census equals the batch twin; state is width-bounded") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
