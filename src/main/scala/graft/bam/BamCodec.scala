@@ -20,7 +20,8 @@ import graft.bgzf.BgzfInputStream
 // Array compare by reference, so structurally identical masks would compare
 // unequal if the mask were ever cached or used in plan equality
 final case class BamFieldMask(cigarAndEnd: Boolean, seq: Boolean, qual: Boolean, attrs: Boolean,
-                              tagCols: IndexedSeq[String] = Vector.empty)
+                              tagCols: IndexedSeq[String] = Vector.empty,
+                              name: Boolean = true)
     extends Serializable
 
 object BamFieldMask {
@@ -32,7 +33,8 @@ object BamFieldMask {
     seq = cols.contains("seq"),
     qual = cols.contains("qual"),
     attrs = cols.contains("attributes"),
-    tagCols = cols.filter(_.startsWith("tag_")).map(_.substring(4)).toVector.sorted)
+    tagCols = cols.filter(_.startsWith("tag_")).map(_.substring(4)).toVector.sorted,
+    name = cols.contains("readName"))
 }
 
 object BamCodec {
@@ -128,9 +130,15 @@ object BamCodec {
     val nextRefId = bb.getInt
     val nextPos = bb.getInt
     val tlen = bb.getInt
-    val nameBytes = new Array[Byte](lReadName)
-    bb.get(nameBytes)
-    val readName = new String(nameBytes, 0, lReadName - 1, "UTF-8")
+    val readName =
+      if (mask.name) {
+        val nameBytes = new Array[Byte](lReadName)
+        bb.get(nameBytes)
+        new String(nameBytes, 0, lReadName - 1, "UTF-8")
+      } else {
+        bb.position(bb.position() + lReadName) // name pruned: skip, no String
+        null
+      }
     var cigarStr: String = null
     var refLen = 0
     // CG-spill sentinel (kSmN, ops S then N) detected from the RAW ops so an

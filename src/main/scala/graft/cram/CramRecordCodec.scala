@@ -340,10 +340,12 @@ object CramRecordCodec {
     val wantQual = mask.qual
     val wantSeq = mask.seq
     val wantAttrs = mask.attrs
+    val wantName = mask.name
     val activeSeriesCodecs: Iterable[CCodec] = ch.series.collect {
       case (k, c) if (k match {
         case "QS" | "QQ" => wantQual
         case "BA" => wantSeq
+        case "RN" => wantName
         case _ => true
       }) => c
     }
@@ -371,7 +373,8 @@ object CramRecordCodec {
     // may share; iterate until no consumer adds a new block.
     val gatedCodecs: Seq[CCodec] =
       (ch.series.collect {
-        case (k, c) if ((k == "QS" || k == "QQ") && !wantQual) || (k == "BA" && !wantSeq) => c
+        case (k, c) if ((k == "QS" || k == "QQ") && !wantQual) || (k == "BA" && !wantSeq) ||
+          (k == "RN" && !wantName) => c
       } ++ (
         if (wantAttrs) Nil
         else ch.tagCodecs.collect {
@@ -390,6 +393,7 @@ object CramRecordCodec {
     val readQS = wantQual || !seriesSkippable("QS")
     val readQQ = wantQual || !seriesSkippable("QQ")
     val readBA = wantSeq || !seriesSkippable("BA")
+    val readRN = wantName || !seriesSkippable("RN")
     val tagSkippable: Int => Boolean =
       if (wantAttrs) _ => false
       else ch.tagCodecs.map { case (k, c) =>
@@ -433,13 +437,19 @@ object CramRecordCodec {
         else series("AP").readInt(bits, streams)
       val rg = series("RG").readInt(bits, streams)
       var name: String = null
-      if (ch.rnPreserved)
-        name = new String(series("RN").readArray(bits, streams), "UTF-8")
+      if (ch.rnPreserved) {
+        // readName pruned: an exclusive RN block is never inflated; a shared
+        // one is position-skipped to keep streams in sync
+        if (wantName) name = new String(series("RN").readArray(bits, streams), "UTF-8")
+        else if (readRN) series("RN").skipArray(bits, streams)
+      }
       var mf = 0; var mateRid = -1; var matePos = 0; var tlen = 0; var nfDist = -1
       if ((cf & 0x2) != 0) { // detached
         mf = series("MF").readInt(bits, streams)
-        if (!ch.rnPreserved)
-          name = new String(series("RN").readArray(bits, streams), "UTF-8")
+        if (!ch.rnPreserved) {
+          if (wantName) name = new String(series("RN").readArray(bits, streams), "UTF-8")
+          else if (readRN) series("RN").skipArray(bits, streams)
+        }
         mateRid = series("NS").readInt(bits, streams)
         matePos = series("NP").readInt(bits, streams)
         tlen = series("TS").readInt(bits, streams)

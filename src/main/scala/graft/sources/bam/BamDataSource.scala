@@ -554,8 +554,11 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
   private val needFilter = p.intervals.isDefined
   private val mask = {
     val cols = required.fieldNames.toSet
-    val m = BamFieldMask.fromColumns(cols)
-    if (needFilter) m.copy(cigarAndEnd = true) else m // interval test needs end
+    val m0 = BamFieldMask.fromColumns(cols)
+    val m = if (needFilter) m0.copy(cigarAndEnd = true) else m0 // interval test needs end
+    // pairAware run-tracking compares consecutive readNames, so the name
+    // must decode even when the column is pruned from the projection
+    if (p.pairAware) m.copy(name = true) else m
   }
   private val stream = new graft.bgzf.BgzfInputStream(input)
   private var currentRow: InternalRow = _

@@ -54,6 +54,16 @@ class BamCodecSpec extends AnyFunSuite {
     assert(roundTrip(r) == r)
   }
 
+  test("name-pruned decode: readName null, every other field identical") {
+    val r = TestReads.pairs(1).head
+    val bytes = BamCodec.encodeRecord(r, header)
+    val m = BamFieldMask.All.copy(name = false)
+    val got = BamCodec.decodeRecord(
+      java.util.Arrays.copyOfRange(bytes, 4, bytes.length), bytes.length - 4, header, m)
+    assert(got.readName == null)
+    assert(got.copy(readName = r.readName) == r)
+  }
+
   test("record round-trip: unplaced unmapped, no cigar, null contig") {
     val r = TestReads.unplacedUnmapped(1).head
     assert(roundTrip(r) == r)

@@ -127,6 +127,38 @@ class CramProjectionSpec extends AnyFunSuite with SparkFixture {
       s"XZ block not skipped under NM-only projection: nm=$nmInfl both=$bothInfl")
   }
 
+  test("readName pruned -> RN blocks never inflate; kept columns identical") {
+    val dir = tmpDir()
+    val out = dir.resolve("rn.cram")
+    // long names make RN a real block; values must be exact when selected
+    val s = spark
+    import org.apache.spark.sql.functions.{col => c}
+    reads(3000).withColumn("readName",
+      concat(lit("instrument-42:run-7:flowcell-XYZ:lane-3:tile-"), col("readName")))
+      .write.format("cram").mode("overwrite")
+      .option("records", "true").option("refs", "chrA:1000000,chrB:1000000")
+      .option("recordsPerContainer", "1000").save(out.toString)
+    def countInflations[T](body: => T): (T, Long) = {
+      val before = CramRecordCodec.blocksInflated.get()
+      val r = body
+      (r, CramRecordCodec.blocksInflated.get() - before)
+    }
+    def base = spark.read.format("cram").option("records", "true").load(out.toString)
+    val (withNames, nameInfl) = countInflations {
+      base.select(c("readName"), c("start"))
+        .agg(sum(length(c("readName"))).cast("long"), sum(c("start").cast("long")))
+        .collect()(0)
+    }
+    assert(withNames.getLong(0) > 3000L * 40) // names really decoded
+    val (noNames, noNameInfl) = countInflations {
+      base.agg(sum(c("start").cast("long")), count(lit(1))).collect()(0)
+    }
+    assert(noNames.getLong(0) == withNames.getLong(1), "kept column changed under name pruning")
+    assert(noNames.getLong(1) == 3000L)
+    assert(noNameInfl < nameInfl,
+      s"RN blocks not skipped: withNames=$nameInfl withoutNames=$noNameInfl")
+  }
+
   test("skip eligibility is fixpoint-closed over consumed codecs") {
     // a: usesCore -> always consumed, touches block 1
     // b: shares 1 with the consumer a -> consumed, drags in block 2
