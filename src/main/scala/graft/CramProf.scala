@@ -95,6 +95,66 @@ object CramProf {
     }
     scan("select_all_count", 256 * 1024)(df => df.select($"readName", $"cigar", $"seq", $"qual", $"attributes", $"start").agg(count($"readName")).collect().length.toLong)
 
+    // ---- realistic-entropy projection A/B --------------------------------
+    // The cigar fixture's "*" quals make quality blocks tiny; real CRAMs are
+    // DOMINATED by per-base qualities and carry long read names. This second
+    // fixture gives every read 151 pseudo-random quality chars (16-symbol
+    // alphabet via sha2 hex → ~4 bits/base after rANS) and a long
+    // instrument-style name, then measures the same scan under projections —
+    // the numbers behind the "pruned blocks never inflate" claim.
+    val realPath = s"$dir/realistic.cram"
+    val qualExpr = translate(
+      substring(concat(
+        sha2(concat(lit("q"), $"l_orderkey", lit("-"), $"l_linenumber"), 256),
+        sha2(concat(lit("r"), $"l_orderkey", lit("-"), $"l_linenumber"), 256),
+        sha2(concat(lit("s"), $"l_orderkey", lit("-"), $"l_linenumber"), 256)), 1, 151),
+      "0123456789abcdef", "!#$%&'()*+,-./01")
+    val realReads = spark.read.parquet(s"$sfDir/lineitem.parquet").select(
+      concat(lit("A00627:18:HGW2MDSXX:"), ($"l_linenumber" % 4 + 1).cast("string"),
+        lit(":"), ($"l_orderkey" % 2000).cast("string"),
+        lit(":"), ($"l_partkey" % 30000).cast("string"),
+        lit(":"), ($"l_suppkey" % 40000).cast("string")).as("readName"),
+      lit(0).cast("int").as("flags"),
+      concat(lit("chr"), ($"l_orderkey" % 3).cast("string")).as("contig"),
+      startCol.as("start"),
+      lit(0).cast("int").as("end"),
+      lit(60).cast("int").as("mapq"),
+      lit("151M").as("cigar"),
+      lit(null).cast("string").as("mateContig"),
+      lit(0).cast("int").as("mateStart"),
+      lit(0).cast("int").as("tlen"),
+      lit("ATGC" * 40).substr(pmod(startCol - 1, lit(4)).cast("int") + 1, lit(151)).as("seq"),
+      qualExpr.as("qual"),
+      map(lit("XO"), concat(lit("i:"), ($"l_orderkey" % 100).cast("string")))
+        .as("attributes"))
+    realReads.repartitionByRange(8, $"contig", $"start")
+      .sortWithinPartitions($"contig", $"start")
+      .write.format("cram").mode("overwrite").option("compressionLevel", "1")
+      .option("records", "true").option("refs", refs)
+      .option("fasta", fasta).save(realPath)
+    println(s"realisticBytes=${new java.io.File(realPath).length()}")
+    def rscan(tag: String, withFasta: Boolean)(f: org.apache.spark.sql.DataFrame => Long): Unit = {
+      for (r <- 1 to 3) {
+        val t0 = System.nanoTime()
+        var rd = spark.read.format("cram").option("records", "true")
+          .option("splitSize", 256 * 1024)
+        if (withFasta) rd = rd.option("fasta", fasta)
+        val n = f(rd.load(realPath))
+        println(f"rscan[$tag][$r]=${(System.nanoTime() - t0) / 1e9}%.2f n=$n")
+      }
+    }
+    rscan("all_columns", withFasta = true)(df =>
+      df.select($"readName", $"cigar", $"seq", $"qual", $"attributes", $"start")
+        .agg(count($"readName"), sum(length($"qual").cast("long"))).collect()(0).getLong(1))
+    rscan("start_end_only_nofasta", withFasta = false)(df =>
+      df.agg(sum($"start".cast("long")), count(lit(1))).collect()(0).getLong(1))
+    rscan("name_start", withFasta = false)(df =>
+      df.select($"readName", $"start")
+        .agg(count($"readName"), sum($"start".cast("long"))).collect()(0).getLong(1))
+    rscan("qual_start", withFasta = false)(df =>
+      df.select($"qual", $"start")
+        .agg(sum(length($"qual").cast("long")), count(lit(1))).collect()(0).getLong(1))
+
     spark.stop()
 
     // single-threaded attribution
