@@ -161,6 +161,7 @@ object Avi {
     val end = 8 + riffSize
 
     var width = -1; var height = -1; var fps = -1; var totalFrames = -1
+    var strhFps = -1 // authoritative per-stream rate/scale (beats avih usec)
     var sawMjpg = false; var sawStrfMjpg = false
     val frames = IndexedSeq.newBuilder[Array[Byte]]
     var idxEntries = -1
@@ -187,6 +188,13 @@ object Avi {
             if (handler != fourcc("MJPG") && handler != fourcc("mjpg"))
               throw new IOException(s"unsupported video codec '${fccName(handler)}' (only MJPG)")
             sawMjpg = true
+            // dwScale/dwRate are the stream's authoritative timing; the
+            // avih dwMicroSecPerFrame is derived (and often rounded or 0
+            // in foreign muxers) — prefer rate/scale when present
+            r.skip(12) // dwFlags, wPriority+wLanguage, dwInitialFrames
+            val scale = r.u32(); val rate = r.u32()
+            if (scale > 0 && rate > 0)
+              strhFps = math.round(rate.toDouble / scale).toInt
           }
           r.skip(next - r.buf.position())
         } else if (fcc == fourcc("strf")) {
@@ -234,7 +242,7 @@ object Avi {
       throw new IOException(s"frame count mismatch: avih says $totalFrames, movi has ${fs.length}")
     if (idxEntries >= 0 && idxEntries != fs.length)
       throw new IOException(s"idx1 has $idxEntries entries for ${fs.length} frames")
-    Video(width, height, fps, fs)
+    Video(width, height, if (strhFps > 0) strhFps else fps, fs)
   }
 
   /** Decode the container AND every frame's pixels (real T.81 decode). */

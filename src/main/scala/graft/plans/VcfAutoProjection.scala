@@ -130,6 +130,11 @@ object VcfAutoProjection extends Rule[LogicalPlan] {
           if (gasf.field.name == "fields") bail(taint(a.exprId).rel)
         case other => scanExpr(other)
       }
+      // null checks read no map VALUES — whitelisting them keeps the
+      // derivation independent of whether InferFiltersFromConstraints has
+      // already synthesized IsNotNull guards when this rule runs
+      case IsNotNull(_: AttributeReference) => ()
+      case IsNull(_: AttributeReference) => ()
       case a: AttributeReference if taint.contains(a.exprId) =>
         bail(taint(a.exprId).rel) // bare tainted reference in an unhandled shape
       case other => other.children.foreach(scanExpr)

@@ -19,14 +19,27 @@ package graft.queries
   */
 object Fixtures {
   @volatile var reuseEnabled: Boolean = false
-  private val written = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val written =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[Unit]]()
 
   def ensure(path: String)(write: => Unit): Unit = {
     if (!reuseEnabled) { write; return }
-    // computeIfAbsent runs the write atomically per key: concurrent callers
-    // block rather than double-write, and an exception leaves the key
-    // unmapped (write-before-mark exception safety preserved).
-    written.computeIfAbsent(path, _ => { write; java.lang.Boolean.TRUE })
+    // The map operation only MEMOIZES a future (cheap, contract-safe for
+    // computeIfAbsent); the multi-second Spark write runs OUTSIDE the map
+    // bin lock, so a fixture whose write builds another fixture nests
+    // fine and unrelated keys hashing to the same bin never block behind
+    // it. First caller runs the write; concurrent callers for the same
+    // path await it; a failure removes the entry (write-before-mark
+    // exception safety) and rethrows to every waiter.
+    val fresh = new java.util.concurrent.CompletableFuture[Unit]()
+    val prior = written.putIfAbsent(path, fresh)
+    if (prior == null) {
+      try fresh.complete(write)
+      catch { case t: Throwable => written.remove(path, fresh); fresh.completeExceptionally(t); throw t }
+    } else {
+      try prior.join()
+      catch { case e: java.util.concurrent.CompletionException => throw e.getCause }
+    }
   }
 
   /** Test hook: drop the memo so a suite can exercise both branches. */

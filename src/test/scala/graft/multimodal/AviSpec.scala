@@ -67,6 +67,18 @@ class AviSpec extends AnyFunSuite {
     assert(v.frames.length == 3 && frames.length == 3)
   }
 
+  test("fps prefers strh dwRate/dwScale; avih usec=0 or rounded usec still decode") {
+    val avi = Avi.encodeGrayFrames(16, 16, 30, grayValue(3L), 2)
+    // avih dwMicroSecPerFrame sits at byte 32 (RIFF 12 + LIST hdr 12 + avih hdr 8);
+    // a foreign muxer writing usec=0 (or a rounded 33333 for 30fps) must not
+    // zero/skew the rate — strh dwScale=1/dwRate=30 is authoritative
+    for (usec <- Seq(0, 33333)) {
+      val patched = avi.clone()
+      ByteBuffer.wrap(patched).order(ByteOrder.LITTLE_ENDIAN).putInt(32, usec)
+      assert(Avi.decode(patched).fps == 30, s"usec=$usec")
+    }
+  }
+
   test("truncated file fails loudly") {
     val avi = Avi.encodeGrayFrames(16, 16, 10, grayValue(1L), 4)
     intercept[IOException](Avi.decode(avi.take(avi.length - 10)))

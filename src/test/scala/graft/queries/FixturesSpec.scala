@@ -61,6 +61,28 @@ class FixturesSpec extends AnyFunSuite {
     }
   }
 
+  test("nested ensure (a fixture whose write builds another fixture) completes") {
+    // the round-14 computeIfAbsent form ran the write INSIDE the map
+    // operation: a same-thread nested ensure violated the compute contract
+    // (IllegalStateException / livelock on bin collision). The future-memo
+    // form runs writes outside the map, so nesting is plain recursion.
+    Fixtures.reset()
+    val prev = Fixtures.reuseEnabled
+    Fixtures.reuseEnabled = true
+    try {
+      val writes = new AtomicInteger(0)
+      Fixtures.ensure("/tmp/fixtures-spec-outer") {
+        writes.incrementAndGet()
+        Fixtures.ensure("/tmp/fixtures-spec-inner")(writes.incrementAndGet())
+      }
+      Fixtures.ensure("/tmp/fixtures-spec-inner")(writes.incrementAndGet())
+      assert(writes.get() == 2)
+    } finally {
+      Fixtures.reuseEnabled = prev
+      Fixtures.reset()
+    }
+  }
+
   test("reuse disabled: every call writes") {
     Fixtures.reset()
     val prev = Fixtures.reuseEnabled
