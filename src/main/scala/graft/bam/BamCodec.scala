@@ -21,8 +21,29 @@ import graft.bgzf.BgzfInputStream
 // unequal if the mask were ever cached or used in plan equality
 final case class BamFieldMask(cigarAndEnd: Boolean, seq: Boolean, qual: Boolean, attrs: Boolean,
                               tagCols: IndexedSeq[String] = Vector.empty,
-                              name: Boolean = true)
-    extends Serializable
+                              name: Boolean = true,
+                              /** `Some(keys)`: the `attributes` MAP is wanted but only
+                                * these tag keys populate it — the walk decodes them
+                                * selectively and byte-skips everything else (the
+                                * `attrKeys` option / auto-projection rule). `None`
+                                * with `attrs = true` is the full self-describing walk.
+                                */
+                              attrKeys: Option[IndexedSeq[String]] = None)
+    extends Serializable {
+  /** Masked-map mode: the attributes map is wanted but key-restricted. */
+  def attrsMasked: Boolean = attrs && attrKeys.isDefined
+  /** Tags the masked walk must surface: the map's keys plus any typed-tag
+    * columns (whose getters pick from the same decoded superset). The row
+    * layer filters the map back down to `attrKeys`.
+    */
+  @transient lazy val maskedWanted: IndexedSeq[String] =
+    (attrKeys.getOrElse(Vector.empty) ++ tagCols).distinct
+  /** [[maskedWanted]] plus CG, for records that might carry a spilled
+    * ultralong CIGAR the decode has to reconstitute.
+    */
+  @transient lazy val maskedWantedCg: IndexedSeq[String] =
+    if (maskedWanted.contains("CG")) maskedWanted else maskedWanted :+ "CG"
+}
 
 object BamFieldMask {
   val All = BamFieldMask(cigarAndEnd = true, seq = true, qual = true, attrs = true)
@@ -197,7 +218,14 @@ object BamCodec {
     // tag bytes are decoded just for this rare record shape; when it wants
     // attributes but not the cigar, the internal CG tag is still stripped.
     val mightBeSpilled = rawSentinel
-    val attrs0 = if (mask.attrs || (mightBeSpilled && mask.cigarAndEnd)) decodeTags(bb) else null
+    val attrs0 =
+      if (mask.attrsMasked) {
+        // key-masked map: wanted tags decode, everything else byte-skips —
+        // same walk the typed-tag projection uses, rendered into a Map
+        decodeTagsSelected(bb,
+          if (mightBeSpilled && mask.cigarAndEnd) mask.maskedWantedCg else mask.maskedWanted)
+      }
+      else if (mask.attrs || (mightBeSpilled && mask.cigarAndEnd)) decodeTags(bb) else null
     // typed-tag projection: when only tag columns are requested, walk the
     // self-describing tag region selectively (skip unrequested values, stop
     // when all found); when the full map was decoded anyway, pick from it
@@ -247,6 +275,25 @@ object BamCodec {
       seq = if (!mask.seq) null else if (lSeq == 0) "*" else seqStr,
       qual = qual,
       attributes = attrs)
+  }
+
+  /** Key-masked map decode: [[decodeSelectedTags]]'s walk, collected into
+    * the `tag -> "T:value"` Map shape [[decodeTags]] produces — only the
+    * `wanted` keys are ever rendered; unrequested tag values are byte-
+    * skipped and the walk stops once every wanted tag is found.
+    */
+  private[bam] def decodeTagsSelected(bb: ByteBuffer,
+                                      wanted: IndexedSeq[String]): Map[String, String] = {
+    if (wanted.isEmpty) return Map.empty
+    val out = new Array[String](wanted.length)
+    decodeSelectedTags(bb, wanted, out)
+    val m = Map.newBuilder[String, String]
+    var i = 0
+    while (i < wanted.length) {
+      if (out(i) != null) m += wanted(i) -> out(i)
+      i += 1
+    }
+    m.result()
   }
 
   /** Selective tag decode: walk the self-describing tag region, rendering

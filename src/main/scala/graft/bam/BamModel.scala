@@ -144,16 +144,38 @@ object RecordToRow {
 
   /** `tagCols`/`tagHolder`: the reader's requested-tag names (sorted, as in
     * BamFieldMask) and the per-record value slots the codec fills.
+    * `attrKeys`: key-masked `attributes` projection — the record's decoded
+    * map may carry a SUPERSET (typed-tag columns pick from it too); the
+    * emitted map column is filtered back down to exactly these keys.
     */
-  def getters(required: StructType, tagCols: IndexedSeq[String], tagHolder: Array[String])
+  def getters(required: StructType, tagCols: IndexedSeq[String], tagHolder: Array[String],
+              attrKeys: Option[Set[String]] = None)
   : Array[AlignmentRecord => Any] =
     required.fields.map[AlignmentRecord => Any] { f =>
       if (f.name.startsWith("tag_")) {
         val idx = tagCols.indexOf(f.name.substring(4))
         require(idx >= 0, s"tag column ${f.name} missing from the decode mask")
         tagGetter(idx, tagHolder, f.dataType)
+      } else if (f.name == "attributes" && attrKeys.isDefined) {
+        val ks = attrKeys.get
+        r => if (r.attributes == null) null
+             else attrsToMapData(r.attributes, ks)
       } else baseGetter(f.name)
     }
+
+  private def attrsToMapData(attrs: Map[String, String], keep: Set[String]): ArrayBasedMapData = {
+    var n = 0
+    attrs.foreach { case (k, _) => if (keep.contains(k)) n += 1 }
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    var i = 0
+    attrs.foreach { case (k, v) =>
+      if (keep.contains(k)) {
+        keys(i) = UTF8String.fromString(k); vals(i) = UTF8String.fromString(v); i += 1
+      }
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
 
   private def baseGetter(name: String): AlignmentRecord => Any =
     name match {

@@ -58,7 +58,15 @@ final class BitWriter {
   * inflated (the whole point of the record-level field projection) — so
   * resolved buffers are memoized here.
   */
-final class ExtStreams(resolve: Int => Option[Array[Byte]]) {
+final class ExtStreams(resolve: Int => Option[Array[Byte]],
+                       /** Test seam: observes every byte-array VALUE
+                         * materialization (length) on the external-stream read
+                         * paths, so a spec can prove consumed-but-unwanted
+                         * values are position-skipped, never copied. Reader-
+                         * local (one ExtStreams per slice decode) — null in
+                         * production, a plain field read in the hot loop.
+                         */
+                       private[cram] val probe: Int => Unit = null) {
   def this(blocks: Map[Int, Array[Byte]]) = this(blocks.get _)
 
   private val cache = scala.collection.mutable.Map.empty[Int, Array[Byte]]
@@ -97,8 +105,7 @@ final class ExtStreams(resolve: Int => Option[Array[Byte]]) {
       throw new IOException(
         f"CRAM external block $cid missing stop byte 0x$stop%02x (read from $p, block length ${b.length})")
     pos(cid) = q + 1 // consume the stop byte
-    val h = ExtStreams.materializeProbe
-    if (h != null) h(q - p)
+    if (probe != null) probe(q - p)
     java.util.Arrays.copyOfRange(b, p, q)
   }
 
@@ -124,14 +131,6 @@ final class ExtStreams(resolve: Int => Option[Array[Byte]]) {
       throw new IOException(s"CRAM external block $cid exhausted (skip $n at $p of ${b.length})")
     pos(cid) = p + n
   }
-}
-
-object ExtStreams {
-  /** Test hook: observes every byte-array VALUE materialization (length) on
-    * the external-stream read paths, so a spec can prove consumed-but-
-    * unwanted values are position-skipped, never copied. Null in production.
-    */
-  @volatile private[graft] var materializeProbe: Int => Unit = null
 }
 
 /** One parsed encoding = a value codec. Series types decide which read is
@@ -251,8 +250,7 @@ final case class CByteArrayLen(lenCodec: CCodec, valCodec: CCodec) extends CCode
   override def readArray(bits: BitReader, ext: ExtStreams): Array[Byte] = {
     val n = lenCodec.readInt(bits, ext)
     if (n < 0) throw new IOException(s"negative byte array length $n")
-    val h = ExtStreams.materializeProbe
-    if (h != null) h(n)
+    if (ext.probe != null) ext.probe(n)
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) { out(i) = valCodec.readByte(bits, ext).toByte; i += 1 }

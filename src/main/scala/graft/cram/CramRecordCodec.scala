@@ -323,9 +323,10 @@ object CramRecordCodec {
   def decodeSlice(ch: CompHeader, sh: SliceHeader, core: Array[Byte],
                   ext: Map[Int, LazyBlock], header: SamHeader,
                   refs: CramRefSource,
-                  mask: graft.bam.BamFieldMask): Iterator[AlignmentRecord] = {
+                  mask: graft.bam.BamFieldMask,
+                  probe: Int => Unit = null): Iterator[AlignmentRecord] = {
     val bits = new BitReader(core)
-    val streams = new ExtStreams(cid => ext.get(cid).map(_.data))
+    val streams = new ExtStreams(cid => ext.get(cid).map(_.data), probe)
     val sub = buildSubMatrix(ch.subMatrix)
     val rgIds = readGroupIds(header.text)
 
@@ -351,18 +352,26 @@ object CramRecordCodec {
     }
     // typed-tag projection (tagColumns): a requested tag decodes even when
     // the attributes map is pruned — its value lands in the (restricted)
-    // attrs list the reader's tag getters pick from
+    // attrs list the reader's tag getters pick from. With a key-masked map
+    // (attrKeys option / auto-projection), the wanted set is attrKeys plus
+    // any typed-tag columns; the row layer filters the map down to attrKeys.
     val wantTagNames: Set[String] = mask.tagCols.toSet
-    def tagWanted(tag: String): Boolean = wantAttrs || wantTagNames.contains(tag)
-    val activeTagCodecs: Iterable[CCodec] =
-      if (wantAttrs) ch.tagCodecs.values
-      else if (wantTagNames.isEmpty) Nil
-      else ch.tagDict.flatten.distinct.collect {
-        case (tag, typ) if wantTagNames.contains(tag) =>
+    // None = every tag is wanted (full map); Some(s) = only these decode
+    val tagWantedSet: Option[Set[String]] =
+      if (wantAttrs && mask.attrKeys.isEmpty) None
+      else if (wantAttrs) Some(mask.attrKeys.get.toSet ++ wantTagNames)
+      else Some(wantTagNames)
+    def tagWanted(tag: String): Boolean = tagWantedSet.forall(_.contains(tag))
+    val activeTagCodecs: Iterable[CCodec] = tagWantedSet match {
+      case None => ch.tagCodecs.values
+      case Some(ws) if ws.isEmpty => Nil
+      case Some(ws) => ch.tagDict.flatten.distinct.collect {
+        case (tag, typ) if ws.contains(tag) =>
           val key = (tag.charAt(0).toInt << 16) | (tag.charAt(1).toInt << 8) | typ.toInt
           ch.tagCodecs.getOrElse(key,
             throw new IOException(s"tag codec missing for $tag:$typ"))
       }
+    }
     // Fixpoint closure over consumed codecs: a gated codec judged
     // NON-skippable is still CONSUMED (read + discarded), and its reads
     // advance every external stream it touches — so any OTHER gated codec
@@ -375,12 +384,13 @@ object CramRecordCodec {
       (ch.series.collect {
         case (k, c) if ((k == "QS" || k == "QQ") && !wantQual) || (k == "BA" && !wantSeq) ||
           (k == "RN" && !wantName) => c
-      } ++ (
-        if (wantAttrs) Nil
-        else ch.tagCodecs.collect {
-          case (key, c) if !wantTagNames.contains(
+      } ++ (tagWantedSet match {
+        case None => Nil
+        case Some(ws) => ch.tagCodecs.collect {
+          case (key, c) if !ws.contains(
             s"${((key >> 16) & 0xff).toChar}${((key >> 8) & 0xff).toChar}") => c
-        })).toSeq
+        }
+      })).toSeq
     val neededExt: Set[Int] = closeConsumedExt(
       (activeSeriesCodecs ++ activeTagCodecs).flatMap(_.extIds).toSet ++
         (if (wantSeq && sh.embeddedRefId >= 0) Set(sh.embeddedRefId) else Set.empty),
@@ -395,7 +405,7 @@ object CramRecordCodec {
     val readBA = wantSeq || !seriesSkippable("BA")
     val readRN = wantName || !seriesSkippable("RN")
     val tagSkippable: Int => Boolean =
-      if (wantAttrs) _ => false
+      if (tagWantedSet.isEmpty) _ => false
       else ch.tagCodecs.map { case (k, c) =>
         k -> (!c.usesCore && c.extIds.forall(id => !neededExt.contains(id)))
       }.withDefaultValue(false)

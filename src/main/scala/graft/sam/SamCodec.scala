@@ -52,8 +52,9 @@ object SamCodec {
   def fromLine(line: String, header: SamHeader, mask: graft.bam.BamFieldMask,
                tagOut: Array[String], strictTail: Boolean = false): AlignmentRecord = {
     if (tagOut != null) java.util.Arrays.fill(tagOut.asInstanceOf[Array[AnyRef]], null)
+    val fullAttrs = mask.attrs && !mask.attrsMasked
     val f =
-      if (mask.attrs) line.split('\t')
+      if (fullAttrs) line.split('\t')
       else {
         // capped split: mandatory fields + raw tag region. Java split drops
         // trailing empty fields; the capped form differs only when its tail
@@ -62,7 +63,7 @@ object SamCodec {
         if (f0.nonEmpty && f0.last.isEmpty) line.split('\t') else f0
       }
     require(f.length >= 11, s"bad SAM line (${f.length} fields)")
-    if (strictTail && !mask.attrs && f.length > 11) validateTail(f(11))
+    if (strictTail && !fullAttrs && f.length > 11) validateTail(f(11))
     val flags = f(1).toInt
     val contig = if (f(2) == "*") null else f(2)
     val start = f(3).toInt
@@ -75,6 +76,24 @@ object SamCodec {
     val refLen = if (cigar == "*") 0 else BamCodec.cigarRefLength(BamCodec.parseCigar(cigar))
     val attrs: Map[String, String] =
       if (!mask.attrs) null
+      else if (mask.attrsMasked) {
+        // key-masked map: boundary-scan the raw tail for exactly the wanted
+        // tags (attrKeys plus any typed-tag columns — the row layer filters
+        // the map back down to attrKeys); nothing else is materialized
+        val wanted = mask.maskedWanted
+        if (f.length <= 11 || wanted.isEmpty) Map.empty
+        else {
+          val tmp = new Array[String](wanted.length)
+          scanSelectedTags(f(11), wanted, tmp)
+          val b = Map.newBuilder[String, String]
+          var i = 0
+          while (i < wanted.length) {
+            if (tmp(i) != null) b += wanted(i) -> tmp(i)
+            i += 1
+          }
+          b.result()
+        }
+      }
       else f.iterator.drop(11).map { t =>
         // XO:i:5 → "XO" -> "i:5"
         val tag = t.substring(0, 2)

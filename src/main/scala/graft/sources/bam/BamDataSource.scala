@@ -85,6 +85,21 @@ private[sources] object TagCols {
   /** Base alignment schema + any requested tag columns. */
   def schemaWith(options: Map[String, String]): StructType =
     StructType(AlignmentRecord.schema.fields.toSeq ++ parse(options))
+
+  /** Key-masked `attributes` map (`.option("attrKeys", "NM,RG")`, or derived
+    * by the auto-projection rule from literal `element_at` keys): the column
+    * keeps its map type, but ONLY these tags populate it — the record's
+    * self-describing tag walk decodes them selectively and byte-skips every
+    * other value (and on CRAM, blocks exclusively backing unrequested tags
+    * are never inflated). Schema-invisible, unlike `tagColumns`.
+    */
+  def attrKeys(options: Map[String, String]): Option[IndexedSeq[String]] =
+    options.get("attrkeys").map { spec =>
+      val keys = spec.split(",").iterator.map(_.trim).filter(_.nonEmpty).toVector.distinct.sorted
+      keys.foreach(k => require(k.length == 2 && k.forall(_.isLetterOrDigit),
+        s"attrKeys: '$k' is not a two-character SAM tag"))
+      keys
+    }
 }
 
 class BamTable(properties: Map[String, String]) extends Table with SupportsRead with SupportsWrite {
@@ -520,7 +535,7 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
-    new BamPartitionReaderFactory(conf, required)
+    new BamPartitionReaderFactory(conf, required, TagCols.attrKeys(options))
   }
 }
 
@@ -537,17 +552,19 @@ case class BamInputPartition(
   override def preferredLocations(): Array[String] = hosts
 }
 
-class BamPartitionReaderFactory(conf: SerializableConf, required: StructType)
+class BamPartitionReaderFactory(conf: SerializableConf, required: StructType,
+                                attrKeys: Option[IndexedSeq[String]] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new BamPartitionReader(partition.asInstanceOf[BamInputPartition], conf, required)
+    new BamPartitionReader(partition.asInstanceOf[BamInputPartition], conf, required, attrKeys)
 }
 
 /** Executor-side reader: boundary search then sequential decode, exactly the
   * reference's executor phases 4–5 (BamSource.getFirstReadInPartition:115-158,
   * AbstractBinarySamSource.getReads:61-135) with decode pruned to `required`.
   */
-class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required: StructType)
+class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required: StructType,
+                         attrKeys: Option[IndexedSeq[String]] = None)
     extends PartitionReader[InternalRow] {
 
   private val input = HadoopIO.open(new Path(p.file), conf.conf)
@@ -555,10 +572,12 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
   private val mask = {
     val cols = required.fieldNames.toSet
     val m0 = BamFieldMask.fromColumns(cols)
-    val m = if (needFilter) m0.copy(cigarAndEnd = true) else m0 // interval test needs end
+    val m1 = if (needFilter) m0.copy(cigarAndEnd = true) else m0 // interval test needs end
     // pairAware run-tracking compares consecutive readNames, so the name
     // must decode even when the column is pruned from the projection
-    if (p.pairAware) m.copy(name = true) else m
+    val m = if (p.pairAware) m1.copy(name = true) else m1
+    // key-masked attributes map: only meaningful when the map is wanted
+    if (m.attrs && attrKeys.isDefined) m.copy(attrKeys = attrKeys) else m
   }
   private val stream = new graft.bgzf.BgzfInputStream(input)
   private var currentRow: InternalRow = _
@@ -630,7 +649,7 @@ class BamPartitionReader(p: BamInputPartition, conf: SerializableConf, required:
   // the codec on each decode and read by the tag_ column getters
   private val tagHolder = new Array[String](mask.tagCols.length)
   private val fieldGetters: Array[AlignmentRecord => Any] =
-    RecordToRow.getters(required, mask.tagCols, tagHolder)
+    RecordToRow.getters(required, mask.tagCols, tagHolder, mask.attrKeys.map(_.toSet))
 
   private def keep(r: AlignmentRecord): Boolean = p.intervals match {
     case None => true

@@ -507,11 +507,12 @@ class CramScan(options: Map[String, String], required: StructType,
       val ivs = recordIntervals
       val keepUnm = unplacedUnmapped
       val fasta = options.get("fasta")
+      val ak = graft.sources.bam.TagCols.attrKeys(options)
       (partition: InputPartition) => partition match {
         case p: CramInputPartition =>
-          capped(new CramRecordsPartitionReader(p.file, Left(p.offsets), p.pred, ivs, keepUnm, fasta, conf, req, mode))
+          capped(new CramRecordsPartitionReader(p.file, Left(p.offsets), p.pred, ivs, keepUnm, fasta, conf, req, mode, ak))
         case p: CramRangePartition =>
-          capped(new CramRecordsPartitionReader(p.file, Right((p.start, p.end)), p.pred, ivs, keepUnm, fasta, conf, req, mode))
+          capped(new CramRecordsPartitionReader(p.file, Right((p.start, p.end)), p.pred, ivs, keepUnm, fasta, conf, req, mode, ak))
         case other => throw new IllegalArgumentException(s"unexpected partition $other")
       }
     } else (partition: InputPartition) => partition match {
@@ -675,7 +676,8 @@ class CramRecordsPartitionReader(
     file: String, plan: Either[Array[Long], (Long, Long)],
     pred: Option[ContainerPredicate], intervals: Option[Seq[GenomicInterval]],
     unplacedUnmapped: Boolean, fastaPath: Option[String],
-    conf: SerializableConf, required: StructType, mode: Stringency)
+    conf: SerializableConf, required: StructType, mode: Stringency,
+    attrKeys: Option[IndexedSeq[String]] = None)
     extends PartitionReader[InternalRow] {
 
   private val input = HadoopIO.open(new Path(file), conf.conf)
@@ -696,9 +698,16 @@ class CramRecordsPartitionReader(
   // (cigar/end always decode: the features that carry them are never gated).
   // tag_XX columns (tagColumns option) decode ONLY those tags — a
   // requested tag's block inflates, every other tag block stays compressed.
-  private val fieldMask = graft.bam.BamFieldMask.fromColumns(required.fieldNames.toSet)
+  // key-masked attributes map (attrKeys): wanted tags decode (their blocks
+  // inflate), everything else is skipped/gated exactly like the tagColumns
+  // path; the row layer filters the decoded superset back down to attrKeys
+  private val fieldMask = {
+    val m = graft.bam.BamFieldMask.fromColumns(required.fieldNames.toSet)
+    if (m.attrs && attrKeys.isDefined) m.copy(attrKeys = attrKeys) else m
+  }
   private val tagHolder = new Array[String](fieldMask.tagCols.length)
-  private val getters = RecordToRow.getters(required, fieldMask.tagCols, tagHolder)
+  private val getters =
+    RecordToRow.getters(required, fieldMask.tagCols, tagHolder, fieldMask.attrKeys.map(_.toSet))
   private val slog = new StringencyLog(s"cram ${file}")
 
   private var idxI = 0 // Left route: next index into the offsets array

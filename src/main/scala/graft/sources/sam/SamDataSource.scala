@@ -137,8 +137,9 @@ class SamScan(options: Map[String, String], required: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = new SerializableConf(SparkSession.active.sessionState.newHadoopConf())
     val req = required
+    val ak = TagCols.attrKeys(options)
     (partition: InputPartition) => new SamPartitionReader(
-      partition.asInstanceOf[SamInputPartition], conf, req)
+      partition.asInstanceOf[SamInputPartition], conf, req, ak)
   }
 }
 
@@ -151,15 +152,20 @@ case class SamInputPartition(file: String, splitStart: Long, splitEnd: Long,
   override def preferredLocations(): Array[String] = hosts
 }
 
-class SamPartitionReader(p: SamInputPartition, conf: SerializableConf, required: StructType)
+class SamPartitionReader(p: SamInputPartition, conf: SerializableConf, required: StructType,
+                         attrKeys: Option[IndexedSeq[String]] = None)
     extends PartitionReader[InternalRow] {
   private val input = HadoopIO.open(new Path(p.file), conf.conf)
   private val lines = SplitTextReader.lines(input, p.splitStart, p.splitEnd, bgzf = false)
   // column-pruned decode mask: tag_XX columns drive the selective tail
-  // scan, and a projection without `attributes` skips the per-tag split
-  private val mask = BamFieldMask.fromColumns(required.fieldNames.toSet)
+  // scan, a projection without `attributes` skips the per-tag split, and a
+  // key-masked map (attrKeys) boundary-scans the tail for just those tags
+  private val mask = {
+    val m = BamFieldMask.fromColumns(required.fieldNames.toSet)
+    if (m.attrs && attrKeys.isDefined) m.copy(attrKeys = attrKeys) else m
+  }
   private val tagHolder = new Array[String](mask.tagCols.length)
-  private val getters = RecordToRow.getters(required, mask.tagCols, tagHolder)
+  private val getters = RecordToRow.getters(required, mask.tagCols, tagHolder, mask.attrKeys.map(_.toSet))
   private var currentRow: InternalRow = _
   private val slog = new graft.sources.StringencyLog(s"${p.file} [${p.splitStart}, ${p.splitEnd})")
 

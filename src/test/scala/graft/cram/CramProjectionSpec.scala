@@ -224,11 +224,9 @@ class CramProjectionSpec extends AnyFunSuite with SparkFixture {
     // materialization probe: consumed XM/XN must be POSITION-skipped — only
     // the wanted XA values (5 bytes x 5 records) are ever copied
     var materialized = 0L
-    ExtStreams.materializeProbe = materialized += _
-    val recs =
-      try CramRecordCodec.decodeSlice(ch, sh, Array.emptyByteArray, ext,
-        SamHeader("@HD\tVN:1.6\n", Vector.empty), null, mask).toVector
-      finally ExtStreams.materializeProbe = null
+    val recs = CramRecordCodec.decodeSlice(ch, sh, Array.emptyByteArray, ext,
+      SamHeader("@HD\tVN:1.6\n", Vector.empty), null, mask,
+      probe = materialized += _).toVector
     assert(recs.length == n)
     recs.zipWithIndex.foreach { case (r, i) =>
       assert(r.attributes == Map("XA" -> s"Z:aval$i"),
