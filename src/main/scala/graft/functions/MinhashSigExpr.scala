@@ -113,9 +113,10 @@ object MinhashSigExpr {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // option-free FORMAT/INFO-key projection for the VCF source (runs in the
-    // operator-optimization fixpoint, before V2 pushdown builds the scan)
-    ext.injectOptimizerRule(_ => graft.plans.VcfAutoProjection)
+    // option-free map-key projection for the graft sources (VCF FORMAT/INFO,
+    // reads-format attributes; runs in the operator-optimization fixpoint,
+    // before V2 pushdown builds the scan)
+    ext.injectOptimizerRule(_ => graft.plans.AutoProjection)
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinhashSigExpr].getName, "graft_minhash_sig"),

@@ -10,23 +10,31 @@ import org.apache.spark.sql.types.{MapType, StringType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
+import graft.sources.bam.BamTable
+import graft.sources.cram.CramTable
+import graft.sources.sam.SamTable
 import graft.sources.vcf.VcfTable
 
-/** Option-free FORMAT/INFO-key projection for the VCF source.
+/** Option-free map-key projection for the graft sources.
   *
   * Catalyst's nested-column pruning handles struct FIELDS (`genotypes[i].gt`)
   * but cannot prune MAP keys — `element_at(g.fields, "DP")` reaches the scan
-  * as "needs the whole fields map", forcing a full per-sample FORMAT decode.
-  * Round 13 added `.option("formatFields", ...)`/`.option("infoFields", ...)`
-  * with a proven value-identical masked decode; this rule makes that win
-  * automatic (the reference's lazy-decode posture, VcfSource.java:104-116, is
-  * option-free too): it walks the plan above each VCF relation, and when
-  * EVERY use of the `fields`/`info` maps is a literal-key lookup and the map
-  * itself never escapes (not in the plan output, no non-lookup consumer, no
-  * flow into a node type that could smuggle it under fresh attribute ids),
-  * it rewrites the relation's options with the derived key list. Any shape
-  * the analysis cannot positively account for bails to the full decode —
-  * wrong results are impossible, only the optimization is lost.
+  * as "needs the whole fields map", forcing a full per-sample FORMAT decode;
+  * likewise `element_at(attributes, "NM")` on the reads formats forces the
+  * full self-describing tag walk (and on CRAM, inflates every tag block).
+  * The masked decodes exist behind explicit options with proven
+  * value-identical semantics — `formatFields`/`infoFields` on VCF (round 13)
+  * and `attrKeys` on BAM/SAM/CRAM (round 15) — and this rule makes those
+  * wins automatic (the reference's lazy-decode posture, VcfSource.java:104-116
+  * and AbstractSamSource.java:66-69, is option-free too): it walks the plan
+  * above each graft relation, and when EVERY use of the projectable map
+  * (`fields`/`info` on VCF, `attributes` on BAM/SAM/CRAM) is a literal-key
+  * lookup and the map itself never escapes (not in the plan output, no
+  * non-lookup consumer, no flow into a node type that could smuggle it under
+  * fresh attribute ids), it rewrites the relation's options with the derived
+  * key list. Any shape the analysis cannot positively account for bails to
+  * the full decode — wrong results are impossible, only the optimization is
+  * lost.
   *
   * Runs in the operator-optimization fixpoint (before V2 pushdown builds the
   * scan). Idempotent: a derivation only fires when the option is absent, and
@@ -34,12 +42,13 @@ import graft.sources.vcf.VcfTable
   * the same keys and leave the plan untouched. User-provided options always
   * win; `.option("autoProjection", "false")` disables the rule per read.
   */
-object VcfAutoProjection extends Rule[LogicalPlan] {
+object AutoProjection extends Rule[LogicalPlan] {
 
-  private final val GenoArray = 0 // the genotypes array<struct> column
+  private final val GenoArray = 0 // the VCF genotypes array<struct> column
   private final val GenoStruct = 1 // one exploded genotype struct
-  private final val FieldsMap = 2 // the per-sample FORMAT map
-  private final val InfoMap = 3 // the INFO map
+  private final val FieldsMap = 2 // the per-sample FORMAT map (VCF)
+  private final val InfoMap = 3 // the INFO map (VCF)
+  private final val AttrMap = 4 // the attributes tag map (BAM/SAM/CRAM)
 
   private final case class Taint(rel: Int, kind: Int)
 
@@ -47,25 +56,39 @@ object VcfAutoProjection extends Rule[LogicalPlan] {
     var bailed = false
     val formatKeys = mutable.LinkedHashSet.empty[String]
     val infoKeys = mutable.LinkedHashSet.empty[String]
+    val attrKeys = mutable.LinkedHashSet.empty[String]
+  }
+
+  private def projectableTable(t: AnyRef): Boolean = t match {
+    case _: VcfTable | _: BamTable | _: SamTable | _: CramTable => true
+    case _ => false
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val rels = mutable.ArrayBuffer.empty[RelState]
     val taint = mutable.Map.empty[ExprId, Taint]
 
-    // seed taint from every VCF relation's output (leaves visited first)
+    // seed taint from every graft relation's output (leaves visited first)
     plan.foreach {
-      case r: DataSourceV2Relation if r.table.isInstanceOf[VcfTable] &&
+      case r: DataSourceV2Relation if projectableTable(r.table) &&
           r.options.getOrDefault("autoprojection", "true") != "false" =>
         val idx = rels.length
         rels += new RelState(r)
-        r.output.foreach { a =>
-          a.name match {
-            case "genotypes" => taint(a.exprId) = Taint(idx, GenoArray)
-            case "info" if a.dataType.isInstanceOf[MapType] =>
-              taint(a.exprId) = Taint(idx, InfoMap)
-            case _ =>
-          }
+        r.table match {
+          case _: VcfTable =>
+            r.output.foreach { a =>
+              a.name match {
+                case "genotypes" => taint(a.exprId) = Taint(idx, GenoArray)
+                case "info" if a.dataType.isInstanceOf[MapType] =>
+                  taint(a.exprId) = Taint(idx, InfoMap)
+                case _ =>
+              }
+            }
+          case _ => // reads formats: the self-describing tag map
+            r.output.foreach { a =>
+              if (a.name == "attributes" && a.dataType.isInstanceOf[MapType])
+                taint(a.exprId) = Taint(idx, AttrMap)
+            }
         }
       case _ =>
     }
@@ -73,31 +96,37 @@ object VcfAutoProjection extends Rule[LogicalPlan] {
 
     def bail(rel: Int): Unit = rels(rel).bailed = true
 
-    def addFormatKey(rel: Int, k: String): Unit =
-      if (k.nonEmpty && k.forall(_.isLetterOrDigit)) rels(rel).formatKeys += k
-      else bail(rel) // key outside the option grammar: fall back to full decode
-
-    def addInfoKey(rel: Int, k: String): Unit =
-      if (k.nonEmpty && k.forall(c => c.isLetterOrDigit || c == '_' || c == '.'))
-        rels(rel).infoKeys += k
-      else bail(rel)
+    def addKey(rel: Int, kind: Int, k: String): Unit = kind match {
+      case FieldsMap =>
+        if (k.nonEmpty && k.forall(_.isLetterOrDigit)) rels(rel).formatKeys += k
+        else bail(rel) // key outside the option grammar: fall back to full decode
+      case InfoMap =>
+        if (k.nonEmpty && k.forall(c => c.isLetterOrDigit || c == '_' || c == '.'))
+          rels(rel).infoKeys += k
+        else bail(rel)
+      case AttrMap =>
+        // the attrKeys option grammar (TagCols.attrKeys) demands a
+        // two-character SAM tag; anything else bails rather than mask
+        if (k.length == 2 && k.forall(_.isLetterOrDigit)) rels(rel).attrKeys += k
+        else bail(rel)
+    }
 
     def literalKey(e: Expression): Option[String] = e match {
       case Literal(s: UTF8String, StringType) => Some(s.toString)
       case _ => None
     }
 
-    // is `m` a recognized reference to a tainted fields/info map?
-    // returns (relIdx, isFieldsMap)
-    def mapTarget(m: Expression): Option[(Int, Boolean)] = m match {
+    // is `m` a recognized reference to a tainted projectable map?
+    // returns (relIdx, mapKind)
+    def mapTarget(m: Expression): Option[(Int, Int)] = m match {
       case a: AttributeReference => taint.get(a.exprId).collect {
-        case Taint(rel, FieldsMap) => (rel, true)
-        case Taint(rel, InfoMap) => (rel, false)
+        case Taint(rel, kind) if kind == FieldsMap || kind == InfoMap || kind == AttrMap =>
+          (rel, kind)
       }
       case gsf: GetStructField => gsf.child match {
         case a: AttributeReference if taint.get(a.exprId).exists(_.kind == GenoStruct) &&
             gsf.extractFieldName == "fields" =>
-          Some((taint(a.exprId).rel, true))
+          Some((taint(a.exprId).rel, FieldsMap))
         case _ => None
       }
       case _ => None
@@ -107,15 +136,15 @@ object VcfAutoProjection extends Rule[LogicalPlan] {
     // shape we don't positively recognize bails the relation to full decode
     def scanExpr(e: Expression): Unit = e match {
       case GetMapValue(m, k) if mapTarget(m).isDefined =>
-        val (rel, isFields) = mapTarget(m).get
+        val (rel, kind) = mapTarget(m).get
         literalKey(k) match {
-          case Some(key) => if (isFields) addFormatKey(rel, key) else addInfoKey(rel, key)
+          case Some(key) => addKey(rel, kind, key)
           case None => bail(rel)
         }
       case ea: ElementAt if mapTarget(ea.left).isDefined =>
-        val (rel, isFields) = mapTarget(ea.left).get
+        val (rel, kind) = mapTarget(ea.left).get
         literalKey(ea.right) match {
-          case Some(key) => if (isFields) addFormatKey(rel, key) else addInfoKey(rel, key)
+          case Some(key) => addKey(rel, kind, key)
           case None => bail(rel)
         }
       case gsf: GetStructField => gsf.child match {
@@ -198,10 +227,12 @@ object VcfAutoProjection extends Rule[LogicalPlan] {
         val opts = st.relation.options
         val addFmt = !opts.containsKey("formatfields") && st.formatKeys.nonEmpty
         val addInfo = !opts.containsKey("infofields") && st.infoKeys.nonEmpty
-        if (addFmt || addInfo) {
+        val addAttr = !opts.containsKey("attrkeys") && st.attrKeys.nonEmpty
+        if (addFmt || addInfo || addAttr) {
           val m = new java.util.HashMap[String, String](opts.asCaseSensitiveMap())
           if (addFmt) m.put("formatfields", st.formatKeys.toSeq.sorted.mkString(","))
           if (addInfo) m.put("infofields", st.infoKeys.toSeq.sorted.mkString(","))
+          if (addAttr) m.put("attrkeys", st.attrKeys.toSeq.sorted.mkString(","))
           rewrites.put(st.relation, new CaseInsensitiveStringMap(m))
         }
       }

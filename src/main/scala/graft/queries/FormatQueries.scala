@@ -860,7 +860,7 @@ object FormatQueries {
           map().cast(MapType(StringType, StringType, valueContainsNull = false))
             .as("fields"))).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      // no infoFields option: the VcfAutoProjection rule derives it from the
+      // no infoFields option: the AutoProjection rule derives it from the
       // literal element_at key below (option-free since round 14)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       back
@@ -874,7 +874,7 @@ object FormatQueries {
     // WIDE-FORMAT projection read — option-free FORMAT projection end-to-end
     // under the oracle: every genotype carries FIVE FORMAT keys
     // (GT:DP:GQ:AD:PL, the realistic caller payload) across 12 samples,
-    // and the query reads only GT + DP; the VcfAutoProjection rule derives
+    // and the query reads only GT + DP; the AutoProjection rule derives
     // formatFields=DP from the literal element_at key, so the GQ/AD/PL
     // values of every sample column are boundary-scanned, never
     // materialized (VcfFormatProjectionSpec proves the skip at codec
@@ -909,7 +909,7 @@ object FormatQueries {
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 12).map(geno): _*).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      // no formatFields option: the VcfAutoProjection rule derives DP from
+      // no formatFields option: the AutoProjection rule derives DP from
       // the literal element_at key below (GT rides the nested struct pruning)
       val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
       back.select(explode($"genotypes").as("g"))

@@ -287,7 +287,8 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
   override def description(): String = {
     val iv = options.get("intervals").map(i => s" intervals=$i").getOrElse("")
     val lim = if (limitHint >= 0) s" limit=$limitHint" else ""
-    s"graft-bam ${options.getOrElse("path", "")}$iv pushed=[${pushed.mkString(",")}]$lim"
+    val ak = TagCols.attrKeys(options).map(k => s" attrKeys=[${k.mkString(",")}]").getOrElse("")
+    s"graft-bam ${options.getOrElse("path", "")}$iv pushed=[${pushed.mkString(",")}]$lim$ak"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

@@ -327,7 +327,9 @@ class CramScan(options: Map[String, String], required: StructType,
       (if (records) " records" else "") +
       options.get("intervals").map(i => s" intervals=$i").getOrElse("") +
       (if (pushed.nonEmpty) s" pushed=[${pushed.mkString(",")}]" else "") +
-      (if (limitHint >= 0) s" limit=$limitHint" else "")
+      (if (limitHint >= 0) s" limit=$limitHint" else "") +
+      graft.sources.bam.TagCols.attrKeys(options)
+        .map(k => s" attrKeys=[${k.mkString(",")}]").getOrElse("")
 
   private def parsedIntervals: Option[Seq[GenomicInterval]] =
     options.get("intervals").map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))

@@ -84,7 +84,9 @@ class SamScan(options: Map[String, String], required: StructType,
   override def toBatch: Batch = this
   override def description(): String = {
     val lim = if (limitHint >= 0) s" limit=$limitHint" else ""
-    s"graft-sam ${options.getOrElse("path", "")} pushed=[${pushed.mkString(",")}]$lim"
+    val ak = graft.sources.bam.TagCols.attrKeys(options)
+      .map(k => s" attrKeys=[${k.mkString(",")}]").getOrElse("")
+    s"graft-sam ${options.getOrElse("path", "")} pushed=[${pushed.mkString(",")}]$lim$ak"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
