@@ -38,7 +38,7 @@ object CramRecordWriter {
     "RS" -> 20, "HC" -> 21, "PD" -> 22, "MQ" -> 23, "QS" -> 24, "BA" -> 25,
     "BS" -> 26)
 
-  private def tagCid(tag: String, typ: Char): Int =
+  private[cram] def tagCid(tag: String, typ: Char): Int =
     (tag.charAt(0).toInt << 16) | (tag.charAt(1).toInt << 8) | typ.toInt
 
   final case class Encoded(bytes: Array[Byte], refSeqId: Int, start: Int, span: Int,
@@ -76,9 +76,18 @@ object CramRecordWriter {
                       recordCounter: Long, refSource: CramRefSource,
                       wire: Int = 0, tok3Names: Boolean = false,
                       fqzQuals: Boolean = false,
-                      gzipLevel: Int = java.util.zip.Deflater.DEFAULT_COMPRESSION): Encoded = {
+                      gzipLevel: Int = java.util.zip.Deflater.DEFAULT_COMPRESSION,
+                      // FIXTURE KNOB (foreign-layout emulation, default off):
+                      // routes a tag series' (len,val) bytes into another
+                      // tag's external block, interleaved in record order —
+                      // the block-sharing shape htsjdk never emits but the
+                      // spec permits, which the reader's consumed-block
+                      // fixpoint must position-skip through. Production
+                      // writes never set it (distinct cids per tag).
+                      shareTagCids: Map[Int, Int] = Map.empty): Encoded = {
     require(records.nonEmpty, "empty CRAM container")
     val n = records.length
+    def remapCid(cid: Int): Int = shareTagCids.getOrElse(cid, cid)
     val ext = scala.collection.mutable.Map.empty[Int, java.io.ByteArrayOutputStream]
     def stream(cid: Int): java.io.ByteArrayOutputStream =
       ext.getOrElseUpdate(cid, new java.io.ByteArrayOutputStream())
@@ -165,7 +174,7 @@ object CramRecordWriter {
       putItf8("TL", lineOf(tagLines(i)))
       tagLines(i).foreach { case (tag, typ) =>
         val (_, bin) = CramTagValues.typedToBinary(r.attributes(tag))
-        val s = stream(tagCid(tag, typ))
+        val s = stream(remapCid(tagCid(tag, typ)))
         val lenB = Itf8.write(bin.length)
         s.write(lenB, 0, lenB.length)
         s.write(bin, 0, bin.length)
@@ -251,7 +260,7 @@ object CramRecordWriter {
       val key = tagCid(tag, typ)
       val kb = Itf8.write(key)
       tm.write(kb, 0, kb.length)
-      val enc = Encoding.byteArrayLenExternal(key)
+      val enc = Encoding.byteArrayLenExternal(remapCid(key))
       tm.write(enc, 0, enc.length)
     }
     val tmBody = Itf8.write(tagKeys.length) ++ tm.toByteArray

@@ -37,6 +37,35 @@ class AviSpec extends AnyFunSuite {
     }
   }
 
+  test("4:2:0 color MJPEG frames decode through the video path within the JPEG bound") {
+    // the gray lane is hash-exact (DC corner); this lane drives the
+    // SUBSAMPLED-CHROMA decode through Avi+Jpeg — smooth color gradients,
+    // per-frame phase shift, bounded error (JpegSpec's documented 4:2:0
+    // tolerance of 22 at q90)
+    val w = 48; val h = 32; val nf = 3
+    def framePx(fi: Int): Array[Int] = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val r = ((x + 4 * fi) * 255 / (w + 4 * (nf - 1) - 1))
+      val g = (y * 255 / (h - 1))
+      val b = (((x + y + 8 * fi) * 255) / (w + h + 8 * (nf - 1) - 2))
+      (r << 16) | (g << 8) | b
+    }
+    val payloads = (0 until nf).map(fi =>
+      Jpeg.encode(Jpeg.Image(w, h, framePx(fi)), quality = 90, subsample420 = true))
+    val avi = Avi.encode(w, h, 12, payloads)
+    val (v, frames) = Avi.decodePixels(avi)
+    assert(v.width == w && v.height == h && v.fps == 12 && frames.length == nf)
+    frames.zipWithIndex.foreach { case (img, fi) =>
+      val want = framePx(fi)
+      var maxErr = 0
+      for (i <- 0 until w * h; shift <- Seq(16, 8, 0)) {
+        val a = (want(i) >> shift) & 0xff; val b0 = (img.pixels(i) >> shift) & 0xff
+        maxErr = math.max(maxErr, math.abs(a - b0))
+      }
+      assert(maxErr <= 22, s"frame $fi: 4:2:0 maxErr=$maxErr through the video path")
+    }
+  }
+
   test("container round-trip preserves arbitrary (odd-length) frame payloads") {
     val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](9), Array.tabulate(257)(i => (i % 251).toByte))
     val avi = Avi.encode(8, 8, 25, frames)
