@@ -92,6 +92,22 @@ object Bench {
       } catch { case _: Throwable => (-1.0, -1.0) }
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
+    // per-run process-CPU seconds (JMX getProcessCpuTime delta): queries run
+    // serially, so the process-wide counter attributes to the in-flight
+    // query. This makes bench adjudication self-contained — on a contended
+    // host a query's WALL time balloons while its CPU time stays flat
+    // (the JVM simply isn't scheduled), whereas a real regression moves
+    // both. cpu_s > wall × cores is impossible; cpu_s ≈ wall × cores is a
+    // saturated parallel scan; cpu_s ≪ wall with a low host probe is the
+    // contention signature that previously needed isolation re-runs.
+    val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean if b.getProcessCpuTime >= 0 => Some(b)
+        case _ => None
+      }
+    def cpuNanos(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    val cpuSamples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
     // per-phase attribution: CONSTRUCTION time (for the round-trip queries
     // this is the eager sink write — BAM/CRAM/VCF encode + commit; for pure
     // reads it is plan building, milliseconds) vs EXECUTION time (the
@@ -109,6 +125,7 @@ object Bench {
     // median doesn't benefit from its own just-warmed caches
     for (_ <- 1 to runs; name <- names if !errors.contains(name)) {
       val fn = SparkEntry.queries(name)
+      val c0 = cpuNanos()
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
@@ -133,6 +150,7 @@ object Bench {
         hashes(name) = qh
         samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
         writeSamples(name) = ((t1 - t0) / 1e9) :: writeSamples(name)
+        if (c0 >= 0) cpuSamples(name) = ((cpuNanos() - c0) / 1e9) :: cpuSamples(name)
       } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
@@ -214,9 +232,16 @@ object Bench {
       val w = if (reuse && !writeIsOperator(n) && writeSamples(n).nonEmpty)
         writeSamples(n).max else median(writeSamples(n))
       val sc = scaffoldInMedian(n)
+      // cpu_s: median per-run process-CPU delta (wall spans it 1:cores) —
+      // the contention discriminator; -1 when the JMX bean is unavailable
+      val cpu = if (cpuSamples(n).nonEmpty) median(cpuSamples(n)) else -1.0
       s"${jstr(n)}:{\"write_s\":${r3(w)},\"read_s\":${r3(median(reads))}," +
-        s"\"scaffold_s\":${r3(scaffoldCold(n))},\"operator_s\":${r3(math.max(0.0, median(samples(n)) - sc))}}"
+        s"\"scaffold_s\":${r3(scaffoldCold(n))},\"operator_s\":${r3(math.max(0.0, median(samples(n)) - sc))}," +
+        s"\"cpu_s\":${r3(cpu)}}"
     }.mkString("{", ",", "}")
+    val cpuTotal = names.collect {
+      case n if cpuSamples(n).nonEmpty => median(cpuSamples(n))
+    }.sum
     val unstableJson = unstable.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val probeJson =
       s"""{"seq_write_mbps":${r3(probeWriteMbps)},"cached_read_mbps":${r3(probeReadMbps)}}"""
@@ -226,6 +251,7 @@ object Bench {
     // the one-time cold fixture cost — so value != operator_s + scaffold_s
     // by design, flagged by scaffold_amortized
     val line = s"""{"metric":"total","operator_s":${r3(operatorTotal)},"value":$total,"unit":"sec",""" +
+      s""""cpu_total_s":${r3(cpuTotal)},""" +
       s""""scaffold_s":${r3(scaffoldTotal)},"scaffold_amortized":$reuse,"queries":$qs,""" +
       s""""host_probe":$probeJson,""" +
       s""""spread":$spreadJson,"spread_max":${r3(spreadMax)},""" +
@@ -245,6 +271,7 @@ object Bench {
       (if (errors.size > 5) Seq(s""""errors_omitted":${errors.size - 5}""") else Nil))
       .mkString("{", ",", "}")
     val head = s"""{"metric":"total","operator_s":${r3(operatorTotal)},"value":${r3(total)},"unit":"sec","nq":${medians.count(_._2 >= 0)},""" +
+      s""""cpu_total_s":${r3(cpuTotal)},""" +
       s""""scaffold_s":${r3(scaffoldTotal)},"scaffold_amortized":$reuse,""" +
       s""""spread_max":${r3(spreadMax)},"host_probe":$probeJson,"runs":$runs,"errors":$errCompact,""" +
       s""""detail":"BENCH_OUT.json","sf":"$sfDir","queries":{"""
