@@ -3082,17 +3082,19 @@ object FormatQueries {
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/rg.bam"
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
-      // typed-tag projection: the reader decodes ONLY RG/NM/XC in the
-      // self-describing tag walk — no per-record attribute map is built,
-      // no "i:"-prefixed string parsing in the plan (the declared types
-      // surface long/string columns directly)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024)
-        .option("tagColumns", "RG:string,NM:int,XC:string").load(path)
+      // OPTION-FREE tag projection: the literal element_at keys below make
+      // the AutoProjection rule derive attrKeys=[NM,RG,XC] — the reader
+      // decodes ONLY those three in the self-describing tag walk and
+      // byte-skips the five other tags of the 8-tag aligner payload
+      // (AS/XS/MC/MD/ms). The typed-column variant of the same projection
+      // (.option("tagColumns", "RG:string,NM:int,XC:string")) remains the
+      // q_bam_bqsr_covariates read path.
+      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
       back
         .select(
-          $"tag_RG".as("read_group"),
-          $"tag_NM".as("nm"),
-          substring($"tag_XC", 1, 1).as("xc"))
+          substring(element_at($"attributes", "RG"), 3, 100).as("read_group"),
+          expr("cast(substring(element_at(attributes,'NM'),3,10) as int)").as("nm"),
+          substring(element_at($"attributes", "XC"), 3, 1).as("xc"))
         .groupBy($"read_group")
         .agg(count(lit(1)).as("n_reads"),
           sum($"nm").as("sum_nm"),
@@ -3101,26 +3103,26 @@ object FormatQueries {
         .orderBy($"read_group")
     },
 
-    // the SAME per-read-group rollup through the SAM TEXT path: tagColumns
-    // parity for format("sam") — requested tags are found by a boundary
-    // scan of the raw optional-column tail (SamCodec.scanSelectedTags),
-    // the five unrequested tags of the 8-tag aligner payload (AS/XS/MC/
-    // MD/XO) are never materialized, and no per-line attributes map is
-    // built. Identical oracle to the BAM twin, so a divergence between
-    // the binary tag walk and the text tag scan hash-mismatches here.
+    // the SAME per-read-group rollup through the SAM TEXT path, also
+    // option-free: the derived attrKeys=[NM,RG,XC] mask makes the raw
+    // optional-column tail boundary-scan (SamCodec.scanSelectedTags) find
+    // the three wanted tags and never materialize the five others.
+    // Identical oracle to the BAM twin, so a divergence between the
+    // binary tag walk and the text tag scan hash-mismatches here. (The
+    // explicit typed-column projection for SAM stays spec-covered:
+    // AttrKeysSpec / TagProjectionSpec.)
     "q_sam_rg_error_rate" -> { (s, d) =>
       import s.implicits._
       val reads = rgTagReads(s, d)
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/rg.sam"
       spread(reads).write.format("sam").mode("overwrite")
         .option("refs", Refs).saveFixture(path)
-      val back = s.read.format("sam").option("splitSize", 256 * 1024)
-        .option("tagColumns", "RG:string,NM:int,XC:string").load(path)
+      val back = s.read.format("sam").option("splitSize", 256 * 1024).load(path)
       back
         .select(
-          $"tag_RG".as("read_group"),
-          $"tag_NM".as("nm"),
-          substring($"tag_XC", 1, 1).as("xc"))
+          substring(element_at($"attributes", "RG"), 3, 100).as("read_group"),
+          expr("cast(substring(element_at(attributes,'NM'),3,10) as int)").as("nm"),
+          substring(element_at($"attributes", "XC"), 3, 1).as("xc"))
         .groupBy($"read_group")
         .agg(count(lit(1)).as("n_reads"),
           sum($"nm").as("sum_nm"),
