@@ -20,6 +20,9 @@ object CramProf {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the AutoProjection rule (attrKeys derivation lane below) rides the
+      // same extensions injection every entry point uses
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -154,6 +157,60 @@ object CramProf {
     rscan("qual_start", withFasta = false)(df =>
       df.select($"qual", $"start")
         .agg(sum(length($"qual").cast("long")), count(lit(1))).collect()(0).getLong(1))
+
+    // ---- attrKeys A/B on a realistic TAG payload -------------------------
+    // The realistic fixture above carries one tiny XO tag, so it cannot
+    // show what the key-masked attributes decode buys; real aligner output
+    // carries ~8 tags dominated by MD strings. Third fixture: same
+    // quals/names plus the 8-tag payload the rg_error_rate family uses.
+    // Lanes: full map out (escape -> full walk), a two-key rollup with the
+    // AutoProjection-derived attrKeys mask, and the same rollup with the
+    // rule disabled — the wall-clock behind the "unwanted tag blocks never
+    // inflate" claim (AttrAutoProjectionSpec pins the inflation counts).
+    val tagPath = s"$dir/tagged.cram"
+    val taggedReads = realReads.drop("attributes").withColumn("attributes",
+      map(
+        lit("RG"), concat(lit("Z:rg"), ($"start" % 4).cast("string")),
+        lit("NM"), concat(lit("i:"), ($"start" % 9).cast("string")),
+        lit("XC"), when($"start" % 2 === 0, "A:F").otherwise("A:R"),
+        lit("AS"), concat(lit("i:"), ($"start" % 60 + 91).cast("string")),
+        lit("XS"), concat(lit("i:"), ($"start" % 100).cast("string")),
+        lit("MC"), lit("Z:151M"),
+        lit("MD"), concat(lit("Z:"), ($"start" % 8).cast("string"),
+          lit("A21C9T2G33A11C5T17A9G12C8T"), ($"start" % 50).cast("string")),
+        // OQ: original base qualities — the classic FAT tag real pipelines
+        // carry (BQSR keeps pre-recalibration quals here); 151 chars at the
+        // same ~4-bit/base entropy as the primary quals, so its block is
+        // ~45% of the file and the masked decode's skip is visible in wall
+        lit("OQ"), concat(lit("Z:"), reverse($"qual")),
+        lit("ms"), concat(lit("i:"), ($"start" % 2000 + 4000).cast("string"))))
+    taggedReads.repartitionByRange(8, $"contig", $"start")
+      .sortWithinPartitions($"contig", $"start")
+      .write.format("cram").mode("overwrite").option("compressionLevel", "1")
+      .option("records", "true").option("refs", refs)
+      .option("fasta", fasta).save(tagPath)
+    println(s"taggedBytes=${new java.io.File(tagPath).length()}")
+    def tscan(tag: String, auto: Boolean)(f: org.apache.spark.sql.DataFrame => Long): Unit = {
+      for (r <- 1 to 3) {
+        val t0 = System.nanoTime()
+        var rd = spark.read.format("cram").option("records", "true")
+          .option("splitSize", 256 * 1024)
+        if (!auto) rd = rd.option("autoProjection", "false")
+        val n = f(rd.load(tagPath))
+        println(f"tscan[$tag][$r]=${(System.nanoTime() - t0) / 1e9}%.2f n=$n")
+      }
+    }
+    def rgNmRollup(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(substring(element_at($"attributes", "RG"), 3, 100).as("rg"),
+          expr("cast(substring(element_at(attributes,'NM'),3,10) as long)").as("nm"))
+        .groupBy($"rg").agg(sum($"nm").as("snm"), count(lit(1)))
+        .agg(sum($"snm")).collect()(0).getLong(0)
+    tscan("tag_map_full_out", auto = true)(df =>
+      df.select($"attributes", $"start")
+        .agg(count(when(element_at($"attributes", "MD").isNotNull, 1)), sum(size($"attributes")).cast("long").as("s"))
+        .collect()(0).getLong(1))
+    tscan("rg_nm_attrkeys_auto", auto = true)(rgNmRollup)
+    tscan("rg_nm_full_walk", auto = false)(rgNmRollup)
 
     spark.stop()
 
