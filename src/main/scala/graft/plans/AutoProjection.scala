@@ -147,6 +147,24 @@ object AutoProjection extends Rule[LogicalPlan] {
           case Some(key) => addKey(rel, kind, key)
           case None => bail(rel)
         }
+      // map_contains_key: RuntimeReplaceable, so by optimization time it is
+      // ArrayContains(MapKeys(m), k). A literal key CAN ride the mask —
+      // the masked decode preserves key PRESENCE for masked keys (a VCF
+      // FLAG like DB decodes to its empty value iff the record carries it),
+      // so containment over the masked map is exact. Match the pre-replace
+      // shape too in case the rule ever sees an unreplaced plan.
+      case ArrayContains(MapKeys(m), k) if mapTarget(m).isDefined =>
+        val (rel, kind) = mapTarget(m).get
+        literalKey(k) match {
+          case Some(key) => addKey(rel, kind, key)
+          case None => bail(rel)
+        }
+      case mck: MapContainsKey if mapTarget(mck.left).isDefined =>
+        val (rel, kind) = mapTarget(mck.left).get
+        literalKey(mck.right) match {
+          case Some(key) => addKey(rel, kind, key)
+          case None => bail(rel)
+        }
       case gsf: GetStructField => gsf.child match {
         case a: AttributeReference if taint.get(a.exprId).exists(_.kind == GenoStruct) =>
           // scalar struct field (sample/gt) is fine; extracting the whole

@@ -144,6 +144,16 @@ class AttrAutoProjectionSpec extends AnyFunSuite with SparkFixture {
     assert(rows.count(!_.isNullAt(1)) == 400 - 400 / 7 - 1)
   }
 
+  test("map_contains_key on attributes rides the mask") {
+    def q(df: DataFrame) = df.agg(
+      sum(map_contains_key(col("attributes"), "NM").cast("long")).as("n_nm"),
+      count(element_at(col("attributes"), "RG")).as("n_rg"))
+    val auto = q(readBam())
+    assert(scanDesc(auto).contains("attrKeys=[NM,RG]"), scanDesc(auto))
+    val full = q(readBam("autoProjection" -> "false"))
+    assert(auto.collect().toSeq == full.collect().toSeq)
+  }
+
   test("user-provided attrKeys wins over the derivation") {
     val df = readBam("attrKeys" -> "AS,NM,RG")
       .select(element_at(col("attributes"), "NM").as("nm"))

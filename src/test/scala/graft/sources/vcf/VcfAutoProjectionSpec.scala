@@ -31,7 +31,8 @@ class VcfAutoProjectionSpec extends AnyFunSuite with SparkFixture {
       "##fileformat=VCFv4.2",
       "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tsA\tsB\tsC") ++
       (1 to 200).map { i =>
-        val info = s"DP=${i % 50};CSQ=payload${i % 7}x" + ("Z" * 40)
+        val info = s"DP=${i % 50};CSQ=payload${i % 7}x" + ("Z" * 40) +
+          (if (i % 3 == 0) ";DB" else "") // presence-only FLAG key
         val g = (0 until 3).map(j => s"${if ((i + j) % 3 == 0) "0/1" else "0/0"}:${(i * 7 + j) % 40}:${(i + j) % 99}")
         s"chr${i % 2}\t${i * 13 % 9000 + 1}\t.\tA\tG\t30\tPASS\t$info\tGT:DP:GQ\t${g.mkString("\t")}"
       }
@@ -142,6 +143,23 @@ class VcfAutoProjectionSpec extends AnyFunSuite with SparkFixture {
       .select(element_at(col("g.fields"), "DP").cast("long").as("dp"))
     assert(!scanDesc(df).contains("formatFields"), scanDesc(df))
     assert(df.count() == 600)
+  }
+
+  test("map_contains_key rides the mask (flag presence exact)") {
+    // map_contains_key is RuntimeReplaceable -> ArrayContains(MapKeys(info))
+    // by the time the rule runs; the masked decode preserves key PRESENCE
+    // for masked keys, so the containment answer is exact under the mask
+    def q(df: DataFrame) = df.select(col("contig"),
+        map_contains_key(col("info"), "DB").cast("long").as("has_db"),
+        element_at(col("info"), "DP").cast("long").as("dp"))
+      .groupBy(col("contig")).agg(sum(col("has_db")).as("n_db"), sum(col("dp")).as("sdp"))
+      .orderBy(col("contig"))
+    val auto = q(read())
+    val d = scanDesc(auto)
+    assert(d.contains("infoFields=[DB,DP]"), d)
+    val full = q(read("autoProjection" -> "false"))
+    assert(auto.collect().toSeq == full.collect().toSeq)
+    assert(auto.agg(sum(col("n_db"))).collect()(0).getLong(0) == 200 / 3)
   }
 
   test("user-provided option wins over the derivation") {
