@@ -28,6 +28,12 @@ case class AlignmentRecord(
 object AlignmentRecord {
   // All fields nullable so arbitrary computed DataFrames can be written
   // without nullability friction; the sink treats null ints as 0/unset.
+  // The attributes map declares valueContainsNull = true for the same
+  // reason: a stricter (false) declaration makes Spark's TableOutputResolver
+  // wrap every write whose input map is value-nullable (any map() built from
+  // computed columns) in an INTERPRETED per-row map rebuild
+  // (transform + assertnotnull compensation) — measured as the top CPU frame
+  // of the fixture-write stages. Readers never emit null values either way.
   val schema: StructType = StructType(Seq(
     StructField("readName", StringType, nullable = true),
     StructField("flags", IntegerType, nullable = true),
@@ -41,7 +47,7 @@ object AlignmentRecord {
     StructField("tlen", IntegerType, nullable = true),
     StructField("seq", StringType, nullable = true),
     StructField("qual", StringType, nullable = true),
-    StructField("attributes", MapType(StringType, StringType, valueContainsNull = false), nullable = true)))
+    StructField("attributes", MapType(StringType, StringType, valueContainsNull = true), nullable = true)))
 
   // SAM flag bits (spec §1.4)
   val FlagPaired = 0x1

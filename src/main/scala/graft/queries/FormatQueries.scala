@@ -44,9 +44,33 @@ object FormatQueries {
     * on one core. Spread the write stage across the cluster: the sink's
     * name-ordered concat commit makes parallel parts safe (same shape the
     * sharded sink uses).
+    *
+    * The repartition is inserted BELOW the fixture's final projection when
+    * the plan ends in one: the projections here build wide nested rows
+    * (genotype struct arrays, attribute maps, kilobyte INFO payloads), and
+    * `project-then-shuffle` would (a) run all that row construction on the
+    * scan's partitioning — ONE task on a one-row-group parquet input — and
+    * (b) push the wide rows through the exchange. `shuffle-then-project`
+    * ships only the pruned base columns (column pruning reaches through the
+    * exchange to the scan) and builds rows post-exchange on every core —
+    * guide §2.3 "project before the exchange" / §8 "move small rows, attach
+    * payload work late". Row-for-row the projected output is identical;
+    * only partition placement changes, which no oracle can observe.
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val p = s.sparkContext.defaultParallelism
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, Repartition}
+    df.queryExecution.logical match {
+      case Project(exprs, child) if exprs.forall(_.deterministic) =>
+        internalOfRows(s, Project(exprs, Repartition(p, shuffle = true, child)))
+      case _ => df.repartition(p)
+    }
+  }
+
+  private def internalOfRows(s: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.GraftInternals.ofRows(s, plan)
 
   // Construction writes below pass compressionLevel=1: the file is a
   // pipeline-intermediate (written, read back, analyzed, discarded), and

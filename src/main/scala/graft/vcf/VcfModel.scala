@@ -85,10 +85,19 @@ object VcfFormatMask {
 }
 
 object Variant {
+  // Container nullability is declared PERMISSIVE (containsNull /
+  // valueContainsNull = true) on purpose: a stricter declaration makes
+  // Spark's TableOutputResolver wrap every write whose input containers are
+  // nullable-typed (any map()/array() built from computed columns) in an
+  // INTERPRETED per-row rebuild — transform + named_struct + map_from_arrays
+  // + assertnotnull over every genotype of every row — measured as the top
+  // CPU frame of the cohort-fixture write stages. Readers never emit null
+  // elements/values either way, so nothing downstream loses a guarantee it
+  // could actually rely on.
   val genotypeType: StructType = StructType(Seq(
     StructField("sample", StringType, nullable = true),
     StructField("gt", StringType, nullable = true),
-    StructField("fields", MapType(StringType, StringType, valueContainsNull = false), nullable = true)))
+    StructField("fields", MapType(StringType, StringType, valueContainsNull = true), nullable = true)))
 
   val schema: StructType = StructType(Seq(
     StructField("contig", StringType, nullable = true),
@@ -96,11 +105,11 @@ object Variant {
     StructField("end", IntegerType, nullable = true),
     StructField("id", StringType, nullable = true),
     StructField("ref", StringType, nullable = true),
-    StructField("alt", ArrayType(StringType, containsNull = false), nullable = true),
+    StructField("alt", ArrayType(StringType, containsNull = true), nullable = true),
     StructField("qual", DoubleType, nullable = true),
-    StructField("filters", ArrayType(StringType, containsNull = false), nullable = true),
-    StructField("info", MapType(StringType, StringType, valueContainsNull = false), nullable = true),
-    StructField("genotypes", ArrayType(genotypeType, containsNull = false), nullable = true)))
+    StructField("filters", ArrayType(StringType, containsNull = true), nullable = true),
+    StructField("info", MapType(StringType, StringType, valueContainsNull = true), nullable = true),
+    StructField("genotypes", ArrayType(genotypeType, containsNull = true), nullable = true)))
 }
 
 /** VCF header: the ## meta lines + sample names from the #CHROM line. */
