@@ -169,6 +169,9 @@ object Multimodal {
     */
   def syntheticMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
+    // no spread here (unlike [[syntheticPixelMedia]]): consumers treat the
+    // payload as opaque bytes (stride digests), work too cheap to repay an
+    // exchange — the pixel-media path is the one with real codec CPU
     spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id".as("media_id"),
         when($"doc_id" % 2 === 0, "image").otherwise("audio").as("kind"),
@@ -186,7 +189,14 @@ object Multimodal {
     */
   def syntheticPixelMedia(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
+    // The id scan is one task on a one-row-group parquet input, and
+    // everything downstream of it is heavy per-row codec work (PNG/WAV
+    // encode, then a real decode in every consumer). Spread the 8-byte ids
+    // across the cluster BEFORE the codec stage: the exchange carries ids
+    // only, and the CPU-bound encode/decode runs at full parallelism
+    // (guide §2.5 input skew / §8 move small rows first).
     spark.read.parquet(s"$sfDir/documents.parquet").select($"doc_id").as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
         ids.map { id =>
           if (id % 2 == 0) {

@@ -123,6 +123,7 @@ object Extras {
       import s.implicits._
       import org.apache.spark.sql.functions._
       val docs = s.read.parquet(s"$d/documents.parquet").select($"doc_id").as[Long]
+        .repartition(s.sparkContext.defaultParallelism) // one-task scan feeding per-row codec work: spread the 8-byte ids first
       docs.mapPartitions { ids =>
         ids.flatMap { id =>
           val nf = (3 + id % 5).toInt
@@ -150,6 +151,9 @@ object Extras {
     "q_audio_features" -> { (s, d) =>
       import s.implicits._
       import org.apache.spark.sql.functions._
+      // no spread here (unlike the image/video queries): the WAV encode+
+      // decode is ~100 int ops per row, cheaper than the exchange it would
+      // ride behind — measured 0.50 s unspread vs 0.63 s spread at sf0.1
       val docs = s.read.parquet(s"$d/documents.parquet").select($"doc_id").as[Long]
       docs.mapPartitions { ids =>
         ids.map { id =>
@@ -192,6 +196,7 @@ object Extras {
       import s.implicits._
       import org.apache.spark.sql.functions._
       val docs = s.read.parquet(s"$d/documents.parquet").select($"doc_id").as[Long]
+        .repartition(s.sparkContext.defaultParallelism) // one-task scan feeding per-row codec work: spread the 8-byte ids first
       docs.mapPartitions { ids =>
         ids.map { id =>
           val w = (16 + id % 17).toInt
@@ -256,6 +261,7 @@ object Extras {
       import s.implicits._
       import org.apache.spark.sql.functions._
       val docs = s.read.parquet(s"$d/documents.parquet").select($"doc_id").as[Long]
+        .repartition(s.sparkContext.defaultParallelism) // one-task scan feeding per-row codec work: spread the 8-byte ids first
       docs.mapPartitions { ids =>
         ids.map { id =>
           val wb = (4 + 2 * (id % 3)).toInt // block columns (even: 4:2:0-safe)

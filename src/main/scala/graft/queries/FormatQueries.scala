@@ -250,7 +250,7 @@ object FormatQueries {
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/unm.bam"
       spread(syntheticReadsWithUnmapped(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024)
+      val back = s.read.format("bam")
         .option("intervals", "chr0:1-5000").option("unplacedUnmapped", "true")
         .load(path)
       back.groupBy(coalesce($"contig", lit("*")).as("contig_k"))
@@ -267,7 +267,7 @@ object FormatQueries {
       spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
       // pruned scan: only contig/start/end decoded
-      val reads = s.read.format("bam").option("splitSize", 1024 * 1024)
+      val reads = s.read.format("bam")
         .load(path).select($"contig", $"start", $"end")
       val bins = Tables.nation(s, d).select(
         concat(lit("chr"), ($"n_nationkey" % 3).cast("string")).as("icontig"),
@@ -311,7 +311,7 @@ object FormatQueries {
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
         .select($"readName", $"contig", $"start", $"mapq",
           ($"flags".bitwiseAND(16) =!= 0).cast("int").as("strand"))
       val w = Window.partitionBy($"contig", $"start", $"strand")
@@ -364,7 +364,7 @@ object FormatQueries {
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
       def bit(b: Int): org.apache.spark.sql.Column =
         back("flags").bitwiseAND(b) =!= 0
       def n(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -409,7 +409,7 @@ object FormatQueries {
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024)
+      val back = s.read.format("bam")
         .option("intervals", "chr0:1000-1299")
         .load(path)
       back
@@ -460,7 +460,7 @@ object FormatQueries {
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
       back
         .filter($"tlen" > 0) // the leftward mate counts each template once
         .select((expr("tlen div 100") * 100).cast("long").as("bin"))
@@ -495,7 +495,7 @@ object FormatQueries {
         map(lit("DP"), $"l_suppkey".cast("string")).as("info"),
         array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false)).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       val a0 = element_at($"alt", 1)
       val isSnp = length($"ref") === 1 && length(a0) === 1
       def n(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -519,7 +519,7 @@ object FormatQueries {
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/single.bam"
       spread(syntheticReads(s, d)).write.format("bam").mode("overwrite")
         .option("refs", Refs).option("writeSbi", "true").save(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
       readsAggregate(back)
     },
 
@@ -553,11 +553,11 @@ object FormatQueries {
         array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false))
           .as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(vcfPath)
-      val reads = s.read.format("bam").option("splitSize", 256 * 1024).load(bamPath)
+      val reads = s.read.format("bam").load(bamPath)
         .select($"readName", $"contig", $"start".cast("long").as("rstart"),
           $"end".cast("long").as("rend"))
         .withColumn("bin", explode(expr("sequence(rstart div 250, rend div 250)")))
-      val vcf = s.read.format("vcf").option("splitSize", 256 * 1024).load(vcfPath)
+      val vcf = s.read.format("vcf").load(vcfPath)
         .select($"contig".as("vcontig"), $"start".cast("long").as("vstart"))
         .withColumn("vbin", expr("vstart div 250"))
       reads.join(vcf,
@@ -590,7 +590,7 @@ object FormatQueries {
         .sortWithinPartitions($"contig", $"start")
         .write.format("bam").mode("overwrite")
         .option("refs", Refs).option("writeSbi", "true").save(path)
-      val b = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val b = s.read.format("bam").load(path)
         .select($"contig", $"start".cast("long").as("start"))
         .withColumn("mid", monotonically_increasing_id())
         .withColumn("pid", shiftright($"mid", 33))
@@ -629,7 +629,7 @@ object FormatQueries {
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/sharded"
       syntheticReads(s, d).repartition(8).write.format("bam").mode("overwrite")
         .option("refs", Refs).save(path)
-      val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
       readsAggregate(back)
     },
 
@@ -638,7 +638,7 @@ object FormatQueries {
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/single.sam"
       spread(syntheticReads(s, d)).write.format("sam").mode("overwrite")
         .option("refs", Refs).save(path)
-      val back = s.read.format("sam").option("splitSize", 1024 * 1024).load(path)
+      val back = s.read.format("sam").load(path)
       readsAggregate(back)
     },
 
@@ -647,7 +647,7 @@ object FormatQueries {
       import s.implicits._
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/single.vcf.bgz"
       spread(syntheticVariants(s, d)).write.format("vcf").mode("overwrite").save(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       back.groupBy($"contig")
         .agg(
           count(lit(1)).as("n_variants"),
@@ -679,7 +679,7 @@ object FormatQueries {
         .select(concat(lit("chr"), $"r_regionkey".cast("string")).as("ccontig"),
           $"n_nationkey".cast("long").as("cseg"),
           (($"n_nationkey" * 37 + $"r_regionkey" * 101) % 500000 + 1000000L).as("dst"))
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
         .select($"contig", $"start".cast("long").as("start"))
         .withColumn("seg", expr("(start - 1) div 40000"))
       back.join(broadcast(chain),
@@ -724,7 +724,7 @@ object FormatQueries {
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).saveFixture(path)
-      s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+      s.read.format("bam").load(path)
         .groupBy($"cigar")
         .agg(count(lit(1)).as("n_reads"),
           sum($"start".cast("long")).as("sum_start"),
@@ -746,7 +746,7 @@ object FormatQueries {
       val lake = s"$base/reads_lake"
       spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).saveFixture(path)
-      s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+      s.read.format("bam").load(path)
         .write.partitionBy("contig").mode("overwrite").parquet(lake)
       s.read.parquet(lake)
         .filter($"contig" === "chr1")
@@ -785,9 +785,9 @@ object FormatQueries {
       val pa = s"$base/merge_a.vcf.bgz"; val pb = s"$base/merge_b.vcf.bgz"
       spread(cohort(0, "sa")).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(pa)
       spread(cohort(1, "sb")).write.format("vcf").mode("overwrite").option("compressionLevel", "1").save(pb)
-      val a = s.read.format("vcf").option("splitSize", 256 * 1024).load(pa)
+      val a = s.read.format("vcf").load(pa)
         .select($"contig", $"start", $"genotypes".as("ga"))
-      val b = s.read.format("vcf").option("splitSize", 256 * 1024).load(pb)
+      val b = s.read.format("vcf").load(pb)
         .select($"contig".as("bcontig"), $"start".as("bstart"), $"genotypes".as("gb"))
       a.join(b, $"contig" === $"bcontig" && $"start" === $"bstart", "full_outer")
         .select(coalesce($"contig", $"bcontig").as("mcontig"),
@@ -833,7 +833,7 @@ object FormatQueries {
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array(geno(1), geno(2), geno(3)).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       back.select($"contig", explode($"genotypes").as("g"))
         .groupBy($"contig", $"g.sample".as("sample"))
         .agg(count(lit(1)).as("n"),
@@ -886,7 +886,7 @@ object FormatQueries {
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
       // no infoFields option: the AutoProjection rule derives it from the
       // literal element_at key below (option-free since round 14)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       back
         .select($"contig", element_at($"info", "DP").cast("long").as("dp"))
         .groupBy($"contig")
@@ -935,7 +935,7 @@ object FormatQueries {
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
       // no formatFields option: the AutoProjection rule derives DP from
       // the literal element_at key below (GT rides the nested struct pruning)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       back.select(explode($"genotypes").as("g"))
         .groupBy($"g.sample".as("sample"))
         .agg(count(lit(1)).as("n_sites"),
@@ -982,7 +982,7 @@ object FormatQueries {
           map(lit("XO"), concat(lit("i:"), $"tag")).as("attributes"))
       spread(paired).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
       back.select($"readName", $"contig", $"start".cast("long").as("start"))
         .groupBy($"readName", $"contig")
         .agg(count(lit(1)).as("n"), min($"start").as("s1"), max($"start").as("s2"))
@@ -1006,7 +1006,7 @@ object FormatQueries {
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/sub.bam"
       spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
         .filter(graft.functions.GraftFunctions.hash60(
           concat(lit("sub|"), $"readName")) % 100 < 25)
       readsAggregate(back)
@@ -1017,7 +1017,7 @@ object FormatQueries {
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/iv.bam"
       spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024)
+      val back = s.read.format("bam")
         .option("intervals", "chr0:1-5000,chr1:2000-7000")
         .load(path)
       readsAggregate(back)
@@ -1112,7 +1112,7 @@ object FormatQueries {
         .option("records", "true").option("refs", Refs)
         .option("writeCrai", "true").save(path)
       val back = s.read.format("cram").option("records", "true")
-        .option("splitSize", 256 * 1024).load(path)
+        .load(path)
       readsAggregate(back)
     },
 
@@ -1127,7 +1127,7 @@ object FormatQueries {
         .option("records", "true").option("refs", Refs).option("version", "3.1")
         .option("writeCrai", "true").saveFixture(path)
       val back = s.read.format("cram").option("records", "true")
-        .option("splitSize", 256 * 1024).load(path)
+        .load(path)
       readsAggregate(back)
     },
 
@@ -1178,7 +1178,7 @@ object FormatQueries {
         .option("fasta", fasta)
         .option("writeCrai", "true").saveFixture(path)
       val back = s.read.format("cram").option("records", "true")
-        .option("fasta", fasta).option("splitSize", 256 * 1024).load(path)
+        .option("fasta", fasta).load(path)
       back.groupBy($"contig")
         .agg(
           count(lit(1)).as("n_reads"),
@@ -1235,7 +1235,7 @@ object FormatQueries {
         .option("records", "true").option("refs", Refs)
         .option("fasta", fasta).saveFixture(path)
       s.read.format("cram").option("records", "true")
-        .option("fasta", fasta).option("splitSize", 256 * 1024).load(path)
+        .option("fasta", fasta).load(path)
         .groupBy($"cigar")
         .agg(count(lit(1)).as("n_reads"),
           sum($"start".cast("long")).as("sum_start"),
@@ -1293,7 +1293,7 @@ object FormatQueries {
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).saveFixture(path)
-      s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+      s.read.format("bam").load(path)
         .select($"seq", explode(sequence(lit(1), lit(25))).as("p"))
         .select(expr("substring(seq, p, 8)").as("kmer"))
         .groupBy($"kmer").agg(count(lit(1)).as("n"))
@@ -1325,7 +1325,7 @@ object FormatQueries {
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).saveFixture(path)
-      s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+      s.read.format("bam").load(path)
         .select($"contig",
           (length($"seq") - length(replace($"seq", lit("G")))
             + length($"seq") - length(replace($"seq", lit("C")))).cast("long").as("gc"),
@@ -1367,7 +1367,7 @@ object FormatQueries {
           geno("child", ($"l_orderkey" * 11 + $"l_linenumber" * 3 + $"l_suppkey") % 3))
           .as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       def dose(i: Int) = {
         val gt = element_at($"genotypes", i).getField("gt")
         when(gt === "0/0", 0L).when(gt === "0/1", 1L).otherwise(2L)
@@ -1414,7 +1414,7 @@ object FormatQueries {
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array(geno(1), geno(2), geno(3)).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       back.select(explode($"genotypes").as("g"))
         .filter($"g.gt" === "0/1")
         .select(
@@ -1457,7 +1457,7 @@ object FormatQueries {
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).saveFixture(path)
-      s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+      s.read.format("bam").load(path)
         .select($"contig",
           explode(expr("regexp_extract_all(cigar, '(\\\\d+)N', 1)")).as("ilen_s"))
         .select($"contig", $"ilen_s".cast("long").as("ilen"))
@@ -1514,9 +1514,9 @@ object FormatQueries {
         array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false))
           .as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(vcfPath)
-      val reads = s.read.format("bam").option("splitSize", 1024 * 1024).load(bamPath)
+      val reads = s.read.format("bam").load(bamPath)
         .select($"contig", $"start".cast("long").as("pos"), lit(1).as("side"))
-      val sites = s.read.format("vcf").option("splitSize", 256 * 1024).load(vcfPath)
+      val sites = s.read.format("vcf").load(vcfPath)
         .select($"contig", $"start".cast("long").as("pos"), lit(0).as("side"))
       // BOTH directions as RUNNING (unbounded-preceding) frames: Spark's
       // UnboundedFollowing frame re-scans to the partition end per row —
@@ -1637,7 +1637,7 @@ object FormatQueries {
           map(lit("XO"), lit("i:1")).as("attributes"))
       spread(paired).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
       back
         .select($"readName", $"contig", $"start".cast("long").as("start"),
           (($"flags".cast("long") / 16).cast("long") % 2).as("rev"))
@@ -1684,7 +1684,7 @@ object FormatQueries {
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).saveFixture(path)
-      s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+      s.read.format("bam").load(path)
         // 25 k-mers (k=8, L=32) -> 21 windows of 5; winnowing emits a
         // minimizer when it DIFFERS from the previous window's (run-dedup,
         // minimap2's rule). Everything is least()-of-substrings on exploded
@@ -1721,7 +1721,7 @@ object FormatQueries {
       val fasta = writeRefFasta(dir)
       val path = s"$dir/ctx.vcf.bgz"
       spread(syntheticVariants(s, d)).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       val rows = back
         .select($"contig", $"start", element_at($"alt", 1).as("alt"))
         .filter($"start" >= 2) // a 5'-edge variant has no left flank
@@ -1769,7 +1769,7 @@ object FormatQueries {
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
         .filter($"start" <= 1299 && $"end" >= 1000)
       val depth = back
         .select($"contig", explode(sequence(greatest($"start", lit(1000)),
@@ -1833,7 +1833,7 @@ object FormatQueries {
       // formatFields=GT: the census consumes the whole genotype array, so
       // Catalyst cannot prune the map-typed FORMAT fields — opt in to the
       // selective decode (gt by token scan, no per-sample maps)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024)
+      val back = s.read.format("vcf")
         .option("formatFields", "GT").load(path)
       graft.functions.GtCensusExpr.register(s)
       // aggregate FIRST to the tiny (a,b,c) pattern space, then compute
@@ -1908,7 +1908,7 @@ object FormatQueries {
       // formatFields=GT: the census consumes the whole genotype array, so
       // Catalyst cannot prune the map-typed FORMAT fields — opt in to the
       // selective decode (gt by token scan, no per-sample maps)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024)
+      val back = s.read.format("vcf")
         .option("formatFields", "GT").load(path)
       graft.functions.GtCensusExpr.register(s)
       back
@@ -1960,7 +1960,7 @@ object FormatQueries {
         array((1 to 12).map(geno): _*).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite")
         .option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       val dosed = back.select($"contig", $"start", $"id",
         expr("transform(genotypes, g -> CASE WHEN g.gt = '0/0' THEN 0L" +
           " WHEN g.gt = '0/1' THEN 1L ELSE 2L END)").as("dx"))
@@ -2020,7 +2020,7 @@ object FormatQueries {
         array((1 to 12).map(geno): _*).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite")
         .option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       val pairLits = for { i <- 1 to 12; j <- (i + 1) to 12 }
         yield struct(lit(i).as("i"), lit(j).as("j"))
       back
@@ -2073,7 +2073,7 @@ object FormatQueries {
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs24 + ",chrX:1000000,chrY:1000000")
         .option("writeSbi", "true").saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
       back
         .select(substring(element_at($"attributes", "RG"), 3, 10).as("sample_rg"),
           $"contig")
@@ -2109,7 +2109,7 @@ object FormatQueries {
           " CAST(20 + l_partkey % 31 AS INT))").as("qual"))
       spread(reads).write.format("fastq").mode("overwrite")
         .option("compressionLevel", "1").save(path)
-      val back = s.read.format("fastq").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("fastq").load(path)
       back
         .groupBy(length($"seq").as("len"))
         .agg(count(lit(1)).as("n_reads"),
@@ -2135,7 +2135,7 @@ object FormatQueries {
           " CAST(20 + l_partkey % 31 AS INT))").as("qual"))
       spread(reads).write.format("fastq").mode("overwrite")
         .option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("fastq").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("fastq").load(path)
       back
         .select((length($"qual") -
           length(regexp_extract($"qual", "[!-4]*$", 0))).as("trimmed_len"))
@@ -2167,9 +2167,9 @@ object FormatQueries {
         .option("compressionLevel", "1").saveFixture(s"$base/r1.fastq.bgz")
       mates("r2", 6).write.format("fastq").mode("overwrite")
         .option("compressionLevel", "1").saveFixture(s"$base/r2.fastq.bgz")
-      val r1 = s.read.format("fastq").option("splitSize", 256 * 1024)
+      val r1 = s.read.format("fastq")
         .load(s"$base/r1.fastq.bgz").select($"readName", length($"seq").as("len1"))
-      val r2 = s.read.format("fastq").option("splitSize", 256 * 1024)
+      val r2 = s.read.format("fastq")
         .load(s"$base/r2.fastq.bgz").select($"readName", length($"seq").as("len2"))
       r1.join(r2, "readName")
         .groupBy(($"len1" - $"len2").as("len_delta"))
@@ -2205,7 +2205,7 @@ object FormatQueries {
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite")
         .option("compressionLevel", "1").option("refs", Refs24).saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
       back
         .select($"start",
           expr("try_cast(regexp_extract(cigar, '^([0-9]+)M', 1) AS BIGINT)").as("m1"),
@@ -2233,7 +2233,7 @@ object FormatQueries {
           " CAST(20 + l_partkey % 31 AS INT))").as("qual"))
       spread(reads).write.format("fastq").mode("overwrite")
         .option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("fastq").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("fastq").load(path)
       back
         .select(explode(expr("sequence(1, length(seq))")).as("cycle"), $"seq")
         .select($"cycle", expr("substring(seq, cycle, 1)").as("base"))
@@ -2282,7 +2282,7 @@ object FormatQueries {
       callset(perm).write.format("vcf").mode("overwrite")
         .option("compressionLevel", "1").saveFixture(s"$base/swapB.vcf.bgz")
       def codes(p: String, as: String) =
-        s.read.format("vcf").option("splitSize", 256 * 1024).load(p)
+        s.read.format("vcf").load(p)
           .select($"id", expr("transform(genotypes, g -> CASE WHEN g.gt = '0/1' THEN 1" +
             " WHEN g.gt = '1/1' THEN 2 ELSE 0 END)").as(as))
       val joined = codes(s"$base/swapA.vcf.bgz", "ga")
@@ -2336,12 +2336,12 @@ object FormatQueries {
           .as("attributes"))
       spread(reads).write.format("bam").mode("overwrite")
         .option("compressionLevel", "1").option("refs", Refs24).save(s"$base/b2f.bam")
-      val aligned = s.read.format("bam").option("splitSize", 256 * 1024)
+      val aligned = s.read.format("bam")
         .load(s"$base/b2f.bam")
       aligned.select($"readName", lit(null).cast("string").as("comment"), $"seq", $"qual")
         .write.format("fastq").mode("overwrite")
         .option("compressionLevel", "1").save(s"$base/b2f.fastq.bgz")
-      val raw = s.read.format("fastq").option("splitSize", 256 * 1024)
+      val raw = s.read.format("fastq")
         .load(s"$base/b2f.fastq.bgz")
       raw
         .groupBy(length($"seq").as("len"))
@@ -2384,10 +2384,10 @@ object FormatQueries {
       spread(reads).write.format("cram").mode("overwrite").option("compressionLevel", "1")
         .option("records", "true").option("refs", Refs24).save(s"$base/c2b.cram")
       val archived = s.read.format("cram").option("records", "true")
-        .option("splitSize", 256 * 1024).load(s"$base/c2b.cram")
+        .load(s"$base/c2b.cram")
       archived.write.format("bam").mode("overwrite")
         .option("compressionLevel", "1").option("refs", Refs24).save(s"$base/c2b.bam")
-      val analysis = s.read.format("bam").option("splitSize", 256 * 1024)
+      val analysis = s.read.format("bam")
         .load(s"$base/c2b.bam")
       analysis
         .groupBy($"contig")
@@ -2427,7 +2427,7 @@ object FormatQueries {
           geno("child", ($"l_orderkey" * 11 + $"l_linenumber" * 3 + $"l_suppkey") % 3))
           .as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       def dose(i: Int) = {
         val gt = element_at($"genotypes", i).getField("gt")
         when(gt === "0/0", 0L).when(gt === "0/1", 1L).otherwise(2L)
@@ -2484,7 +2484,7 @@ object FormatQueries {
       spread(callset($"ca")).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(s"$base/concA.vcf.bgz")
       spread(callset($"cb")).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(s"$base/concB.vcf.bgz")
       def back(p: String, col: String) =
-        s.read.format("vcf").option("splitSize", 256 * 1024).load(p)
+        s.read.format("vcf").load(p)
           .select($"contig", $"start",
             element_at($"genotypes", 1).getField("gt").as(col))
       back(s"$base/concA.vcf.bgz", "gt_a")
@@ -2533,10 +2533,10 @@ object FormatQueries {
       spread(callset($"in_tumor", "tumor", map(lit("AF"), $"af_pm".cast("string"))))
         .write.format("vcf").mode("overwrite").option("compressionLevel", "1")
         .saveFixture(s"$base/somT.vcf.bgz")
-      val nb = s.read.format("vcf").option("splitSize", 256 * 1024)
+      val nb = s.read.format("vcf")
         .load(s"$base/somN.vcf.bgz")
         .select($"contig", $"start", lit(1).as("in_n"))
-      val tb = s.read.format("vcf").option("splitSize", 256 * 1024)
+      val tb = s.read.format("vcf")
         .load(s"$base/somT.vcf.bgz")
         .select($"contig", $"start",
           element_at(element_at($"genotypes", 1).getField("fields"), "AF")
@@ -2582,7 +2582,7 @@ object FormatQueries {
           map().cast(MapType(StringType, StringType, valueContainsNull = false))
             .as("fields"))).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       val g = element_at($"genotypes", 1).getField("gt")
       val exploded = back.select(
         $"start", size($"alt").as("n_alts"),
@@ -2634,7 +2634,7 @@ object FormatQueries {
             map().cast(MapType(StringType, StringType, valueContainsNull = false))
               .as("fields"))).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       val isHet = (element_at($"genotypes", 1).getField("gt") === "0/1").cast("long")
       val runW = Window.partitionBy($"contig").orderBy($"start")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2689,7 +2689,7 @@ object FormatQueries {
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
         .select($"readName", $"contig", $"start", $"end", $"cigar", $"mapq",
           ($"flags".bitwiseAND(16) =!= 0).cast("int").as("strand"))
       // regexp_extract yields "" on no-match; ANSI cast would throw
@@ -2743,7 +2743,7 @@ object FormatQueries {
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
         .select($"contig", $"cigar",
           ($"flags".bitwiseAND(16) =!= 0).cast("int").as("strand"))
       // regexp_extract yields "" on no-match; ANSI cast would throw
@@ -2787,7 +2787,7 @@ object FormatQueries {
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
         .select($"qual")
       back
         .select(explode(sequence(lit(1L), lit(36L))).as("cycle"), $"qual")
@@ -2824,7 +2824,7 @@ object FormatQueries {
         array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false))
           .as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       back.select($"contig", $"ref", element_at($"alt", 1).as("alt"))
         .withColumn("is_ts",
           (($"ref" === "A" && $"alt" === "G") || ($"ref" === "G" && $"alt" === "A") ||
@@ -2869,7 +2869,7 @@ object FormatQueries {
         map().cast(MapType(StringType, StringType, valueContainsNull = false)).as("info"),
         array((1 to 12).map(geno): _*).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       back.select(explode($"genotypes").as("g"))
         .select($"g.sample".as("sample"), $"g.gt".as("gt"))
         .groupBy($"sample")
@@ -2913,7 +2913,7 @@ object FormatQueries {
       // formatFields=GT: the census consumes the whole genotype array, so
       // Catalyst cannot prune the map-typed FORMAT fields — opt in to the
       // selective decode (gt by token scan, no per-sample maps)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024)
+      val back = s.read.format("vcf")
         .option("formatFields", "GT").load(path)
       graft.functions.GtCensusExpr.register(s)
       val eRow = back
@@ -2974,7 +2974,7 @@ object FormatQueries {
       // formatFields=GT: the census consumes the whole genotype array, so
       // Catalyst cannot prune the map-typed FORMAT fields — opt in to the
       // selective decode (gt by token scan, no per-sample maps)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024)
+      val back = s.read.format("vcf")
         .option("formatFields", "GT").load(path)
       graft.functions.GtCensusExpr.register(s)
       back
@@ -3031,7 +3031,7 @@ object FormatQueries {
       // formatFields=GT: the census consumes the whole genotype array, so
       // Catalyst cannot prune the map-typed FORMAT fields — opt in to the
       // selective decode (gt by token scan, no per-sample maps)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024)
+      val back = s.read.format("vcf")
         .option("formatFields", "GT").load(path)
       graft.functions.GtCensusExpr.register(s)
       back
@@ -3076,7 +3076,7 @@ object FormatQueries {
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).option("writeSbi", "true").saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
         .select($"contig", $"start", $"mateStart",
           ($"flags".bitwiseAND(16) =!= 0).as("selfRev"),
           ($"flags".bitwiseAND(32) =!= 0).as("mateRev"))
@@ -3113,7 +3113,7 @@ object FormatQueries {
       // (AS/XS/MC/MD/ms). The typed-column variant of the same projection
       // (.option("tagColumns", "RG:string,NM:int,XC:string")) remains the
       // q_bam_bqsr_covariates read path.
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
       back
         .select(
           substring(element_at($"attributes", "RG"), 3, 100).as("read_group"),
@@ -3141,7 +3141,7 @@ object FormatQueries {
       val path = s"$tmpBase/graft-fmt/${d.hashCode.toHexString}/rg.sam"
       spread(reads).write.format("sam").mode("overwrite")
         .option("refs", Refs).saveFixture(path)
-      val back = s.read.format("sam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("sam").load(path)
       back
         .select(
           substring(element_at($"attributes", "RG"), 3, 100).as("read_group"),
@@ -3173,7 +3173,7 @@ object FormatQueries {
         .option("compressionLevel", "1").option("refs", Refs)
         .option("writeSbi", "true").saveFixture(path)
       graft.functions.MdCyclesExpr.register(s)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024)
+      val back = s.read.format("bam")
         .option("tagColumns", "RG:string,MD:string").load(path)
       val hits = back.select(
         $"tag_RG".as("read_group"),
@@ -3217,7 +3217,7 @@ object FormatQueries {
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
         .select($"contig", $"start", $"seq")
         .filter($"start" <= 1263 && $"start" + 31 >= 1200)
       back
@@ -3275,7 +3275,7 @@ object FormatQueries {
             geno("s01", ($"l_orderkey" * 3 + $"l_linenumber" + $"l_partkey") % 4),
             geno("s02", ($"l_orderkey" * 7 + $"l_suppkey") % 4)).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       val g = back
         .select($"contig", $"start", size($"filters").as("nfilt"),
           explode($"genotypes").as("g"))
@@ -3319,7 +3319,7 @@ object FormatQueries {
           map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
         .select($"contig", $"start", $"end")
         .filter($"start" <= 1999 && $"end" >= 1000)
       val depth = back
@@ -3380,7 +3380,7 @@ object FormatQueries {
           .otherwise(map(lit("DP"), $"l_suppkey".cast("string"))).as("info"),
         array((1 to 4).map(geno): _*).as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("vcf").load(path)
       back
         .select($"info", explode($"genotypes").as("g"))
         .select($"g.sample".as("sample"), $"g.gt".as("gt"),
@@ -3409,7 +3409,7 @@ object FormatQueries {
       spread(syntheticReads(s, d)).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).saveFixture(path)
       val target = 100L
-      val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
         .select($"readName", $"contig", $"start".cast("long").as("start"))
         .withColumn("w", expr("start div 1000"))
       val depth = back.groupBy($"contig", $"w").agg(count(lit(1)).as("dep"))
@@ -3459,7 +3459,7 @@ object FormatQueries {
           .otherwise(map(lit("XO"), lit("i:1"))).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
         .select($"contig", element_at($"attributes", "SA").as("sa"))
         .filter($"sa".isNotNull)
       back
@@ -3504,7 +3504,7 @@ object FormatQueries {
           map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 1024 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
         .select($"contig", $"start", $"end")
         .filter($"start" <= 1999 && $"end" >= 1000)
       val depth = back
@@ -3568,7 +3568,7 @@ object FormatQueries {
         spread(callset(c)).write.format("vcf").mode("overwrite").option("compressionLevel", "1")
           .save(s"$base/cons$i.vcf.bgz")
       def back(i: Int, col: String) =
-        s.read.format("vcf").option("splitSize", 256 * 1024).load(s"$base/cons$i.vcf.bgz")
+        s.read.format("vcf").load(s"$base/cons$i.vcf.bgz")
           .select($"contig", $"start",
             element_at($"genotypes", 1).getField("gt").as(col))
       val joined = back(0, "g1")
@@ -3610,7 +3610,7 @@ object FormatQueries {
         array().cast(ArrayType(graft.vcf.Variant.genotypeType, containsNull = false))
           .as("genotypes"))
       spread(vars).write.format("vcf").mode("overwrite").option("compressionLevel", "1").saveFixture(path)
-      val v = s.read.format("vcf").option("splitSize", 256 * 1024).load(path)
+      val v = s.read.format("vcf").load(path)
         .select($"contig", $"start".cast("long").as("pos"))
       val genes = Tables.part(s, d).select(
         concat(lit("chr"), ($"p_partkey" % 24).cast("string")).as("contig"),
@@ -3671,7 +3671,7 @@ object FormatQueries {
       // formatFields=GT: the census consumes the whole genotype array, so
       // Catalyst cannot prune the map-typed FORMAT fields — opt in to the
       // selective decode (gt by token scan, no per-sample maps)
-      val back = s.read.format("vcf").option("splitSize", 256 * 1024)
+      val back = s.read.format("vcf")
         .option("formatFields", "GT").load(path)
       graft.functions.GtCensusExpr.register(s)
       back
@@ -3718,7 +3718,7 @@ object FormatQueries {
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs24).saveFixture(path)
-      val back = s.read.format("bam").option("splitSize", 256 * 1024).load(path)
+      val back = s.read.format("bam").load(path)
         .select($"contig", $"tlen".cast("long").as("t"))
         .filter($"t" > 0) // samtools convention: count each template once
       back.groupBy($"contig")

@@ -20,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.bam._
 import graft.bgzf.Bgzf
 import graft.index.{GciIndex, SbiIndex}
-import graft.sources.{GenomicInterval, HadoopIO, PushedRegion, SerializableConf, Stringency, StringencyLog}
+import graft.sources.{GenomicInterval, HadoopIO, PushedRegion, SerializableConf, SplitSizing, Stringency, StringencyLog}
 
 /** `spark.read.format("bam")` / `df.write.format("bam")` — the Spark-native
   * re-expression of the reference's HtsjdkReadsRddStorage BAM path
@@ -295,7 +295,6 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val pathStr = options.getOrElse("path",
       throw new IllegalArgumentException("bam source requires a path"))
-    val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
     val intervals0 = options.get("intervals")
       .map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
       .orElse(PushedRegion.toIntervals(pushed)) // filter-derived pushdown
@@ -321,6 +320,9 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
     val stringency = Stringency.fromOptions(options)
     val extraSlack = options.get("intervalslack").map(_.toInt).getOrElse(0)
     val files = HadoopIO.listInputFiles(pathStr, conf)
+    val splitSize = options.get("splitsize").map(_.toLong).getOrElse(
+      SplitSizing.derive(SplitSizing.totalBytes(files, conf),
+        SparkSession.active.sparkContext.defaultParallelism))
 
     def planFile(file: Path): Seq[InputPartition] = {
       val in = HadoopIO.open(file, conf)

@@ -362,11 +362,13 @@ class CramScan(options: Map[String, String], required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val pathStr = options.getOrElse("path", throw new IllegalArgumentException("cram source requires a path"))
-    val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
     val basePred = if (records) None else containerPred
     val recIvs = recordIntervals
     val keepUnm = unplacedUnmapped
     val files = HadoopIO.listInputFiles(pathStr, conf)
+    val splitSize = options.get("splitsize").map(_.toLong).getOrElse(
+      graft.sources.SplitSizing.derive(graft.sources.SplitSizing.totalBytes(files, conf),
+        SparkSession.active.sparkContext.defaultParallelism))
 
     def planFile(file: Path): Seq[InputPartition] = {
       val in = HadoopIO.open(file, conf)

@@ -17,7 +17,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.fastq.{FastqCodec, FastqRecord}
-import graft.sources.{HadoopIO, SerializableConf, SplitTextReader, Stringency, StringencyLog}
+import graft.sources.{HadoopIO, SerializableConf, SplitSizing, SplitTextReader, Stringency, StringencyLog}
 
 /** `format("fastq")` — splittable raw-read scan/sink over plain, BGZF, or
   * single-split gzip text. Beyond the reference's surface (disq starts at
@@ -81,9 +81,12 @@ class FastqScan(options: Map[String, String], required: StructType, limitHint: I
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val pathStr = options.getOrElse("path",
       throw new IllegalArgumentException("fastq source requires a path"))
-    val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
     val stringency = Stringency.fromOptions(options)
-    HadoopIO.planFiles(HadoopIO.listInputFiles(pathStr, conf)) { file =>
+    val files = HadoopIO.listInputFiles(pathStr, conf)
+    val splitSize = options.get("splitsize").map(_.toLong).getOrElse(
+      SplitSizing.derive(SplitSizing.totalBytes(files, conf),
+        SparkSession.active.sparkContext.defaultParallelism))
+    HadoopIO.planFiles(files) { file =>
       val in = HadoopIO.open(file, conf)
       try {
         val size = in.size

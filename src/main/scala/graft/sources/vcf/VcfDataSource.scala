@@ -109,14 +109,17 @@ class VcfScan(options: Map[String, String], required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val pathStr = options.getOrElse("path", throw new IllegalArgumentException("vcf source requires a path"))
-    val splitSize = options.get("splitsize").map(_.toLong).getOrElse(64L * 1024 * 1024)
     val intervals = options.get("intervals")
       .map(s => GenomicInterval.optimize(GenomicInterval.parseList(s)))
       .orElse(graft.sources.PushedRegion.toIntervals(pushed)) // filter-derived pushdown
     val stringency = graft.sources.Stringency.fromOptions(options)
     // per-file header/index I/O fanned out on the shared bounded pool
     // (O(files) serial driver RPCs otherwise), lexicographic order preserved
-    HadoopIO.planFiles(HadoopIO.listInputFiles(pathStr, conf)) { file =>
+    val files = HadoopIO.listInputFiles(pathStr, conf)
+    val splitSize = options.get("splitsize").map(_.toLong).getOrElse(
+      graft.sources.SplitSizing.derive(graft.sources.SplitSizing.totalBytes(files, conf),
+        SparkSession.active.sparkContext.defaultParallelism))
+    HadoopIO.planFiles(files) { file =>
       val in = HadoopIO.open(file, conf)
       try {
         val bgzf = SplitTextReader.isBgzf(in)
