@@ -30,7 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] runs driver + all executor tasks in ONE JVM: at 32 concurrent
+  // tasks the unified memory region of an 8g heap left ~150 MB per task and
+  // the 223-query bench spent a large share of its CPU in GC (15-query A/B
+  // on comparable windows: operator_s 63.0 at 8g vs 37.6 at 24g). 24g is a
+  // local default for this 128 GiB sandbox, env-overridable; a cluster
+  // deployment sizes executor heaps via spark-submit, not this flag.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 ) ++
   // run/Test fork, so -D flags given on the sbt command line would die in
   // the sbt JVM — forward the graft.* ones (e.g. graft.verify.only) to
