@@ -73,7 +73,10 @@ object GraphOps {
         .select($"dst".as("id")).distinct()
         .join(visited.select($"id".as("vid")), $"id" === $"vid", "left_anti")
         .withColumn("lvl", lit(lvl)).localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
+      // visited stays a plain union of CHECKPOINTED levels — each level is
+      // already materialized, so re-checkpointing the union only re-copied
+      // the same rows once per round (O(levels²) materialized bytes)
+      visited = visited.union(next)
       frontier = next.select($"id")
     }
     visited.groupBy($"lvl").agg(count(lit(1)).as("n_nodes")).orderBy($"lvl")

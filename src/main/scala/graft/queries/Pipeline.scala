@@ -1034,6 +1034,7 @@ object Pipeline {
     "q_bpe_train" -> { (s, d) =>
       import s.implicits._
       var vocab = bpeInitVocab(s, d).localCheckpoint()
+      var lastCp = vocab // most recent checkpoint, unpersisted when superseded
       val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
       var round = 1
       var exhausted = false
@@ -1049,15 +1050,23 @@ object Pipeline {
           // materialization pass over the distributed vocab that nothing
           // ever reads
           if (round < BpeMerges) {
-            val prev = vocab
-            vocab = vocab.map { case (syms, f) => (bpeApplyMerge(syms, bl, br), f) }
-              .localCheckpoint()
-            prev.unpersist()
+            val mapped = vocab.map { case (syms, f) => (bpeApplyMerge(syms, bl, br), f) }
+            // checkpoint every 8th round, not every round: lineage stays
+            // shallow (<= 8 narrow maps above the last checkpoint — the
+            // depth that matters for plan size), each argmax recomputes at
+            // most 7 trivially cheap vocab-sized maps from cache, and 7/8
+            // of the per-round materialization jobs disappear
+            if (round % 8 == 0) {
+              val prev = lastCp
+              vocab = mapped.localCheckpoint()
+              lastCp = vocab
+              prev.unpersist()
+            } else vocab = mapped
           }
           round += 1
         }
       }
-      vocab.unpersist()
+      lastCp.unpersist()
       merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "n").orderBy($"rank")
     },
 

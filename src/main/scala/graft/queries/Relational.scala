@@ -898,13 +898,18 @@ object Relational {
         .select($"src", $"dst", $"deg").localCheckpoint()
       val nodes = eout.select($"src".as("id")).distinct().localCheckpoint()
       var ranks = nodes.withColumn("r", lit(1000L))
+      // no per-iteration checkpoint: each rank table appears exactly once in
+      // the next iteration's plan, so the 3-deep tree executes each level
+      // once in ONE final job — the per-round localCheckpoint materialized a
+      // node-sized table 3 times for nothing but lineage hygiene, and at 3
+      // rounds the lineage is shallow (the checkpointed eout/nodes upstream
+      // already cut it at the edge table)
       for (_ <- 1 to 3) {
         val contrib = eout
           .join(ranks.select($"id".as("src"), $"r"), "src")
           .groupBy($"dst").agg(sum(expr("r div deg")).as("inc"))
         ranks = nodes.join(contrib.select($"dst".as("id"), $"inc"), Seq("id"), "left")
           .select($"id", (lit(150L) + expr("(850 * coalesce(inc, 0L)) div 1000")).as("r"))
-          .localCheckpoint()
       }
       ranks.orderBy($"r".desc, $"id").limit(20)
         .select($"id", $"r".as("rank_milli"))
