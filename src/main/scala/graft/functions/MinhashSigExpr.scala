@@ -125,6 +125,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashSigExpr(exprs.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_kmer_minimizers"),
+      new ExpressionInfo(classOf[KmerMinimizersExpr].getName, "graft_kmer_minimizers"),
+      { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "graft_kmer_minimizers(seq) takes one argument")
+        KmerMinimizersExpr(exprs.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashExpr].getName, "graft_simhash"),
       { exprs: Seq[Expression] =>

@@ -1707,23 +1707,19 @@ object FormatQueries {
         map(lit("XO"), lit("i:1")).as("attributes"))
       spread(reads).write.format("bam").mode("overwrite").option("compressionLevel", "1")
         .option("refs", Refs).saveFixture(path)
+      graft.functions.KmerMinimizersExpr.register(s)
       s.read.format("bam").load(path)
         // 25 k-mers (k=8, L=32) -> 21 windows of 5; winnowing emits a
         // minimizer when it DIFFERS from the previous window's (run-dedup,
-        // minimap2's rule). Everything is least()-of-substrings on exploded
-        // window rows — plain codegen'd expressions. The array-based
-        // formulations (transform + array_min/array_distinct) looked
-        // narrower but run on Catalyst's INTERPRETED lambda path and
-        // measured 5-7x slower per row at sf1; whole-stage codegen beats
-        // saving the Generate.
-        .select($"seq", explode(sequence(lit(1), lit(21))).as("p"))
-        .withColumn("m", expr("least(substring(seq, p, 8), substring(seq, p + 1, 8), " +
-          "substring(seq, p + 2, 8), substring(seq, p + 3, 8), substring(seq, p + 4, 8))"))
-        .withColumn("mp", expr("CASE WHEN p = 1 THEN NULL ELSE " +
-          "least(substring(seq, p - 1, 8), substring(seq, p, 8), substring(seq, p + 1, 8), " +
-          "substring(seq, p + 2, 8), substring(seq, p + 3, 8)) END"))
-        .filter($"mp".isNull || $"m" =!= $"mp")
-        .select($"m".as("minimizer"))
+        // minimap2's rule). The native expression computes the winnowed
+        // list in ONE pass over the sequence bytes inside whole-stage
+        // codegen — the previous composed form (explode(sequence(1,21)) +
+        // two least(substring…) chains + run filter, kept as the executable
+        // spec in KmerMinimizersSpec) evaluated ten substring allocations
+        // per exploded window row, 21 rows per read. Values are pinned
+        // identical (same clipped substrings, same binary string order,
+        // same run-dedup rule).
+        .select(explode(expr("graft_kmer_minimizers(seq)")).as("minimizer"))
         .groupBy($"minimizer").agg(count(lit(1)).as("n"))
         .groupBy($"n").agg(count(lit(1)).as("n_minimizers"))
         .select($"n".as("multiplicity"), $"n_minimizers")
