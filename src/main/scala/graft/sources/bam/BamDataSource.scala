@@ -940,7 +940,10 @@ class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
   private val raw = fs.create(partPath, true)
   private val out = new graft.bgzf.BgzfOutputStream(raw, writeEof = !singleFile, level = level)
   private var count = 0L
-  private val idx = RowToRecord.indices(schema)
+  // direct InternalRow → wire encoder (BamRowEncoder): no per-record
+  // AlignmentRecord/String/Map materialization on the hot path; falls back
+  // to the RowToRecord spec path for shapes it can't prove byte-identical
+  private val enc = new graft.bam.BamRowEncoder(schema, header)
   // SBI voffs + genomic coordinates of sampled records + sortedness check
   private val sVoffs = Array.newBuilder[Long]
   private val sRefs = Array.newBuilder[Int]
@@ -956,15 +959,15 @@ class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
   private val bai = if (writeBai) new graft.index.BaiBuilder else null
 
   override def write(row: InternalRow): Unit = {
-    val rec = RowToRecord.convert(row, idx)
-    val refId = header.refId(rec.contig)
-    val pos0 = rec.start - 1
+    val len = enc.encode(row)
+    val refId = enc.lastRefId
+    val pos0 = enc.lastStart - 1
     if (sbiGranularity > 0) {
       if (count % sbiGranularity == 0) {
         if (count > 0) { sSpans += curSpan; curSpan = 0 } // close previous window
         sVoffs += out.virtualOffset; sRefs += refId; sPos += pos0
       }
-      val span = math.max(0, rec.end - rec.start) // == end0 − pos0
+      val span = math.max(0, enc.lastEnd - enc.lastStart) // == end0 − pos0
       if (span > curSpan) curSpan = span
     }
     if (sbiGranularity > 0 || bai != null) {
@@ -974,9 +977,9 @@ class BamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
       if (firstRef == -2) { firstRef = refId; firstPos = pos0 }
     }
     val vBeg = out.virtualOffset
-    out.write(BamCodec.encodeRecord(rec, header))
-    if (bai != null) bai.add(refId, pos0, math.max(pos0, rec.end - 1), vBeg, out.virtualOffset,
-      mapped = (rec.flags & AlignmentRecord.FlagUnmapped) == 0)
+    out.write(enc.buf, 0, len)
+    if (bai != null) bai.add(refId, pos0, math.max(pos0, enc.lastEnd - 1), vBeg, out.virtualOffset,
+      mapped = (enc.lastFlags & AlignmentRecord.FlagUnmapped) == 0)
     count += 1
   }
   override def commit(): WriterCommitMessage = {

@@ -303,13 +303,13 @@ class FastqDataWriter(dir: String, singleFile: Boolean, bgzf: Boolean, shardSuff
     if (singleFile && bgzf) new graft.bgzf.BgzfOutputStream(raw, writeEof = false, level = level)
     else if (shardBgzf) new graft.bgzf.BgzfOutputStream(raw, writeEof = true, level = level)
     else new java.io.BufferedOutputStream(raw, 1 << 16)
-  private val idx = RowToFastq.indices(schema)
-  private val sb = new StringBuilder(256)
+  // direct InternalRow → four-line record bytes; falls back to the
+  // RowToFastq + FastqCodec.toLines spec path on null mandatory fields
+  private val enc = new graft.fastq.FastqRowEncoder(RowToFastq.indices(schema))
 
   override def write(row: InternalRow): Unit = {
-    sb.setLength(0)
-    FastqCodec.toLines(RowToFastq.convert(row, idx), sb)
-    out.write(sb.toString.getBytes("UTF-8"))
+    val len = enc.encode(row)
+    out.write(enc.buf, 0, len)
   }
   override def commit(): WriterCommitMessage = { out.close(); new WriterCommitMessage {} }
   override def abort(): Unit = { out.close(); fs.delete(partPath, false) }

@@ -299,12 +299,14 @@ class SamDataWriter(dir: String, header: SamHeader, singleFile: Boolean,
   private val partPath = new Path(dir, name)
   private val fs = partPath.getFileSystem(conf.conf)
   private val out = new java.io.BufferedOutputStream(fs.create(partPath, true), 1 << 16)
-  private val idx = RowToRecord.indices(schema)
+  // direct InternalRow → line-bytes encoder; falls back to the
+  // RowToRecord + SamCodec.toLine spec path for non-fast-path shapes
+  private val enc = new graft.sam.SamRowEncoder(schema)
   if (!singleFile) out.write(header.text.getBytes("UTF-8"))
 
   override def write(row: InternalRow): Unit = {
-    out.write(SamCodec.toLine(RowToRecord.convert(row, idx)).getBytes("UTF-8"))
-    out.write('\n')
+    val len = enc.encode(row)
+    out.write(enc.buf, 0, len)
   }
   override def commit(): WriterCommitMessage = {
     out.close()

@@ -541,15 +541,18 @@ class VcfDataWriter(dir: String, headerOpt: Option[String], singleFile: Boolean,
     else null
   private val out: java.io.OutputStream =
     if (bgzfOut != null) bgzfOut else counting
-  private val idx = RowToVariant.indices(schema)
+  // direct InternalRow → line-bytes encoder (VcfRowEncoder): no per-row
+  // Variant/Genotype/String/Map materialization on the hot path; falls back
+  // to the RowToVariant spec path for shapes it can't prove byte-identical
+  private val enc = new graft.vcf.VcfRowEncoder(schema)
   private var samples: Seq[String] = Seq.empty
   private var wroteShardHeader = false
   private val tbi = if (writeTbi && bgzfOut != null) new graft.index.TbiBuilder else null
   private val tidx = if (writeIdx && singleFile && bgzfOut == null) new graft.index.TribbleIdxBuilder() else null
 
   override def write(row: InternalRow): Unit = {
-    val v = RowToVariant.convert(row, idx)
-    if (samples.isEmpty && v.genotypes.nonEmpty) samples = v.genotypes.map(_.sample)
+    val len = enc.encode(row)
+    if (samples.isEmpty && enc.lastHasGenotypes) samples = enc.samplesOf(row)
     if (!singleFile && !wroteShardHeader) {
       val text = headerOpt.getOrElse(VcfHeader(Seq("##fileformat=VCFv4.2"), samples).headerText)
       out.write(text.getBytes("UTF-8"))
@@ -557,12 +560,13 @@ class VcfDataWriter(dir: String, headerOpt: Option[String], singleFile: Boolean,
     }
     val vBeg = if (tbi != null) bgzfOut.virtualOffset else 0L
     val pBeg = if (tidx != null) counting.count else 0L
-    out.write(VcfCodec.toLine(v).getBytes("UTF-8"))
-    out.write('\n')
+    out.write(enc.buf, 0, len)
     if (tbi != null)
-      tbi.add(v.contig, v.start - 1, math.max(v.start, v.end) - 1, vBeg, bgzfOut.virtualOffset)
+      tbi.add(enc.lastContig, enc.lastStart - 1, math.max(enc.lastStart, enc.lastEnd) - 1,
+        vBeg, bgzfOut.virtualOffset)
     if (tidx != null)
-      tidx.add(v.contig, v.start, math.max(v.start, v.end), pBeg, counting.count)
+      tidx.add(enc.lastContig, enc.lastStart, math.max(enc.lastStart, enc.lastEnd),
+        pBeg, counting.count)
   }
   override def commit(): WriterCommitMessage = {
     if (!singleFile && !wroteShardHeader) {
