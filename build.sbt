@@ -33,10 +33,20 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[N] runs driver + all executor tasks in ONE JVM: at 32 concurrent
   // tasks the unified memory region of an 8g heap left ~150 MB per task and
   // the 223-query bench spent a large share of its CPU in GC (15-query A/B
-  // on comparable windows: operator_s 63.0 at 8g vs 37.6 at 24g). 24g is a
-  // local default for this 128 GiB sandbox, env-overridable; a cluster
-  // deployment sizes executor heaps via spark-submit, not this flag.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // on comparable windows: operator_s 63.0 at 8g vs 37.6 at 24g). The
+  // default is HOST-ADAPTIVE — a quarter of physical RAM clamped to
+  // [4g, 24g] (24g on the 128 GiB bench sandbox, identical numbers; a
+  // 16 GiB dev box gets 4g instead of swapping or being OOM-killed) —
+  // and stays env-overridable via SPARK_DRIVER_MEM; a cluster deployment
+  // sizes executor heaps via spark-submit, not this flag.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val physGiB =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getTotalMemorySize / (1L << 30)
+      catch { case _: Throwable => 32L }
+    s"${math.max(4L, math.min(24L, physGiB / 4))}g"
+  })}",
 ) ++
   // run/Test fork, so -D flags given on the sbt command line would die in
   // the sbt JVM — forward the graft.* ones (e.g. graft.verify.only) to

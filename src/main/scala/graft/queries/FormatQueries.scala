@@ -82,9 +82,22 @@ object FormatQueries {
     */
   private def inParallel(jobs: (() => Unit)*): Unit = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(jobs.length)
-    try jobs.map(j => pool.submit(new Runnable { override def run(): Unit = j() }))
-      .foreach(_.get())
-    finally pool.shutdown()
+    try {
+      val futures = jobs.map(j => pool.submit(new Runnable { override def run(): Unit = j() }))
+      // await ALL jobs (no sibling keeps writing after the query "failed"),
+      // rethrow the first failure's CAUSE (not the ExecutionException
+      // wrapper) with later failures attached as suppressed
+      var first: Throwable = null
+      futures.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            val cause = if (e.getCause != null) e.getCause else e
+            if (first == null) first = cause else first.addSuppressed(cause)
+        }
+      }
+      if (first != null) throw first
+    } finally pool.shutdown()
   }
 
   // Construction writes below pass compressionLevel=1: the file is a

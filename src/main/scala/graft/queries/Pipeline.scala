@@ -1500,8 +1500,11 @@ object Pipeline {
     // exists anywhere.
     "q_fuzzy_linkage" -> { (s, d) =>
       import s.implicits._
-      val n = Tables.customer(s, d).select($"c_name".as("name"))
-        .filter(length($"name") >= 3)
+      // spreadSmall: gram construction, explode and the gram-key shuffle's
+      // map side otherwise run on the single-split scan task (no-op at
+      // cluster-scale input sizes)
+      val n = Tables.spreadSmall(Tables.customer(s, d).select($"c_name".as("name"))
+        .filter(length($"name") >= 3))
       val g = n.select($"name", explode(array_distinct(expr(
         "transform(sequence(1, length(name) - 2), i -> substring(name, i, 3))"))).as("gram"))
       // pairs form INSIDE each gram block (the lshCandidatePairs shape —

@@ -197,14 +197,18 @@ object Relational {
     "q_interval_join_binned" -> { (s, d) =>
       import s.implicits._
       val nc = math.max(3L, Pipeline.countOnce(s"$d/lineitem", Tables.lineitem(s, d)) / 20000L)
-      val reads = Tables.lineitem(s, d).select(
+      // single-split inputs leave the contig/bin construction, the explode
+      // and BOTH join-shuffle map sides on one scan task (cpu_s ≈ wall in
+      // the bench); spreadSmall moves that below-the-join work onto every
+      // core and is a no-op once the input exceeds one scan split
+      val reads = Tables.spreadSmall(Tables.lineitem(s, d).select(
         concat(lit("chr"), ($"l_orderkey" % nc).cast("string")).as("contig"),
-        (($"l_partkey" * 37) % 100000).cast("int").as("rstart"))
+        (($"l_partkey" * 37) % 100000).cast("int").as("rstart")))
         .withColumn("rend", $"rstart" + 150)
         .withColumn("bin", explode(expr("sequence(rstart div 250, rend div 250)")))
-      val vars = Tables.orders(s, d).select(
+      val vars = Tables.spreadSmall(Tables.orders(s, d).select(
         concat(lit("chr"), ($"o_orderkey" % nc).cast("string")).as("vcontig"),
-        (($"o_custkey" * 53) % 100000).cast("int").as("vstart"))
+        (($"o_custkey" * 53) % 100000).cast("int").as("vstart")))
         .withColumn("vend", $"vstart" + 30)
         .withColumn("vbin", explode(expr("sequence(vstart div 250, vend div 250)")))
       reads.join(vars,

@@ -44,4 +44,38 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Scale-adaptive scan spread (guide §2.5 "input skew: one huge
+    * unsplittable file → repartition immediately after the read"): when the
+    * plan's input is SMALLER than one scan split (`files.maxPartitionBytes`),
+    * the whole scan — and every narrow operation above it, including the map
+    * side of the first exchange — runs as ONE task; a round-robin
+    * repartition of the pruned base columns moves that work onto every core.
+    * When the input is bigger than a split the scan parallelizes by itself
+    * and the extra exchange would be pure cost, so nothing is inserted —
+    * the decision derives from input size, not from the local core count
+    * (at 100 TB this is always a no-op). The repartition lands BELOW a
+    * deterministic final projection (same plan surgery as
+    * FormatQueries.spread) so heavy row construction also moves off the
+    * scan task and only pruned base columns cross the exchange.
+    * Row-for-row output is unchanged — only partition placement moves.
+    */
+  def spreadSmall(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val dp = s.sparkContext.defaultParallelism
+    val maxPB = s.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.analyzed.stats.sizeInBytes
+    if (dp <= 1 || bytes >= BigInt(maxPB)) df
+    else {
+      import org.apache.spark.sql.catalyst.plans.logical.{Project, Repartition}
+      df.queryExecution.logical match {
+        case Project(exprs, child) if exprs.forall(_.deterministic) =>
+          org.apache.spark.sql.GraftInternals.ofRows(s,
+            Project(exprs, Repartition(dp, shuffle = true, child)))
+        case other =>
+          org.apache.spark.sql.GraftInternals.ofRows(s,
+            Repartition(dp, shuffle = true, other))
+      }
+    }
+  }
 }

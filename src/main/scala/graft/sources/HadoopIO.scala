@@ -56,18 +56,28 @@ object HadoopIO {
     * (reference semantics, HadoopFileSystemWrapper.listDirectory:76-83 +
     * README.md:81-91).
     */
-  def listInputFiles(pathStr: String, conf: Configuration): Seq[Path] = {
+  def listInputFiles(pathStr: String, conf: Configuration): Seq[Path] =
+    listInputFilesWithLen(pathStr, conf).map(_._1)
+
+  /** [[listInputFiles]] plus each file's length, FROM THE SAME LISTING —
+    * `listStatus`/`getFileStatus` already return lengths, so split-size
+    * derivation never re-stats files (at 100k shards a serial re-stat loop
+    * is O(files) extra driver RPCs on every scan's planning).
+    */
+  def listInputFilesWithLen(pathStr: String, conf: Configuration): Seq[(Path, Long)] = {
     val path = new Path(pathStr)
     val fs = path.getFileSystem(conf)
     val st = fs.getFileStatus(path)
-    if (!st.isDirectory) Seq(path)
+    if (!st.isDirectory) Seq((path, st.getLen))
     else
       fs.listStatus(path).toSeq
         .filter(s => !s.isDirectory)
-        .map(_.getPath)
-        .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_") &&
-          !isSideFile(p.getName))
-        .sortBy(_.getName)
+        .filter { s =>
+          val n = s.getPath.getName
+          !n.startsWith(".") && !n.startsWith("_") && !isSideFile(n)
+        }
+        .sortBy(_.getPath.getName)
+        .map(s => (s.getPath, s.getLen))
   }
 
   /** Fan per-file split planning out on a bounded thread pool. Planning a

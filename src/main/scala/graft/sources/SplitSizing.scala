@@ -1,8 +1,5 @@
 package graft.sources
 
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
-
 /** Scale-adaptive split sizing for the record-format scans.
   *
   * A fixed default split size is a constant tuned for exactly one scale: at
@@ -25,11 +22,4 @@ object SplitSizing {
 
   def derive(totalBytes: Long, parallelism: Int): Long =
     math.max(MinSplit, math.min(MaxSplit, totalBytes / math.max(1, parallelism)))
-
-  /** Total length of `files` (one getFileStatus each — the planner already
-    * stats these files for block locations, so this adds no remote calls of
-    * a new kind).
-    */
-  def totalBytes(files: Seq[Path], conf: Configuration): Long =
-    files.iterator.map(f => f.getFileSystem(conf).getFileStatus(f).getLen).sum
 }

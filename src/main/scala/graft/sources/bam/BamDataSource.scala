@@ -319,9 +319,10 @@ class BamScan(options0: Map[String, String], required: StructType, pushed: Array
     // permissive skips silently — framing stays aligned in every tier
     val stringency = Stringency.fromOptions(options)
     val extraSlack = options.get("intervalslack").map(_.toInt).getOrElse(0)
-    val files = HadoopIO.listInputFiles(pathStr, conf)
+    val filesWithLen = HadoopIO.listInputFilesWithLen(pathStr, conf)
+    val files = filesWithLen.map(_._1)
     val splitSize = options.get("splitsize").map(_.toLong).getOrElse(
-      SplitSizing.derive(SplitSizing.totalBytes(files, conf),
+      SplitSizing.derive(filesWithLen.iterator.map(_._2).sum,
         SparkSession.active.sparkContext.defaultParallelism))
 
     def planFile(file: Path): Seq[InputPartition] = {
@@ -1024,7 +1025,15 @@ object RowToRecord {
       else {
         val m = row.getMap(x.attributes)
         val ks = m.keyArray(); val vs = m.valueArray()
-        (0 until m.numElements()).map(i => ks.getUTF8String(i).toString -> vs.getUTF8String(i).toString).toMap
+        (0 until m.numElements()).map { i =>
+          val v = vs.getUTF8String(i)
+          // the permissive table schema (valueContainsNull=true, which keeps
+          // the write plan in codegen) no longer guards this path — fail
+          // with the field named instead of an opaque NPE in the encoder
+          if (v == null) throw new IllegalArgumentException(
+            s"null value for attributes key '${ks.getUTF8String(i)}' (SAM tag values cannot be null)")
+          ks.getUTF8String(i).toString -> v.toString
+        }.toMap
       }
     AlignmentRecord(str(x.readName), int(x.flags), str(x.contig), int(x.start), int(x.end),
       int(x.mapq), str(x.cigar), str(x.mateContig), int(x.mateStart), int(x.tlen),

@@ -365,9 +365,10 @@ class CramScan(options: Map[String, String], required: StructType,
     val basePred = if (records) None else containerPred
     val recIvs = recordIntervals
     val keepUnm = unplacedUnmapped
-    val files = HadoopIO.listInputFiles(pathStr, conf)
+    val filesWithLen = HadoopIO.listInputFilesWithLen(pathStr, conf)
+    val files = filesWithLen.map(_._1)
     val splitSize = options.get("splitsize").map(_.toLong).getOrElse(
-      graft.sources.SplitSizing.derive(graft.sources.SplitSizing.totalBytes(files, conf),
+      graft.sources.SplitSizing.derive(filesWithLen.iterator.map(_._2).sum,
         SparkSession.active.sparkContext.defaultParallelism))
 
     def planFile(file: Path): Seq[InputPartition] = {

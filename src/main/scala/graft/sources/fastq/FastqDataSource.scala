@@ -82,9 +82,10 @@ class FastqScan(options: Map[String, String], required: StructType, limitHint: I
     val pathStr = options.getOrElse("path",
       throw new IllegalArgumentException("fastq source requires a path"))
     val stringency = Stringency.fromOptions(options)
-    val files = HadoopIO.listInputFiles(pathStr, conf)
+    val filesWithLen = HadoopIO.listInputFilesWithLen(pathStr, conf)
+    val files = filesWithLen.map(_._1)
     val splitSize = options.get("splitsize").map(_.toLong).getOrElse(
-      SplitSizing.derive(SplitSizing.totalBytes(files, conf),
+      SplitSizing.derive(filesWithLen.iterator.map(_._2).sum,
         SparkSession.active.sparkContext.defaultParallelism))
     HadoopIO.planFiles(files) { file =>
       val in = HadoopIO.open(file, conf)

@@ -109,9 +109,10 @@ class SamScan(options: Map[String, String], required: StructType,
     val stringency = graft.sources.Stringency.fromOptions(options)
     // per-file header I/O fanned out on the shared bounded pool (O(files)
     // serial driver RPCs otherwise), lexicographic file order preserved
-    val files = HadoopIO.listInputFiles(pathStr, conf)
+    val filesWithLen = HadoopIO.listInputFilesWithLen(pathStr, conf)
+    val files = filesWithLen.map(_._1)
     val splitSize = options.get("splitsize").map(_.toLong).getOrElse(
-      graft.sources.SplitSizing.derive(graft.sources.SplitSizing.totalBytes(files, conf),
+      graft.sources.SplitSizing.derive(filesWithLen.iterator.map(_._2).sum,
         SparkSession.active.sparkContext.defaultParallelism))
     HadoopIO.planFiles(files) { file =>
       val in = HadoopIO.open(file, conf)

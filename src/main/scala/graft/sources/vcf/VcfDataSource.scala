@@ -115,9 +115,10 @@ class VcfScan(options: Map[String, String], required: StructType,
     val stringency = graft.sources.Stringency.fromOptions(options)
     // per-file header/index I/O fanned out on the shared bounded pool
     // (O(files) serial driver RPCs otherwise), lexicographic order preserved
-    val files = HadoopIO.listInputFiles(pathStr, conf)
+    val filesWithLen = HadoopIO.listInputFilesWithLen(pathStr, conf)
+    val files = filesWithLen.map(_._1)
     val splitSize = options.get("splitsize").map(_.toLong).getOrElse(
-      graft.sources.SplitSizing.derive(graft.sources.SplitSizing.totalBytes(files, conf),
+      graft.sources.SplitSizing.derive(filesWithLen.iterator.map(_._2).sum,
         SparkSession.active.sparkContext.defaultParallelism))
     HadoopIO.planFiles(files) { file =>
       val in = HadoopIO.open(file, conf)
@@ -620,7 +621,14 @@ object RowToVariant {
       else {
         val m = row.getMap(i)
         val ks = m.keyArray(); val vs = m.valueArray()
-        (0 until m.numElements()).map(j => ks.getUTF8String(j).toString -> vs.getUTF8String(j).toString).toMap
+        (0 until m.numElements()).map { j =>
+          val v = vs.getUTF8String(j)
+          // permissive table schema (valueContainsNull=true) no longer
+          // guards this path — fail with the key named, not an opaque NPE
+          if (v == null) throw new IllegalArgumentException(
+            s"null value for map key '${ks.getUTF8String(j)}' in VCF write (INFO/FORMAT values cannot be null)")
+          ks.getUTF8String(j).toString -> v.toString
+        }.toMap
       }
     val genotypes: Seq[Genotype] =
       if (x.genotypes < 0 || row.isNullAt(x.genotypes)) Nil
@@ -633,7 +641,12 @@ object RowToVariant {
             else {
               val m = g.getMap(x.gFields)
               val ks = m.keyArray(); val vs = m.valueArray()
-              (0 until m.numElements()).map(t => ks.getUTF8String(t).toString -> vs.getUTF8String(t).toString).toMap
+              (0 until m.numElements()).map { t =>
+                val v = vs.getUTF8String(t)
+                if (v == null) throw new IllegalArgumentException(
+                  s"null value for FORMAT key '${ks.getUTF8String(t)}' in VCF write (use '.' for missing)")
+                ks.getUTF8String(t).toString -> v.toString
+              }.toMap
             }
           Genotype(
             if (x.gSample < 0 || g.isNullAt(x.gSample)) null

@@ -69,4 +69,11 @@ class KmerMinimizersSpec extends AnyFunSuite with SparkFixture {
       .getSeq[String](0)
     assert(interp == codegen)
   }
+
+  test("non-string argument is a clean analysis error, not a runtime failure") {
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr("graft_kmer_minimizers(id)").collect()
+    }
+    assert(e.getMessage.contains("STRING"), s"unexpected: ${e.getMessage}")
+  }
 }
